@@ -1,0 +1,79 @@
+"""Query catalog — the driver-contract surface.
+
+Every operator the engine claims (SURVEY.md §2) registers here as a named
+query: a Spark builder ``(spark, sf_dir) -> DataFrame`` plus, where the
+semantics are ANSI-SQL-expressible, a DuckDB oracle string over the same
+parquet fixtures. ``__spark_entry__.py`` re-exports this registry.
+
+Determinism rules every registered query follows (so the driver's
+order-insensitive value-hash matches):
+
+* every computed column is aliased identically in Spark and SQL;
+* money aggregations go through DECIMAL (exact) and are cast back to
+  DOUBLE, so Spark's and DuckDB's float summation order can't diverge;
+* integer SUMs are cast to BIGINT in the oracle (DuckDB widens to
+  HUGEINT, which pandas would coerce to float);
+* LIMIT/top-k queries ORDER BY a key that is provably total, so the
+  selected row set is unique;
+* timestamps stay µs-precision, session time zone pinned UTC.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Query:
+    name: str
+    builder: QueryFn
+    oracle: str | None  # DuckDB-runnable ANSI SQL, or None → rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator: add a query to the catalog."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = Query(name=name, builder=fn, oracle=oracle, tags=tags)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    _load()
+    return {name: q.builder for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    _load()
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+
+
+_LOADED = False
+
+
+def _load() -> None:
+    """Import all query modules (they self-register on import)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from blow_spark.queries import (  # noqa: F401
+        relational,
+        text,
+        vectors,
+        windows_streaming,
+    )
+
+    _LOADED = True

@@ -1,0 +1,945 @@
+"""Relational operator catalog: scans, projection/filter, scalar batteries,
+joins (every type), aggregations, windows, sort/limit/top-k, set ops.
+
+Maps SURVEY.md §2.2 rows to first-class queries. The reference has none of
+these as operators (its surface is a distributed flatMap — maps/maps.go:12-14);
+each query here is the declarative Catalyst form with a DuckDB oracle.
+
+Determinism contract is documented in blow_spark.queries.__init__.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from blow_spark.queries import register
+from blow_spark.sources import read_table, register_views
+
+
+def _dec_sum(col, scale: int = 4):
+    """Exact money sum: per-row cast to DECIMAL, exact decimal summation,
+    result back to DOUBLE. Bit-identical across Spark and DuckDB regardless
+    of partial-aggregation order (map-side combine stays enabled)."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+# --------------------------------------------------------------------------
+# Flagship + scan/filter/project
+# --------------------------------------------------------------------------
+
+
+@register(
+    "flagship_fizzbuzz_agg",
+    oracle="""
+    SELECT word,
+           COUNT(*)        AS n,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_key
+    FROM (
+      SELECT l_orderkey,
+             CASE WHEN l_orderkey % 15 = 0 THEN 'fizzbuzz'
+                  WHEN l_orderkey % 3  = 0 THEN 'fizz'
+                  WHEN l_orderkey % 5  = 0 THEN 'buzz'
+                  ELSE CAST(l_orderkey AS VARCHAR) END AS word
+      FROM lineitem) t
+    GROUP BY word
+    """,
+    tags=("flagship", "project", "agg"),
+)
+def flagship_fizzbuzz_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's one real computation (FizzMapper,
+    cmd/fizzbuzz/fizzbuzz.go:21-46) as a native columnar plan: scan →
+    CASE-classify → hash-aggregate. No Python on the hot path."""
+    li = read_table(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey")
+    word = (
+        F.when(k % 15 == 0, F.lit("fizzbuzz"))
+        .when(k % 3 == 0, F.lit("fizz"))
+        .when(k % 5 == 0, F.lit("buzz"))
+        .otherwise(k.cast("string"))
+    )
+    return (
+        li.select(word.alias("word"), k.alias("key"))
+        .groupBy("word")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("key").alias("min_key"),
+            F.max("key").alias("max_key"),
+        )
+    )
+
+
+@register(
+    "scan_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           l_shipdate
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2001-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.08
+      AND l_quantity < 25
+    """,
+    tags=("scan", "filter", "project"),
+)
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate pushdown + column pruning: the filters and the 6-column
+    read schema reach the parquet scan (verify with .explain('formatted')).
+    Row-level double arithmetic is IEEE-deterministic, so no rounding."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("2001-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.02, 0.08)
+        & (F.col("l_quantity") < 25)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        "l_shipdate",
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar function batteries (SURVEY §2.2 "Scalar functions")
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name)                                   AS name_upper,
+           LOWER(c_mktsegment)                             AS seg_lower,
+           LENGTH(c_name)                                  AS name_len,
+           SUBSTRING(c_name, 10, 9)                        AS name_digits,
+           CONCAT(c_mktsegment, '#', CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+           REPLACE(c_name, 'Customer', 'Cust')             AS name_short,
+           REGEXP_EXTRACT(c_name, '([0-9]+)$', 1)          AS trailing_digits,
+           LPAD(CAST(c_custkey AS VARCHAR), 8, '0')        AS key_padded,
+           TRIM('  x  ')                                   AS trimmed
+    FROM customer
+    WHERE c_custkey < 500
+    """,
+    tags=("scalar", "string"),
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 10, 9).alias("name_digits"),
+        F.concat(F.col("c_mktsegment"), F.lit("#"), F.col("c_nationkey").cast("string")).alias("seg_nation"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
+        F.regexp_extract("c_name", r"([0-9]+)$", 1).alias("trailing_digits"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+        F.trim(F.lit("  x  ")).alias("trimmed"),
+    )
+
+
+@register(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT s_suppkey,
+           ABS(s_acctbal - 5000)                AS bal_dist,
+           ROUND(s_acctbal, 1)                  AS bal_round1,
+           FLOOR(s_acctbal)                     AS bal_floor,
+           CEIL(s_acctbal)                      AS bal_ceil,
+           CAST(s_suppkey % 7 AS BIGINT)        AS key_mod7,
+           SQRT(ABS(s_acctbal))                 AS bal_sqrt,
+           ROUND(LN(ABS(s_acctbal) + 1), 6)     AS bal_ln,
+           ROUND(POWER(CAST(s_suppkey AS DOUBLE), 2), 6) AS key_sq,
+           SIGN(s_acctbal - 5000)               AS bal_sign
+    FROM supplier
+    """,
+    tags=("scalar", "math"),
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = read_table(spark, sf_dir, "supplier")
+    bal = F.col("s_acctbal")
+    return s.select(
+        "s_suppkey",
+        F.abs(bal - 5000).alias("bal_dist"),
+        F.round(bal, 1).alias("bal_round1"),
+        F.floor(bal).alias("bal_floor"),
+        F.ceil(bal).alias("bal_ceil"),
+        (F.col("s_suppkey") % 7).alias("key_mod7"),
+        # transcendentals (ln, pow) differ by 1 ulp between JVM Math and
+        # libm — round to 6 decimals on both sides; sqrt is IEEE-exact
+        F.sqrt(F.abs(bal)).alias("bal_sqrt"),
+        F.round(F.log(F.abs(bal) + 1), 6).alias("bal_ln"),
+        F.round(F.pow(F.col("s_suppkey").cast("double"), 2), 6).alias("key_sq"),
+        F.signum(bal - 5000).alias("bal_sign"),
+    )
+
+
+@register(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS BIGINT)    AS order_year,
+           CAST(MONTH(o_orderdate) AS BIGINT)   AS order_month,
+           CAST(DAY(o_orderdate) AS BIGINT)     AS order_day,
+           CAST(QUARTER(o_orderdate) AS BIGINT) AS order_quarter,
+           DATE_TRUNC('month', o_orderdate)     AS order_month_start,
+           o_orderdate + INTERVAL 30 DAY        AS due_date,
+           STRFTIME(o_orderdate, '%Y-%m-%d')    AS order_date_str
+    FROM orders
+    WHERE o_orderkey < 1000
+    """,
+    tags=("scalar", "datetime"),
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("order_year"),
+        F.month(d).cast("long").alias("order_month"),
+        F.dayofmonth(d).cast("long").alias("order_day"),
+        F.quarter(d).cast("long").alias("order_quarter"),
+        F.date_trunc("month", d).alias("order_month_start"),
+        (d + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+        F.date_format(d, "yyyy-MM-dd").alias("order_date_str"),
+    )
+
+
+@register(
+    "scalar_conditional_funcs",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'rich' END                          AS bal_class,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           GREATEST(c_acctbal, 0.0)                      AS bal_floor0,
+           LEAST(c_acctbal, 9999.0)                      AS bal_cap,
+           CAST(c_acctbal > 0 AS BOOLEAN)                AS in_credit
+    FROM customer
+    """,
+    tags=("scalar", "conditional"),
+)
+def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.when(bal < 0, "debt").when(bal < 5000, "mid").otherwise("rich").alias("bal_class"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias("seg_or_other"),
+        F.greatest(bal, F.lit(0.0)).alias("bal_floor0"),
+        F.least(bal, F.lit(9999.0)).alias("bal_cap"),
+        (bal > 0).alias("in_credit"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (SURVEY §2.2 "Joins": every type + broadcast + range + as-of)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_inner",
+    oracle="""
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("join",),
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey, "inner")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_customers"), _dec_sum(F.col("c_acctbal")).alias("total_bal"))
+    )
+
+
+@register(
+    "join_broadcast_dim",
+    oracle="""
+    SELECT r.r_name AS region, COUNT(*) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    tags=("join", "broadcast"),
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast hint: the 5-row dim ships to every task; no
+    shuffle of the fact side. At 100 TB this is the only sane plan for
+    small-dim joins, so the engine makes it explicit."""
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(F.count("*").alias("n_nations"))
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+    tags=("join", "outer"),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name
+    FROM customer c RIGHT JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey < 2000
+    """,
+    tags=("join", "outer"),
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return c.join(o, o.o_custkey == c.c_custkey, "right").select("o_orderkey", "c_name")
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT b.c_nationkey AS big_nation, s.c_nationkey AS small_nation,
+           b.n_big, s.n_small
+    FROM (SELECT c_nationkey, COUNT(*) AS n_big FROM customer
+          WHERE c_acctbal > 8000 GROUP BY c_nationkey) b
+    FULL OUTER JOIN
+         (SELECT c_nationkey, COUNT(*) AS n_small FROM customer
+          WHERE c_acctbal < -8000 GROUP BY c_nationkey) s
+    ON b.c_nationkey = s.c_nationkey
+    """,
+    tags=("join", "outer"),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    big = (
+        c.filter(F.col("c_acctbal") > 8000)
+        .groupBy(F.col("c_nationkey").alias("big_nation"))
+        .agg(F.count("*").alias("n_big"))
+    )
+    small = (
+        c.filter(F.col("c_acctbal") < -8000)
+        .groupBy(F.col("c_nationkey").alias("small_nation"))
+        .agg(F.count("*").alias("n_small"))
+    )
+    return big.join(
+        small, big.big_nation == small.small_nation, "full"
+    ).select("big_nation", "small_nation", "n_big", "n_small")
+
+
+@register(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    tags=("join", "semi"),
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, o.o_custkey == c.c_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join", "anti"),
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return c.join(o, o.o_custkey == c.c_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name AS region, s.s_suppkey AS suppkey
+    FROM region r CROSS JOIN supplier s
+    """,
+    tags=("join", "cross"),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = read_table(spark, sf_dir, "region")
+    s = read_table(spark, sf_dir, "supplier")
+    return r.crossJoin(s).select(F.col("r_name").alias("region"), F.col("s_suppkey").alias("suppkey"))
+
+
+@register(
+    "join_range_nonequi",
+    oracle="""
+    SELECT a.s_suppkey AS suppkey,
+           COUNT(b.s_suppkey) AS n_peers
+    FROM supplier a
+    LEFT JOIN supplier b
+      ON b.s_acctbal BETWEEN a.s_acctbal - 250 AND a.s_acctbal + 250
+     AND b.s_suppkey <> a.s_suppkey
+    GROUP BY a.s_suppkey
+    """,
+    tags=("join", "range"),
+)
+def join_range_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join (non-equi). Catalyst plans BNLJ here; at scale the
+    engine's bucketed variant (blow_spark.ops.range_join_bucketed) turns
+    the band predicate into an equi-join on bucket id."""
+    a = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("a_key"), F.col("s_acctbal").alias("a_bal")
+    )
+    b = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("b_key"), F.col("s_acctbal").alias("b_bal")
+    )
+    cond = F.col("b_bal").between(F.col("a_bal") - 250, F.col("a_bal") + 250) & (
+        F.col("b_key") != F.col("a_key")
+    )
+    return (
+        a.join(b, cond, "left")
+        .groupBy(F.col("a_key").alias("suppkey"))
+        .agg(F.count("b_key").alias("n_peers"))
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT e.event_id,
+           e.user_id,
+           c.ts AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts > c.ts
+    """,
+    tags=("join", "asof"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each error event, the most recent strictly-earlier
+    click by the same user. Spark lacks a native ASOF; expressed as a
+    range join + max aggregation (exact same semantics as DuckDB's ASOF).
+    The scalable form is blow_spark.ops.asof_join (union + window)."""
+    ev = read_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("err_ts")
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    joined = err.join(
+        clk, (F.col("user_id") == F.col("c_user")) & (F.col("err_ts") > F.col("c_ts")), "left"
+    )
+    return joined.groupBy("event_id", "user_id").agg(F.max("c_ts").alias("last_click_ts"))
+
+
+# --------------------------------------------------------------------------
+# Aggregations (SURVEY §2.2 "Aggregations")
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)      AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)      AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "flagship"),
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → filter → partial agg (map-side combine) →
+    final agg. The DECIMAL discipline makes the sums exact, so the result
+    is independent of partition count and combine order — a property the
+    100 TB plan needs anyway (double-sum drift across 10^6 tasks)."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+        _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+        _dec_sum(disc_price, 6).alias("sum_disc_price"),
+        _dec_sum(charge, 6).alias("sum_charge"),
+        (_dec_sum(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
+        (_dec_sum(F.col("l_extendedprice")) / F.count("*")).alias("avg_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "agg_distinct_counts",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey)  AS n_suppliers,
+           COUNT(DISTINCT l_partkey)  AS n_parts,
+           COUNT(*)                   AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "distinct"),
+)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "agg_stats_exact",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*)                          AS n,
+           MIN(o_totalprice)                 AS min_price,
+           MAX(o_totalprice)                 AS max_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)                 AS sum_price,
+           CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(30,4))) AS DOUBLE)  AS sum_price_sq
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("agg", "stats"),
+)
+def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moment sketch via exact decimal partial sums (sum, sum of squares):
+    variance/stddev derive deterministically downstream. This is the
+    partial+final pattern that scales — each of N tasks emits 2 decimals,
+    the final reduce is O(groups)."""
+    o = read_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.min(p).alias("min_price"),
+        F.max(p).alias("max_price"),
+        _dec_sum(p).alias("sum_price"),
+        F.sum((p * p).cast("decimal(30,4)")).cast("double").alias("sum_price_sq"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    tags=("agg", "rollup"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(F.count("*").alias("n_customers"))
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "cube"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("agg", "grouping_sets"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL surface (Catalyst expands to an Expand +
+    single-pass aggregate — one scan, not one per set)."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register("agg_approx_sketches", oracle=None, tags=("agg", "approx"))
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketches (HLL distinct, quantile sketch) — engine-specific
+    estimates, so no cross-engine oracle; the driver records rows-only and
+    tests/test_relational.py bounds the error against exact values."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.count("*").alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions (SURVEY §2.2 "Window functions")
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_ranking",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
+           RANK()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS drnk,
+           NTILE(4)     OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS quartile
+    FROM customer
+    """,
+    tags=("window", "ranking"),
+)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "window_analytic_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           LAG(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+           FIRST_VALUE(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS first_event
+    FROM events
+    WHERE user_id < 10
+    """,
+    tags=("window", "analytic"),
+)
+def window_analytic_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("event_id").over(w).alias("first_event"),
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+           COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+    FROM events
+    WHERE user_id < 20
+    """,
+    tags=("window", "frames"),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative frame; DECIMAL inside the frame sum keeps the running
+    total exact (window sums are tree-aggregated in some engines — decimal
+    removes the association sensitivity)."""
+    e = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("running_value"),
+        F.count("*").over(w).alias("running_n"),
+    )
+
+
+@register(
+    "window_moving_avg",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / COUNT(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg_price
+    FROM orders
+    WHERE o_custkey < 100
+    """,
+    tags=("window", "frames"),
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double")
+            / F.count("*").over(w)
+        ).alias("moving_avg_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sorts / limits / top-k (SURVEY §2.2)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    tags=("sort", "limit"),
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Catalyst plans TakeOrderedAndProject — each task keeps
+    a k-heap, driver merges k·partitions rows; no global sort at 100 TB.
+    Tie-broken by the unique key so the selected set is total."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).limit(25).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer) t
+    WHERE rn <= 3
+    """,
+    tags=("sort", "topk", "window"),
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.select("c_nationkey", "c_custkey", "c_acctbal", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations (SURVEY §2.2 "Set ops")
+# --------------------------------------------------------------------------
+
+
+@register(
+    "set_union_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer WHERE c_acctbal > 9000
+    UNION ALL
+    SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier WHERE s_acctbal > 9000
+    """,
+    tags=("setop",),
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    s = read_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9000)
+    return c.select(F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side")).unionAll(
+        s.select(F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("side"))
+    )
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = read_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = read_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+@register(
+    "set_distinct",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+    tags=("setop", "distinct"),
+)
+def set_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+# --------------------------------------------------------------------------
+# Pivot, subqueries, SQL surface
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pivot_linestatus",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END AS DECIMAL(18,4))) AS DOUBLE) AS "O",
+           CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END AS DECIMAL(18,4))) AS DOUBLE) AS "F"
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("pivot",),
+)
+def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit value list (no extra pass to discover values —
+    at scale, always pass the list)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double"))
+    )
+
+
+@register(
+    "subquery_in",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      AND o_totalprice > 300000
+    """,
+    tags=("subquery", "sql"),
+)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery through the SQL surface; Catalyst rewrites to a
+    left-semi hash join."""
+    register_views(spark, sf_dir, ["orders", "customer"])
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+          AND o_totalprice > 300000
+        """
+    )
+
+
+@register(
+    "subquery_scalar_agg",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) * 1.8
+                       FROM customer)
+    """,
+    tags=("subquery", "sql"),
+)
+def subquery_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ["customer"])
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) * 1.8
+                           FROM customer)
+        """
+    )
+
+
+@register(
+    "explode_tokens",
+    oracle="""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents) t
+    GROUP BY token
+    HAVING COUNT(*) >= 50
+    """,
+    tags=("explode", "text"),
+)
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode (UDTF-shaped, like the reference's 1→N flatMap —
+    maps/maps.go:12-14 — but columnar and codegen'd)."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 50)
+    )

