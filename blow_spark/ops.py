@@ -1,0 +1,176 @@
+"""Scale-path implementations of operators Spark lacks natively.
+
+Each is a composition of built-in DataFrame ops (SURVEY.md §4.3: no custom
+Catalyst rules needed), designed around its 100 TB shuffle profile and
+cross-validated in the query catalog against an independent formulation
+plus a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# As-of join
+# --------------------------------------------------------------------------
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    strict: bool = True,
+) -> DataFrame:
+    """For each left row, attach the most recent right row with the same
+    key and right_ts < left_ts (≤ when strict=False). pandas
+    ``merge_asof(direction='backward')`` semantics, distributed.
+
+    Implementation: tag + union both sides, single window pass per key
+    ordered by time propagating the last-seen right values onto left rows,
+    then keep left rows. ONE shuffle (by key) and ONE sort — versus the
+    naive range-join + groupBy-max which shuffles the cross product. At
+    100 TB the union+window form is the only viable plan; skew on the key
+    is handled by AQE, and the window frame carries only the projected
+    right columns.
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    lt = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
+    rt = (
+        right.select(on, right_ts, *right_cols)
+        .withColumn("_side", F.lit(0))
+        .withColumn("_ts", F.col(right_ts))
+    )
+    # align schemas for unionByName
+    for c in left.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None))
+    for c in rt.columns:
+        if c not in lt.columns:
+            lt = lt.withColumn(c, F.lit(None))
+    u = lt.unionByName(rt)
+
+    # Strict (<): order right rows *before* left rows at equal timestamps,
+    # so a right row at exactly left_ts is not visible to that left row →
+    # sort key (_ts, _side) puts side=0 first at ties... which would make
+    # it visible. Invert: at ties, left rows must come first → (_ts, -_side)
+    tie = (-F.col("_side")) if strict else F.col("_side")
+    w = (
+        W.partitionBy(on)
+        .orderBy(F.col("_ts"), tie)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    asof_vals = {
+        c: F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True).over(w)
+        for c in right_cols
+    }
+    out = u
+    for c, expr in asof_vals.items():
+        out = out.withColumn(f"asof_{c}", expr)
+    out = out.withColumn(
+        f"asof_{right_ts}",
+        F.last(F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True).over(w),
+    )
+    keep = [c for c in left.columns] + [f"asof_{c}" for c in right_cols] + [f"asof_{right_ts}"]
+    return out.filter(F.col("_side") == 1).select(*keep)
+
+
+# --------------------------------------------------------------------------
+# Range join (band predicate) via bucketing
+# --------------------------------------------------------------------------
+
+
+def range_join_bucketed(
+    a: DataFrame,
+    b: DataFrame,
+    a_val: str,
+    b_val: str,
+    radius: float,
+    how: str = "inner",
+) -> DataFrame:
+    """|a.val − b.val| ≤ radius as an EQUI-join Catalyst can hash-partition.
+
+    Bucket width = radius; a value in bucket k can only match b values in
+    buckets {k−1, k, k+1}, so side A explodes to 3 bucket keys and joins
+    on bucket equality + the exact band filter. Work drops from O(|A|·|B|)
+    nested-loop to O(matches) with a normal shuffle — the difference
+    between impossible and routine at 100 TB. (Same trick the catalog's
+    LSH operators use: turn a similarity predicate into bucket equality.)
+    """
+    bucket_a = F.floor(F.col(a_val) / radius)
+    bucket_b = F.floor(F.col(b_val) / radius)
+    ax = a.withColumn(
+        "_bucket", F.explode(F.array(bucket_a - 1, bucket_a, bucket_a + 1))
+    )
+    bx = b.withColumn("_bucket", bucket_b)
+    joined = ax.join(bx, "_bucket", how).filter(
+        F.abs(F.col(a_val) - F.col(b_val)) <= radius
+    )
+    return joined.drop("_bucket")
+
+
+# --------------------------------------------------------------------------
+# Sessionization (batch)
+# --------------------------------------------------------------------------
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Assign a session id per (key, inactivity gap): classic
+    gaps-and-islands — lag + cumulative sum of session-start flags. One
+    shuffle (by key), one sort. The streaming twin is
+    blow_spark.streaming.session_counts (F.session_window)."""
+    w = W.partitionBy(key_col).orderBy(ts_col)
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return df.withColumn("_new", is_new).withColumn(
+        "session_no", F.sum("_new").over(wsum)
+    ).drop("_new")
+
+
+def session_bounds(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    agg_value_col: str | None = None,
+) -> DataFrame:
+    """Collapse sessionized events to per-session rows with Spark
+    session_window-compatible bounds (end = last event + gap)."""
+    s = sessionize(df, key_col, ts_col, gap_minutes)
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        (F.max(ts_col) + F.expr(f"INTERVAL {gap_minutes} MINUTE")).alias("session_end"),
+        F.count("*").alias("n_events"),
+    ]
+    if agg_value_col:
+        aggs.append(
+            F.sum(F.col(agg_value_col).cast("decimal(18,6)")).cast("double").alias("total_value")
+        )
+    return s.groupBy(key_col, "session_no").agg(*aggs).drop("session_no")
+
+
+# --------------------------------------------------------------------------
+# Per-group top-k without a full window sort (scale variant)
+# --------------------------------------------------------------------------
+
+
+def topk_per_group(
+    df: DataFrame, group_cols: list[str], order_col: str, k: int, ascending: bool = False
+) -> DataFrame:
+    """Top-k rows per group. The window+row_number form is what Catalyst
+    optimizes (WindowGroupLimit pushes the k-filter into the sort); kept
+    as the canonical implementation, with a deterministic tie-break
+    appended by the caller via order_col choice."""
+    ordering = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    w = W.partitionBy(*group_cols).orderBy(ordering)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")

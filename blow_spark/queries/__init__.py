@@ -70,6 +70,8 @@ def _load() -> None:
     if _LOADED:
         return
     from blow_spark.queries import (  # noqa: F401
+        multimodal_q,
+        parity,
         relational,
         text,
         vectors,

@@ -1,0 +1,55 @@
+"""Multimodal-column queries: binary payload + typed metadata over the
+documents fixture (payloads synthesized deterministically from text — the
+container ships no codecs, so decode is stubbed; the Spark-side plumbing
+is real and oracled where byte semantics are SQL-expressible)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blow_spark import multimodal
+from blow_spark.queries import register
+from blow_spark.sources import read_table
+
+
+@register(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           OCTET_LENGTH(ENCODE(text))      AS n_bytes,
+           SHA256(text)                    AS content_sha,
+           OCTET_LENGTH(ENCODE(text)) % 640 + 1 AS width
+    FROM documents
+    """,
+    tags=("multimodal", "binary"),
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary column + metadata extraction: blob size, content digest,
+    synthesized dimensions. Byte-exact across engines (UTF-8 encode +
+    SHA-256 are specifications, not implementations)."""
+    d = multimodal.with_synthetic_media(read_table(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.length("content").cast("long").alias("n_bytes"),
+        F.sha2("content", 256).alias("content_sha"),
+        F.col("meta.width").cast("long").alias("width"),
+    )
+
+
+@register("multimodal_byte_features", oracle=None, tags=("multimodal", "features"))
+def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads (entropy +
+    byte histogram via mapInPandas) — the decode-and-featurize plumbing
+    with the codec stubbed. Verified against local numpy in
+    tests/test_multimodal.py."""
+    d = multimodal.with_synthetic_media(read_table(spark, sf_dir, "documents"))
+    return multimodal.extract_byte_features(d)
+
+
+@register("multimodal_frame_sample", oracle=None, tags=("multimodal", "frames"))
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1 blob → N frame rows (video-frame-sampling shape): deterministic
+    evenly-spaced byte slices, posexploded."""
+    d = multimodal.with_synthetic_media(read_table(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(d, n_frames=4, frame_bytes=64)

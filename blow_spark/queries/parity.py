@@ -1,0 +1,131 @@
+"""Parity queries: the blow-surface pipeline API and the scale-path custom
+operators, each cross-validated against an independent SQL formulation.
+
+These deliberately duplicate semantics already covered by a naive catalog
+query (join_asof, join_range_nonequi, window_session) — same oracle, two
+engine-side implementations — so a regression in either the naive or the
+scale-path form is caught by the same gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blow_spark import ops
+from blow_spark.pipeline import fizzbuzz_pipeline
+from blow_spark.queries import register
+from blow_spark.sources import read_table
+
+
+@register(
+    "pipeline_fizzbuzz_udf",
+    oracle="""
+    SELECT r AS number,
+           CASE WHEN r % 15 = 0 THEN 'fizzbuzz'
+                WHEN r % 3  = 0 THEN 'fizz'
+                WHEN r % 5  = 0 THEN 'buzz'
+                ELSE CAST(r AS VARCHAR) END AS word
+    FROM RANGE(0, 10000) t(r)
+    """,
+    tags=("pipeline", "udf", "flagship"),
+)
+def pipeline_fizzbuzz_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference demo end-to-end through the blow-parity surface:
+    GeneratorSource → MapDispatch(fizzmapper) (cmd/fizzbuzz/server/
+    server.go:60), i.e. the opaque-Python-UDF path over mapInPandas.
+    Exactly 10,000 rows — pins the flatMap multiplicity contract
+    (SURVEY.md §2.3.1)."""
+    return fizzbuzz_pipeline(spark, 10_000).df
+
+
+@register(
+    "ops_asof_union_window",
+    oracle="""
+    SELECT e.event_id,
+           e.user_id,
+           c.ts AS asof_ts
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts > c.ts
+    """,
+    tags=("join", "asof", "ops"),
+)
+def ops_asof_union_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via the scale path (union + single window pass — one
+    shuffle, no cross-product; blow_spark.ops.asof_join). Same oracle as
+    the naive range-join form (catalog: join_asof)."""
+    ev = read_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clk = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = ops.asof_join(err, clk, on="user_id", left_ts="ts", right_ts="ts", strict=True)
+    return out.select("event_id", "user_id", F.col("asof_ts"))
+
+
+@register(
+    "ops_range_join_bucketed",
+    oracle="""
+    SELECT a.s_suppkey AS suppkey,
+           COUNT(b.s_suppkey) AS n_peers
+    FROM supplier a
+    LEFT JOIN supplier b
+      ON b.s_acctbal BETWEEN a.s_acctbal - 250 AND a.s_acctbal + 250
+     AND b.s_suppkey <> a.s_suppkey
+    GROUP BY a.s_suppkey
+    """,
+    tags=("join", "range", "ops"),
+)
+def ops_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join via bucket-explode equi-join (blow_spark.ops.
+    range_join_bucketed) — O(matches) instead of the BNLJ cross product.
+    Same oracle as the naive non-equi form (catalog: join_range_nonequi).
+    Left-join parity: unmatched a-rows kept via count aggregation over an
+    inner bucket join + an anti-join fill."""
+    s = read_table(spark, sf_dir, "supplier")
+    a = s.select(F.col("s_suppkey").alias("a_key"), F.col("s_acctbal").alias("a_bal"))
+    b = s.select(F.col("s_suppkey").alias("b_key"), F.col("s_acctbal").alias("b_bal"))
+    pairs = ops.range_join_bucketed(a, b, "a_bal", "b_bal", radius=250.0).filter(
+        F.col("b_key") != F.col("a_key")
+    )
+    counts = pairs.groupBy(F.col("a_key")).agg(F.count("b_key").alias("n_peers"))
+    return (
+        a.join(counts, "a_key", "left")
+        .select(
+            F.col("a_key").alias("suppkey"),
+            F.coalesce(F.col("n_peers"), F.lit(0)).alias("n_peers"),
+        )
+    )
+
+
+@register(
+    "ops_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), numbered AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts)                        AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE   AS session_end,
+           COUNT(*)                       AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+    tags=("session", "ops"),
+)
+def ops_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (blow_spark.ops.session_bounds) —
+    the batch twin of F.session_window, same oracle as window_session."""
+    e = read_table(spark, sf_dir, "events")
+    return ops.session_bounds(
+        e, key_col="user_id", ts_col="ts", gap_minutes=30, agg_value_col="value"
+    ).select("user_id", "session_start", "session_end", "n_events", "total_value")

@@ -1,0 +1,45 @@
+"""Ship the blow_spark package to executor Python workers.
+
+Module-level UDFs (pipeline mappers, mapInPandas feature extractors,
+stateful functions) are cloudpickled *by reference* — the executor-side
+worker re-imports them by module name. When the driving process starts
+outside the repo (the external driver does), workers have no
+``blow_spark`` on their path and every Python-boundary operator fails
+with ModuleNotFoundError.
+
+Fix: zip the package once per SparkContext and ``addPyFile`` it —
+SparkContext distributes the zip to every executor and prepends it to the
+worker search path. Idempotent and cheap (~50 KB); called from every
+operator that crosses the Python boundary.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+_SHIPPED: set[str] = set()
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    sc = spark.sparkContext
+    key = sc.applicationId or str(id(sc))
+    if key in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"blow_spark_pkg_{os.getpid()}_{abs(hash(pkg_dir)) % 99999}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        z.write(full, rel)
+    sc.addPyFile(zpath)
+    _SHIPPED.add(key)

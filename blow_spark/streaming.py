@@ -1,0 +1,172 @@
+"""Structured Streaming operators (SURVEY.md §2.2 "Streaming").
+
+The reference's pipelines are push-streams that *could* run unbounded
+(a Generator that never returns — maps/maps.go:8-10) but have no event
+time, watermark, window, or state. This module supplies the full
+streaming surface on Structured Streaming:
+
+* event-time tumbling/sliding/session windows with watermarks,
+* late-data handling (append mode drops rows later than the watermark),
+* custom stateful processing via applyInPandasWithState,
+* foreachBatch sinks for exactly-once writes.
+
+Every windowed aggregation reuses the *same expression* as its batch twin
+in blow_spark.queries.windows_streaming, so the DuckDB batch oracle also
+pins the streaming semantics (tests/test_streaming.py runs both paths on
+the same rows and asserts equality).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-based streaming source over an events-shaped parquet directory:
+    each new file becomes a micro-batch (the test rig's stand-in for
+    Kafka; swap ``format`` for kafka + from_json in production)."""
+    return spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", "1").parquet(path)
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling event-time window counts with late-data cutoff. In append
+    mode a window emits once its end passes the watermark; rows later than
+    the watermark are dropped — the deterministic replacement for the
+    reference's best-effort at-least-once delivery."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"), F.approx_count_distinct("user_id").alias("n_users_approx"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "n_users_approx")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Session windows (inactivity gap); state is bounded by the watermark —
+    sessions close and evict once the watermark passes session_end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Custom stateful operator (applyInPandasWithState)
+# --------------------------------------------------------------------------
+
+_RUNNING_SCHEMA = "user_id long, n_events long, total_value double, max_value double"
+_STATE_SCHEMA = "n long, total double, mx double"
+
+
+def _running_totals_fn(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Per-user running (count, sum, max) across micro-batches — the
+    minimal custom stateful operator: state survives between triggers,
+    unbounded by window scope."""
+    if state.exists:
+        n, total, mx = state.get
+    else:
+        n, total, mx = 0, 0.0, float("-inf")
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            mx = max(mx, float(pdf["value"].max()))
+    state.update((n, total, mx))
+    yield pd.DataFrame(
+        [{"user_id": key[0], "n_events": n, "total_value": total, "max_value": mx}]
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Arbitrary stateful aggregation: groupBy(user).applyInPandasWithState.
+    State is per-key and partition-local — scales horizontally with keys;
+    at 100 TB the state store (RocksDB in prod) holds one tuple per user."""
+    from blow_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(events.sparkSession)
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_totals_fn,
+        outputStructType=_RUNNING_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --------------------------------------------------------------------------
+# Sinks & drivers
+# --------------------------------------------------------------------------
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
+    """Start a memory-sink query (test/smoke surface); caller owns stop()."""
+    return (
+        df.writeStream.outputMode(output_mode).format("memory").queryName(name).start()
+    )
+
+
+def foreach_batch_parquet(df: DataFrame, path: str, checkpoint: str):
+    """Exactly-once-ish file sink via foreachBatch: idempotent overwrite
+    per epoch directory."""
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{path}/epoch={epoch_id}")
+
+    return (
+        df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(write_epoch)
+        .start()
+    )

@@ -1,0 +1,147 @@
+"""Structured Streaming: batch-equivalence of windowed aggregations,
+watermark late-data drop, custom stateful operator (SURVEY.md §5.2.4 —
+DuckDB can't run streams, so streaming queries are pinned against their
+batch twins on identical rows)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from blow_spark import streaming
+from blow_spark.sources import read_table
+
+
+def _rows_set(df, cols):
+    return {tuple(str(r[c]) for c in cols) for r in df.collect()}
+
+
+@pytest.fixture()
+def events_dir(spark, sf_dir, tmp_path):
+    """Events fixture re-materialized (µs timestamps) as 4 time-ordered
+    parquet files with increasing mtimes, so the file source replays the
+    stream in event-time order across micro-batches (a time-disordered
+    split would make the watermark drop stragglers — correct behavior,
+    but it breaks the batch-equivalence assertion)."""
+    import time
+
+    out = str(tmp_path / "events_stream")
+    ev = read_table(spark, sf_dir, "events")
+    pdf = ev.orderBy("ts").toPandas()
+    step = (len(pdf) + 3) // 4
+    for i in range(4):
+        chunk = pdf.iloc[i * step : (i + 1) * step]
+        if chunk.empty:
+            continue
+        spark.createDataFrame(chunk, streaming.EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(out)
+        time.sleep(0.3)
+    return out
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir, events_dir):
+    stream = streaming.read_events_stream(spark, events_dir)
+    q = streaming.run_to_memory(streaming.tumbling_counts(stream), "tumbling_out", "append")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM tumbling_out")
+    want = streaming.tumbling_counts(read_table(spark, sf_dir, "events").withWatermark("ts", "10 minutes"))
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    got_set = _rows_set(got, cols)
+    want_set = _rows_set(want, cols)
+    # append mode holds back windows not yet past the final watermark:
+    # emitted set must be a subset of batch truth, and cover most of it
+    assert got_set <= want_set
+    assert len(got_set) >= len(want_set) - 5
+
+
+def test_session_stream_runs(spark, events_dir):
+    stream = streaming.read_events_stream(spark, events_dir)
+    q = streaming.run_to_memory(streaming.session_counts(stream), "session_out", "append")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM session_out")
+    assert got.count() > 0
+    # session invariant: end = start + at-least-gap, n_events >= 1
+    bad = got.filter(
+        (F.col("session_end") <= F.col("session_start")) | (F.col("n_events") < 1)
+    )
+    assert bad.count() == 0
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Feed two micro-batches: batch 2 contains an event far older than
+    the watermark → it must not appear in any emitted window (append)."""
+    src = str(tmp_path / "late_src")
+    os.makedirs(src, exist_ok=True)
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+
+    def mk(rows, name):
+        spark.createDataFrame(rows, streaming.EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # batch 1: events up to 14:00 → watermark advances to ~13:50
+    mk(
+        [(i, base + dt.timedelta(minutes=10 * i), 1, "click", 1.0, "{}") for i in range(13)],
+        "b1",
+    )
+    stream = streaming.read_events_stream(spark, src)
+    agg = streaming.tumbling_counts(stream, window="30 minutes", watermark="10 minutes")
+    q = streaming.run_to_memory(agg, "late_out", "append")
+    try:
+        q.processAllAvailable()
+        # batch 2: one very late event (08:00, hours behind watermark)
+        mk([(99, base - dt.timedelta(hours=4), 1, "click", 100.0, "{}")], "b2")
+        # and one fresh event to advance the stream
+        mk([(100, base + dt.timedelta(hours=3), 1, "click", 1.0, "{}")], "b3")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT * FROM late_out").collect()
+    late_window = dt.datetime(2024, 6, 1, 8, 0, 0)
+    assert not any(r["window_start"] == late_window for r in out), out
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState: per-user state accumulates across
+    micro-batches (update mode emits the latest running totals)."""
+    src = str(tmp_path / "state_src")
+    base = dt.datetime(2024, 6, 1)
+    rows1 = [(i, base + dt.timedelta(minutes=i), i % 3, "click", float(i), "{}") for i in range(30)]
+    spark.createDataFrame(rows1, streaming.EVENTS_SCHEMA).coalesce(1).write.parquet(src)
+
+    stream = streaming.read_events_stream(spark, src)
+    q = streaming.run_to_memory(streaming.running_user_totals(stream), "state_out", "update")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["user_id"]: r for r in spark.sql("SELECT * FROM state_out").collect()}
+    for uid in (0, 1, 2):
+        vals = [float(i) for i in range(30) if i % 3 == uid]
+        assert got[uid]["n_events"] == len(vals)
+        assert got[uid]["total_value"] == pytest.approx(sum(vals))
+        assert got[uid]["max_value"] == pytest.approx(max(vals))
+
+
+def test_foreach_batch_sink(spark, sf_dir, events_dir, tmp_path):
+    out = str(tmp_path / "fb_out")
+    ckpt = str(tmp_path / "fb_ckpt")
+    stream = streaming.read_events_stream(spark, events_dir)
+    q = streaming.foreach_batch_parquet(stream.select("event_id", "ts", "user_id"), out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    written = spark.read.parquet(out)
+    total = read_table(spark, sf_dir, "events").count()
+    assert written.count() == total
