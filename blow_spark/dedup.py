@@ -54,25 +54,55 @@ def drop_exact_dups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _minhash_signature(shingles, num_hashes: int):
-    """k minhashes as one pass per hash function over the shingle array —
-    xxhash64 with a distinct literal salt per function; array_min folds
-    inside codegen (no explode, no shuffle)."""
-    return [
-        F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s))).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
+# Universal-hash family over the prime field p = 2^31 - 1: each shingle is
+# string-hashed ONCE (xxhash64 → residue mod p), then the k minhash
+# functions are affine permutations h_i(x) = (a_i·x + b_i) mod p. a_i, b_i
+# fit in 31 bits so a_i·x + b_i < 2^62 — no long overflow under ANSI mode.
+# This is 1 string-hash pass + k integer passes per doc instead of k
+# string-hash passes, and every pass folds inside whole-stage codegen
+# (no explode, no shuffle). Seeds are fixed → signatures are deterministic.
+_MERSENNE_P = (1 << 31) - 1
+
+
+def _perm_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(0x5EED)
+    return [(rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P)) for _ in range(num_hashes)]
+
+
+def _shingle_residues(shingles):
+    """One xxhash64 per shingle, reduced into the field: materialize this as
+    a column BEFORE fanning out to the k permutations so the string hashing
+    runs once, not k times."""
+    p = F.lit(_MERSENNE_P)
+    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), p))
+
+
+def _minhash_signature(residues, num_hashes: int):
+    """k minhashes via k affine permutations of the precomputed residues.
+
+    NOTE the single-parameter lambdas: PySpark's ``F.transform`` passes the
+    array *index* as a second argument to any two-parameter lambda, so the
+    idiom ``lambda s, i=i: ...`` silently binds ``i`` to the element
+    position — every "distinct" hash function collapses into the same one.
+    """
+    p = F.lit(_MERSENNE_P)
+
+    def perm(a: int, b: int):
+        return F.array_min(F.transform(residues, lambda x: F.pmod(x * F.lit(a) + F.lit(b), p)))
+
+    return [perm(a, b).alias(f"mh_{i}") for i, (a, b) in enumerate(_perm_coeffs(num_hashes))]
 
 
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 64, shingle_n: int = 3
 ) -> DataFrame:
     shingles = word_shingles(F.col(text_col), shingle_n)
-    return df.select(
-        F.col(id_col),
-        shingles.alias("_shingles"),
-        F.array(*_minhash_signature(F.col("_shingles"), num_hashes)).alias("minhash"),
-    ).select(id_col, "minhash")
+    return (
+        df.select(F.col(id_col), _shingle_residues(shingles).alias("_res"))
+        .select(id_col, F.array(*_minhash_signature(F.col("_res"), num_hashes)).alias("minhash"))
+    )
 
 
 def minhash_lsh_pairs(
@@ -99,9 +129,16 @@ def minhash_lsh_pairs(
     base = df.select(F.col(id_col).alias("doc"), shingles.alias("shingles")).filter(
         F.size("shingles") > 0
     )
+    # Persist: `base` feeds the signature pipeline AND both verify-join
+    # sides; `banded` feeds both sides of the candidate self-join. Without
+    # persistence Spark recomputes shingling + 64 minhash passes once per
+    # consumer (4×). At cluster scale this would be a checkpoint to a
+    # bucketed table instead; MEMORY_AND_DISK is the local analog.
+    base = base.persist()
     sig = base.select(
-        "doc", "shingles", F.array(*_minhash_signature(F.col("shingles"), num_hashes)).alias("mh")
-    )
+        "doc",
+        _shingle_residues(F.col("shingles")).alias("_res"),
+    ).select("doc", F.array(*_minhash_signature(F.col("_res"), num_hashes)).alias("mh"))
     band_arr = F.array(
         *[
             F.struct(
@@ -113,7 +150,7 @@ def minhash_lsh_pairs(
     )
     banded = sig.select("doc", F.explode(band_arr).alias("bb")).select(
         "doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    ).persist()
     left = banded.alias("l")
     right = banded.alias("r")
     candidates = (
