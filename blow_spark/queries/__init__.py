@@ -73,7 +73,9 @@ def _load() -> None:
         multimodal_q,
         parity,
         relational,
+        relational_ext,
         text,
+        tpch,
         vectors,
         windows_streaming,
     )

@@ -1,0 +1,381 @@
+"""Extended relational surface: higher-order array functions, null
+semantics, correlated existence subqueries, distribution window functions,
+range frames, exact-moment statistics, set-op multiplicities, and a cast
+battery.
+
+The reference's framework has none of these (its only expression surface
+is an opaque user flatMap, maps/maps.go:12-14); each query here pins a
+Spark built-in against a DuckDB oracle.
+
+Cross-engine determinism notes specific to this module:
+
+* Spark ``sequence(1, n)`` is inclusive; DuckDB ``range(1, n+1)`` matches.
+* DuckDB has no ``zip_with``; the oracle indexes through
+  ``list_transform(range(...), i -> a[i] + b[i])`` instead.
+* corr/covar are NOT computed with the built-ins (single-pass co-moment
+  accumulation order differs between engines); both engines compute the
+  same closed-form over exact DECIMAL partial sums, so every double op
+  happens in the same order on both sides.
+* double→int casts are avoided (Spark truncates, DuckDB rounds); the
+  battery uses explicit floor/round/trunc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from blow_spark.queries import register
+from blow_spark.sources import read_table, register_views
+
+
+# --------------------------------------------------------------------------
+# Higher-order array functions
+# --------------------------------------------------------------------------
+
+
+@register(
+    "higher_order_array_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           range(1, l_linenumber + 1)                                   AS seq,
+           list_transform(range(1, l_linenumber + 1), x -> x * x)       AS squares,
+           list_filter(range(1, l_linenumber + 1), x -> x % 2 = 0)      AS evens,
+           CAST(l_linenumber * (l_linenumber + 1) / 2 AS BIGINT)        AS seq_sum,
+           list_transform(range(1, l_linenumber + 1),
+                          i -> i + i * i)                               AS zipped
+    FROM lineitem
+    WHERE l_orderkey < 100
+    """,
+    tags=("scalar", "array", "higher_order"),
+)
+def higher_order_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform / filter / aggregate / zip_with — all fold inside
+    whole-stage codegen; no UDF, no shuffle. (Single-parameter lambdas
+    only: a second parameter would receive the array index.)"""
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    seq = F.sequence(F.lit(1), F.col("l_linenumber"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        seq.alias("seq"),
+        F.transform(seq, lambda x: x * x).alias("squares"),
+        F.filter(seq, lambda x: x % 2 == 0).alias("evens"),
+        F.aggregate(seq, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("seq_sum"),
+        F.zip_with(seq, F.transform(seq, lambda x: x * x), lambda a, b: a + b).alias("zipped"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Null semantics
+# --------------------------------------------------------------------------
+
+
+@register(
+    "null_semantics",
+    oracle="""
+    SELECT o_orderkey,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'open')       AS status_defaulted,
+           NULLIF(o_orderpriority, '5-LOW')                   AS prio_or_null,
+           (NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM
+            NULLIF(o_orderpriority, o_orderpriority))         AS both_null_eq,
+           (o_orderstatus IS NULL)                            AS status_is_null,
+           COALESCE(NULL, NULL, CAST(o_orderkey AS VARCHAR))  AS first_non_null
+    FROM orders
+    WHERE o_orderkey < 500
+    """,
+    tags=("scalar", "null"),
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce / nullif / null-safe equality (<=> ↔ IS NOT DISTINCT FROM)
+    / IS NULL — three-valued logic pinned against the oracle."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    status_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    always_null = F.nullif(F.col("o_orderpriority"), F.col("o_orderpriority"))
+    return o.select(
+        "o_orderkey",
+        F.coalesce(status_null, F.lit("open")).alias("status_defaulted"),
+        F.nullif(F.col("o_orderpriority"), F.lit("5-LOW")).alias("prio_or_null"),
+        status_null.eqNullSafe(always_null).alias("both_null_eq"),
+        F.col("o_orderstatus").isNull().alias("status_is_null"),
+        F.coalesce(F.lit(None), F.lit(None), F.col("o_orderkey").cast("string")).alias(
+            "first_non_null"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlated existence subqueries
+# --------------------------------------------------------------------------
+
+_EXISTS_SQL = """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_totalprice > 40000
+    )
+"""
+
+_NOT_EXISTS_SQL = """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders WHERE o_custkey = c_custkey
+    )
+"""
+
+
+@register("subquery_exists", oracle=_EXISTS_SQL, tags=("subquery", "exists"))
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS — Catalyst rewrites to a left-semi hash join, so
+    the orders side shuffles only its join key + filter columns."""
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_EXISTS_SQL)
+
+
+@register("subquery_not_exists", oracle=_NOT_EXISTS_SQL, tags=("subquery", "exists"))
+def subquery_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS — planned as a left-anti join (null-safe,
+    unlike NOT IN with nullable keys)."""
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_NOT_EXISTS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Distribution window functions + range frames
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_distribution_funcs",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           NTILE(4)       OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST()    OVER w AS cume,
+           ROW_NUMBER()   OVER w AS rn
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window", "distribution"),
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist over a total order (price +
+    orderkey tiebreak makes every rank deterministic)."""
+    o = read_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+@register(
+    "window_first_last_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           FIRST_VALUE(l_linenumber) OVER w_rows AS first_line,
+           LAST_VALUE(l_linenumber)  OVER w_rows AS last_line,
+           COUNT(*) OVER (PARTITION BY l_orderkey ORDER BY l_quantity
+                          RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+               AS n_within_5qty
+    FROM lineitem
+    WHERE l_orderkey < 500
+    WINDOW w_rows AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window", "frame"),
+)
+def window_first_last_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value over an unbounded ROWS frame plus a numeric
+    RANGE frame (value-based, not row-based: all peers within 5 quantity
+    units below the current row)."""
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    w_rows = (
+        W.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    w_range = W.partitionBy("l_orderkey").orderBy("l_quantity").rangeBetween(-5, 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.first("l_linenumber").over(w_rows).alias("first_line"),
+        F.last("l_linenumber").over(w_rows).alias("last_line"),
+        F.count("*").over(w_range).alias("n_within_5qty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact-moment statistics (corr / covariance without engine built-ins)
+# --------------------------------------------------------------------------
+
+_CORR_FORMULA = """
+    SELECT l_returnflag, n, sx, sy, sxy,
+           (sxy / n - (sx / n) * (sy / n)) AS covar_pop,
+           (sxy / n - (sx / n) * (sy / n))
+             / (sqrt(sxx / n - (sx / n) * (sx / n))
+                * sqrt(syy / n - (sy / n) * (sy / n))) AS corr
+    FROM (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE)                                           AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)             AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)        AS sy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,4))) AS DOUBLE)      AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag) t
+"""
+
+
+@register("agg_corr_covar_exact", oracle=_CORR_FORMULA, tags=("agg", "stats"))
+def agg_corr_covar_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation / population covariance from exact DECIMAL
+    partial sums. The built-in corr()/covar_pop() accumulate co-moments in
+    doubles whose order depends on partitioning — irreproducible across
+    engines AND across runs at different parallelism. Summing decimals is
+    associative-exact, so each task emits 5 exact numbers and the
+    closed-form below is bit-identical everywhere. Same shape scales to
+    100 TB: partial aggregation is still one pass, reduce is O(groups)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    base = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x.cast("decimal(18,4)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(18,4)")).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(30,4)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(30,4)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(30,4)")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    covar = sxy / n - (sx / n) * (sy / n)
+    corr = covar / (
+        F.sqrt(sxx / n - (sx / n) * (sx / n)) * F.sqrt(syy / n - (sy / n) * (sy / n))
+    )
+    return base.select(
+        "l_returnflag", "n", "sx", "sy", "sxy",
+        covar.alias("covar_pop"), corr.alias("corr"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Set-op multiplicities + union-by-name
+# --------------------------------------------------------------------------
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT l_quantity AS qty FROM lineitem WHERE l_returnflag = 'A'
+    INTERSECT ALL
+    SELECT l_quantity FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    tags=("setop",),
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics (min of multiplicities), vs the
+    set-semantics intersect already covered by set_intersect."""
+    li = read_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_quantity").alias("qty"))
+    r = li.filter(F.col("l_returnflag") == "R").select(F.col("l_quantity").alias("qty"))
+    return a.intersectAll(r)
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT l_linenumber AS ln FROM lineitem WHERE l_orderkey < 300
+    EXCEPT ALL
+    SELECT l_linenumber FROM lineitem WHERE l_orderkey >= 300 AND l_orderkey < 400
+    """,
+    tags=("setop",),
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference (multiplicity-aware)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_orderkey") < 300).select(F.col("l_linenumber").alias("ln"))
+    b = li.filter((F.col("l_orderkey") >= 300) & (F.col("l_orderkey") < 400)).select(
+        F.col("l_linenumber").alias("ln")
+    )
+    return a.exceptAll(b)
+
+
+@register(
+    "set_union_by_name",
+    oracle="""
+    SELECT c_custkey AS entity_key, c_name AS entity_name, 'customer' AS kind
+    FROM customer WHERE c_custkey < 200
+    UNION ALL
+    SELECT s_suppkey, s_name, 'supplier' FROM supplier
+    """,
+    tags=("setop", "union"),
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName — schema aligned by column NAME (the two inputs project
+    their columns in different orders; positional union would garble them)."""
+    c = read_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    s = read_table(spark, sf_dir, "supplier")
+    left = c.select(
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_name").alias("entity_name"),
+        F.lit("customer").alias("kind"),
+    )
+    right = s.select(
+        F.lit("supplier").alias("kind"),
+        F.col("s_name").alias("entity_name"),
+        F.col("s_suppkey").alias("entity_key"),
+    )
+    return left.unionByName(right)
+
+
+# --------------------------------------------------------------------------
+# Cast battery
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cast_battery",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR)                     AS key_str,
+           CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT)     AS key_roundtrip,
+           CAST(FLOOR(o_totalprice) AS BIGINT)             AS price_floor,
+           CAST(ROUND(o_totalprice, 0) AS BIGINT)          AS price_round,
+           ROUND(o_totalprice, 2)                          AS price_2dp,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR)      AS order_date,
+           strftime(o_orderdate, '%Y-%m-%d')               AS date_str,
+           CAST(epoch(o_orderdate) AS BIGINT)              AS epoch_s,
+           CAST(o_orderkey % 2 = 0 AS VARCHAR)             AS even_str
+    FROM orders
+    WHERE o_orderkey < 400
+    """,
+    tags=("scalar", "cast"),
+)
+def cast_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric/string/date/timestamp/boolean conversions. double→int goes
+    through explicit FLOOR/ROUND — a bare CAST truncates in Spark but
+    rounds in DuckDB, so the engine never relies on implicit float→int."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 400)
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderkey").cast("string").cast("long").alias("key_roundtrip"),
+        F.floor("o_totalprice").cast("long").alias("price_floor"),
+        F.round("o_totalprice", 0).cast("long").alias("price_round"),
+        F.round("o_totalprice", 2).alias("price_2dp"),
+        # DATE → VARCHAR on both sides: pandas renders a DuckDB DATE as a
+        # midnight Timestamp, which would never string-match Spark's date
+        F.col("o_orderdate").cast("date").cast("string").alias("order_date"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_str"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        (F.col("o_orderkey") % 2 == 0).cast("string").alias("even_str"),
+    )
