@@ -25,6 +25,9 @@ HEADLINE = [
     "join_inner",
     "join_left_outer",
     "join_asof",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q18_large_volume_customer",
     "window_ranking",
     "topk_per_group",
     "sort_limit_topk",

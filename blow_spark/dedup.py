@@ -111,10 +111,14 @@ def minhash_lsh_pairs(
     id_col: str,
     threshold: float = 0.5,
     num_hashes: int = 64,
-    bands: int = 8,
+    bands: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
+
+    Band tuning: the S-curve midpoint is (1/b)^(1/r); 16 bands × 4 rows
+    puts it at (1/16)^(1/4) ≈ 0.5 — matched to the default threshold.
+    (8×8 would sit at ≈0.77 and silently miss most 0.5-similar pairs.)
 
     Stage 1 (candidates): signature → b band-hashes → explode to
     (band_idx, band_hash) → self equi-join. The join key is 16 bytes/row ×

@@ -48,9 +48,17 @@ def token_count_bpe_ish(text: Column) -> Column:
 
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles. Built as: tokens → index sequence →
-    ``transform`` joining each n-slice — stays inside codegen, one pass."""
+    ``transform`` joining each n-slice — stays inside codegen, one pass.
+
+    Documents with fewer than ``n`` tokens yield an EMPTY array: the guard
+    matters because ``sequence(1, 0)`` counts DOWN to [1, 0] and
+    ``slice(…, 0, n)`` then throws — a bare ``sequence(1, greatest(…, 0))``
+    crashes the whole job on the first short document."""
     tokens = tokenize_ws(F.lower(text))
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0)))
+    count = F.size(tokens) - (n - 1)
+    idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
     return F.array_distinct(grams)
 

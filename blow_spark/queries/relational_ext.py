@@ -220,10 +220,10 @@ def window_first_last_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CORR_FORMULA = """
     SELECT l_returnflag, n, sx, sy, sxy,
-           (sxy / n - (sx / n) * (sy / n)) AS covar_pop,
-           (sxy / n - (sx / n) * (sy / n))
+           ROUND(sxy / n - (sx / n) * (sy / n), 6) AS covar_pop,
+           ROUND((sxy / n - (sx / n) * (sy / n))
              / (sqrt(sxx / n - (sx / n) * (sx / n))
-                * sqrt(syy / n - (sy / n) * (sy / n))) AS corr
+                * sqrt(syy / n - (sy / n) * (sy / n))), 9) AS corr
     FROM (
       SELECT l_returnflag,
              CAST(COUNT(*) AS DOUBLE)                                           AS n,
@@ -261,9 +261,11 @@ def agg_corr_covar_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     corr = covar / (
         F.sqrt(sxx / n - (sx / n) * (sx / n)) * F.sqrt(syy / n - (sy / n) * (sy / n))
     )
+    # ROUND before comparing: DuckDB contracts a*b-c into FMA, so the
+    # raw doubles can differ from the JVM's by 1 ulp
     return base.select(
         "l_returnflag", "n", "sx", "sy", "sxy",
-        covar.alias("covar_pop"), corr.alias("corr"),
+        F.round(covar, 6).alias("covar_pop"), F.round(corr, 9).alias("corr"),
     )
 
 

@@ -86,12 +86,44 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", BF.quality_score(F.col("text")).alias("quality_score"))
 
 
-@register("text_lang_id", oracle=None, tags=("text", "langid"))
+def _lang_id_oracle() -> str:
+    """DuckDB twin of blow_spark.functions.lang_id, generated from the SAME
+    marker lists so the two can never drift. Struct comparison (score,
+    code) is lexicographic in both engines, so argmax tie-breaks match."""
+    structs = ",\n           ".join(
+        "{'score': len(list_intersect(toks, ["
+        + ", ".join(f"'{m}'" for m in markers)
+        + f"])), 'code': '{code}'}}"
+        for code, markers in BF._LANG_MARKERS.items()
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang, text,
+             list_max([
+           {structs}
+             ]) AS best
+      FROM t
+    )
+    SELECT doc_id, lang,
+           CASE WHEN regexp_matches(text, '[぀-ヿ]') THEN 'ja'
+                WHEN regexp_matches(text, '[가-힯]') THEN 'ko'
+                WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
+                WHEN best.score > 0 THEN best.code
+                ELSE 'und' END AS lang_pred
+    FROM scored
+    """
+
+
+@register("text_lang_id", oracle=_lang_id_oracle(), tags=("text", "langid"))
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID (stopword-hit scoring over a per-language
-    marker list). No SQL oracle (the marker tables live engine-side);
-    tests/test_text.py checks accuracy against the fixture's `lang` truth
-    column instead."""
+    """Heuristic language ID (script detection + stopword-hit argmax); the
+    oracle SQL is generated from the same marker lists. Accuracy against
+    the fixture's `lang` truth column is asserted in tests/test_text.py."""
     d = read_table(spark, sf_dir, "documents")
     return d.select("doc_id", "lang", BF.lang_id(F.col("text")).alias("lang_pred"))
 
@@ -128,12 +160,65 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
-    oracle=None,
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS doc, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), base AS (
+      SELECT doc,
+             list_distinct(list_transform(
+               range(1, len(t) - 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS sh
+      FROM toks
+      WHERE len(t) >= 3
+    ), exploded AS (
+      SELECT doc, unnest(sh) AS g FROM base
+    ), rare AS (
+      SELECT g FROM exploded GROUP BY g HAVING COUNT(*) <= 50
+    ), blocked AS (
+      SELECT e.doc, e.g FROM exploded e JOIN rare USING (g)
+    ), cand AS (
+      SELECT DISTINCT l.doc AS id_a, r.doc AS id_b
+      FROM blocked l JOIN blocked r ON l.g = r.g AND l.doc < r.doc
+    ), scored AS (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      FROM cand
+      JOIN base a ON a.doc = id_a
+      JOIN base b ON b.doc = id_b
+    )
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.4
+    """,
     tags=("dedup", "jaccard"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard similarity for candidate pairs sharing a rare
-    token (blocking key), pairs with J ≥ 0.4. Exact but quadratic within
-    block — the ground-truth used to validate the sketch methods."""
+    shingle (blocking key), pairs with J ≥ 0.4. Exact but quadratic within
+    block — the ground-truth the sketch methods are validated against. The
+    oracle replicates shingling + blocking + Jaccard in DuckDB list SQL."""
     d = read_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(d, text_col="text", id_col="doc_id", threshold=0.4)
+
+
+@register(
+    "text_fingerprint_md5",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+                 regexp_split_to_array(trim(lower(text)), '\\s+'))), ' '))
+               AS fingerprint
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-collision fingerprint (OpenRefine style): md5 of the sorted
+    distinct token set — order- and repetition-insensitive, cross-engine
+    reproducible (md5 is standardized, unlike xxhash64 seeds)."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(BF.tokenize_ws(F.lower(F.col("text"))))
+    return d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(toks))).alias("fingerprint"),
+    )

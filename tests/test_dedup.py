@@ -1,0 +1,107 @@
+"""Quality properties for the dedup operators (blow_spark.dedup).
+
+The sketch methods (MinHash-LSH, SimHash) have no cross-engine oracle, so
+these tests pin them against the exact n-gram-Jaccard ground truth on the
+documents fixture plus hand-built corpora. Everything is seeded and
+deterministic — no flaky thresholds.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from blow_spark import dedup
+from blow_spark.sources import read_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents")
+
+
+def test_minhash_functions_are_distinct(spark):
+    """Regression: the k minhash functions must be k DIFFERENT functions.
+    (A lambda arity bug once collapsed all 64 into one — F.transform passes
+    the array index to two-parameter lambdas.)"""
+    df = spark.createDataFrame([(1, "a b c d e f g h i j")], ["doc_id", "text"])
+    sig = dedup.minhash_signatures(df, "text", "doc_id", num_hashes=16).collect()[0]["minhash"]
+    assert len(set(sig)) > 8, f"minhash values collapsed: {sig}"
+
+
+def test_minhash_identical_docs_identical_signatures(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different content about spark engines and shuffles")],
+        ["doc_id", "text"],
+    )
+    sigs = {r["doc_id"]: tuple(r["minhash"]) for r in
+            dedup.minhash_signatures(df, "text", "doc_id").collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_lsh_recall_against_exact_ground_truth(docs):
+    """Every exact pair with J ≥ 0.7 must be found by LSH at threshold 0.5
+    (the fixture's planted near-dups sit at J ≈ 0.9+; 16 bands × 4 rows
+    gives >0.98 detection probability there, and the seeds are fixed so
+    the outcome is deterministic)."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.7).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    assert exact, "fixture should contain planted near-duplicates"
+    missed = exact - lsh
+    recall = 1 - len(missed) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.2f}; missed {sorted(missed)[:5]}"
+
+
+def test_lsh_pairs_are_exact_verified(docs):
+    """Precision contract: every emitted pair carries its TRUE Jaccard
+    (re-ranked exactly), never just a bucket collision."""
+    rows = dedup.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    exact_j = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.0).collect()
+    }
+    for r in rows:
+        assert r["jaccard"] >= 0.5
+        key = (r["id_a"], r["id_b"])
+        if key in exact_j:  # blocking in the ground truth may skip some pairs
+            assert abs(exact_j[key] - r["jaccard"]) < 1e-12
+
+
+def test_exact_dedup_idempotent(docs):
+    once = dedup.drop_exact_dups(docs, "text", "doc_id")
+    twice = dedup.drop_exact_dups(once, "text", "doc_id")
+    assert once.count() == twice.count()
+    # survivors are canonical: one row per distinct normalized text
+    assert once.select(F.md5(F.lower(F.trim("text")))).distinct().count() == once.count()
+
+
+def test_simhash_identical_and_different(spark):
+    df = spark.createDataFrame(
+        [(1, "spark shuffles partitions across the cluster every stage"),
+         (2, "spark shuffles partitions across the cluster every stage"),
+         (3, "zebra quantum violet metric garden purple engine window open")],
+        ["doc_id", "text"],
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df, "text", "doc_id").collect()}
+    assert sh[1] == sh[2]
+    assert sh[1] != sh[3]
+
+
+def test_simhash_pairs_find_planted_dups(docs):
+    """Exact duplicate groups (n_copies > 1) have Hamming distance 0 —
+    simhash_pairs must surface them."""
+    groups = dedup.exact_dedup_groups(docs, "text", "doc_id").filter(F.col("n_copies") > 1)
+    n_dup_groups = groups.count()
+    if n_dup_groups == 0:
+        pytest.skip("fixture has no exact duplicates")
+    pairs = dedup.simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+    assert pairs.filter(F.col("hamming") == 0).count() > 0

@@ -1,0 +1,105 @@
+"""Similarity-search quality tests (blow_spark.similarity).
+
+Brute-force cosine is cross-checked against numpy on the real embeddings
+fixture; the SRP-LSH approximate path is measured for recall against the
+brute-force ground truth. Sketch seeds are fixed — deterministic."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from blow_spark import similarity
+from blow_spark.sources import read_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings")
+
+
+def test_brute_force_matches_numpy(emb):
+    pdf = emb.toPandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = unit @ unit.T
+
+    q = emb.filter(F.col("vec_id") < 5)
+    got = similarity.brute_force_topk(q, emb, k=3).collect()
+    by_query: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_query.setdefault(r["query_id"], []).append(r)
+
+    idx_of = {v: i for i, v in enumerate(ids)}
+    for qid, rows in by_query.items():
+        qi = idx_of[qid]
+        order = np.argsort(-sims[qi])
+        expect = [int(ids[j]) for j in order if ids[j] != qid][:3]
+        assert [r["neighbor_id"] for r in rows] == expect, f"query {qid}"
+        for r in rows:
+            assert abs(r["cos_sim"] - sims[qi][idx_of[r["neighbor_id"]]]) < 1e-9
+
+
+def test_lsh_topk_recall_vs_brute_force(emb):
+    """Top-1 recall of the SRP-LSH path against exact brute force on the
+    RANDOM fixture (max top-1 cosine ≈ 0.48 — near-orthogonal neighbors,
+    the hard case). SRP theory: per-band collision (1-θ/π)^4 at θ≈69°
+    → overall ≈ 0.47; the seeded sketch lands there deterministically.
+    The planted-near-dup case (where recall must be ~1) is covered by
+    test_lsh_finds_planted_near_dups."""
+    exact = {
+        r["query_id"]: r["neighbor_id"]
+        for r in similarity.brute_force_topk(emb, emb, k=1).collect()
+    }
+    approx = {}
+    for r in similarity.lsh_topk(emb, k=1).collect():
+        approx[r["query_id"]] = r["neighbor_id"]
+    hits = sum(1 for q, n in exact.items() if approx.get(q) == n)
+    recall = hits / len(exact)
+    assert recall >= 0.35, f"top-1 recall {recall:.2f}"
+
+
+def _planted_corpus(spark, n_base=40, dim=32, seed=3):
+    """Random base vectors plus a tiny-noise near-duplicate of each:
+    vec_id i and i+1000 are nearly parallel (cos > 0.99)."""
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n_base, dim))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        rows.append((i + 1000, [float(x) for x in v + 0.01 * rng.standard_normal(dim)]))
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+
+
+def test_lsh_finds_planted_near_dups(spark):
+    df = _planted_corpus(spark)
+    got = {
+        r["query_id"]: r["neighbor_id"]
+        for r in similarity.lsh_topk(df, k=1).collect()
+    }
+    hits = sum(1 for i in range(40) if got.get(i) == i + 1000)
+    assert hits >= 38, f"only {hits}/40 planted near-dups found"
+
+
+def test_near_dup_pairs_planted_and_true_negative(spark, emb):
+    planted = similarity.cosine_near_dup_pairs(_planted_corpus(spark), threshold=0.9).collect()
+    found = {(r["id_a"], r["id_b"]) for r in planted}
+    expect = {(i, i + 1000) for i in range(40)}
+    assert len(expect - found) <= 2, f"missed {sorted(expect - found)[:5]}"
+    for r in planted:
+        assert r["cos_sim"] >= 0.9
+        assert r["id_a"] < r["id_b"]
+    # true negative: the fixture is random vectors — nothing reaches 0.9
+    assert similarity.cosine_near_dup_pairs(emb, threshold=0.9).count() == 0
+
+
+def test_unit_norm(emb):
+    normed = similarity.with_unit_norm(emb)
+    norms = normed.select(
+        F.aggregate(
+            F.col("unit_vec"), F.lit(0.0), lambda acc, v: acc + v * v
+        ).alias("sq")
+    ).agg(F.min("sq").alias("lo"), F.max("sq").alias("hi")).collect()[0]
+    assert abs(norms["lo"] - 1.0) < 1e-9 and abs(norms["hi"] - 1.0) < 1e-9
