@@ -25,6 +25,20 @@ from pyspark.sql import functions as F
 
 from blow_spark.functions import tokenize_ws, word_shingles
 
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure at least default-parallelism partitions before CPU-heavy
+    per-row work (shingling, hashing). A small parquet file scans as ONE
+    task — measured 8 s single-threaded shingling at sf0.1 that the rest
+    of the machine sat out. The round-robin shuffle of raw rows is cheap
+    relative to that. At 100 TB inputs already have thousands of
+    partitions and this no-ops."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # --------------------------------------------------------------------------
 # Exact dedup
 # --------------------------------------------------------------------------
@@ -58,9 +72,15 @@ def drop_exact_dups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # string-hashed ONCE (xxhash64 → residue mod p), then the k minhash
 # functions are affine permutations h_i(x) = (a_i·x + b_i) mod p. a_i, b_i
 # fit in 31 bits so a_i·x + b_i < 2^62 — no long overflow under ANSI mode.
-# This is 1 string-hash pass + k integer passes per doc instead of k
-# string-hash passes, and every pass folds inside whole-stage codegen
-# (no explode, no shuffle). Seeds are fixed → signatures are deterministic.
+#
+# Physical form: explode shingles → hash → groupBy(doc).agg(k MIN columns).
+# The k aggregates are plain codegen'd arithmetic with map-side partial
+# aggregation, so each task emits one k-wide row per local doc — the shuffle
+# carries signatures, not shingles. (Two rejected forms, both measured far
+# slower: k×array_min(transform(...)) re-inlines the string hash k times
+# after CollapseProject; a fold with a zip_with accumulator evaluates every
+# lambda on the interpreted expression path — higher-order functions do not
+# whole-stage-codegen.) Seeds are fixed → signatures are deterministic.
 _MERSENNE_P = (1 << 31) - 1
 
 
@@ -71,37 +91,31 @@ def _perm_coeffs(num_hashes: int) -> list[tuple[int, int]]:
     return [(rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P)) for _ in range(num_hashes)]
 
 
-def _shingle_residues(shingles):
-    """One xxhash64 per shingle, reduced into the field: materialize this as
-    a column BEFORE fanning out to the k permutations so the string hashing
-    runs once, not k times."""
+def _signature_agg(base: DataFrame, num_hashes: int) -> DataFrame:
+    """(doc, shingles) → (doc, mh_0..mh_{k-1}) via explode + k min-aggs."""
     p = F.lit(_MERSENNE_P)
-    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), p))
-
-
-def _minhash_signature(residues, num_hashes: int):
-    """k minhashes via k affine permutations of the precomputed residues.
-
-    NOTE the single-parameter lambdas: PySpark's ``F.transform`` passes the
-    array *index* as a second argument to any two-parameter lambda, so the
-    idiom ``lambda s, i=i: ...`` silently binds ``i`` to the element
-    position — every "distinct" hash function collapses into the same one.
-    """
-    p = F.lit(_MERSENNE_P)
-
-    def perm(a: int, b: int):
-        return F.array_min(F.transform(residues, lambda x: F.pmod(x * F.lit(a) + F.lit(b), p)))
-
-    return [perm(a, b).alias(f"mh_{i}") for i, (a, b) in enumerate(_perm_coeffs(num_hashes))]
+    exploded = base.select("doc", F.explode("shingles").alias("g")).select(
+        "doc", F.pmod(F.xxhash64("g"), p).alias("h")
+    )
+    return exploded.groupBy("doc").agg(
+        *[
+            F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), p)).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(_perm_coeffs(num_hashes))
+        ]
+    )
 
 
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 64, shingle_n: int = 3
 ) -> DataFrame:
     shingles = word_shingles(F.col(text_col), shingle_n)
-    return (
-        df.select(F.col(id_col), _shingle_residues(shingles).alias("_res"))
-        .select(id_col, F.array(*_minhash_signature(F.col("_res"), num_hashes)).alias("minhash"))
+    base = _spread(df).select(F.col(id_col).alias("doc"), shingles.alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+    sig = _signature_agg(base, num_hashes)
+    return sig.select(
+        F.col("doc").alias(id_col),
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("minhash"),
     )
 
 
@@ -130,24 +144,21 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     shingles = word_shingles(F.col(text_col), shingle_n)
-    base = df.select(F.col(id_col).alias("doc"), shingles.alias("shingles")).filter(
+    base = _spread(df).select(F.col(id_col).alias("doc"), shingles.alias("shingles")).filter(
         F.size("shingles") > 0
     )
     # Persist: `base` feeds the signature pipeline AND both verify-join
     # sides; `banded` feeds both sides of the candidate self-join. Without
-    # persistence Spark recomputes shingling + 64 minhash passes once per
-    # consumer (4×). At cluster scale this would be a checkpoint to a
-    # bucketed table instead; MEMORY_AND_DISK is the local analog.
+    # persistence Spark recomputes shingling once per consumer (4×). At
+    # cluster scale this would be a checkpoint to a bucketed table instead;
+    # MEMORY_AND_DISK is the local analog.
     base = base.persist()
-    sig = base.select(
-        "doc",
-        _shingle_residues(F.col("shingles")).alias("_res"),
-    ).select("doc", F.array(*_minhash_signature(F.col("_res"), num_hashes)).alias("mh"))
+    sig = _signature_agg(base, num_hashes)
     band_arr = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(F.concat_ws(",", *[F.col("mh")[b * rows_per_band + r].cast("string") for r in range(rows_per_band)])).alias("bucket"),
+                F.xxhash64(F.concat_ws(",", *[F.col(f"mh_{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)])).alias("bucket"),
             )
             for b in range(bands)
         ]
@@ -167,22 +178,38 @@ def minhash_lsh_pairs(
         .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
         .distinct()
     )
-    sh_a = base.select(F.col("doc").alias("id_a"), F.col("shingles").alias("sh_a"))
-    sh_b = base.select(F.col("doc").alias("id_b"), F.col("shingles").alias("sh_b"))
-    verified = (
-        candidates.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
+    return _verify_jaccard(candidates, base, threshold)
+
+
+def _verify_jaccard(candidates: DataFrame, base: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard re-rank of candidate pairs against (doc, shingles).
+
+    The intersection runs on xxhash64(shingle) LONG sets, not the strings:
+    the verify join then shuffles ~8 B/shingle instead of ~20+ B, and
+    |A∪B| comes from |A|+|B|−|A∩B| instead of materializing a union array.
+    A hash collision inside one candidate pair's ~10²-shingle sets would
+    need a 64-bit collision (~2⁻⁵⁰ per pair) to perturb the score —
+    ignored. Result is identical to string-set Jaccard (the DuckDB oracle
+    computes the string form and hash-matches)."""
+    hashed = (
+        base.select("doc", F.explode("shingles").alias("g"))
+        .select("doc", F.xxhash64("g").alias("h"))
+        .groupBy("doc")
+        .agg(F.collect_list("h").alias("hs"), F.count("*").alias("n_sh"))
+    )
+    a = hashed.select(F.col("doc").alias("id_a"), F.col("hs").alias("hs_a"), F.col("n_sh").alias("n_a"))
+    b = hashed.select(F.col("doc").alias("id_b"), F.col("hs").alias("hs_b"), F.col("n_sh").alias("n_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
         .select(
             "id_a",
             "id_b",
-            (
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b"))
-            ).alias("jaccard"),
+            (inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return verified.select("id_a", "id_b", "jaccard")
 
 
 # --------------------------------------------------------------------------
@@ -194,7 +221,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash per document: explode tokens → xxhash64 → per-bit
     ±1 vote aggregation (one shuffle keyed by id; 64 SUMs is a single
     hash-aggregate pass) → sign-pack into a long."""
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col).alias("doc"),
         F.explode(tokenize_ws(F.lower(F.col(text_col)))).alias("tok"),
     ).select("doc", F.xxhash64("tok").alias("h"))
@@ -275,8 +302,10 @@ def ngram_jaccard_pairs(
     ultra-common the pair is boilerplate, which the frequency cap
     deliberately excludes."""
     shingles = word_shingles(F.col(text_col), shingle_n)
-    base = df.select(F.col(id_col).alias("doc"), shingles.alias("sh")).filter(F.size("sh") > 0)
-    exploded = base.select("doc", F.explode("sh").alias("g"))
+    base = _spread(df).select(F.col(id_col).alias("doc"), shingles.alias("shingles")).filter(
+        F.size("shingles") > 0
+    ).persist()
+    exploded = base.select("doc", F.explode("shingles").alias("g"))
     rare = exploded.groupBy("g").agg(F.count("*").alias("df_")).filter(
         F.col("df_") <= max_shingle_freq
     )
@@ -287,18 +316,4 @@ def ngram_jaccard_pairs(
         .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
         .distinct()
     )
-    sh_a = base.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = base.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
-    return (
-        candidates.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b"))
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _verify_jaccard(candidates, base, threshold)
