@@ -381,3 +381,75 @@ def cast_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("o_orderdate").alias("epoch_s"),
         (F.col("o_orderkey") % 2 == 0).cast("string").alias("even_str"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles / median
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_percentiles_exact",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.5)  AS p50,
+           quantile_cont(l_extendedprice, 0.95) AS p95,
+           quantile_cont(l_quantity, 0.5)       AS med_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles (both engines compute
+    (n-1)·p indexing with the same interpolation — bit-identical, probed
+    across scale factors). The approx_percentile sketch variant for the
+    100 TB path is agg_approx_sketches (rows-only)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile(p, 0.25).alias("p25"),
+        F.percentile(p, 0.5).alias("p50"),
+        F.percentile(p, 0.95).alias("p95"),
+        F.median("l_quantity").alias("med_qty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Unpivot (wide → long)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "unpivot_measures",
+    oracle="""
+    UNPIVOT (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)      AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+             CAST(COUNT(*) AS DOUBLE)                                    AS n_rows
+      FROM lineitem GROUP BY l_returnflag
+    ) ON sum_qty, sum_price, n_rows
+    INTO NAME measure VALUE value
+    """,
+    tags=("reshape", "unpivot"),
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long reshape (the inverse of pivot_linestatus): three measure
+    columns melt into (measure, value) rows. Catalyst plans Expand — one
+    pass, no shuffle beyond the feeding aggregate."""
+    li = read_table(spark, sf_dir, "lineitem")
+    from blow_spark.queries.relational import _dec_sum
+
+    wide = li.groupBy("l_returnflag").agg(
+        _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+        _dec_sum(F.col("l_extendedprice")).alias("sum_price"),
+        F.count("*").cast("double").alias("n_rows"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "n_rows"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
