@@ -90,3 +90,15 @@ def similarity_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs at cos ≥ 0.9 via SRP buckets."""
     e = read_table(spark, sf_dir, "embeddings")
     return similarity.cosine_near_dup_pairs(e, threshold=0.9)
+
+
+@register("similarity_ivf_topk", oracle=None, tags=("similarity", "ivf"))
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-indexed approximate top-k: deterministic k-means centroids,
+    probe-4-of-16 clusters, exact re-rank within probed clusters, for the
+    first-50-ids query set (same query-subset convention as
+    similarity_topk_bruteforce). Engine-specific clustering → rows-only;
+    recall vs brute force is asserted in tests/test_similarity.py."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 50)
+    return similarity.ivf_topk(e, k=5, queries_df=q)

@@ -140,3 +140,55 @@ def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").alias("k_str"),
         F.get_json_object("props", "$.k").cast("long").alias("k_int"),
     )
+
+
+@register(
+    "streaming_tumbling_availablenow",
+    oracle=f"""
+    SELECT {_BUCKET.format(sec=3600)} AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "runtime"),
+)
+def streaming_tumbling_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL Structured Streaming runtime under the DuckDB oracle — not
+    a batch twin. events is re-staged as one µs-timestamp parquet file,
+    read back with readStream, aggregated into 1-hour tumbling windows
+    with a watermark, and drained with Trigger.AvailableNow into a memory
+    sink in complete mode. One input file ⇒ one micro-batch ⇒ the
+    watermark never advances mid-stream, so no row is late-dropped and
+    complete mode holds every window: the streamed result is exactly the
+    batch aggregation (append-mode holdback and late-data semantics are
+    exercised in tests/test_streaming.py instead, where DuckDB can't
+    follow)."""
+    import tempfile
+    import uuid
+
+    from blow_spark.streaming import EVENTS_SCHEMA
+
+    stage = tempfile.mkdtemp(prefix="blow_spark_stream_")
+    read_table(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

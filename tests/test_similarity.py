@@ -103,3 +103,28 @@ def test_unit_norm(emb):
         ).alias("sq")
     ).agg(F.min("sq").alias("lo"), F.max("sq").alias("hi")).collect()[0]
     assert abs(norms["lo"] - 1.0) < 1e-9 and abs(norms["hi"] - 1.0) < 1e-9
+
+
+def test_ivf_topk_recall_vs_brute_force(emb):
+    """IVF (16 clusters, probe 4) top-1 recall on the random fixture.
+    Probing 1/4 of the space would give ~0.25 for unstructured neighbors;
+    Voronoi locality pushes the true nearest neighbor into a probed
+    cluster far more often — measured 0.63, floor set with margin.
+    Deterministic: centroid seeds are hash-picked, no RNG."""
+    exact = {
+        r["query_id"]: r["neighbor_id"]
+        for r in similarity.brute_force_topk(emb, emb, k=1).collect()
+    }
+    approx = {
+        r["query_id"]: r["neighbor_id"]
+        for r in similarity.ivf_topk(emb, k=1).collect()
+    }
+    hits = sum(1 for q, n in exact.items() if approx.get(q) == n)
+    assert hits / len(exact) >= 0.5
+
+
+def test_ivf_finds_planted_near_dups(spark):
+    df = _planted_corpus(spark)
+    got = {r["query_id"]: r["neighbor_id"] for r in similarity.ivf_topk(df, k=1).collect()}
+    hits = sum(1 for i in range(40) if got.get(i) == i + 1000)
+    assert hits >= 38, f"only {hits}/40 planted near-dups found"
