@@ -453,3 +453,74 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     )
+
+
+# --------------------------------------------------------------------------
+# Sink / source roundtrips (writers + non-parquet readers under the gate)
+# --------------------------------------------------------------------------
+
+_ROUNDTRIP_ORACLE = """
+    SELECT o_orderkey, o_orderstatus, o_orderpriority,
+           CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders
+    WHERE o_orderkey < 600
+"""
+
+
+def _roundtrip_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 600)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        # exact-integer payload: float→text→float roundtripping through
+        # csv/json must be bit-faithful, so ship cents as BIGINT
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+
+
+@register("sink_parquet_roundtrip", oracle=_ROUNDTRIP_ORACLE, tags=("sink", "source"))
+def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """write.parquet → read.parquet roundtrip: the WRITER is under the
+    oracle gate — a corrupted or lossy sink breaks the hash match."""
+    import tempfile
+
+    from blow_spark.sources import write_parquet
+
+    path = tempfile.mkdtemp(prefix="blow_spark_sink_pq_")
+    write_parquet(_roundtrip_frame(spark, sf_dir), path)
+    return spark.read.parquet(path)
+
+
+@register("sink_csv_roundtrip", oracle=_ROUNDTRIP_ORACLE, tags=("sink", "source", "csv"))
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """write.csv → read.csv (explicit schema, header) roundtrip — the text
+    formats lose types, so the reader's declared schema is part of the
+    contract being checked."""
+    import tempfile
+
+    from blow_spark.sources import read_csv, write_csv
+
+    path = tempfile.mkdtemp(prefix="blow_spark_sink_csv_")
+    write_csv(_roundtrip_frame(spark, sf_dir), path)
+    return read_csv(
+        spark,
+        path,
+        schema="o_orderkey long, o_orderstatus string, o_orderpriority string, price_cents long",
+    )
+
+
+@register("sink_json_roundtrip", oracle=_ROUNDTRIP_ORACLE, tags=("sink", "source", "json"))
+def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """write.json → read.json roundtrip with declared schema."""
+    import tempfile
+
+    from blow_spark.sources import read_json, write_json
+
+    path = tempfile.mkdtemp(prefix="blow_spark_sink_json_")
+    write_json(_roundtrip_frame(spark, sf_dir), path)
+    return read_json(
+        spark,
+        path,
+        schema="o_orderkey long, o_orderstatus string, o_orderpriority string, price_cents long",
+    )
