@@ -524,3 +524,160 @@ def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         path,
         schema="o_orderkey long, o_orderstatus string, o_orderpriority string, price_cents long",
     )
+
+
+# --------------------------------------------------------------------------
+# Scalar batteries, wave 2
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_string_funcs2",
+    oracle="""
+    SELECT c_custkey,
+           levenshtein(c_mktsegment, 'BUILDING')         AS seg_edit_dist,
+           translate(c_mktsegment, 'AEIOU', 'aeiou')     AS seg_lower_vowels,
+           split_part(c_name, '#', 2)                    AS name_num_part,
+           repeat(SUBSTRING(c_mktsegment, 1, 2), 3)      AS seg_prefix_x3,
+           reverse(c_mktsegment)                         AS seg_rev,
+           starts_with(c_mktsegment, 'M')                AS seg_starts_m,
+           contains(c_name, '1')                         AS name_has_1,
+           CAST(strpos(c_mktsegment, 'I') AS INT)        AS seg_i_pos
+    FROM customer
+    WHERE c_custkey < 400
+    """,
+    tags=("scalar", "string"),
+)
+def scalar_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance, character mapping, token extraction, affix tests —
+    the second string battery (wave 1: scalar_string_funcs)."""
+    c = read_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400)
+    seg = F.col("c_mktsegment")
+    return c.select(
+        "c_custkey",
+        F.levenshtein(seg, F.lit("BUILDING")).alias("seg_edit_dist"),
+        F.translate(seg, "AEIOU", "aeiou").alias("seg_lower_vowels"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_num_part"),
+        F.repeat(F.substring(seg, 1, 2), 3).alias("seg_prefix_x3"),
+        F.reverse(seg).alias("seg_rev"),
+        F.startswith(seg, F.lit("M")).alias("seg_starts_m"),
+        F.contains(F.col("c_name"), F.lit("1")).alias("name_has_1"),
+        F.instr(seg, "I").alias("seg_i_pos"),
+    )
+
+
+@register(
+    "scalar_date_funcs2",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(last_day(o_orderdate) AS DATE) AS VARCHAR)          AS month_end,
+           CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS plus_3mo,
+           CAST(dayofweek(o_orderdate) + 1 AS INT)                       AS dow,
+           CAST(weekofyear(o_orderdate) AS INT)                          AS woy,
+           CAST(dayofyear(o_orderdate) AS INT)                           AS doy,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since_epoch0
+    FROM orders
+    WHERE o_orderkey < 800
+    """,
+    tags=("scalar", "datetime"),
+)
+def scalar_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic wave 2: month-end, month addition with
+    end-of-month clamping, ISO week, day-of-week (Spark's Sunday=1 vs
+    DuckDB's Sunday=0 — oracle shifts by one), day differences."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 800)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.last_day(d).cast("string").alias("month_end"),
+        F.add_months(d, 3).cast("string").alias("plus_3mo"),
+        F.dayofweek(d).alias("dow"),
+        F.weekofyear(d).alias("woy"),
+        F.dayofyear(d).alias("doy"),
+        F.datediff(d, F.lit("1995-01-01").cast("timestamp")).alias("days_since_epoch0"),
+    )
+
+
+@register(
+    "scalar_bitwise_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & 255                         AS low_byte,
+           l_orderkey | 15                          AS or_mask,
+           xor(l_orderkey, l_linenumber)            AS xored,
+           CAST(l_linenumber AS BIGINT) << 4        AS shifted_l,
+           l_orderkey >> 2                          AS shifted_r,
+           bit_count(l_orderkey)                    AS popcount
+    FROM lineitem
+    WHERE l_orderkey < 300
+    """,
+    tags=("scalar", "bitwise"),
+)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.col("l_orderkey")
+    li = read_table(spark, sf_dir, "lineitem").filter(k < 300)
+    ln = F.col("l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(15)).alias("or_mask"),
+        k.bitwiseXOR(ln.cast("long")).alias("xored"),
+        F.shiftleft(ln.cast("long"), 4).alias("shifted_l"),
+        F.shiftright(k, 2).alias("shifted_r"),
+        F.bit_count(k).alias("popcount"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouped pandas UDF (UDAF-shaped Python under the gate)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "grouped_pandas_center",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           CAST(l_quantity * 100 AS BIGINT)
+             - CAST(FLOOR(AVG(CAST(l_quantity * 100 AS BIGINT)) OVER
+                          (PARTITION BY l_returnflag)) AS BIGINT)
+               AS qty_cents_centered
+    FROM lineitem
+    """,
+    tags=("udf", "pandas", "agg"),
+)
+def grouped_pandas_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().applyInPandas under the oracle gate: per-group mean
+    centering in integer cents. The Python side works on exact ints
+    (commutative sums → arrival order can't perturb the result), which is
+    what makes a pandas UDF hash-comparable to SQL at all — the float
+    version of this query would be nondeterministic in ANY engine.
+    This is the UDAF/grouped-map surface of SURVEY §2.2 on the Arrow
+    batch path (one pandas frame per group, not per row)."""
+    import pandas as pd
+
+    from blow_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        (F.col("l_quantity") * 100).cast("long").alias("qty_cents"),
+    )
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        mean_floor = int(pdf["qty_cents"].sum()) // len(pdf)
+        return pd.DataFrame(
+            {
+                "l_orderkey": pdf["l_orderkey"],
+                "l_linenumber": pdf["l_linenumber"],
+                "l_returnflag": pdf["l_returnflag"],
+                "qty_cents_centered": pdf["qty_cents"] - mean_floor,
+            }
+        )
+
+    return li.groupBy("l_returnflag").applyInPandas(
+        center,
+        schema="l_orderkey long, l_linenumber int, l_returnflag string, qty_cents_centered long",
+    )
