@@ -174,3 +174,39 @@ def topk_per_group(
     ordering = F.col(order_col).asc() if ascending else F.col(order_col).desc()
     w = W.partitionBy(*group_cols).orderBy(ordering)
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+
+
+# --------------------------------------------------------------------------
+# Salted join (hand-rolled skew mitigation)
+# --------------------------------------------------------------------------
+
+
+def salted_join(
+    skewed: DataFrame,
+    dim: DataFrame,
+    on: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``skewed``'s join key is heavily skewed and ``dim``
+    is too large to broadcast: spread each hot key across ``salt``
+    shuffle partitions.
+
+    The skewed side gets a deterministic per-row salt
+    ``pmod(xxhash64(all cols), salt)``; the dim side is replicated
+    ``salt`` times via a tiny exploded literal range. The join key becomes
+    (key, salt), so one hot key's rows land on ``salt`` reducers instead
+    of one. Cost: dim shuffles ``salt``× — use only when a hot key
+    actually bottlenecks a reducer (AQE's skewJoin handles moderate skew
+    without the replication; this is the manual fallback for the
+    pathological long-tail, and the pattern the 100 TB runbook names).
+
+    Result is row-identical to ``skewed.join(dim, on, how)`` for inner /
+    left joins (pinned in tests/test_relational.py)."""
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt))
+    s = skewed.withColumn("_salt", salt_col)
+    d = dim.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    out = s.join(d, on=[on, "_salt"], how=how)
+    return out.drop("_salt")

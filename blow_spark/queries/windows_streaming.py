@@ -11,6 +11,7 @@ watermarks and late data.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from blow_spark.queries import register
@@ -192,3 +193,35 @@ def streaming_tumbling_availablenow(spark: SparkSession, sf_dir: str) -> DataFra
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "events_funnel_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+    FROM seq
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+    tags=("window", "analytic", "events"),
+)
+def events_funnel_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts (funnel/Markov matrix): lag
+    over the user's event-time order, then aggregate the (prev, next)
+    pairs. (ts, event_id) tiebreak keeps the sequence total."""
+    e = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )

@@ -1,0 +1,75 @@
+"""Relational-operator properties that the DuckDB oracle can't express:
+approximate-sketch error bounds, salted-join equivalence, partition
+pruning of partitioned writes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from blow_spark import ops
+from blow_spark.sources import read_table
+
+
+def test_approx_sketches_error_bounds(spark, sf_dir):
+    """agg_approx_sketches is rows-only in the driver gate; here the HLL
+    distinct estimate is bounded against the exact count (default rsd
+    0.05 → assert 15%) and the quantile sketch against the exact median
+    neighborhood."""
+    li = read_table(spark, sf_dir, "lineitem")
+    got = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5).alias("approx_med"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("exact_med"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .collect()
+    )
+    assert got
+    for r in got:
+        assert abs(r["approx_parts"] - r["exact_parts"]) <= 0.15 * r["exact_parts"], r
+        # percentile_approx default accuracy 10000 → tight on 6k rows
+        assert r["lo"] <= r["approx_med"] <= r["hi"]
+        assert abs(r["approx_med"] - r["exact_med"]) <= 0.05 * (r["hi"] - r["lo"]), r
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    plain = li.join(o, "l_orderkey").groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("q")
+    )
+    salted = ops.salted_join(li, o, on="l_orderkey", salt=4).groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("q")
+    )
+    assert {tuple(map(str, r)) for r in plain.collect()} == {
+        tuple(map(str, r)) for r in salted.collect()
+    }
+
+
+def test_salted_left_join_preserves_unmatched(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (99, "zz")], ["k", "v"])
+    right = spark.createDataFrame([(1, "X"), (2, "Y")], ["k", "w"])
+    out = ops.salted_join(left, right, on="k", salt=4, how="left").collect()
+    assert len(out) == 3
+    assert {r["k"]: r["w"] for r in out} == {1: "X", 2: "Y", 99: None}
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """partitionBy write → filtered read scans ONLY the matching partition
+    (PartitionFilters in the plan, not a post-scan filter)."""
+    from blow_spark.sources import write_parquet
+
+    out = str(tmp_path / "orders_by_status")
+    o = read_table(spark, sf_dir, "orders")
+    write_parquet(o, out, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan, plan[:600]
+    want = o.filter(F.col("o_orderstatus") == "F").count()
+    assert back.count() == want
