@@ -225,3 +225,53 @@ def events_funnel_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").alias("n_transitions"))
     )
+
+
+@register(
+    "rollup_two_level_time",
+    oracle=f"""
+    WITH minute_agg AS (
+      SELECT {_BUCKET.format(sec=60)} AS m_start,
+             event_type,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT CAST(TO_TIMESTAMP(FLOOR(EPOCH(m_start) / 3600) * 3600) AS TIMESTAMP)
+               AS h_start,
+           event_type,
+           CAST(SUM(n_events) AS BIGINT)     AS n_events,
+           CAST(SUM(CAST(total_value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           COUNT(*)                          AS n_minutes
+    FROM minute_agg
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "rollup", "events", "hypertable"),
+)
+def rollup_two_level_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate shape: raw events → 1-minute
+    buckets → 1-hour buckets REAGGREGATED FROM THE MINUTE LEVEL (count →
+    sum, sum → sum — the decomposable-aggregate contract that makes
+    incremental rollups valid). At 100 TB the minute layer is the
+    materialized table and the hour layer reads it, touching 1/60th of
+    the rows; both levels share one shuffle key family (bucket,
+    event_type) so the second agg is map-side-combinable."""
+    e = read_table(spark, sf_dir, "events")
+    minute = (
+        e.groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("m_start"), "event_type", "n_events", "total_value")
+    )
+    return (
+        minute.groupBy(F.window("m_start", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum(F.col("total_value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            F.count("*").alias("n_minutes"),
+        )
+        .select(F.col("w.start").alias("h_start"), "event_type", "n_events", "total_value", "n_minutes")
+    )
