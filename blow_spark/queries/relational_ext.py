@@ -681,3 +681,66 @@ def grouped_pandas_center(spark: SparkSession, sf_dir: str) -> DataFrame:
         center,
         schema="l_orderkey long, l_linenumber int, l_returnflag string, qty_cents_centered long",
     )
+
+
+# --------------------------------------------------------------------------
+# Map columns + structured JSON parsing
+# --------------------------------------------------------------------------
+
+
+@register(
+    "map_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           ['priority', 'status']                             AS mkeys,
+           [o_orderpriority, o_orderstatus]                   AS mvals,
+           o_orderpriority                                    AS by_key,
+           2                                                  AS msize
+    FROM orders
+    WHERE o_orderkey < 300
+    """,
+    tags=("scalar", "map"),
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType column build + access. The comparison surface is arrays and
+    scalars (map_keys / map_values / element_at / size) because raw
+    map⇄dict rendering order differs between engines' pandas bridges —
+    the map itself is exercised, its projection is what's hashed."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    m = F.create_map(
+        F.lit("priority"), F.col("o_orderpriority"),
+        F.lit("status"), F.col("o_orderstatus"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.map_keys(m).alias("mkeys"),
+        F.map_values(m).alias("mvals"),
+        F.element_at(m, F.lit("priority")).alias("by_key"),
+        F.size(m).alias("msize"),
+    )
+
+
+@register(
+    "json_struct_parse",
+    oracle="""
+    SELECT event_id,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k,
+           JSON_EXTRACT_STRING(props, '$.absent')            AS missing_field
+    FROM events
+    WHERE event_id < 3000
+    """,
+    tags=("scalar", "json", "struct"),
+)
+def json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with a declared schema → typed struct → field projection
+    (vs json_extraction's per-path string extraction). At scale the single
+    from_json parse beats N get_json_object calls, which each re-parse.
+    The schema declares a field the JSON never carries — absent key →
+    NULL is the semantic being pinned alongside the typed extraction."""
+    e = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    parsed = F.from_json(F.col("props"), "k long, absent string")
+    return e.select(
+        "event_id",
+        parsed["k"].alias("k"),
+        parsed["absent"].alias("missing_field"),
+    )
