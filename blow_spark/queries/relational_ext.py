@@ -744,3 +744,15 @@ def json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed["k"].alias("k"),
         parsed["absent"].alias("missing_field"),
     )
+
+
+@register("sink_orc_roundtrip", oracle=_ROUNDTRIP_ORACLE, tags=("sink", "source", "orc"))
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """write.orc → read.orc roundtrip (the second columnar format)."""
+    import tempfile
+
+    from blow_spark.sources import read_orc, write_orc
+
+    path = tempfile.mkdtemp(prefix="blow_spark_sink_orc_")
+    write_orc(_roundtrip_frame(spark, sf_dir), path)
+    return read_orc(spark, path)

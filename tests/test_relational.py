@@ -73,3 +73,41 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(o_orderstatus" in plan, plan[:600]
     want = o.filter(F.col("o_orderstatus") == "F").count()
     assert back.count() == want
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Co-located join via bucketing: both tables bucketed by the join key
+    into the same bucket count → the sort-merge join reads buckets
+    directly, with NO Exchange on either side. This is the 100 TB
+    fact⋈fact strategy SCALE.md names (one-time bucketed write amortized
+    over every subsequent join)."""
+    import uuid
+
+    suffix = uuid.uuid4().hex[:8]
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    (o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+       .option("path", str(tmp_path / "orders_b"))
+       .mode("overwrite").saveAsTable(f"orders_b_{suffix}"))
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+       .option("path", str(tmp_path / "lineitem_b"))
+       .mode("overwrite").saveAsTable(f"lineitem_b_{suffix}"))
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at fixture scale the planner rightly prefers broadcast (which
+        # ignores buckets); disable it to surface the shuffle-free
+        # bucketed sort-merge join that fact⋈fact sizes would get
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ob = spark.table(f"orders_b_{suffix}")
+        lb = spark.table(f"lineitem_b_{suffix}")
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_orderstatus"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:800]
+        assert "SortMergeJoin" in plan
+        assert joined.count() == li.join(o, li.l_orderkey == o.o_orderkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS orders_b_{suffix}")
+        spark.sql(f"DROP TABLE IF EXISTS lineitem_b_{suffix}")
