@@ -222,3 +222,80 @@ def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(F.concat_ws(" ", F.array_sort(toks))).alias("fingerprint"),
     )
+
+
+@register(
+    "text_clean_normalize",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(lower(text), 'https?://[^ ]+', '<url>', 'g'),
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'),
+             '\s+', ' ', 'g')) AS text_clean,
+           length(text) - length(trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(lower(text), 'https?://[^ ]+', '<url>', 'g'),
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'),
+             '\s+', ' ', 'g'))) AS n_chars_removed
+    FROM documents
+    """,
+    tags=("text", "clean"),
+)
+def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard pre-training text normalization: lowercase, URL/email
+    masking, whitespace collapse — one codegen'd regexp_replace chain
+    (same RE2-compatible patterns run on both engines)."""
+    d = read_table(spark, sf_dir, "documents")
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), r"https?://[^ ]+", "<url>"),
+                r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+                "<email>",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        cleaned.alias("text_clean"),
+        (F.length("text") - F.length(cleaned)).alias("n_chars_removed"),
+    )
+
+
+@register(
+    "text_quality_signals_battery",
+    oracle=r"""
+    SELECT doc_id,
+           LENGTH(text) AS n_chars,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+             / GREATEST(LENGTH(text), 1) AS alpha_ratio,
+           CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / GREATEST(LENGTH(text), 1) AS digit_ratio,
+           CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9 \t\n\r]', '', 'g')) AS DOUBLE)
+             / GREATEST(LENGTH(text), 1) AS punct_ratio,
+           CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+             / GREATEST(len(regexp_split_to_array(trim(text), '\s+')), 1)
+             AS distinct_token_ratio
+    FROM documents
+    """,
+    tags=("text", "quality"),
+)
+def text_quality_signals_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pre-training quality-signal set (length, token count,
+    alpha/digit/punct ratios, vocabulary diversity) from
+    blow_spark.functions.text_quality_signals, each pinned to SQL."""
+    d = read_table(spark, sf_dir, "documents")
+    sig = BF.text_quality_signals(F.col("text"))
+    return d.select(
+        "doc_id",
+        sig["n_chars"].alias("n_chars"),
+        sig["n_tokens"].alias("n_tokens"),
+        sig["alpha_ratio"].alias("alpha_ratio"),
+        sig["digit_ratio"].alias("digit_ratio"),
+        sig["punct_ratio"].alias("punct_ratio"),
+        sig["distinct_token_ratio"].alias("distinct_token_ratio"),
+    )
