@@ -317,3 +317,57 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     return _verify_jaccard(candidates, base, threshold)
+
+
+# --------------------------------------------------------------------------
+# Duplicate clustering (connected components over near-dup pairs)
+# --------------------------------------------------------------------------
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(id_a, id_b) edges → (node, comp) with comp = min node id in the
+    connected component: turns pairwise near-dup hits into duplicate
+    CLUSTERS (keep comp, drop the rest — the standard last step of a
+    dedup pipeline).
+
+    Iterative min-label propagation with a driver-side convergence loop:
+    each round every node takes min(own label, neighbors' labels); stop
+    when no label changes. Rounds needed = graph diameter ≤ O(log n) for
+    the star/chain shapes dup-clusters take; each round is one shuffle
+    keyed by node id. localCheckpoint() per round truncates the lineage —
+    without it the plan doubles every iteration and the driver blows up
+    planning long before the data is large. The reference has no
+    multi-pass operator at all (single-pass channel dataflow,
+    maps/maps.go:34-37); this is the iterative-algorithm pattern the
+    brief calls out, kept deterministic so a DuckDB recursive CTE can
+    oracle it."""
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    edges = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().persist()
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.node == neigh.a, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias("comp"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", "comp")

@@ -143,7 +143,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_minhash_lsh", oracle=None, tags=("dedup", "minhash"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate candidate pairs (shingle → 64 minhashes →
-    8 bands → band-bucket equi-join → exact Jaccard re-rank ≥ 0.5).
+    16 bands × 4 rows → band-bucket equi-join → exact Jaccard re-rank ≥ 0.5).
     Sketches are engine-specific → rows-only; tests verify against exact
     n-gram Jaccard on the same corpus."""
     d = read_table(spark, sf_dir, "documents")
@@ -299,3 +299,59 @@ def text_quality_signals_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig["punct_ratio"].alias("punct_ratio"),
         sig["distinct_token_ratio"].alias("distinct_token_ratio"),
     )
+
+
+@register(
+    "dedup_clusters",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id AS doc, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), base AS (
+      SELECT doc,
+             list_distinct(list_transform(
+               range(1, len(t) - 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS sh
+      FROM toks
+      WHERE len(t) >= 3
+    ), exploded AS (
+      SELECT doc, unnest(sh) AS g FROM base
+    ), rare AS (
+      SELECT g FROM exploded GROUP BY g HAVING COUNT(*) <= 50
+    ), blocked AS (
+      SELECT e.doc, e.g FROM exploded e JOIN rare USING (g)
+    ), cand AS (
+      SELECT DISTINCT l.doc AS id_a, r.doc AS id_b
+      FROM blocked l JOIN blocked r ON l.g = r.g AND l.doc < r.doc
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM (
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        FROM cand
+        JOIN base a ON a.doc = id_a
+        JOIN base b ON b.doc = id_b) s
+      WHERE jaccard >= 0.4
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(node, comp) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.node
+    )
+    SELECT node, CAST(MIN(comp) AS BIGINT) AS comp
+    FROM reach GROUP BY node
+    """,
+    tags=("dedup", "cluster", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate clusters via iterative min-label
+    propagation (driver-side convergence loop — the multi-pass pattern the
+    single-pass reference cannot express). Oracle: the same exact-Jaccard
+    edges fed through a recursive CTE computing min reachable id."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, text_col="text", id_col="doc_id", threshold=0.4)
+    return dedup.connected_components(pairs)

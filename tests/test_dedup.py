@@ -105,3 +105,20 @@ def test_simhash_pairs_find_planted_dups(docs):
         pytest.skip("fixture has no exact duplicates")
     pairs = dedup.simhash_pairs(docs, "text", "doc_id", max_hamming=3)
     assert pairs.filter(F.col("hamming") == 0).count() > 0
+
+
+def test_connected_components_shapes(spark):
+    """Chain, triangle, isolated pair, and a star — all collapse to min-id
+    components; convergence needs diameter rounds (chain = worst case)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain 1-2-3-4
+         (10, 11), (11, 12), (10, 12),    # triangle
+         (20, 21),                        # pair
+         (30, 31), (30, 32), (30, 33)],   # star
+        ["id_a", "id_b"],
+    )
+    comp = {r["node"]: r["comp"] for r in dedup.connected_components(pairs).collect()}
+    assert {comp[n] for n in (1, 2, 3, 4)} == {1}
+    assert {comp[n] for n in (10, 11, 12)} == {10}
+    assert {comp[n] for n in (20, 21)} == {20}
+    assert {comp[n] for n in (30, 31, 32, 33)} == {30}
