@@ -275,3 +275,75 @@ def rollup_two_level_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("h_start"), "event_type", "n_events", "total_value", "n_minutes")
     )
+
+
+@register(
+    "streaming_stateful_user_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "runtime"),
+)
+def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) under the oracle:
+    per-user running (count, exact sum, max) driven through the real
+    streaming runtime with Trigger.AvailableNow. One staged input file ⇒
+    one micro-batch ⇒ each key's final state equals the batch aggregate;
+    update mode emits each key once. The multi-trigger accumulation
+    behavior (state surviving across micro-batches) is pinned separately
+    in tests/test_streaming.py."""
+    import tempfile
+    import uuid
+
+    from collections.abc import Iterable
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from blow_spark.shipping import ensure_package_shipped
+    from blow_spark.streaming import EVENTS_SCHEMA
+
+    ensure_package_shipped(spark)
+    stage = tempfile.mkdtemp(prefix="blow_spark_stateful_")
+    read_table(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
+
+    def totals(key: tuple, batches: Iterable[pd.DataFrame], state: GroupState):
+        # exact arithmetic: micro-value cents as Python ints (commutative,
+        # order-independent) so the result hash-matches the SQL oracle
+        if state.exists:
+            n, cents, mx = state.get
+        else:
+            n, cents, mx = 0, 0, float("-inf")
+        for pdf in batches:
+            n += len(pdf)
+            cents += int(round(pdf["value"] * 1_000_000, 0).astype("int64").sum())
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, cents, mx))
+        yield pd.DataFrame(
+            [{"user_id": key[0], "n_events": n, "total_value": cents / 1_000_000.0, "max_value": mx}]
+        )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        totals,
+        outputStructType="user_id long, n_events long, total_value double, max_value double",
+        stateStructType="n long, cents long, mx double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stateful_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
