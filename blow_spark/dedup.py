@@ -12,6 +12,8 @@ Four families, each designed around its 100 TB shuffle profile:
 * **exact n-gram Jaccard** — rare-shingle blocking + exact set overlap;
   quadratic only within blocks; the ground truth the sketches are
   validated against in tests/test_dedup.py.
+* **clustering** — connected components over near-dup pairs (iterative
+  min-label propagation), turning pairwise hits into keep/drop groups.
 
 The reference implements no dedup (SURVEY.md §2.2 "Extension ops"); these
 are first-class operators mandated by the task brief. All candidate
