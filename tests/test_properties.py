@@ -1,0 +1,86 @@
+"""Property-based tests (hypothesis): Spark column implementations vs
+pure-Python reference implementations on generated inputs.
+
+Each property draws a BATCH of strings and evaluates them through one
+DataFrame pass (per-example Spark jobs would be ~1 s each; batched, the
+whole module is a few jobs)."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from blow_spark import functions as BF
+
+# printable-ish text including whitespace runs, unicode, empties
+TEXT = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+    max_size=120,
+)
+BATCH = st.lists(TEXT, min_size=1, max_size=25)
+
+
+def _py_shingles(text: str, n: int = 3) -> list[str]:
+    toks = [t for t in re.split(r"\s+", text.strip().lower()) if t != ""]
+    grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    seen, out = set(), []
+    for g in grams:
+        if g not in seen:
+            seen.add(g)
+            out.append(g)
+    return out
+
+
+_SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@given(BATCH)
+@_SETTINGS
+def test_word_shingles_matches_python_reference(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "text"])
+    got = {
+        r["i"]: list(r["sh"])
+        for r in df.select("i", BF.word_shingles(F.col("text")).alias("sh")).collect()
+    }
+    for i, t in enumerate(texts):
+        want = _py_shingles(t)
+        # Java regex \s and Python's re \s disagree on a few exotic
+        # unicode spaces; compare on the shared definition
+        if re.search(r"[^\S \t\n\r\f\v]", t):
+            continue
+        assert got[i] == want, f"text={t!r}"
+
+
+@given(BATCH)
+@_SETTINGS
+def test_quality_score_bounds_property(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    rows = df.select(BF.quality_score(F.col("text")).alias("q")).collect()
+    for r in rows:
+        assert 0.0 <= r["q"] <= 1.0
+
+
+@given(st.lists(st.text(alphabet="abcdefg ", min_size=12, max_size=60), min_size=2, max_size=10))
+@_SETTINGS
+def test_minhash_containment_property(spark, texts):
+    """A document is always a near-duplicate of itself: identical texts →
+    identical signatures, regardless of content."""
+    rows = [(i, t) for i, t in enumerate(texts)] + [
+        (i + 1000, t) for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from blow_spark.dedup import minhash_signatures
+
+    sigs = {
+        r["doc_id"]: tuple(r["minhash"])
+        for r in minhash_signatures(df, "text", "doc_id", num_hashes=16).collect()
+    }
+    for i, t in enumerate(texts):
+        if len([x for x in re.split(r"\s+", t.strip()) if x]) >= 3:
+            assert sigs[i] == sigs[i + 1000]
