@@ -347,3 +347,65 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "streaming_session_availablenow",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), numbered AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts)                        AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE   AS session_end,
+           COUNT(*)                       AS n_events
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+    tags=("streaming", "session", "runtime"),
+)
+def streaming_session_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows through the REAL streaming runtime: stateful
+    session merging (gap 30 min) with watermark, drained via
+    Trigger.AvailableNow in update mode. One staged file ⇒ one
+    micro-batch ⇒ every session reaches its final extent inside that
+    batch; complete mode re-emits the whole result table (session windows
+    reject update mode), matching the batch gaps-and-islands oracle."""
+    import tempfile
+    import uuid
+
+    from blow_spark.streaming import EVENTS_SCHEMA
+
+    stage = tempfile.mkdtemp(prefix="blow_spark_sess_")
+    read_table(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    name = f"sess_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -170,3 +170,65 @@ def foreach_batch_parquet(df: DataFrame, path: str, checkpoint: str):
         .foreachBatch(write_epoch)
         .start()
     )
+
+
+# --------------------------------------------------------------------------
+# Custom stateful operator, Spark 4 API (transformWithStateInPandas)
+# --------------------------------------------------------------------------
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """The same per-user running totals as ``running_user_totals``, on the
+    transformWithStateInPandas API (Spark 4's typed-state successor to
+    applyInPandasWithState: named state variables on a handle, timer
+    support, TTL). State is one ValueState tuple per key; integer
+    micro-unit sums keep the arithmetic order-independent.
+
+    Runtime requirements beyond applyInPandasWithState: the RocksDB state
+    store provider AND the google.protobuf package (the TWS Python driver
+    worker's wire protocol) — absent in this container, so the test is
+    import-skipped; the operator is exercised wherever protobuf ships."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from blow_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(events.sparkSession)
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n long, cents long, mx double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._totals.exists():
+                n, cents, mx = self._totals.get()
+            else:
+                n, cents, mx = 0, 0, float("-inf")
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(round(pdf["value"] * 1_000_000, 0).astype("int64").sum())
+                if len(pdf):
+                    mx = max(mx, float(pdf["value"].max()))
+            self._totals.update((n, cents, mx))
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": key[0],
+                        "n_events": n,
+                        "total_value": cents / 1_000_000.0,
+                        "max_value": mx,
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id long, n_events long, total_value double, max_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -145,3 +145,51 @@ def test_foreach_batch_sink(spark, sf_dir, events_dir, tmp_path):
     written = spark.read.parquet(out)
     total = read_table(spark, sf_dir, "events").count()
     assert written.count() == total
+
+
+def test_transform_with_state_matches_batch(spark, sf_dir, events_dir):
+    """Spark 4 transformWithStateInPandas: final per-user totals across
+    all micro-batches equal the batch aggregate.
+
+    The TWS Python driver worker speaks protobuf to the JVM
+    (StateMessage_pb2); skip when google.protobuf isn't shipped —
+    applyInPandasWithState (test_stateful_running_totals) covers the
+    stateful surface there."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from pyspark.sql import functions as SF
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = streaming.read_events_stream(spark, events_dir)
+    q = streaming.run_to_memory(
+        streaming.running_user_totals_tws(stream), "tws_out", "update"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    # update mode re-emits a key each batch it changes in: keep the last
+    got = spark.sql(
+        """
+        SELECT user_id, n_events, total_value, max_value FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+          FROM tws_out) WHERE rn = 1
+        """
+    )
+    ev = read_table(spark, sf_dir, "events")
+    want = ev.groupBy("user_id").agg(
+        SF.count("*").alias("n_events"),
+        (SF.sum(SF.round(SF.col("value") * 1_000_000, 0).cast("long")) / 1_000_000.0).alias(
+            "total_value"
+        ),
+        SF.max("value").alias("max_value"),
+    )
+    cols = ["user_id", "n_events", "total_value", "max_value"]
+    assert _rows_set(got, cols) == _rows_set(want, cols)
