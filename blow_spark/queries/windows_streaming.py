@@ -409,3 +409,109 @@ def streaming_session_availablenow(spark: SparkSession, sf_dir: str) -> DataFram
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def _stage_events(spark: SparkSession, sf_dir: str, prefix: str) -> str:
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix=prefix)
+    read_table(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").parquet(stage)
+    return stage
+
+
+def _drain(df: DataFrame, mode: str, name_prefix: str):
+    import uuid
+
+    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+@register(
+    "streaming_dedup_by_key",
+    oracle="""
+    SELECT user_id, event_type, MIN(event_id) AS event_id
+    FROM (
+      SELECT user_id, event_type, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events) t
+    WHERE rn = 1
+    GROUP BY user_id, event_type
+    """,
+    tags=("streaming", "dedup", "runtime"),
+)
+def streaming_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: dropDuplicates on (user_id, event_type)
+    keeps the FIRST arrival per key, with state bounded by the watermark.
+    The staged file is sorted by event time, so first-arrival = earliest
+    (ts, event_id) and the batch oracle can name the surviving row
+    deterministically. (MIN(event_id) in the oracle collapses the
+    rn=1 projection; ties are impossible — event_id is unique.)"""
+    from blow_spark.streaming import EVENTS_SCHEMA
+
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="blow_spark_sdedup_")
+    (
+        read_table(spark, sf_dir, "events")
+        .orderBy("ts", "event_id")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    stream = spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", "1").parquet(stage)
+    deduped = (
+        stream.withWatermark("ts", "10 minutes")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type", "event_id")
+    )
+    return _drain(deduped, "append", "sdedup_out")
+
+
+@register(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT a.event_id AS probe_id, b.event_id AS match_id, a.user_id
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 5 MINUTE
+    """,
+    tags=("streaming", "join", "runtime"),
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: same-user event pairs within a 5-minute
+    forward window. Both sides carry watermarks and the join has the
+    event-time range condition Structured Streaming requires to bound
+    state; one staged file per side ⇒ one micro-batch ⇒ every match is
+    emitted, equal to the batch interval self-join."""
+    from blow_spark.streaming import EVENTS_SCHEMA
+
+    stage = _stage_events(spark, sf_dir, "blow_spark_ssj_")
+    a = (
+        spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
+        .select(F.col("event_id").alias("probe_id"), F.col("user_id"), F.col("ts").alias("ts_a"))
+        .withWatermark("ts_a", "10 minutes")
+    )
+    b = (
+        spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
+        .select(F.col("event_id").alias("match_id"), F.col("user_id").alias("user_b"), F.col("ts").alias("ts_b"))
+        .withWatermark("ts_b", "10 minutes")
+    )
+    joined = a.join(
+        b,
+        (F.col("user_id") == F.col("user_b"))
+        & (F.col("probe_id") < F.col("match_id"))
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTE")),
+    ).select("probe_id", "match_id", "user_id")
+    return _drain(joined, "append", "ssj_out")
