@@ -756,3 +756,60 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="blow_spark_sink_orc_")
     write_orc(_roundtrip_frame(spark, sf_dir), path)
     return read_orc(spark, path)
+
+
+# --------------------------------------------------------------------------
+# Histogram bucketing + positional explode
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_histogram_buckets",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bucket,
+           CAST(FLOOR(o_totalprice / 25000) * 25000 AS DOUBLE) AS bucket_lo,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS bucket_total
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "histogram"),
+)
+def agg_histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: bucket = floor(value / width) — one
+    hash-aggregate pass, the building block dashboards and distribution
+    sketches reduce to. Width 25000 over o_totalprice."""
+    o = read_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 25000)
+    return o.groupBy(
+        bucket.alias("bucket"),
+        (bucket * 25000).cast("double").alias("bucket_lo"),
+    ).agg(
+        F.count("*").alias("n"),
+        (F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")) / 100.0).alias(
+            "bucket_total"
+        ),
+    )
+
+
+@register(
+    "explode_with_position",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(generate_subscripts(range(1, l_linenumber + 1), 1) - 1 AS INT) AS pos,
+           CAST(unnest(range(1, l_linenumber + 1)) AS BIGINT) AS val
+    FROM lineitem
+    WHERE l_orderkey < 200
+    """,
+    tags=("explode", "array"),
+)
+def explode_with_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: one row per array element WITH its 0-based position
+    (Spark) ↔ unnest + generate_subscripts − 1 (DuckDB)."""
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    seq = F.sequence(F.lit(1), F.col("l_linenumber"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.posexplode(seq).alias("pos", "val"),
+    )
