@@ -102,3 +102,14 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 50)
     return similarity.ivf_topk(e, k=5, queries_df=q)
+
+
+@register("similarity_topk_vectorized", oracle=None, tags=("similarity", "vector", "pandas"))
+def similarity_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy GEMM variant of brute-force top-k (the 10⁹-corpus
+    form). Rows-only: numpy's pairwise float summation differs from the
+    oracle-paired expression fold by ulps; neighbor-set equality vs the
+    fold variant is pinned in tests/test_similarity.py."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.brute_force_topk_vectorized(q, e, k=5)

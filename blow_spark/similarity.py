@@ -297,3 +297,63 @@ def ivf_topk(
     )
     w2 = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return rescored.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
+
+
+def brute_force_topk_vectorized(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vectorized exact top-k: the query matrix broadcasts to every
+    executor once (Python closure → one copy per worker), each corpus
+    Arrow batch scores against ALL queries with one float64 GEMM, and a
+    per-batch partial top-k keeps only k candidates per query before the
+    final window. This is the 10⁹-corpus form of brute force: per-row
+    work is a numpy matmul row, not an interpreted expression fold.
+
+    numpy's pairwise summation orders float adds differently than the
+    expression fold in ``brute_force_topk``, so cos_sim can differ by
+    ulps — neighbor SETS match (tests/test_similarity.py); this variant
+    is rows-only in the catalog while the fold variant carries the
+    oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from blow_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(corpus_df.sparkSession)
+    q_pdf = queries_df.select(id_col, vec_col).toPandas()
+    q_ids = q_pdf[id_col].to_numpy()
+    q_mat = np.array(q_pdf[vec_col].tolist(), dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = q_mat @ mat.T  # (n_queries, batch)
+            # k+1: the query itself may be in this batch at cos=1 and is
+            # filtered below — taking only k would lose one true neighbor
+            kk = min(k + 1, sims.shape[1])
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = []
+            for qi in range(len(q_ids)):
+                for ci in top[qi]:
+                    if ids[ci] != q_ids[qi]:
+                        rows.append(
+                            {
+                                "query_id": int(q_ids[qi]),
+                                "neighbor_id": int(ids[ci]),
+                                "cos_sim": float(sims[qi, ci]),
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cos_sim"])
+
+    scored = corpus_df.mapInPandas(
+        score, schema="query_id long, neighbor_id long, cos_sim double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

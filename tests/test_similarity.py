@@ -128,3 +128,20 @@ def test_ivf_finds_planted_near_dups(spark):
     got = {r["query_id"]: r["neighbor_id"] for r in similarity.ivf_topk(df, k=1).collect()}
     hits = sum(1 for i in range(40) if got.get(i) == i + 1000)
     assert hits >= 38, f"only {hits}/40 planted near-dups found"
+
+
+def test_vectorized_topk_matches_fold_topk(emb):
+    """The numpy-GEMM path returns the same neighbor SETS as the
+    oracle-paired expression-fold path (scores may differ by ulps, which
+    can only reorder exact ties — none exist in the fixture)."""
+    q = emb.filter(F.col("vec_id") < 8)
+    fold = similarity.brute_force_topk(q, emb, k=3).collect()
+    vec = similarity.brute_force_topk_vectorized(q, emb, k=3).collect()
+    by_q_fold, by_q_vec = {}, {}
+    for r in fold:
+        by_q_fold.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in vec:
+        by_q_vec.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert by_q_fold == by_q_vec
+    for r in vec:
+        assert -1.0000001 <= r["cos_sim"] <= 1.0000001
