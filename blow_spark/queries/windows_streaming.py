@@ -515,3 +515,68 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTE")),
     ).select("probe_id", "match_id", "user_id")
     return _drain(joined, "append", "ssj_out")
+
+
+@register(
+    "timeseries_gap_fill_locf",
+    oracle="""
+    WITH spine AS (
+      SELECT u.user_id, unnest(generate_series(
+               TIMESTAMP '2024-01-01 00:00:00',
+               TIMESTAMP '2024-01-30 23:00:00',
+               INTERVAL 1 HOUR)) AS hour
+      FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 10) u
+    ), hourly AS (
+      SELECT user_id,
+             CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 3600) * 3600) AS TIMESTAMP) AS hour,
+             SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) / 1000000.0 AS v
+      FROM events WHERE user_id < 10
+      GROUP BY 1, 2
+    )
+    SELECT s.user_id, s.hour,
+           h.v AS v_raw,
+           last_value(h.v IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+    FROM spine s LEFT JOIN hourly h
+      ON s.user_id = h.user_id AND s.hour = h.hour
+    """,
+    tags=("window", "timeseries", "gapfill"),
+)
+def timeseries_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timeseries gap fill: dense hourly spine per key (sequence +
+    explode), left join the observed hourly aggregate, then
+    last-observation-carried-forward via last(..., ignorenulls=True) over
+    an ordered frame. The hypertable/metrics-store resampling primitive;
+    at scale the spine is generated, never materialized at rest, and the
+    join shuffles on (key, hour) like any fact join."""
+    e = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    hour = F.timestamp_seconds(F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+    hourly = e.groupBy(
+        "user_id", hour.alias("hour")
+    ).agg((F.sum(F.round(F.col("value") * 1_000_000, 0).cast("long")) / 1_000_000.0).alias("v"))
+    spine = (
+        e.select("user_id").distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                    F.lit("2024-01-30 23:00:00").cast("timestamp"),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ).alias("hour"),
+        )
+    )
+    joined = spine.join(hourly, ["user_id", "hour"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hour",
+        F.col("v").alias("v_raw"),
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+    )
