@@ -9,8 +9,10 @@ Determinism rules every registered query follows (so the driver's
 order-insensitive value-hash matches):
 
 * every computed column is aliased identically in Spark and SQL;
-* money aggregations go through DECIMAL (exact) and are cast back to
-  DOUBLE, so Spark's and DuckDB's float summation order can't diverge;
+* money aggregations are exact — either DECIMAL sums cast back to DOUBLE
+  or fixed-point ROUND(x·10^k)→BIGINT sums (the fast path; both sides of
+  a pair must use the SAME form: they differ at shortest-repr rounding
+  boundaries) — so float summation order can't diverge;
 * integer SUMs are cast to BIGINT in the oracle (DuckDB widens to
   HUGEINT, which pandas would coerce to float);
 * LIMIT/top-k queries ORDER BY a key that is provably total, so the
