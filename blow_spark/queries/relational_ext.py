@@ -813,3 +813,25 @@ def explode_with_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.posexplode(seq).alias("pos", "val"),
     )
+
+
+@register(
+    "agg_string_concat_ordered",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    tags=("agg", "string"),
+)
+def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_list is unordered (shuffle
+    arrival), so the deterministic form sorts the collected array before
+    joining — equivalent to string_agg(... ORDER BY)."""
+    n = read_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+        F.count("*").alias("n"),
+    )
