@@ -78,6 +78,7 @@ def _load() -> None:
         relational_ext,
         text,
         tpch,
+        tpch2,
         vectors,
         windows_streaming,
     )
