@@ -1,0 +1,242 @@
+"""Training-data pipeline operators: split / mix / pack, plus the shared-
+string SQL surface.
+
+The reference's north star (BASELINE.json) is an LLM-data-pipeline engine;
+beyond dedup/similarity/text (text.py, vectors.py) a real corpus build
+needs exactly three more primitives, implemented here as oracle-paired
+queries over the ``documents`` fixture:
+
+* **deterministic split** — content-hash train/val/test assignment
+  (md5 of the text, not the row id: re-ingesting the same document under
+  a new id lands in the same split, which is what prevents eval
+  contamination across pipeline re-runs);
+* **weighted source mixing** — per-source deterministic sampling rates
+  (the "data recipe": upsample wiki, downsample crawl) with the same
+  content-hash trick, so the mix is reproducible row-for-row;
+* **sequence packing** — concatenate-then-chunk token-stream packing
+  (each source's docs form a token stream split into fixed-capacity
+  chunks), the standard pretraining batch-construction shape.
+
+All three are pure built-in-function plans (md5/substring/when/window
+cumsum) — no Python in the hot path, whole-stage-codegen end to end.
+
+Scale notes (100 TB design point): split and mix are embarrassingly
+parallel map-side filters — no shuffle at all; the md5 threshold
+comparison is a per-row expression the parquet scan pipeline absorbs.
+Packing shuffles once on the partition key (source) and runs one window
+cumsum per partition; at 100 TB the spine key widens to (source, shard)
+where shard = pmod(doc hash, k) bounds any one window's row count — the
+chunk ids then interleave per shard, which batch construction tolerates.
+
+The reference itself has none of these (SURVEY.md §2.2 — its only
+operator family is the opaque flatMap chain, maps/maps.go:12-14); each is
+new-engine surface mandated by the north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from blow_spark.queries import register
+from blow_spark.sources import read_table, register_views
+
+
+# --------------------------------------------------------------------------
+# Deterministic content-hash split
+# --------------------------------------------------------------------------
+
+
+@register(
+    "split_train_val_test",
+    oracle="""
+    SELECT CASE WHEN substr(md5(text), 1, 1) <= 'b' THEN 'train'
+                WHEN substr(md5(text), 1, 1) <= 'd' THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents
+    GROUP BY split
+    ORDER BY split
+    """,
+    tags=("pipeline", "split"),
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed 75/12.5/12.5 split: first hex nibble of
+    md5(text) ∈ [0,b] → train, [c,d] → val, [e,f] → test. Hex digits
+    compare lexicographically ('0'<'9'<'a'<'f') identically in Spark and
+    DuckDB, so the assignment is engine-independent. Map-side only — the
+    scan's own expression pipeline computes the split; zero shuffle before
+    the final 3-group aggregate."""
+    docs = read_table(spark, sf_dir, "documents")
+    nib = F.substring(F.md5("text"), 1, 1)
+    return (
+        docs.withColumn(
+            "split",
+            F.when(nib <= "b", "train").when(nib <= "d", "val").otherwise("test"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        )
+        .orderBy("split")
+    )
+
+
+# --------------------------------------------------------------------------
+# Weighted source mixing (the data recipe)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "mix_sources_weighted",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS kept_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM documents
+    WHERE substr(md5(text), 2, 1) <
+          CASE WHEN source IN ('src5', 'src6', 'src7') THEN '8'
+               WHEN source IN ('src8', 'src9') THEN '4'
+               ELSE 'g' END
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("pipeline", "sampling"),
+)
+def mix_sources_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling recipe: keep 100% of src0-4, 50% of src5-7
+    (second md5 nibble < '8'), 25% of src8-9 (< '4'); unknown sources
+    default to keep-all ('g' exceeds every hex digit). Uses an
+    *independent* md5 nibble from the split query, so mix and split
+    decisions don't correlate. Deterministic — rerunning the recipe keeps
+    exactly the same rows, which makes downstream dedup/packing stable.
+    Pure map-side filter: no shuffle, no RNG state, no sampleBy seed to
+    desynchronize across retries (Spark's sample() is NOT
+    task-retry-stable; a content-hash filter is)."""
+    docs = read_table(spark, sf_dir, "documents")
+    nib = F.substring(F.md5("text"), 2, 1)
+    thresh = (
+        F.when(F.col("source").isin("src5", "src6", "src7"), "8")
+        .when(F.col("source").isin("src8", "src9"), "4")
+        .otherwise("g")
+    )
+    return (
+        docs.filter(nib < thresh)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("kept_docs"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (concatenate-then-chunk)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pack_token_stream_chunks",
+    oracle="""
+    WITH toks AS (
+        SELECT source, doc_id,
+               CAST(FLOOR(n_chars / 4.0) AS BIGINT) + 1 AS tokens
+        FROM documents
+    ), spine AS (
+        SELECT source, tokens,
+               SUM(tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM toks
+    )
+    SELECT source,
+           CAST(FLOOR((cum - tokens) / 2048.0) AS BIGINT) AS chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tokens) AS BIGINT) AS chunk_tokens
+    FROM spine
+    GROUP BY source, chunk_id
+    ORDER BY source, chunk_id
+    """,
+    tags=("pipeline", "packing", "window"),
+)
+def pack_token_stream_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-then-chunk packing: per source, docs (in doc_id order)
+    form one token stream cut into 2048-token chunks; a doc belongs to the
+    chunk its first token falls in. tokens ≈ ⌊n_chars/4⌋+1 (the standard
+    chars-per-token proxy; an exact tokenizer slots in as a column swap).
+    One shuffle (partitionBy source) + one running-sum window — the
+    cumsum is codegen'd, no Python. The (cum − tokens) form gives the
+    stream offset of each doc's first token without a second pass."""
+    docs = read_table(spark, sf_dir, "documents")
+    tokens = (F.floor(F.col("n_chars") / F.lit(4.0)) + 1).cast("bigint")
+    spine = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        docs.select("source", "doc_id", tokens.alias("tokens"))
+        .withColumn("cum", F.sum("tokens").over(spine))
+        .select(
+            "source",
+            F.floor((F.col("cum") - F.col("tokens")) / F.lit(2048.0))
+            .cast("bigint")
+            .alias("chunk_id"),
+            "tokens",
+        )
+        .groupBy("source", "chunk_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("tokens").cast("bigint").alias("chunk_tokens"),
+        )
+        .orderBy("source", "chunk_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Shared-string SQL surface (one text, two engines)
+# --------------------------------------------------------------------------
+
+_NATION_MONTHLY_RANK_SQL = """
+    WITH monthly AS (
+        SELECT n_name,
+               date_trunc('month', o_orderdate) AS order_month,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name, order_month
+    )
+    SELECT n_name, order_month, revenue,
+           CAST(RANK() OVER (
+               PARTITION BY order_month ORDER BY revenue DESC, n_name
+           ) AS BIGINT) AS revenue_rank
+    FROM monthly
+    WHERE revenue > 0
+    ORDER BY order_month, revenue_rank
+"""
+
+
+@register(
+    "sql_nation_monthly_rank",
+    oracle=_NATION_MONTHLY_RANK_SQL,
+    tags=("sql", "cte", "window", "join"),
+)
+def sql_nation_monthly_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI-SQL front door: the SAME query text runs on spark.sql and
+    on the DuckDB oracle (CTE + 4-way join + decimal agg + ranked window)
+    — pinning that the engine's SQL dialect surface, not just its
+    DataFrame API, matches ANSI semantics. Catalyst plans it exactly like
+    the DataFrame twin would: dims broadcast, one fact shuffle, window
+    after the aggregate's exchange."""
+    register_views(spark, sf_dir, ["lineitem", "orders", "customer", "nation"])
+    return spark.sql(_NATION_MONTHLY_RANK_SQL)

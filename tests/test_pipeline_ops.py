@@ -1,0 +1,88 @@
+"""Semantic invariants for the training-pipeline operators
+(blow_spark/queries/pipeline_ops.py) that the DuckDB oracle can't express:
+partition/packing laws and rerun determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from blow_spark.queries import queries
+from blow_spark.sources import read_table
+
+CAPACITY = 2048
+
+
+def test_split_partitions_corpus(spark, sf_dir):
+    """Every doc lands in exactly one split; totals add back up."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = queries()["split_train_val_test"](spark, sf_dir).collect()
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
+    assert sum(r["n_docs"] for r in out) == docs.count()
+    assert sum(r["sum_chars"] for r in out) == docs.agg(F.sum("n_chars")).first()[0]
+
+
+def test_split_is_content_addressed(spark, sf_dir):
+    """Same text under a different doc_id keeps its split assignment."""
+    docs = read_table(spark, sf_dir, "documents")
+    nib = F.substring(F.md5("text"), 1, 1)
+    split = F.when(nib <= "b", "train").when(nib <= "d", "val").otherwise("test")
+    a = docs.select("text", split.alias("s1"))
+    b = docs.withColumn("doc_id", F.col("doc_id") + 10_000_000).select(
+        "text", split.alias("s2")
+    )
+    joined = a.join(b, "text")
+    assert joined.filter(F.col("s1") != F.col("s2")).count() == 0
+
+
+def test_mix_rates_within_binomial_bounds(spark, sf_dir):
+    """Kept fraction per weight class tracks the recipe's nominal rate."""
+    docs = read_table(spark, sf_dir, "documents")
+    totals = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    kept = {r["source"]: r["kept_docs"] for r in queries()["mix_sources_weighted"](spark, sf_dir).collect()}
+    full = [s for s in totals if s not in {"src5", "src6", "src7", "src8", "src9"}]
+    # keep-all sources must be kept exactly
+    for s in full:
+        assert kept.get(s, 0) == totals[s], s
+    # sampled classes: pooled rate within a generous binomial envelope
+    for srcs, rate in [(["src5", "src6", "src7"], 0.5), (["src8", "src9"], 0.25)]:
+        n = sum(totals.get(s, 0) for s in srcs)
+        k = sum(kept.get(s, 0) for s in srcs)
+        if n >= 20:
+            assert abs(k / n - rate) < 4 * (rate * (1 - rate) / n) ** 0.5 + 0.05, (srcs, k, n)
+
+
+def test_packing_covers_each_doc_once_and_respects_offsets(spark, sf_dir):
+    """Chunk doc-counts sum to the corpus; per-source token totals match;
+    chunk ids are dense from 0; a chunk's token payload stays below
+    capacity + the largest single doc (a doc may straddle the boundary
+    it starts before)."""
+    docs = read_table(spark, sf_dir, "documents")
+    tokens = (F.floor(F.col("n_chars") / F.lit(4.0)) + 1).cast("bigint")
+    per_source = {
+        r["source"]: (r["n"], r["tok"], r["mx"])
+        for r in docs.select("source", tokens.alias("t"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("t").alias("tok"), F.max("t").alias("mx"))
+        .collect()
+    }
+    rows = queries()["pack_token_stream_chunks"](spark, sf_dir).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    assert set(by_source) == set(per_source)
+    for src, chunk_rows in by_source.items():
+        n, tok, mx = per_source[src]
+        assert sum(r["n_docs"] for r in chunk_rows) == n
+        assert sum(r["chunk_tokens"] for r in chunk_rows) == tok
+        ids = sorted(r["chunk_id"] for r in chunk_rows)
+        assert ids == list(range(len(ids))), src
+        for r in chunk_rows:
+            assert r["chunk_tokens"] < CAPACITY + mx, (src, r)
+
+
+def test_pipeline_ops_rerun_deterministic(spark, sf_dir):
+    """No RNG anywhere: two independent builds collect identical rows."""
+    for name in ["split_train_val_test", "mix_sources_weighted", "pack_token_stream_chunks"]:
+        a = [tuple(r) for r in queries()[name](spark, sf_dir).collect()]
+        b = [tuple(r) for r in queries()[name](spark, sf_dir).collect()]
+        assert a == b, name
