@@ -199,6 +199,83 @@ def pack_token_stream_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Changelog compaction (CDC): snapshot + SCD2 intervals
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cdc_latest_state_by_key",
+    oracle="""
+    SELECT user_id, event_type, ts AS last_ts, value AS last_value
+    FROM (
+        SELECT user_id, event_type, ts, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ) ranked
+    WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+    tags=("pipeline", "cdc", "window"),
+)
+def cdc_latest_state_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog → snapshot compaction (the MERGE/upsert read side):
+    newest row per (user_id, event_type), (ts, event_id) ordered so ties
+    resolve deterministically. One shuffle on the key; Catalyst runs the
+    rank as a running window with a rn<=1 pushdown filter (no full sort
+    materialization per group). This is the compaction a 100 TB CDC lake
+    runs per partition-key bucket — on a real table the key shuffle is
+    avoided entirely by bucketing the changelog on the same key."""
+    e = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("last_value"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+@register(
+    "cdc_state_intervals_scd2",
+    oracle="""
+    SELECT user_id, event_type, value,
+           ts AS valid_from,
+           LEAD(ts) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+           ) AS valid_to
+    FROM events
+    WHERE user_id < 20
+    ORDER BY user_id, event_type, valid_from, value
+    """,
+    tags=("pipeline", "cdc", "window"),
+)
+def cdc_state_intervals_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog → SCD2 validity intervals: each change opens an interval
+    [its ts, next change's ts); the live row keeps valid_to NULL. The
+    lead() runs in the same single window pass as the compaction query —
+    a changelog keyed the same way serves both outputs from one shuffle."""
+    e = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    ).orderBy("user_id", "event_type", "valid_from", "value")
+
+
+# --------------------------------------------------------------------------
 # Shared-string SQL surface (one text, two engines)
 # --------------------------------------------------------------------------
 
