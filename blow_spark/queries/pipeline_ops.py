@@ -199,6 +199,52 @@ def pack_token_stream_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Curriculum length bucketing
+# --------------------------------------------------------------------------
+
+
+@register(
+    "curriculum_length_buckets",
+    oracle="""
+    WITH b AS (
+        SELECT n_chars,
+               CAST(NTILE(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS bucket
+        FROM documents
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT)     AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM b
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=("pipeline", "curriculum", "window"),
+)
+def curriculum_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-quartile bucketing for curriculum schedules / length-grouped
+    batching: ntile(4) over a total order (n_chars, doc_id tiebreak keeps
+    the quartile assignment unique). The global-order window is exact and
+    fine to sf-scale; the 100 TB form replaces ntile with precomputed
+    approx-quantile boundaries (one tiny driver-side pass) and a map-side
+    CASE — same output contract, no single-partition sort."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = W.orderBy("n_chars", "doc_id")
+    return (
+        docs.select("n_chars", F.ntile(4).over(w).cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
 # Changelog compaction (CDC): snapshot + SCD2 intervals
 # --------------------------------------------------------------------------
 

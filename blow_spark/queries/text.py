@@ -355,3 +355,37 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(d, text_col="text", id_col="doc_id", threshold=0.4)
     return dedup.connected_components(pairs)
+
+
+@register(
+    "text_token_count_bpe_proxy",
+    oracle=r"""
+    SELECT doc_id,
+           LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                AS BIGINT) AS n_bpe_tokens,
+           CAST(LENGTH(text) AS DOUBLE)
+             / CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                    AS BIGINT) AS chars_per_bpe_token
+    FROM documents
+    """,
+    tags=("text", "tokens"),
+)
+def text_token_count_bpe_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (SURVEY §2.2 extension: whitespace + a
+    BPE-ish regex): the pre-tokenizer pattern splits letter runs, digit
+    runs, and individual punctuation — the unit a byte-pair tokenizer
+    would merge within — giving a far better token estimate than
+    whitespace for budget/packing decisions. regexp_count is a codegen'd
+    JVM regex over the scan batch; the identical RE2-compatible pattern
+    runs on the DuckDB side, so counts hash-match."""
+    d = read_table(spark, sf_dir, "documents")
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    n_ws = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1
+    n_bpe = F.regexp_count(F.col("text"), F.lit(pat)).cast("bigint")
+    return d.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        (F.length("text").cast("double") / n_bpe).alias("chars_per_bpe_token"),
+    )
