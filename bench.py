@@ -37,6 +37,12 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "similarity_topk_bruteforce",
+    "tpch_q8_national_market_share",
+    "tpch_q21_suppliers_who_kept_waiting",
+    "split_train_val_test",
+    "pack_token_stream_chunks",
+    "cdc_latest_state_by_key",
+    "sql_nation_monthly_rank",
 ]
 
 
