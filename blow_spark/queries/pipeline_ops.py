@@ -199,6 +199,62 @@ def pack_token_stream_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Malformed-record tolerance (ingest robustness)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "json_malformed_tolerance",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN NOT json_valid(c)
+                          OR json_extract(c, '$.k') IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS bad_rows,
+           CAST(SUM(CASE WHEN json_valid(c)
+                         THEN CAST(json_extract(c, '$.k') AS INTEGER) END) AS BIGINT)
+               AS sum_k_good
+    FROM (
+        SELECT event_type,
+               CASE WHEN event_id % 7 = 0 THEN '{' || props ELSE props END AS c
+        FROM events
+    ) t
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("pipeline", "json", "robustness"),
+)
+def json_malformed_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-ingest semantics: every 7th record's JSON payload is
+    corrupted in-flight (prefix brace — Jackson's stream parser accepts
+    trailing garbage, so corrupt at the front), then parsed PERMISSIVEly —
+    from_json yields a null-fielded struct for malformed input instead of
+    failing the task, the per-type
+    bad-row count becomes a data-quality metric, and aggregates run over
+    the surviving rows. At 100 TB a task-killing parse error is the
+    difference between a job that finishes and one that dies at hour 9 —
+    tolerate-and-count is the only viable posture (the oracle mirrors
+    with json_valid gating)."""
+    e = read_table(spark, sf_dir, "events")
+    c = F.when(F.col("event_id") % 7 == 0, F.concat(F.lit("{"), "props")).otherwise(
+        F.col("props")
+    )
+    parsed = F.from_json(c, "k INT")
+    return (
+        e.select("event_type", parsed.alias("p"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.when(F.col("p.k").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("bad_rows"),
+            F.sum("p.k").cast("bigint").alias("sum_k_good"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
 # Curriculum length bucketing
 # --------------------------------------------------------------------------
 
