@@ -114,6 +114,58 @@ def range_join_bucketed(
 
 
 # --------------------------------------------------------------------------
+# Interval overlap join (temporal join) via grid-cell decomposition
+# --------------------------------------------------------------------------
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    cell_seconds: int,
+) -> DataFrame:
+    """Pairs where [a_start, a_end] ∩ [b_start, b_end] ≠ ∅ (closed
+    intervals), as EQUI-join work Catalyst can hash-partition — the
+    temporal-database overlap join Spark would otherwise plan as a
+    BroadcastNestedLoopJoin.
+
+    Both sides decompose onto a time grid: an interval covers cells
+    ⌊start/cell⌋..⌊end/cell⌋ (`sequence` + `explode`); overlapping
+    intervals must share ≥1 cell, so the join is plain cell equality plus the
+    exact predicate. Duplicate hits (a pair can share many cells) are
+    eliminated WITHOUT a distinct shuffle by keeping only the first cell
+    both intervals inhabit — `_cell == greatest(⌊a_start/cell⌋,
+    ⌊b_start/cell⌋)` — a per-row filter.
+
+    Scale contract: work is O(Σ cells + matches), one shuffle keyed by
+    cell. Pick cell_seconds ≈ the median interval length: shorter cells
+    multiply the explode fan-out, longer cells degrade toward per-cell
+    cross products (AQE skew-split catches pathological hot cells).
+    Caller must pre-alias columns so the two sides share no names."""
+    cell = F.lit(cell_seconds)
+    a_lo, a_hi = (F.floor(F.col(c).cast("long") / cell) for c in (a_start, a_end))
+    b_lo, b_hi = (F.floor(F.col(c).cast("long") / cell) for c in (b_start, b_end))
+    ax = a.withColumn("_cell", F.explode(F.sequence(a_lo, a_hi)))
+    bx = b.withColumn("_cell", F.explode(F.sequence(b_lo, b_hi)))
+    first_shared = F.greatest(
+        F.floor(F.col(a_start).cast("long") / cell),
+        F.floor(F.col(b_start).cast("long") / cell),
+    )
+    return (
+        ax.join(bx, "_cell")
+        .filter(
+            (F.col("_cell") == first_shared)
+            & (F.col(a_start) <= F.col(b_end))
+            & (F.col(b_start) <= F.col(a_end))
+        )
+        .drop("_cell")
+    )
+
+
+# --------------------------------------------------------------------------
 # Sessionization (batch)
 # --------------------------------------------------------------------------
 

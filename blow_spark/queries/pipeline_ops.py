@@ -419,3 +419,74 @@ def sql_nation_monthly_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the aggregate's exchange."""
     register_views(spark, sf_dir, ["lineitem", "orders", "customer", "nation"])
     return spark.sql(_NATION_MONTHLY_RANK_SQL)
+
+
+# --------------------------------------------------------------------------
+# Interval overlap join (temporal join)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               MIN(ts) AS w_start, MAX(ts) AS w_end
+        FROM events
+        WHERE user_id < 40
+        GROUP BY user_id, day
+    )
+    SELECT a.user_id AS a_user, b.user_id AS b_user,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+           CAST(SUM(date_diff('microsecond',
+                              GREATEST(a.w_start, b.w_start),
+                              LEAST(a.w_end, b.w_end))) AS BIGINT) AS overlap_us
+    FROM daily a
+    JOIN daily b
+      ON a.user_id < 20 AND b.user_id >= 20
+     AND a.w_start <= b.w_end AND b.w_start <= a.w_end
+    GROUP BY a.user_id, b.user_id
+    ORDER BY a_user, b_user
+    """,
+    tags=("join", "interval", "temporal"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal overlap join: each user's daily activity window
+    [first event, last event]; cohort A (user 0-19) × cohort B (20-39)
+    pairs whose windows intersect, with total concurrent time. Runs
+    through blow_spark.ops.interval_overlap_join — grid-cell (1 h)
+    decomposition turns the interval predicate into an equi-join, where
+    the naive formulation (the oracle's) is a nested-loop the optimizer
+    cannot hash. The dedupe is the first-shared-cell filter, not a
+    distinct. Overlap durations are exact microsecond integers on both
+    engines."""
+    from blow_spark import ops
+
+    e = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.min("ts").alias("w_start"), F.max("ts").alias("w_end"))
+    a = daily.filter(F.col("user_id") < 20).select(
+        F.col("user_id").alias("a_user"),
+        F.col("w_start").alias("a_start"),
+        F.col("w_end").alias("a_end"),
+    )
+    b = daily.filter(F.col("user_id") >= 20).select(
+        F.col("user_id").alias("b_user"),
+        F.col("w_start").alias("b_start"),
+        F.col("w_end").alias("b_end"),
+    )
+    pairs = ops.interval_overlap_join(
+        a, b, "a_start", "a_end", "b_start", "b_end", cell_seconds=3600
+    )
+    overlap = F.unix_micros(F.least("a_end", "b_end")) - F.unix_micros(
+        F.greatest("a_start", "b_start")
+    )
+    return (
+        pairs.groupBy("a_user", "b_user")
+        .agg(
+            F.count("*").cast("bigint").alias("n_overlaps"),
+            F.sum(overlap).cast("bigint").alias("overlap_us"),
+        )
+        .orderBy("a_user", "b_user")
+    )

@@ -111,3 +111,44 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql(f"DROP TABLE IF EXISTS orders_b_{suffix}")
         spark.sql(f"DROP TABLE IF EXISTS lineitem_b_{suffix}")
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    """Grid-cell overlap join == naive cross-join filter on adversarial
+    intervals: zero-length, boundary-touching, multi-cell spans, disjoint."""
+    from datetime import datetime
+
+    from blow_spark import ops
+
+    def ts(h, m=0, s=0):
+        return datetime(2024, 3, 1, h, m, s)
+
+    a = spark.createDataFrame(
+        [(1, ts(0), ts(0)),        # zero-length at cell boundary
+         (2, ts(1), ts(5)),        # spans 5 hour-cells
+         (3, ts(10, 30), ts(10, 45)),
+         (4, ts(20), ts(23))],
+        "a_id INT, a_start TIMESTAMP, a_end TIMESTAMP",
+    )
+    b = spark.createDataFrame(
+        [(10, ts(0), ts(2)),       # touches 1 at a point; overlaps 2
+         (11, ts(5), ts(6)),       # touches 2 exactly at ts(5)
+         (12, ts(10, 40), ts(11)), # partial overlap with 3
+         (13, ts(12), ts(13))],    # disjoint from everything
+        "b_id INT, b_start TIMESTAMP, b_end TIMESTAMP",
+    )
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in ops.interval_overlap_join(
+            a, b, "a_start", "a_end", "b_start", "b_end", cell_seconds=3600
+        ).collect()
+    }
+    from pyspark.sql import functions as F
+
+    want = {
+        (r["a_id"], r["b_id"])
+        for r in a.crossJoin(b)
+        .filter((F.col("a_start") <= F.col("b_end")) & (F.col("b_start") <= F.col("a_end")))
+        .collect()
+    }
+    assert got == want and (1, 10) in got and (2, 11) in got and (4, 13) not in got
