@@ -490,3 +490,118 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a_user", "b_user")
     )
+
+
+# --------------------------------------------------------------------------
+# Epoch-weighted repetition (oversampling) + salted aggregation + global sort
+# --------------------------------------------------------------------------
+
+
+@register(
+    "mix_sources_with_repetition",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS rows_out,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_out,
+           CAST(MAX(epoch) AS BIGINT) AS max_epoch
+    FROM documents
+    CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, 3)) AS epoch) reps
+    WHERE epoch <= CASE WHEN source IN ('src0', 'src1') THEN 3
+                        WHEN source = 'src2' THEN 2
+                        ELSE 1 END
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("pipeline", "sampling"),
+)
+def mix_sources_with_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The >1× side of the data recipe: high-quality sources repeat for
+    multiple epochs (src0/src1 ×3, src2 ×2, rest ×1) — explode over a
+    per-row epoch sequence, the multi-epoch analog of the keep-fraction
+    filter in mix_sources_weighted. Map-side only (sequence+explode in the
+    scan stage, fan-out bounded by the max epoch count); at 100 TB this is
+    how a 3-epoch wiki + 1-epoch crawl mixture materializes without any
+    shuffle. The epoch column survives so downstream packing can interleave
+    epochs rather than concatenate them."""
+    docs = read_table(spark, sf_dir, "documents")
+    reps = (
+        F.when(F.col("source").isin("src0", "src1"), 3)
+        .when(F.col("source") == "src2", 2)
+        .otherwise(1)
+    )
+    return (
+        docs.withColumn("epoch", F.explode(F.sequence(F.lit(1), reps)))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("rows_out"),
+            F.sum("n_chars").cast("bigint").alias("chars_out"),
+            F.max("epoch").cast("bigint").alias("max_epoch"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "agg_salted_two_phase",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "skew"),
+)
+def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation with EXPLICIT salting: phase 1 groups by
+    (key, salt=pmod(hash(unique cols), 64)) spreading each hot key over 64
+    reducers; phase 2 re-aggregates the 64 partials per key. l_returnflag
+    has ~3 distinct values — the worst-case skew shape where unsalted
+    hash aggregation would route a third of the table to one task were it
+    not for map-side combine; with salting the plan is hot-key-safe even
+    when the upstream is pre-shuffled or combine is defeated (e.g. after
+    an expansion). Decimal partials re-aggregate exactly, so the oracle is
+    the plain one-phase GROUP BY."""
+    li = read_table(spark, sf_dir, "lineitem")
+    salt = F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(64))
+    partial = (
+        li.withColumn("_salt", salt)
+        .groupBy("l_returnflag", "_salt")
+        .agg(
+            F.count("*").alias("pn"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("pq"),
+        )
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.sum("pn").cast("bigint").alias("n_rows"),
+            F.sum("pq").cast("double").alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "sort_full_global",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+    FROM lineitem
+    WHERE l_quantity >= 45
+    ORDER BY l_shipdate, l_orderkey, l_linenumber
+    """,
+    tags=("sort",),
+)
+def sort_full_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True global sort (no LIMIT): Spark samples the key distribution and
+    RANGE-partitions, so each task sorts a disjoint key interval and
+    output files concatenate sorted — the plan to check is Exchange
+    rangepartitioning, NOT a single-task sort. The (shipdate, orderkey,
+    linenumber) key is total, so the order is unique. This is the 100 TB
+    'write the corpus ordered by time' primitive; spill-safe because each
+    range partition sorts externally."""
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return li.select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
