@@ -84,3 +84,40 @@ def test_minhash_containment_property(spark, texts):
     for i, t in enumerate(texts):
         if len([x for x in re.split(r"\s+", t.strip()) if x]) >= 3:
             assert sigs[i] == sigs[i + 1000]
+
+
+INTERVAL = st.tuples(
+    st.integers(min_value=0, max_value=500_000),
+    st.integers(min_value=0, max_value=50_000),
+)  # (start_sec, duration_sec) — spans many 1h cells or none
+INTERVALS = st.lists(INTERVAL, min_size=1, max_size=12)
+
+
+@given(INTERVALS, INTERVALS, st.sampled_from([60, 3600, 86400]))
+@_SETTINGS
+def test_interval_overlap_join_matches_reference(spark, a_iv, b_iv, cell):
+    """Grid-cell overlap join == the O(n²) reference on arbitrary
+    intervals at several cell granularities (cell ≪, ≈, ≫ span)."""
+    from datetime import datetime, timedelta
+
+    from blow_spark import ops
+
+    epoch = datetime(2024, 1, 1)
+    mk = lambda s, d: (epoch + timedelta(seconds=s), epoch + timedelta(seconds=s + d))
+    a_rows = [(i, *mk(s, d)) for i, (s, d) in enumerate(a_iv)]
+    b_rows = [(i, *mk(s, d)) for i, (s, d) in enumerate(b_iv)]
+    a = spark.createDataFrame(a_rows, "a_id INT, a_start TIMESTAMP, a_end TIMESTAMP")
+    b = spark.createDataFrame(b_rows, "b_id INT, b_start TIMESTAMP, b_end TIMESTAMP")
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in ops.interval_overlap_join(
+            a, b, "a_start", "a_end", "b_start", "b_end", cell_seconds=cell
+        ).collect()
+    }
+    want = {
+        (ia, ib)
+        for ia, (sa, ea) in enumerate([(s, s + d) for s, d in a_iv])
+        for ib, (sb, eb) in enumerate([(s, s + d) for s, d in b_iv])
+        if sa <= eb and sb <= ea
+    }
+    assert got == want
