@@ -98,3 +98,20 @@ def test_multiway_star_joins_never_loop_join(spark, sf_dir, name):
     p = _plan(spark, sf_dir, name)
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p[:800]
     assert "BroadcastHashJoin" in p
+
+
+def test_global_sort_is_range_partitioned(spark, sf_dir):
+    """sort_full_global must plan Exchange rangepartitioning — each task
+    sorts a disjoint key interval — not a single-partition sort."""
+    p = _plan(spark, sf_dir, "sort_full_global")
+    assert "rangepartitioning" in p, p[:800]
+    assert "SinglePartition" not in p.split("rangepartitioning")[0]
+
+
+def test_interval_overlap_join_is_hash_join(spark, sf_dir):
+    """The grid-cell rewrite must plan a hash-partitionable equi-join on
+    the cell key — never the BroadcastNestedLoopJoin the raw interval
+    predicate would get."""
+    p = _plan(spark, sf_dir, "join_interval_overlap")
+    assert "NestedLoop" not in p and "CartesianProduct" not in p, p[:800]
+    assert "Join" in p
