@@ -208,12 +208,10 @@ def pack_token_stream_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CASE WHEN NOT json_valid(c)
-                          OR json_extract(c, '$.k') IS NULL THEN 1 ELSE 0 END)
-                AS BIGINT) AS bad_rows,
-           CAST(SUM(CASE WHEN json_valid(c)
-                         THEN CAST(json_extract(c, '$.k') AS INTEGER) END) AS BIGINT)
-               AS sum_k_good
+           CAST(SUM(CASE WHEN json_extract(TRY_CAST(c AS JSON), '$.k') IS NULL
+                          THEN 1 ELSE 0 END) AS BIGINT) AS bad_rows,
+           CAST(SUM(CAST(json_extract(TRY_CAST(c AS JSON), '$.k') AS INTEGER))
+                AS BIGINT) AS sum_k_good
     FROM (
         SELECT event_type,
                CASE WHEN event_id % 7 = 0 THEN '{' || props ELSE props END AS c
@@ -234,7 +232,9 @@ def json_malformed_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the surviving rows. At 100 TB a task-killing parse error is the
     difference between a job that finishes and one that dies at hour 9 —
     tolerate-and-count is the only viable posture (the oracle mirrors
-    with json_valid gating)."""
+    with TRY_CAST-to-JSON gating — DuckDB's json_extract THROWS on
+    malformed input, and OR does not short-circuit under vectorized
+    execution, so validity must gate via the NULL-propagating cast)."""
     e = read_table(spark, sf_dir, "events")
     c = F.when(F.col("event_id") % 7 == 0, F.concat(F.lit("{"), "props")).otherwise(
         F.col("props")

@@ -539,7 +539,8 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(o_totalprice)                 AS min_price,
            MAX(o_totalprice)                 AS max_price,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)                 AS sum_price,
-           CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(30,4))) AS DOUBLE)  AS sum_price_sq
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(19,4)) * CAST(o_totalprice AS DECIMAL(19,4)))
+                     AS DECIMAL(38,8)) AS VARCHAR) AS sum_price_sq
     FROM orders
     GROUP BY o_orderstatus
     """,
@@ -557,7 +558,15 @@ def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(p).alias("min_price"),
         F.max(p).alias("max_price"),
         _dec_sum(p).alias("sum_price"),
-        F.sum((p * p).cast("decimal(30,4)")).cast("double").alias("sum_price_sq"),
+        # squared in EXACT decimal (cast each factor first — squaring the
+        # double then casting lets the engines round half-ulp ties
+        # differently per row) and carried to the output as a STRING: at
+        # sf≥0.1 the sum (~4e15) exceeds double's exact integer range, so
+        # any float rendering double-rounds; the decimal string is exact
+        F.sum(p.cast("decimal(19,4)") * p.cast("decimal(19,4)"))
+        .cast("decimal(38,8)")
+        .cast("string")
+        .alias("sum_price_sq"),
     )
 
 
