@@ -580,3 +580,54 @@ def timeseries_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("v_raw"),
         F.last("v", ignorenulls=True).over(w).alias("v_filled"),
     )
+
+
+@register(
+    "streaming_sliding_availablenow",
+    oracle="""
+    SELECT CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 1800) * 1800 - o * 1800) AS TIMESTAMP)
+               AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    CROSS JOIN (SELECT UNNEST([0, 1]) AS o) offsets
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "runtime"),
+)
+def streaming_sliding_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide) through the REAL
+    Structured Streaming runtime (same staging/availableNow/complete-mode
+    rig as streaming_tumbling_availablenow). Each event lands in exactly
+    2 overlapping windows; the oracle replays that by cross-joining each
+    row with offsets {0,1} against the 30-minute grid — the set-based
+    definition of a slide. State per key is bounded by length/slide = 2
+    live windows; the watermark evicts them at cluster scale."""
+    import tempfile
+    import uuid
+
+    from blow_spark.streaming import EVENTS_SCHEMA
+
+    stage = tempfile.mkdtemp(prefix="blow_spark_stream_")
+    read_table(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
