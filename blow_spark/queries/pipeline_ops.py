@@ -605,3 +605,34 @@ def sort_full_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity").orderBy(
         "l_shipdate", "l_orderkey", "l_linenumber"
     )
+
+
+_LATERAL_TOPK_SQL = """
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) top_orders
+    WHERE c_custkey < 300
+    ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+"""
+
+
+@register(
+    "sql_lateral_topk_per_customer",
+    oracle=_LATERAL_TOPK_SQL,
+    tags=("sql", "lateral", "subquery", "topk"),
+)
+def sql_lateral_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — the same text on spark.sql and
+    DuckDB: each customer's top-2 orders by price. Catalyst de-correlates
+    the lateral into a per-key group limit (no per-outer-row re-scan of
+    orders); the (price, orderkey) tiebreak makes the selected set unique.
+    This is the third shared-string SQL-front-door query after
+    sql_nation_monthly_rank and the EXISTS pair."""
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_LATERAL_TOPK_SQL)
