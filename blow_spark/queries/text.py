@@ -13,6 +13,7 @@ in tests/test_dedup.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from blow_spark import dedup, functions as BF
@@ -388,4 +389,117 @@ def text_token_count_bpe_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_ws.alias("n_ws_tokens"),
         n_bpe.alias("n_bpe_tokens"),
         (F.length("text").cast("double") / n_bpe).alias("chars_per_bpe_token"),
+    )
+
+
+@register(
+    "text_inverted_index",
+    oracle=r"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        FROM documents
+    )
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS df_count,
+           STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM toks
+    WHERE token <> ''
+    GROUP BY token
+    HAVING COUNT(*) BETWEEN 10 AND 100
+    ORDER BY token
+    """,
+    tags=("text", "index"),
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (token → sorted posting list + document
+    frequency), the retrieval-side primitive of a corpus pipeline.
+    Postings travel as comma-joined strings (sort_array + array_join) so
+    the result is scalar-typed and engine-comparable; the mid-frequency
+    band filter (10..100) is the realistic index-pruning step that drops
+    stopwords and hapaxes. One explode + one shuffle on token; at 100 TB
+    the token key is Zipf-skewed — AQE skew-split plus the df ceiling
+    bound the hot partitions."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = BF.tokenize_ws(F.lower(F.col("text")))
+    return (
+        d.select("doc_id", F.explode(F.array_distinct(toks)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(
+            F.count("*").cast("bigint").alias("df_count"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("df_count").between(10, 100))
+        .orderBy("token")
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM toks WHERE token <> '' GROUP BY doc_id, token
+    ), df AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks WHERE token <> '' GROUP BY token
+    ), n AS (
+        SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks
+    ), scored AS (
+        SELECT tf.doc_id, tf.token,
+               ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score
+        FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    )
+    SELECT doc_id, token, score, rank FROM (
+        SELECT doc_id, token, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, token) AS BIGINT) AS rank
+        FROM scored
+    ) r
+    WHERE rank <= 3 AND doc_id < 100
+    ORDER BY doc_id, rank
+    """,
+    tags=("text", "tfidf", "window"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document: term frequency joined with a
+    broadcast document-frequency table and the 1-row corpus size, scored
+    tf·ln(N/df) (rounded to 6 — ln differs by 1 ulp JVM vs libm), ranked
+    per doc with a token tiebreak. Three aggregates over one exploded
+    token stream; the tf shuffle is keyed (doc, token) which the window's
+    doc partition then reuses via a partial-key exchange."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(BF.tokenize_ws(F.lower(F.col("text")))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_tbl = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter((F.col("rank") <= 3) & (F.col("doc_id") < 100))
+        .select("doc_id", "token", "score", "rank")
+        .orderBy("doc_id", "rank")
     )
