@@ -166,6 +166,61 @@ def interval_overlap_join(
 
 
 # --------------------------------------------------------------------------
+# PageRank (iterative)
+# --------------------------------------------------------------------------
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Power-iteration PageRank over (src, dst) edges → (node, rank).
+
+    Node set = src ∪ dst; uniform init 1/N; per round
+    r'(v) = (1−d)/N + d·Σ_{u→v} r(u)/outdeg(u). Dangling mass is dropped
+    (caller adds reverse edges for an undirected walk, as the catalog
+    query does). Each round is one join + one shuffle keyed by node —
+    the same key every round, so a cluster deployment pre-partitions
+    edges once and every iteration is co-located. localCheckpoint() per
+    round truncates lineage exactly like connected_components (the plan
+    otherwise doubles per iteration). Fixed iteration count keeps the
+    result a pure function of the edge set, so an unrolled-CTE SQL
+    oracle can replay it."""
+    e = edges.select(F.col("src"), F.col("dst")).distinct().persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    contrib_edges = e.join(outdeg, "src").persist()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint()
+    base = (1.0 - damping) / n_nodes
+    for _ in range(iterations):
+        inbound = (
+            contrib_edges.join(ranks, contrib_edges.src == ranks.node)
+            .select(F.col("dst"), (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(inbound, nodes.node == inbound.dst, "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+        ).localCheckpoint()
+    e.unpersist()
+    contrib_edges.unpersist()
+    return ranks
+
+
+# --------------------------------------------------------------------------
 # Sessionization (batch)
 # --------------------------------------------------------------------------
 

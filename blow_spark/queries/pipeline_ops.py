@@ -636,3 +636,70 @@ def sql_lateral_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame
     sql_nation_monthly_rank and the EXISTS pair."""
     register_views(spark, sf_dir, ["customer", "orders"])
     return spark.sql(_LATERAL_TOPK_SQL)
+
+
+# --------------------------------------------------------------------------
+# PageRank (iterative algorithm family, beside dedup_clusters' CC)
+# --------------------------------------------------------------------------
+
+_PR_STEP = """
+    SELECT nodes.node,
+           (1.0 - 0.85) / n.n_nodes
+             + 0.85 * COALESCE(SUM({prev}.rank / deg.outdeg), 0) AS rank
+    FROM nodes CROSS JOIN n
+    LEFT JOIN edges ON edges.dst = nodes.node
+    LEFT JOIN {prev} ON {prev}.node = edges.src
+    LEFT JOIN deg ON deg.src = edges.src
+    GROUP BY nodes.node, n.n_nodes
+"""
+
+
+@register(
+    "graph_pagerank_bipartite",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c_node,
+                        's' || CAST(l_suppkey AS VARCHAR) AS s_node
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), edges AS (
+        SELECT c_node AS src, s_node AS dst FROM pairs
+        UNION ALL
+        SELECT s_node AS src, c_node AS dst FROM pairs
+    ), nodes AS (SELECT DISTINCT src AS node FROM edges),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_nodes FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1.0 / n.n_nodes AS rank FROM nodes CROSS JOIN n),
+    r1 AS ({_PR_STEP.format(prev="r0")}),
+    r2 AS ({_PR_STEP.format(prev="r1")}),
+    r3 AS ({_PR_STEP.format(prev="r2")})
+    SELECT node, ROUND(rank, 6) AS rank FROM r3 ORDER BY node
+    """,
+    tags=("graph", "iterative"),
+)
+def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 power iterations, d=0.85) on the undirected
+    customer↔supplier trade graph (distinct pairs via orders⋈lineitem,
+    namespaced node ids, both edge directions). Runs through the generic
+    blow_spark.ops.pagerank — per-round join + shuffle on a constant key,
+    lineage truncated per round — and is oracle-replayed by UNROLLING the
+    three iterations as nested CTEs (fixed iteration count makes the
+    result a pure function of the edges, the same trick dedup_clusters
+    uses with a recursive CTE). Final ranks rounded to 6 (double
+    summation order differs across engines at ~1e-15 relative)."""
+    from blow_spark import ops
+
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c_node"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s_node"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")).union(
+        pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
+    )
+    ranks = ops.pagerank(edges, iterations=3, damping=0.85)
+    return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
