@@ -835,3 +835,76 @@ def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "agg_argmax_deterministic",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS mode_priority,
+           CAST(n AS BIGINT) AS n_orders
+    FROM (
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+        FROM orders
+        GROUP BY o_orderstatus, o_orderpriority
+    ) t
+    WHERE rn = 1
+    ORDER BY o_orderstatus
+    """,
+    tags=("agg", "argmax"),
+)
+def agg_argmax_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode/argmax: most frequent priority per status via
+    count + row_number with a value tiebreak. Built-in mode() breaks ties
+    engine-specifically (Spark and DuckDB disagree), so the engine's
+    canonical form is this rank-the-aggregate plan — two-phase count agg,
+    then a per-group limit the planner runs as WindowGroupLimit."""
+    o = read_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+    w = W.partitionBy("o_orderstatus").orderBy(F.col("n").desc(), F.col("o_orderpriority"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").cast("bigint").alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey, NULLIF(c_nationkey, 3) AS nk FROM customer
+    ), n AS (
+        SELECT NULLIF(n_nationkey, 3) AS nk, n_name FROM nation WHERE n_nationkey IN (3, 7)
+    )
+    SELECT c.c_custkey, c.nk AS c_nk, n.n_name
+    FROM c JOIN n ON c.nk IS NOT DISTINCT FROM n.nk
+    ORDER BY c.c_custkey, n.n_name
+    """,
+    tags=("join", "null"),
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other, unlike plain equi-join where they silently drop.
+    Catalyst still plans a hash join (the null-safe operator is a valid
+    hash key via coalesce-tagging), not a nested loop. The NULLIF
+    construction manufactures NULL keys on both sides from the fixture."""
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey"), F.lit(3)).alias("c_nk")
+    )
+    n = (
+        read_table(spark, sf_dir, "nation")
+        .filter(F.col("n_nationkey").isin(3, 7))
+        .select(F.nullif(F.col("n_nationkey"), F.lit(3)).alias("n_nk"), "n_name")
+    )
+    return (
+        c.join(n, c.c_nk.eqNullSafe(n.n_nk))
+        .select("c_custkey", F.col("c_nk"), "n_name")
+        .orderBy("c_custkey", "n_name")
+    )
