@@ -703,3 +703,90 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = ops.pagerank(edges, iterations=3, damping=0.85)
     return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
+
+
+# --------------------------------------------------------------------------
+# The full corpus-preprocessing pipeline as ONE declarative plan
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_corpus_end_to_end",
+    oracle=r"""
+    WITH cleaned AS (
+        SELECT doc_id, lang,
+               trim(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(lower(text), 'https?://[^ ]+', '<url>', 'g'),
+                   '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'),
+                 '\s+', ' ', 'g')) AS text_clean
+        FROM documents
+    ), filtered AS (
+        SELECT * FROM cleaned
+        WHERE length(text_clean) >= 50
+          AND length(regexp_replace(text_clean, '[^a-z]', '', 'g'))
+                >= 0.5 * length(text_clean)
+    ), deduped AS (
+        SELECT * FROM filtered
+        WHERE doc_id IN (
+            SELECT MIN(doc_id) FROM filtered GROUP BY md5(text_clean)
+        )
+    )
+    SELECT CASE WHEN substr(md5(text_clean), 1, 1) <= 'b' THEN 'train'
+                WHEN substr(md5(text_clean), 1, 1) <= 'd' THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text_clean)) AS BIGINT) AS sum_chars
+    FROM deduped
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+    tags=("pipeline", "composite", "dedup", "split"),
+)
+def pipeline_corpus_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole preprocessing recipe — normalize (URL/email masking,
+    whitespace collapse) → quality filter (length + alpha-ratio) → exact
+    dedup on the CLEANED text (keep min doc_id per digest, semi-join so
+    full rows never shuffle) → content-hash split → per-(split, lang)
+    corpus stats — as ONE Catalyst plan. What a user of the reference
+    would have written as four chained flatMap stages with hand-managed
+    intermediate state (maps/maps.go:12-14 is its whole toolkit) is here
+    a single declarative query: the normalize+filter stages fuse into the
+    scan (zero shuffle), dedup is the only keyed exchange, and the split
+    re-derives from md5 the scan already computed. Canonical-row identity
+    dedups on cleaned bytes, so near-identical raw docs that normalize
+    equal collapse correctly."""
+    d = read_table(spark, sf_dir, "documents")
+    cleaned_expr = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), r"https?://[^ ]+", "<url>"),
+                r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+                "<email>",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    cleaned = d.select("doc_id", "lang", cleaned_expr.alias("text_clean"))
+    alpha_len = F.length(F.regexp_replace("text_clean", "[^a-z]", ""))
+    filtered = cleaned.filter(
+        (F.length("text_clean") >= 50)
+        & (alpha_len >= 0.5 * F.length("text_clean"))
+    )
+    keep = filtered.groupBy(F.md5("text_clean")).agg(F.min("doc_id").alias("doc_id"))
+    deduped = filtered.join(keep.select("doc_id"), "doc_id", "left_semi")
+    nib = F.substring(F.md5("text_clean"), 1, 1)
+    return (
+        deduped.withColumn(
+            "split",
+            F.when(nib <= "b", "train").when(nib <= "d", "val").otherwise("test"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.length("text_clean")).cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("split", "lang")
+    )
