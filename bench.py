@@ -43,6 +43,7 @@ HEADLINE = [
     "pack_token_stream_chunks",
     "cdc_latest_state_by_key",
     "sql_nation_monthly_rank",
+    "pipeline_corpus_end_to_end",
 ]
 
 
