@@ -908,3 +908,58 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", F.col("c_nk"), "n_name")
         .orderBy("c_custkey", "n_name")
     )
+
+
+@register(
+    "skyline_pareto_frontier",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_brand, p_size, p_retailprice,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c
+      FROM part
+    ), d AS (
+      SELECT *,
+             MAX(p_size) OVER (PARTITION BY p_brand ORDER BY price_c
+                               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS max_size_cheaper,
+             MAX(p_size) OVER (PARTITION BY p_brand, price_c) AS max_size_same_price
+      FROM p
+    )
+    SELECT p_partkey, p_brand, p_size, p_retailprice
+    FROM d
+    WHERE (max_size_cheaper IS NULL OR max_size_cheaper < p_size)
+      AND max_size_same_price <= p_size
+    """,
+    tags=("window", "relational"),
+)
+def skyline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) per brand on (minimize price, maximize
+    size): a part survives iff no same-brand part is cheaper-or-equal AND
+    bigger-or-equal with one strict. The naive formulation is a quadratic
+    NOT EXISTS self-join; this plans it as one sort + two window passes
+    (O(n log n)): a part is dominated iff the max size among STRICTLY
+    cheaper parts reaches its size, or a same-price part strictly beats
+    it. Prices are cent-granular, so the strict "cheaper" frame is an
+    exact integer RANGE frame on cents — no float boundary ambiguity.
+    At 100 TB the per-brand sort range-partitions; no shuffle beyond it.
+    Equivalence to the quadratic definition is pinned in
+    tests/test_relational.py. Reference has no such operator
+    (SURVEY.md §2.2 absent categories)."""
+    p = read_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        "p_retailprice",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_c"),
+    )
+    w_cheaper = (
+        W.partitionBy("p_brand").orderBy("price_c").rangeBetween(W.unboundedPreceding, -1)
+    )
+    w_same = W.partitionBy("p_brand", "price_c")
+    d = p.withColumn("max_size_cheaper", F.max("p_size").over(w_cheaper)).withColumn(
+        "max_size_same_price", F.max("p_size").over(w_same)
+    )
+    return d.filter(
+        (F.col("max_size_cheaper").isNull() | (F.col("max_size_cheaper") < F.col("p_size")))
+        & (F.col("max_size_same_price") <= F.col("p_size"))
+    ).select("p_partkey", "p_brand", "p_size", "p_retailprice")

@@ -503,3 +503,188 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "token", "score", "rank")
         .orderBy("doc_id", "rank")
     )
+
+
+@register(
+    "agg_heavy_hitters_exact",
+    oracle=r"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ), counts AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token
+    ), total AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM counts
+    )
+    SELECT token, cnt, CAST(cnt AS DOUBLE) / n AS share
+    FROM counts, total
+    WHERE cnt * 100 > 3 * n
+    """,
+    tags=("agg", "text"),
+)
+def agg_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: tokens above a 3% corpus-frequency threshold.
+    Two-phase: token counts (map-side partial agg, one shuffle on the
+    token — cardinality = vocabulary, not corpus), then the scalar total
+    broadcast back for the threshold filter. The comparison is kept in
+    exact integer arithmetic (cnt*100 > 3*n) so the knife-edge can't
+    diverge between engines on a double rounding. The 100 TB path is the
+    same plan: the vocabulary-sized count table is tiny next to the
+    corpus, and the threshold join is a broadcast of one row."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(BF.tokenize_ws(F.lower(F.col("text")))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("n"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * 100 > 3 * F.col("n"))
+        .select(
+            "token",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("n")).alias("share"),
+        )
+    )
+
+
+@register(
+    "text_collapse_repeated_tokens",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ), kept AS (
+      SELECT doc_id, toks,
+             list_transform(
+               list_filter(range(1, len(toks) + 1),
+                           i -> i = 1 OR toks[i] <> toks[i - 1]),
+               i -> toks[i]) AS keep
+      FROM t
+    )
+    SELECT doc_id,
+           array_to_string(keep, ' ') AS clean_text,
+           len(toks) AS n_tokens,
+           len(keep) AS n_kept
+    FROM kept
+    """,
+    tags=("text", "pipeline"),
+)
+def text_collapse_repeated_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""De-repetition cleaning: collapse runs of consecutive duplicate
+    tokens to one occurrence (a standard LLM-corpus cleanup; e.g.
+    "the the the" → "the"). Expressed as an index-aware array filter —
+    keep token i iff i==0 or token[i] != token[i-1] — entirely JVM-side;
+    no regex backreferences (the obvious `(\S+)( \1)+` rewrite is not
+    portable: DuckDB's RE2 oracle has no backrefs). Per-row array work,
+    no shuffle at all — embarrassingly parallel at any scale."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    with_toks = d.select("doc_id", toks.alias("toks"))
+    kept = F.filter(
+        F.col("toks"),
+        lambda x, i: (i == F.lit(0)) | (x != F.get(F.col("toks"), i - 1)),
+    )
+    return with_toks.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept"),
+    )
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(t) - 3),
+               i -> array_to_string(t[i:i+4], ' ')))) AS g
+      FROM toks
+      WHERE len(t) >= 5
+    )
+    SELECT s.doc_id,
+           COUNT(DISTINCT s.g) AS n_shared_grams,
+           COUNT(DISTINCT b.doc_id) AS n_bench_docs
+    FROM sh s
+    JOIN sh b ON s.g = b.g AND b.doc_id % 97 = 0 AND s.doc_id % 97 <> 0
+    GROUP BY s.doc_id
+    """,
+    tags=("text", "pipeline", "dedup"),
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: flag training documents sharing any
+    word 5-gram with a held-out benchmark set (here: doc_id ≡ 0 mod 97),
+    reporting how many distinct 5-grams leak and how many benchmark docs
+    they hit. The benchmark shingle set is small by construction, so the
+    join broadcasts it — the 100 TB training corpus streams past without
+    a shuffle; per-doc distinct counts are the only aggregation. This is
+    the decontamination step of an LLM data pipeline (task brief); the
+    reference has nothing comparable."""
+    d = read_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(BF.word_shingles(F.col("text"), 5)).alias("g"))
+    bench = (
+        sh.filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").alias("bench_id"), "g")
+    )
+    train = sh.filter(F.col("doc_id") % 97 != 0)
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_shared_grams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+@register(
+    "similarity_join_edit_distance",
+    oracle="""
+    WITH names AS (
+      SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY p_name
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_dist,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+    FROM names a JOIN names b
+      ON a.name < b.name
+     AND abs(length(a.name) - length(b.name)) <= 3
+     AND levenshtein(a.name, b.name) <= 3
+    """,
+    tags=("similarity", "text", "join"),
+)
+def similarity_join_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution string-similarity join: pairs of part names
+    within Levenshtein distance 3. The scale trick is cardinality
+    reduction FIRST — dedupe to distinct names with counts (64 names
+    regardless of SF; name vocabularies grow far slower than row counts),
+    then a broadcast theta self-join on the tiny distinct set with the
+    cheap length-band predicate ahead of the O(len²) edit distance.
+    Joining raw rows would be |part|² comparisons; this is |names|².
+    For open-vocabulary corpora the documented escape is q-gram blocking
+    before the verify step (same candidate-then-verify shape as
+    dedup_ngram_jaccard)."""
+    p = read_table(spark, sf_dir, "part")
+    names = p.groupBy(F.col("p_name").alias("name")).agg(F.count("*").alias("n_parts"))
+    a = names.select(F.col("name").alias("name_a"), F.col("n_parts").alias("n_parts_a"))
+    b = names.select(F.col("name").alias("name_b"), F.col("n_parts").alias("n_parts_b"))
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("name_a") < F.col("name_b"))
+            & (F.abs(F.length("name_a") - F.length("name_b")) <= 3)
+            & (F.levenshtein("name_a", "name_b") <= 3),
+        )
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
+            "n_parts_a",
+            "n_parts_b",
+        )
+    )

@@ -8,6 +8,7 @@ fold the Spark side uses, so dot products are bit-identical.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from blow_spark import similarity
@@ -113,3 +114,54 @@ def similarity_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     return similarity.brute_force_topk_vectorized(q, e, k=5)
+
+
+@register(
+    "vector_centroid_assign",
+    oracle="""
+    WITH scored AS (
+      SELECT e.vec_id, c.vec_id AS centroid_id,
+             LIST_REDUCE(LIST_TRANSFORM(RANGE(1, 65),
+                 i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+                    * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))),
+                 (a, b) -> a + b) AS dist2
+      FROM embeddings e JOIN embeddings c ON c.vec_id < 8
+    )
+    SELECT vec_id, centroid_id, dist2 FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY dist2, centroid_id) AS rn
+      FROM scored) t
+    WHERE rn = 1
+    """,
+    tags=("similarity", "vector"),
+)
+def vector_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means assignment step (E-step): nearest of K=8 fixed centroids
+    (the vectors with vec_id < 8 — deterministic, no RNG per repo rule)
+    by squared L2. Centroids broadcast; each partition scores locally —
+    the corpus never shuffles, and the argmin is a per-vector window over
+    K rows. Distances are strict left-to-right float64 folds, matching
+    the oracle's LIST_REDUCE bit-for-bit. A full Lloyd iteration is this
+    plan plus the existing centroid-mean aggregation shape; at 100 TB
+    K·dim floats broadcast is trivial and the scoring is map-only."""
+    e = read_table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+    )
+    diff2 = F.zip_with(
+        F.col("embedding"),
+        F.col("c_vec"),
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "centroid_id",
+        F.aggregate(diff2, F.lit(0.0), lambda a, v: a + v).alias("dist2"),
+    )
+    w = W.partitionBy("vec_id").orderBy("dist2", "centroid_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -152,3 +152,33 @@ def test_interval_overlap_join_matches_naive(spark):
         .collect()
     }
     assert got == want and (1, 10) in got and (2, 11) in got and (4, 13) not in got
+
+
+def test_skyline_window_matches_quadratic_dominance(spark, sf_dir):
+    """The O(n log n) window skyline must equal the quadratic NOT EXISTS
+    dominance definition (checked via DuckDB so the reference predicate is
+    engine-independent)."""
+    import duckdb
+
+    from blow_spark.queries import queries
+
+    got = sorted(
+        (r.p_partkey, r.p_brand)
+        for r in queries()["skyline_pareto_frontier"](spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW part AS SELECT * FROM read_parquet('{sf_dir}/part.parquet')"
+    )
+    want = sorted(
+        (int(k), b)
+        for k, b in con.execute(
+            """
+            SELECT p.p_partkey, p.p_brand FROM part p WHERE NOT EXISTS (
+              SELECT 1 FROM part q WHERE q.p_brand = p.p_brand
+                AND q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+                AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+            """
+        ).fetchall()
+    )
+    assert got == want

