@@ -129,3 +129,104 @@ def ops_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.session_bounds(
         e, key_col="user_id", ts_col="ts", gap_minutes=30, agg_value_col="value"
     ).select("user_id", "session_start", "session_end", "n_events", "total_value")
+
+
+@register(
+    "pipeline_fizzbuzz_udtf",
+    oracle="""
+    WITH t AS (SELECT r FROM RANGE(0, 10000) t(r)),
+    base AS (
+      SELECT r AS number,
+             CASE WHEN r % 15 = 0 THEN 'fizzbuzz'
+                  WHEN r % 3  = 0 THEN 'fizz'
+                  WHEN r % 5  = 0 THEN 'buzz'
+                  ELSE CAST(r AS VARCHAR) END AS word
+      FROM t WHERE r % 7 <> 0 OR r % 15 = 0
+    ),
+    extra AS (SELECT r AS number, 'fizzbuzz!' AS word FROM t WHERE r % 15 = 0)
+    SELECT number, word FROM base
+    UNION ALL
+    SELECT number, word FROM extra
+    """,
+    tags=("pipeline", "udf", "udtf"),
+)
+def pipeline_fizzbuzz_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core abstraction — the flatMap-shaped `Mapper`
+    (`Do(Keyed, chan<- Keyed)`, maps/maps.go:12-14, 0..N emissions per
+    input) — as a first-class Spark 4 Python UDTF invoked via LATERAL.
+    Multiplicity is exercised for real: multiples of 15 emit TWO rows,
+    multiples of 7 (not 15) emit ZERO, everything else ONE — pinning
+    SURVEY.md §2.3.1 exactly where mapInPandas (pipeline_fizzbuzz_udf)
+    pins it batch-wise. UDTF registration is the analog of
+    `Host.Register` (maps/dispatch.go:242-249). Arrow-batched transfer;
+    scales as a map-only stage — no shuffle, no state."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="number: bigint, word: string")
+    class FizzBuzzUdtf:
+        def eval(self, i: int):
+            if i % 15 == 0:
+                yield i, "fizzbuzz"
+                yield i, "fizzbuzz!"
+            elif i % 7 == 0:
+                return
+            elif i % 3 == 0:
+                yield i, "fizz"
+            elif i % 5 == 0:
+                yield i, "buzz"
+            else:
+                yield i, str(i)
+
+    spark.udtf.register("fizzbuzz_udtf", FizzBuzzUdtf)
+    return spark.sql(
+        "SELECT f.number, f.word FROM range(0, 10000) t, LATERAL fizzbuzz_udtf(t.id) f"
+    )
+
+
+@register(
+    "join_asof_cogroup",
+    oracle="""
+    SELECT e.event_id,
+           e.user_id,
+           c.ts AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts > c.ts
+    """,
+    tags=("join", "asof", "udf", "ops"),
+)
+def join_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third as-of-join implementation: two-table cogroup →
+    `pd.merge_asof` per key (df.groupBy().cogroup().applyInPandas — the
+    Spark API the reference's two-sided worker dispatch would need but
+    never built; SURVEY.md §2.2 joins row). Both sides shuffle once on
+    user_id, then each group joins in-memory in Arrow batches. Same
+    oracle as join_asof / ops_asof_union_window, so all three engine
+    paths are pinned to one semantic. At 100 TB this is the pattern for
+    arbitrary per-key two-input logic Catalyst can't express."""
+    import pandas as pd
+
+    ev = read_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clk = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                {"event_id": [], "user_id": [], "last_click_ts": []}
+            ).astype({"event_id": "int64", "user_id": "int64"})
+        left = left.sort_values("ts")
+        right = right.sort_values("click_ts")[["click_ts"]]
+        out = pd.merge_asof(
+            left, right, left_on="ts", right_on="click_ts", allow_exact_matches=False
+        )
+        out = out.rename(columns={"click_ts": "last_click_ts"})
+        return out[["event_id", "user_id", "last_click_ts"]]
+
+    return (
+        err.groupBy("user_id")
+        .cogroup(clk.groupBy("user_id"))
+        .applyInPandas(merge, "event_id long, user_id long, last_click_ts timestamp")
+    )

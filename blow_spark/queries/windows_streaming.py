@@ -631,3 +631,61 @@ def streaming_sliding_availablenow(spark: SparkSession, sf_dir: str) -> DataFram
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "timeseries_ohlc_bars",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, date_trunc('hour', ts) AS bar, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_o,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_c
+      FROM events
+    )
+    SELECT event_type, bar,
+           MAX(CASE WHEN rn_o = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_c = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS volume
+    FROM d
+    GROUP BY event_type, bar
+    """,
+    tags=("window", "timeseries"),
+)
+def timeseries_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to OHLC bars: per (event_type, hour),
+    open/high/low/close/volume of `value`. First/last are made total by
+    the unique event_id tiebreaker (repo determinism rule) and computed
+    with two row_number passes over ONE hash exchange (same partition
+    keys, two sort orders — no second shuffle), then a partial+final agg
+    picks the rn=1 values with MAX(CASE). All outputs are exact copies
+    or min/max/count of inputs — zero float arithmetic, so the hash
+    can't flap. The standard market-data / metrics rollup missing from
+    the reference (no aggregation operators at all, SURVEY.md §2.2)."""
+    e = read_table(spark, sf_dir, "events")
+    d = e.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bar"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w_open = W.partitionBy("event_type", "bar").orderBy("ts", "event_id")
+    w_close = W.partitionBy("event_type", "bar").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        d.withColumn("rn_o", F.row_number().over(w_open))
+        .withColumn("rn_c", F.row_number().over(w_close))
+        .groupBy("event_type", "bar")
+        .agg(
+            F.max(F.when(F.col("rn_o") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_c") == 1, F.col("value"))).alias("close"),
+            F.count("*").alias("volume"),
+        )
+    )

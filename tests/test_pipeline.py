@@ -95,3 +95,36 @@ def test_generator_source_and_sink(spark):
 def test_observe_metrics(spark):
     p = Pipeline.range_source(spark, 100).observe("m", F.count(F.lit(1)).alias("n"))
     assert p.sink() == 100
+
+
+def test_udtf_multiplicity_contract(spark):
+    """The UDTF path must honor flatMap multiplicity exactly: 0 rows for
+    multiples of 7 (not 15), 2 rows for multiples of 15, else 1."""
+    from collections import Counter
+
+    from blow_spark.queries import queries
+
+    rows = queries()["pipeline_fizzbuzz_udtf"](spark, "/root/testdata/sf0.001").collect()
+    per_input = Counter(r.number for r in rows)
+    assert per_input[15] == 2 and per_input[30] == 2
+    assert 7 not in per_input and 49 not in per_input
+    assert per_input[1] == 1 and per_input[3] == 1
+    assert 105 in per_input and per_input[105] == 2  # 15 wins over 7
+
+
+def test_cogroup_asof_matches_window_form(spark):
+    """Three engine-side as-of implementations (range-join, union+window,
+    cogroup merge_asof) must agree row-for-row."""
+    from blow_spark.queries import queries
+
+    sf = "/root/testdata/sf0.001"
+    qs = queries()
+    cg = {
+        (r.event_id, r.last_click_ts)
+        for r in qs["join_asof_cogroup"](spark, sf).collect()
+    }
+    uw = {
+        (r.event_id, r.asof_ts)
+        for r in qs["ops_asof_union_window"](spark, sf).collect()
+    }
+    assert cg == uw and cg
