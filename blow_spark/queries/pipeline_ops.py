@@ -790,3 +790,91 @@ def pipeline_corpus_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+@register(
+    "sample_stratified_exact_k",
+    oracle="""
+    SELECT doc_id, source, rn AS sample_rank
+    FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
+      FROM documents
+    ) t
+    WHERE rn <= 100
+    """,
+    tags=("pipeline", "sampling"),
+)
+def sample_stratified_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified exact-k sampling: exactly min(k,|stratum|)=100 docs per
+    `source`, chosen by content hash — a deterministic, task-retry-stable
+    stand-in for reservoir sampling (repo rule: no RNG; md5 order IS a
+    uniform random order, but reproducible and oracle-pairable). One
+    shuffle on source + per-stratum sort. At 100 TB the full sort is
+    avoidable: md5 is uniform, so pre-filter rows whose hash prefix falls
+    under ~(k/stratum_count)·16^p before the window — the window then
+    sorts thousands of survivors, not billions (same trick as
+    sort_full_global's range partitioning; documented in SCALE.md)."""
+    d = read_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.md5("text"), "doc_id")
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= 100)
+    )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH sp AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ), e AS (
+      SELECT DISTINCT a.s AS u, b.s AS v
+      FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+    ), tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(DISTINCT u) FROM (SELECT u FROM e UNION ALL SELECT v FROM e) t(u)) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles
+    """,
+    tags=("graph", "join"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the supplier co-part graph (edge u—v iff two
+    suppliers ship the same part; lineitem is the part↔supplier bridge,
+    FIXTURES.md). Edges are canonicalized u<v, so each triangle is
+    enumerated exactly once as (a<b<c) by the standard two-hop wedge
+    join + closing-edge check. The edge list is vocabulary-sized
+    (suppliers², bounded by co-purchase structure), so both joins
+    broadcast; at 100 TB the classic refinement is degree-ordered
+    orientation (point each edge low-degree→high-degree) which bounds
+    wedge counts by arboricity — noted in SCALE.md. Reference has no
+    multi-input operators at all (SURVEY.md §2.2)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    sp = li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")).distinct()
+    e = (
+        sp.alias("a")
+        .join(sp.alias("b"), (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+    )
+    e.cache()
+    tri = (
+        e.alias("e1")
+        .join(F.broadcast(e.alias("e2")), F.col("e2.u") == F.col("e1.v"))
+        .join(
+            F.broadcast(e.alias("e3")),
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c"))
+    )
+    nodes = e.select(F.col("u").alias("n")).unionAll(e.select("v")).distinct()
+    return (
+        e.agg(F.count("*").alias("n_edges"))
+        .crossJoin(nodes.agg(F.count("*").alias("n_nodes")))
+        .crossJoin(tri.agg(F.count("*").alias("n_triangles")))
+    )

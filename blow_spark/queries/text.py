@@ -688,3 +688,87 @@ def similarity_join_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_parts_b",
         )
     )
+
+
+@register(
+    "text_repetition_signals",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ), tc AS (
+      SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token
+    ), ts AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(MAX(c) AS BIGINT) AS top_c,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens
+      FROM tc GROUP BY doc_id
+    ), t2 AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+      FROM documents
+    ), big AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])) AS g
+      FROM t2 WHERE len(tk) >= 2
+    ), bc AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM big GROUP BY doc_id, g
+    ), bs AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             CAST(MAX(c) AS BIGINT) AS top_big_c
+      FROM bc GROUP BY doc_id
+    )
+    SELECT ts.doc_id, ts.n_tokens, ts.n_distinct_tokens,
+           1.0 - CAST(ts.n_distinct_tokens AS DOUBLE) / ts.n_tokens AS dup_token_frac,
+           CAST(ts.top_c AS DOUBLE) / ts.n_tokens AS top_token_share,
+           bs.n_bigrams,
+           CAST(bs.top_big_c AS DOUBLE) / bs.n_bigrams AS top_bigram_share
+    FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+    """,
+    tags=("text", "pipeline", "quality"),
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""Gopher-style repetition quality signals per document: duplicate
+    token fraction (1 - distinct/total), most-common-token share, and
+    most-common-bigram share — the signals corpus filters threshold to
+    drop degenerate/boilerplate pages. Token and bigram counts are two
+    independent explode→count legs joined on doc_id; each shuffles on
+    (doc_id, gram) whose cardinality is per-doc vocabulary — partial
+    (map-side) aggregation collapses repeats before the exchange, so at
+    100 TB the shuffle is bounded by distinct grams, not corpus tokens.
+    Bigrams come from ONE lookahead-regex pass JVM-side (see
+    word_shingles note) but NON-distinct; the RE2 oracle can't express
+    lookahead so it slices the token array — same multiset. Ratios are
+    exact-int divisions done identically on both sides; docs with <2
+    tokens get NULL bigram stats via the left join."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(BF.tokenize_ws(F.lower(F.col("text")))).alias("token"))
+    ts = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.max("c").alias("top_c"),
+            F.count("*").alias("n_distinct_tokens"),
+        )
+    )
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    bigrams = F.regexp_extract_all(norm, F.lit(r"(?:^| )(?=(\S+ \S+))"), 1)
+    bs = (
+        d.select("doc_id", F.explode(bigrams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_big_c"))
+    )
+    return ts.join(bs, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        (F.lit(1.0) - F.col("n_distinct_tokens").cast("double") / F.col("n_tokens")).alias(
+            "dup_token_frac"
+        ),
+        (F.col("top_c").cast("double") / F.col("n_tokens")).alias("top_token_share"),
+        "n_bigrams",
+        (F.col("top_big_c").cast("double") / F.col("n_bigrams")).alias("top_bigram_share"),
+    )

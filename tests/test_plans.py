@@ -115,3 +115,47 @@ def test_interval_overlap_join_is_hash_join(spark, sf_dir):
     p = _plan(spark, sf_dir, "join_interval_overlap")
     assert "NestedLoop" not in p and "CartesianProduct" not in p, p[:800]
     assert "Join" in p
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Bucketed tables co-located on the join key must sort-merge join
+    with ZERO Exchange: at 100 TB the bucket layout replaces the
+    per-query shuffle of both fact tables (SCALE.md). Broadcast is
+    disabled so the test can't silently pass via a small-table plan."""
+    o = spark.range(0, 10_000).selectExpr("id AS k", "id % 7 AS flag")
+    c = spark.range(0, 2_000).selectExpr("id AS k", "id * 2 AS v")
+    spark.sql("DROP TABLE IF EXISTS bt_orders")
+    spark.sql("DROP TABLE IF EXISTS bt_cust")
+    (o.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bt_orders"))
+    (c.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bt_cust"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bt_orders").join(spark.table("bt_cust"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:1200]
+        assert "SortMergeJoin" in plan, plan[:1200]
+        assert j.count() == 2_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
+        spark.sql("DROP TABLE IF EXISTS bt_cust")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-style partitioned parquet layout + a partition-key filter must
+    prune at planning time: the scan lists only the matching directory
+    (PartitionFilters), so a 100 TB table filtered to one day reads one
+    day. Also checks partition values round-trip."""
+    d = spark.range(0, 1_000).selectExpr(
+        "id", "CAST(id % 10 AS STRING) AS bucket", "id * 1.5 AS v"
+    )
+    path = str(tmp_path / "pt")
+    d.write.partitionBy("bucket").mode("overwrite").parquet(path)
+    back = spark.read.parquet(path).filter("bucket = '3'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan[plan.index("PartitionFilters"):][:200], plan[:1200]
+    assert back.count() == 100
+    import glob
+    n_dirs = len(glob.glob(path + "/bucket=*"))
+    assert n_dirs == 10
