@@ -165,3 +165,119 @@ def vector_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "vector_kmeans_lloyd_step",
+    oracle="""
+    WITH scored AS (
+      SELECT e.vec_id, e.embedding, c.vec_id AS centroid_id,
+             LIST_REDUCE(LIST_TRANSFORM(RANGE(1, 65),
+                 i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+                    * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))),
+                 (a, b) -> a + b) AS dist2
+      FROM embeddings e JOIN embeddings c ON c.vec_id < 8
+    ), assigned AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY dist2, centroid_id) AS rn
+        FROM scored) t
+      WHERE rn = 1
+    ), dims AS (
+      SELECT centroid_id, d.i AS dim,
+             CAST(ROUND(CAST(embedding[d.i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM assigned CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS i) d
+    )
+    SELECT centroid_id, CAST(dim AS INTEGER) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(q) AS BIGINT) AS sum_q,
+           CAST(SUM(q) AS DOUBLE) / (1000000.0 * COUNT(*)) AS new_val
+    FROM dims
+    GROUP BY centroid_id, dim
+    """,
+    tags=("similarity", "vector", "iterative"),
+)
+def vector_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd iteration (E-step + M-step): assign every vector to
+    its nearest of 8 deterministic centroids (vec_id < 8), then recompute
+    each centroid as the member mean, per dimension. The mean is made
+    engine-exact by quantizing each float to an integer micro-unit
+    (round(x·1e6) → BIGINT) and summing integers — float summation order
+    can't leak in, so the oracle hash is stable at any parallelism (repo
+    determinism rule: exact aggregates in integer/decimal space). Plan:
+    broadcast the 8 centroids, map-side scoring, one window argmin per
+    vector, posexplode dims, one partial+final agg on (centroid, dim) —
+    K·64 output rows. At 100 TB each iteration is one scan + one
+    vocabulary-sized shuffle; the iterative driver loop is
+    checkpoint-per-iteration like ops.pagerank."""
+    e = read_table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_vec")
+    )
+    diff2 = F.zip_with(
+        F.col("embedding"),
+        F.col("c_vec"),
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "centroid_id",
+        F.aggregate(diff2, F.lit(0.0), lambda a, v: a + v).alias("dist2"),
+    )
+    w = W.partitionBy("vec_id").orderBy("dist2", "centroid_id")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    )
+    dims = assigned.select(
+        "centroid_id", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "centroid_id",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.round(F.col("x").cast("double") * 1000000).cast("long").alias("q"),
+    )
+    return dims.groupBy("centroid_id", "dim").agg(
+        F.count("*").alias("n_members"),
+        F.sum("q").alias("sum_q"),
+        (F.sum("q").cast("double") / (1000000.0 * F.count("*"))).alias("new_val"),
+    )
+
+
+@register(
+    "vector_norms_arrow",
+    oracle="""
+    SELECT vec_id,
+           LIST_REDUCE(LIST_TRANSFORM(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               (a, b) -> a + b) AS norm2
+    FROM embeddings
+    """,
+    tags=("vector", "udf"),
+)
+def vector_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Squared L2 norms through df.mapInArrow — the zero-copy Arrow batch
+    API (the lowest-level UDF surface; SURVEY.md §2.2 UDF row alongside
+    @udf / pandas_udf / applyInPandas / UDTF). The Python side folds each
+    row strictly left-to-right in float64, bit-matching the oracle's
+    LIST_REDUCE; float32→float64 widening is exact on both engines.
+    Demonstrates that even opaque per-batch logic stays a map-only stage:
+    no shuffle, pipelined with the scan."""
+    import pyarrow as pa
+
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def batches(it):
+        for b in it:
+            ids = b.column(0)
+            out = []
+            for row in b.column(1).to_pylist():
+                acc = 0.0
+                for x in row:
+                    acc += x * x
+                out.append(acc)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(out, pa.float64())], ["vec_id", "norm2"]
+            )
+
+    return e.mapInArrow(batches, "vec_id long, norm2 double")
