@@ -689,3 +689,42 @@ def timeseries_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("volume"),
         )
     )
+
+
+@register(
+    "streaming_stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name, n.n_name, c.c_mktsegment
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE e.event_type = 'purchase'
+    """,
+    tags=("streaming", "join", "runtime"),
+)
+def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join through the real runtime: the events stream is
+    enriched against the static customer→nation dimension chain — the
+    canonical streaming enrichment (no watermark needed: the static side
+    is bounded, so no join state accumulates; Spark re-plans the static
+    side per micro-batch, which is what makes slowly-changing dims pick
+    up updates). The static side is dimension-sized, so each micro-batch
+    broadcasts it; the stream never shuffles. Batch-equivalent semantics
+    = plain inner join, which is exactly the oracle."""
+    from blow_spark.streaming import EVENTS_SCHEMA
+
+    stage = _stage_events(spark, sf_dir, "blow_spark_sssj_")
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_nationkey"
+    )
+    nat = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    static_dim = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey).select(
+        "c_custkey", "c_name", "n_name", "c_mktsegment"
+    )
+    enriched = (
+        stream.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(static_dim), F.col("user_id") == F.col("c_custkey"))
+        .select("event_id", "user_id", "c_name", "n_name", "c_mktsegment")
+    )
+    return _drain(enriched, "append", "sssj_out")
