@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from blow_spark import functions as BF
 from blow_spark.queries import register
 from blow_spark.sources import read_table, register_views
 
@@ -963,3 +964,154 @@ def skyline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("max_size_cheaper").isNull() | (F.col("max_size_cheaper") < F.col("p_size")))
         & (F.col("max_size_same_price") <= F.col("p_size"))
     ).select("p_partkey", "p_brand", "p_size", "p_retailprice")
+
+
+@register(
+    "scalar_url_funcs",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.org/docs/' || lang || '/'
+               || CAST(doc_id AS VARCHAR) || '?page=' || CAST(doc_id % 7 AS VARCHAR)
+               || '&ref=' || lang AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, 'https?://([^/]+)', 1)          AS host,
+           regexp_extract(url, 'https?://[^/]+(/[^?#]*)', 1)   AS path,
+           regexp_extract(url, '\\?([^#]*)', 1)                 AS query,
+           regexp_extract(url, '[?&]page=([^&#]*)', 1)         AS page_param
+    FROM u
+    """,
+    tags=("scalar", "string"),
+)
+def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing battery: parse_url(HOST/PATH/QUERY + keyed query
+    param) over synthesized-but-well-formed URLs. Spark's parse_url is a
+    dedicated JVM expression (java.net.URI semantics); the oracle pins it
+    to pure-regex extraction, which agrees on every RFC-3986-clean URL —
+    exactly the log-processing normalization step (the reference has no
+    string function library at all, SURVEY.md §2.2). Map-only."""
+    d = read_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/docs/"),
+        F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+        F.lit("?page="), (F.col("doc_id") % 7).cast("string"),
+        F.lit("&ref="), F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("page")).alias("page_param"),
+    )
+
+
+@register(
+    "scalar_codec_funcs",
+    oracle="""
+    SELECT doc_id,
+           sha256(text)                                    AS sha256_hex,
+           base64(CAST(substr(text, 1, 16) AS BLOB))       AS b64_prefix,
+           upper(hex(CAST(substr(text, 1, 8) AS BLOB)))    AS hex_prefix,
+           upper(to_hex(doc_id))                           AS id_hex,
+           ascii(substr(text, 1, 1))                       AS first_cp,
+           chr(65 + CAST(doc_id % 26 AS INTEGER))          AS letter
+    FROM documents
+    """,
+    tags=("scalar", "codec"),
+)
+def scalar_codec_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary codec battery: sha2-256, base64, hex (over both strings and
+    integers), code points. All JVM intrinsics inside whole-stage
+    codegen; the oracle pins cross-engine byte-level agreement (lowercase
+    sha digests, unpadded unwrapped base64 — Spark 4's java.util.Base64
+    emits no line breaks, matching DuckDB). Content hashing is the
+    backbone of the dedup/split family (dedup_exact,
+    split_train_val_test); this battery isolates the codecs."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("sha256_hex"),
+        F.base64(F.encode(F.substring("text", 1, 16), "UTF-8")).alias("b64_prefix"),
+        F.hex(F.encode(F.substring("text", 1, 8), "UTF-8")).alias("hex_prefix"),
+        F.hex(F.col("doc_id")).alias("id_hex"),
+        F.ascii(F.substring("text", 1, 1)).alias("first_cp"),
+        F.chr(F.lit(65) + (F.col("doc_id") % 26)).alias("letter"),
+    )
+
+
+@register(
+    "scalar_str_to_map",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             'lang:' || lang || ',src:' || source || ',len:' || CAST(n_chars AS VARCHAR) AS kv
+      FROM documents
+    )
+    SELECT doc_id, kv,
+           regexp_extract(kv, 'lang:([^,]*)', 1) AS lang_v,
+           regexp_extract(kv, 'src:([^,]*)', 1)  AS src_v,
+           CAST(regexp_extract(kv, 'len:([^,]*)', 1) AS BIGINT) AS len_v
+    FROM s
+    """,
+    tags=("scalar", "map"),
+)
+def scalar_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delimited key:value parsing via str_to_map — the standard shape for
+    flattened properties/log fields. Spark parses the whole map in one
+    JVM expression and element_at pulls typed values; the oracle pins the
+    parse against independent per-key regex extraction. Map-only."""
+    d = read_table(spark, sf_dir, "documents")
+    kv = F.concat(
+        F.lit("lang:"), F.col("lang"),
+        F.lit(",src:"), F.col("source"),
+        F.lit(",len:"), F.col("n_chars").cast("string"),
+    )
+    m = F.str_to_map(kv, F.lit(","), F.lit(":"))
+    return d.select(
+        "doc_id",
+        kv.alias("kv"),
+        F.element_at(m, "lang").alias("lang_v"),
+        F.element_at(m, "src").alias("src_v"),
+        F.element_at(m, "len").cast("long").alias("len_v"),
+    )
+
+
+@register(
+    "explode_outer_empty_arrays",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+      FROM documents
+      WHERE n_chars < 120
+    ), base AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) >= 5
+                  THEN list_distinct(list_transform(
+                         range(1, len(tk) - 3),
+                         i -> array_to_string(tk[i:i+4], ' ')))
+                  ELSE [] END AS sh
+      FROM toks
+    )
+    SELECT doc_id, u.g AS shingle
+    FROM base
+    CROSS JOIN LATERAL unnest(CASE WHEN len(sh) = 0 THEN [NULL] ELSE sh END) AS u(g)
+    """,
+    tags=("scalar", "array", "explode"),
+)
+def explode_outer_empty_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer semantics: a document whose shingle array is EMPTY
+    still yields one row (shingle = NULL) instead of vanishing — the
+    left-join-shaped generator every per-element pipeline needs when
+    empty inputs must stay visible (plain explode silently drops them,
+    which is how documents get lost from audits). Short docs (<120 chars)
+    guarantee both empty and non-empty arrays are exercised."""
+    d = read_table(spark, sf_dir, "documents").filter(F.col("n_chars") < 120)
+    return d.select(
+        "doc_id",
+        F.explode_outer(BF.word_shingles(F.col("text"), 5)).alias("shingle"),
+    )
