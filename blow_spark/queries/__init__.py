@@ -72,6 +72,8 @@ def _load() -> None:
     if _LOADED:
         return
     from blow_spark.queries import (  # noqa: F401
+        batteries,
+        corpus,
         multimodal_q,
         parity,
         pipeline_ops,

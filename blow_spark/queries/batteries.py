@@ -1,0 +1,135 @@
+"""Scalar/aggregate function batteries, round 2: boolean aggregates,
+regexp functions, array set algebra.
+
+Fills SURVEY.md §2.2 "Scalar functions" / "Aggregations" corners not yet
+covered by the earlier batteries (scalar_string_funcs*, array_funcs,
+higher_order_array_funcs): FILTER-style conditional counting, BOOL_AND /
+BOOL_OR, regexp_count / regexp_extract_all, and set algebra over arrays
+(union / intersect / except / position), each oracle-paired with DuckDB.
+
+The reference has none of these as operators (its only scalar computation
+is the fizzbuzz mapper's modulo tests, cmd/fizzbuzz/fizzbuzz.go:24-45);
+they are first-class here per the §2.2 checklist.
+
+Determinism notes (see queries/__init__ docstring for the house rules):
+booleans leave the engine as BIGINT 0/1 (pandas bool vs object dtype
+drift), counts as BIGINT, and every array is sorted before emission so
+engine-specific element order can't perturb the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blow_spark.queries import register
+from blow_spark.sources import read_table
+
+
+@register(
+    "agg_boolean_counting",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT) AS n_big,
+           CAST(BOOL_AND(o_totalprice > 0) AS BIGINT)                    AS all_positive,
+           CAST(BOOL_OR(o_orderstatus = 'F') AS BIGINT)                  AS any_finished,
+           CAST(COUNT(*) FILTER (WHERE o_orderdate >= TIMESTAMP '1995-01-01')
+                AS BIGINT)                                               AS n_since_95,
+           COUNT(*)                                                      AS n_rows
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "boolean"),
+)
+def agg_boolean_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional counting + boolean aggregates (count_if / bool_and /
+    bool_or — SQL's COUNT(*) FILTER and EVERY/ANY). All codegen'd JVM
+    aggregates with map-side partials: one shuffle keyed by the (5-value)
+    group key regardless of input size."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).cast("bigint").alias("all_positive"),
+        F.bool_or(F.col("o_orderstatus") == "F").cast("bigint").alias("any_finished"),
+        F.count_if(F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")).alias(
+            "n_since_95"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "scalar_regexp_funcs",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)  AS n_word_matches,
+           COALESCE(regexp_extract(text, '([0-9]+)', 1), '')           AS first_number,
+           CAST(LENGTH(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+                                                                       AS len_devoweled,
+           array_to_string(regexp_extract_all(text, '[A-Za-z]+')[1:5], '|')
+                                                                       AS head_words
+    FROM documents
+    """,
+    tags=("scalar", "regexp"),
+)
+def scalar_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp battery: match counting (regexp_count), group extraction
+    (regexp_extract), global substitution (regexp_replace), and
+    extract-all → array. Patterns stick to character classes + capture
+    groups — the portable core where Java regex (Spark) and RE2 (DuckDB
+    oracle) provably agree."""
+    d = read_table(spark, sf_dir, "documents")
+    words = F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]+"), 0)
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("[A-Za-z]+")).cast("bigint").alias("n_word_matches"),
+        F.regexp_extract("text", "([0-9]+)", 1).alias("first_number"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).cast("bigint").alias("len_devoweled"),
+        F.concat_ws("|", F.slice(words, 1, 5)).alias("head_words"),
+    )
+
+
+@register(
+    "array_set_algebra",
+    oracle="""
+    WITH t AS (
+      SELECT l_orderkey, l_linenumber,
+             generate_series(1, 1 + l_orderkey % 5)                     AS a1,
+             generate_series(CAST(l_partkey % 4 AS BIGINT) + 1,
+                             CAST(l_partkey % 4 AS BIGINT) + 4)         AS a2
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           list_sort(list_distinct(list_concat(a1, a2)))                AS union_sorted,
+           list_sort(list_intersect(a1, a2))                            AS intersect_sorted,
+           list_sort(list_filter(a1, x -> NOT list_contains(a2, x)))    AS except_sorted,
+           CAST(list_contains(a1, 3) AS BIGINT)                         AS has_three,
+           CAST(COALESCE(list_position(a1, CAST(l_linenumber AS BIGINT)), 0)
+                AS BIGINT)                                              AS pos_linenumber
+    FROM t
+    """,
+    tags=("array", "set"),
+)
+def array_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (union / intersect / except / contains /
+    position) over sequences derived from lineitem keys. Arrays are
+    sorted before emission: Spark's array_union preserves first-appearance
+    order while DuckDB's list_distinct doesn't promise one, so unsorted
+    output would hash-diverge on element order alone. All JVM built-ins —
+    per-row work, no shuffle beyond the scan."""
+    li = read_table(spark, sf_dir, "lineitem")
+    a1 = F.sequence(F.lit(1).cast("bigint"), 1 + F.pmod(F.col("l_orderkey"), F.lit(5)))
+    a2_lo = F.pmod(F.col("l_partkey"), F.lit(4)) + 1
+    a2 = F.sequence(a2_lo, a2_lo + 3)
+    t = li.select("l_orderkey", "l_linenumber", a1.alias("a1"), a2.alias("a2"))
+    return t.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.array_sort(F.array_union("a1", "a2")).alias("union_sorted"),
+        F.array_sort(F.array_intersect("a1", "a2")).alias("intersect_sorted"),
+        F.array_sort(F.array_except("a1", "a2")).alias("except_sorted"),
+        F.array_contains("a1", F.lit(3).cast("bigint")).cast("bigint").alias("has_three"),
+        F.array_position("a1", F.col("l_linenumber").cast("bigint"))
+        .cast("bigint")
+        .alias("pos_linenumber"),
+    )

@@ -1,0 +1,256 @@
+"""Corpus-preparation operators, round 2: PII redaction, C4-style
+sentence filtering, dedup-cluster canonicalization, token-length
+histograms.
+
+These extend the training-data-pipeline surface (task brief; SURVEY.md
+§2.2 "Extension ops") beyond the round-1 set (quality signals, dedup
+families, packing, mixing): the cleaning / redaction / cluster-resolution
+steps a 100 TB corpus pass runs between dedup and tokenization. The
+reference implements none of this (its entire operator surface is the
+distributed flatMap, maps/maps.go:12-14).
+
+All hot-path work is JVM built-ins (regexp, higher-order array ops);
+nothing touches Python per-row. Each query is oracle-paired with DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blow_spark import dedup
+from blow_spark.queries import register
+from blow_spark.sources import read_table
+
+# Portable regexes (Java regex and RE2 agree): character classes, bounded
+# quantifiers, capture groups — no backrefs, no lookaround.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+_IP_RE = r"(?:[0-9]{1,3}\.){3}[0-9]{1,3}"
+
+
+@register(
+    "text_pii_redaction",
+    oracle=rf"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(t, '{_IP_RE}')) AS BIGINT)    AS n_ips,
+           right(regexp_replace(regexp_replace(regexp_replace(t,
+                 '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{_PHONE_RE}', '<PHONE>', 'g'),
+                 '{_IP_RE}', '<IP>', 'g'), 60)                       AS redacted_tail
+    FROM aug
+    """,
+    tags=("text", "pii", "llm"),
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: detect + mask emails, phone numbers, and IPv4
+    addresses. The fixture text carries no guaranteed PII, so each doc is
+    deterministically augmented with synthetic PII derived from doc_id
+    (so the masks provably fire), then redacted in a fixed replacement
+    order (email → phone → ip; order matters, pinned on both sides).
+    Pure regexp built-ins: scales as a single scan, no shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+        F.lit(".7"),
+    )
+    t = d.select("doc_id", aug.alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ),
+        _IP_RE,
+        "<IP>",
+    )
+    return t.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count("t", F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.regexp_count("t", F.lit(_IP_RE)).cast("bigint").alias("n_ips"),
+        F.right(redacted, F.lit(60)).alias("redacted_tail"),
+    )
+
+
+@register(
+    "text_c4_sentence_filter",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id, regexp_split_to_array(text, '\.\s+') AS sents
+      FROM documents
+    ), k AS (
+      SELECT doc_id, sents,
+             list_filter(sents,
+                         x -> LENGTH(trim(x)) > 0
+                          AND len(regexp_split_to_array(trim(x), '\s+')) >= 5) AS kept
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(len(sents) AS BIGINT)                 AS n_sentences,
+           CAST(len(kept) AS BIGINT)                  AS n_kept,
+           CAST(len(kept) AS DOUBLE) / len(sents)     AS kept_fraction,
+           array_to_string(kept, '. ')                AS kept_text
+    FROM k
+    """,
+    tags=("text", "quality", "llm"),
+)
+def text_c4_sentence_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style structural cleaning: split each document into sentences,
+    keep only sentences with ≥ 5 words, reassemble, and report the kept
+    fraction (a per-doc quality signal C4 uses at the line level). The
+    sentence split and word count run as higher-order array functions —
+    off the codegen path but still JVM-side and Arrow-free; at 100 TB
+    this remains a pure scan with no shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    sents = F.split(F.col("text"), r"\.\s+")
+    t = d.select("doc_id", sents.alias("sents"))
+    kept = F.filter(
+        F.col("sents"),
+        lambda x: (F.length(F.trim(x)) > 0)
+        & (F.size(F.split(F.trim(x), r"\s+")) >= 5),
+    )
+    k = t.select("doc_id", "sents", kept.alias("kept"))
+    return k.select(
+        "doc_id",
+        F.size("sents").cast("bigint").alias("n_sentences"),
+        F.size("kept").cast("bigint").alias("n_kept"),
+        (F.size("kept").cast("double") / F.size("sents")).alias("kept_fraction"),
+        F.concat_ws(". ", "kept").alias("kept_text"),
+    )
+
+
+@register(
+    "dedup_cluster_canonical",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id AS doc, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), base AS (
+      SELECT doc,
+             list_distinct(list_transform(
+               range(1, len(t) - 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS sh
+      FROM toks
+      WHERE len(t) >= 3
+    ), exploded AS (
+      SELECT doc, unnest(sh) AS g FROM base
+    ), rare AS (
+      SELECT g FROM exploded GROUP BY g HAVING COUNT(*) <= 50
+    ), blocked AS (
+      SELECT e.doc, e.g FROM exploded e JOIN rare USING (g)
+    ), cand AS (
+      SELECT DISTINCT l.doc AS id_a, r.doc AS id_b
+      FROM blocked l JOIN blocked r ON l.g = r.g AND l.doc < r.doc
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM (
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        FROM cand
+        JOIN base a ON a.doc = id_a
+        JOIN base b ON b.doc = id_b) s
+      WHERE jaccard >= 0.4
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(node, comp) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.node
+    ), comps AS (
+      SELECT node, MIN(comp) AS comp FROM reach GROUP BY node
+    )
+    SELECT CAST(comp AS BIGINT)                                  AS keep_id,
+           CAST(COUNT(*) AS BIGINT)                              AS n_members,
+           CAST(COUNT(*) - 1 AS BIGINT)                          AS n_dropped,
+           array_to_string(list_sort(list(node)), ',')           AS members_csv
+    FROM comps
+    GROUP BY comp
+    """,
+    tags=("dedup", "cluster", "iterative", "llm"),
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution — the step after near-dup clustering: per
+    connected component, elect the canonical survivor (min doc_id = the
+    component label itself) and list the members to drop. This is the
+    keep/drop manifest a dedup pass hands to the writer. Built on the
+    same exact-Jaccard edges + iterative min-label components as
+    dedup_clusters; the final group-by shuffles only (node, comp) pairs."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, text_col="text", id_col="doc_id", threshold=0.4)
+    comps = dedup.connected_components(pairs)
+    return comps.groupBy(F.col("comp").alias("keep_id")).agg(
+        F.count("*").alias("n_members"),
+        (F.count("*") - 1).alias("n_dropped"),
+        F.concat_ws(",", F.sort_array(F.collect_list("node"))).alias("members_csv"),
+    )
+
+
+@register(
+    "docs_token_length_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tokens
+      FROM documents
+    )
+    SELECT source,
+           CASE WHEN n_tokens < 32 THEN 'lt_32'
+                WHEN n_tokens < 64 THEN '32_63'
+                WHEN n_tokens < 128 THEN '64_127'
+                WHEN n_tokens < 256 THEN '128_255'
+                ELSE 'ge_256' END                       AS bucket,
+           COUNT(*)                                     AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT)                AS total_tokens,
+           CAST(MIN(n_tokens) AS BIGINT)                AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT)                AS max_tokens
+    FROM t
+    GROUP BY source, bucket
+    """,
+    tags=("text", "stats", "llm"),
+)
+def docs_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length histogram per source — the distribution a packing /
+    curriculum stage reads before choosing chunk sizes. Fixed CASE
+    buckets (power-of-two edges in integer arithmetic, no float log2
+    whose last-ulp could flip a boundary doc between engines). One
+    map-side-combined shuffle on (source, bucket)."""
+    d = read_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_nospace = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    n_tokens = (n_chars - n_nospace + 1).alias("n_tokens")
+    t = d.select("source", n_tokens)
+    bucket = (
+        F.when(F.col("n_tokens") < 32, "lt_32")
+        .when(F.col("n_tokens") < 64, "32_63")
+        .when(F.col("n_tokens") < 128, "64_127")
+        .when(F.col("n_tokens") < 256, "128_255")
+        .otherwise("ge_256")
+    )
+    return (
+        t.select("source", "n_tokens", bucket.alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("n_tokens").cast("bigint").alias("min_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        )
+    )

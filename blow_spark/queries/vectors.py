@@ -281,3 +281,61 @@ def vector_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return e.mapInArrow(batches, "vec_id long, norm2 double")
+
+
+@register(
+    "vector_quantize_int8",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xe
+      FROM embeddings
+    ), mm AS (
+      SELECT vec_id, xe, list_min(xe) AS mn, list_max(xe) AS mx FROM x
+    ), q AS (
+      SELECT vec_id, mn, mx,
+             list_transform(xe, v -> CASE WHEN mx > mn
+               THEN LEAST(255, CAST(FLOOR((v - mn) * 255.0 / (mx - mn)) AS INT))
+               ELSE 0 END) AS qv
+      FROM mm
+    )
+    SELECT vec_id, mn, mx,
+           CAST(list_sum(qv) AS BIGINT)        AS q_sum,
+           array_to_string(qv[1:8], ',')       AS q_head
+    FROM q
+    """,
+    tags=("vector", "quantize", "llm"),
+)
+def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector affine uint8 quantization — the storage-shrink step an
+    embedding pipeline runs before ANN indexing (4× smaller than float32,
+    16× smaller than the float64 working form). Scale/zero-point derive
+    from the per-row min/max; q = floor((x-min)·255/(max-min)) clamped.
+    Everything is higher-order built-ins over double math; floor (not
+    round) keeps the boundary bit-identical across engines — both sides
+    run the identical IEEE-754 expression tree, so no last-ulp drift.
+    Map-only: a pure scan stage at any scale."""
+    e = read_table(spark, sf_dir, "embeddings")
+    xe = F.transform("embedding", lambda v: v.cast("double"))
+    mm = e.select("vec_id", xe.alias("xe")).select(
+        "vec_id", "xe", F.array_min("xe").alias("mn"), F.array_max("xe").alias("mx")
+    )
+    qv = F.transform(
+        "xe",
+        lambda v: F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(
+                F.lit(255),
+                F.floor((v - F.col("mn")) * 255.0 / (F.col("mx") - F.col("mn"))).cast("int"),
+            ),
+        ).otherwise(F.lit(0)),
+    )
+    q = mm.select("vec_id", "mn", "mx", qv.alias("qv"))
+    return q.select(
+        "vec_id",
+        "mn",
+        "mx",
+        F.aggregate("qv", F.lit(0).cast("bigint"), lambda acc, v: acc + v).alias("q_sum"),
+        F.concat_ws(",", F.transform(F.slice("qv", 1, 8), lambda i: i.cast("string"))).alias(
+            "q_head"
+        ),
+    )

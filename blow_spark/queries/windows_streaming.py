@@ -728,3 +728,89 @@ def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "c_name", "n_name", "c_mktsegment")
     )
     return _drain(enriched, "append", "sssj_out")
+
+
+@register(
+    "streaming_late_data_drop",
+    oracle="""
+    WITH onr AS (
+      SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-25'
+    ), wm AS (
+      SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM onr
+    )
+    SELECT CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 3600) * 3600) AS TIMESTAMP)
+               AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM onr, wm
+    WHERE FLOOR(EPOCH(ts) / 3600) * 3600 + 3600 <= EPOCH(w)
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "watermark", "late-data", "runtime"),
+)
+def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data DROP + append-mode holdback, pinned through the
+    real runtime — the semantics §2.2's streaming row demands and the
+    other runtime queries deliberately avoid triggering (their
+    single-file staging keeps the watermark at 0 so nothing is ever
+    late). Events are staged as TWO files in forced modification-time
+    order: file 0 = the on-time tail (ts ≥ 2024-01-25), file 1 = an
+    EMPTY spacer, file 2 = everything earlier. maxFilesPerTrigger=1 ⇒
+    three micro-batches; after batch 0 the watermark is
+    max(on-time ts) − 10 min ≈ Jan 30, so every batch-2 row lands in an
+    hourly window that closed long before it — the stateful aggregation
+    discards all of them (observed numRowsDroppedByWatermark = all late
+    groups). The spacer batch is load-bearing: since SPARK-40925 the
+    late-event FILTER runs one watermark generation behind EVICTION, so
+    with only two batches the late rows are aggregated and immediately
+    evicted-and-EMITTED (measured 867 vs 160 rows) — the empty batch
+    lets the filter watermark catch up first. Append mode additionally
+    holds back the still-open trailing windows (end > final watermark).
+    The oracle states both effects set-theoretically: hourly aggregation
+    of the on-time subset alone, restricted to windows whose end
+    precedes the final watermark. A missed drop or a leaked open window
+    each break the row-count match. (dropDuplicates would NOT pin the
+    drop: for key-only dedup the watermark merely evicts state, and late
+    rows with evicted keys are re-emitted as new — measured 75 vs 68.)
+    State is bounded by the watermark at any scale."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from blow_spark.streaming import EVENTS_SCHEMA
+
+    e = read_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-25").cast("timestamp")
+    stage = tempfile.mkdtemp(prefix="blow_spark_late_")
+    tmp = tempfile.mkdtemp(prefix="blow_spark_late_tmp_")
+    parts = [
+        e.filter(F.col("ts") >= cutoff).orderBy("ts", "event_id"),
+        e.filter(F.col("ts") < F.lit("1900-01-01").cast("timestamp")),  # empty spacer
+        e.filter(F.col("ts") < cutoff).orderBy("ts", "event_id"),
+    ]
+    for i, part in enumerate(parts):
+        d = os.path.join(tmp, str(i))
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        src = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        dst = os.path.join(stage, f"batch_{i}.parquet")
+        shutil.copyfile(src, dst)
+        t = 1_700_000_000 + i * 60  # FileStreamSource orders by mtime
+        os.utime(dst, (t, t))
+    shutil.rmtree(tmp)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+    return _drain(agg, "append", "late_out")
