@@ -133,3 +133,159 @@ def array_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pos_linenumber"),
     )
+
+
+@register(
+    "window_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER w AS n_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "frame", "timeseries"),
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: per-user trailing-1-hour event count and
+    value sum — the sliding-aggregate shape metric pipelines use
+    constantly. Distinct from the numeric RANGE frame already covered
+    (window_first_last_range): the frame bound is an INTERVAL over the
+    event-time ORDER BY, which PySpark's rangeBetween(long, long) can't
+    express — it goes through the SQL window spec. RANGE includes
+    equal-ts peers, so ties can't perturb the result. Exact decimal sum
+    per the house money rule. One shuffle on user_id."""
+    e = read_table(spark, sf_dir, "events")
+    frame = (
+        "OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+    )
+    return e.selectExpr(
+        "event_id",
+        "user_id",
+        "ts",
+        f"COUNT(*) {frame} AS n_last_hour",
+        f"CAST(SUM(CAST(value AS DECIMAL(18,6))) {frame} AS DOUBLE) AS sum_last_hour",
+    )
+
+
+@register(
+    "orders_retention_cohort",
+    oracle="""
+    WITH f AS (
+      SELECT o_custkey, date_trunc('month', MIN(o_orderdate)) AS cohort_month
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT cohort_month,
+           date_trunc('month', o.o_orderdate) AS order_month,
+           COUNT(DISTINCT o.o_custkey)        AS n_customers,
+           COUNT(*)                           AS n_orders
+    FROM orders o JOIN f USING (o_custkey)
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "cohort", "analytics"),
+)
+def orders_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: customers bucketed by first-order month,
+    activity counted per (cohort_month, order_month) cell — the classic
+    product-analytics rollup. Two shuffles (min-per-customer, then the
+    cell group-by); the cohort dimension joins back broadcast-size at any
+    realistic customer count relative to the fact table."""
+    o = read_table(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    return (
+        o.join(first, "o_custkey")
+        .groupBy(
+            "cohort_month", F.date_trunc("month", F.col("o_orderdate")).alias("order_month")
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "basket_part_pairs",
+    oracle="""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS n_orders_together
+    FROM d a JOIN d b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+    tags=("join", "cooccurrence", "analytics"),
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining: part pairs appearing together
+    in ≥ 2 orders, via a within-order self-join on canonicalized
+    (part_a < part_b) pairs. Pair fan-out is C(items_per_order, 2) —
+    bounded by the small per-order basket, not the table size, so the
+    self-join shuffles on l_orderkey and stays linear in orders at any
+    scale. The HAVING prunes the singleton long tail before it leaves
+    the aggregation."""
+    li = read_table(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count("*").alias("n_orders_together"))
+        .filter(F.col("n_orders_together") >= 2)
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE)                                    AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)           AS sx,
+             CAST(SUM(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6)))
+                  AS DOUBLE)                                             AS sxx
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type, value,
+           ROUND((value - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n)), 6) AS zscore
+    FROM events e JOIN m ON e.event_type = m.event_type
+    WHERE ABS((value - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n))) > 2.0
+    """,
+    tags=("agg", "stats", "anomaly"),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection: flag events whose value sits > 2σ from
+    the per-type population mean. Moments come from exact DECIMAL sums
+    (the agg_corr_covar_exact discipline: decimal partials, one closed
+    form in doubles — multiplication in decimal ≥(19,6) so DuckDB takes
+    its int128 path) broadcast-joined back to the stream; division and
+    sqrt are correctly-rounded IEEE ops so both engines agree bit-for-bit,
+    with a 6-dp round for belt-and-suspenders. The tiny per-type moment
+    table broadcasts at any scale; the filter runs map-side."""
+    e = read_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,6)")
+    dec19 = F.col("value").cast("decimal(19,6)")
+    m = e.groupBy(F.col("event_type").alias("mt")).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(dec).cast("double").alias("sx"),
+        F.sum(dec19 * dec19).cast("double").alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    std = F.sqrt(F.col("sxx") / F.col("n") - mean * mean)
+    z = (F.col("value") - mean) / std
+    return (
+        e.join(F.broadcast(m), e.event_type == m.mt)
+        .filter(F.abs(z) > 2.0)
+        .select("event_id", "event_type", "value", F.round(z, 6).alias("zscore"))
+    )

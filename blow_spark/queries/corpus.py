@@ -254,3 +254,57 @@ def docs_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").cast("bigint").alias("max_tokens"),
         )
     )
+
+
+@register(
+    "dedup_boilerplate_sentences",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(text, '\.\s+')) AS raw
+      FROM documents
+    ), norm AS (
+      SELECT doc_id, trim(lower(raw)) AS sent FROM s
+      WHERE LENGTH(trim(raw)) >= 20
+    )
+    SELECT MD5(sent)                        AS sent_hash,
+           COUNT(DISTINCT doc_id)           AS n_docs,
+           COUNT(*)                         AS n_occurrences,
+           MIN(sent)                        AS sample_sentence
+    FROM norm
+    GROUP BY sent
+    HAVING COUNT(DISTINCT doc_id) >= 3
+    """,
+    tags=("dedup", "text", "llm"),
+)
+def dedup_boilerplate_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (sentence/paragraph-level) dedup: find boilerplate
+    sentences repeated across ≥ 3 distinct documents — the
+    header/footer/disclaimer removal pass that document-level dedup
+    can't see (two different pages sharing a cookie banner are not
+    near-dups of each other). Explode → normalize → hash-groupBy; the
+    shuffle carries (16-byte hash, doc_id) pairs, never sentence text,
+    except the one MIN(sent) sample kept per group for triage. The
+    manifest this emits drives a later semi-join strip pass."""
+    d = read_table(spark, sf_dir, "documents")
+    sent = F.explode(F.split(F.col("text"), r"\.\s+")).alias("raw")
+    norm = (
+        d.select("doc_id", sent)
+        .filter(F.length(F.trim(F.col("raw"))) >= 20)
+        .select("doc_id", F.trim(F.lower(F.col("raw"))).alias("sent"))
+    )
+    return (
+        norm.groupBy("sent")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("sent").alias("sample_sentence"),
+        )
+        .filter(F.col("n_docs") >= 3)
+        .select(
+            F.md5("sent").alias("sent_hash"),
+            "n_docs",
+            "n_occurrences",
+            "sample_sentence",
+        )
+    )
