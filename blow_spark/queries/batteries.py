@@ -289,3 +289,62 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > 2.0)
         .select("event_id", "event_type", "value", F.round(z, 6).alias("zscore"))
     )
+
+
+@register(
+    "sink_partitioned_pruned_scan",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE MONTH(l_shipdate) = 3
+    GROUP BY l_returnflag
+    """,
+    tags=("sink", "source", "partitioning"),
+)
+def sink_partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned sink + partition-PRUNED scan, end to end:
+    lineitem written partitionBy(ship_month), read back with a partition
+    filter, aggregated. The filter resolves against directory names, so
+    the scan physically touches 1/12 of the files — the layout decision
+    that turns a 100 TB full scan into a sub-TB one (the physical plan's
+    PartitionFilters row; asserted in tests/test_plans.py for the same
+    pattern). Partition-column type inference round-trips the int month.
+    Oracle states the equivalent semantic filter over the raw table."""
+    import tempfile
+
+    li = read_table(spark, sf_dir, "lineitem")
+    stage = tempfile.mkdtemp(prefix="blow_spark_part_")
+    (
+        li.withColumn("ship_month", F.month("l_shipdate"))
+        .write.mode("overwrite")
+        .partitionBy("ship_month")
+        .parquet(stage)
+    )
+    back = spark.read.parquet(stage).filter(F.col("ship_month") == 3)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+    )
+
+
+@register("agg_hll_sketch_union", oracle=None, tags=("agg", "approx", "sketch"))
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches, built into Spark 4):
+    per-(returnflag, linestatus) part-key sketches, then hll_union_agg up
+    to the returnflag level and estimate. Mergeability IS the scale
+    architecture for distinct counts — pre-aggregated sketches union
+    across partitions/days without re-touching raw data, the pattern a
+    100 TB rollup needs (vs countDistinct's full re-shuffle per level).
+    Engine-specific binary sketches ⇒ rows-only driver check;
+    tests/test_relational.py bounds the estimates against exact counts."""
+    li = read_table(spark, sf_dir, "lineitem")
+    fine = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk"),
+        F.count("*").alias("n"),
+    )
+    return fine.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_distinct_parts"),
+        F.sum("n").alias("n_rows"),
+    )

@@ -308,3 +308,58 @@ def dedup_boilerplate_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sample_sentence",
         )
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ), freq AS (
+      SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT CAST(SUM(c) AS DOUBLE) AS t FROM freq
+    ), scored AS (
+      SELECT doc_id,
+             CAST(ROUND(LN(CAST(c AS DOUBLE) / t) * 1000000, 0) AS BIGINT) AS lp
+      FROM toks JOIN freq USING (tok) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(lp) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_logprob
+    FROM scored
+    GROUP BY doc_id
+    """,
+    tags=("text", "quality", "llm"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: per-doc mean log-probability under
+    the corpus's own unigram distribution — the cheap perplexity proxy
+    quality filters use when no LM is available (low avg logprob ⇒
+    unusual token mix ⇒ candidate junk). Two-pass: corpus term
+    frequencies (one shuffle on token), broadcast-join back, per-doc
+    aggregate. ln() differs by ≤1 ulp between libm and the JVM, so each
+    token's logprob is fixed-pointed to µ-units (round → BIGINT) before
+    summation — the house rule for transcendentals — making the per-doc
+    sum order-free and engine-exact. At 100 TB the frequency table is
+    the only global state and it's Zipf-small after a min-count cut."""
+    from blow_spark import functions as BF
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(BF.tokenize_ws(F.lower(F.col("text")))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").cast("double").alias("t"))
+    scored = toks.join(F.broadcast(freq), "tok").crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        F.round(F.log(F.col("c").cast("double") / F.col("t")) * 1_000_000, 0)
+        .cast("bigint")
+        .alias("lp"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        (F.sum("lp").cast("double") / F.count("*") / 1_000_000.0).alias("avg_logprob"),
+    )

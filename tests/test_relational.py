@@ -182,3 +182,28 @@ def test_skyline_window_matches_quadratic_dominance(spark, sf_dir):
         ).fetchall()
     )
     assert got == want
+
+
+def test_hll_sketch_union_estimate_bounds(spark, sf_dir):
+    """agg_hll_sketch_union is rows-only in the driver gate; here the
+    unioned-sketch estimate is bounded against the exact distinct count
+    per returnflag AND against sketching the union directly — the
+    mergeability property that makes pre-aggregated sketches a valid
+    rollup representation."""
+    li = read_table(spark, sf_dir, "lineitem")
+    fine = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    merged = fine.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    direct = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("direct_est"),
+        F.countDistinct("l_partkey").alias("exact"),
+    )
+    rows = merged.join(direct, "l_returnflag").collect()
+    assert rows
+    for r in rows:
+        assert abs(r["est"] - r["exact"]) <= 0.1 * r["exact"], r
+        # union-of-parts == sketch-of-whole (same lgConfigK, same stream)
+        assert r["est"] == r["direct_est"], r
