@@ -363,3 +363,88 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_tokens"),
         (F.sum("lp").cast("double") / F.count("*") / 1_000_000.0).alias("avg_logprob"),
     )
+
+
+@register(
+    "text_bm25_search",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             SUM(dl) / COUNT(*)       AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM toks WHERE tok IN ('window', 'join', 'stream')
+      GROUP BY doc_id, tok
+    ), dft AS (
+      SELECT tok, CAST(COUNT(*) AS DOUBLE) AS dft FROM tf GROUP BY tok
+    ), contrib AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               LN(1 + (n_docs - dft + 0.5) / (dft + 0.5))
+               * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+               * 1000000, 0) AS BIGINT) AS c_micro
+      FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+    )
+    SELECT doc_id,
+           COUNT(*)                                   AS n_terms_matched,
+           CAST(SUM(c_micro) AS BIGINT)               AS score_micro,
+           CAST(SUM(c_micro) AS DOUBLE) / 1000000.0   AS bm25
+    FROM contrib
+    GROUP BY doc_id
+    """,
+    tags=("text", "retrieval", "llm"),
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (k1=1.2, b=0.75) for the query
+    {window, join, stream} — the lexical ranking half of a RAG/dedup
+    retrieval stack, built on the same tf/df/dl statistics as
+    text_tfidf_top_terms. Per-(doc, term) contributions are fixed-pointed
+    to µ-units before the per-doc sum (ln differs by ≤1 ulp across
+    engines and float addition isn't associative — the bigint sum is
+    order-free and engine-exact; the house transcendental rule). Shape at
+    scale: tf is one shuffle on (doc, term) with the query terms filter
+    pushed into the scan; df and the corpus stats are broadcast-size."""
+    from blow_spark import functions as BF
+
+    K1, B = 1.2, 0.75
+    terms = ["window", "join", "stream"]
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(BF.tokenize_ws(F.lower(F.col("text")))).alias("tok")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dft = tf.groupBy("tok").agg(F.count("*").cast("double").alias("dft"))
+    idf = F.log(1 + (F.col("n_docs") - F.col("dft") + 0.5) / (F.col("dft") + 0.5))
+    tf_part = (F.col("tf") * (K1 + 1)) / (
+        F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = (
+        tf.join(F.broadcast(dft), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf * tf_part * 1_000_000, 0).cast("bigint").alias("c_micro"),
+        )
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.count("*").alias("n_terms_matched"),
+        F.sum("c_micro").cast("bigint").alias("score_micro"),
+        (F.sum("c_micro").cast("double") / 1_000_000.0).alias("bm25"),
+    )

@@ -814,3 +814,121 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
     )
     return _drain(agg, "append", "late_out")
+
+
+@register(
+    "streaming_update_mode_counts",
+    oracle="""
+    WITH b0 AS (
+      SELECT user_id, COUNT(*) AS n_events FROM events
+      WHERE ts < TIMESTAMP '2024-01-15' GROUP BY user_id
+    ), b1u AS (
+      SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+    ), tot AS (
+      SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events FROM b0
+    UNION ALL
+    SELECT t.user_id, t.n_events FROM tot t JOIN b1u ON t.user_id = b1u.user_id
+    """,
+    tags=("streaming", "update-mode", "runtime"),
+)
+def streaming_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode through the real runtime — the third output
+    mode (complete and append are covered by the other runtime queries):
+    each micro-batch emits the NEW value of every key it touched, so the
+    sink accumulates one generation per (batch, touched key). Events are
+    staged as two mtime-ordered files split at Jan 15; the oracle states
+    the two generations set-theoretically: batch-0 keys with their
+    early-half counts, UNION ALL batch-1-touched keys with their final
+    totals (a key active in both halves appears twice — the driver's
+    multiset value-hash checks exactly that). No watermark: update-mode
+    running counts keep all state, the trade-off this mode makes."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from blow_spark.streaming import EVENTS_SCHEMA
+
+    e = read_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    stage = tempfile.mkdtemp(prefix="blow_spark_upd_")
+    tmp = tempfile.mkdtemp(prefix="blow_spark_upd_tmp_")
+    parts = [e.filter(F.col("ts") < cutoff), e.filter(F.col("ts") >= cutoff)]
+    for i, part in enumerate(parts):
+        d = os.path.join(tmp, str(i))
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        src = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        dst = os.path.join(stage, f"batch_{i}.parquet")
+        shutil.copyfile(src, dst)
+        t = 1_700_000_000 + i * 60
+        os.utime(dst, (t, t))
+    shutil.rmtree(tmp)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    counts = stream.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    return _drain(counts, "update", "upd_out")
+
+
+@register(
+    "window_session_dynamic_gap",
+    oracle="""
+    WITH ends AS (
+      SELECT user_id, ts, event_id, value,
+             ts + CASE WHEN event_type = 'error' THEN INTERVAL 5 MINUTE
+                       ELSE INTERVAL 30 MINUTE END AS ev_end
+      FROM events
+    ), marked AS (
+      SELECT user_id, ts, ev_end, value,
+             CASE WHEN MAX(ev_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       IS NULL
+                  OR ts > MAX(ev_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ends
+    ), numbered AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, ev_end, value
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS session_no
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts)       AS session_start,
+           MAX(ev_end)   AS session_end,
+           COUNT(*)      AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+    tags=("streaming", "session", "dynamic-gap"),
+)
+def window_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a per-EVENT dynamic gap: 5 minutes of
+    inactivity closes a session after an 'error' event, 30 minutes
+    otherwise — the conditional-timeout sessionization real clickstreams
+    need (F.session_window with a Column gap; the static-gap form is
+    window_session). Each event spans [ts, ts+gap); sessions merge while
+    the next event starts at or before the running max end. The oracle
+    reproduces that with a running-max gaps-and-islands rewrite. Same
+    one-shuffle-on-user profile as static sessions at any scale."""
+    e = read_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "error", "5 minutes").otherwise("30 minutes")
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
