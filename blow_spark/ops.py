@@ -317,3 +317,32 @@ def salted_join(
     d = dim.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
     out = s.join(d, on=[on, "_salt"], how=how)
     return out.drop("_salt")
+
+
+def bfs_distances(edges: DataFrame, sources: DataFrame, max_hops: int = 3) -> DataFrame:
+    """Multi-source BFS over (src, dst) edges → (node, dist): minimum hop
+    count from any source node, truncated at ``max_hops`` (unreached
+    nodes are absent). The frontier-expansion member of the iterative
+    family (connected_components = min-label fixpoint, pagerank = power
+    iteration): each round relaxes dist(v) = min(dist(v),
+    min_{u→v} dist(u)+1) — one join + one min-groupBy shuffle keyed by
+    node, the SAME key every round, so a cluster deployment
+    pre-partitions edges once and every iteration is co-located.
+    localCheckpoint() truncates lineage per round. Fixed hop count keeps
+    the result a pure function of the edge set, so an unrolled-CTE SQL
+    oracle can replay it. The reference's single-pass channel dataflow
+    (maps/maps.go:34-37) cannot express any multi-pass operator."""
+    dist = (
+        sources.select("node").distinct().withColumn("dist", F.lit(0)).localCheckpoint()
+    )
+    for _ in range(max_hops):
+        expanded = edges.join(dist, edges.src == dist.node).select(
+            F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            dist.union(expanded)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist

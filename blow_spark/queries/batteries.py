@@ -20,6 +20,7 @@ engine-specific element order can't perturb the value hash.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from blow_spark.queries import register
@@ -347,4 +348,139 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fine.groupBy("l_returnflag").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_distinct_parts"),
         F.sum("n").alias("n_rows"),
+    )
+
+
+@register(
+    "source_schema_evolution",
+    oracle="""
+    WITH merged AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag,
+             CAST(NULL AS DOUBLE) AS l_discount
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, l_returnflag, l_discount FROM lineitem
+    )
+    SELECT l_returnflag,
+           COUNT(*)                                              AS n_rows,
+           CAST(COUNT(l_discount) AS BIGINT)                     AS n_with_disc,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc
+    FROM merged
+    GROUP BY l_returnflag
+    """,
+    tags=("source", "schema-evolution"),
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution: an old file set written WITHOUT
+    l_discount and a new one written WITH it, read together under
+    mergeSchema=true — the add-a-column migration every long-lived 100 TB
+    table goes through (per-file schemas reconciled at scan; old files
+    surface NULL for the new column, pinned by n_with_disc = half the
+    rows). Oracle replays the union with an explicit NULL leg."""
+    import tempfile
+
+    li = read_table(spark, sf_dir, "lineitem")
+    stage = tempfile.mkdtemp(prefix="blow_spark_evo_")
+    old_cols = ["l_orderkey", "l_linenumber", "l_returnflag"]
+    li.select(*old_cols).write.mode("overwrite").parquet(stage + "/v1")
+    li.select(*old_cols, "l_discount").write.mode("overwrite").parquet(stage + "/v2")
+    merged = spark.read.option("mergeSchema", "true").parquet(stage + "/v1", stage + "/v2")
+    return merged.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.count("l_discount").cast("bigint").alias("n_with_disc"),
+        F.sum(F.col("l_discount").cast("decimal(18,4)")).cast("double").alias("sum_disc"),
+    )
+
+
+@register(
+    "scalar_try_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_linenumber - 1 = 0 THEN NULL
+                ELSE l_extendedprice / (l_linenumber - 1) END      AS safe_div,
+           CAST(NULL AS BIGINT)                                   AS overflow_add,
+           TRY_CAST(l_returnflag AS BIGINT)                        AS bad_cast,
+           TRY_CAST(CASE WHEN l_linenumber % 2 = 0 THEN '1 2'
+                         ELSE CAST(l_linenumber AS VARCHAR) END AS BIGINT)
+                                                                   AS parse_mixed,
+           CAST((generate_series(1, 3))[9] AS BIGINT)              AS oob_element
+    FROM lineitem
+    """,
+    tags=("scalar", "ansi", "error-safe"),
+)
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe (try_*) expression battery — the ANSI-mode escape
+    hatches a dirty-data pipeline needs so one bad row NULLs instead of
+    failing the job: division by zero, bigint overflow, unparseable
+    casts, out-of-bounds array access. The oracle states each NULL
+    outcome declaratively (DuckDB throws on overflow rather than
+    NULLing, so the overflow leg is the constant its semantics imply:
+    MAX_BIGINT + (key+1) always overflows — keys are ≥ 0). parse_mixed alternates
+    a parseable integer string with an unparseable one, pinning both
+    TRY_CAST outcomes per row. (Fractional strings are deliberately
+    avoided: DuckDB's TRY_CAST('25.0' AS BIGINT) rounds to 25 while
+    Spark's NULLs — a real cross-engine semantic divergence.)"""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_linenumber") - 1).alias("safe_div"),
+        F.try_add(F.lit(9223372036854775807), F.col("l_orderkey") + 1).alias("overflow_add"),
+        F.expr("TRY_CAST(l_returnflag AS BIGINT)").alias("bad_cast"),
+        F.expr(
+            "TRY_CAST(CASE WHEN l_linenumber % 2 = 0 THEN '1 2' "
+            "ELSE CAST(l_linenumber AS STRING) END AS BIGINT)"
+        ).alias("parse_mixed"),
+        F.try_element_at(F.sequence(F.lit(1), F.lit(3)), F.lit(9))
+        .cast("bigint")
+        .alias("oob_element"),
+    )
+
+
+@register(
+    "window_nth_value_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           nth_value(l_quantity, 2) OVER w                          AS second_qty,
+           nth_value(CASE WHEN l_returnflag <> 'R' THEN l_quantity END,
+                     2 IGNORE NULLS) OVER w                         AS second_kept_qty,
+           lead(l_quantity, 1, -1.0) OVER w                         AS next_qty,
+           first_value(CASE WHEN l_returnflag <> 'R' THEN l_quantity END
+                       IGNORE NULLS) OVER w                         AS first_kept_qty
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_partkey, l_suppkey,
+                          CAST(ROUND(l_quantity * 100, 0) AS BIGINT),
+                          CAST(ROUND(l_extendedprice * 10000, 0) AS BIGINT))
+    """,
+    tags=("window", "analytic"),
+)
+def window_nth_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value (plain + IGNORE NULLS), lead-with-default, and
+    first_value IGNORE NULLS — the analytic corners the earlier window
+    batteries don't touch. Default growing frame on both sides. The sort
+    key is (linenumber, partkey, suppkey, fixed-point qty, fixed-point
+    price): (l_orderkey, l_linenumber) alone is NOT unique in the
+    fixture, and lead/nth_value over a non-total order are free to pick
+    either peer — caught at sf0.01 where the tie population is 10×. Any
+    remaining full-key ties are entire-row duplicates, which are
+    interchangeable. The IGNORE NULLS legs skip 'R'-flagged rows — the
+    carry-forward-past-gaps idiom (same family as the LOCF gap fill)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy(
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_quantity") * 100, 0).cast("bigint"),
+        F.round(F.col("l_extendedprice") * 10000, 0).cast("bigint"),
+    )
+    kept = F.when(F.col("l_returnflag") != "R", F.col("l_quantity"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.nth_value("l_quantity", 2).over(w).alias("second_qty"),
+        F.nth_value(kept, 2, ignoreNulls=True).over(w).alias("second_kept_qty"),
+        F.lead("l_quantity", 1, -1.0).over(w).alias("next_qty"),
+        F.first(kept, ignorenulls=True).over(w).alias("first_kept_qty"),
     )

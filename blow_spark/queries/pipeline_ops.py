@@ -878,3 +878,62 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(nodes.agg(F.count("*").alias("n_nodes")))
         .crossJoin(tri.agg(F.count("*").alias("n_triangles")))
     )
+
+
+_BFS_STEP = """
+    SELECT node, MIN(dist) AS dist FROM (
+      SELECT node, dist FROM {prev}
+      UNION ALL
+      SELECT e.dst AS node, p.dist + 1 AS dist
+      FROM edges e JOIN {prev} p ON e.src = p.node
+    ) u GROUP BY node
+"""
+
+
+@register(
+    "graph_bfs_hops",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c_node,
+                        's' || CAST(l_suppkey AS VARCHAR) AS s_node
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), edges AS (
+        SELECT c_node AS src, s_node AS dst FROM pairs
+        UNION ALL
+        SELECT s_node AS src, c_node AS dst FROM pairs
+    ), b0 AS (
+        SELECT 's1' AS node, 0 AS dist
+    ), b1 AS ({_BFS_STEP.format(prev="b0")}),
+       b2 AS ({_BFS_STEP.format(prev="b1")}),
+       b3 AS ({_BFS_STEP.format(prev="b2")})
+    SELECT node, CAST(dist AS INT) AS dist FROM b3
+    """,
+    tags=("graph", "iterative"),
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop BFS (3 rounds) from supplier s1 over the undirected
+    customer↔supplier trade graph — "which customers and suppliers sit
+    within k trade hops of this supplier", the neighborhood-expansion
+    primitive of fraud rings / recommendation walks. Runs through the
+    generic blow_spark.ops.bfs_distances (frontier join + min-groupBy per
+    round, lineage-truncated); oracle unrolls the three relaxation
+    rounds as nested CTEs exactly like graph_pagerank_bipartite."""
+    from blow_spark import ops
+
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c_node"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s_node"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")).union(
+        pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
+    )
+    sources = spark.createDataFrame([("s1",)], "node string")
+    return ops.bfs_distances(edges, sources, max_hops=3).select(
+        "node", F.col("dist").cast("int").alias("dist")
+    )
