@@ -44,6 +44,9 @@ HEADLINE = [
     "cdc_latest_state_by_key",
     "sql_nation_monthly_rank",
     "pipeline_corpus_end_to_end",
+    "text_bm25_search",
+    "agg_hll_sketch_union",
+    "window_time_range_frame",
 ]
 
 

@@ -484,3 +484,85 @@ def window_nth_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("l_quantity", 1, -1.0).over(w).alias("next_qty"),
         F.first(kept, ignorenulls=True).over(w).alias("first_kept_qty"),
     )
+
+
+@register(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey)  AS n_parts,
+           COUNT(DISTINCT l_suppkey)  AS n_supps,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           SUM(CAST(ROUND(l_quantity * 10000, 0) AS BIGINT)) / 10000.0 AS sum_qty,
+           COUNT(*)                   AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "distinct"),
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE different COUNT(DISTINCT) columns plus plain aggregates in
+    one GROUP BY — the multi-distinct shape Catalyst plans with an
+    Expand node (each row replicated once per distinct group, then a
+    two-level aggregate). Distinct from agg_distinct_counts (single
+    distinct column): multi-distinct is its own planning problem —
+    the Expand multiplies shuffle rows by the distinct-column count,
+    which is why sketch rollups (agg_hll_sketch_union) replace this
+    exact form at the 100 TB rollup layer when estimates suffice."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        (F.sum(F.round(F.col("l_quantity") * 10000, 0).cast("long")) / 10000.0).alias(
+            "sum_qty"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT e.event_id,
+           e.user_id,
+           CASE WHEN c.ts >= e.ts - INTERVAL 15 MINUTE THEN c.ts END AS recent_click_ts,
+           CAST(CASE WHEN c.ts >= e.ts - INTERVAL 15 MINUTE THEN 1 ELSE 0 END
+                AS BIGINT) AS within_tolerance
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts > c.ts
+    """,
+    tags=("join", "asof", "tolerance"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness TOLERANCE (pandas merge_asof's
+    `tolerance=`): the most recent earlier click is only attached if it
+    happened within 15 minutes of the error — older matches are nulled,
+    the "don't join stale reference data" guard a point-in-time
+    enrichment needs. Same range-join + max core as join_asof with the
+    tolerance applied as a post-predicate; the scalable single-shuffle
+    form is blow_spark.ops.asof_join + the same predicate."""
+    ev = read_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("err_ts")
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    asof = (
+        err.join(
+            clk,
+            (F.col("user_id") == F.col("c_user")) & (F.col("err_ts") > F.col("c_ts")),
+            "left",
+        )
+        .groupBy("event_id", "user_id", "err_ts")
+        .agg(F.max("c_ts").alias("last_click_ts"))
+    )
+    in_tol = F.col("last_click_ts") >= F.col("err_ts") - F.expr("INTERVAL 15 MINUTE")
+    return asof.select(
+        "event_id",
+        "user_id",
+        F.when(in_tol, F.col("last_click_ts")).alias("recent_click_ts"),
+        F.when(in_tol, F.lit(1)).otherwise(0).cast("bigint").alias("within_tolerance"),
+    )

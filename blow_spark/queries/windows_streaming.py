@@ -932,3 +932,61 @@ def window_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), numbered AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS session_no
+      FROM marked
+    ), sessions AS (
+      SELECT user_id, session_no,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)     AS first_view_ts,
+             MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase_ts
+      FROM numbered
+      GROUP BY user_id, session_no
+    )
+    SELECT COUNT(*)                                            AS n_sessions,
+           CAST(COUNT(first_view_ts) AS BIGINT)                AS n_view_sessions,
+           CAST(COUNT(*) FILTER (WHERE last_purchase_ts > first_view_ts)
+                AS BIGINT)                                     AS n_converted,
+           CAST(COUNT(*) FILTER (WHERE last_purchase_ts > first_view_ts) AS DOUBLE)
+             / COUNT(first_view_ts)                            AS conversion_rate
+    FROM sessions
+    """,
+    tags=("session", "funnel", "analytics"),
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized funnel conversion: of the 30-min-gap sessions that
+    contain a 'view', what fraction also contain a 'purchase' AFTER the
+    first view — the product-analytics KPI built from sessionization +
+    conditional aggregation (the composition the per-operator queries
+    exercise separately). Spark side groups by session_window; the
+    oracle replays with the same gaps-and-islands rewrite as
+    window_session. Two shuffles, both keyed by user."""
+    e = read_table(spark, sf_dir, "events")
+    sessions = e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view_ts"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "last_purchase_ts"
+        ),
+    )
+    converted = F.col("last_purchase_ts") > F.col("first_view_ts")
+    return sessions.agg(
+        F.count("*").alias("n_sessions"),
+        F.count("first_view_ts").cast("bigint").alias("n_view_sessions"),
+        F.count_if(converted).cast("bigint").alias("n_converted"),
+        (
+            F.count_if(converted).cast("double") / F.count("first_view_ts")
+        ).alias("conversion_rate"),
+    )
