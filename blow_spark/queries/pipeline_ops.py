@@ -937,3 +937,35 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.bfs_distances(edges, sources, max_hops=3).select(
         "node", F.col("dist").cast("int").alias("dist")
     )
+
+
+@register(
+    "cdc_merge_upsert_delete",
+    oracle="""
+    SELECT user_id,
+           ts    AS last_ts,
+           value AS last_value
+    FROM (
+      SELECT user_id, ts, value, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    tags=("pipeline", "cdc", "merge"),
+)
+def cdc_merge_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics over a changelog WITH delete markers: every event
+    upserts its user's state except 'error' rows, which act as DELETEs —
+    a key whose newest entry is a delete vanishes from the snapshot
+    (cdc_latest_state_by_key is the delete-free compaction). Same
+    single-shuffle rank-and-filter plan; the delete is a post-rank
+    predicate, not a second pass. This is the read-side contract of
+    MERGE INTO ... WHEN MATCHED DELETE on a 100 TB CDC lake."""
+    e = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select("user_id", F.col("ts").alias("last_ts"), F.col("value").alias("last_value"))
+    )

@@ -990,3 +990,110 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(converted).cast("double") / F.count("first_view_ts")
         ).alias("conversion_rate"),
     )
+
+
+@register(
+    "streaming_stream_stream_left_outer",
+    oracle="""
+    WITH err AS (
+      SELECT event_id AS probe_id, user_id, ts AS ts_a FROM events
+      WHERE event_type = 'error'
+    ), clk AS (
+      SELECT event_id AS match_id, user_id, ts AS ts_b FROM events
+      WHERE event_type = 'click'
+    ), wm AS (
+      SELECT LEAST(
+               (SELECT date_trunc('milliseconds', MAX(ts)) FROM events
+                WHERE event_type = 'error'),
+               (SELECT date_trunc('milliseconds', MAX(ts)) FROM events
+                WHERE event_type = 'click')
+             ) - INTERVAL 10 MINUTE AS w
+    ), matched AS (
+      SELECT e.probe_id, e.user_id, c.match_id
+      FROM err e JOIN clk c
+        ON e.user_id = c.user_id
+       AND c.ts_b >= e.ts_a AND c.ts_b <= e.ts_a + INTERVAL 5 MINUTE
+    ), unmatched AS (
+      SELECT e.probe_id, e.user_id, CAST(NULL AS BIGINT) AS match_id
+      FROM err e, wm
+      WHERE NOT EXISTS (
+              SELECT 1 FROM clk c
+              WHERE c.user_id = e.user_id
+                AND c.ts_b >= e.ts_a AND c.ts_b <= e.ts_a + INTERVAL 5 MINUTE)
+        AND e.ts_a + INTERVAL 5 MINUTE < wm.w
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+    tags=("streaming", "join", "outer", "runtime"),
+)
+def streaming_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join through the real runtime — the
+    hardest emission contract in Structured Streaming: a match emits
+    immediately, but a NULL-extended row may only emit once the
+    watermark proves no future right row can match (wm > ts_a + the
+    join's 5-minute reach), and lefts newer than that horizon stay in
+    state unemitted at stream end. Staged as data + two empty spacer
+    files (mtime-ordered, maxFilesPerTrigger=1): the spacer batches let
+    the eviction watermark advance and flush the evictable unmatched
+    lefts. The oracle states all three populations set-theoretically —
+    matches, NOT-EXISTS lefts past the horizon (emitted with NULL), and
+    the near-end holdback (absent). Two non-obvious watermark facts the
+    oracle encodes: the GLOBAL watermark is the MINIMUM across all
+    watermarked inputs (default multipleWatermarkPolicy — each side's
+    event-time stats are computed AFTER its filter, so the error side's
+    sparser timeline governs; measured: the newest error is held back
+    for exactly this reason), and watermarks are millisecond-precision
+    internally, hence the date_trunc in the horizon arithmetic. State is
+    bounded by the watermark on both sides at any scale."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from blow_spark.streaming import EVENTS_SCHEMA
+
+    e = read_table(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="blow_spark_sslo_")
+    tmp = tempfile.mkdtemp(prefix="blow_spark_sslo_tmp_")
+    empty = e.filter(F.col("event_id") < 0)
+    for i, part in enumerate([e, empty, empty]):
+        d = os.path.join(tmp, str(i))
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        src = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        dst = os.path.join(stage, f"batch_{i}.parquet")
+        shutil.copyfile(src, dst)
+        t = 1_700_000_000 + i * 60
+        os.utime(dst, (t, t))
+    shutil.rmtree(tmp)
+
+    def rd():
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+        )
+
+    a = (
+        rd()
+        .filter(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("probe_id"), "user_id", F.col("ts").alias("ts_a"))
+        .withWatermark("ts_a", "10 minutes")
+    )
+    b = (
+        rd()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("match_id"),
+            F.col("user_id").alias("user_b"),
+            F.col("ts").alias("ts_b"),
+        )
+        .withWatermark("ts_b", "10 minutes")
+    )
+    joined = a.join(
+        b,
+        (F.col("user_id") == F.col("user_b"))
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTE")),
+        "left_outer",
+    ).select("probe_id", "user_id", "match_id")
+    return _drain(joined, "append", "sslo_out")

@@ -159,3 +159,16 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     import glob
     n_dirs = len(glob.glob(path + "/bucket=*"))
     assert n_dirs == 10
+
+
+def test_multi_distinct_plans_expand(spark, sf_dir):
+    """agg_multi_distinct (3 COUNT DISTINCT columns + plain aggs in one
+    GROUP BY) must plan with a single Expand-based multi-distinct
+    rewrite — one pass over the input replicated per distinct group —
+    not as separate self-joined aggregations."""
+    from blow_spark.queries import queries
+
+    df = queries()["agg_multi_distinct"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan, plan[:1500]
+    assert "Join" not in plan, plan[:1500]
