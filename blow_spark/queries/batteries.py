@@ -566,3 +566,30 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_tol, F.col("last_click_ts")).alias("recent_click_ts"),
         F.when(in_tol, F.lit(1)).otherwise(0).cast("bigint").alias("within_tolerance"),
     )
+
+
+@register(
+    "sort_limit_offset_page",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+    tags=("sort", "limit", "offset"),
+)
+def sort_limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-free pagination: page 3 of a 20-row listing (ORDER BY a
+    provably total key, OFFSET 40 LIMIT 20). Catalyst folds
+    sort+offset+limit into one TakeOrderedAndProject-style global top-60
+    — each partition contributes at most 60 rows, the driver keeps the
+    window — so no full sort materializes. (OFFSET cost grows with page
+    depth; deep pagination belongs on a keyset predicate instead, which
+    is ordinary filter pushdown.)"""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .offset(40)
+        .limit(20)
+    )

@@ -230,3 +230,80 @@ def join_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(clk.groupBy("user_id"))
         .applyInPandas(merge, "event_id long, user_id long, last_click_ts timestamp")
     )
+
+
+@register(
+    "udf_scalar_python",
+    oracle="""
+    SELECT l_orderkey,
+           CASE WHEN l_orderkey % 15 = 0 THEN 'fizzbuzz'
+                WHEN l_orderkey % 3 = 0  THEN 'fizz'
+                WHEN l_orderkey % 5 = 0  THEN 'buzz'
+                ELSE CAST(l_orderkey AS VARCHAR) END AS word,
+           l_linenumber
+    FROM lineitem
+    """,
+    tags=("udf", "python"),
+)
+def udf_scalar_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python @udf — the U1 scalar-UDF surface in its
+    slowest legal form, registered deliberately: it completes the UDF
+    API matrix (@udf here; @pandas_udf, mapInPandas, applyInPandas,
+    UDTF, mapInArrow elsewhere) and is the documented anti-pattern the
+    vectorized forms replace (per-row Python dispatch ~10-100× slower —
+    never on a hot path; SCALE.md "Python boundary policy"). Logic is
+    the reference's fizzbuzz mapper (cmd/fizzbuzz/fizzbuzz.go:21-46)."""
+    from pyspark.sql.functions import udf
+
+    @udf("string")
+    def fizz(n):
+        if n % 15 == 0:
+            return "fizzbuzz"
+        if n % 3 == 0:
+            return "fizz"
+        if n % 5 == 0:
+            return "buzz"
+        return str(n)
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", fizz("l_orderkey").alias("word"), "l_linenumber")
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT l_orderkey,
+           (l_orderkey * 2654435761) % 4294967296 % 1024 AS hash_bucket,
+           l_quantity * 2.0                              AS qty_doubled
+    FROM lineitem
+    """,
+    tags=("udf", "pandas", "arrow"),
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar @pandas_udf (Arrow batches in, numpy arithmetic,
+    Arrow batches out) — the fast form of the U1 scalar surface: one
+    Python call per batch instead of per row. Knuth multiplicative
+    hashing in int64 (no overflow: keys ≪ 2^33) and a doubling in
+    float64 — both bit-exact against the oracle's integer/IEEE
+    arithmetic, no rounding needed. Stays a map-only stage: Arrow
+    transfer pipelines with the scan."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them, which pandas_udf's hint parser rejects; hint-free defaults
+    # to the SCALAR variant, which is what this is
+    @pandas_udf("long")
+    def bucket(k):
+        return (k * 2654435761) % 4294967296 % 1024
+
+    @pandas_udf("double")
+    def doubled(q):
+        return q * 2.0
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        bucket("l_orderkey").alias("hash_bucket"),
+        doubled("l_quantity").alias("qty_doubled"),
+    )

@@ -969,3 +969,33 @@ def cdc_merge_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
         .select("user_id", F.col("ts").alias("last_ts"), F.col("value").alias("last_value"))
     )
+
+
+_GROUPING_SETS_SQL = """
+    SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+           COALESCE(l_linestatus, 'ALL') AS lstatus,
+           SUM(CAST(ROUND(l_quantity * 10000, 0) AS BIGINT))
+             / CAST(10000 AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+# (the /CAST(10000 AS DOUBLE) is deliberate: Spark SQL parses the literal
+# 10000.0 as DECIMAL(5,1) — giving a DECIMAL division — while DuckDB
+# parses it as DOUBLE; the explicit cast pins double division in both)
+
+
+@register(
+    "sql_grouping_sets_front_door",
+    oracle=_GROUPING_SETS_SQL,
+    tags=("sql", "agg", "grouping-sets"),
+)
+def sql_grouping_sets_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through the SQL front door with ONE shared query
+    text — the same string runs on spark.sql and the DuckDB oracle
+    (the third shared-string query: CTE+window, LATERAL, and now
+    multi-level aggregation). Catalyst plans the three grouping levels
+    as one Expand + aggregate pass, not three scans."""
+    for t in ("lineitem",):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_GROUPING_SETS_SQL)
