@@ -448,3 +448,117 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_micro").cast("bigint").alias("score_micro"),
         (F.sum("c_micro").cast("double") / 1_000_000.0).alias("bm25"),
     )
+
+
+_VOCAB_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ), freq AS (
+      SELECT tok, COUNT(*) AS n_occurrences FROM toks GROUP BY tok
+    )
+    SELECT tok,
+           n_occurrences,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, tok) AS BIGINT)
+               AS token_id
+    FROM freq
+    WHERE n_occurrences >= 3
+"""
+
+
+@register(
+    "tokenizer_vocab_build",
+    oracle=_VOCAB_SQL,
+    tags=("text", "tokenizer", "llm"),
+)
+def tokenizer_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction — the first half of tokenization: corpus
+    term frequencies, a min-count cut (≥3), and dense token ids assigned
+    by frequency rank with the token string as tiebreaker (a total
+    order, so ids are reproducible across runs and engines — the
+    property a training run needs to resume against the same vocab).
+    One shuffle for the freq count; the id assignment is a single-column
+    global rank over the Zipf-truncated vocab, which is small by
+    construction at any corpus size."""
+    from blow_spark import functions as BF
+    from pyspark.sql import Window as W
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(BF.tokenize_ws(F.lower(F.col("text")))).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("n_occurrences")).filter(
+        F.col("n_occurrences") >= 3
+    )
+    w = W.orderBy(F.col("n_occurrences").desc(), "tok")
+    return freq.select(
+        "tok", "n_occurrences", F.row_number().over(w).cast("bigint").alias("token_id")
+    )
+
+
+@register(
+    "corpus_encode_tokens",
+    oracle=rf"""
+    WITH vocab AS ({_VOCAB_SQL}),
+    split AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, u.i AS pos, t[u.i] AS tok
+      FROM split, UNNEST(range(1, least(len(t), 32) + 1)) AS u(i)
+    )
+    SELECT doc_id,
+           array_to_string(
+             array_agg(COALESCE(CAST(v.token_id AS VARCHAR), '0')
+                       ORDER BY toks.pos), ',') AS token_ids_csv,
+           COUNT(*)                             AS n_encoded,
+           CAST(COUNT(v.token_id) AS BIGINT)    AS n_in_vocab
+    FROM toks LEFT JOIN vocab v USING (tok)
+    GROUP BY doc_id
+    """,
+    tags=("text", "tokenizer", "llm"),
+)
+def corpus_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token→id encoding — the second half of tokenization: each doc's
+    first 32 tokens mapped through the vocabulary (OOV → 0), emitted as
+    an ORDERED id sequence. The order-preserving trick under a
+    distributed join: posexplode carries the position, the vocab join is
+    broadcast (vocab is Zipf-small), and the sequence reassembles with
+    array_agg ordered by position — the exact pattern any per-element
+    enrich-then-reassemble pipeline uses at scale (the join is map-side,
+    the only shuffle is the per-doc regroup)."""
+    from blow_spark import functions as BF
+
+    d = read_table(spark, sf_dir, "documents")
+    vocab = tokenizer_vocab_build(spark, sf_dir).select("tok", "token_id")
+    toks = (
+        d.select(
+            "doc_id",
+            F.posexplode(BF.tokenize_ws(F.lower(F.col("text")))).alias("pos0", "tok"),
+        )
+        .withColumn("pos", F.col("pos0") + 1)
+        .filter(F.col("pos") <= 32)
+    )
+    joined = toks.join(F.broadcast(vocab), "tok", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("pos"),
+                                F.coalesce(F.col("token_id").cast("string"), F.lit("0")).alias(
+                                    "tid"
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["tid"],
+                ),
+            ).alias("token_ids_csv"),
+            F.count("*").alias("n_encoded"),
+            F.count("token_id").cast("bigint").alias("n_in_vocab"),
+        )
+    )
