@@ -53,3 +53,47 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     evenly-spaced byte slices, posexploded."""
     d = multimodal.with_synthetic_media(read_table(spark, sf_dir, "documents"))
     return multimodal.sample_frames(d, n_frames=4, frame_bytes=64)
+
+
+@register(
+    "multimodal_payload_dedup",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, SHA256(LOWER(TRIM(text))) AS payload_sha,
+             OCTET_LENGTH(ENCODE(text)) AS n_bytes
+      FROM documents
+    )
+    SELECT payload_sha,
+           CAST(MIN(doc_id) AS BIGINT)     AS keep_id,
+           COUNT(*)                        AS n_copies,
+           CAST(SUM(n_bytes) AS BIGINT)    AS total_bytes,
+           CAST(SUM(n_bytes) - MIN(n_bytes) AS BIGINT) AS reclaimable_bytes
+    FROM norm
+    GROUP BY payload_sha
+    """,
+    tags=("multimodal", "dedup", "binary"),
+)
+def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over BINARY payloads — the no-decode media dedup pass
+    (identical image/audio files recur constantly in crawled corpora):
+    content-address each blob with SHA-256 computed from a normalized
+    view of the payload, group, elect the lowest-id survivor, and report
+    reclaimable bytes — the dedup savings estimate a storage pass
+    reports before deleting. Digests are computed where the bytes live:
+    the shuffle carries (32-byte digest, id, size), never payloads —
+    at 100 TB of media that is the entire difference between a feasible
+    pass and an infeasible one."""
+    d = multimodal.with_synthetic_media(read_table(spark, sf_dir, "documents"))
+    norm = d.select(
+        "doc_id",
+        F.sha2(F.lower(F.trim(F.col("content").cast("string"))).cast("binary"), 256).alias(
+            "payload_sha"
+        ),
+        F.length("content").cast("long").alias("n_bytes"),
+    )
+    return norm.groupBy("payload_sha").agg(
+        F.min("doc_id").cast("bigint").alias("keep_id"),
+        F.count("*").alias("n_copies"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        (F.sum("n_bytes") - F.min("n_bytes")).cast("bigint").alias("reclaimable_bytes"),
+    )
