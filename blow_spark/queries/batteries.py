@@ -593,3 +593,30 @@ def sort_limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(40)
         .limit(20)
     )
+
+
+@register(
+    "sort_null_ordering",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END AS settled_price
+    FROM orders
+    ORDER BY settled_price DESC NULLS LAST, o_orderkey
+    LIMIT 30
+    """,
+    tags=("sort", "nulls"),
+)
+def sort_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULL placement in sort order (DESC NULLS LAST): open
+    orders surface a NULL settled price and must sink below every real
+    value — engines default this differently (Spark DESC puts NULLs
+    last, ANSI databases first), so the ordering is pinned explicitly
+    on both sides. o_orderkey tiebreak keeps the LIMIT 30 row set
+    total-ordered; plans as a global top-k, no full sort."""
+    o = read_table(spark, sf_dir, "orders")
+    settled = F.when(F.col("o_orderstatus") != "O", F.col("o_totalprice"))
+    return (
+        o.select("o_orderkey", settled.alias("settled_price"))
+        .orderBy(F.col("settled_price").desc_nulls_last(), "o_orderkey")
+        .limit(30)
+    )
