@@ -32,18 +32,25 @@ TPCH_TABLES = (
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan. Catalyst prunes columns / pushes predicates.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; it is read as a nanosecond long and truncated to
-    microseconds with integer division (``div`` — float division would lose
-    precision above 2^53 and shift timestamps by ±1 µs). DuckDB truncates
-    ns→µs the same way, so oracle comparisons stay exact."""
+    ``events.ts`` has shipped as two physical types across fixture
+    generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
+    rejects — read as a nanosecond long and truncated to microseconds
+    with integer division; ``div`` not ``/`` because float division loses
+    precision above 2^53) and plain TIMESTAMP(MICROS) (read natively,
+    surfacing as TIMESTAMP_NTZ). Both normalize to session-zone
+    TimestampType at µs precision, exactly what DuckDB yields for the
+    same file, so oracle comparisons stay exact either way."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(path)
 
 
