@@ -140,9 +140,16 @@ def sample_frames(
     with the codec stubbed as byte slicing."""
     total = F.length(F.col(content_col))
     idx = F.sequence(F.lit(0), F.lit(n_frames - 1))
-    offsets = F.transform(idx, lambda i: (i * F.greatest(total - frame_bytes, F.lit(0))) / F.lit(max(n_frames - 1, 1)))
+    # Integer offset arithmetic (floor division) so an external oracle can
+    # reproduce the exact byte positions without float-rounding hazards.
+    offsets = F.transform(
+        idx,
+        lambda i: F.floor(
+            (i * F.greatest(total - frame_bytes, F.lit(0))) / F.lit(max(n_frames - 1, 1))
+        ).cast("int"),
+    )
     frames = F.transform(
-        offsets, lambda off: F.substring(F.col(content_col), (off + 1).cast("int"), frame_bytes)
+        offsets, lambda off: F.substring(F.col(content_col), off + 1, frame_bytes)
     )
     out = df.select(
         F.col(id_col).alias("doc_id"),

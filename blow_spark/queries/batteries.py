@@ -101,9 +101,9 @@ def scalar_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
     )
     SELECT l_orderkey, l_linenumber,
-           list_sort(list_distinct(list_concat(a1, a2)))                AS union_sorted,
-           list_sort(list_intersect(a1, a2))                            AS intersect_sorted,
-           list_sort(list_filter(a1, x -> NOT list_contains(a2, x)))    AS except_sorted,
+           COALESCE(array_to_string(list_sort(list_distinct(list_concat(a1, a2))), ','), '')             AS union_csv,
+           COALESCE(array_to_string(list_sort(list_intersect(a1, a2)), ','), '')                         AS intersect_csv,
+           COALESCE(array_to_string(list_sort(list_filter(a1, x -> NOT list_contains(a2, x))), ','), '') AS except_csv,
            CAST(list_contains(a1, 3) AS BIGINT)                         AS has_three,
            CAST(COALESCE(list_position(a1, CAST(l_linenumber AS BIGINT)), 0)
                 AS BIGINT)                                              AS pos_linenumber
@@ -114,21 +114,26 @@ def scalar_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def array_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array set algebra (union / intersect / except / contains /
     position) over sequences derived from lineitem keys. Arrays are
-    sorted before emission: Spark's array_union preserves first-appearance
-    order while DuckDB's list_distinct doesn't promise one, so unsorted
-    output would hash-diverge on element order alone. All JVM built-ins —
-    per-row work, no shuffle beyond the scan."""
+    sorted, then serialized to CSV strings: the driver's canonicalizer
+    sorts result columns with pandas, which cannot order list cells
+    (unhashable) — scalar string columns keep the same information and
+    are hashable on both engines. All JVM built-ins — per-row work, no
+    shuffle beyond the scan."""
     li = read_table(spark, sf_dir, "lineitem")
     a1 = F.sequence(F.lit(1).cast("bigint"), 1 + F.pmod(F.col("l_orderkey"), F.lit(5)))
     a2_lo = F.pmod(F.col("l_partkey"), F.lit(4)) + 1
     a2 = F.sequence(a2_lo, a2_lo + 3)
     t = li.select("l_orderkey", "l_linenumber", a1.alias("a1"), a2.alias("a2"))
+
+    def _csv(col):
+        return F.concat_ws(",", F.array_sort(col).cast("array<string>"))
+
     return t.select(
         "l_orderkey",
         "l_linenumber",
-        F.array_sort(F.array_union("a1", "a2")).alias("union_sorted"),
-        F.array_sort(F.array_intersect("a1", "a2")).alias("intersect_sorted"),
-        F.array_sort(F.array_except("a1", "a2")).alias("except_sorted"),
+        _csv(F.array_union("a1", "a2")).alias("union_csv"),
+        _csv(F.array_intersect("a1", "a2")).alias("intersect_csv"),
+        _csv(F.array_except("a1", "a2")).alias("except_csv"),
         F.array_contains("a1", F.lit(3).cast("bigint")).cast("bigint").alias("has_three"),
         F.array_position("a1", F.col("l_linenumber").cast("bigint"))
         .cast("bigint")

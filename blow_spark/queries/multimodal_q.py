@@ -42,17 +42,53 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads (entropy +
     byte histogram via mapInPandas) — the decode-and-featurize plumbing
     with the codec stubbed. Verified against local numpy in
-    tests/test_multimodal.py."""
+    tests/test_multimodal.py. The 16-bin histogram is serialized to a CSV
+    string so every output column is scalar (the driver's canonicalizer
+    cannot sort list cells)."""
     d = multimodal.with_synthetic_media(read_table(spark, sf_dir, "documents"))
-    return multimodal.extract_byte_features(d)
+    feats = multimodal.extract_byte_features(d)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.round("byte_entropy", 6).alias("byte_entropy"),
+        F.concat_ws(
+            ",", F.transform("byte_hist", lambda x: F.format_string("%.6f", x))
+        ).alias("byte_hist_csv"),
+    )
 
 
-@register("multimodal_frame_sample", oracle=None, tags=("multimodal", "frames"))
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(ENCODE(text)) AS hx,
+             OCTET_LENGTH(ENCODE(text)) AS total
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS frame_no,
+           substring(hx, 2 * (i * GREATEST(total - 64, 0) // 3) + 1, 128) AS frame_hex,
+           CAST(LENGTH(substring(hx, 2 * (i * GREATEST(total - 64, 0) // 3) + 1, 128)) // 2
+                AS BIGINT) AS frame_len
+    FROM b, (SELECT UNNEST(range(0, 4)) AS i) s
+    """,
+    tags=("multimodal", "frames"),
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1 blob → N frame rows (video-frame-sampling shape): deterministic
-    evenly-spaced byte slices, posexploded."""
+    evenly-spaced byte slices, posexploded. Frames are emitted as hex
+    strings: this DuckDB build has no BLOB substring/sha, but byte slices
+    are exactly reproducible as substrings of hex(blob) at doubled
+    offsets — giving the oracle full byte-level coverage of the slicing
+    arithmetic."""
     d = multimodal.with_synthetic_media(read_table(spark, sf_dir, "documents"))
-    return multimodal.sample_frames(d, n_frames=4, frame_bytes=64)
+    frames = multimodal.sample_frames(d, n_frames=4, frame_bytes=64)
+    return frames.select(
+        "doc_id",
+        F.col("frame_no").cast("bigint").alias("frame_no"),
+        F.hex("frame_bytes").alias("frame_hex"),
+        F.length("frame_bytes").cast("bigint").alias("frame_len"),
+    )
 
 
 @register(

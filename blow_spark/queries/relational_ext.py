@@ -40,12 +40,14 @@ from blow_spark.sources import read_table, register_views
     "higher_order_array_funcs",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           range(1, l_linenumber + 1)                                   AS seq,
-           list_transform(range(1, l_linenumber + 1), x -> x * x)       AS squares,
-           list_filter(range(1, l_linenumber + 1), x -> x % 2 = 0)      AS evens,
-           CAST(l_linenumber * (l_linenumber + 1) / 2 AS BIGINT)        AS seq_sum,
-           list_transform(range(1, l_linenumber + 1),
-                          i -> i + i * i)                               AS zipped
+           COALESCE(array_to_string(range(1, l_linenumber + 1), ','), '')  AS seq_csv,
+           COALESCE(array_to_string(list_transform(range(1, l_linenumber + 1),
+                                          x -> x * x), ','), '')           AS squares_csv,
+           COALESCE(array_to_string(list_filter(range(1, l_linenumber + 1),
+                                       x -> x % 2 = 0), ','), '')          AS evens_csv,
+           CAST(l_linenumber * (l_linenumber + 1) / 2 AS BIGINT)           AS seq_sum,
+           COALESCE(array_to_string(list_transform(range(1, l_linenumber + 1),
+                                          i -> i + i * i), ','), '')       AS zipped_csv
     FROM lineitem
     WHERE l_orderkey < 100
     """,
@@ -54,17 +56,25 @@ from blow_spark.sources import read_table, register_views
 def higher_order_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """transform / filter / aggregate / zip_with — all fold inside
     whole-stage codegen; no UDF, no shuffle. (Single-parameter lambdas
-    only: a second parameter would receive the array index.)"""
+    only: a second parameter would receive the array index.) Arrays are
+    serialized to CSV strings for the driver's canonicalizer, which
+    cannot sort list-valued cells."""
     li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
     seq = F.sequence(F.lit(1), F.col("l_linenumber"))
+
+    def _csv(col):
+        return F.concat_ws(",", col.cast("array<string>"))
+
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        seq.alias("seq"),
-        F.transform(seq, lambda x: x * x).alias("squares"),
-        F.filter(seq, lambda x: x % 2 == 0).alias("evens"),
+        _csv(seq).alias("seq_csv"),
+        _csv(F.transform(seq, lambda x: x * x)).alias("squares_csv"),
+        _csv(F.filter(seq, lambda x: x % 2 == 0)).alias("evens_csv"),
         F.aggregate(seq, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("seq_sum"),
-        F.zip_with(seq, F.transform(seq, lambda x: x * x), lambda a, b: a + b).alias("zipped"),
+        _csv(
+            F.zip_with(seq, F.transform(seq, lambda x: x * x), lambda a, b: a + b)
+        ).alias("zipped_csv"),
     )
 
 
@@ -693,8 +703,8 @@ def grouped_pandas_center(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_funcs",
     oracle="""
     SELECT o_orderkey,
-           ['priority', 'status']                             AS mkeys,
-           [o_orderpriority, o_orderstatus]                   AS mvals,
+           'priority,status'                                  AS mkeys_csv,
+           o_orderpriority || ',' || o_orderstatus            AS mvals_csv,
            o_orderpriority                                    AS by_key,
            2                                                  AS msize
     FROM orders
@@ -703,10 +713,11 @@ def grouped_pandas_center(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar", "map"),
 )
 def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MapType column build + access. The comparison surface is arrays and
-    scalars (map_keys / map_values / element_at / size) because raw
-    map⇄dict rendering order differs between engines' pandas bridges —
-    the map itself is exercised, its projection is what's hashed."""
+    """MapType column build + access. The comparison surface is CSV-joined
+    keys/values and scalars (map_keys / map_values / element_at / size):
+    raw map⇄dict rendering order differs between engines' pandas bridges,
+    and the driver's canonicalizer cannot sort list cells — the map
+    itself is exercised, its serialized projection is what's hashed."""
     o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
     m = F.create_map(
         F.lit("priority"), F.col("o_orderpriority"),
@@ -714,8 +725,8 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return o.select(
         "o_orderkey",
-        F.map_keys(m).alias("mkeys"),
-        F.map_values(m).alias("mvals"),
+        F.concat_ws(",", F.map_keys(m)).alias("mkeys_csv"),
+        F.concat_ws(",", F.map_values(m)).alias("mvals_csv"),
         F.element_at(m, F.lit("priority")).alias("by_key"),
         F.size(m).alias("msize"),
     )
