@@ -48,29 +48,40 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "similarity_topk_bruteforce",
     oracle="""
-    WITH scored AS (
-      SELECT q.vec_id AS query_id,
-             c.vec_id AS neighbor_id,
-             LIST_REDUCE(LIST_TRANSFORM(RANGE(1, 65),
-                                        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
-                         (a, b) -> a + b)
-             / (SQRT(LIST_REDUCE(LIST_TRANSFORM(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
-              * SQRT(LIST_REDUCE(LIST_TRANSFORM(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)))
-             AS cos_sim
-      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-      WHERE q.vec_id < 10
+    WITH qe AS (
+      SELECT vec_id AS query_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS qx
+      FROM embeddings CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS i) d
+      WHERE vec_id < 10
+    ), ce AS (
+      SELECT vec_id AS neighbor_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS cx
+      FROM embeddings CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS i) d
+    ), agg AS (
+      SELECT query_id, neighbor_id,
+             SUM(CAST(ROUND(qx * cx * 1000000000000.0) AS BIGINT)) AS dot_q,
+             SUM(CAST(ROUND(qx * qx * 1000000000000.0) AS BIGINT)) AS qn_q,
+             SUM(CAST(ROUND(cx * cx * 1000000000000.0) AS BIGINT)) AS cn_q
+      FROM ce JOIN qe USING (pos)
+      WHERE query_id <> neighbor_id
+      GROUP BY query_id, neighbor_id
     )
     SELECT query_id, neighbor_id, cos_sim, rank FROM (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
-      FROM scored) t
+      SELECT query_id, neighbor_id,
+             CAST(dot_q AS DOUBLE)
+               / (SQRT(CAST(qn_q AS DOUBLE)) * SQRT(CAST(cn_q AS DOUBLE))) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY CAST(dot_q AS DOUBLE)
+                   / (SQRT(CAST(qn_q AS DOUBLE)) * SQRT(CAST(cn_q AS DOUBLE))) DESC,
+                 neighbor_id) AS rank
+      FROM agg) t
     WHERE rank <= 5
     """,
     tags=("similarity", "vector"),
 )
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-5 for the first 10 vectors against the corpus.
-    Query side broadcast → corpus never shuffles; see
+    """Exact cosine top-5 for the first 10 vectors against the corpus,
+    via the codegen'd posexplode + fixed-point-SUM plan (integer dot
+    products are order-independent → engine-exact; the interpreted
+    zip_with/aggregate fold this replaced took 39 s at sf0.1). See
     blow_spark.similarity.brute_force_topk."""
     e = read_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
@@ -83,14 +94,14 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific → rows-only; recall vs brute force is asserted in
     tests/test_similarity.py."""
     e = read_table(spark, sf_dir, "embeddings")
-    return similarity.lsh_topk(e, k=5)
+    return similarity.lsh_topk(e, k=5, dim=64)
 
 
 @register("similarity_near_dup", oracle=None, tags=("similarity", "dedup"))
 def similarity_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs at cos ≥ 0.9 via SRP buckets."""
     e = read_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_near_dup_pairs(e, threshold=0.9)
+    return similarity.cosine_near_dup_pairs(e, threshold=0.9, dim=64)
 
 
 @register("similarity_ivf_topk", oracle=None, tags=("similarity", "ivf"))
