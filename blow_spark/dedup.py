@@ -34,9 +34,37 @@ def _spread(df: DataFrame) -> DataFrame:
     task — measured 8 s single-threaded shingling at sf0.1 that the rest
     of the machine sat out. The round-robin shuffle of raw rows is cheap
     relative to that. At 100 TB inputs already have thousands of
-    partitions and this no-ops."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    partitions and this no-ops.
+
+    The probe is driver-side only (file listing + stat): no RDD
+    conversion, no physical planning, no job. Estimated scan parallelism
+    = ceil(input_bytes / maxPartitionBytes); non-file or non-local
+    sources fall back to repartitioning (in-memory test frames) or
+    passing through (remote storage — at that scale inputs are already
+    wide)."""
+    import os
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:
+        # createDataFrame / non-file source: tiny in practice — spread it.
+        return df.repartition(target)
+    total = 0
+    for f in files:
+        path = urlparse(f).path or f
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return df  # non-local FS: assume the scan is already wide
+    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
+    max_pb = int(raw.rstrip("bB")) if raw.rstrip("bB").isdigit() else 134217728
+    est_parts = max(len(files), -(-total // max_pb))
+    if est_parts < target:
         return df.repartition(target)
     return df
 
@@ -129,6 +157,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    max_bucket_docs: int = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
 
@@ -139,25 +168,35 @@ def minhash_lsh_pairs(
     Stage 1 (candidates): signature → b band-hashes → explode to
     (band_idx, band_hash) → self equi-join. The join key is 16 bytes/row ×
     b rows/doc; at 100 TB of text this shuffles ~b·16B per doc, not text.
+    Band-buckets larger than ``max_bucket_docs`` are dropped BEFORE the
+    self-join: one boilerplate bucket of m identical docs would otherwise
+    emit m²/2 candidates (the known pathology on real crawls — a single
+    10⁶-doc template bucket is 5·10¹¹ pairs). The guard is one cheap
+    aggregation over the 16-byte band keys (map-side combined) producing
+    the OVERSIZED bucket list — bounded by N·bands/cap rows, i.e. tiny —
+    broadcast anti-joined against the banded rows: no extra shuffle of
+    the data. Docs whose every bucket is boilerplate-sized are EXACT
+    duplicates of thousands of others and belong to exact dedup, which
+    handles them in linear time.
     Stage 2 (verify): exact Jaccard on distinct shingle sets, only for
-    candidates (skew-safe: AQE splits hot buckets; identical boilerplate
-    docs all landing in one bucket is the known pathology — cap bucket
-    fan-out upstream by dropping band-buckets larger than ~10k docs).
+    candidates (AQE skew-join splits any surviving hot key).
     """
     rows_per_band = num_hashes // bands
     shingles = word_shingles(F.col(text_col), shingle_n)
     base = _spread(df).select(F.col(id_col).alias("doc"), shingles.alias("shingles")).filter(
         F.size("shingles") > 0
     )
-    # Persist `base` only: it feeds the signature pipeline AND both
-    # verify-join sides (shingling would otherwise recompute per
-    # consumer). The banded signatures are deliberately NOT persisted —
-    # measured 2.4× slower cold with that cache: materializing b rows/doc
-    # costs more than recomputing the codegen'd signature aggregate for
-    # the self-join's second side. At cluster scale the persist becomes a
-    # checkpoint to a bucketed table.
+    # Persist `base` (feeds the signature pipeline AND both verify-join
+    # sides — shingling would otherwise recompute per consumer) and `sig`
+    # (one k-long row per doc, ~0.5 KB/doc: three consumers — the bucket
+    # census and both self-join sides — would otherwise each re-run the
+    # 64-min-agg signature pass, the most expensive stage in the plan;
+    # caching it measured 47 s → 11 s at sf0.1). The EXPLODED banded form
+    # is deliberately not persisted — b rows/doc costs more to
+    # materialize than the projection recompute. At cluster scale both
+    # persists become checkpoints to bucketed tables.
     base = base.persist()
-    sig = _signature_agg(base, num_hashes)
+    sig = _signature_agg(base, num_hashes).persist()
     band_arr = F.array(
         *[
             F.struct(
@@ -170,6 +209,13 @@ def minhash_lsh_pairs(
     banded = sig.select("doc", F.explode(band_arr).alias("bb")).select(
         "doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+    oversized = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > max_bucket_docs)
+        .select("band", "bucket")
+    )
+    banded = banded.join(F.broadcast(oversized), ["band", "bucket"], "left_anti")
     left = banded.alias("l")
     right = banded.alias("r")
     candidates = (

@@ -76,6 +76,37 @@ def test_lsh_pairs_are_exact_verified(docs):
             assert abs(exact_j[key] - r["jaccard"]) < 1e-12
 
 
+def test_lsh_bucket_cap_bounds_boilerplate(spark):
+    """Adversarial boilerplate: 1000 IDENTICAL docs would put all 1000 in
+    every band-bucket → ~500k candidate pairs from one template. With the
+    bucket cap those buckets are dropped before the self-join, so the
+    candidate set stays linear, while genuinely near-duplicate pairs in
+    small buckets are still found. (Identical docs are exact dedup's job —
+    linear time — not LSH's.)"""
+    boiler = [(i, "click here to accept cookies and subscribe to our newsletter today")
+              for i in range(1000)]
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+             "kilo lima mike november oscar papa quebec romeo sierra tango").split()
+    planted = []
+    for p in range(10):
+        base = " ".join(words[(p + j) % len(words)] for j in range(12))
+        mutated = base.rsplit(" ", 1)[0] + " zulu"
+        planted.append((2000 + 2 * p, base))
+        planted.append((2001 + 2 * p, mutated))
+    df = spark.createDataFrame(boiler + planted, ["doc_id", "text"])
+    pairs = dedup.minhash_lsh_pairs(
+        df, "text", "doc_id", threshold=0.5, max_bucket_docs=100
+    ).collect()
+    boiler_pairs = [r for r in pairs if r["id_a"] < 1000 and r["id_b"] < 1000]
+    assert not boiler_pairs, f"capped buckets leaked {len(boiler_pairs)} boilerplate pairs"
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    hits = sum(1 for p in range(10) if (2000 + 2 * p, 2001 + 2 * p) in found)
+    assert hits >= 8, f"only {hits}/10 planted near-dup pairs survive the cap"
+    # linearity: total candidate output is nowhere near the 499500
+    # all-pairs blowup one uncapped template bucket would produce
+    assert len(pairs) < 200
+
+
 def test_exact_dedup_idempotent(docs):
     once = dedup.drop_exact_dups(docs, "text", "doc_id")
     twice = dedup.drop_exact_dups(once, "text", "doc_id")
