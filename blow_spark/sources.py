@@ -39,13 +39,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     precision above 2^53) and plain TIMESTAMP(MICROS) (read natively,
     surfacing as TIMESTAMP_NTZ). Both normalize to session-zone
     TimestampType at µs precision, exactly what DuckDB yields for the
-    same file, so oracle comparisons stay exact either way."""
+    same file, so oracle comparisons stay exact either way. The session
+    time zone is pinned UTC before the NTZ→timestamp cast: on a vanilla
+    (driver-contract) session the JVM-default zone would otherwise
+    reinterpret wall times, and a DST gap/fold on a non-UTC host could
+    shift values vs DuckDB's naive timestamps."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
-        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):
@@ -114,6 +118,185 @@ def sink(df: DataFrame) -> int:
     (maps/maps.go:51-54), which drains the channel. Returns the row count
     (free observability the reference lacked)."""
     return df.count()
+
+
+# --- JDBC (SURVEY.md §2.2 "Scans/sources": external RDBMS) ----------------
+
+
+def jdbc_reader(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    partition_column: str | None = None,
+    lower_bound: int | str | None = None,
+    upper_bound: int | str | None = None,
+    num_partitions: int | None = None,
+    fetch_size: int = 10_000,
+    properties: dict[str, str] | None = None,
+):
+    """Configured JDBC DataFrameReader (not yet loaded).
+
+    Scale posture: a bare JDBC read is ONE task hammering the database.
+    ``partition_column`` + bounds + ``num_partitions`` split the scan
+    into N range predicates executed as N parallel tasks — the only way
+    a JDBC scan participates in a distributed plan. Catalyst pushes
+    filters and column pruning through to the generated SQL.
+    ``fetch_size`` batches the cursor (driver default is often 10 rows —
+    pathological over a WAN). Split so tests can assert the contract
+    without a database driver on the classpath; ``read_jdbc`` loads."""
+    opts = jdbc_options(
+        url,
+        table,
+        partition_column=partition_column,
+        lower_bound=lower_bound,
+        upper_bound=upper_bound,
+        num_partitions=num_partitions,
+        fetch_size=fetch_size,
+        properties=properties,
+    )
+    return spark.read.format("jdbc").options(**opts)
+
+
+def jdbc_options(
+    url: str,
+    table: str,
+    *,
+    partition_column: str | None = None,
+    lower_bound: int | str | None = None,
+    upper_bound: int | str | None = None,
+    num_partitions: int | None = None,
+    fetch_size: int = 10_000,
+    properties: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """The exact option map handed to Spark's JDBC relation provider —
+    pure, so the connector contract is unit-testable without a driver."""
+    opts = {"url": url, "dbtable": table, "fetchsize": str(fetch_size)}
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None or num_partitions is None:
+            raise ValueError(
+                "partition_column requires lower_bound, upper_bound and num_partitions"
+            )
+        opts.update(
+            partitionColumn=partition_column,
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+            numPartitions=str(num_partitions),
+        )
+    opts.update(properties or {})
+    return opts
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str, **kwargs) -> DataFrame:
+    """Load a JDBC table (see ``jdbc_reader`` for the parallelism knobs).
+    Requires the vendor driver jar on the classpath; raises Spark's
+    driver-not-found error otherwise (import-gated in tests, like TWS)."""
+    return jdbc_reader(spark, url, table, **kwargs).load()
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batch_size: int = 10_000,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """JDBC sink: each task writes its partition over its own connection
+    (N-way parallel INSERT), ``batchsize`` rows per round trip. Repartition
+    upstream to control the connection count hitting the database."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+        .mode(mode)
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
+# --- Kafka (SURVEY.md §2.2 "Scans/sources" / "Streaming") ------------------
+
+
+def kafka_reader(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: str,
+    *,
+    streaming: bool = True,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    options: dict[str, str] | None = None,
+):
+    """Configured Kafka reader (not yet loaded): streaming (readStream)
+    or batch (read — bounded offset-range scans for backfill).
+
+    Scale posture: one Spark task per Kafka partition; throughput scales
+    with topic partitioning, not executor count beyond it.
+    ``max_offsets_per_trigger`` bounds each micro-batch (the streaming
+    backpressure knob — the analog of the reference's cap-100 channel
+    buffers, maps/maps.go:41). Split from load so the contract is
+    testable without the kafka-sql connector jar."""
+    opts = kafka_options(
+        bootstrap_servers,
+        topics,
+        starting_offsets=starting_offsets,
+        max_offsets_per_trigger=max_offsets_per_trigger,
+        options=options,
+    )
+    base = spark.readStream if streaming else spark.read
+    return base.format("kafka").options(**opts)
+
+
+def kafka_options(
+    bootstrap_servers: str,
+    topics: str,
+    *,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    options: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """The exact option map handed to the kafka source provider — pure,
+    unit-testable without the connector jar."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topics,
+        "startingOffsets": starting_offsets,
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    opts.update(options or {})
+    return opts
+
+
+def read_kafka_stream(spark: SparkSession, bootstrap_servers: str, topics: str, **kwargs) -> DataFrame:
+    """Kafka streaming source → (key, value, topic, partition, offset,
+    timestamp) micro-batches. Requires the spark-sql-kafka connector on
+    the classpath (absent in this container — gated in tests)."""
+    return kafka_reader(spark, bootstrap_servers, topics, streaming=True, **kwargs).load()
+
+
+def read_kafka_batch(spark: SparkSession, bootstrap_servers: str, topics: str, **kwargs) -> DataFrame:
+    """Bounded Kafka scan (read, not readStream) — the backfill path."""
+    return kafka_reader(spark, bootstrap_servers, topics, streaming=False, **kwargs).load()
+
+
+def kafka_value_json(df: DataFrame, schema: T.StructType | str) -> DataFrame:
+    """Decode Kafka's binary ``value`` as JSON into typed columns +
+    (key, topic, partition, offset, ts) passthrough — the standard first
+    projection after a Kafka scan."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.col("key").cast("string").alias("key"),
+        F.from_json(F.col("value").cast("string"), schema).alias("v"),
+        "topic",
+        "partition",
+        "offset",
+        F.col("timestamp").alias("kafka_ts"),
+    ).select("key", "v.*", "topic", "partition", "offset", "kafka_ts")
 
 
 # --- streaming sources (SURVEY.md §2.2 "Streaming") -----------------------
