@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from blow_spark import similarity
+from blow_spark import dedup, similarity
 from blow_spark.queries import register
 from blow_spark.sources import read_table
 
@@ -102,6 +102,71 @@ def similarity_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs at cos ≥ 0.9 via SRP buckets."""
     e = read_table(spark, sf_dir, "embeddings")
     return similarity.cosine_near_dup_pairs(e, threshold=0.9, dim=64)
+
+
+_COSINE_PAIRS_SQL = """
+    WITH ce AS (
+      SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS i) d
+    ), agg AS (
+      SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+             SUM(CAST(ROUND(l.x * r.x * 1000000000000.0) AS BIGINT)) AS dot_q,
+             SUM(CAST(ROUND(l.x * l.x * 1000000000000.0) AS BIGINT)) AS an_q,
+             SUM(CAST(ROUND(r.x * r.x * 1000000000000.0) AS BIGINT)) AS bn_q
+      FROM ce l JOIN ce r ON l.pos = r.pos AND l.vec_id < r.vec_id
+      GROUP BY l.vec_id, r.vec_id
+    ), pairs AS (
+      SELECT id_a, id_b,
+             CAST(dot_q AS DOUBLE)
+               / (SQRT(CAST(an_q AS DOUBLE)) * SQRT(CAST(bn_q AS DOUBLE))) AS cos_sim
+      FROM agg
+    )
+"""
+
+
+@register(
+    "similarity_cosine_threshold_exact",
+    oracle=_COSINE_PAIRS_SQL + "SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.35",
+    tags=("similarity", "dedup", "vector"),
+)
+def similarity_cosine_threshold_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT embedding-cosine near-duplicate pairs (cos ≥ 0.35) over the
+    whole fixture — the ground-truth twin of similarity_near_dup's
+    SRP-LSH path, hash-checked against DuckDB via integer fixed-point dot
+    products. O(N²) by design (the audit form); production scale uses the
+    bucketed path this calibrates."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs_exact(e, threshold=0.35)
+
+
+@register(
+    "dedup_embedding_clusters",
+    oracle=_COSINE_PAIRS_SQL.replace("WITH ce AS", "WITH RECURSIVE ce AS")
+    + """
+    , hits AS (SELECT id_a, id_b FROM pairs WHERE cos_sim >= 0.35
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM hits
+      UNION
+      SELECT id_b, id_a FROM hits
+    ), reach(node, comp) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.node
+    )
+    SELECT node, CAST(MIN(comp) AS BIGINT) AS comp
+    FROM reach GROUP BY node
+    """,
+    tags=("similarity", "dedup", "cluster", "iterative"),
+)
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space duplicate CLUSTERS: exact cosine near-dup pairs
+    (cos ≥ 0.35) fed through iterative min-label connected components —
+    the last mile of embedding dedup (keep the min-id survivor per
+    cluster). Same edge set as similarity_cosine_threshold_exact, so the
+    DuckDB recursive-CTE oracle reproduces the clustering exactly."""
+    e = read_table(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_pairs_exact(e, threshold=0.35).select("id_a", "id_b")
+    return dedup.connected_components(pairs)
 
 
 @register("similarity_ivf_topk", oracle=None, tags=("similarity", "ivf"))

@@ -96,6 +96,52 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def cosine_pairs_exact(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT all-pairs embedding near-dup: (id_a < id_b, cos_sim ≥
+    threshold), via the same codegen'd posexplode + fixed-point-SUM plan
+    as brute_force_topk — integer dot products, engine-exact, oracle-able.
+
+    This is the audit/ground-truth form: O(N²) pair work. One exploded
+    side is broadcast — a shuffled self-join on `pos` would hash 64
+    distinct keys into a handful of monster partitions — so the probe
+    streams map-side and the only shuffle is the partial-aggregated
+    (id_a, id_b) groupBy. Fine for a bounded corpus slice or for
+    validating the approximate path; the 10⁹-vector production path is
+    cosine_near_dup_pairs (SRP-LSH buckets), which this function's exact
+    scores calibrate."""
+    s = F.lit(DOT_SCALE)
+    ex = df.select(
+        F.col(id_col).alias("vid"), F.posexplode(vec_col).alias("pos", "x")
+    ).select("vid", "pos", F.col("x").cast("double").alias("x"))
+    # The probe side carries O(N²) join work but reads from a scan that
+    # may be a single small file = a single task; spread it so every core
+    # probes (a one-file 500-vector fixture ran the whole join serially —
+    # 11 s → 1.5 s). The broadcast side needs no spreading.
+    probe = ex.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    l, r = probe.alias("l"), F.broadcast(ex.alias("r"))
+    joined = l.join(
+        r, (F.col("l.pos") == F.col("r.pos")) & (F.col("l.vid") < F.col("r.vid"))
+    )
+    agg = joined.groupBy(
+        F.col("l.vid").alias("id_a"), F.col("r.vid").alias("id_b")
+    ).agg(
+        F.sum(F.round(F.col("l.x") * F.col("r.x") * s).cast("long")).alias("dot_q"),
+        F.sum(F.round(F.col("l.x") * F.col("l.x") * s).cast("long")).alias("an_q"),
+        F.sum(F.round(F.col("r.x") * F.col("r.x") * s).cast("long")).alias("bn_q"),
+    )
+    cos = F.col("dot_q").cast("double") / (
+        F.sqrt(F.col("an_q").cast("double")) * F.sqrt(F.col("bn_q").cast("double"))
+    )
+    return agg.select("id_a", "id_b", cos.alias("cos_sim")).filter(
+        F.col("cos_sim") >= threshold
+    )
+
+
 def srp_sketch(
     df: DataFrame,
     id_col: str,
