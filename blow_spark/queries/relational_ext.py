@@ -537,6 +537,82 @@ def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sink_bucketed_join_no_shuffle",
+    oracle="""
+    SELECT CAST(o_custkey AS BIGINT) AS custkey,
+           c_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(o_orderkey) AS BIGINT) AS first_order
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey < 5000
+    GROUP BY o_custkey, c_name
+    """,
+    tags=("sink", "source", "bucketed", "join"),
+)
+def sink_bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table write → co-located join, under the oracle gate.
+
+    Both sides are written ``bucketBy(8, custkey)`` + ``sortBy``: the
+    bucket layout IS the shuffle, paid once at write time, so every later
+    join/agg keyed on custkey plans with zero Exchange (the plan property
+    is pinned in tests/test_plans.py::test_bucketed_join_eliminates_shuffle;
+    this query pins the other half — that the bucketed writer/reader
+    round-trips VALUES correctly). At 100 TB, bucketing both fact tables
+    on the join key replaces the dominant per-query shuffle."""
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 5000)
+        .select("o_orderkey", "o_custkey")
+    )
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    spark.sql("DROP TABLE IF EXISTS bq_orders")
+    spark.sql("DROP TABLE IF EXISTS bq_cust")
+    o.write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode("overwrite").saveAsTable("bq_orders")
+    c.write.bucketBy(8, "c_custkey").sortBy("c_custkey").mode("overwrite").saveAsTable("bq_cust")
+    ob, cb = spark.table("bq_orders"), spark.table("bq_cust")
+    return (
+        ob.join(cb, ob.o_custkey == cb.c_custkey)
+        .groupBy(F.col("o_custkey").cast("bigint").alias("custkey"), "c_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_orderkey").cast("bigint").alias("first_order"),
+        )
+    )
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT CAST(s_nationkey AS BIGINT) AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+    tags=("join", "skew", "salt"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi-join under the oracle gate: the fact side gets
+    a deterministic per-row salt and the dim side replicates salt×, so a
+    pathological hot key spreads over ``salt`` reducers instead of
+    stalling one (blow_spark.ops.salted_join — the manual fallback past
+    AQE's skew splitting). The oracle is the PLAIN join: salting must be
+    row-identical, which is exactly what the hash check proves."""
+    from blow_spark import ops
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    sup = (
+        read_table(spark, sf_dir, "supplier")
+        .select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey")
+    )
+    joined = ops.salted_join(li, sup, on="l_suppkey", salt=8)
+    return joined.groupBy(F.col("s_nationkey").cast("bigint").alias("nation")).agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_cents"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Scalar batteries, wave 2
 # --------------------------------------------------------------------------
