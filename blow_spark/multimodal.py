@@ -127,6 +127,61 @@ def extract_byte_features(df: DataFrame, id_col: str = "doc_id", content_col: st
     return src.mapInPandas(_byte_features, schema=_FEATURE_SCHEMA)
 
 
+def resize_image(img: "np.ndarray", out_h: int, out_w: int) -> "np.ndarray":
+    """Nearest-neighbor resize of an HxWxC array — pure numpy (no codec
+    needed), deterministic: output pixel (i, j) samples input
+    (floor(i·H/out_h), floor(j·W/out_w)). Real pipelines swap in
+    PIL/cv2 interpolation; the UDF plumbing below is unchanged."""
+    h, w = img.shape[:2]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return img[rows][:, cols]
+
+
+_RESIZE_SCHEMA = "doc_id long, out_h int, out_w int, n_px int, px_sum long"
+
+
+def resize_features(
+    df: DataFrame,
+    out_h: int = 4,
+    out_w: int = 4,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Distributed decode→resize over Arrow batches (mapInPandas): the
+    image-preprocessing stage of a multimodal training pipeline. Emits
+    per-image resized dims + a pixel checksum (n_px, px_sum) instead of
+    pixel payloads — downstream shuffles stay narrow; the resized tensors
+    themselves would be written columnar straight from the worker in a
+    real export (blobs/tensors never become shuffle keys). Decode is the
+    deterministic stub (no codecs in this container, task-brief
+    sanctioned); swap ``fake_decode=False`` when PIL ships."""
+    from blow_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(content_col).alias("content"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                img = decode_image(bytes(content), fake_decode=fake_decode)
+                small = resize_image(img, out_h, out_w)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "out_h": small.shape[0],
+                        "out_w": small.shape[1],
+                        "n_px": int(small.size),
+                        "px_sum": int(small.astype(np.int64).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "out_h", "out_w", "n_px", "px_sum"])
+
+    return src.mapInPandas(run, schema=_RESIZE_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame,
     id_col: str = "doc_id",

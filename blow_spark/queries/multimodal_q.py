@@ -91,6 +91,17 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("multimodal_resize_batch", oracle=None, tags=("multimodal", "resize"))
+def multimodal_resize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → nearest-neighbor resize → per-image checksum over Arrow
+    batches (mapInPandas) — the image-preprocessing stage with the codec
+    stubbed (deterministic fake decode, task-brief sanctioned). Rows-only:
+    the fake-decode byte→pixel mapping isn't SQL-expressible; resize
+    arithmetic is verified against local numpy in tests/test_multimodal.py."""
+    d = multimodal.with_synthetic_media(read_table(spark, sf_dir, "documents"))
+    return multimodal.resize_features(d, out_h=4, out_w=4)
+
+
 @register(
     "multimodal_payload_dedup",
     oracle="""

@@ -22,6 +22,86 @@ from blow_spark.sources import read_table
 
 
 @register(
+    "text_html_strip",
+    oracle=r"""
+    WITH page AS (
+      SELECT doc_id,
+             '<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR)
+               || '</h1><p class="main">' || text
+               || '</p><!-- crawl footer --><script>var x=1;</script>'
+               || '<p>&amp;copy; Example &lt;Corp&gt;</p></body></html>' AS html
+      FROM documents
+    ), stripped AS (
+      SELECT doc_id,
+             TRIM(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               html,
+               '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g'),
+               '<[^>]+>', ' ', 'g'),
+               '\s+', ' ', 'g')) AS detagged
+      FROM page
+    )
+    SELECT doc_id,
+           replace(replace(replace(replace(replace(detagged,
+             '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+             '&quot;', '"'), '&#39;', '''') AS clean_text,
+           CAST(LENGTH(replace(replace(replace(replace(replace(detagged,
+             '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+             '&quot;', '"'), '&#39;', '''')) AS BIGINT) AS clean_len
+    FROM stripped
+    """,
+    tags=("text", "html", "clean"),
+)
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction, the first pass of every crawl pipeline:
+    drop <script>/<style> blocks and comments, strip remaining tags,
+    collapse whitespace, decode the common entities. Pure regexp/replace
+    expressions — map-only, scan-fused, zero Python. The page markup is
+    synthesized deterministically from the fixture text with identical
+    SQL on both engines, so the oracle checks the STRIP, byte-exact.
+    Patterns stay in the Java∩RE2 common subset — (?s), lazy ``.*?``,
+    and NO backreferences (RE2 rejects them; script/style are two
+    explicit patterns) — so both engines compile them identically."""
+    d = read_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit('</h1><p class="main">'),
+        F.col("text"),
+        F.lit("</p><!-- crawl footer --><script>var x=1;</script>"),
+        F.lit("<p>&amp;copy; Example &lt;Corp&gt;</p></body></html>"),
+    )
+    detagged = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace(html, r"(?s)<script[^>]*>.*?</script>", " "),
+                        r"(?s)<style[^>]*>.*?</style>",
+                        " ",
+                    ),
+                    r"(?s)<!--.*?-->",
+                    " ",
+                ),
+                r"<[^>]+>",
+                " ",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    clean = detagged
+    for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'")):
+        clean = F.replace(clean, F.lit(ent), F.lit(ch))
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length(clean).cast("bigint").alias("clean_len"),
+    )
+
+
+@register(
     "dedup_exact",
     oracle="""
     SELECT h AS text_hash,

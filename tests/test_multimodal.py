@@ -42,6 +42,31 @@ def test_frame_sample_shape(spark, sf_dir):
     }
 
 
+def test_resize_matches_numpy(spark, sf_dir):
+    """Distributed resize checksum == local decode+resize on the same
+    payloads (plumbing carries real values, not just shapes)."""
+    docs = read_table(spark, sf_dir, "documents").limit(12)
+    media = multimodal.with_synthetic_media(docs)
+    got = {r["doc_id"]: r for r in multimodal.resize_features(media, 4, 4).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        img = multimodal.decode_image(row["text"].encode("utf-8"), fake_decode=True)
+        small = multimodal.resize_image(img, 4, 4)
+        g = got[row["doc_id"]]
+        assert (g["out_h"], g["out_w"], g["n_px"]) == (4, 4, small.size)
+        assert g["px_sum"] == int(small.astype(np.int64).sum())
+
+
+def test_resize_shapes_and_determinism():
+    img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    small = multimodal.resize_image(img, 4, 4)
+    assert small.shape == (4, 4, 3)
+    # nearest-neighbor: output (i,j) == input (2i, 2j)
+    assert (small == img[::2, ::2]).all()
+    up = multimodal.resize_image(img, 16, 16)
+    assert up.shape == (16, 16, 3)
+    assert (multimodal.resize_image(img, 4, 4) == small).all()
+
+
 def test_decode_stub_behavior():
     payload = b"x" * 500
     fake = multimodal.decode_image(payload, fake_decode=True)
