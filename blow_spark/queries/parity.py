@@ -19,6 +19,48 @@ from blow_spark.sources import read_table
 
 
 @register(
+    "source_python_datasource",
+    oracle="""
+    SELECT CASE WHEN r % 15 = 0 THEN 'fizzbuzz'
+                WHEN r % 3  = 0 THEN 'fizz'
+                WHEN r % 5  = 0 THEN 'buzz'
+                ELSE 'other' END AS word,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(r) AS BIGINT) AS sum_n
+    FROM RANGE(0, 10000) t(r)
+    GROUP BY word
+    """,
+    tags=("source", "datasource", "pipeline"),
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's Generator contract (maps/maps.go:8-10,
+    GeneratorSource :39-49) as a FIRST-CLASS Spark source: a Python
+    DataSource whose reader splits the generated range into parallel
+    InputPartitions (blow_spark.datasource). The scan feeds the fizzbuzz
+    classification + aggregate — generator → classify → agg, fully
+    planned by Catalyst, hash-checked against DuckDB's RANGE."""
+    from blow_spark import datasource
+
+    datasource.register(spark)
+    g = (
+        spark.read.format("blow_generator")
+        .option("n", 10_000)
+        .option("partitions", 8)
+        .load()
+    )
+    word = (
+        F.when(F.col("n") % 15 == 0, F.lit("fizzbuzz"))
+        .when(F.col("n") % 3 == 0, F.lit("fizz"))
+        .when(F.col("n") % 5 == 0, F.lit("buzz"))
+        .otherwise(F.lit("other"))
+    )
+    return g.groupBy(word.alias("word")).agg(
+        F.count("*").alias("n"),
+        F.sum("n").cast("bigint").alias("sum_n"),
+    )
+
+
+@register(
     "pipeline_fizzbuzz_udf",
     oracle="""
     SELECT r AS number,
