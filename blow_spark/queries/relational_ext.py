@@ -582,6 +582,79 @@ def sink_bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "source_kafka_shape_decode",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS key,
+           event_id,
+           event_type,
+           'events.raw' AS topic,
+           CAST(user_id % 8 AS INT) AS "partition",
+           event_id AS "offset",
+           ts AS kafka_ts
+    FROM events
+    WHERE event_id < 3000
+    """,
+    tags=("source", "kafka", "decode"),
+)
+def source_kafka_shape_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kafka ingest projection end-to-end WITHOUT a broker: events
+    are serialized into Kafka's exact wire schema (binary key/value,
+    topic, partition, offset, timestamp), then decoded back through
+    sources.kafka_value_json (binary → JSON → typed columns). The oracle
+    predicts the round-trip directly from events, so a lossy encode or a
+    mis-typed decode breaks the hash. The same projection is what runs
+    on a real read_kafka_stream the moment the connector jar is present."""
+    from blow_spark.sources import kafka_value_json
+
+    e = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    frame = e.select(
+        F.encode(F.col("user_id").cast("string"), "UTF-8").alias("key"),
+        F.encode(
+            F.concat(
+                F.lit('{"event_id": '),
+                F.col("event_id").cast("string"),
+                F.lit(', "event_type": "'),
+                F.col("event_type"),
+                F.lit('"}'),
+            ),
+            "UTF-8",
+        ).alias("value"),
+        F.lit("events.raw").alias("topic"),
+        (F.col("user_id") % 8).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").alias("timestamp"),
+    )
+    return kafka_value_json(frame, "event_id long, event_type string")
+
+
+@register(
+    "window_distinct_count_trick",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(COUNT(DISTINCT user_id)
+                OVER (PARTITION BY event_type) AS BIGINT) AS n_users
+    FROM events
+    WHERE event_id < 5000
+    """,
+    tags=("window", "distinct"),
+)
+def window_distinct_count_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) OVER — which Spark's window operator refuses — via
+    the classic dense_rank rewrite: dense_rank over (partition, ORDER BY
+    key) assigns 1..K to the K distinct keys, and its per-partition MAX
+    is the distinct count. Two window passes over ONE sort order, so
+    Catalyst plans a single exchange + sort; no join, no subquery."""
+    e = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    w_ord = W.partitionBy("event_type").orderBy("user_id")
+    w_all = W.partitionBy("event_type")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.max(F.dense_rank().over(w_ord)).over(w_all).cast("bigint").alias("n_users"),
+    )
+
+
+@register(
     "join_salted_skew",
     oracle="""
     SELECT CAST(s_nationkey AS BIGINT) AS nation,
