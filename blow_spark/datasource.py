@@ -23,7 +23,12 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
 )
 
 
@@ -59,12 +64,41 @@ class GeneratorReader(DataSourceReader):
     def __init__(self, options):
         self.n = int(options.get("n", 10_000))
         self.num_parts = max(1, int(options.get("partitions", 8)))
+        self.lo = 0
+        self.hi = self.n  # exclusive
+
+    def pushFilters(self, filters):
+        """Range predicates on ``n`` prune GENERATION, not just output:
+        Catalyst hands down the conjunction, the reader narrows [lo, hi),
+        and pruned rows are never produced — the custom-source analog of
+        parquet predicate pushdown. Fully-handled filters are absorbed
+        (not yielded back), so Spark plans no redundant re-filter."""
+        for f in filters:
+            if getattr(f, "attribute", None) != ("n",) or not isinstance(
+                getattr(f, "value", None), int
+            ):
+                yield f
+                continue
+            v = f.value
+            if isinstance(f, GreaterThan):
+                self.lo = max(self.lo, v + 1)
+            elif isinstance(f, GreaterThanOrEqual):
+                self.lo = max(self.lo, v)
+            elif isinstance(f, LessThan):
+                self.hi = min(self.hi, v)
+            elif isinstance(f, LessThanOrEqual):
+                self.hi = min(self.hi, v + 1)
+            elif isinstance(f, EqualTo):
+                self.lo, self.hi = max(self.lo, v), min(self.hi, v + 1)
+            else:
+                yield f
 
     def partitions(self):
-        step = -(-self.n // self.num_parts)  # ceil
-        return [
-            RangeSlice(lo, min(lo + step, self.n))
-            for lo in range(0, self.n, step)
+        lo, hi = self.lo, max(self.lo, self.hi)
+        count = hi - lo
+        step = max(1, -(-count // self.num_parts))  # ceil
+        return [RangeSlice(s, min(s + step, hi)) for s in range(lo, hi, step)] or [
+            RangeSlice(0, 0)
         ]
 
     def read(self, partition: RangeSlice):
@@ -114,4 +148,8 @@ def register(spark) -> None:
     from blow_spark.shipping import ensure_package_shipped
 
     ensure_package_shipped(spark)
+    # Spark refuses a reader that implements pushFilters while the
+    # feature flag is off (vanilla sessions default it off) — enable it
+    # alongside registration; it is a runtime SQL conf.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(GeneratorSource)
