@@ -54,6 +54,12 @@ HEADLINE = [
     "text_bm25_search",
     "agg_hll_sketch_union",
     "window_time_range_frame",
+    # round 2 additions
+    "text_html_strip",
+    "join_salted_skew",
+    "source_python_datasource",
+    "window_distinct_count_trick",
+    "multimodal_frame_sample",
 ]
 
 

@@ -560,6 +560,9 @@ def sink_bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame
     this query pins the other half — that the bucketed writer/reader
     round-trips VALUES correctly). At 100 TB, bucketing both fact tables
     on the join key replaces the dominant per-query shuffle."""
+    import shutil
+    from urllib.parse import urlparse
+
     o = (
         read_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") < 5000)
@@ -568,6 +571,12 @@ def sink_bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame
     c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     spark.sql("DROP TABLE IF EXISTS bq_orders")
     spark.sql("DROP TABLE IF EXISTS bq_cust")
+    # A fresh session's in-memory catalog forgets prior runs' tables, but
+    # their warehouse directories persist — saveAsTable then fails with
+    # LOCATION_ALREADY_EXISTS. Clear the physical locations as well.
+    wh = urlparse(str(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))).path
+    for t in ("bq_orders", "bq_cust"):
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
     o.write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode("overwrite").saveAsTable("bq_orders")
     c.write.bucketBy(8, "c_custkey").sortBy("c_custkey").mode("overwrite").saveAsTable("bq_cust")
     ob, cb = spark.table("bq_orders"), spark.table("bq_cust")

@@ -120,9 +120,15 @@ def cosine_pairs_exact(
     ).select("vid", "pos", F.col("x").cast("double").alias("x"))
     # The probe side carries O(N²) join work but reads from a scan that
     # may be a single small file = a single task; spread it so every core
-    # probes (a one-file 500-vector fixture ran the whole join serially —
-    # 11 s → 1.5 s). The broadcast side needs no spreading.
-    probe = ex.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # probes (a one-file 500-vector fixture ran the whole join serially).
+    # Partition BY vid, not round-robin: with random row placement every
+    # task emits rows for nearly all N²/2 output groups, so each map-side
+    # partial-agg hash table grows to the full group count and spills
+    # (measured 216 s at 2000 vectors); keyed placement bounds a task's
+    # groups to |its vids|·N (measured 13 s). Broadcast side unchanged.
+    probe = ex.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col("vid")
+    )
     l, r = probe.alias("l"), F.broadcast(ex.alias("r"))
     joined = l.join(
         r, (F.col("l.pos") == F.col("r.pos")) & (F.col("l.vid") < F.col("r.vid"))
