@@ -420,4 +420,8 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    # The final labels are already materialized by localCheckpoint, so
+    # the edge cache can be released — long sessions (the driver runs
+    # every catalog query in one session) otherwise accumulate it.
+    edges.unpersist()
     return labels.select("node", "comp")

@@ -217,6 +217,7 @@ def pagerank(
         ).localCheckpoint()
     e.unpersist()
     contrib_edges.unpersist()
+    nodes.unpersist()
     return ranks
 
 

@@ -891,6 +891,46 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_xml_parse",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey    AS xml_id,
+           o_orderstatus AS status,
+           o_orderpriority AS priority,
+           CAST(NULL AS VARCHAR) AS missing_elem
+    FROM orders
+    WHERE o_orderkey < 2000
+    """,
+    tags=("scalar", "xml", "struct"),
+)
+def scalar_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion (Spark 4 from_xml): documents synthesized from
+    orders (attribute + nested elements), parsed against a declared
+    schema — attributes surface under the ``_`` prefix, absent elements
+    as NULL. The oracle predicts the round trip from the source rows
+    (DuckDB has no XML reader), so a lossy serialize or mis-typed parse
+    breaks the hash — same pattern as source_kafka_shape_decode."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    xml = F.concat(
+        F.lit('<order id="'),
+        F.col("o_orderkey").cast("string"),
+        F.lit('"><status>'),
+        F.col("o_orderstatus"),
+        F.lit("</status><priority>"),
+        F.col("o_orderpriority"),
+        F.lit("</priority></order>"),
+    )
+    parsed = F.from_xml(xml, "_id BIGINT, status STRING, priority STRING, missing_elem STRING")
+    return o.select(
+        "o_orderkey",
+        parsed["_id"].alias("xml_id"),
+        parsed["status"].alias("status"),
+        parsed["priority"].alias("priority"),
+        parsed["missing_elem"].alias("missing_elem"),
+    )
+
+
+@register(
     "json_struct_parse",
     oracle="""
     SELECT event_id,
