@@ -148,6 +148,51 @@ def cosine_pairs_exact(
     )
 
 
+def _rescore_candidates(
+    cand: DataFrame,
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    queries_df: DataFrame | None = None,
+) -> DataFrame:
+    """Exact cosine for an explicit (query_id, neighbor_id) candidate
+    set, with the same fixed-point arithmetic as brute_force_topk (so
+    approximate paths re-rank with scores bit-equal to the exact
+    baseline). Join order is the scale decision: candidates join the
+    PACKED vectors by id first (≤ ~0.5 KB/row moves; AQE broadcasts the
+    vector side when it fits), THEN the pairwise products explode
+    in place — all 64 product rows of a pair are generated co-located,
+    so the partial aggregation collapses them before any exchange and
+    the shuffle carries one 3×int64 row per pair. Exploding before the
+    join instead (the first rewrite) shuffled |cand|·dim rows — 60M at
+    sf0.1, 21 s of pure exchange; this form is map-side (~2 s)."""
+    s = F.lit(DOT_SCALE)
+    va = (queries_df if queries_df is not None else df).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("va")
+    )
+    vb = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"))
+    j = cand.join(va, "query_id").join(vb, "neighbor_id")
+    zipped = j.select(
+        "query_id",
+        "neighbor_id",
+        F.explode(F.arrays_zip(F.col("va"), F.col("vb"))).alias("p"),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.col("p.va").cast("double").alias("ax"),
+        F.col("p.vb").cast("double").alias("bx"),
+    )
+    agg = zipped.groupBy("query_id", "neighbor_id").agg(
+        F.sum(F.round(F.col("ax") * F.col("bx") * s).cast("long")).alias("dot_q"),
+        F.sum(F.round(F.col("ax") * F.col("ax") * s).cast("long")).alias("an_q"),
+        F.sum(F.round(F.col("bx") * F.col("bx") * s).cast("long")).alias("bn_q"),
+    )
+    cos = F.col("dot_q").cast("double") / (
+        F.sqrt(F.col("an_q").cast("double")) * F.sqrt(F.col("bn_q").cast("double"))
+    )
+    return agg.select("query_id", "neighbor_id", cos.alias("cos_sim"))
+
+
 def srp_sketch(
     df: DataFrame,
     id_col: str,
@@ -196,7 +241,9 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate all-pairs top-k: SRP sketch → band buckets → exact
     cosine re-rank within candidates. Recall grows with bands; work is
-    O(Σ bucket²) instead of O(N²)."""
+    O(Σ bucket²) instead of O(N²). The bucket self-join carries only
+    (id, band, chunk) — 8-byte sketch chunks, never vectors; candidates
+    re-rank through the codegen'd fixed-point scorer by id."""
     bits_per_band = bits // bands
     mask = (1 << bits_per_band) - 1
     sk = srp_sketch(df, id_col, vec_col, bits=bits, seed=seed, dim=dim)
@@ -209,8 +256,8 @@ def lsh_topk(
             for b in range(bands)
         ]
     )
-    banded = sk.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), F.explode(band_arr).alias("bb")).select(
-        "vid", "vec", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk")
+    banded = sk.select(F.col(id_col).alias("vid"), F.explode(band_arr).alias("bb")).select(
+        "vid", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk")
     )
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
@@ -220,15 +267,12 @@ def lsh_topk(
             & (F.col("l.chunk") == F.col("r.chunk"))
             & (F.col("l.vid") != F.col("r.vid")),
         )
-        .select(
-            F.col("l.vid").alias("query_id"),
-            F.col("r.vid").alias("neighbor_id"),
-            cosine(F.col("l.vec"), F.col("r.vec")).alias("cos_sim"),
-        )
+        .select(F.col("l.vid").alias("query_id"), F.col("r.vid").alias("neighbor_id"))
         .distinct()
     )
+    scored = _rescore_candidates(cand, df, id_col=id_col, vec_col=vec_col)
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def cosine_near_dup_pairs(
@@ -242,7 +286,9 @@ def cosine_near_dup_pairs(
     dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (id_a < id_b, cos ≥ threshold) via
-    the SRP bucket path — high-cosine pairs collide in ≥1 band w.h.p."""
+    the SRP bucket path — high-cosine pairs collide in ≥1 band w.h.p.
+    Buckets join on (id, band, chunk) only; exact scores come from the
+    codegen'd fixed-point re-rank by id, bit-equal to cosine_pairs_exact."""
     bits_per_band = bits // bands
     mask = (1 << bits_per_band) - 1
     sk = srp_sketch(df, id_col, vec_col, bits=bits, seed=seed, dim=dim)
@@ -255,23 +301,27 @@ def cosine_near_dup_pairs(
             for b in range(bands)
         ]
     )
-    banded = sk.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), F.explode(band_arr).alias("bb")).select(
-        "vid", "vec", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk")
+    banded = sk.select(F.col(id_col).alias("vid"), F.explode(band_arr).alias("bb")).select(
+        "vid", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk")
     )
     l, r = banded.alias("l"), banded.alias("r")
-    return (
+    cand = (
         l.join(
             r,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.chunk") == F.col("r.chunk"))
             & (F.col("l.vid") < F.col("r.vid")),
         )
-        .select(
-            F.col("l.vid").alias("id_a"),
-            F.col("r.vid").alias("id_b"),
-            cosine(F.col("l.vec"), F.col("r.vec")).alias("cos_sim"),
-        )
+        .select(F.col("l.vid").alias("query_id"), F.col("r.vid").alias("neighbor_id"))
         .distinct()
+    )
+    return (
+        _rescore_candidates(cand, df, id_col=id_col, vec_col=vec_col)
+        .select(
+            F.col("query_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            "cos_sim",
+        )
         .filter(F.col("cos_sim") >= threshold)
     )
 
@@ -377,12 +427,12 @@ def ivf_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    q_side = q_unit.select(F.col("vid").alias("query_id"), F.col("uv").alias("q_vec"))
-    c_side = unit.select(F.col("vid").alias("neighbor_id"), F.col("uv").alias("c_vec"))
-    rescored = (
-        cand.join(q_side, "query_id")
-        .join(c_side, "neighbor_id")
-        .select("query_id", "neighbor_id", _dot(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"))
+    rescored = _rescore_candidates(
+        cand,
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        queries_df=queries_df,
     )
     w2 = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return rescored.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
