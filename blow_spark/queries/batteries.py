@@ -356,6 +356,44 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_kll_quantile_rollup", oracle=None, tags=("agg", "approx", "sketch", "quantile"))
+def agg_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KLL quantile sketches (Apache DataSketches, built into
+    Spark 4): per-returnflag sketches of extended price → p50/p95
+    estimates, plus an __ALL__ row whose sketch is the MERGE of the
+    per-group sketches (kll_sketch_merge over the collected group
+    sketches — 3 elements, so the interpreted fold is irrelevant).
+    Mergeability is the scale architecture for percentile rollups: daily
+    partition sketches merge into weekly/monthly quantiles without
+    re-touching raw data, where exact percentiles would re-shuffle
+    everything per level. Engine-specific binaries ⇒ rows-only;
+    tests/test_relational.py pins merged n exactly and the quantile
+    estimates within KLL rank-error bounds of exact percentiles."""
+    li = read_table(spark, sf_dir, "lineitem")
+    v = F.col("l_extendedprice").cast("double")
+    per = li.groupBy("l_returnflag").agg(F.kll_sketch_agg_double(v).alias("sk"))
+
+    def stats(sk):
+        return [
+            F.kll_sketch_get_n_double(sk).alias("n_rows"),
+            F.round(F.kll_sketch_get_quantile_double(sk, F.lit(0.5)), 2).alias("p50_est"),
+            F.round(F.kll_sketch_get_quantile_double(sk, F.lit(0.95)), 2).alias("p95_est"),
+        ]
+
+    per_group = per.select("l_returnflag", *stats(F.col("sk")))
+    merged_sk = F.aggregate(
+        F.expr("slice(sks, 2, size(sks) - 1)"),
+        F.element_at("sks", 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+    merged = (
+        per.agg(F.collect_list("sk").alias("sks"))
+        .select(merged_sk.alias("m"))
+        .select(F.lit("__ALL__").alias("l_returnflag"), *stats(F.col("m")))
+    )
+    return per_group.unionByName(merged)
+
+
 @register(
     "source_schema_evolution",
     oracle="""

@@ -207,3 +207,34 @@ def test_hll_sketch_union_estimate_bounds(spark, sf_dir):
         assert abs(r["est"] - r["exact"]) <= 0.1 * r["exact"], r
         # union-of-parts == sketch-of-whole (same lgConfigK, same stream)
         assert r["est"] == r["direct_est"], r
+
+
+def test_kll_quantile_rollup_bounds(spark, sf_dir):
+    """agg_kll_quantile_rollup is rows-only in the driver gate; here the
+    sketch quantiles are bounded against exact percentiles (KLL default-k
+    rank error ≈1.65%; allow 3% rank slack converted through the value
+    distribution) and the merged __ALL__ row must carry the EXACT total
+    n — KLL tracks n losslessly, so a wrong merge can't hide."""
+    from blow_spark.queries import queries
+
+    rows = {r["l_returnflag"]: r for r in queries()["agg_kll_quantile_rollup"](spark, sf_dir).collect()}
+    li = read_table(spark, sf_dir, "lineitem")
+    total = li.count()
+    assert rows["__ALL__"]["n_rows"] == total
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.47)").alias("lo50"),
+            F.expr("percentile(l_extendedprice, 0.53)").alias("hi50"),
+            F.expr("percentile(l_extendedprice, 0.92)").alias("lo95"),
+            F.expr("percentile(l_extendedprice, 0.98)").alias("hi95"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    for flag, e in exact.items():
+        got = rows[flag]
+        assert got["n_rows"] == e["n"], flag
+        assert e["lo50"] <= got["p50_est"] <= e["hi50"], (flag, got["p50_est"])
+        assert e["lo95"] <= got["p95_est"] <= e["hi95"], (flag, got["p95_est"])
