@@ -356,6 +356,54 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rollup_incremental_merge",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+           MIN(l_shipdate) AS first_ship,
+           MAX(l_shipdate) AS last_ship
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "incremental", "rollup"),
+)
+def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance: the historical rollup
+    (shipdate < 1997) and the newly-arrived delta (≥ 1997) are aggregated
+    SEPARATELY, then merged by re-aggregating the partial states
+    (SUM of counts, SUM of sums, MIN of mins, MAX of maxes) — the
+    arrival-of-a-new-partition pattern that avoids re-touching history.
+    The oracle is the FULL recompute over all rows, so the hash check
+    proves merge(base, delta) ≡ recompute — the algebraic property that
+    makes incremental maintenance sound. All states here are
+    self-mergeable; AVG-style states would carry (sum, count) pairs."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cut = F.lit("1997-01-01").cast("timestamp")
+
+    def rollup(part: DataFrame) -> DataFrame:
+        return part.groupBy("l_returnflag").agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_cents"),
+            F.min("l_shipdate").alias("first_ship"),
+            F.max("l_shipdate").alias("last_ship"),
+        )
+
+    base = rollup(li.filter(F.col("l_shipdate") < cut))
+    delta = rollup(li.filter(F.col("l_shipdate") >= cut))
+    return (
+        base.unionByName(delta)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("qty_cents").alias("qty_cents"),
+            F.min("first_ship").alias("first_ship"),
+            F.max("last_ship").alias("last_ship"),
+        )
+    )
+
+
 @register("agg_kll_quantile_rollup", oracle=None, tags=("agg", "approx", "sketch", "quantile"))
 def agg_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable KLL quantile sketches (Apache DataSketches, built into

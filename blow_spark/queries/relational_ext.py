@@ -664,6 +664,39 @@ def window_distinct_count_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_null_skew_guard",
+    oracle="""
+    SELECT event_id,
+           CAST(NULLIF(user_id % 25, 0) AS BIGINT) AS k,
+           n_name
+    FROM events LEFT JOIN nation ON NULLIF(user_id % 25, 0) = n_nationkey
+    WHERE event_id < 20000
+    """,
+    tags=("join", "skew", "null"),
+)
+def join_null_skew_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-key skew guard for outer joins: NULL join keys can never
+    match, yet a plain left join still hashes every NULL row into one
+    reducer — on crawl data where a join key is 30% NULL that single
+    partition IS the job's critical path. The guard splits NULL keys out
+    BEFORE the shuffle (they bypass the join entirely, taking literal
+    NULL dim columns) and unions them back. The oracle is the plain
+    LEFT JOIN, so the hash check proves the split+union is
+    row-identical."""
+    e = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    k = F.nullif(F.col("user_id") % 25, F.lit(0)).cast("bigint")
+    keyed = e.select("event_id", k.alias("k"))
+    dim = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"), "n_name"
+    )
+    matched = keyed.filter(F.col("k").isNotNull()).join(dim, "k", "left")
+    nulls = keyed.filter(F.col("k").isNull()).withColumn(
+        "n_name", F.lit(None).cast("string")
+    )
+    return matched.unionByName(nulls).select("event_id", "k", "n_name")
+
+
+@register(
     "join_salted_skew",
     oracle="""
     SELECT CAST(s_nationkey AS BIGINT) AS nation,

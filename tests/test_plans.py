@@ -174,6 +174,24 @@ def test_exact_cosine_plan_is_codegen_broadcast(spark, sf_dir):
         assert p.count("HashAggregate") >= 2, p[:800]
 
 
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A join against a filtered dim on the fact's PARTITION column must
+    plan a dynamicpruning subquery on the fact scan: only partitions
+    whose keys survive the dim filter are listed/read. At 100 TB this is
+    the difference between scanning 3 partitions and scanning 20 —
+    without any literal filter the user could have written."""
+    path = str(tmp_path / "dpp_fact")
+    fact = spark.range(0, 100_000).selectExpr("id", "id % 20 AS part_key", "id * 2 AS v")
+    fact.write.partitionBy("part_key").mode("overwrite").parquet(path)
+    dim = spark.range(0, 20).selectExpr(
+        "id AS part_key", "CASE WHEN id < 3 THEN 'hot' ELSE 'cold' END AS cls"
+    )
+    j = spark.read.parquet(path).join(dim.filter("cls = 'hot'"), "part_key")
+    assert j.count() == 100_000 * 3 // 20
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:1500]
+
+
 def test_multi_distinct_plans_expand(spark, sf_dir):
     """agg_multi_distinct (3 COUNT DISTINCT columns + plain aggs in one
     GROUP BY) must plan with a single Expand-based multi-distinct
