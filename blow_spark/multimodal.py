@@ -182,6 +182,53 @@ def resize_features(
     return src.mapInPandas(run, schema=_RESIZE_SCHEMA)
 
 
+_AUDIO_SCHEMA = "doc_id long, window_no int, n_samples int, rms double, peak double"
+
+
+def audio_window_features(
+    df: DataFrame,
+    window_samples: int = 256,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Audio feature extraction over Arrow batches: decode (stubbed —
+    bytes → int16 PCM → float32, the real librosa swap point), frame
+    into fixed windows, emit per-window RMS energy + peak — the
+    silence-detection / loudness-normalization pass of an audio corpus
+    pipeline. 1 blob → N window rows, like video frame sampling; only
+    narrow feature rows ever leave the worker."""
+    from blow_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(content_col).alias("content"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                wave = decode_audio(bytes(content), fake_decode=fake_decode)
+                n_win = max(1, -(-wave.size // window_samples))
+                for w in range(n_win):
+                    seg = wave[w * window_samples : (w + 1) * window_samples]
+                    if seg.size == 0:
+                        continue
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "window_no": w,
+                            "n_samples": int(seg.size),
+                            "rms": float(np.sqrt(np.mean(seg.astype(np.float64) ** 2))),
+                            "peak": float(np.abs(seg).max()),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "window_no", "n_samples", "rms", "peak"]
+            )
+
+    return src.mapInPandas(run, schema=_AUDIO_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -102,6 +102,16 @@ def multimodal_resize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_features(d, out_h=4, out_w=4)
 
 
+@register("multimodal_audio_energy", oracle=None, tags=("multimodal", "audio"))
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality path: decode (stub) → fixed-window framing →
+    per-window RMS/peak, via mapInPandas — the silence-detection pass.
+    Rows-only (fake PCM decode isn't SQL-expressible); window math is
+    verified against local numpy in tests/test_multimodal.py."""
+    d = multimodal.with_synthetic_media(read_table(spark, sf_dir, "documents"))
+    return multimodal.audio_window_features(d, window_samples=256)
+
+
 @register(
     "multimodal_payload_dedup",
     oracle="""

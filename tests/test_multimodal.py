@@ -67,6 +67,25 @@ def test_resize_shapes_and_determinism():
     assert (multimodal.resize_image(img, 4, 4) == small).all()
 
 
+def test_audio_window_features_match_numpy(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").limit(8)
+    media = multimodal.with_synthetic_media(docs)
+    got = {}
+    for r in multimodal.audio_window_features(media, window_samples=256).collect():
+        got[(r["doc_id"], r["window_no"])] = r
+    for row in docs.select("doc_id", "text").collect():
+        wave = multimodal.decode_audio(row["text"].encode("utf-8"), fake_decode=True)
+        n_win = max(1, -(-wave.size // 256))
+        for w in range(n_win):
+            seg = wave[w * 256 : (w + 1) * 256]
+            if seg.size == 0:
+                continue
+            g = got[(row["doc_id"], w)]
+            assert g["n_samples"] == seg.size
+            assert g["rms"] == pytest.approx(float(np.sqrt(np.mean(seg.astype(np.float64) ** 2))))
+            assert g["peak"] == pytest.approx(float(np.abs(seg).max()))
+
+
 def test_decode_stub_behavior():
     payload = b"x" * 500
     fake = multimodal.decode_image(payload, fake_decode=True)
