@@ -347,3 +347,69 @@ def bfs_distances(edges: DataFrame, sources: DataFrame, max_hops: int = 3) -> Da
             .localCheckpoint()
         )
     return dist
+
+
+# --------------------------------------------------------------------------
+# MERGE INTO (write side, copy-on-write over parquet)
+# --------------------------------------------------------------------------
+
+
+def merge_into_parquet(
+    spark,
+    target_path: str,
+    source_df: DataFrame,
+    key_cols: list[str],
+    delete_col: str | None = None,
+) -> None:
+    """Copy-on-write MERGE INTO a parquet directory:
+
+    * matched + delete marker      → row removed
+    * matched                      → source row replaces target (UPDATE)
+    * source-only, no delete       → row inserted
+    * source-only + delete marker  → no-op
+    * target-only                  → row kept
+
+    One full-outer join on the keys computes the post-image, which is
+    written to a sibling staging directory and atomically swapped in
+    (write-then-rename; reading and overwriting the same path in one
+    job is not safe in any engine). This is the whole-table
+    copy-on-write strategy: correct at any scale, rewrite cost O(table).
+    Production table formats (Delta/Iceberg/Hudi) refine exactly this
+    into per-file rewrites + a metadata commit — the join below is the
+    same; only the commit granularity changes. Idempotent: re-merging
+    the same source is a no-op (pinned in tests/test_pipeline_ops.py).
+    Deterministic given unique keys per side (the MERGE precondition:
+    multiple source rows per key is ambiguous and rejected)."""
+    import shutil
+
+    tgt = spark.read.parquet(target_path)
+    value_cols = [c for c in tgt.columns if c not in key_cols]
+    dup = source_df.groupBy(*key_cols).count().filter(F.col("count") > 1)
+    if dup.limit(1).count() > 0:
+        raise ValueError("MERGE source has duplicate keys (ambiguous per-key post-image)")
+
+    is_del = F.col(f"s.{delete_col}") if delete_col else F.lit(False)
+    s = source_df.alias("s")
+    t = tgt.alias("t")
+    cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols]
+    joined = t.join(s, cond, "full_outer")
+    src_present = F.col(f"s.{key_cols[0]}").isNotNull()
+    post = (
+        joined
+        # delete: matched + marker, or source-only + marker → drop
+        .filter(~(src_present & F.coalesce(is_del, F.lit(False))))
+        .select(
+            *[F.coalesce(F.col(f"s.{k}"), F.col(f"t.{k}")).alias(k) for k in key_cols],
+            *[
+                F.when(src_present, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+                for c in value_cols
+            ],
+        )
+    )
+    staging = target_path.rstrip("/") + ".staging"
+    post.write.mode("overwrite").parquet(staging)
+    old = target_path.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.move(target_path, old)
+    shutil.move(staging, target_path)
+    shutil.rmtree(old, ignore_errors=True)

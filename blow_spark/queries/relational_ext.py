@@ -664,6 +664,55 @@ def window_distinct_count_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_merge_upsert_roundtrip",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey < 3000
+    ), delta AS (
+      SELECT o_orderkey, o_orderstatus,
+             o_totalprice + 1 AS o_totalprice,
+             (o_orderkey % 7 = 0) AS is_delete
+      FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 4000
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM base
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM delta WHERE NOT is_delete
+    """,
+    tags=("sink", "merge", "cdc"),
+)
+def sink_merge_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side MERGE INTO under the oracle gate: a parquet target
+    (orders < 3000) merged with a delta (2000–3999: updated price, every
+    7th key a DELETE marker) via ops.merge_into_parquet — copy-on-write
+    full-outer join, staged write, atomic swap. The read-back must equal
+    the oracle's declarative post-image: updates applied, inserts
+    present, deleted keys gone, untouched history intact."""
+    import tempfile
+
+    from blow_spark import ops
+
+    o = read_table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") < 3000).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    delta = (
+        o.filter((F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 4000))
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") + 1).alias("o_totalprice"),
+            (F.col("o_orderkey") % 7 == 0).alias("is_delete"),
+        )
+    )
+    path = tempfile.mkdtemp(prefix="blow_spark_merge_")
+    base.write.mode("overwrite").parquet(path)
+    ops.merge_into_parquet(spark, path, delta, ["o_orderkey"], delete_col="is_delete")
+    return spark.read.parquet(path)
+
+
+@register(
     "join_null_skew_guard",
     oracle="""
     SELECT event_id,

@@ -86,3 +86,35 @@ def test_pipeline_ops_rerun_deterministic(spark, sf_dir):
         a = [tuple(r) for r in queries()[name](spark, sf_dir).collect()]
         b = [tuple(r) for r in queries()[name](spark, sf_dir).collect()]
         assert a == b, name
+
+
+def test_merge_into_parquet_idempotent_and_rejects_dup_keys(spark, tmp_path):
+    """MERGE post-image invariants: re-merging the same delta is a no-op
+    (upserts converge, deletes stay deleted), and an ambiguous source
+    (duplicate keys) is rejected instead of silently picking a row."""
+    from pyspark.sql import functions as F
+
+    from blow_spark import ops
+
+    path = str(tmp_path / "t")
+    spark.range(0, 100).selectExpr("id AS k", "id * 10 AS v").write.parquet(path)
+    delta = spark.range(50, 150).selectExpr(
+        "id AS k", "id * 10 + 1 AS v", "id % 5 = 0 AS dead"
+    )
+    ops.merge_into_parquet(spark, path, delta, ["k"], delete_col="dead")
+    first = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    # spot-check semantics: untouched, updated, inserted, deleted
+    d = dict(first)
+    assert d[10] == 100          # untouched history
+    assert d[51] == 511          # matched update
+    assert d[149] == 1491        # unmatched insert
+    assert 50 not in d and 100 not in d  # deletes (matched + unmatched no-op)
+    ops.merge_into_parquet(spark, path, delta, ["k"], delete_col="dead")
+    second = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert first == second  # idempotent
+
+    import pytest as _pytest
+
+    dup = spark.createDataFrame([(1, 5, False), (1, 6, False)], "k long, v long, dead boolean")
+    with _pytest.raises(ValueError, match="duplicate keys"):
+        ops.merge_into_parquet(spark, path, dup, ["k"], delete_col="dead")
