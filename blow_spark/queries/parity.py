@@ -174,6 +174,68 @@ def ops_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "udtf_dynamic_schema",
+    oracle="""
+    SELECT event_id,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k,
+           LENGTH(props) AS props_len
+    FROM events
+    WHERE event_id < 2000
+    """,
+    tags=("udf", "udtf", "analyze"),
+)
+def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a static ``analyze()`` phase (Spark 4): the
+    OUTPUT SCHEMA is computed at plan time from a constant argument — a
+    comma-separated field spec — instead of being declared. This is the
+    full UDTF contract the one-shape fizzbuzz UDTF doesn't exercise:
+    Catalyst calls analyze() during resolution, the generated columns
+    participate in optimization like any static schema, and eval() then
+    emits rows matching it. Spec here = 'k,props_len' → a JSON-int
+    extract and a length column, checked against DuckDB's JSON path."""
+    import json
+
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class FieldExtract:
+        @staticmethod
+        def analyze(spec: AnalyzeArgument, props: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for field in spec.value.split(","):
+                schema = schema.add(field, LongType())
+            return AnalyzeResult(schema=schema)
+
+        def __init__(self):
+            self._fields = None
+
+        def eval(self, spec: str, props: str):
+            fields = spec.split(",")
+            try:
+                doc = json.loads(props) if props else {}
+            except ValueError:
+                doc = {}
+            row = []
+            for f in fields:
+                if f == "props_len":
+                    row.append(len(props) if props is not None else None)
+                else:
+                    v = doc.get(f)
+                    row.append(int(v) if v is not None else None)
+            yield tuple(row)
+
+    spark.udtf.register("field_extract", FieldExtract)
+    e = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    e.createOrReplaceTempView("events_udtf_src")
+    return spark.sql(
+        "SELECT s.event_id, f.k, f.props_len "
+        "FROM events_udtf_src s, LATERAL field_extract('k,props_len', s.props) f"
+    )
+
+
+@register(
     "pipeline_fizzbuzz_udtf",
     oracle="""
     WITH t AS (SELECT r FROM RANGE(0, 10000) t(r)),
