@@ -413,3 +413,42 @@ def merge_into_parquet(
     shutil.move(target_path, old)
     shutil.move(staging, target_path)
     shutil.rmtree(old, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Z-order layout (multi-dimensional clustering for data skipping)
+# --------------------------------------------------------------------------
+
+
+def zorder_value(x: Column, y: Column, bits: int = 16) -> Column:
+    """Morton/Z-curve interleave of two non-negative ints (low ``bits``
+    of each): bit i of x lands at position 2i, bit i of y at 2i+1. Pure
+    bitwise expressions — codegen'd, and identically expressible in ANSI
+    SQL, so the catalog query pins it against DuckDB bit-for-bit."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        xb = F.shiftleft(F.shiftrightunsigned(x.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
+        yb = F.shiftleft(F.shiftrightunsigned(y.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        z = z.bitwiseOR(xb).bitwiseOR(yb)
+    return z
+
+
+def zorder_write(df: DataFrame, path: str, x_col: str, y_col: str, bits: int = 16) -> None:
+    """Write ``df`` clustered along the Z-curve of (x_col, y_col):
+    range-partition by z (files cover disjoint curve segments), sort
+    within partitions (row groups cover tight segments). Because the
+    curve preserves 2-D locality, every file's min/max footer stats are
+    narrow in BOTH dimensions — a reader filtering on either column (or
+    both) skips most files, where single-column sorting helps only its
+    own column. This is the layout pass a 100 TB table runs once at
+    ingest so that every later selective scan prunes; the skipping win
+    is quantified from real parquet footers in tests/test_plans.py."""
+    z = zorder_value(F.col(x_col), F.col(y_col), bits=bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(df.sparkSession.sparkContext.defaultParallelism, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

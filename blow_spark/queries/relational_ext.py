@@ -663,6 +663,38 @@ def window_distinct_count_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_sql_expr(xcol: str, ycol: str, bits: int = 16) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xcol} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ycol} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@register(
+    "scalar_zorder_interleave",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST({_zorder_sql_expr('(l_partkey % 65536)', '(l_suppkey % 65536)')} AS BIGINT) AS z
+    FROM lineitem
+    WHERE l_orderkey < 500
+    """,
+    tags=("scalar", "zorder", "layout"),
+)
+def scalar_zorder_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-curve bit interleave (ops.zorder_value) — the ordering
+    key behind multi-dimensional clustered layouts. Pure bitwise
+    expressions, pinned bit-for-bit against the same formula spelled out
+    in ANSI SQL. The layout pass itself (range-partition + sort by z →
+    narrow per-file min/max in BOTH dimensions) is quantified from real
+    parquet footers in tests/test_plans.py::test_zorder_write_narrows_file_stats."""
+    from blow_spark import ops
+
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    z = ops.zorder_value(F.col("l_partkey") % 65536, F.col("l_suppkey") % 65536)
+    return li.select("l_orderkey", "l_linenumber", z.alias("z"))
+
+
 @register(
     "sink_merge_upsert_roundtrip",
     oracle="""

@@ -192,6 +192,55 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:1500]
 
 
+def test_zorder_write_narrows_file_stats(spark, tmp_path):
+    """Z-ordered layout must leave every parquet file covering a NARROW
+    range of BOTH clustering dimensions (that's what lets min/max footer
+    stats skip files for filters on either column). Quantified from real
+    footers: mean per-file (max-min) width under the Z layout must be
+    well under the unclustered write's, for x AND y simultaneously —
+    single-column sorting can only achieve this for its own column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from blow_spark import ops
+
+    n = 1 << 14
+    df = spark.range(0, n).selectExpr(
+        "CAST(id % 128 AS LONG) AS x", "CAST(CAST(id / 128 AS LONG) % 128 AS LONG) AS y", "id AS v"
+    )
+    plain_path, z_path = str(tmp_path / "plain"), str(tmp_path / "zord")
+    df.repartition(8).write.mode("overwrite").parquet(plain_path)
+    ops.zorder_write(df, z_path, "x", "y", bits=7)
+
+    def mean_widths(path):
+        wx, wy, files = 0.0, 0.0, 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.read_metadata(f)
+            cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            lo = [None, None]
+            hi = [None, None]
+            for rg in range(md.num_row_groups):
+                for j, c in enumerate(("x", "y")):
+                    st = md.row_group(rg).column(cols[c]).statistics
+                    lo[j] = st.min if lo[j] is None else min(lo[j], st.min)
+                    hi[j] = st.max if hi[j] is None else max(hi[j], st.max)
+            wx += hi[0] - lo[0]
+            wy += hi[1] - lo[1]
+            files += 1
+        return wx / files, wy / files
+
+    px, py = mean_widths(plain_path)
+    zx, zy = mean_widths(z_path)
+    # random placement spans ~the full 0..127 domain per file
+    assert px > 100 and py > 100, (px, py)
+    # both dims narrow, and the per-file bounding-box AREA — the quantity
+    # a 2-D selective scan prunes on — shrinks by ≥4× (a curve segment
+    # crossing a high bit can stretch one dim, so area is the right bar)
+    assert zx < px and zy < py, (zx, zy, px, py)
+    assert zx * zy < (px * py) / 4, (zx * zy, px * py)
+
+
 def test_multi_distinct_plans_expand(spark, sf_dir):
     """agg_multi_distinct (3 COUNT DISTINCT columns + plain aggs in one
     GROUP BY) must plan with a single Expand-based multi-distinct
