@@ -1,16 +1,25 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Two paths, per the task brief:
+Paths, per the task brief:
 
-* **brute-force cosine top-k** — exact baseline. Dot products are built-in
-  array expressions (``zip_with`` + left-fold ``aggregate``): JVM-side,
-  codegen'd, no Python. Queries × corpus is a broadcast nested-loop join —
-  correct plan when the query set is small; O(Q·N) work.
+* **brute-force cosine top-k** — exact baseline. Dot products run as
+  fixed-point integer sums over posexploded components (round(x·y·1e12)
+  → int64): fully whole-stage-codegen'd AND order-independent, so the
+  DuckDB oracle hash-matches at any parallelism. (Higher-order
+  ``zip_with``/``aggregate`` folds evaluate on the interpreted
+  expression path — measured 10×+ slower — and float SUM order would
+  break oracle exactness; the HOF forms below survive only where the
+  input is tiny, e.g. K≤2⁸ centroid scoring.) Queries × corpus is a
+  broadcast equi-join on position — the corpus never shuffles.
+* **exact all-pairs thresholding** (``cosine_pairs_exact``) — the audit
+  form that calibrates the approximate paths; same arithmetic.
 * **LSH-bucketed (random hyperplane / SRP)** — the scale path: sign-bit
-  sketch per vector, bucket equi-join on band chunks, exact re-rank within
-  candidates. Shuffles 8-byte sketches, not 64-float vectors; at 10^9
-  vectors the candidate join is the only quadratic-ish term and it is
-  bounded per bucket.
+  sketch per vector, bucket equi-join on (id, band, chunk) — 8-byte
+  sketch chunks, never vectors — then exact re-rank of candidates
+  through the same fixed-point scorer (bit-equal to the baseline). At
+  10^9 vectors the candidate join is the only quadratic-ish term and it
+  is bounded per bucket.
+* **IVF** — k-means-bucketed probe path, same re-rank.
 
 Also: embedding-cosine near-duplicate detection (threshold instead of
 top-k). The reference has none of this (SURVEY.md §2.2 "Extension ops").
