@@ -121,3 +121,46 @@ def test_interval_overlap_join_matches_reference(spark, a_iv, b_iv, cell):
         if sa <= eb and sb <= ea
     }
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    deltas=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=15),   # key
+                st.integers(min_value=0, max_value=999),  # value
+                st.booleans(),                            # delete marker
+            ),
+            min_size=0,
+            max_size=8,
+            unique_by=lambda t: t[0],
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_merge_into_parquet_matches_dict_model(spark, tmp_path_factory, deltas):
+    """Model-based MERGE: applying K random deltas through
+    ops.merge_into_parquet must equal replaying them on a plain Python
+    dict (upsert non-deletes, pop deletes) — the declarative MERGE
+    semantics with no engine in the loop."""
+    from blow_spark import ops
+
+    path = str(tmp_path_factory.mktemp("merge_model") / "t")
+    base = [(k, k * 100) for k in range(0, 10)]
+    spark.createDataFrame(base, "k long, v long").write.parquet(path)
+    model = dict(base)
+    for delta in deltas:
+        df = spark.createDataFrame(
+            [(k, v, d) for k, v, d in delta] or [(None, None, None)],
+            "k long, v long, dead boolean",
+        ).filter("k IS NOT NULL")
+        ops.merge_into_parquet(spark, path, df, ["k"], delete_col="dead")
+        for k, v, dead in delta:
+            if dead:
+                model.pop(k, None)
+            else:
+                model[k] = v
+        got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+        assert got == model
