@@ -125,6 +125,8 @@ def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar", "string"),
 )
 def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String battery: concat/substring/case/trim/length — byte-exact
+    across engines on ASCII fixture data."""
     c = read_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
     return c.select(
         "c_custkey",
@@ -158,6 +160,8 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar", "math"),
 )
 def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math battery: abs/round/floor/ceil/pmod/sign — exact integer and
+    double forms (transcendentals are rounded per the house rule)."""
     s = read_table(spark, sf_dir, "supplier")
     bal = F.col("s_acctbal")
     return s.select(
@@ -193,6 +197,8 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar", "datetime"),
 )
 def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time battery: trunc, extract, add/diff — µs-exact under the
+    pinned UTC session zone."""
     o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
     d = F.col("o_orderdate")
     return o.select(
@@ -223,6 +229,8 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar", "conditional"),
 )
 def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional battery: CASE WHEN chains, IF, least/greatest —
+    three-valued logic at every branch."""
     c = read_table(spark, sf_dir, "customer")
     bal = F.col("c_acctbal")
     return c.select(
@@ -253,6 +261,8 @@ def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join",),
 )
 def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join orders⋈customer — the baseline join; dim side
+    broadcasts under the threshold."""
     c = read_table(spark, sf_dir, "customer")
     n = read_table(spark, sf_dir, "nation")
     return (
@@ -294,6 +304,7 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "outer"),
 )
 def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER equi-join with NULL-extension for orderless customers."""
     c = read_table(spark, sf_dir, "customer")
     o = read_table(spark, sf_dir, "orders")
     return (
@@ -313,6 +324,8 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "outer"),
 )
 def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER equi-join — mirror of left outer (Catalyst plans it
+    as a flipped left outer)."""
     c = read_table(spark, sf_dir, "customer")
     o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
     return c.join(o, o.o_custkey == c.c_custkey, "right").select("o_orderkey", "c_name")
@@ -333,6 +346,7 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "outer"),
 )
 def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER hash join with NULL-extension on both sides."""
     c = read_table(spark, sf_dir, "customer")
     big = (
         c.filter(F.col("c_acctbal") > 8000)
@@ -359,6 +373,8 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "semi"),
 )
 def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS shape): customers with ≥1 order, no
+    right-side columns, no row multiplication."""
     c = read_table(spark, sf_dir, "customer")
     o = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return c.join(o, o.o_custkey == c.c_custkey, "left_semi").select("c_custkey", "c_name")
@@ -373,6 +389,8 @@ def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "anti"),
 )
 def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS shape): customers with no orders;
+    only the left side's columns survive."""
     c = read_table(spark, sf_dir, "customer")
     o = read_table(spark, sf_dir, "orders")
     return c.join(o, o.o_custkey == c.c_custkey, "left_anti").select("c_custkey", "c_name")
@@ -387,6 +405,8 @@ def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "cross"),
 )
 def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit CROSS JOIN (bounded sides) — the one join shape where a
+    cartesian product is the intended plan."""
     r = read_table(spark, sf_dir, "region")
     s = read_table(spark, sf_dir, "supplier")
     return r.crossJoin(s).select(F.col("r_name").alias("region"), F.col("s_suppkey").alias("suppkey"))
@@ -523,6 +543,8 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "distinct"),
 )
 def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two COUNT(DISTINCT) columns + COUNT(*) per group — the distinct
+    aggregation baseline (Expand-based rewrite pinned by agg_multi_distinct)."""
     li = read_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.countDistinct("l_suppkey").alias("n_suppliers"),
@@ -582,6 +604,8 @@ def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "rollup"),
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP region→nation hierarchy over broadcast dims: subtotal levels
+    from one Expand pass, never multiple scans."""
     c = read_table(spark, sf_dir, "customer")
     n = read_table(spark, sf_dir, "nation")
     r = read_table(spark, sf_dir, "region")
@@ -601,6 +625,8 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "cube"),
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2^2 grouping levels in one
+    Expand+aggregate pass (SURVEY §2.2 aggregations row)."""
     li = read_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
 
@@ -658,6 +684,8 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "ranking"),
 )
 def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/row_number over one ordered window — the ranking
+    trio with deterministic tie-breaks."""
     c = read_table(spark, sf_dir, "customer")
     w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
     return c.select(
@@ -684,6 +712,8 @@ def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "analytic"),
 )
 def window_analytic_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics over a per-user time-ordered window — offset
+    access without self-joins."""
     e = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     return e.select(
@@ -747,6 +777,8 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "frames"),
 )
 def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing moving average over a rows-frame window — the smoothing
+    baseline (exact decimal sums per the house rule)."""
     o = read_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
     w = (
         W.partitionBy("o_custkey")
@@ -801,6 +833,8 @@ def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sort", "topk", "window"),
 )
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number window + filter — planned as
+    WindowGroupLimit (per-partition heap), pinned in test_plans."""
     c = read_table(spark, sf_dir, "customer")
     w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
     return (
@@ -824,6 +858,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("setop",),
 )
 def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL — bag union, no shuffle: partitions concatenate."""
     c = read_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
     s = read_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9000)
     return c.select(F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side")).unionAll(
@@ -841,6 +876,7 @@ def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("setop",),
 )
 def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set intersection with dedup) — left-semi + aggregate."""
     c = read_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = read_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.intersect(s)
@@ -856,6 +892,8 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("setop",),
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set difference with dedup) — Catalyst plans a left-anti
+    aggregate."""
     c = read_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = read_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.subtract(s)
@@ -869,6 +907,8 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("setop", "distinct"),
 )
 def set_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT as a set operator: one hash aggregate over the projected
+    columns."""
     o = read_table(spark, sf_dir, "orders")
     return o.select("o_orderstatus", "o_orderpriority").distinct()
 
@@ -933,6 +973,8 @@ def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("subquery", "sql"),
 )
 def subquery_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (global AVG) compared per row —
+    planned as a broadcast of the single aggregate row."""
     register_views(spark, sf_dir, ["customer"])
     return spark.sql(
         """

@@ -897,6 +897,8 @@ def scalar_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar", "bitwise"),
 )
 def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise battery: AND/OR/XOR/NOT/shifts — bit-identical across
+    engines by definition."""
     k = F.col("l_orderkey")
     li = read_table(spark, sf_dir, "lineitem").filter(k < 300)
     ln = F.col("l_linenumber")

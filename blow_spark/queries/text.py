@@ -163,6 +163,8 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "quality"),
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite text-quality score from length/punctuation/stopword
+    signals — the C4/Gopher-style filter scalar, all built-in expressions."""
     d = read_table(spark, sf_dir, "documents")
     return d.select("doc_id", BF.quality_score(F.col("text")).alias("quality_score"))
 
