@@ -25,10 +25,15 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     strict: bool = True,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the most recent right row with the same
-    key and right_ts < left_ts (≤ when strict=False). pandas
-    ``merge_asof(direction='backward')`` semantics, distributed.
+    key and right_ts < left_ts (≤ when strict=False) — pandas
+    ``merge_asof(direction='backward')`` semantics, distributed. With
+    ``direction='forward'``, the NEAREST FOLLOWING right row
+    (right_ts > left_ts; ≥ when strict=False) — the "next tick" lookup.
+    Both directions are the same single-shuffle union+window plan; only
+    the sort order flips.
 
     Implementation: tag + union both sides, single window pass per key
     ordered by time propagating the last-seen right values onto left rows,
@@ -58,10 +63,20 @@ def asof_join(
     # so a right row at exactly left_ts is not visible to that left row →
     # sort key (_ts, _side) puts side=0 first at ties... which would make
     # it visible. Invert: at ties, left rows must come first → (_ts, -_side)
-    tie = (-F.col("_side")) if strict else F.col("_side")
+    # Forward flips the time order (preceding frame rows = later times);
+    # the tie rule flips with it: strict → left first, i.e. _side DESC.
+    if direction == "backward":
+        order = [F.col("_ts").asc(), (-F.col("_side")) if strict else F.col("_side")]
+    elif direction == "forward":
+        order = [
+            F.col("_ts").desc(),
+            F.col("_side").desc() if strict else F.col("_side").asc(),
+        ]
+    else:
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     w = (
         W.partitionBy(on)
-        .orderBy(F.col("_ts"), tie)
+        .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     asof_vals = {

@@ -475,6 +475,37 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("event_id", "user_id").agg(F.max("c_ts").alias("last_click_ts"))
 
 
+@register(
+    "join_asof_forward",
+    oracle="""
+    SELECT e.event_id,
+           e.user_id,
+           c.ts AS next_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts < c.ts
+    """,
+    tags=("join", "asof", "forward"),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for each error event, the nearest strictly-
+    later click by the same user — the "next tick after the event"
+    lookup (did the user recover after the error?). Runs through
+    ops.asof_join(direction='forward'): the same single-shuffle
+    union+window plan as backward, with the time sort flipped. Oracle is
+    DuckDB's native ASOF with the `<` inequality."""
+    from blow_spark import ops
+
+    ev = read_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clk = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = ops.asof_join(
+        err, clk, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=[], strict=True, direction="forward",
+    )
+    return out.select("event_id", "user_id", F.col("asof_ts").alias("next_click_ts"))
+
+
 # --------------------------------------------------------------------------
 # Aggregations (SURVEY §2.2 "Aggregations")
 # --------------------------------------------------------------------------
