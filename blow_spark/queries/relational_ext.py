@@ -778,6 +778,43 @@ def join_null_skew_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_cumulative_distinct",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(COUNT(DISTINCT user_id) OVER (
+                PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM events
+    WHERE event_id < 5000
+    """,
+    tags=("window", "distinct", "cumulative"),
+)
+def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative DISTINCT count over an ordered window ("unique users
+    seen so far") — Spark's window operator refuses DISTINCT, so it's
+    rewritten as: flag each (event_type, user_id)'s FIRST occurrence in
+    the global (ts, event_id) order, then a running SUM of flags over
+    the same order. Two window passes on different keys = two exchanges;
+    that is the honest cost of the semantics (the oracle's ordered
+    COUNT DISTINCT frame hides the same state). event_id makes the
+    order total, so both engines see identical prefixes."""
+    e = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    w_first = W.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    w_cum = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    first_flag = (F.row_number().over(w_first) == 1).cast("long")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.sum(first_flag).over(w_cum).alias("cum_users"),
+    )
+
+
+@register(
     "join_salted_skew",
     oracle="""
     SELECT CAST(s_nationkey AS BIGINT) AS nation,
