@@ -255,7 +255,11 @@ def lsh_topk(
     re-rank through the codegen'd fixed-point scorer by id."""
     bits_per_band = bits // bands
     mask = (1 << bits_per_band) - 1
-    sk = srp_sketch(df, id_col, vec_col, bits=bits, seed=seed, dim=dim)
+    # Persist the sketch: 16 bytes/vector, consumed by BOTH self-join
+    # sides — recomputing it means re-running the interpreted projection
+    # folds twice (measured ~4 s/side at 2000×64). At cluster scale this
+    # is a checkpoint to a bucketed table, like the minhash signatures.
+    sk = srp_sketch(df, id_col, vec_col, bits=bits, seed=seed, dim=dim).persist()
     band_arr = F.array(
         *[
             F.struct(
@@ -300,7 +304,7 @@ def cosine_near_dup_pairs(
     codegen'd fixed-point re-rank by id, bit-equal to cosine_pairs_exact."""
     bits_per_band = bits // bands
     mask = (1 << bits_per_band) - 1
-    sk = srp_sketch(df, id_col, vec_col, bits=bits, seed=seed, dim=dim)
+    sk = srp_sketch(df, id_col, vec_col, bits=bits, seed=seed, dim=dim).persist()
     band_arr = F.array(
         *[
             F.struct(
