@@ -14,11 +14,17 @@ Paths, per the task brief:
 * **exact all-pairs thresholding** (``cosine_pairs_exact``) — the audit
   form that calibrates the approximate paths; same arithmetic.
 * **LSH-bucketed (random hyperplane / SRP)** — the scale path: sign-bit
-  sketch per vector, bucket equi-join on (id, band, chunk) — 8-byte
-  sketch chunks, never vectors — then exact re-rank of candidates
-  through the same fixed-point scorer (bit-equal to the baseline). At
-  10^9 vectors the candidate join is the only quadratic-ish term and it
-  is bounded per bucket.
+  sketch per vector (one numpy GEMM per Arrow batch, spilled once to a
+  temp table so both join sides read identical bits), bucket equi-join
+  on (id, band, chunk) — 8-byte sketch chunks, never vectors — then
+  re-rank of candidates through a vectorized scorer using the same
+  fixed-point quantization as the exact baseline. At 10^9 vectors the
+  candidate join is the only quadratic-ish term and it is bounded per
+  bucket. Round-3 rewrite, measured at sf0.1 best-of-2 (same bench.py
+  methodology): similarity_lsh_topk 18.8 s → 3.1 s,
+  similarity_near_dup 15.4 s → 1.9 s — the sketch's interpreted HOF
+  folds became a batch GEMM, and the rescore's explode+groupBy (18.3 s
+  for 925 k candidates alone) became one numpy pass per batch.
 * **IVF** — k-means-bucketed probe path, same re-rank.
 
 Also: embedding-cosine near-duplicate detection (threshold instead of
@@ -165,41 +171,58 @@ def _rescore_candidates(
     queries_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact cosine for an explicit (query_id, neighbor_id) candidate
-    set, with the same fixed-point arithmetic as brute_force_topk (so
-    approximate paths re-rank with scores bit-equal to the exact
-    baseline). Join order is the scale decision: candidates join the
-    PACKED vectors by id first (≤ ~0.5 KB/row moves; AQE broadcasts the
-    vector side when it fits), THEN the pairwise products explode
-    in place — all 64 product rows of a pair are generated co-located,
-    so the partial aggregation collapses them before any exchange and
-    the shuffle carries one 3×int64 row per pair. Exploding before the
-    join instead (the first rewrite) shuffled |cand|·dim rows — 60M at
-    sf0.1, 21 s of pure exchange; this form is map-side (~2 s)."""
-    s = F.lit(DOT_SCALE)
+    set, with the same fixed-point quantization as brute_force_topk —
+    numpy ``rint`` breaks exact decimal halves to-even where Spark's
+    ``round`` goes half-up, a measure-zero set for real-valued products,
+    so approximate paths re-rank with scores equal to the exact baseline
+    on any real data. Join order is the scale decision: candidates join
+    the PACKED vectors by id first (≤ ~0.5 KB/row moves; AQE broadcasts
+    the vector side when it fits), THEN each Arrow batch scores its
+    pairs in ONE vectorized numpy pass — elementwise products + int64
+    row sums, no explode, no per-pair aggregation state. The round-2
+    explode+groupBy form was codegen'd but still paid |cand|·dim row
+    materialization and a |cand|-group hash aggregate: measured 18.3 s
+    for 925 k candidates × 64 dims at sf0.1; this form does the same
+    arithmetic in ~2 s and is flat map-only after the id joins."""
+    import numpy as np
+    import pyarrow as pa
+
+    from blow_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
     va = (queries_df if queries_df is not None else df).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("va")
     )
     vb = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"))
-    j = cand.join(va, "query_id").join(vb, "neighbor_id")
-    zipped = j.select(
-        "query_id",
-        "neighbor_id",
-        F.explode(F.arrays_zip(F.col("va"), F.col("vb"))).alias("p"),
-    ).select(
-        "query_id",
-        "neighbor_id",
-        F.col("p.va").cast("double").alias("ax"),
-        F.col("p.vb").cast("double").alias("bx"),
+    j = cand.join(va, "query_id").join(vb, "neighbor_id").select(
+        "query_id", "neighbor_id", "va", "vb"
     )
-    agg = zipped.groupBy("query_id", "neighbor_id").agg(
-        F.sum(F.round(F.col("ax") * F.col("bx") * s).cast("long")).alias("dot_q"),
-        F.sum(F.round(F.col("ax") * F.col("ax") * s).cast("long")).alias("an_q"),
-        F.sum(F.round(F.col("bx") * F.col("bx") * s).cast("long")).alias("bn_q"),
+    scale = DOT_SCALE
+
+    def score_batches(batches):
+        for batch in batches:
+            qid, nid = batch.column(0), batch.column(1)
+            n = len(qid)
+            if n == 0:
+                continue
+            a = batch.column(2).flatten().to_numpy(zero_copy_only=False)
+            b = batch.column(3).flatten().to_numpy(zero_copy_only=False)
+            a = a.astype(np.float64).reshape(n, -1)
+            b = b.astype(np.float64).reshape(n, -1)
+            dot_q = np.rint(a * b * scale).astype(np.int64).sum(axis=1)
+            an_q = np.rint(a * a * scale).astype(np.int64).sum(axis=1)
+            bn_q = np.rint(b * b * scale).astype(np.int64).sum(axis=1)
+            cos = dot_q.astype(np.float64) / (
+                np.sqrt(an_q.astype(np.float64)) * np.sqrt(bn_q.astype(np.float64))
+            )
+            yield pa.RecordBatch.from_arrays(
+                [qid, nid, pa.array(cos, pa.float64())],
+                ["query_id", "neighbor_id", "cos_sim"],
+            )
+
+    return j.mapInArrow(
+        score_batches, "query_id long, neighbor_id long, cos_sim double"
     )
-    cos = F.col("dot_q").cast("double") / (
-        F.sqrt(F.col("an_q").cast("double")) * F.sqrt(F.col("bn_q").cast("double"))
-    )
-    return agg.select("query_id", "neighbor_id", cos.alias("cos_sim"))
 
 
 def srp_sketch(
@@ -210,32 +233,118 @@ def srp_sketch(
     seed: int = 7,
     dim: int | None = None,
 ) -> DataFrame:
-    """Signed-random-projection sketch: ``bits`` seeded hyperplanes
-    (a small bits×dim literal plane matrix — constant-folded into the
-    plan, nothing broadcast), sign-packed into a long. Pass ``dim``
-    explicitly to keep plan construction action-free; the ``.first()``
-    fallback exists only for ad-hoc use."""
-    import numpy as np
+    """Signed-random-projection sketch → (id, srp): ``bits`` seeded
+    hyperplanes applied as ONE numpy GEMM per Arrow batch (mapInArrow),
+    signs packed into a long. Map-only — no shuffle, no per-element
+    Python, pipelined with the scan.
 
+    Round 2 shipped this as 16 ``zip_with``+``aggregate`` folds per row
+    — the interpreted-expression-path pattern this repo measured 5-39×
+    slow everywhere else (round-2 verdict "What's wrong" #1). The
+    prescribed codegen'd unrolled rewrite turned out WORSE, not better,
+    when measured: 16×64 literal terms cost ~18 s of py4j calls just to
+    BUILD the plan and blow janino's 64 KB method limit, so codegen
+    falls back to interpreted anyway (measured 7.6 s vs HOF 0.44 s at
+    sf0.1). The GEMM form measured 0.35 s at sf0.1 and is the one that
+    scales: per-batch matmul amortizes to ~ns/element at 10⁹ vectors
+    (the same pattern as brute_force_topk_vectorized), while any
+    expression form pays per-row interpreter or py4j overhead.
+
+    Deterministic: planes come from a seeded RNG; each bit is the sign
+    of a fixed-length (k = dim) dot product, so a vector's sketch does
+    not depend on which batch it lands in up to last-ulp BLAS kernel
+    edges. Callers that consume the sketch on two join sides spill it
+    once (materialize.spill_to_parquet) so both sides read identical
+    bits — also the 10⁹-vector design, where the sketch is a bucketed
+    table built once per corpus, not recomputed per query.
+
+    Pass ``dim`` explicitly to keep plan construction action-free; the
+    ``.first()`` fallback exists only for ad-hoc use. Vectors must be
+    non-null with length ≥ dim (extra components are ignored)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from blow_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
     rng = np.random.default_rng(seed)
     if dim is None:  # pragma: no cover - callers pass dim
         dim = len(df.select(vec_col).first()[0])
-    planes = rng.standard_normal((bits, dim))
-    sketch = None
-    v = F.col(vec_col)
-    for b in range(bits):
-        proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.array(*[F.lit(float(x)) for x in planes[b]]),
-                lambda x, p: x.cast("double") * p,
-            ),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
+    planes_t = rng.standard_normal((bits, dim)).T.copy()  # (dim, bits)
+    shifts = np.arange(bits, dtype=np.int64)
+
+    def sketch_batches(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            if len(ids) == 0:
+                continue
+            flat = batch.column(1).flatten().to_numpy(zero_copy_only=False)
+            mat = flat.astype(np.float64).reshape(len(ids), -1)[:, :dim]
+            packed = (((mat @ planes_t) > 0).astype(np.int64) << shifts).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(packed, pa.int64())], [id_col, "srp"]
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(
+        sketch_batches, f"{id_col} long, srp long"
+    )
+
+
+def _srp_band_candidates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bits: int,
+    bands: int,
+    seed: int,
+    dim: int | None,
+    symmetric: bool,
+) -> DataFrame:
+    """SRP sketch → band buckets → candidate (query_id, neighbor_id)
+    pairs. The sketch (16 B/row) is materialized ONCE to a temp parquet
+    table and both self-join sides scan it back — the cluster-scale
+    "checkpoint to a bucketed table" form, and it leaves no persisted
+    RDDs behind in the caller's session (round-2 advice: the old
+    ``.persist()`` here had no owner; pinned by
+    tests/test_similarity.py::test_lsh_leaves_no_persisted_rdds).
+    ``symmetric=True`` emits both (a,b) and (b,a) (top-k per query);
+    ``False`` emits canonical a<b pairs (near-dup)."""
+    from blow_spark.materialize import spill_to_parquet
+
+    bits_per_band = bits // bands
+    mask = (1 << bits_per_band) - 1
+    sk = spill_to_parquet(
+        srp_sketch(df, id_col, vec_col, bits=bits, seed=seed, dim=dim),
+        "blow_spark_srp_",
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned("srp", b * bits_per_band).bitwiseAND(F.lit(mask)).alias("chunk"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sk.select(F.col(id_col).alias("vid"), F.explode(band_arr).alias("bb")).select(
+        "vid", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk")
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    pair_cond = (
+        (F.col("l.vid") != F.col("r.vid"))
+        if symmetric
+        else (F.col("l.vid") < F.col("r.vid"))
+    )
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & pair_cond,
         )
-        bit = F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
-        sketch = bit if sketch is None else sketch.bitwiseOR(bit)
-    return df.select(F.col(id_col), v.alias(vec_col), sketch.alias("srp"))
+        .select(F.col("l.vid").alias("query_id"), F.col("r.vid").alias("neighbor_id"))
+        .distinct()
+    )
 
 
 def lsh_topk(
@@ -252,36 +361,9 @@ def lsh_topk(
     cosine re-rank within candidates. Recall grows with bands; work is
     O(Σ bucket²) instead of O(N²). The bucket self-join carries only
     (id, band, chunk) — 8-byte sketch chunks, never vectors; candidates
-    re-rank through the codegen'd fixed-point scorer by id."""
-    bits_per_band = bits // bands
-    mask = (1 << bits_per_band) - 1
-    # Persist the sketch: 16 bytes/vector, consumed by BOTH self-join
-    # sides — recomputing it means re-running the interpreted projection
-    # folds twice (measured ~4 s/side at 2000×64). At cluster scale this
-    # is a checkpoint to a bucketed table, like the minhash signatures.
-    sk = srp_sketch(df, id_col, vec_col, bits=bits, seed=seed, dim=dim).persist()
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftrightunsigned("srp", b * bits_per_band).bitwiseAND(F.lit(mask)).alias("chunk"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sk.select(F.col(id_col).alias("vid"), F.explode(band_arr).alias("bb")).select(
-        "vid", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk")
-    )
-    l, r = banded.alias("l"), banded.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.vid") != F.col("r.vid")),
-        )
-        .select(F.col("l.vid").alias("query_id"), F.col("r.vid").alias("neighbor_id"))
-        .distinct()
+    re-rank through the vectorized fixed-point scorer by id."""
+    cand = _srp_band_candidates(
+        df, id_col, vec_col, bits, bands, seed, dim, symmetric=True
     )
     scored = _rescore_candidates(cand, df, id_col=id_col, vec_col=vec_col)
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
@@ -301,32 +383,11 @@ def cosine_near_dup_pairs(
     """Embedding near-duplicate pairs (id_a < id_b, cos ≥ threshold) via
     the SRP bucket path — high-cosine pairs collide in ≥1 band w.h.p.
     Buckets join on (id, band, chunk) only; exact scores come from the
-    codegen'd fixed-point re-rank by id, bit-equal to cosine_pairs_exact."""
-    bits_per_band = bits // bands
-    mask = (1 << bits_per_band) - 1
-    sk = srp_sketch(df, id_col, vec_col, bits=bits, seed=seed, dim=dim).persist()
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftrightunsigned("srp", b * bits_per_band).bitwiseAND(F.lit(mask)).alias("chunk"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sk.select(F.col(id_col).alias("vid"), F.explode(band_arr).alias("bb")).select(
-        "vid", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk")
-    )
-    l, r = banded.alias("l"), banded.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.vid") < F.col("r.vid")),
-        )
-        .select(F.col("l.vid").alias("query_id"), F.col("r.vid").alias("neighbor_id"))
-        .distinct()
+    vectorized fixed-point re-rank by id, matching cosine_pairs_exact on
+    real-valued data (half-even vs half-up rounding differs only on exact
+    decimal halves — measure-zero)."""
+    cand = _srp_band_candidates(
+        df, id_col, vec_col, bits, bands, seed, dim, symmetric=False
     )
     return (
         _rescore_candidates(cand, df, id_col=id_col, vec_col=vec_col)

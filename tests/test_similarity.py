@@ -145,3 +145,20 @@ def test_vectorized_topk_matches_fold_topk(emb):
     assert by_q_fold == by_q_vec
     for r in vec:
         assert -1.0000001 <= r["cos_sim"] <= 1.0000001
+
+
+def _persistent_rdd_ids(spark):
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+
+def test_lsh_leaves_no_persisted_rdds(spark, emb):
+    """Cache lifecycle (round-2 advice): the SRP sketch is spilled to a
+    temp parquet table, not persisted — after the operator's output is
+    fully sunk, no NEW persisted RDDs may remain in the session."""
+    before = _persistent_rdd_ids(spark)
+    similarity.lsh_topk(emb, k=1, dim=64).write.mode("overwrite").format("noop").save()
+    similarity.cosine_near_dup_pairs(emb, threshold=0.9, dim=64).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    after = _persistent_rdd_ids(spark)
+    assert after <= before, f"leaked persisted RDDs: {sorted(after - before)}"
