@@ -365,6 +365,57 @@ def bfs_distances(edges: DataFrame, sources: DataFrame, max_hops: int = 3) -> Da
 
 
 # --------------------------------------------------------------------------
+# COUNT(DISTINCT) OVER rewrites (Spark's window operator refuses DISTINCT)
+# --------------------------------------------------------------------------
+
+
+def count_distinct_over(
+    df: DataFrame, partition_cols: list[str], key_col: str
+) -> Column:
+    """``COUNT(DISTINCT key) OVER (PARTITION BY ...)`` as a column, via
+    the dense_rank rewrite: dense_rank over (partition, ORDER BY key)
+    assigns 1..K to the K distinct keys and its per-partition MAX is the
+    distinct count. COUNT(DISTINCT) ignores NULL keys but dense_rank
+    counts the NULL group as one distinct value (NULLs sort first, rank
+    1), so a NULL-presence flag is subtracted (round-2 advice; NULL
+    fixture pinned in tests/test_relational.py). One exchange + one sort
+    at any scale — no join, no subquery."""
+    w_ord = W.partitionBy(*partition_cols).orderBy(key_col)
+    w_all = W.partitionBy(*partition_cols)
+    return (
+        F.max(F.dense_rank().over(w_ord)).over(w_all)
+        - F.max(F.col(key_col).isNull().cast("int")).over(w_all)
+    ).cast("bigint")
+
+
+def cumulative_distinct_over(
+    df: DataFrame,
+    partition_cols: list[str],
+    key_col: str,
+    order_cols: list[str],
+) -> Column:
+    """Ordered cumulative ``COUNT(DISTINCT key) OVER (... ORDER BY ...
+    ROWS UNBOUNDED PRECEDING)`` ("unique keys seen so far") as a column:
+    flag each (partition, key)'s FIRST occurrence in the total order,
+    then a running SUM of flags over the same order. NULL keys never
+    raise the flag — COUNT(DISTINCT) ignores them (round-2 advice; NULL
+    fixture pinned in tests/test_relational.py). Two window passes on
+    different keys = two exchanges; that is the honest cost of the
+    semantics. ``order_cols`` must make the order total for
+    deterministic prefixes."""
+    w_first = W.partitionBy(*partition_cols, key_col).orderBy(*order_cols)
+    w_cum = (
+        W.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    first_flag = (
+        (F.row_number().over(w_first) == 1) & F.col(key_col).isNotNull()
+    ).cast("long")
+    return F.sum(first_flag).over(w_cum)
+
+
+# --------------------------------------------------------------------------
 # MERGE INTO (write side, copy-on-write over parquet)
 # --------------------------------------------------------------------------
 

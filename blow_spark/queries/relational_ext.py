@@ -651,15 +651,21 @@ def window_distinct_count_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(DISTINCT) OVER — which Spark's window operator refuses — via
     the classic dense_rank rewrite: dense_rank over (partition, ORDER BY
     key) assigns 1..K to the K distinct keys, and its per-partition MAX
-    is the distinct count. Two window passes over ONE sort order, so
-    Catalyst plans a single exchange + sort; no join, no subquery."""
+    is the distinct count. COUNT(DISTINCT) ignores NULL keys but
+    dense_rank counts NULL as one distinct value (they sort first, rank
+    1), so a NULL-presence flag is subtracted — row-identical to the SQL
+    semantics even on NULL-bearing keys (round-2 advice; pinned with an
+    explicit NULL fixture in tests/test_relational.py). Two window
+    passes over ONE sort order plus one unordered MAX on the same
+    partition key, so Catalyst plans a single exchange + sort; no join,
+    no subquery."""
+    from blow_spark import ops
+
     e = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
-    w_ord = W.partitionBy("event_type").orderBy("user_id")
-    w_all = W.partitionBy("event_type")
     return e.select(
         "event_id",
         "event_type",
-        F.max(F.dense_rank().over(w_ord)).over(w_all).cast("bigint").alias("n_users"),
+        ops.count_distinct_over(e, ["event_type"], "user_id").alias("n_users"),
     )
 
 
@@ -795,22 +801,23 @@ def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen so far") — Spark's window operator refuses DISTINCT, so it's
     rewritten as: flag each (event_type, user_id)'s FIRST occurrence in
     the global (ts, event_id) order, then a running SUM of flags over
-    the same order. Two window passes on different keys = two exchanges;
-    that is the honest cost of the semantics (the oracle's ordered
-    COUNT DISTINCT frame hides the same state). event_id makes the
-    order total, so both engines see identical prefixes."""
+    the same order. NULL user_id rows never raise the flag —
+    COUNT(DISTINCT) ignores NULL keys, while a bare first-occurrence
+    flag would count the NULL group once (round-2 advice; pinned with an
+    explicit NULL fixture in tests/test_relational.py). Two window
+    passes on different keys = two exchanges; that is the honest cost of
+    the semantics (the oracle's ordered COUNT DISTINCT frame hides the
+    same state). event_id makes the order total, so both engines see
+    identical prefixes."""
+    from blow_spark import ops
+
     e = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
-    w_first = W.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
-    w_cum = (
-        W.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    first_flag = (F.row_number().over(w_first) == 1).cast("long")
     return e.select(
         "event_id",
         "event_type",
-        F.sum(first_flag).over(w_cum).alias("cum_users"),
+        ops.cumulative_distinct_over(
+            e, ["event_type"], "user_id", ["ts", "event_id"]
+        ).alias("cum_users"),
     )
 
 

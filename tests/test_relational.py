@@ -238,3 +238,45 @@ def test_kll_quantile_rollup_bounds(spark, sf_dir):
         assert got["n_rows"] == e["n"], flag
         assert e["lo50"] <= got["p50_est"] <= e["hi50"], (flag, got["p50_est"])
         assert e["lo95"] <= got["p95_est"] <= e["hi95"], (flag, got["p95_est"])
+
+
+def test_count_distinct_over_ignores_nulls(spark):
+    """The dense_rank rewrite of COUNT(DISTINCT) OVER must ignore NULL
+    keys, like the SQL semantics (round-2 advice: a bare dense_rank-max
+    counts the NULL group as one distinct value)."""
+    from pyspark.sql import functions as F
+
+    from blow_spark import ops
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("a", None), ("a", None),
+         ("b", None), ("c", 7), ("c", 8)],
+        "grp string, k int",
+    )
+    got = df.select("grp", ops.count_distinct_over(df, ["grp"], "k").alias("n"))
+    want = {"a": 2, "b": 0, "c": 2}
+    for r in got.collect():
+        assert r["n"] == want[r["grp"]], (r["grp"], r["n"])
+    # cross-check against the aggregate COUNT(DISTINCT) per group
+    agg = {r["grp"]: r["n"] for r in
+           df.groupBy("grp").agg(F.count_distinct("k").alias("n")).collect()}
+    assert want == agg
+
+
+def test_cumulative_distinct_over_ignores_nulls(spark):
+    """The first-occurrence-flag rewrite of ordered cumulative
+    COUNT(DISTINCT) must not count NULL keys (round-2 advice)."""
+    from blow_spark import ops
+
+    df = spark.createDataFrame(
+        [("a", 1, None), ("a", 2, 5), ("a", 3, None), ("a", 4, 5), ("a", 5, 6)],
+        "grp string, seq int, k int",
+    )
+    got = {
+        r["seq"]: r["c"]
+        for r in df.select(
+            "seq",
+            ops.cumulative_distinct_over(df, ["grp"], "k", ["seq"]).alias("c"),
+        ).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 1, 4: 1, 5: 2}
