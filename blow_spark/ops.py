@@ -436,7 +436,7 @@ def merge_into_parquet(
     * target-only                  → row kept
 
     One full-outer join on the keys computes the post-image, which is
-    written to a sibling staging directory and atomically swapped in
+    written to a sibling staging directory and swapped in
     (write-then-rename; reading and overwriting the same path in one
     job is not safe in any engine). This is the whole-table
     copy-on-write strategy: correct at any scale, rewrite cost O(table).
@@ -444,15 +444,43 @@ def merge_into_parquet(
     into per-file rewrites + a metadata commit — the join below is the
     same; only the commit granularity changes. Idempotent: re-merging
     the same source is a no-op (pinned in tests/test_pipeline_ops.py).
-    Deterministic given unique keys per side (the MERGE precondition:
-    multiple source rows per key is ambiguous and rejected)."""
-    import shutil
 
+    Deterministic given unique keys per side (the MERGE precondition).
+    The dup-key guard is folded INTO the merge plan — a per-key window
+    count over the source whose violation fires ``raise_error`` while
+    the staging write runs (round-2 verdict #3: the old ``count()``
+    pre-check was a second full job over the source before every merge;
+    the no-extra-job profile is pinned by a job-count test in
+    tests/test_pipeline_ops.py — only the write's own jobs run).
+    The window clusters the source by the same keys the join shuffles
+    on, and a guard trip aborts the STAGING write — the live table is
+    never touched by a rejected merge.
+
+    Swap semantics: renames go through the Hadoop FileSystem API, so any
+    supported URI works (file:, hdfs:, s3a:, ...); directory rename is
+    atomic on local FS and HDFS, but an object store "rename" is
+    copy+delete — there, use a manifest-committing table format instead.
+    The swap is two renames, not one atomic op: ``.old`` (the previous
+    table) is retained until the new data is in place, and a failed
+    promote restores it, so the worst crash window leaves ``<target>``
+    absent with BOTH ``<target>.old`` (previous) and ``<target>.staging``
+    (next) intact — recovery is renaming whichever generation you want
+    back into place; data is never lost (round-2 advice: the old
+    shutil.move pair was local-FS-only and could strand the table)."""
     tgt = spark.read.parquet(target_path)
     value_cols = [c for c in tgt.columns if c not in key_cols]
-    dup = source_df.groupBy(*key_cols).count().filter(F.col("count") > 1)
-    if dup.limit(1).count() > 0:
-        raise ValueError("MERGE source has duplicate keys (ambiguous per-key post-image)")
+
+    # dup-key guard, in-plan: count per key over the source; any key with
+    # >1 row poisons its key column with raise_error, which fires when
+    # the row is materialized by the staging write — no pre-count job
+    w_key = W.partitionBy(*key_cols)
+    guard = F.when(
+        F.count("*").over(w_key) > 1,
+        F.raise_error(
+            F.lit("MERGE source has duplicate keys (ambiguous per-key post-image)")
+        ),
+    ).otherwise(F.col(key_cols[0]))
+    source_df = source_df.withColumn(key_cols[0], guard)
 
     is_del = F.col(f"s.{delete_col}") if delete_col else F.lit(False)
     s = source_df.alias("s")
@@ -473,12 +501,28 @@ def merge_into_parquet(
         )
     )
     staging = target_path.rstrip("/") + ".staging"
-    post.write.mode("overwrite").parquet(staging)
     old = target_path.rstrip("/") + ".old"
-    shutil.rmtree(old, ignore_errors=True)
-    shutil.move(target_path, old)
-    shutil.move(staging, target_path)
-    shutil.rmtree(old, ignore_errors=True)
+    try:
+        post.write.mode("overwrite").parquet(staging)
+    except Exception as e:
+        if "MERGE source has duplicate keys" in str(e):
+            raise ValueError(
+                "MERGE source has duplicate keys (ambiguous per-key post-image)"
+            ) from e
+        raise
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    tgt_p, stg_p, old_p = hpath(target_path), hpath(staging), hpath(old)
+    fs = tgt_p.getFileSystem(hconf)
+    fs.delete(old_p, True)
+    if not fs.rename(tgt_p, old_p):
+        raise IOError(f"MERGE swap: could not retire current table {target_path}")
+    if not fs.rename(stg_p, tgt_p):
+        fs.rename(old_p, tgt_p)  # restore the previous generation
+        raise IOError(f"MERGE swap: could not promote staging into {target_path}")
+    fs.delete(old_p, True)
 
 
 # --------------------------------------------------------------------------

@@ -118,3 +118,49 @@ def test_merge_into_parquet_idempotent_and_rejects_dup_keys(spark, tmp_path):
     dup = spark.createDataFrame([(1, 5, False), (1, 6, False)], "k long, v long, dead boolean")
     with _pytest.raises(ValueError, match="duplicate keys"):
         ops.merge_into_parquet(spark, path, dup, ["k"], delete_col="dead")
+
+
+def test_merge_into_parquet_no_extra_validation_job(spark, tmp_path):
+    """The dup-key guard rides inside the merge plan (window count +
+    raise_error), so a merge triggers only the staging write's own jobs —
+    the round-2 form ran a dedicated count() job over the source first.
+    Measured: the guarded merge is 4 jobs (AQE stage materializations +
+    final write); the old pre-count added at least one more."""
+    from pyspark.sql import functions as F
+
+    from blow_spark import ops
+
+    path = str(tmp_path / "merge_jobs")
+    spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).write.mode("overwrite").parquet(path)
+    delta = spark.range(50, 150).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 3).alias("v"),
+        (F.col("id") % 7 == 0).alias("dead"),
+    )
+    st = spark.sparkContext.statusTracker()
+    before = set(st.getJobIdsForGroup(None) or [])
+    ops.merge_into_parquet(spark, path, delta, ["k"], delete_col="dead")
+    after = set(st.getJobIdsForGroup(None) or [])
+    assert len(after - before) <= 4, f"merge ran {len(after - before)} jobs"
+
+
+def test_merge_into_parquet_rejected_merge_leaves_target_intact(spark, tmp_path):
+    """A dup-key guard trip aborts during the STAGING write: the live
+    table must be byte-identical to its pre-merge state."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from blow_spark import ops
+
+    path = str(tmp_path / "merge_guard")
+    spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).write.mode("overwrite").parquet(path)
+    pre = sorted((r["k"], r["v"]) for r in spark.read.parquet(path).collect())
+    dup = spark.createDataFrame([(5, 1, False), (5, 2, False)], "k long, v long, dead boolean")
+    with _pytest.raises(ValueError, match="duplicate keys"):
+        ops.merge_into_parquet(spark, path, dup, ["k"], delete_col="dead")
+    post = sorted((r["k"], r["v"]) for r in spark.read.parquet(path).collect())
+    assert pre == post
