@@ -92,28 +92,39 @@ def decode_audio(content: bytes, fake_decode: bool = False) -> np.ndarray:
 
 _FEATURE_SCHEMA = (
     "doc_id long, n_bytes int, byte_entropy double, "
-    f"byte_hist array<double>"
+    "byte_hist array<double>, byte_hist_counts array<long>"
 )
 
 
 def _byte_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Per-blob byte statistics, vectorized per Arrow batch: size, Shannon
-    entropy over bytes, 16-bin normalized byte histogram. This is the UDF
-    signature/batch shape real decode-and-featurize uses — swap the body
-    for PIL/cv2 when available."""
+    entropy over bytes, 16-bin byte histogram (normalized + raw integer
+    counts — the counts are the engine-exact form the oracle checks; the
+    normalized view is for consumers). This is the UDF signature/batch
+    shape real decode-and-featurize uses — swap the body for PIL/cv2
+    when available."""
     for pdf in batches:
         rows = []
         for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
             arr = np.frombuffer(bytes(content), dtype=np.uint8)
             n = arr.size
-            counts = np.bincount(arr >> 4, minlength=N_HIST_BINS).astype(np.float64)
-            hist = counts / max(n, 1)
+            counts = np.bincount(arr >> 4, minlength=N_HIST_BINS)
+            hist = counts.astype(np.float64) / max(n, 1)
             nz = hist[hist > 0]
             entropy = float(-(nz * np.log2(nz)).sum()) if n else 0.0
             rows.append(
-                {"doc_id": int(doc_id), "n_bytes": n, "byte_entropy": entropy, "byte_hist": hist.tolist()}
+                {
+                    "doc_id": int(doc_id),
+                    "n_bytes": n,
+                    "byte_entropy": entropy,
+                    "byte_hist": hist.tolist(),
+                    "byte_hist_counts": [int(c) for c in counts],
+                }
             )
-        yield pd.DataFrame(rows, columns=["doc_id", "n_bytes", "byte_entropy", "byte_hist"])
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_bytes", "byte_entropy", "byte_hist", "byte_hist_counts"],
+        )
 
 
 def extract_byte_features(df: DataFrame, id_col: str = "doc_id", content_col: str = "content") -> DataFrame:
