@@ -60,6 +60,14 @@ HEADLINE = [
     "source_python_datasource",
     "window_distinct_count_trick",
     "multimodal_frame_sample",
+    # round 3 additions: regression-guard the families the headline never
+    # covered — iterative/graph, exact-embedding clustering, write-side
+    # MERGE, a real streaming availableNow run, and the SRP-LSH ANN path
+    "graph_pagerank_bipartite",
+    "dedup_embedding_clusters",
+    "sink_merge_upsert_roundtrip",
+    "streaming_tumbling_availablenow",
+    "similarity_lsh_topk",
 ]
 
 
