@@ -104,3 +104,31 @@ def test_kafka_value_json_projection(spark):
     assert out["key"] == "k1"
     assert out["user_id"] == 7 and out["action"] == "click"
     assert out["topic"] == "events.raw" and out["offset"] == 42
+
+
+def test_jdbc_live_roundtrip_derby(spark, tmp_path):
+    """LIVE connector handshake: Apache Derby's embedded engine ships on
+    Spark's own classpath, so the JDBC write -> partitioned parallel
+    read -> filter-pushdown loop runs against a real database with no
+    external jar (round-2 verdict: the handshake itself was untested)."""
+    from pyspark.sql import functions as F
+
+    db = str(tmp_path / "derbydb")
+    url = f"jdbc:derby:{db};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    sources.write_jdbc(df, url, "t_live", mode="overwrite", properties=props)
+    back = sources.read_jdbc(
+        spark, url, "t_live",
+        partition_column="k", lower_bound=0, upper_bound=1000,
+        num_partitions=4, properties=props,
+    )
+    # the scan really is split into 4 range-predicate tasks
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == 1000
+    assert back.agg(F.sum("v")).collect()[0][0] == 3 * 999 * 1000 // 2
+    # predicates reach the database: the JDBC relation reports pushdown
+    filtered = back.filter(F.col("k") >= 990)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(k,990)" in plan, plan
+    assert filtered.count() == 10
