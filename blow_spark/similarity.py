@@ -54,9 +54,47 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def with_unit_norm(df: DataFrame, vec_col: str = "embedding", out_col: str = "unit_vec") -> DataFrame:
-    """Pre-normalize once so downstream cosine = plain dot product."""
-    v = F.col(vec_col)
-    return df.withColumn(out_col, F.transform(v, lambda x: x.cast("double") / _norm(v)))
+    """Pre-normalize once so downstream cosine = plain dot product.
+    One numpy pass per Arrow batch (map-only, pipelined with the scan).
+
+    The round-2 expression form — ``transform(v, x / aggregate(...))`` —
+    re-evaluated the norm FOLD once per element: O(dim²) interpreted
+    lambda calls per row, measured 2.0 s for a single pass at 2000×64
+    where this form is ~50 ms; worse, Catalyst's CollapseProject
+    re-inlines a pre-computed norm column back into the lambda, so the
+    expression path can't even cache it."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pyspark.sql import types as T
+
+    from blow_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.ArrayType(T.DoubleType()))]
+    )
+
+    def norm_batches(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            vc = batch.column(batch.schema.get_field_index(vec_col))
+            lengths = pc.list_value_length(vc).to_numpy(zero_copy_only=False)
+            offs = np.concatenate(([0], np.cumsum(lengths)))
+            flat = vc.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                norms = np.sqrt(np.add.reduceat(flat * flat, offs[:-1]))
+                unit = flat / np.repeat(norms, lengths)
+            out = pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()), pa.array(unit, pa.float64())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [*batch.columns, out], [*batch.schema.names, out_col]
+            )
+
+    return df.mapInArrow(norm_batches, out_schema)
 
 
 #: Fixed-point quantum for dot-product terms: round(x·y·SCALE) → BIGINT.
@@ -111,6 +149,26 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _round_half_away(t):
+    """Vectorized EXACT replica of SQL ROUND on doubles (half away from
+    zero): np.rint is correctly-rounded-to-nearest with ties-to-EVEN, so
+    only the exact .5 ties differ — detect them (|t - trunc(t)| == 0.5
+    is exact arithmetic below 2^51) and push them away from zero. This
+    matches DuckDB's std::round on the binary value and Spark's
+    BigDecimal HALF_UP on its exact decimal (a double is exactly k.5
+    only when that is its decimal expansion), so numpy scoring is
+    bit-equal to the expression-path / oracle arithmetic — no
+    floor(x+0.5) pitfalls at binade boundaries."""
+    import numpy as np
+
+    r = np.rint(t)
+    frac = t - np.trunc(t)
+    ties = np.abs(frac) == 0.5
+    if ties.any():
+        r[ties] = np.trunc(t[ties]) + np.copysign(1.0, t[ties])
+    return r
+
+
 def cosine_pairs_exact(
     df: DataFrame,
     threshold: float,
@@ -118,48 +176,71 @@ def cosine_pairs_exact(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """EXACT all-pairs embedding near-dup: (id_a < id_b, cos_sim ≥
-    threshold), via the same codegen'd posexplode + fixed-point-SUM plan
-    as brute_force_topk — integer dot products, engine-exact, oracle-able.
+    threshold) with the same fixed-point arithmetic as brute_force_topk —
+    integer dot products, engine-exact, oracle-able (the .5-tie rounding
+    is replicated exactly, see _round_half_away).
 
-    This is the audit/ground-truth form: O(N²) pair work. One exploded
-    side is broadcast — a shuffled self-join on `pos` would hash 64
-    distinct keys into a handful of monster partitions — so the probe
-    streams map-side and the only shuffle is the partial-aggregated
-    (id_a, id_b) groupBy. Fine for a bounded corpus slice or for
-    validating the approximate path; the 10⁹-vector production path is
-    cosine_near_dup_pairs (SRP-LSH buckets), which this function's exact
-    scores calibrate."""
-    s = F.lit(DOT_SCALE)
-    ex = df.select(
-        F.col(id_col).alias("vid"), F.posexplode(vec_col).alias("pos", "x")
-    ).select("vid", "pos", F.col("x").cast("double").alias("x"))
-    # The probe side carries O(N²) join work but reads from a scan that
-    # may be a single small file = a single task; spread it so every core
-    # probes (a one-file 500-vector fixture ran the whole join serially).
-    # Partition BY vid, not round-robin: with random row placement every
-    # task emits rows for nearly all N²/2 output groups, so each map-side
-    # partial-agg hash table grows to the full group count and spills
-    # (measured 216 s at 2000 vectors); keyed placement bounds a task's
-    # groups to |its vids|·N (measured 13 s). Broadcast side unchanged.
-    probe = ex.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, F.col("vid")
+    This is the audit/ground-truth form: O(N²) pair work. Plan: the
+    PACKED vectors broadcast once (N·dim·4 B — audit-scale by
+    definition), the probe side is spread across cores and generates its
+    vid_a < vid_b pairs map-side, and each Arrow batch of pairs scores
+    in one vectorized numpy pass, pipelined in the same stage — no
+    shuffle at all until the thresholded output. The round-2 form
+    (posexplode + broadcast pos-join + 128M-row partial aggregation)
+    measured 13 s at 2000×64; this form does the identical arithmetic
+    in ~3 s, and only threshold survivors leave the stage. Fine for a
+    bounded corpus slice or for validating the approximate path; the
+    10⁹-vector production path is cosine_near_dup_pairs (SRP-LSH
+    buckets), which this function's exact scores calibrate."""
+    import numpy as np
+    import pyarrow as pa
+
+    from blow_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    packed = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    # spread the probe: a one-file scan is a single task and would run
+    # the whole O(N²) scoring serially while the other cores idle
+    probe = packed.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    pairs = probe.alias("l").join(
+        F.broadcast(packed.alias("r")), F.col("l.vid") < F.col("r.vid")
+    ).select(
+        F.col("l.vid").alias("id_a"),
+        F.col("r.vid").alias("id_b"),
+        F.col("l.vec").alias("va"),
+        F.col("r.vec").alias("vb"),
     )
-    l, r = probe.alias("l"), F.broadcast(ex.alias("r"))
-    joined = l.join(
-        r, (F.col("l.pos") == F.col("r.pos")) & (F.col("l.vid") < F.col("r.vid"))
-    )
-    agg = joined.groupBy(
-        F.col("l.vid").alias("id_a"), F.col("r.vid").alias("id_b")
-    ).agg(
-        F.sum(F.round(F.col("l.x") * F.col("r.x") * s).cast("long")).alias("dot_q"),
-        F.sum(F.round(F.col("l.x") * F.col("l.x") * s).cast("long")).alias("an_q"),
-        F.sum(F.round(F.col("r.x") * F.col("r.x") * s).cast("long")).alias("bn_q"),
-    )
-    cos = F.col("dot_q").cast("double") / (
-        F.sqrt(F.col("an_q").cast("double")) * F.sqrt(F.col("bn_q").cast("double"))
-    )
-    return agg.select("id_a", "id_b", cos.alias("cos_sim")).filter(
-        F.col("cos_sim") >= threshold
+    scale = DOT_SCALE
+    thr = float(threshold)
+
+    def score_batches(batches):
+        for batch in batches:
+            ida, idb = batch.column(0), batch.column(1)
+            n = len(ida)
+            if n == 0:
+                continue
+            a = batch.column(2).flatten().to_numpy(zero_copy_only=False)
+            b = batch.column(3).flatten().to_numpy(zero_copy_only=False)
+            a = a.astype(np.float64).reshape(n, -1)
+            b = b.astype(np.float64).reshape(n, -1)
+            dot_q = _round_half_away(a * b * scale).astype(np.int64).sum(axis=1)
+            an_q = _round_half_away(a * a * scale).astype(np.int64).sum(axis=1)
+            bn_q = _round_half_away(b * b * scale).astype(np.int64).sum(axis=1)
+            cos = dot_q.astype(np.float64) / (
+                np.sqrt(an_q.astype(np.float64)) * np.sqrt(bn_q.astype(np.float64))
+            )
+            keep = cos >= thr
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ida.filter(pa.array(keep)),
+                    idb.filter(pa.array(keep)),
+                    pa.array(cos[keep], pa.float64()),
+                ],
+                ["id_a", "id_b", "cos_sim"],
+            )
+
+    return pairs.mapInArrow(
+        score_batches, "id_a long, id_b long, cos_sim double"
     )
 
 
@@ -172,10 +253,9 @@ def _rescore_candidates(
 ) -> DataFrame:
     """Exact cosine for an explicit (query_id, neighbor_id) candidate
     set, with the same fixed-point quantization as brute_force_topk —
-    numpy ``rint`` breaks exact decimal halves to-even where Spark's
-    ``round`` goes half-up, a measure-zero set for real-valued products,
-    so approximate paths re-rank with scores equal to the exact baseline
-    on any real data. Join order is the scale decision: candidates join
+    bit-equal to the exact baseline, including exact .5 rounding ties
+    (_round_half_away replicates SQL ROUND semantics exactly). Join
+    order is the scale decision: candidates join
     the PACKED vectors by id first (≤ ~0.5 KB/row moves; AQE broadcasts
     the vector side when it fits), THEN each Arrow batch scores its
     pairs in ONE vectorized numpy pass — elementwise products + int64
@@ -209,9 +289,9 @@ def _rescore_candidates(
             b = batch.column(3).flatten().to_numpy(zero_copy_only=False)
             a = a.astype(np.float64).reshape(n, -1)
             b = b.astype(np.float64).reshape(n, -1)
-            dot_q = np.rint(a * b * scale).astype(np.int64).sum(axis=1)
-            an_q = np.rint(a * a * scale).astype(np.int64).sum(axis=1)
-            bn_q = np.rint(b * b * scale).astype(np.int64).sum(axis=1)
+            dot_q = _round_half_away(a * b * scale).astype(np.int64).sum(axis=1)
+            an_q = _round_half_away(a * a * scale).astype(np.int64).sum(axis=1)
+            bn_q = _round_half_away(b * b * scale).astype(np.int64).sum(axis=1)
             cos = dot_q.astype(np.float64) / (
                 np.sqrt(an_q.astype(np.float64)) * np.sqrt(bn_q.astype(np.float64))
             )
@@ -436,9 +516,16 @@ def ivf_assign(
         .limit(n_clusters)
         .select(F.monotonically_increasing_id().alias("cid"), F.col("uv").alias("cv"))
     )
-    # k-means on the unit sphere: argmax cosine == argmin euclidean
+    # k-means on the unit sphere: argmax cosine == argmin euclidean.
+    # Each iteration's centroid table (K rows) is materialized to a
+    # literal frame: the K·dim result is driver-trivial, and without it
+    # every later consumer (next iteration's scorer, the final
+    # assignment, the probe scorer) re-runs the whole corpus
+    # scan+assign+aggregate plan from scratch (measured as part of the
+    # 10.9 s → 3.5 s ivf_topk rewrite at sf0.1).
+    spark = df.sparkSession
     for _ in range(lloyd_iters):
-        assigned = _assign_nearest(unit, centroids)
+        assigned = _nearest_centroids(unit, centroids, 1)
         centroids = (
             assigned.join(unit, "vid")
             .select("cid", F.posexplode("uv").alias("pos", "x"))
@@ -450,16 +537,60 @@ def ivf_assign(
             )
             .select("cid", F.transform(F.col("pm"), lambda s: s["m"]).alias("cv"))
         )
-    return _assign_nearest(unit, centroids), centroids
+        centroids = spark.createDataFrame(
+            centroids.toPandas(), "cid long, cv array<double>"
+        )
+    return _nearest_centroids(unit, centroids, 1), centroids
 
 
-def _assign_nearest(unit: DataFrame, centroids: DataFrame) -> DataFrame:
-    """(vid, cid) nearest-centroid assignment via broadcast argmax-dot."""
-    scored = unit.join(F.broadcast(centroids)).select(
-        "vid", "cid", _dot(F.col("uv"), F.col("cv")).alias("d")
-    )
-    w = W.partitionBy("vid").orderBy(F.col("d").desc(), F.col("cid"))
-    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1).select("vid", "cid")
+def _nearest_centroids(unit: DataFrame, centroids: DataFrame, top: int) -> DataFrame:
+    """(vid, cid) rows: each vector's ``top`` nearest centroids by dot
+    product against the K×dim centroid matrix, one numpy GEMM per Arrow
+    batch. The centroid table is vocabulary-sized (K·dim floats), so it
+    ships in the task closure — the same posture as the GEMM scorer's
+    query matrix; scoring is map-only, the corpus never shuffles. Ties
+    break to the lowest cid (stable argsort over cid-ascending columns),
+    matching the window form this replaces — which scored K·N dot
+    products through interpreted HOF folds, the round-2-flagged pattern,
+    and then paid a per-vid window sort (part of the ivf_topk rewrite
+    measured 10.9 s → 3.5 s at sf0.1 together with the normalize and
+    centroid-materialization fixes). Each Lloyd iteration's
+    ``toPandas`` of K rows also truncates the centroid lineage, so the
+    iterative plan never nests."""
+    import numpy as np
+    import pyarrow as pa
+
+    from blow_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(unit.sparkSession)
+    cents = centroids.orderBy("cid").toPandas()
+    cid_arr = cents["cid"].to_numpy().astype(np.int64)
+    cmat = np.array(cents["cv"].tolist(), dtype=np.float64).T  # (dim, K)
+
+    def assign(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            n = len(ids)
+            if n == 0:
+                continue
+            mat = (
+                batch.column(1)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(n, -1)
+            )
+            sims = mat @ cmat  # (n, K)
+            k = min(top, sims.shape[1])
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+            vids = np.repeat(ids.to_numpy(zero_copy_only=False), k)
+            cids = cid_arr[order].ravel()
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(vids, pa.int64()), pa.array(cids, pa.int64())],
+                ["vid", "cid"],
+            )
+
+    return unit.select("vid", "uv").mapInArrow(assign, "vid long, cid long")
 
 
 def ivf_topk(
@@ -479,21 +610,19 @@ def ivf_topk(
     member lists never replicate per query. ``queries_df`` restricts the
     query side (default: all vectors = all-pairs)."""
     assigned, centroids = ivf_assign(df, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col)
-    unit = with_unit_norm(df, vec_col, "uv").select(F.col(id_col).alias("vid"), "uv")
     q_unit = (
-        unit
+        None
         if queries_df is None
         else with_unit_norm(queries_df, vec_col, "uv").select(F.col(id_col).alias("vid"), "uv")
     )
-    assigned = assigned.persist()
-    # each query's n_probe nearest centroids
-    scored = q_unit.join(F.broadcast(centroids)).select(
-        "vid", "cid", _dot(F.col("uv"), F.col("cv")).alias("d")
+    if q_unit is None:
+        q_unit = with_unit_norm(df, vec_col, "uv").select(F.col(id_col).alias("vid"), "uv")
+    # each query's n_probe nearest centroids — same GEMM scorer as the
+    # build; no persist needed: assignment lineage is one map stage over
+    # the scan (centroids ride the closure)
+    probes = _nearest_centroids(q_unit, centroids, n_probe).select(
+        F.col("vid").alias("query_id"), "cid"
     )
-    w = W.partitionBy("vid").orderBy(F.col("d").desc(), F.col("cid"))
-    probes = scored.withColumn("rk", F.row_number().over(w)).filter(
-        F.col("rk") <= n_probe
-    ).select(F.col("vid").alias("query_id"), "cid")
     members = assigned.select("cid", F.col("vid").alias("neighbor_id"))
     cand = (
         probes.join(members, "cid")
