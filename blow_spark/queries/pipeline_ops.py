@@ -701,7 +701,10 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")).union(
         pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
     )
-    ranks = ops.pagerank(edges, iterations=3, damping=0.85)
+    # assume_distinct: `pairs` is DISTINCT and the two union'd directions
+    # are disjoint by construction ('c…'→'s…' vs 's…'→'c…'), so the
+    # operator's defensive dedup shuffle is provably redundant here
+    ranks = ops.pagerank(edges, iterations=3, damping=0.85, assume_distinct=True)
     return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
 
 
