@@ -162,16 +162,32 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
 
 
 def test_exact_cosine_plan_is_codegen_broadcast(spark, sf_dir):
-    """The fixed-point dot-product rewrite must plan as posexplode
+    """brute_force_topk's fixed-point dot-product plan: posexplode
     (Generate) + BroadcastHashJoin + two-phase HashAggregate — never a
     cartesian/nested-loop, and never the interpreted higher-order
     aggregate fold it replaced (39 s → ~3 s at sf0.1)."""
-    for name in ("similarity_topk_bruteforce", "similarity_cosine_threshold_exact"):
-        p = _plan(spark, sf_dir, name)
-        assert "BroadcastHashJoin" in p, p[:800]
-        assert "CartesianProduct" not in p and "NestedLoop" not in p, p[:800]
-        assert "Generate posexplode" in p, p[:800]
-        assert p.count("HashAggregate") >= 2, p[:800]
+    p = _plan(spark, sf_dir, "similarity_topk_bruteforce")
+    assert "BroadcastHashJoin" in p, p[:800]
+    assert "CartesianProduct" not in p and "NestedLoop" not in p, p[:800]
+    assert "Generate posexplode" in p, p[:800]
+    assert p.count("HashAggregate") >= 2, p[:800]
+
+
+def test_exact_allpairs_plan_is_broadcast_nlj_into_arrow(spark, sf_dir):
+    """cosine_pairs_exact's round-3 plan: the all-pairs generation is an
+    EXPLICIT broadcast nested-loop (all-pairs IS a cross product — the
+    honest audit-scale form; the packed side broadcasts once), feeding
+    MapInArrow in the SAME stage — no Exchange between pair generation
+    and scoring, no sort-merge join, no posexplode/aggregation blow-up.
+    The only exchanges are the probe spread and the broadcast itself."""
+    p = _plan(spark, sf_dir, "similarity_cosine_threshold_exact")
+    assert "BroadcastNestedLoopJoin" in p, p[:800]
+    assert "MapInArrow" in p, p[:800]
+    assert "SortMergeJoin" not in p and "Generate posexplode" not in p, p[:800]
+    # pair generation pipelines straight into the Arrow scorer: the plan
+    # segment between MapInArrow and the join contains no Exchange
+    seg = p[p.index("MapInArrow") : p.index("BroadcastNestedLoopJoin")]
+    assert "Exchange" not in seg, seg
 
 
 def test_dynamic_partition_pruning(spark, tmp_path):
