@@ -16,6 +16,7 @@ nothing touches Python per-row. Each query is oracle-paired with DuckDB.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from blow_spark import dedup
@@ -561,4 +562,66 @@ def corpus_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_encoded"),
             F.count("token_id").cast("bigint").alias("n_in_vocab"),
         )
+    )
+
+
+@register(
+    "mix_token_budget",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tokens,
+             md5(text) AS h
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+      FROM t
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)          AS kept_docs,
+           CAST(SUM(n_tokens) AS BIGINT)     AS kept_tokens,
+           CAST(MAX(cum_tokens) AS BIGINT)   AS budget_used
+    FROM c
+    WHERE cum_tokens <= 20000
+    GROUP BY source
+    """,
+    tags=("pipeline", "mix", "llm"),
+)
+def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-BUDGETED data recipe: each source contributes documents in a
+    deterministic content-hash order until its token budget (20 k here)
+    is exhausted — the way a training mix is actually specified
+    ("20 B tokens of web, 5 B of code"), vs the RATIO recipe of
+    mix_sources_weighted. The running total is one window cumsum per
+    source (hash order makes the prefix a uniform sample, and the
+    cutoff deterministic across engines); docs whose cumulative count
+    would exceed the budget are dropped. At 100 TB this is one exchange
+    keyed by source — and because the hash order is uniform, a
+    cluster-scale variant can pre-filter with a hash cutoff estimated
+    from per-source token totals (the stratified-sampling trick in
+    sample_stratified_exact_k) before the exact window pass."""
+    d = read_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_nospace = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    t = d.select(
+        "doc_id",
+        "source",
+        (n_chars - n_nospace + 1).alias("n_tokens"),
+        F.md5("text").alias("h"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = t.withColumn("cum_tokens", F.sum("n_tokens").over(w)).filter(
+        F.col("cum_tokens") <= 20000
+    )
+    return c.groupBy("source").agg(
+        F.count("*").alias("kept_docs"),
+        F.sum("n_tokens").alias("kept_tokens"),
+        F.max("cum_tokens").alias("budget_used"),
     )

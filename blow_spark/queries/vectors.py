@@ -415,3 +415,95 @@ def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_head"
         ),
     )
+
+
+@register(
+    "similarity_topk_int8",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xe
+      FROM embeddings
+    ), mm AS (
+      SELECT vec_id, xe, list_min(xe) AS mn, list_max(xe) AS mx FROM x
+    ), deq AS (
+      SELECT vec_id, i AS pos,
+             mn + CASE WHEN mx > mn
+                  THEN LEAST(255, CAST(FLOOR((xe[i] - mn) * 255.0 / (mx - mn)) AS INT))
+                  ELSE 0 END * (mx - mn) / 255.0 AS xq
+      FROM mm CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS i) d
+    ), qe AS (
+      SELECT vec_id AS query_id, pos, xq AS qx FROM deq WHERE vec_id < 10
+    ), ce AS (
+      SELECT vec_id AS neighbor_id, pos, xq AS cx FROM deq
+    ), agg AS (
+      SELECT query_id, neighbor_id,
+             SUM(CAST(ROUND(qx * cx * 1000000000000.0) AS BIGINT)) AS dot_q,
+             SUM(CAST(ROUND(qx * qx * 1000000000000.0) AS BIGINT)) AS qn_q,
+             SUM(CAST(ROUND(cx * cx * 1000000000000.0) AS BIGINT)) AS cn_q
+      FROM ce JOIN qe USING (pos)
+      WHERE query_id <> neighbor_id
+      GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT query_id, neighbor_id,
+             CAST(dot_q AS DOUBLE)
+               / (SQRT(CAST(qn_q AS DOUBLE)) * SQRT(CAST(cn_q AS DOUBLE))) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY CAST(dot_q AS DOUBLE)
+                   / (SQRT(CAST(qn_q AS DOUBLE)) * SQRT(CAST(cn_q AS DOUBLE))) DESC,
+                 neighbor_id) AS rank
+      FROM agg) t
+    WHERE rank <= 5
+    """,
+    tags=("similarity", "quantize", "vector"),
+)
+def similarity_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval over the STORAGE-QUANTIZED corpus: each vector is
+    affine-uint8-quantized (vector_quantize_int8's formula), dequantized
+    to its reconstruction x̂ᵢ = mn + qᵢ·(mx−mn)/255 INSIDE the codegen'd
+    posexplode pipeline (scalar expressions after the explode — no HOF),
+    and top-5 cosine runs through the same fixed-point integer plan as
+    similarity_topk_bruteforce — so the whole quantize→dequantize→score
+    loop is hash-checked against DuckDB. This is the 4×-smaller-index
+    retrieval mode of an embedding store; quantization fidelity
+    (top-1 agreement with the float path) is pinned in
+    tests/test_similarity.py."""
+    e = read_table(spark, sf_dir, "embeddings")
+    xe = F.transform("embedding", lambda v: v.cast("double"))
+    mm = e.select("vec_id", xe.alias("xe")).select(
+        "vec_id", "xe", F.array_min("xe").alias("mn"), F.array_max("xe").alias("mx")
+    )
+    ex = mm.select(
+        "vec_id", "mn", "mx", F.posexplode("xe").alias("pos0", "x")
+    )
+    q8 = F.when(
+        F.col("mx") > F.col("mn"),
+        F.least(
+            F.lit(255),
+            F.floor((F.col("x") - F.col("mn")) * 255.0 / (F.col("mx") - F.col("mn"))).cast("int"),
+        ),
+    ).otherwise(F.lit(0))
+    deq = ex.select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        (F.col("mn") + q8 * (F.col("mx") - F.col("mn")) / 255.0).alias("xq"),
+    )
+    s = F.lit(1000000000000.0)
+    qe = deq.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "pos", F.col("xq").alias("qx")
+    )
+    ce = deq.select(F.col("vec_id").alias("neighbor_id"), "pos", F.col("xq").alias("cx"))
+    joined = ce.join(F.broadcast(qe), "pos").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    agg = joined.groupBy("query_id", "neighbor_id").agg(
+        F.sum(F.round(F.col("qx") * F.col("cx") * s).cast("long")).alias("dot_q"),
+        F.sum(F.round(F.col("qx") * F.col("qx") * s).cast("long")).alias("qn_q"),
+        F.sum(F.round(F.col("cx") * F.col("cx") * s).cast("long")).alias("cn_q"),
+    )
+    cos = F.col("dot_q").cast("double") / (
+        F.sqrt(F.col("qn_q").cast("double")) * F.sqrt(F.col("cn_q").cast("double"))
+    )
+    scored = agg.select("query_id", "neighbor_id", cos.alias("cos_sim"))
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)

@@ -162,3 +162,24 @@ def test_lsh_leaves_no_persisted_rdds(spark, emb):
     ).format("noop").save()
     after = _persistent_rdd_ids(spark)
     assert after <= before, f"leaked persisted RDDs: {sorted(after - before)}"
+
+
+def test_int8_quantized_topk_agrees_with_float(spark, sf_dir):
+    """Quantization fidelity: uint8 reconstruction error is small enough
+    that quantized retrieval returns the same top-1 as the float path
+    for (almost) every query."""
+    from blow_spark.queries import queries
+
+    qs = queries()
+    top1_f = {
+        r["query_id"]: r["neighbor_id"]
+        for r in qs["similarity_topk_bruteforce"](spark, sf_dir).collect()
+        if r["rank"] == 1
+    }
+    top1_q = {
+        r["query_id"]: r["neighbor_id"]
+        for r in qs["similarity_topk_int8"](spark, sf_dir).collect()
+        if r["rank"] == 1
+    }
+    agree = sum(1 for k, v in top1_f.items() if top1_q.get(k) == v)
+    assert agree >= len(top1_f) - 2, f"{agree}/{len(top1_f)} top-1 agreement"
