@@ -9,10 +9,18 @@ What's REAL here (tested, scale-designed):
   * partitioning discipline (binary payloads never become join/shuffle
     keys; features and metadata travel, blobs stay put).
 
-What's STUBBED (this container ships no image/audio codecs):
-  * actual decode (PIL/cv2/librosa) — ``decode_image``/``decode_audio``
-    raise NotImplementedError unless the optional lib imports, with a
-    deterministic fake available for tests (``fake_decode=True``).
+What's REAL decode (round 3 — no external codec needed):
+  * PNG: pure-stdlib decoder (zlib inflate + per-spec filter
+    reconstruction, 8-bit gray/RGB/RGBA) — ``_decode_png``,
+  * RIFF/WAV PCM: the standard library's ``wave`` module.
+  Both are auto-detected by magic bytes, so the feature extractors
+  decode real media payloads for real; ``multimodal_wav_decode_energy``
+  runs the WAV path under the DuckDB oracle gate.
+
+What's STUBBED (for formats whose codecs aren't shipped — JPEG, MP3...):
+  * ``decode_image``/``decode_audio`` raise NotImplementedError unless
+    PIL imports, with a deterministic fake available for tests
+    (``fake_decode=True``).
 """
 
 from __future__ import annotations
@@ -60,10 +68,88 @@ def with_synthetic_media(df: DataFrame, text_col: str = "text") -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(content: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decoder (zlib inflate + filter reconstruction):
+    8-bit depth, color types 0 (gray), 2 (RGB), 6 (RGBA), no interlace —
+    the overwhelmingly common subset. REAL decode with no external
+    codec: this container ships no PIL, but PNG's compression is zlib,
+    which is the standard library. Per-spec filters 0-4 (None/Sub/Up/
+    Average/Paeth) reconstructed exactly; cross-checked against
+    hand-computed pixels in tests/test_multimodal.py. Row loop is
+    Python — fine for the thumbnail/preview sizes a feature pass reads;
+    swap PIL in for decode-heavy jobs when it ships."""
+    import struct
+    import zlib
+
+    if content[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG stream")
+    pos, width = 8, None
+    idat = b""
+    while pos + 8 <= len(content):
+        (length,), ctype = struct.unpack(">I", content[pos : pos + 4]), content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color not in (0, 2, 6) or interlace != 0:
+                raise NotImplementedError(
+                    f"PNG subset: 8-bit color type 0/2/6 non-interlaced "
+                    f"(got depth={depth} color={color} interlace={interlace})"
+                )
+            ch = {0: 1, 2: 3, 6: 4}[color]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(idat)
+    stride = width * ch
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)], dtype=np.uint8
+        ).astype(np.int32)
+        recon = np.zeros(stride, dtype=np.int32)
+        for x in range(stride):
+            a = recon[x - ch] if x >= ch else 0  # left
+            b = prior[x]  # up
+            c = prior[x - ch] if x >= ch else 0  # up-left
+            if f == 0:
+                v = line[x]
+            elif f == 1:
+                v = line[x] + a
+            elif f == 2:
+                v = line[x] + b
+            elif f == 3:
+                v = line[x] + (a + b) // 2
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = line[x] + pred
+            else:
+                raise ValueError(f"bad PNG filter {f}")
+            recon[x] = v & 0xFF
+        out[y] = recon
+        prior = recon
+    return out.reshape(height, width, ch) if ch > 1 else out.reshape(height, width)
+
+
 def decode_image(content: bytes, fake_decode: bool = False) -> np.ndarray:
-    """Decode an image blob to an HxWx3 array. Real path needs PIL (not in
-    this container); the fake path derives a deterministic 8x8x3 array
-    from the bytes so plumbing stays testable."""
+    """Decode an image blob to an HxW[xC] array. PNG decodes FOR REAL
+    with no external codec (stdlib zlib — _decode_png); other formats
+    use PIL when it ships; the fake path derives a deterministic 8x8x3
+    array from the bytes so non-image payload plumbing stays testable."""
+    if content[:8] == _PNG_MAGIC:
+        return _decode_png(content)
     if fake_decode:
         h = np.frombuffer(content[:192].ljust(192, b"\0"), dtype=np.uint8)
         return h.reshape(8, 8, 3)
@@ -75,15 +161,34 @@ def decode_image(content: bytes, fake_decode: bool = False) -> np.ndarray:
         return np.asarray(Image.open(io.BytesIO(content)))
     except ImportError as e:
         raise NotImplementedError(
-            "image decoding requires PIL, which is not shipped in this "
-            "environment; pass fake_decode=True for the deterministic stub"
+            "non-PNG image decoding requires PIL, which is not shipped in "
+            "this environment; pass fake_decode=True for the deterministic stub"
         ) from e
 
 
 def decode_audio(content: bytes, fake_decode: bool = False) -> np.ndarray:
+    """Decode an audio blob to float32 samples in [-1, 1). RIFF/WAV PCM
+    decodes FOR REAL via the standard library's ``wave`` module (int16
+    mono/stereo → channel-0 float32) — no librosa needed for PCM; the
+    fake path reinterprets the leading bytes as int16 PCM so non-audio
+    payload plumbing stays testable."""
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(content), "rb") as w:
+            if w.getsampwidth() != 2:
+                raise NotImplementedError("WAV subset: 16-bit PCM")
+            frames = np.frombuffer(
+                w.readframes(w.getnframes()), dtype="<i2"
+            ).reshape(-1, w.getnchannels())[:, 0]
+        return frames.astype(np.float32) / 32768.0
     if fake_decode:
         return np.frombuffer(content[:1024].ljust(1024, b"\0"), dtype=np.int16).astype(np.float32) / 32768.0
-    raise NotImplementedError("audio decoding requires librosa/soundfile (not shipped)")
+    raise NotImplementedError(
+        "compressed-audio decoding requires librosa/soundfile (not shipped); "
+        "RIFF/WAV PCM decodes natively"
+    )
 
 
 # --------------------------------------------------------------------------

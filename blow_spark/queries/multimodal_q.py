@@ -1,7 +1,10 @@
 """Multimodal-column queries: binary payload + typed metadata over the
-documents fixture (payloads synthesized deterministically from text — the
-container ships no codecs, so decode is stubbed; the Spark-side plumbing
-is real and oracled where byte semantics are SQL-expressible)."""
+documents fixture (payloads synthesized deterministically from text).
+PNG and RIFF/WAV decode FOR REAL via the stdlib (multimodal._decode_png,
+wave) — multimodal_wav_decode_energy runs a genuine container parse
+under the oracle gate; compressed codecs (JPEG/MP3) stay stubbed; the
+Spark-side plumbing is real and oracled where byte semantics are
+SQL-expressible."""
 
 from __future__ import annotations
 
@@ -249,4 +252,73 @@ def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_copies"),
         F.sum("n_bytes").cast("bigint").alias("total_bytes"),
         (F.sum("n_bytes") - F.min("n_bytes")).cast("bigint").alias("reclaimable_bytes"),
+    )
+
+
+def _wav_header_1024() -> bytes:
+    """Canonical 44-byte RIFF/WAV header for exactly 1024 bytes of mono
+    16-bit 8 kHz PCM — constant because the payload below is padded to a
+    fixed size, so it can ride as a binary literal in the plan."""
+    import struct
+
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + 1024)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data"
+        + struct.pack("<I", 1024)
+    )
+
+
+@register(
+    "multimodal_wav_decode_energy",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(ENCODE(text)) AS hx, OCTET_LENGTH(ENCODE(text)) AS n
+      FROM documents
+    ), samp AS (
+      SELECT doc_id, n, hx, UNNEST(range(0, 512)) AS m FROM b
+    ), pcm AS (
+      SELECT doc_id, CAST(m // 256 AS INT) AS window_no,
+             (CASE WHEN 2*m+1 < LEAST(n, 1024)
+                   THEN (strpos('0123456789ABCDEF', substring(hx, CAST(2*(2*m+1)+1 AS INT), 1)) - 1) * 16
+                      + (strpos('0123456789ABCDEF', substring(hx, CAST(2*(2*m+1)+2 AS INT), 1)) - 1)
+                   ELSE 0 END) * 256
+           + (CASE WHEN 2*m < LEAST(n, 1024)
+                   THEN (strpos('0123456789ABCDEF', substring(hx, CAST(2*(2*m)+1 AS INT), 1)) - 1) * 16
+                      + (strpos('0123456789ABCDEF', substring(hx, CAST(2*(2*m)+2 AS INT), 1)) - 1)
+                   ELSE 0 END) AS u
+      FROM samp
+    ), x AS (
+      SELECT doc_id, window_no,
+             (CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) / 32768.0 AS v
+      FROM pcm
+    )
+    SELECT doc_id, window_no, CAST(256 AS INT) AS n_samples,
+           SQRT(SUM(v*v)/256.0) AS rms,
+           MAX(ABS(v)) AS peak
+    FROM x GROUP BY doc_id, window_no
+    """,
+    tags=("multimodal", "audio", "wav", "codec"),
+)
+def multimodal_wav_decode_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec under the oracle gate: each document's leading
+    1024 payload bytes are wrapped in a genuine RIFF/WAV container
+    (constant 44-byte header + zero-padded PCM, built as binary
+    expressions in the plan), and the feature extractor's decode path
+    goes through the standard library's ``wave`` PARSER — the container
+    is actually read: a wrong header, a mis-declared frame count, or a
+    byte-order slip breaks the decode and therefore the hash. The
+    oracle recomputes the identical window RMS/peak from the raw text
+    bytes (IEEE-exact — same engine-exact argument as
+    multimodal_audio_energy, whose stub path this query upgrades)."""
+    d = multimodal.with_synthetic_media(read_table(spark, sf_dir, "documents"))
+    wav = F.concat(
+        F.lit(_wav_header_1024()),
+        F.rpad(F.substring(F.col("content"), 1, 1024), 1024, bytes([0])),
+    )
+    d2 = d.select("doc_id", wav.alias("wav"))
+    return multimodal.audio_window_features(
+        d2, window_samples=256, content_col="wav", fake_decode=False
     )

@@ -108,3 +108,112 @@ def test_media_schema(spark, sf_dir):
     row = media.select("meta.media_type", "meta.width", "meta.height").first()
     assert row["media_type"] == "image"
     assert 1 <= row["width"] <= 640 and 1 <= row["height"] <= 480
+
+
+def _encode_png(img, color_type, filters):
+    """Minimal test-side PNG ENCODER: forward-filters each row with the
+    given per-row filter types and deflates — independent arithmetic
+    from the decoder's reconstruction, so round-tripping validates the
+    filter math, not just zlib."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = img.shape[:2]
+    ch = 1 if img.ndim == 2 else img.shape[2]
+    flat = img.reshape(h, w * ch).astype(np.int32)
+    raw = b""
+    prior = np.zeros(w * ch, dtype=np.int32)
+    for y, f in zip(range(h), filters):
+        line = flat[y]
+        out = np.zeros(w * ch, dtype=np.int32)
+        for x in range(w * ch):
+            a = line[x - ch] if x >= ch else 0
+            b = prior[x]
+            c = prior[x - ch] if x >= ch else 0
+            if f == 0:
+                v = line[x]
+            elif f == 1:
+                v = line[x] - a
+            elif f == 2:
+                v = line[x] - b
+            elif f == 3:
+                v = line[x] - (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = line[x] - pred
+            out[x] = v & 0xFF
+        raw += bytes([f]) + bytes(out.astype(np.uint8))
+        prior = line
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decoder_all_filters():
+    """The stdlib PNG decoder reconstructs every per-spec filter type
+    (None/Sub/Up/Average/Paeth) exactly, for RGB and grayscale."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    png = _encode_png(rgb, color_type=2, filters=[0, 1, 2, 3, 4])
+    got = multimodal.decode_image(bytes(png))
+    assert got.shape == (5, 4, 3) and np.array_equal(got, rgb)
+
+    gray = rng.integers(0, 256, size=(4, 6), dtype=np.uint8)
+    png_g = _encode_png(gray, color_type=0, filters=[4, 3, 2, 1])
+    got_g = multimodal.decode_image(bytes(png_g))
+    assert got_g.shape == (4, 6) and np.array_equal(got_g, gray)
+
+
+def test_wav_decode_real_roundtrip():
+    """RIFF/WAV PCM decodes through the stdlib wave parser: samples
+    written by the stdlib writer come back exactly (int16 / 32768)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    samples = (np.arange(-500, 500, 2, dtype=np.int16) * 33)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(samples.tobytes())
+    got = multimodal.decode_audio(buf.getvalue())
+    assert np.array_equal(got, samples.astype(np.float32) / 32768.0)
+
+
+def test_resize_features_on_real_png(spark):
+    """End-to-end: real PNG payloads decode FOR REAL inside the
+    distributed mapInPandas resize (magic-byte detection — no flag
+    needed), and the pixel checksum matches numpy on the true pixels."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows, want = [], {}
+    for i in range(3):
+        img = rng.integers(0, 256, size=(6, 6, 3), dtype=np.uint8)
+        rows.append((i, bytes(_encode_png(img, 2, [0, 1, 2, 3, 4, 2]))))
+        small = multimodal.resize_image(img, 3, 3)
+        want[i] = (int(small.size), int(small.astype(np.int64).sum()))
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {
+        r["doc_id"]: (r["n_px"], r["px_sum"])
+        for r in multimodal.resize_features(df, out_h=3, out_w=3).collect()
+    }
+    assert got == want
