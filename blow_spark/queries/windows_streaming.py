@@ -1142,3 +1142,96 @@ def streaming_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> Data
         "left_outer",
     ).select("probe_id", "user_id", "match_id")
     return _drain(joined, "append", "sslo_out")
+
+
+@register(
+    "streaming_cdc_merge_foreachbatch",
+    oracle="""
+    SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+           value AS last_value
+    FROM (
+        SELECT user_id, ts, event_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) ranked
+    WHERE rn = 1
+    """,
+    tags=("streaming", "cdc", "merge", "sink", "runtime"),
+)
+def streaming_cdc_merge_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming CDC upsert pipeline END-TO-END under the oracle
+    gate: a time-ordered changelog (events sorted by (ts, event_id),
+    split into one base snapshot + three staged micro-batch files with
+    increasing mtimes) flows through a real readStream →
+    Trigger.AvailableNow → foreachBatch loop, where every micro-batch is
+    compacted to its per-user latest row and MERGEd into a parquet
+    target via ops.merge_into_parquet (copy-on-write full-outer join,
+    in-plan dup guard, Hadoop-FS swap). Because the chunks partition the
+    (ts, event_id) order, each user's final state after the last merge
+    is their GLOBAL latest row — exactly what the declarative oracle
+    computes from the flat table. A batch applied out of order, a lost
+    upsert, a non-idempotent swap, or a broken per-batch compaction all
+    break the hash. This is the pattern a production CDC lake runs
+    (Kafka → micro-batch → MERGE INTO); the Kafka scan swaps in for the
+    file source with no other change."""
+    import tempfile
+    import time as _time
+
+    from blow_spark import ops
+    from blow_spark.streaming import EVENTS_SCHEMA
+
+    base_dir = tempfile.mkdtemp(prefix="blow_spark_cdc_merge_")
+    target, stage = base_dir + "/target", base_dir + "/stage"
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    w_ord = W.orderBy("ts", "event_id")
+    numbered = ev.withColumn("rn", F.row_number().over(w_ord))
+    n = numbered.count()
+    step = n // 4 + 1
+
+    def latest_per_user(df):
+        w_k = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        return (
+            df.withColumn("krn", F.row_number().over(w_k))
+            .filter(F.col("krn") == 1)
+            .select(
+                "user_id",
+                F.col("ts").alias("last_ts"),
+                F.col("event_type").alias("last_event_type"),
+                F.col("value").alias("last_value"),
+            )
+        )
+
+    # chunk 0 → initial target snapshot; chunks 1-3 → staged stream files
+    # with strictly increasing mtimes (the file source replays in mtime
+    # order — same rig as the streaming tests' events fixture)
+    chunk0 = numbered.filter(F.col("rn") <= step).drop("rn")
+    latest_per_user(chunk0).write.mode("overwrite").parquet(target)
+    for i in range(1, 4):
+        chunk = numbered.filter(
+            (F.col("rn") > i * step) & (F.col("rn") <= (i + 1) * step)
+        ).drop("rn")
+        chunk.coalesce(1).write.mode("append").parquet(stage)
+        _time.sleep(0.4)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+
+    def apply_batch(batch_df, _epoch_id) -> None:
+        src = latest_per_user(batch_df)
+        ops.merge_into_parquet(batch_df.sparkSession, target, src, ["user_id"])
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", base_dir + "/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(target)
