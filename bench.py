@@ -68,6 +68,9 @@ HEADLINE = [
     "sink_merge_upsert_roundtrip",
     "streaming_tumbling_availablenow",
     "similarity_lsh_topk",
+    # real-codec and live-connector families
+    "multimodal_wav_decode_energy",
+    "sink_jdbc_roundtrip",
 ]
 
 
