@@ -44,6 +44,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # documents/text ops produce wide rows; keep broadcast joins viable
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Runtime bloom-filter semijoin reduction (off by default in
+        # Spark): when a selective dim filter feeds a non-broadcast join,
+        # inject a bloom filter of the dim keys into the fact scan — at
+        # 100 TB this prunes most of the fact shuffle before it happens.
+        # Spark's own size thresholds (10 MB creation side / 10 GB
+        # application side) gate it, so small local joins are untouched;
+        # injection + row-identity pinned in tests/test_plans.py.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )

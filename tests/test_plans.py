@@ -268,3 +268,43 @@ def test_multi_distinct_plans_expand(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in plan, plan[:1500]
     assert "Join" not in plan, plan[:1500]
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Runtime bloom-filter semijoin reduction (enabled in the session
+    posture, gated by Spark's size thresholds at real scale): with the
+    thresholds lowered to force injection locally, a selective dim
+    filter feeding a non-broadcast join must plant a might_contain
+    predicate on the fact side — the 100 TB lever that prunes the fact
+    shuffle before it happens — and the filtered join must stay
+    row-identical to the unfiltered plan."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        p = spark.read.parquet(f"{sf_dir}/part.parquet").filter(F.col("p_size") == 1)
+        j = li.join(p, li.l_partkey == p.p_partkey).select("l_orderkey", "p_name")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan, plan[:1200]
+        with_bloom = sorted((r["l_orderkey"], r["p_name"]) for r in j.collect())
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    plain = sorted(
+        (r["l_orderkey"], r["p_name"])
+        for r in li.join(p, li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_name")
+        .collect()
+    )
+    assert with_bloom == plain
