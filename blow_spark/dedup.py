@@ -324,6 +324,135 @@ def _verify_jaccard(candidates: DataFrame, hashed: DataFrame, threshold: float) 
 
 
 # --------------------------------------------------------------------------
+# Incremental MinHash index (never rebuild at 100 TB)
+# --------------------------------------------------------------------------
+
+
+def build_minhash_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """One row per doc: (doc, minhash array, shingle-hash set, set size)
+    — everything the LSH candidate AND verify stages need, with the
+    text left behind. This is the PERSISTENT dedup index: at cluster
+    scale it is written once as a table bucketed by ``doc`` (signatures
+    ≈ 0.5 KB + the hashed shingle set per doc), and each ingest batch only
+    APPENDS its own rows (the corpus is never re-shingled). Built in
+    one pass: explode shingles → hash once → per-doc k MIN aggregates +
+    collect_list in the same aggregation."""
+    p = F.lit(_MERSENNE_P)
+    shingles = word_shingles(F.col(text_col), shingle_n)
+    base = _spread(df).select(F.col(id_col).alias("doc"), shingles.alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+    exploded = base.select("doc", F.explode("shingles").alias("g")).select(
+        "doc", F.xxhash64("g").alias("h64")
+    )
+    agg = exploded.groupBy("doc").agg(
+        *[
+            F.min(F.pmod(F.pmod("h64", p) * F.lit(a) + F.lit(b), p)).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(_perm_coeffs(num_hashes))
+        ],
+        F.collect_list("h64").alias("hs"),
+        F.count("*").alias("n_sh"),
+    )
+    return agg.select(
+        "doc",
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("minhash"),
+        "hs",
+        "n_sh",
+    )
+
+
+def _band_rows(index: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    rows_per_band = num_hashes // bands
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("minhash", b * rows_per_band + r + 1).cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return index.select("doc", F.explode(band_arr).alias("bb")).select(
+        "doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    new_df: DataFrame,
+    index: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Ingest-batch dedup against an EXISTING index without touching the
+    old corpus: returns (near-dup pairs involving a new doc, the new
+    docs' index rows to append).
+
+    Candidates = (new × old) band-bucket join + (new × new) self-join —
+    exactly the pairs a full rebuild would emit that involve ≥1 new doc
+    (same bands, same buckets; equivalence pinned in
+    tests/test_dedup.py::test_incremental_lsh_equals_full_rebuild).
+    Verify joins the (tiny) new signature table and the index's stored
+    shingle-hash sets by id — the old TEXT is never read, never
+    shuffled, never re-shingled: per ingest batch the work is
+    O(new docs + collisions), not O(corpus). At cluster scale ``index``
+    is a bucketed table on ``doc``, so the verify joins are
+    shuffle-free on the old side and the append is a partition add."""
+    new_index = build_minhash_index(
+        new_df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n
+    )
+    from blow_spark.materialize import spill_to_parquet
+
+    new_index = spill_to_parquet(new_index, "blow_spark_lsh_newidx_")
+    b_new = _band_rows(new_index, num_hashes, bands)
+    b_old = _band_rows(index, num_hashes, bands)
+    cand_cross = (
+        b_new.alias("l")
+        .join(
+            b_old.alias("r"),
+            (F.col("l.band") == F.col("r.band")) & (F.col("l.bucket") == F.col("r.bucket")),
+        )
+        .select(
+            F.least(F.col("l.doc"), F.col("r.doc")).alias("id_a"),
+            F.greatest(F.col("l.doc"), F.col("r.doc")).alias("id_b"),
+        )
+    )
+    cand_new = (
+        b_new.alias("l")
+        .join(
+            b_new.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+    )
+    candidates = cand_cross.union(cand_new).filter(F.col("id_a") != F.col("id_b")).distinct()
+    hashed = index.select("doc", "hs", "n_sh").union(
+        new_index.select("doc", "hs", "n_sh")
+    )
+    pairs = _verify_jaccard(candidates, hashed, threshold)
+    return pairs, new_index
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 

@@ -854,3 +854,29 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         (F.col("top_big_c").cast("double") / F.col("n_bigrams")).alias("top_bigram_share"),
     )
+
+
+@register("dedup_incremental_minhash", oracle=None, tags=("dedup", "minhash", "incremental"))
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-batch near-dedup against a PERSISTENT MinHash index (the
+    100 TB operating mode — the corpus is indexed once, never
+    re-shingled): docs are split 80/20 into an existing index and an
+    ingest batch; the batch's near-dup pairs against index+batch come
+    from dedup.minhash_lsh_pairs_incremental using only the batch text
+    and the index's stored signatures + shingle-hash sets. Rows-only
+    (LSH candidate recall is engine-specific, like dedup_minhash_lsh);
+    the load-bearing property — incremental == full-rebuild restricted
+    to pairs touching the batch — is pinned in
+    tests/test_dedup.py::test_incremental_lsh_equals_full_rebuild."""
+    from blow_spark.materialize import spill_to_parquet
+
+    d = read_table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 5 != 0)
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    index = spill_to_parquet(
+        dedup.build_minhash_index(old, "text", "doc_id"), "blow_spark_lsh_idx_"
+    )
+    pairs, _new_rows = dedup.minhash_lsh_pairs_incremental(
+        new, index, "text", "doc_id", threshold=0.5
+    )
+    return pairs

@@ -174,3 +174,29 @@ def test_minhash_lsh_leaves_no_persisted_rdds(spark, docs):
     ).format("noop").save()
     after = _persistent_rdd_ids(spark)
     assert after <= before, f"leaked persisted RDDs: {sorted(after - before)}"
+
+
+def test_incremental_lsh_equals_full_rebuild(spark, docs):
+    """The incremental path (new batch vs persistent index) must emit
+    exactly the full rebuild's pairs that touch a new doc — same bands,
+    same buckets, same verify arithmetic — and the appended index rows
+    must equal what a fresh index build would produce for those docs."""
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    index = dedup.build_minhash_index(old, "text", "doc_id")
+    pairs, new_rows = dedup.minhash_lsh_pairs_incremental(
+        new, index, "text", "doc_id", threshold=0.5
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    want = {p for p in full if p[0] in new_ids or p[1] in new_ids}
+    assert got == want, f"extra={sorted(got - want)[:5]} missing={sorted(want - got)[:5]}"
+    # the rows to append are exactly a fresh build over the new batch
+    fresh = dedup.build_minhash_index(new, "text", "doc_id")
+    a = {r["doc"]: (tuple(r["minhash"]), sorted(r["hs"]), r["n_sh"]) for r in new_rows.collect()}
+    b = {r["doc"]: (tuple(r["minhash"]), sorted(r["hs"]), r["n_sh"]) for r in fresh.collect()}
+    assert a == b
