@@ -388,9 +388,23 @@ def _srp_band_candidates(
     ``.persist()`` here had no owner; pinned by
     tests/test_similarity.py::test_lsh_leaves_no_persisted_rdds).
     ``symmetric=True`` emits both (a,b) and (b,a) (top-k per query);
-    ``False`` emits canonical a<b pairs (near-dup)."""
+    ``False`` emits canonical a<b pairs (near-dup).
+
+    ``bits="auto"`` applies SCALE.md's sketch-width rule operationally:
+    per-band collision probability for unrelated vectors is ~2^-r
+    (r = bits/band), so r is set to ~log2(N) to keep expected random
+    candidates ≈ bands·N²/2^r linear in N (measured: FIXED 16-bit at
+    10× data scaled 64×; 28-bit scaled 7.2× — the SCALE.md table). The
+    one ``count()`` is an index-build action, same class as the spill
+    below."""
     from blow_spark.materialize import spill_to_parquet
 
+    if bits == "auto":
+        import math
+
+        n = df.count()
+        r = min(15, max(4, math.ceil(math.log2(max(n, 2)))))
+        bits = bands * r
     bits_per_band = bits // bands
     mask = (1 << bits_per_band) - 1
     sk = spill_to_parquet(
@@ -432,14 +446,15 @@ def lsh_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bits: int = 16,
+    bits: int | str = 16,
     bands: int = 4,
     seed: int = 7,
     dim: int | None = None,
 ) -> DataFrame:
     """Approximate all-pairs top-k: SRP sketch → band buckets → exact
     cosine re-rank within candidates. Recall grows with bands; work is
-    O(Σ bucket²) instead of O(N²). The bucket self-join carries only
+    O(Σ bucket²) instead of O(N²). ``bits="auto"`` scales the sketch
+    width to the corpus (r ≈ log2 N per band — the SCALE.md rule). The bucket self-join carries only
     (id, band, chunk) — 8-byte sketch chunks, never vectors; candidates
     re-rank through the vectorized fixed-point scorer by id."""
     cand = _srp_band_candidates(
@@ -455,7 +470,7 @@ def cosine_near_dup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bits: int = 16,
+    bits: int | str = 16,
     bands: int = 4,
     seed: int = 7,
     dim: int | None = None,

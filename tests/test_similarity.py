@@ -183,3 +183,16 @@ def test_int8_quantized_topk_agrees_with_float(spark, sf_dir):
     }
     agree = sum(1 for k, v in top1_f.items() if top1_q.get(k) == v)
     assert agree >= len(top1_f) - 2, f"{agree}/{len(top1_f)} top-1 agreement"
+
+
+def test_lsh_auto_bits_finds_planted_near_dups(spark):
+    """bits='auto' picks r ~ log2(N) per band and must still find the
+    planted near-parallel pairs (wider sketches prune random collisions,
+    not true near-dups)."""
+    df = _planted_corpus(spark)
+    got = {
+        r["query_id"]: r["neighbor_id"]
+        for r in similarity.lsh_topk(df, k=1, bits="auto").collect()
+    }
+    hits = sum(1 for i in range(40) if got.get(i) == i + 1000)
+    assert hits >= 38, f"only {hits}/40 planted near-dups found"
