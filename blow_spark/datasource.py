@@ -23,12 +23,14 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 
@@ -181,6 +183,115 @@ class GeneratorStreamReader(DataSourceStreamReader):
         pass
 
 
+# --------------------------------------------------------------------------
+# The Sink() contract as a custom Python DataSource WRITER (V2 commit
+# protocol) — the write-side twin of GeneratorSource. blow's Sink is a
+# user-owned consumer draining the final channel (maps/maps.go:51-57, one
+# goroutine, no delivery guarantee on crash); Spark's idiomatic
+# counterpart is a planned write with task attempts, commit messages, and
+# a job-level commit/abort decision on the driver.
+# --------------------------------------------------------------------------
+
+
+class _SinkCommit(WriterCommitMessage):
+    def __init__(self, temp_path: str, rows: int):
+        self.temp_path = temp_path
+        self.rows = rows
+
+
+class JsonDirSink(DataSource):
+    """``format("blow_sink")``: writes rows as JSON-lines files under
+    ``path`` with the V2 two-phase commit — each task writes a uniquely
+    named temp file and returns it as a commit MESSAGE; only the driver,
+    after every task succeeded, renames the temp files into place and
+    stamps a manifest. A failed/straggler task attempt leaves an orphan
+    temp no reader ever sees (readers trust the manifest), and job abort
+    deletes the temps — the exactly-once file-sink discipline the
+    reference's Sink goroutine lacks. Options: path (required)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "blow_sink"
+
+    def schema(self) -> str:  # pragma: no cover - writer-only source
+        return "value STRING"
+
+    def writer(self, schema, overwrite: bool) -> "JsonDirSinkWriter":
+        return JsonDirSinkWriter(self.options, schema, overwrite)
+
+
+class JsonDirSinkWriter(DataSourceWriter):
+    def __init__(self, options, schema, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("blow_sink requires option 'path'")
+        self.fields = [f.name for f in schema.fields]
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _SinkCommit:
+        """Executor-side: one temp JSONL file per task ATTEMPT (uuid name
+        → retries never collide), fsync'd before the commit message is
+        returned so a task counted successful has durable bytes."""
+        import json
+        import os
+        import uuid
+
+        os.makedirs(os.path.join(self.path, "_temp"), exist_ok=True)
+        temp = os.path.join(self.path, "_temp", f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(temp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(dict(zip(self.fields, row)), default=str) + "\n")
+                n += 1
+            f.flush()
+            os.fsync(f.fileno())
+        return _SinkCommit(temp, n)
+
+    def commit(self, messages) -> None:
+        """Driver-side, all tasks succeeded: publish exactly the files
+        named by commit messages (orphan attempts stay in _temp, swept
+        here), then stamp the manifest LAST — a crash mid-commit leaves
+        no manifest, so readers see the old state, never a half-write."""
+        import json
+        import os
+        import shutil
+
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.startswith("part-"):
+                    os.remove(os.path.join(self.path, f))
+        published, total = [], 0
+        for i, m in enumerate(messages):
+            if m is None or m.rows == 0:
+                continue
+            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            os.replace(m.temp_path, final)
+            published.append(os.path.basename(final))
+            total += m.rows
+        shutil.rmtree(os.path.join(self.path, "_temp"), ignore_errors=True)
+        manifest = {"files": published, "rows": total}
+        tmp_manifest = os.path.join(self.path, "_MANIFEST.tmp")
+        with open(tmp_manifest, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp_manifest, os.path.join(self.path, "_MANIFEST"))
+
+    def abort(self, messages) -> None:
+        import shutil
+        import os
+
+        shutil.rmtree(os.path.join(self.path, "_temp"), ignore_errors=True)
+
+
+def read_sink_manifest(path: str) -> dict:
+    """The reader side of the sink's commit protocol: only
+    manifest-listed files exist as far as consumers are concerned."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_MANIFEST")) as f:
+        return json.load(f)
+
+
 def register(spark) -> None:
     """Idempotently register the generator source with a session. The
     DataSource class cloudpickles by module reference, so the package is
@@ -194,3 +305,4 @@ def register(spark) -> None:
     # alongside registration; it is a runtime SQL conf.
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(GeneratorSource)
+    spark.dataSource.register(JsonDirSink)

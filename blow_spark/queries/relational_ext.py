@@ -1537,3 +1537,50 @@ def explode_outer_empty_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode_outer(BF.word_shingles(F.col("text"), 5)).alias("shingle"),
     )
+
+
+@register(
+    "sink_python_datasource_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders WHERE o_orderkey < 1000
+    """,
+    tags=("sink", "datasource", "python"),
+)
+def sink_python_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's Sink() contract as a custom Python DataSource
+    WRITER under the oracle gate: an orders projection is written
+    through format("blow_sink") — per-task temp files, driver-side
+    two-phase commit, manifest stamped last (blow_spark.datasource.
+    JsonDirSink) — then read back from exactly the manifest-listed
+    files. A dropped task's rows, a published orphan attempt, or a
+    mangled JSON value breaks the hash. Completes the
+    GeneratorSource/Sink symmetry of SURVEY §2.1 S3 on the V2 write
+    protocol (abort/cleanup semantics pinned in
+    tests/test_datasource.py)."""
+    import os
+    import tempfile
+
+    from blow_spark import datasource as ds
+
+    ds.register(spark)
+    out = tempfile.mkdtemp(prefix="blow_spark_sink_q_")
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1000)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        )
+    )
+    o.write.format("blow_sink").option("path", out).mode("append").save()
+    man = ds.read_sink_manifest(out)
+    paths = [os.path.join(out, f) for f in man["files"]]
+    back = spark.read.json(paths)
+    return back.select(
+        F.col("o_orderkey").cast("long"),
+        "o_orderstatus",
+        F.col("price_cents").cast("long"),
+    )

@@ -176,3 +176,47 @@ def test_stream_generator_checkpoint_restart_exactly_once(spark, tmp_path):
         q2.stop()
     got = [r["n"] for r in spark.read.parquet(out).collect()]
     assert sorted(got) == list(range(4000)), f"{len(got)} rows, {len(set(got))} distinct"
+
+
+def test_custom_sink_v2_commit_protocol(spark, tmp_path):
+    """The Sink() contract as a Python DataSource WRITER: rows land as
+    JSONL via the two-phase commit — temp-per-attempt, driver publishes
+    only committed files, manifest stamped last. Read-back must match
+    exactly and the manifest must account for every row."""
+    import json
+    import os
+
+    datasource.register(spark)
+    out = str(tmp_path / "sink_out")
+    os.makedirs(out, exist_ok=True)
+    df = spark.range(1000).selectExpr("id AS n", "id * 2 AS v").repartition(4)
+    df.write.format("blow_sink").option("path", out).mode("append").save()
+
+    man = datasource.read_sink_manifest(out)
+    assert man["rows"] == 1000
+    rows = []
+    for fname in man["files"]:
+        with open(os.path.join(out, fname)) as f:
+            rows += [json.loads(line) for line in f]
+    assert sorted(r["n"] for r in rows) == list(range(1000))
+    assert all(r["v"] == r["n"] * 2 for r in rows)
+    assert not os.path.exists(os.path.join(out, "_temp"))  # swept on commit
+
+
+def test_custom_sink_abort_leaves_no_published_files(tmp_path):
+    """Driver-side abort path: written attempt temps are swept and no
+    manifest appears — a failed job is invisible to readers."""
+    import os
+
+    from pyspark.sql import types as T
+
+    out = str(tmp_path / "sink_abort")
+    os.makedirs(out, exist_ok=True)
+    schema = T.StructType([T.StructField("n", T.LongType())])
+    w = datasource.JsonDirSinkWriter({"path": out}, schema, overwrite=False)
+    msg = w.write(iter([(1,), (2,)]))
+    assert os.path.exists(msg.temp_path)
+    w.abort([msg])
+    assert not os.path.exists(os.path.join(out, "_temp"))
+    assert not os.path.exists(os.path.join(out, "_MANIFEST"))
+    assert [f for f in os.listdir(out) if f.startswith("part-")] == []
