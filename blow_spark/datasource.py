@@ -23,6 +23,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     GreaterThan,
@@ -219,6 +220,9 @@ class JsonDirSink(DataSource):
     def writer(self, schema, overwrite: bool) -> "JsonDirSinkWriter":
         return JsonDirSinkWriter(self.options, schema, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool) -> "JsonDirStreamSinkWriter":
+        return JsonDirStreamSinkWriter(self.options, schema)
+
 
 class JsonDirSinkWriter(DataSourceWriter):
     def __init__(self, options, schema, overwrite: bool):
@@ -282,6 +286,55 @@ class JsonDirSinkWriter(DataSourceWriter):
         shutil.rmtree(os.path.join(self.path, "_temp"), ignore_errors=True)
 
 
+class JsonDirStreamSinkWriter(DataSourceStreamWriter):
+    """Streaming twin of JsonDirSinkWriter: same per-attempt temp files,
+    but the job-level commit becomes a PER-MICROBATCH commit keyed by
+    ``batchId`` — files publish as ``part-<batch>-<i>.jsonl`` under a
+    ``_MANIFEST-<batch>`` stamped last, and a REPLAYED batch (restart
+    after the engine committed its offsets but before/within our
+    publish) is detected by its existing manifest and skipped, which is
+    exactly the idempotent-sink half of Structured Streaming's
+    exactly-once contract (offset log ∧ idempotent writes)."""
+
+    def __init__(self, options, schema):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("blow_sink requires option 'path'")
+        self.fields = [f.name for f in schema.fields]
+
+    write = JsonDirSinkWriter.write  # same attempt-temp discipline
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+        import shutil
+
+        manifest_path = os.path.join(self.path, f"_MANIFEST-{batchId}")
+        if os.path.exists(manifest_path):
+            # replayed micro-batch: already published — idempotent no-op
+            shutil.rmtree(os.path.join(self.path, "_temp"), ignore_errors=True)
+            return
+        published, total = [], 0
+        for i, m in enumerate(messages):
+            if m is None or m.rows == 0:
+                continue
+            final = os.path.join(self.path, f"part-{batchId:05d}-{i:05d}.jsonl")
+            os.replace(m.temp_path, final)
+            published.append(os.path.basename(final))
+            total += m.rows
+        shutil.rmtree(os.path.join(self.path, "_temp"), ignore_errors=True)
+        tmp_manifest = manifest_path + ".tmp"
+        with open(tmp_manifest, "w") as f:
+            json.dump({"files": published, "rows": total, "batch": batchId}, f)
+        os.replace(tmp_manifest, manifest_path)
+
+    def abort(self, messages, batchId: int) -> None:
+        import shutil
+        import os
+
+        shutil.rmtree(os.path.join(self.path, "_temp"), ignore_errors=True)
+
+
 def read_sink_manifest(path: str) -> dict:
     """The reader side of the sink's commit protocol: only
     manifest-listed files exist as far as consumers are concerned."""
@@ -290,6 +343,26 @@ def read_sink_manifest(path: str) -> dict:
 
     with open(os.path.join(path, "_MANIFEST")) as f:
         return json.load(f)
+
+
+def read_stream_sink_manifests(path: str) -> dict:
+    """Union of all committed micro-batch manifests (streaming sink):
+    {files: [...], rows: N, batches: [...]} — files from uncommitted or
+    aborted batches are invisible, exactly like the batch manifest."""
+    import glob
+    import json
+    import os
+
+    files, rows, batches = [], 0, []
+    for mp in sorted(glob.glob(os.path.join(path, "_MANIFEST-*"))):
+        if mp.endswith(".tmp"):
+            continue
+        with open(mp) as f:
+            m = json.load(f)
+        files += m["files"]
+        rows += m["rows"]
+        batches.append(m["batch"])
+    return {"files": files, "rows": rows, "batches": batches}
 
 
 def register(spark) -> None:

@@ -220,3 +220,55 @@ def test_custom_sink_abort_leaves_no_published_files(tmp_path):
     assert not os.path.exists(os.path.join(out, "_temp"))
     assert not os.path.exists(os.path.join(out, "_MANIFEST"))
     assert [f for f in os.listdir(out) if f.startswith("part-")] == []
+
+
+def test_custom_stream_sink_exactly_once(spark, tmp_path):
+    """Generator source → custom Python streaming SINK, end to end: every
+    row lands exactly once across micro-batches, each batch publishes
+    under its own manifest, and a replayed commit is an idempotent
+    no-op."""
+    import json
+    import os
+
+    datasource.register(spark)
+    out = str(tmp_path / "stream_sink_out")
+    os.makedirs(out, exist_ok=True)
+    q = (
+        spark.readStream.format("blow_generator")
+        .option("n", 3000)
+        .option("rows_per_batch", 1000)
+        .load()
+        .writeStream.format("blow_sink")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            man = datasource.read_stream_sink_manifests(out)
+            if man["rows"] >= 3000:
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    man = datasource.read_stream_sink_manifests(out)
+    assert man["rows"] == 3000 and len(man["batches"]) >= 3
+    rows = []
+    for fname in man["files"]:
+        with open(os.path.join(out, fname)) as f:
+            rows += [json.loads(line)["n"] for line in f]
+    assert sorted(rows) == list(range(3000))  # exactly once
+
+    # replayed-batch idempotence: re-committing an already-manifested
+    # batch publishes nothing new
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("n", T.LongType())])
+    w = datasource.JsonDirStreamSinkWriter({"path": out}, schema)
+    msg = w.write(iter([(999999,)]))
+    replay_batch = man["batches"][0]
+    w.commit([msg], replay_batch)
+    man2 = datasource.read_stream_sink_manifests(out)
+    assert man2["rows"] == 3000 and sorted(man2["batches"]) == sorted(man["batches"])
