@@ -164,3 +164,63 @@ def test_merge_into_parquet_matches_dict_model(spark, tmp_path_factory, deltas):
                 model[k] = v
         got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
         assert got == model
+
+
+@given(
+    st.one_of(
+        st.floats(-1e13, 1e13, allow_nan=False),
+        st.integers(-10**12, 10**12).map(lambda k: k + 0.5),  # exact ties
+        st.integers(-10**6, 10**6).map(float),
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_round_half_away_matches_exact_decimal(x):
+    """similarity._round_half_away must equal ROUND_HALF_UP applied to
+    the double's EXACT decimal expansion — the semantics Spark's round()
+    (BigDecimal HALF_UP) and DuckDB's std::round share, and the premise
+    of the vectorized scorers' oracle-exactness claim. Hypothesis sweeps
+    ordinary magnitudes, exact .5 ties, and exact integers."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from blow_spark import similarity
+
+    want = int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+    got = int(similarity._round_half_away(np.array([x], dtype=np.float64))[0])
+    assert got == want, (x, got, want)
+
+
+@given(st.integers(1, 9), st.integers(0, 9))
+@settings(max_examples=40, deadline=None)
+def test_stream_reader_restart_protocol_any_stop_point(committed_batches, extra):
+    """Randomized restart protocol: run N committed batches, lose the
+    reader, restart from the committed offset — the regressed watermark
+    must self-heal with no duplicate and no gap, for ANY stop point."""
+    from blow_spark import datasource
+
+    opts = {"n": "10000", "rows_per_batch": "1000"}
+    r = datasource.GeneratorStreamReader(opts)
+    emitted, start = [], r.initialOffset()
+    for _ in range(committed_batches):
+        end = r.latestOffset()
+        for p in r.partitions(start, end):
+            emitted += list(range(p.start, p.end))
+        r.commit(end)
+        start = end
+    committed_hi = committed_batches * 1000
+
+    r2 = datasource.GeneratorStreamReader(opts)  # fresh incarnation
+    start, emitted2 = {"index": committed_hi}, []
+    for _ in range(12 + extra):
+        end = r2.latestOffset()
+        for p in r2.partitions(start, end):
+            emitted2 += list(range(p.start, p.end))
+        r2.commit(end)
+        start = end
+    assert emitted == list(range(committed_hi))
+    assert emitted2 == list(range(committed_hi, 10000)), (
+        committed_batches,
+        emitted2[:5],
+        emitted2[-5:] if emitted2 else None,
+    )
