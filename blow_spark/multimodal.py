@@ -143,6 +143,40 @@ def _decode_png(content: bytes) -> np.ndarray:
     return out.reshape(height, width, ch) if ch > 1 else out.reshape(height, width)
 
 
+def encode_png(img: np.ndarray) -> bytes:
+    """Pure-stdlib PNG encoder (filter 0 rows + zlib deflate): 8-bit
+    grayscale (HxW) or RGB/RGBA (HxWxC). The write-side twin of
+    _decode_png — together they give the repo a REAL lossless image
+    codec with no external dependency, used to materialize genuine .png
+    files for the binaryFile ingest path
+    (queries.multimodal_q.source_binaryfile_image_ingest)."""
+    import struct
+    import zlib
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    ch = 1 if img.ndim == 2 else img.shape[2]
+    color = {1: 0, 3: 2, 4: 6}[ch]
+    flat = img.reshape(h, w * ch)
+    raw = b"".join(b"\x00" + flat[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(content: bytes, fake_decode: bool = False) -> np.ndarray:
     """Decode an image blob to an HxW[xC] array. PNG decodes FOR REAL
     with no external codec (stdlib zlib — _decode_png); other formats

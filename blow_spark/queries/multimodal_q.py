@@ -322,3 +322,84 @@ def multimodal_wav_decode_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_window_features(
         d2, window_samples=256, content_col="wav", fake_decode=False
     )
+
+
+@register(
+    "source_binaryfile_image_ingest",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(ENCODE(text)) AS hx, OCTET_LENGTH(ENCODE(text)) AS n
+      FROM documents WHERE doc_id < 50
+    ), px AS (
+      SELECT doc_id, n, hx, UNNEST(range(0, 192)) AS k FROM b
+    ), vals AS (
+      SELECT doc_id,
+             CASE WHEN k < LEAST(n, 192)
+                  THEN (strpos('0123456789ABCDEF', substring(hx, CAST(2*k+1 AS INT), 1)) - 1) * 16
+                     + (strpos('0123456789ABCDEF', substring(hx, CAST(2*k+2 AS INT), 1)) - 1)
+                  ELSE 0 END AS v
+      FROM px
+    )
+    SELECT doc_id, CAST(8 AS INT) AS height, CAST(8 AS INT) AS width,
+           CAST(192 AS INT) AS n_px, CAST(SUM(v) AS BIGINT) AS px_sum
+    FROM vals GROUP BY doc_id
+    """,
+    tags=("source", "multimodal", "binaryfile", "codec"),
+)
+def source_binaryfile_image_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL multimodal ingest path, end to end under the oracle gate:
+    genuine ``.png`` files on disk (stdlib-encoded from each document's
+    leading bytes — lossless, so the oracle knows every pixel), scanned
+    with Spark's ``binaryFile`` source (the actual way an image corpus
+    enters a 100 TB pipeline: one row per object with path/length/bytes,
+    no decode in the scan), then decoded FOR REAL by the stdlib PNG
+    decoder inside mapInPandas and reduced to per-image stats. A broken
+    encoder, decoder, filter reconstruction, or path-to-id parse breaks
+    the hash. At scale the only changes are the object-store URI and
+    ``pathGlobFilter``/``recursiveFileLookup`` options — the plan shape
+    (parallel file scan → map-only decode → narrow stats) is this one."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from blow_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+        .collect()
+    )
+    img_dir = tempfile.mkdtemp(prefix="blow_spark_pngs_")
+    for row in d:
+        raw = row["text"].encode("utf-8")[:192].ljust(192, b"\0")
+        img = np.frombuffer(raw, dtype=np.uint8).reshape(8, 8, 3)
+        with open(os.path.join(img_dir, f"{row['doc_id']}.png"), "wb") as f:
+            f.write(multimodal.encode_png(img))
+
+    files = spark.read.format("binaryFile").load(img_dir)
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                img = multimodal.decode_image(bytes(content))
+                rows.append(
+                    {
+                        "doc_id": int(os.path.splitext(os.path.basename(path))[0]),
+                        "height": img.shape[0],
+                        "width": img.shape[1],
+                        "n_px": int(img.size),
+                        "px_sum": int(img.astype(np.int64).sum()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "height", "width", "n_px", "px_sum"]
+            )
+
+    return files.select("path", "content").mapInPandas(
+        decode, "doc_id long, height int, width int, n_px int, px_sum long"
+    )

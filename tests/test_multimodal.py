@@ -217,3 +217,15 @@ def test_resize_features_on_real_png(spark):
         for r in multimodal.resize_features(df, out_h=3, out_w=3).collect()
     }
     assert got == want
+
+
+def test_production_png_encoder_roundtrip():
+    """multimodal.encode_png -> decode_image round trip is lossless for
+    gray, RGB, and RGBA."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    for shape in [(5, 7), (6, 4, 3), (3, 3, 4)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        got = multimodal.decode_image(multimodal.encode_png(img))
+        assert got.shape == img.shape and np.array_equal(got, img)
