@@ -1584,3 +1584,49 @@ def sink_python_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
         "o_orderstatus",
         F.col("price_cents").cast("long"),
     )
+
+
+@register(
+    "sink_text_lines_roundtrip",
+    oracle="""
+    SELECT doc_id, line_text
+    FROM (
+      SELECT doc_id,
+             CAST(doc_id AS VARCHAR) || CHR(9) ||
+             REPLACE(REPLACE(text, CHR(13), ' '), CHR(10), ' ') AS line_text
+      FROM documents WHERE doc_id < 200
+    ) t
+    """,
+    tags=("sink", "source", "text-format"),
+)
+def sink_text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fifth built-in file format (``text``: one string per line)
+    under the oracle gate: documents are serialized to
+    ``doc_id<TAB>flattened-text`` lines (newlines sanitized — the format
+    is line-framed), written with ``.write.text()``, read back with
+    ``spark.read.text()``, and re-parsed. A mangled line framing, a
+    lost row, or an encoding slip breaks the hash. This is the format
+    raw text corpora actually arrive in at 100 TB (one doc per line,
+    e.g. *.jsonl/*.txt shards) — splittable, parallel scan, schema
+    applied after read."""
+    import tempfile
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit("\t"),
+                F.regexp_replace(F.col("text"), r"[\r\n]", " "),
+            ).alias("value")
+        )
+    )
+    path = tempfile.mkdtemp(prefix="blow_spark_textfmt_")
+    d.write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    tab = F.instr(F.col("value"), "\t")
+    return back.select(
+        F.substring(F.col("value"), F.lit(1), tab - 1).cast("long").alias("doc_id"),
+        F.col("value").alias("line_text"),
+    )
