@@ -272,3 +272,27 @@ def test_custom_stream_sink_exactly_once(spark, tmp_path):
     w.commit([msg], replay_batch)
     man2 = datasource.read_stream_sink_manifests(out)
     assert man2["rows"] == 3000 and sorted(man2["batches"]) == sorted(man["batches"])
+
+
+def test_custom_sink_orphan_attempt_never_published(tmp_path):
+    """Task-retry semantics of the commit protocol: a failed attempt's
+    temp file (orphan) must never be published — the driver publishes
+    ONLY files named by the commit messages of successful attempts, and
+    sweeps the rest."""
+    import os
+
+    from pyspark.sql import types as T
+
+    out = str(tmp_path / "sink_retry")
+    os.makedirs(out, exist_ok=True)
+    schema = T.StructType([T.StructField("n", T.LongType())])
+    w = datasource.JsonDirSinkWriter({"path": out}, schema, overwrite=False)
+    m0 = w.write(iter([(1,), (2,)]))  # attempt 0: "fails" after writing
+    m1 = w.write(iter([(1,), (2,)]))  # attempt 1: succeeds
+    assert m0.temp_path != m1.temp_path  # attempts never collide
+    w.commit([m1])
+    man = datasource.read_sink_manifest(out)
+    assert man["rows"] == 2
+    published = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(published) == 1  # the orphan was swept, not published
+    assert not os.path.exists(os.path.join(out, "_temp"))
