@@ -308,3 +308,42 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
         .collect()
     )
     assert with_bloom == plain
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The third skew mechanism (alongside salting and the NULL-guard,
+    both oracle-gated): AQE must split a pathologically hot join key at
+    runtime — the FINAL adaptive plan shows SortMergeJoin(skew=true)
+    fed by an AQEShuffleRead that reports skewed reads — with the join
+    result unchanged. Thresholds are lowered to make the local fixture
+    count as skewed; at 100 TB the defaults fire on real hot keys."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.5",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(500_000).select(
+            F.when(F.rand(1) < 0.9, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 3).alias("w"))
+        j = left.join(right, "k").groupBy().count()
+        rows = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:1200]
+        assert "skewed" in plan, plan[:1200]
+        # every left row matches exactly one right key 0..99
+        assert rows[0]["count"] == 500_000
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
