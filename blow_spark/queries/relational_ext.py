@@ -1630,3 +1630,92 @@ def sink_text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.col("value"), F.lit(1), tab - 1).cast("long").alias("doc_id"),
         F.col("value").alias("line_text"),
     )
+
+
+@register(
+    "scalar_variant_semistructured",
+    oracle="""
+    WITH j AS (
+      SELECT event_id,
+             '{"id": ' || CAST(event_id AS VARCHAR) ||
+             ', "kind": "' || event_type ||
+             '", "tags": ["t' || CAST(user_id % 3 AS VARCHAR) ||
+             '", "t' || CAST(user_id % 7 AS VARCHAR) || '"]}' AS doc
+      FROM events WHERE event_id < 3000
+    )
+    SELECT event_id,
+           CAST(json_extract(doc, '$.id') AS BIGINT)        AS vid,
+           json_extract_string(doc, '$.kind')               AS kind,
+           json_extract_string(doc, '$.tags[1]')            AS tag2,
+           CAST(NULL AS BIGINT)                             AS missing
+    FROM j
+    """,
+    tags=("scalar", "variant", "json", "spark4"),
+)
+def scalar_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType — the engine-native semi-structured type that
+    replaces string-JSON reparsing: documents parse ONCE into a binary
+    variant (``parse_json``) and every path access (``variant_get`` with
+    typed extraction, array indexing, ``try_variant_get`` for absent
+    paths → NULL) reads the encoded form. The oracle reproduces each
+    typed path over the identical JSON text with DuckDB's JSON
+    functions, so the variant encode/decode round trip is hash-checked.
+    At 100 TB variant columns store parsed-once shredded binaries —
+    every query over them skips the JSON parser entirely."""
+    e = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    doc = F.concat(
+        F.lit('{"id": '),
+        F.col("event_id").cast("string"),
+        F.lit(', "kind": "'),
+        F.col("event_type"),
+        F.lit('", "tags": ["t'),
+        (F.col("user_id") % 3).cast("string"),
+        F.lit('", "t'),
+        (F.col("user_id") % 7).cast("string"),
+        F.lit('"]}'),
+    )
+    v = e.select("event_id", F.parse_json(doc).alias("v"))
+    return v.select(
+        "event_id",
+        F.variant_get("v", "$.id", "long").alias("vid"),
+        F.variant_get("v", "$.kind", "string").alias("kind"),
+        F.variant_get("v", "$.tags[1]", "string").alias("tag2"),
+        F.try_variant_get("v", "$.missing", "long").alias("missing"),
+    )
+
+
+@register(
+    "agg_collated_group_keys",
+    oracle="""
+    SELECT lower(seg_mixed) AS segment, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT CASE WHEN c_custkey % 2 = 0
+                  THEN upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2))
+                  ELSE c_mktsegment END AS seg_mixed
+      FROM customer
+    ) t
+    GROUP BY lower(seg_mixed)
+    """,
+    tags=("agg", "collation", "spark4"),
+)
+def agg_collated_group_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string collations: grouping under UNICODE_CI treats
+    'BUILDING' and 'Building' as ONE key with no lowercasing in the
+    aggregation itself — the collation drives the hash/equality. The
+    fixture is case-mangled first (every even custkey initcapped) so a
+    binary grouping would produce twice the groups and break the row
+    count; the output key is lower-normalized only for display/hash
+    stability (a CI group's representative value is whichever variant a
+    partition saw first — engine-specific). The oracle is the classic
+    lower() rewrite, so the hash check proves CI grouping ≡ lower()
+    grouping on this alphabet."""
+    c = read_table(spark, sf_dir, "customer")
+    seg_mixed = F.when(
+        F.col("c_custkey") % 2 == 0, F.initcap(F.col("c_mktsegment"))
+    ).otherwise(F.col("c_mktsegment"))
+    return (
+        c.select(F.collate(seg_mixed, "UNICODE_CI").alias("seg_ci"))
+        .groupBy("seg_ci")
+        .agg(F.count("*").alias("n"))
+        .select(F.lower(F.col("seg_ci")).alias("segment"), "n")
+    )
