@@ -1002,3 +1002,31 @@ def sql_grouping_sets_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem",):
         read_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+_GROUP_BY_ALL_SQL = """
+SELECT o_orderstatus,
+       o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders
+WHERE o_orderkey < 30000
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@register(
+    "sql_group_by_all_front_door",
+    oracle=_GROUP_BY_ALL_SQL,
+    tags=("sql", "agg", "spark4"),
+)
+def sql_group_by_all_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL through the SQL front door with ONE
+    shared query text (the fourth shared-string query): both engines
+    infer the grouping keys as every non-aggregate select item and the
+    total output order — the analyst sugar DuckDB pioneered and Spark 4
+    adopted, resolved identically or the hash breaks."""
+    for t in ("orders",):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_GROUP_BY_ALL_SQL)
