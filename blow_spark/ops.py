@@ -364,7 +364,13 @@ def bfs_distances(edges: DataFrame, sources: DataFrame, max_hops: int = 3) -> Da
     localCheckpoint() truncates lineage per round. Fixed hop count keeps
     the result a pure function of the edge set, so an unrolled-CTE SQL
     oracle can replay it. The reference's single-pass channel dataflow
-    (maps/maps.go:34-37) cannot express any multi-pass operator."""
+    (maps/maps.go:34-37) cannot express any multi-pass operator.
+
+    Like pagerank, the edge table is hash-partitioned by the per-round
+    join key ONCE and cached for the loop's lifetime (released before
+    return): every expansion join reuses the cached distribution and
+    shuffles only the frontier."""
+    edges = edges.repartition(F.col("src")).persist()
     dist = (
         sources.select("node").distinct().withColumn("dist", F.lit(0)).localCheckpoint()
     )
@@ -378,6 +384,7 @@ def bfs_distances(edges: DataFrame, sources: DataFrame, max_hops: int = 3) -> Da
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint()
         )
+    edges.unpersist()
     return dist
 
 
