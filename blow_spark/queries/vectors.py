@@ -181,12 +181,47 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(e, k=5, queries_df=q)
 
 
-@register("similarity_topk_vectorized", oracle=None, tags=("similarity", "vector", "pandas"))
+@register(
+    "similarity_topk_vectorized",
+    oracle="""
+    WITH qe AS (
+      SELECT vec_id AS query_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS qx
+      FROM embeddings CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS i) d
+      WHERE vec_id < 10
+    ), ce AS (
+      SELECT vec_id AS neighbor_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS cx
+      FROM embeddings CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS i) d
+    ), agg AS (
+      SELECT query_id, neighbor_id,
+             SUM(CAST(ROUND(qx * cx * 1000000000000.0) AS BIGINT)) AS dot_q,
+             SUM(CAST(ROUND(qx * qx * 1000000000000.0) AS BIGINT)) AS qn_q,
+             SUM(CAST(ROUND(cx * cx * 1000000000000.0) AS BIGINT)) AS cn_q
+      FROM ce JOIN qe USING (pos)
+      WHERE query_id <> neighbor_id
+      GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT query_id, neighbor_id,
+             CAST(dot_q AS DOUBLE)
+               / (SQRT(CAST(qn_q AS DOUBLE)) * SQRT(CAST(cn_q AS DOUBLE))) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY CAST(dot_q AS DOUBLE)
+                   / (SQRT(CAST(qn_q AS DOUBLE)) * SQRT(CAST(cn_q AS DOUBLE))) DESC,
+                 neighbor_id) AS rank
+      FROM agg) t
+    WHERE rank <= 5
+    """,
+    tags=("similarity", "vector", "pandas"),
+)
 def similarity_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow/numpy GEMM variant of brute-force top-k (the 10⁹-corpus
-    form). Rows-only: numpy's pairwise float summation differs from the
-    oracle-paired expression fold by ulps; neighbor-set equality vs the
-    fold variant is pinned in tests/test_similarity.py."""
+    """Arrow/numpy variant of brute-force top-k (the 10⁹-corpus form),
+    HASH-CHECKED against the same fixed-point oracle as the
+    expression-fold path since the round-3 rewrite: per-batch numpy
+    scoring now quantizes with the exact SQL-ROUND replica
+    (_round_half_away), making the two engines' scores bit-equal —
+    order-independent integer sums on both sides. Exact-tuple parity
+    with the fold path is additionally pinned in
+    tests/test_similarity.py."""
     e = read_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     return similarity.brute_force_topk_vectorized(q, e, k=5)

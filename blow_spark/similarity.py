@@ -665,16 +665,19 @@ def brute_force_topk_vectorized(
 ) -> DataFrame:
     """Vectorized exact top-k: the query matrix broadcasts to every
     executor once (Python closure → one copy per worker), each corpus
-    Arrow batch scores against ALL queries with one float64 GEMM, and a
-    per-batch partial top-k keeps only k candidates per query before the
-    final window. This is the 10⁹-corpus form of brute force: per-row
-    work is a numpy matmul row, not an interpreted expression fold.
+    Arrow batch scores against ALL queries in numpy, and a per-batch
+    partial top-k keeps only k+1 candidates per query before the final
+    window. This is the 10⁹-corpus form of brute force: per-row work is
+    a numpy pass, not an interpreted expression fold.
 
-    numpy's pairwise summation orders float adds differently than the
-    expression fold in ``brute_force_topk``, so cos_sim can differ by
-    ulps — neighbor SETS match (tests/test_similarity.py); this variant
-    is rows-only in the catalog while the fold variant carries the
-    oracle."""
+    Round 3: the scorer now uses the SAME fixed-point quantization as
+    ``brute_force_topk`` (int64 sums of ``_round_half_away(x·y·S)`` —
+    order-independent, SQL-ROUND-exact), so this variant is BIT-EQUAL
+    to the expression-fold path and carries its own DuckDB oracle in
+    the catalog (it was rows-only while it summed floats, whose
+    pairwise-summation order differed by ulps). The per-batch cut sorts
+    by (−cos, neighbor_id), matching the final window's tie-break, so
+    pruning can never drop a tie the global ranking would keep."""
     import numpy as np
     import pandas as pd
 
@@ -684,27 +687,37 @@ def brute_force_topk_vectorized(
     q_pdf = queries_df.select(id_col, vec_col).toPandas()
     q_ids = q_pdf[id_col].to_numpy()
     q_mat = np.array(q_pdf[vec_col].tolist(), dtype=np.float64)
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    scale = DOT_SCALE
+    q_norm_q = np.array(
+        [_round_half_away(q * q * scale).astype(np.int64).sum() for q in q_mat]
+    )
 
     def score(batches):
         for pdf in batches:
             ids = pdf[id_col].to_numpy()
             mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-            sims = q_mat @ mat.T  # (n_queries, batch)
-            # k+1: the query itself may be in this batch at cos=1 and is
-            # filtered below — taking only k would lose one true neighbor
-            kk = min(k + 1, sims.shape[1])
-            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            cn_q = _round_half_away(mat * mat * scale).astype(np.int64).sum(axis=1)
+            kk = min(k + 1, mat.shape[0])
             rows = []
             for qi in range(len(q_ids)):
-                for ci in top[qi]:
+                dot_q = (
+                    _round_half_away(q_mat[qi][None, :] * mat * scale)
+                    .astype(np.int64)
+                    .sum(axis=1)
+                )
+                cos = dot_q.astype(np.float64) / (
+                    np.sqrt(float(q_norm_q[qi])) * np.sqrt(cn_q.astype(np.float64))
+                )
+                # k+1: the query itself may be in this batch at cos=1 and
+                # is filtered below; cut order (−cos, id) == final window
+                order = np.lexsort((ids, -cos))[:kk]
+                for ci in order:
                     if ids[ci] != q_ids[qi]:
                         rows.append(
                             {
                                 "query_id": int(q_ids[qi]),
                                 "neighbor_id": int(ids[ci]),
-                                "cos_sim": float(sims[qi, ci]),
+                                "cos_sim": float(cos[ci]),
                             }
                         )
             yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cos_sim"])

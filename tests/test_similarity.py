@@ -131,20 +131,20 @@ def test_ivf_finds_planted_near_dups(spark):
 
 
 def test_vectorized_topk_matches_fold_topk(emb):
-    """The numpy-GEMM path returns the same neighbor SETS as the
-    oracle-paired expression-fold path (scores may differ by ulps, which
-    can only reorder exact ties — none exist in the fixture)."""
+    """The numpy path is BIT-EQUAL to the oracle-paired expression-fold
+    path since the fixed-point rewrite: same neighbors, same ranks, same
+    cos_sim doubles (both are integer fixed-point sums divided/rooted
+    identically)."""
     q = emb.filter(F.col("vec_id") < 8)
-    fold = similarity.brute_force_topk(q, emb, k=3).collect()
-    vec = similarity.brute_force_topk_vectorized(q, emb, k=3).collect()
-    by_q_fold, by_q_vec = {}, {}
-    for r in fold:
-        by_q_fold.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-    for r in vec:
-        by_q_vec.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-    assert by_q_fold == by_q_vec
-    for r in vec:
-        assert -1.0000001 <= r["cos_sim"] <= 1.0000001
+    fold = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+        for r in similarity.brute_force_topk(q, emb, k=3).collect()
+    }
+    vec = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+        for r in similarity.brute_force_topk_vectorized(q, emb, k=3).collect()
+    }
+    assert fold == vec
 
 
 def _persistent_rdd_ids(spark):
