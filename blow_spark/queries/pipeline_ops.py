@@ -1030,3 +1030,68 @@ def sql_group_by_all_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders",):
         read_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+# --------------------------------------------------------------------------
+# Data-quality gate: rule-based quarantine split
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dq_quarantine_split",
+    oracle="""
+    WITH flagged AS (
+      SELECT source,
+             CASE WHEN text IS NULL OR length(text) < 100 THEN 1 ELSE 0 END AS f_short,
+             CASE WHEN lang NOT IN ('en', 'de', 'fr', 'es') THEN 1 ELSE 0 END AS f_lang,
+             CASE WHEN CAST(length(regexp_replace(text, '[a-zA-Z0-9 .,;:!?''"()-]', '', 'g'))
+                        AS DOUBLE) / length(text) > 0.05 THEN 1 ELSE 0 END AS f_charset
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN f_short = 0 AND f_lang = 0 AND f_charset = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(f_short) AS BIGINT) AS n_short,
+           CAST(SUM(f_lang) AS BIGINT) AS n_lang,
+           CAST(SUM(f_charset) AS BIGINT) AS n_charset
+    FROM flagged
+    GROUP BY source
+    """,
+    tags=("pipeline", "quality", "dq"),
+)
+def dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: every document is scored against independent
+    validity rules (min length, language whitelist, non-text character
+    ratio) and the per-source pass/violation census comes back in ONE
+    aggregation — the report a quarantine split writes alongside its
+    valid/invalid outputs. Rules are plain codegen'd expressions fused
+    into the scan (a real deployment computes the flags once and writes
+    both partitions with partitionBy(is_valid) — same single pass); the
+    violation counts are overlapping by design so each rule's hit rate
+    is visible independently. Integer counts only — nothing to quantize."""
+    d = read_table(spark, sf_dir, "documents")
+    bad_chars = F.length(F.regexp_replace(F.col("text"), """[a-zA-Z0-9 .,;:!?'"()-]""", ""))
+    f_short = F.when(F.col("text").isNull() | (F.length("text") < 100), 1).otherwise(0)
+    f_lang = F.when(~F.col("lang").isin("en", "de", "fr", "es"), 1).otherwise(0)
+    f_charset = F.when(
+        bad_chars.cast("double") / F.length("text") > 0.05, 1
+    ).otherwise(0)
+    flagged = d.select(
+        "source",
+        f_short.alias("f_short"),
+        f_lang.alias("f_lang"),
+        f_charset.alias("f_charset"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.sum(
+            F.when(
+                (F.col("f_short") == 0) & (F.col("f_lang") == 0) & (F.col("f_charset") == 0),
+                1,
+            ).otherwise(0)
+        ).alias("n_pass"),
+        F.sum("f_short").alias("n_short"),
+        F.sum("f_lang").alias("n_lang"),
+        F.sum("f_charset").alias("n_charset"),
+    )

@@ -1719,3 +1719,56 @@ def agg_collated_group_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .select(F.lower(F.col("seg_ci")).alias("segment"), "n")
     )
+
+
+# --------------------------------------------------------------------------
+# Winsorized robust statistics
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_winsorized_stats",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS p05,
+             quantile_cont(l_extendedprice, 0.95) AS p95
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag, b.p05, b.p95,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(LEAST(GREATEST(l.l_extendedprice, b.p05), b.p95) * 10000, 0)
+                         AS BIGINT)) AS BIGINT) / 10000.0 / COUNT(*) AS winsorized_mean
+    FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+    GROUP BY l.l_returnflag, b.p05, b.p95
+    """,
+    tags=("agg", "percentile", "robust"),
+)
+def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (outlier-clipped) mean per group: exact p05/p95 bounds
+    (same engine-exact interpolation as agg_percentiles_exact), every
+    value clipped into [p05, p95], then a fixed-point mean — robust
+    statistics for quality-scoring pipelines where a handful of corrupt
+    records would otherwise drag the mean. Two passes over one grouped
+    exchange: the bounds table is 3 rows and broadcasts back onto the
+    fact scan; the clip + fixed-point SUM is codegen'd map-side work.
+    Division order (sum → /10⁴ → /n) is written identically on both
+    engines so the doubles match bit-for-bit."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.percentile(p, 0.05).alias("p05"),
+        F.percentile(p, 0.95).alias("p95"),
+    )
+    clipped = li.join(F.broadcast(bounds), "l_returnflag").select(
+        "l_returnflag",
+        "p05",
+        "p95",
+        F.least(F.greatest(p, F.col("p05")), F.col("p95")).alias("vc"),
+    )
+    return clipped.groupBy("l_returnflag", "p05", "p95").agg(
+        F.count("*").alias("n_rows"),
+        (
+            F.sum(F.round(F.col("vc") * 10000, 0).cast("long")) / 10000.0 / F.count("*")
+        ).alias("winsorized_mean"),
+    )

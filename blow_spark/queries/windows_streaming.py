@@ -1235,3 +1235,153 @@ def streaming_cdc_merge_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFr
     )
     q.awaitTermination()
     return spark.read.parquet(target)
+
+
+# --------------------------------------------------------------------------
+# Timeseries: linear interpolation + gaps-and-islands
+# --------------------------------------------------------------------------
+
+
+@register(
+    "timeseries_interpolate_linear",
+    oracle="""
+    WITH spine AS (
+      SELECT u.user_id, unnest(generate_series(
+               TIMESTAMP '2024-01-01 00:00:00',
+               TIMESTAMP '2024-01-30 23:00:00',
+               INTERVAL 1 HOUR)) AS hour
+      FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 10) u
+    ), hourly AS (
+      SELECT user_id,
+             CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 3600) * 3600) AS TIMESTAMP) AS hour,
+             SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) / 1000000.0 AS v
+      FROM events WHERE user_id < 10
+      GROUP BY 1, 2
+    ), j AS (
+      SELECT s.user_id, s.hour, h.v,
+             last_value(h.v IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+             last_value(CASE WHEN h.v IS NOT NULL THEN s.hour END IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_hour,
+             first_value(h.v IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.hour
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+             first_value(CASE WHEN h.v IS NOT NULL THEN s.hour END IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.hour
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_hour
+      FROM spine s LEFT JOIN hourly h
+        ON s.user_id = h.user_id AND s.hour = h.hour
+    )
+    SELECT user_id, hour, v AS v_raw,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN prev_v IS NULL THEN next_v
+                WHEN next_v IS NULL THEN prev_v
+                ELSE prev_v + (next_v - prev_v) *
+                     (CAST(CAST(EPOCH(hour) AS BIGINT) - CAST(EPOCH(prev_hour) AS BIGINT) AS DOUBLE)
+                      / CAST(CAST(EPOCH(next_hour) AS BIGINT) - CAST(EPOCH(prev_hour) AS BIGINT) AS DOUBLE))
+           END AS v_interp
+    FROM j
+    """,
+    tags=("window", "timeseries", "gapfill"),
+)
+def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timeseries gap fill by LINEAR interpolation (the other resampling
+    primitive besides LOCF, timeseries_gap_fill_locf): dense hourly spine
+    per key, then each missing bucket interpolates between its nearest
+    observed neighbors — prev/next value+time come from four
+    ignore-nulls window passes over ONE (user) exchange with two sort
+    directions. Endpoints clamp to the nearest observation. Deterministic
+    across engines: observed values are fixed-point-quantized sums, and
+    the interpolation is the identical IEEE expression tree (single
+    correctly-rounded ops over exact integer hour-epochs) on both sides.
+    At scale this is the hypertable resample: the spine is generated,
+    never stored, and everything shuffles once on the series key."""
+    e = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    hour = F.timestamp_seconds(F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+    hourly = e.groupBy("user_id", hour.alias("hour")).agg(
+        (F.sum(F.round(F.col("value") * 1_000_000, 0).cast("long")) / 1_000_000.0).alias("v")
+    )
+    spine = (
+        e.select("user_id").distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                    F.lit("2024-01-30 23:00:00").cast("timestamp"),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ).alias("hour"),
+        )
+    )
+    j = spine.join(hourly, ["user_id", "hour"], "left")
+    wb = W.partitionBy("user_id").orderBy("hour").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wf = W.partitionBy("user_id").orderBy("hour").rowsBetween(W.currentRow, W.unboundedFollowing)
+    obs_hour = F.when(F.col("v").isNotNull(), F.col("hour"))
+    j = j.select(
+        "user_id",
+        "hour",
+        "v",
+        F.last("v", ignorenulls=True).over(wb).alias("prev_v"),
+        F.last(obs_hour, ignorenulls=True).over(wb).alias("prev_hour"),
+        F.first("v", ignorenulls=True).over(wf).alias("next_v"),
+        F.first(obs_hour, ignorenulls=True).over(wf).alias("next_hour"),
+    )
+    frac = (
+        (F.unix_timestamp("hour") - F.unix_timestamp("prev_hour")).cast("double")
+        / (F.unix_timestamp("next_hour") - F.unix_timestamp("prev_hour")).cast("double")
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac)
+    )
+    return j.select("user_id", "hour", F.col("v").alias("v_raw"), interp.alias("v_interp"))
+
+
+@register(
+    "events_gaps_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), marked AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER) AS grp
+      FROM days
+    )
+    SELECT user_id, CAST(MIN(d) AS VARCHAR) AS streak_start,
+           CAST(MAX(d) AS VARCHAR) AS streak_end,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM marked
+    GROUP BY user_id, grp
+    """,
+    tags=("window", "timeseries", "sessionize"),
+)
+def events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, maximal runs of CONSECUTIVE active
+    days (the classic streak query — retention/engagement analysis). The
+    date-minus-row_number trick turns each run into a constant group key
+    in one window pass; distinct days, the window, and the final agg all
+    share the user hash exchange. Integer/date arithmetic only — nothing
+    to quantize. At 100 TB the per-user day lists are bounded (≤ days in
+    the corpus window), so no skew pathology exists."""
+    e = read_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    marked = days.select(
+        "user_id",
+        "d",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("grp"),
+    )
+    return (
+        marked.groupBy("user_id", "grp")
+        .agg(
+            F.min("d").cast("string").alias("streak_start"),
+            F.max("d").cast("string").alias("streak_end"),
+            F.count("*").alias("n_days"),
+        )
+        .drop("grp")
+    )
