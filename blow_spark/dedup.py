@@ -564,11 +564,78 @@ def ngram_jaccard_pairs(
 # --------------------------------------------------------------------------
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def _cc_local(edges: DataFrame) -> DataFrame:
+    """Union-find over the whole edge list in ONE task (coalesce(1) +
+    mapInPandas): path-compressed, union-by-min so every root IS the
+    component's min node id — the same fixpoint the iterative path
+    computes, so the two paths are interchangeable under the oracle.
+    Python-loop cost is ~1 µs/edge; at the 2 M-edge cutoff that is ~2 s
+    in one task, far below the per-round scheduling floor of the
+    distributed loop at that size."""
+    from blow_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(edges.sparkSession)
+    node_t = edges.schema["a"].dataType.simpleString()
+
+    def unionfind(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        nodes = set()
+        for pdf in batches:
+            for a, b in zip(pdf["a"].tolist(), pdf["b"].tolist()):
+                nodes.add(a)
+                nodes.add(b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union-by-min: the larger root points at the smaller,
+                    # so find() always lands on the component's min id
+                    parent[max(ra, rb)] = min(ra, rb)
+        out = sorted(nodes)
+        yield pd.DataFrame({"node": out, "comp": [find(n) for n in out]})
+
+    return edges.coalesce(1).mapInPandas(unionfind, f"node {node_t}, comp {node_t}")
+
+
+#: Edge-count cutoff below which connected_components collapses the whole
+#: graph in one union-find task instead of the distributed loop. Sized so
+#: the single task holds the edge list comfortably (~16 B/edge → ~32 MB)
+#: and finishes in ~seconds; near-dup candidate graphs are SPARSE relative
+#: to the corpus (4.1 k edges from 2 k vectors at sf0.1; the LSH cap bounds
+#: bucket fan-out), so even 10⁸-doc runs usually land under it.
+CC_LOCAL_EDGE_CUTOFF = 2_000_000
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 25,
+    local_edge_cutoff: int = CC_LOCAL_EDGE_CUTOFF,
+) -> DataFrame:
     """(id_a, id_b) edges → (node, comp) with comp = min node id in the
     connected component: turns pairwise near-dup hits into duplicate
     CLUSTERS (keep comp, drop the rest — the standard last step of a
     dedup pipeline).
+
+    TWO physical strategies behind one contract, picked by measured edge
+    count — the adaptive design a 100 TB run needs in the OTHER
+    direction than usual: dedup candidate graphs are tiny relative to
+    the corpus (the expensive part was producing the pairs), and below
+    ``local_edge_cutoff`` edges the distributed loop's per-round
+    scheduling floor dominates by 10×+ (measured 15.5 s for a 4.1 k-edge
+    graph that union-find closes in milliseconds). Small graphs collapse
+    in one union-find task (_cc_local); past the cutoff the iterative
+    min-label loop below engages unchanged. Both compute the identical
+    fixpoint (min node id per component — independent of strategy), so
+    the DuckDB recursive-CTE oracle covers whichever path runs.
 
     Iterative min-label propagation WITH PATH HALVING and a driver-side
     convergence loop: each round every node takes min(own label,
@@ -589,9 +656,16 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     deterministic (the fixpoint — min node id per component — is
     independent of round structure) so a DuckDB recursive CTE can
     oracle it."""
-    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    edges = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    raw = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")).persist()
+    n_edges = raw.count()  # materializes the (expensive) pair plan ONCE
+    if n_edges <= local_edge_cutoff:
+        from blow_spark.materialize import spill_to_parquet
+
+        out = spill_to_parquet(_cc_local(raw), "blow_spark_cc_")
+        raw.unpersist()
+        return out
+    edges = raw.union(
+        raw.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct().persist()
     labels = (
         edges.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
@@ -629,4 +703,5 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     # the edge cache can be released — long sessions (the driver runs
     # every catalog query in one session) otherwise accumulate it.
     edges.unpersist()
+    raw.unpersist()
     return labels.select("node", "comp")

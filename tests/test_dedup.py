@@ -153,6 +153,34 @@ def test_connected_components_shapes(spark):
     assert {comp[n] for n in (10, 11, 12)} == {10}
     assert {comp[n] for n in (20, 21)} == {20}
     assert {comp[n] for n in (30, 31, 32, 33)} == {30}
+    # the iterative path (cutoff=0 forces it) computes the same fixpoint
+    comp_iter = {
+        r["node"]: r["comp"]
+        for r in dedup.connected_components(pairs, local_edge_cutoff=0).collect()
+    }
+    assert comp_iter == comp
+
+
+def test_connected_components_paths_agree_random(spark):
+    """Local union-find vs distributed min-label on a seeded random graph:
+    identical (node, comp) maps — the two strategies are interchangeable
+    behind the one contract (both also agree with the CC_LOCAL cutoff
+    boundary semantics: < vs >= picks a path, never changes the answer)."""
+    import random
+
+    rng = random.Random(42)
+    edges = [
+        (rng.randrange(200), rng.randrange(200)) for _ in range(300)
+    ]
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], ["id_a", "id_b"]
+    )
+    local = {r["node"]: r["comp"] for r in dedup.connected_components(pairs).collect()}
+    dist = {
+        r["node"]: r["comp"]
+        for r in dedup.connected_components(pairs, local_edge_cutoff=0).collect()
+    }
+    assert local == dist and len(local) > 0
 
 
 def _persistent_rdd_ids(spark):
