@@ -542,3 +542,74 @@ def similarity_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = agg.select("query_id", "neighbor_id", cos.alias("cos_sim"))
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+
+@register(
+    "similarity_knn_classify",
+    oracle="""
+    WITH qe AS (
+      SELECT vec_id AS query_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS qx
+      FROM embeddings CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS i) d
+      WHERE vec_id < 50
+    ), ce AS (
+      SELECT vec_id AS neighbor_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS cx
+      FROM embeddings CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS i) d
+    ), agg AS (
+      SELECT query_id, neighbor_id,
+             SUM(CAST(ROUND(qx * cx * 1000000000000.0) AS BIGINT)) AS dot_q,
+             SUM(CAST(ROUND(qx * qx * 1000000000000.0) AS BIGINT)) AS qn_q,
+             SUM(CAST(ROUND(cx * cx * 1000000000000.0) AS BIGINT)) AS cn_q
+      FROM ce JOIN qe USING (pos)
+      WHERE query_id <> neighbor_id
+      GROUP BY query_id, neighbor_id
+    ), nn AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY CAST(dot_q AS DOUBLE)
+                     / (SQRT(CAST(qn_q AS DOUBLE)) * SQRT(CAST(cn_q AS DOUBLE))) DESC,
+                   neighbor_id) AS rank
+        FROM agg) t
+      WHERE rank <= 5
+    ), votes AS (
+      SELECT nn.query_id, e.label, CAST(COUNT(*) AS BIGINT) AS votes
+      FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id
+      GROUP BY nn.query_id, e.label
+    )
+    SELECT v.query_id, q.label AS true_label, v.label AS pred_label, v.votes
+    FROM (
+      SELECT query_id, label, votes,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY votes DESC, label) AS rn
+      FROM votes) v
+    JOIN embeddings q ON q.vec_id = v.query_id
+    WHERE v.rn = 1
+    """,
+    tags=("similarity", "vector", "knn", "classify"),
+)
+def similarity_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification: each query vector takes the
+    modal label of its 5 exact-cosine nearest neighbors (self excluded;
+    ties break to the smaller label) — the standard label-propagation /
+    weak-supervision primitive over an embedding column, and a composed
+    test of the whole similarity stack (fixed-point top-k → label join →
+    per-query argmax). Plan: the top-k stage is the codegen'd
+    posexplode+integer-SUM broadcast plan (corpus never shuffles
+    vectors); the vote is a (query, label) hash aggregation over k·Q
+    rows and a WindowGroupLimit argmax. At 10⁹ vectors swap the top-k
+    stage for the GEMM or LSH variant — the vote stages are unchanged."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 50)
+    nn = similarity.brute_force_topk(q, e, k=5).select("query_id", "neighbor_id")
+    labels = e.select(F.col("vec_id").alias("neighbor_id"), "label")
+    votes = (
+        nn.join(labels, "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("votes").desc(), F.col("label"))
+    pred = votes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    true_lab = e.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"))
+    return pred.join(true_lab, "query_id").select(
+        "query_id", "true_label", F.col("label").alias("pred_label"), "votes"
+    )
