@@ -347,3 +347,36 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_interpolation_merges_window_passes(spark, sf_dir):
+    """timeseries_interpolate_linear computes four ignore-nulls window
+    columns over TWO frame directions; all must merge into ONE Window
+    node over one (user) sort — a refactor that splits the frames pays a
+    second sort+exchange per series at scale. The spine join stays
+    broadcast (the per-key hourly aggregate is dimension-sized relative
+    to the generated spine)."""
+    import re
+
+    p = _plan(spark, sf_dir, "timeseries_interpolate_linear")
+    assert len(re.findall(r"\bWindow\b", p)) == 1, p[:1200]
+    assert "BroadcastHashJoin" in p
+
+
+def test_winsorized_bounds_broadcast_back(spark, sf_dir):
+    """agg_winsorized_stats joins the 3-row percentile-bounds table back
+    onto the fact scan: that join must be a broadcast — a shuffle join
+    here would re-exchange the whole fact table to meet a 3-row dim."""
+    p = _plan(spark, sf_dir, "agg_winsorized_stats")
+    assert "BroadcastHashJoin" in p, p[:1200]
+    assert "SortMergeJoin" not in p
+
+
+def test_knn_vote_uses_window_group_limit(spark, sf_dir):
+    """similarity_knn_classify's two argmax stages (top-k neighbors, modal
+    label) are rank-filter windows — both must plan as WindowGroupLimit
+    (per-partition heap) and the label/true-label joins against the
+    dimension-sized embedding id table must broadcast."""
+    p = _plan(spark, sf_dir, "similarity_knn_classify")
+    assert "WindowGroupLimit" in p, p[:1200]
+    assert "CartesianProduct" not in p
