@@ -1385,3 +1385,65 @@ def events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("grp")
     )
+
+
+@register(
+    "timeseries_linear_trend",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS x,
+             CAST(ROUND(value * 1000000, 0) AS BIGINT) AS yq
+      FROM events
+    ), s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT)  AS n,
+             CAST(SUM(x) AS BIGINT)    AS sx,
+             CAST(SUM(yq) AS BIGINT)   AS sy,
+             CAST(SUM(x * yq) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT)  AS sxx
+      FROM d GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / 1000000.0 AS slope_per_day,
+           (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0 AS mean_value
+    FROM s
+    """,
+    tags=("timeseries", "agg", "regression"),
+)
+def timeseries_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares trend (slope of value over time)
+    from the five classical sufficient statistics — n, Σx, Σy, Σxy, Σx²
+    — the mergeable-rollup form of regression (daily partial sums can be
+    combined without re-touching raw data, same architecture as the
+    incremental rollups). All five sums are INTEGER (day index × 1e-6
+    fixed-point value), so they are order-independent and engine-exact;
+    the closed-form slope is one identical double expression on both
+    engines. One map-side-combined aggregation — nothing else moves."""
+    e = read_table(spark, sf_dir, "events")
+    d = e.select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / F.lit(86400)).cast("long").alias("x"),
+        F.round(F.col("value") * 1_000_000, 0).cast("long").alias("yq"),
+    )
+    s = d.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("x") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (
+        (nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double"))
+        / (nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        / 1_000_000.0
+    )
+    return s.select(
+        "event_type",
+        "n",
+        slope.alias("slope_per_day"),
+        (F.col("sy").cast("double") / nd / 1_000_000.0).alias("mean_value"),
+    )
