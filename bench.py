@@ -71,6 +71,10 @@ HEADLINE = [
     # real-codec and live-connector families
     "multimodal_wav_decode_energy",
     "sink_jdbc_roundtrip",
+    # late round-3 additions: resampling, DQ gate, composed k-NN stack
+    "timeseries_interpolate_linear",
+    "dq_quarantine_split",
+    "similarity_knn_classify",
 ]
 
 

@@ -600,7 +600,14 @@ def similarity_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage for the GEMM or LSH variant — the vote stages are unchanged."""
     e = read_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 50)
-    nn = similarity.brute_force_topk(q, e, k=5).select("query_id", "neighbor_id")
+    # GEMM top-k, not the posexplode fold: 50 queries × corpus through
+    # the codegen'd pos-join materializes Q·N·dim rows into a hash agg
+    # (measured 8.6 s at sf0.1); the per-batch numpy scorer does the
+    # same arithmetic bit-equal (parity pinned in tests/test_similarity)
+    # in ~1 s and is the form that scales with query count.
+    nn = similarity.brute_force_topk_vectorized(q, e, k=5).select(
+        "query_id", "neighbor_id"
+    )
     labels = e.select(F.col("vec_id").alias("neighbor_id"), "label")
     votes = (
         nn.join(labels, "neighbor_id")
