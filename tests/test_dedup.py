@@ -183,6 +183,22 @@ def test_connected_components_paths_agree_random(spark):
     assert local == dist and len(local) > 0
 
 
+def test_connected_components_string_ids(spark):
+    """The contract is node-type-generic (graph queries use namespaced
+    string ids): both strategies must carry the input type through and
+    agree on min-string labels."""
+    pairs = spark.createDataFrame(
+        [("c1", "s2"), ("s2", "c3"), ("s9", "c7")], ["id_a", "id_b"]
+    )
+    local = {r["node"]: r["comp"] for r in dedup.connected_components(pairs).collect()}
+    dist = {
+        r["node"]: r["comp"]
+        for r in dedup.connected_components(pairs, local_edge_cutoff=0).collect()
+    }
+    assert local == dist
+    assert local == {"c1": "c1", "s2": "c1", "c3": "c1", "s9": "c7", "c7": "c7"}
+
+
 def _persistent_rdd_ids(spark):
     return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
 
