@@ -625,3 +625,101 @@ def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("kept_tokens"),
         F.max("cum_tokens").alias("budget_used"),
     )
+
+
+@register(
+    "corpus_shuffle_shards",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, source,
+             CAST(CONCAT('0x', SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS p
+      FROM documents
+    )
+    SELECT p % 32 AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(p) AS BIGINT) AS min_pos,
+           CAST(MAX(p) AS BIGINT) AS max_pos,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM pos
+    GROUP BY shard
+    """,
+    tags=("pipeline", "shuffle", "llm"),
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded global corpus shuffle into training shards — the "randomize
+    document order before training" primitive: every doc gets a
+    content-independent pseudo-random position (md5 of its id — the one
+    cross-engine-stable hash, unlike xxhash64), shard = position mod 32.
+    The registered result is the per-shard census (counts, position
+    range, source mixing degree) that validates the permutation is
+    balanced and source-interleaved; the production writer is the same
+    plan ending in repartitionByRange(position).sortWithinPartitions +
+    partitioned write, giving globally-shuffled, evenly-sized, resumable
+    shards with NO random state — re-running any subset of tasks yields
+    identical output (deterministic retry, the property the reference's
+    redelivery protocol lacks, maps/dispatch.go retry path)."""
+    d = read_table(spark, sf_dir, "documents")
+    p = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    pos = d.select("doc_id", "source", p.alias("p"))
+    return pos.groupBy(F.pmod("p", F.lit(32)).alias("shard")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("p").alias("min_pos"),
+        F.max("p").alias("max_pos"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@register(
+    "corpus_chunk_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE doc_id < 200
+    ), chunks AS (
+      SELECT doc_id, len(t) AS n_tokens,
+             UNNEST(RANGE(0, GREATEST(CAST(CEIL((len(t) - 32) / 96.0) AS BIGINT), 1))) AS chunk_idx
+      FROM toks
+    )
+    SELECT c.doc_id, c.chunk_idx,
+           c.chunk_idx * 96 + 1 AS tok_start,
+           LEAST(c.chunk_idx * 96 + 128, c.n_tokens) AS tok_end,
+           array_to_string(t.t[(c.chunk_idx * 96 + 1):(LEAST(c.chunk_idx * 96 + 128, c.n_tokens))], ' ') AS chunk_text
+    FROM chunks c JOIN toks t USING (doc_id)
+    """,
+    tags=("pipeline", "chunk", "llm", "rag"),
+)
+def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking WITH OVERLAP — the RAG /
+    long-context ingestion primitive: 128-token windows advancing by 96
+    (32-token overlap), last window clamped to the document end, so every
+    token appears in ≥1 chunk and context straddles boundaries. One
+    map-side pass: tokenize, explode the chunk index range, slice — no
+    shuffle at all (chunking is embarrassingly parallel; the downstream
+    embed/index stages are where exchanges happen). 1-based token
+    positions in the output match the SQL slice convention."""
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    ).select("doc_id", "t", F.size("t").alias("n_tokens"))
+    n_chunks = F.greatest(
+        F.ceil((F.col("n_tokens") - F.lit(32)) / F.lit(96.0)).cast("long"), F.lit(1)
+    )
+    chunks = toks.select(
+        "doc_id",
+        "t",
+        "n_tokens",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    tok_start = F.col("chunk_idx") * 96 + 1
+    tok_end = F.least(F.col("chunk_idx") * 96 + 128, F.col("n_tokens"))
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        tok_start.alias("tok_start"),
+        tok_end.alias("tok_end"),
+        F.concat_ws(
+            " ", F.slice(F.col("t"), tok_start, tok_end - tok_start + 1)
+        ).alias("chunk_text"),
+    )
