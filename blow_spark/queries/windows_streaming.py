@@ -1447,3 +1447,99 @@ def timeseries_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope_per_day"),
         (F.col("sy").cast("double") / nd / 1_000_000.0).alias("mean_value"),
     )
+
+
+@register(
+    "streaming_dedup_within_watermark",
+    oracle="""
+    WITH p1 AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-11'),
+         p2 AS (SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-11'
+                                       AND ts < TIMESTAMP '2024-01-21'),
+         p3 AS (SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-21'),
+         wm1 AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM p1),
+         k1 AS (SELECT DISTINCT user_id, event_type FROM p1),
+         k12 AS (SELECT user_id, event_type, MIN(ts) AS first_ts
+                 FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+                 GROUP BY 1, 2),
+         f1 AS (SELECT user_id, event_type, event_id FROM (
+                  SELECT user_id, event_type, event_id,
+                         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                            ORDER BY ts, event_id) AS rn
+                  FROM p1) t WHERE rn = 1),
+         f2 AS (SELECT user_id, event_type, event_id FROM (
+                  SELECT user_id, event_type, event_id,
+                         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                            ORDER BY ts, event_id) AS rn
+                  FROM p2) t WHERE rn = 1),
+         f3 AS (SELECT user_id, event_type, event_id FROM (
+                  SELECT user_id, event_type, event_id,
+                         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                            ORDER BY ts, event_id) AS rn
+                  FROM p3) t WHERE rn = 1)
+    SELECT user_id, event_type, event_id FROM f1
+    UNION ALL
+    SELECT f2.user_id, f2.event_type, f2.event_id
+    FROM f2 LEFT JOIN k1 USING (user_id, event_type)
+    WHERE k1.user_id IS NULL
+    UNION ALL
+    SELECT f3.user_id, f3.event_type, f3.event_id
+    FROM f3 LEFT JOIN k12 USING (user_id, event_type)
+    WHERE k12.user_id IS NULL
+       OR k12.first_ts + INTERVAL 10 MINUTE < (SELECT w FROM wm1)
+    """,
+    tags=("streaming", "dedup", "runtime", "state"),
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` through the real runtime — the
+    BOUNDED-STATE streaming dedup (plain dropDuplicates state grows
+    forever; this one evicts keys once the watermark passes their expiry,
+    which is the only viable form at 100 TB stream volumes). Three staged
+    files = three micro-batches over fixed date splits; the oracle
+    replays the operator's OBSERVED state protocol, pinned empirically
+    with competing-hypothesis probes before this query was written:
+
+    * a key's expiry = FIRST-seen event time + delay — duplicates do NOT
+      refresh it (the refresh-on-last-seen model mispredicted 75/150
+      rows);
+    * eviction runs against the watermark the batch STARTED with (one
+      batch behind the data), so a key's state outlives its logical
+      expiry by a full batch: batch-3 re-emissions are exactly the keys
+      whose expiry predates the batch-1-derived watermark (the
+      own-batch-watermark model over-predicted 10 re-emissions at
+      sf0.01 — keys first seen in batch 2; the evict-before-processing
+      model mispredicted re-emissions in batch 2).
+
+    Emitted = first arrival per key per "state generation": batch-1
+    firsts, batch-2 firsts for unseen keys, batch-3 firsts for keys
+    unseen OR whose batch-1/2 state the end-of-batch-2 eviction removed.
+    Per-batch first arrivals are deterministic because each staged file
+    is (ts, event_id)-sorted — same rig as streaming_dedup_by_key."""
+    import tempfile
+    import time as _time
+
+    from blow_spark.streaming import EVENTS_SCHEMA
+
+    e = read_table(spark, sf_dir, "events")
+    s1 = F.lit("2024-01-11").cast("timestamp")
+    s2 = F.lit("2024-01-21").cast("timestamp")
+    stage = tempfile.mkdtemp(prefix="blow_spark_ddww_")
+    parts = [
+        e.filter(F.col("ts") < s1),
+        e.filter((F.col("ts") >= s1) & (F.col("ts") < s2)),
+        e.filter(F.col("ts") >= s2),
+    ]
+    parts[0].orderBy("ts", "event_id").coalesce(1).write.mode("overwrite").parquet(stage)
+    for p in parts[1:]:
+        _time.sleep(0.6)  # strictly increasing mtimes → replay order
+        p.orderBy("ts", "event_id").coalesce(1).write.mode("append").parquet(stage)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    deduped = (
+        stream.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type", "event_id")
+    )
+    return _drain(deduped, "append", "ddww_out")
