@@ -323,6 +323,78 @@ def _verify_jaccard(candidates: DataFrame, hashed: DataFrame, threshold: float) 
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    max_shingle_freq: int = 50,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle CONTAINMENT max(|A∩B|/|A|,
+    |A∩B|/|B|) ≥ threshold — catches a short document embedded inside a
+    longer one (quotes, page-with-boilerplate, article + comments),
+    which symmetric Jaccard structurally misses: a 100-shingle doc fully
+    contained in a 1000-shingle doc has J ≈ 0.1 but containment 1.0.
+    The standard second pass of a training-corpus dedup after Jaccard.
+    Same rare-shingle blocking and spilled hash-set verify as
+    ngram_jaccard_pairs (a contained pair shares ALL of the smaller
+    doc's shingles, so blocking recall is the same argument); output is
+    (id_a < id_b, containment, direction) where direction says which
+    side is the contained one ('a', 'b', or 'both' on ties)."""
+    shingles = word_shingles(F.col(text_col), shingle_n)
+    base = _spread(df).select(F.col(id_col).alias("doc"), shingles.alias("shingles")).filter(
+        F.size("shingles") > 0
+    ).persist()
+    exploded = base.select("doc", F.explode("shingles").alias("g"))
+    rare = exploded.groupBy("g").agg(F.count("*").alias("df_")).filter(
+        F.col("df_") <= max_shingle_freq
+    )
+    blocked = exploded.join(rare.select("g"), "g")
+    l, r = blocked.alias("l"), blocked.alias("r")
+    candidates = (
+        l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col("l.doc") < F.col("r.doc")))
+        .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+        .distinct()
+    )
+    from blow_spark.materialize import spill_to_parquet
+
+    cand = spill_to_parquet(candidates, "blow_spark_cont_cand_")
+    ids = (
+        cand.select(F.col("id_a").alias("doc"))
+        .union(cand.select(F.col("id_b").alias("doc")))
+        .distinct()
+    )
+    hashed = (
+        base.select("doc", F.explode("shingles").alias("g"))
+        .select("doc", F.xxhash64("g").alias("h"))
+        .join(ids, "doc", "left_semi")
+        .groupBy("doc")
+        .agg(F.collect_list("h").alias("hs"), F.count("*").alias("n_sh"))
+    )
+    hashed = spill_to_parquet(hashed, "blow_spark_cont_sets_")
+    base.unpersist()
+    a = hashed.select(F.col("doc").alias("id_a"), F.col("hs").alias("hs_a"), F.col("n_sh").alias("n_a"))
+    b = hashed.select(F.col("doc").alias("id_b"), F.col("hs").alias("hs_b"), F.col("n_sh").alias("n_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    cont_a = inter.cast("double") / F.col("n_a").cast("double")
+    cont_b = inter.cast("double") / F.col("n_b").cast("double")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.greatest(cont_a, cont_b).alias("containment"),
+            F.when(cont_a == cont_b, F.lit("both"))
+            .when(cont_a > cont_b, F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("contained_side"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 # --------------------------------------------------------------------------
 # Incremental MinHash index (never rebuild at 100 TB)
 # --------------------------------------------------------------------------

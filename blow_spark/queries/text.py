@@ -880,3 +880,56 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         new, index, "text", "doc_id", threshold=0.5
     )
     return pairs
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS doc, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), base AS (
+      SELECT doc,
+             list_distinct(list_transform(
+               range(1, len(t) - 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS sh
+      FROM toks
+      WHERE len(t) >= 3
+    ), exploded AS (
+      SELECT doc, unnest(sh) AS g FROM base
+    ), rare AS (
+      SELECT g FROM exploded GROUP BY g HAVING COUNT(*) <= 50
+    ), blocked AS (
+      SELECT e.doc, e.g FROM exploded e JOIN rare USING (g)
+    ), cand AS (
+      SELECT DISTINCT l.doc AS id_a, r.doc AS id_b
+      FROM blocked l JOIN blocked r ON l.g = r.g AND l.doc < r.doc
+    ), scored AS (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) AS cont_a,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh) AS cont_b
+      FROM cand
+      JOIN base a ON a.doc = id_a
+      JOIN base b ON b.doc = id_b
+    )
+    SELECT id_a, id_b,
+           GREATEST(cont_a, cont_b) AS containment,
+           CASE WHEN cont_a = cont_b THEN 'both'
+                WHEN cont_a > cont_b THEN 'a' ELSE 'b' END AS contained_side
+    FROM scored
+    WHERE GREATEST(cont_a, cont_b) >= 0.6
+    """,
+    tags=("dedup", "containment", "llm"),
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: max(|A∩B|/|A|, |A∩B|/|B|) ≥ 0.6 —
+    the quote/subset-duplicate detector symmetric Jaccard structurally
+    misses (a short doc fully inside a long one scores J ≈ |A|/|B| but
+    containment 1.0). Second dedup pass of a training pipeline. Oracle
+    replicates shingling + blocking + both containment directions in
+    DuckDB list SQL; the Spark side intersects xxhash64 long-sets (see
+    dedup.ngram_containment_pairs)."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.ngram_containment_pairs(
+        d, text_col="text", id_col="doc_id", threshold=0.6
+    )

@@ -216,6 +216,9 @@ def test_minhash_lsh_leaves_no_persisted_rdds(spark, docs):
     dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.7).write.mode(
         "overwrite"
     ).format("noop").save()
+    dedup.ngram_containment_pairs(docs, "text", "doc_id", threshold=0.8).write.mode(
+        "overwrite"
+    ).format("noop").save()
     after = _persistent_rdd_ids(spark)
     assert after <= before, f"leaked persisted RDDs: {sorted(after - before)}"
 
