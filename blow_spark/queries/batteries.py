@@ -711,3 +711,50 @@ def sort_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("settled_price").desc_nulls_last(), "o_orderkey")
         .limit(30)
     )
+
+
+@register(
+    "scalar_date_arith_battery",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 1 MONTH AS VARCHAR)          AS plus_month,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR)     AS month_end,
+           CAST(CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS VARCHAR)    AS week_start,
+           CAST(CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS VARCHAR) AS quarter_start,
+           CAST(datediff('day', o_orderdate,
+                         TIMESTAMP '2024-06-30 00:00:00') AS BIGINT) AS days_to_cutoff,
+           CAST(EXTRACT(dow FROM o_orderdate) AS BIGINT)            AS dow_sun0,
+           CAST(EXTRACT(doy FROM o_orderdate) AS BIGINT)            AS day_of_year,
+           CAST(EXTRACT(week FROM o_orderdate) AS BIGINT)           AS iso_week
+    FROM orders
+    WHERE o_orderkey < 500
+    """,
+    tags=("scalar", "date", "battery"),
+)
+def scalar_date_arith_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval arithmetic battery over the calendar functions a
+    reporting layer leans on: month addition (with end-of-month clamp
+    semantics shared by both engines), last_day, week/quarter
+    truncation, day difference against a fixed cutoff, and the
+    dow/doy/ISO-week extract family. Date-typed results are emitted as
+    ISO strings to make the cross-engine comparison type-exact
+    (timestamps vs dates normalize differently in pandas). Spark's
+    dayofweek is 1-based Sunday; DuckDB's dow is 0-based Sunday — the
+    ``-1`` aligns the two conventions (both engines' docs state them;
+    the oracle-gate would catch any drift). All map-side codegen'd
+    scans — nothing shuffles."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 1).cast("timestamp").cast("string").alias("plus_month"),
+        F.last_day(d).cast("string").alias("month_end"),
+        F.date_trunc("week", d).cast("string").alias("week_start"),
+        F.date_trunc("quarter", d).cast("string").alias("quarter_start"),
+        F.datediff(F.lit("2024-06-30").cast("date"), d.cast("date"))
+        .cast("long")
+        .alias("days_to_cutoff"),
+        (F.dayofweek(d) - 1).cast("long").alias("dow_sun0"),
+        F.dayofyear(d).cast("long").alias("day_of_year"),
+        F.weekofyear(d).cast("long").alias("iso_week"),
+    )
