@@ -1543,3 +1543,79 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         .select("user_id", "event_type", "event_id")
     )
     return _drain(deduped, "append", "ddww_out")
+
+
+@register(
+    "streaming_session_close_timeout",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), numbered AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+    tags=("streaming", "session", "state", "timeout", "runtime"),
+)
+def streaming_session_close_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionization with EVENT-TIME TIMEOUT through the
+    real runtime: sessions close either data-driven (a later event opens
+    the next session) or by GroupStateTimeout.EventTimeTimeout when the
+    watermark passes last_event + gap — the only way an idle user's
+    final session ever emits in append mode. Three staged files drive
+    three micro-batches; two far-future sentinel batches (negative
+    user_id — drained, never stateful, never emitted) then push the
+    watermark past every open session's timeout, flushing them: the
+    timeout sweep runs against the watermark the batch STARTED with (one
+    batch behind the data — same lag the dropDuplicatesWithinWatermark
+    probes pinned), hence two sentinels, not one. The emitted set then
+    equals batch sessionization exactly, which is the oracle."""
+    import tempfile
+    import time as _time
+
+    from blow_spark.streaming import EVENTS_SCHEMA, session_close_on_timeout
+
+    e = read_table(spark, sf_dir, "events")
+    s1 = F.lit("2024-01-11").cast("timestamp")
+    s2 = F.lit("2024-01-21").cast("timestamp")
+    stage = tempfile.mkdtemp(prefix="blow_spark_sct_")
+    parts = [
+        e.filter(F.col("ts") < s1),
+        e.filter((F.col("ts") >= s1) & (F.col("ts") < s2)),
+        e.filter(F.col("ts") >= s2),
+    ]
+    parts[0].orderBy("ts", "event_id").coalesce(1).write.mode("overwrite").parquet(stage)
+    for p in parts[1:]:
+        _time.sleep(0.6)
+        p.orderBy("ts", "event_id").coalesce(1).write.mode("append").parquet(stage)
+    for i, sentinel_ts in enumerate(["2024-06-01 00:00:00", "2024-06-02 00:00:00"]):
+        _time.sleep(0.6)
+        spark.createDataFrame(
+            [(-1 - i, sentinel_ts)], "user_id long, ts_s string"
+        ).select(
+            F.lit(-1 - i).cast("long").alias("event_id"),
+            F.col("ts_s").cast("timestamp").alias("ts"),
+            "user_id",
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        ).coalesce(1).write.mode("append").parquet(stage)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    sessions = session_close_on_timeout(stream.withWatermark("ts", "1 minutes"))
+    return _drain(sessions, "append", "sct_out")

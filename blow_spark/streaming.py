@@ -303,3 +303,88 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# --------------------------------------------------------------------------
+# Timeout-closed sessionization (applyInPandasWithState + EventTimeTimeout)
+# --------------------------------------------------------------------------
+
+_SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+_SESSION_STATE_SCHEMA = "start long, last long, n long"  # epoch micros
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def _session_close_fn(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Per-user session assembly with EVENT-TIME TIMEOUT close: a session
+    is emitted either when a later event opens the next one (in-data gap)
+    or when the watermark passes last_event + gap and the engine invokes
+    this key with ``hasTimedOut`` — the mechanism that closes the FINAL
+    session of an idle user, which no amount of data-driven logic can do.
+    Negative user ids are watermark-advancing sentinels: consumed, never
+    stateful, never emitted."""
+    uid = key[0]
+    closed: list[tuple[int, int, int]] = []
+    if state.hasTimedOut:
+        if state.exists:
+            s, l, n = state.get
+            closed.append((s, l, n))
+        state.remove()
+    elif uid is not None and uid >= 0:
+        ts_us: list[int] = []
+        for pdf in batches:
+            ts_us.extend(
+                pdf["ts"].astype("datetime64[us]").astype("int64").tolist()
+            )
+        ts_us.sort()
+        if state.exists:
+            s, l, n = state.get
+        else:
+            s, l, n = None, None, 0
+        for t in ts_us:
+            if s is None:
+                s, l, n = t, t, 1
+            elif t - l > _SESSION_GAP_US:
+                closed.append((s, l, n))
+                s, l, n = t, t, 1
+            else:
+                l, n = t, n + 1
+        if s is not None:
+            state.update((int(s), int(l), int(n)))
+            # event-time timeout: fires once the watermark passes this
+            state.setTimeoutTimestamp(int(l) // 1000 + _SESSION_GAP_US // 1000)
+    else:
+        for _ in batches:  # sentinel rows: drain, no state, no output
+            pass
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [uid] * len(closed),
+                "session_start": pd.to_datetime([c[0] for c in closed], unit="us"),
+                "session_end": pd.to_datetime([c[1] for c in closed], unit="us"),
+                "n_events": [c[2] for c in closed],
+            }
+        )
+
+
+def session_close_on_timeout(events: DataFrame) -> DataFrame:
+    """Sessionize a stream with a 30-minute inactivity gap, emitting each
+    session exactly once WHEN IT CLOSES — the stateful-timeout pattern
+    (GroupStateTimeout.EventTimeTimeout) that session_window's append
+    mode also uses internally, exposed here as a custom operator so the
+    emission schema and close policy are programmable. State per user is
+    one (start, last, n) tuple; the watermark both bounds state and
+    drives the timeout sweep. Requires withWatermark upstream."""
+    from blow_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(events.sparkSession)
+    return events.groupBy("user_id").applyInPandasWithState(
+        _session_close_fn,
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
