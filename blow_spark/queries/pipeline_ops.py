@@ -1106,3 +1106,47 @@ def dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("f_lang").alias("n_lang"),
         F.sum("f_charset").alias("n_charset"),
     )
+
+
+_RECURSIVE_REACH_SQL = """
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS STRING) AS c_node,
+                      's' || CAST(l_suppkey AS STRING) AS s_node
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_custkey < 200
+    ), edges AS (
+      SELECT c_node AS src, s_node AS dst FROM pairs
+      UNION ALL
+      SELECT s_node AS src, c_node AS dst FROM pairs
+    ), reach(node, dist) AS (
+      SELECT 's1', 0
+      UNION ALL
+      SELECT e.dst, r.dist + 1
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.dist < 2
+    )
+    SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+    FROM reach GROUP BY node
+"""
+
+
+@register(
+    "sql_recursive_reachability",
+    oracle=_RECURSIVE_REACH_SQL,
+    tags=("sql", "recursive", "graph", "spark4"),
+)
+def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE through the SQL front door — Spark 4's WITH
+    RECURSIVE (new in 4.0) running THE SAME TEXT DuckDB runs: 2-hop
+    shortest reachability from supplier s1 over a bounded slice of the
+    trade graph (UNION ALL recursion + depth guard + MIN-dist collapse —
+    the portable formulation: recursion-level dedup via UNION DISTINCT
+    differs between engines, depth-bounded UNION ALL + final GROUP BY
+    does not). Fourth shared-string front-door query after
+    sql_nation_monthly_rank, the EXISTS pair, and GROUP BY ALL; the
+    DataFrame twin of this computation is graph_bfs_hops (iterative
+    frontier joins), which is the form that scales — a recursive CTE
+    unions every PATH, not every node, so the depth guard is what keeps
+    it tractable."""
+    register_views(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(_RECURSIVE_REACH_SQL)
