@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from blow_spark import ops
 from blow_spark.pipeline import fizzbuzz_pipeline
 from blow_spark.queries import register
-from blow_spark.sources import read_table
+from blow_spark.sources import read_table, register_views
 
 
 @register(
@@ -410,4 +410,48 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         bucket("l_orderkey").alias("hash_bucket"),
         doubled("l_quantity").alias("qty_doubled"),
+    )
+
+
+@register(
+    "udf_sql_declared",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100, 0)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem
+    WHERE l_partkey < 1000
+    GROUP BY l_returnflag
+    """,
+    tags=("udf", "sql", "spark4"),
+)
+def udf_sql_declared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-declared UDFs (Spark 4: CREATE FUNCTION ... RETURN <expr> /
+    RETURN TABLE(...)) — the U1 Mapper surface with the body in SQL, so
+    Catalyst INLINES it (fully codegen'd, no Python boundary at all;
+    the plan is identical to writing the expression inline, which is
+    exactly what the oracle does). A scalar function computes the
+    discounted price and a table function encapsulates the
+    small-parts slice; revenue is a fixed-point integer sum, so the
+    result is engine-exact."""
+    register_views(spark, sf_dir, ["lineitem"])
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION bs_disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION bs_small_parts() RETURNS TABLE "
+        "(l_returnflag STRING, l_extendedprice DOUBLE, l_discount DOUBLE) RETURN "
+        "SELECT l_returnflag, l_extendedprice, l_discount FROM lineitem WHERE l_partkey < 1000"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(ROUND(bs_disc_price(l_extendedprice, l_discount) * 100, 0)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM bs_small_parts()
+        GROUP BY l_returnflag
+        """
     )
