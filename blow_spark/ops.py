@@ -392,6 +392,40 @@ def bfs_distances(edges: DataFrame, sources: DataFrame, max_hops: int = 3) -> Da
     return dist
 
 
+def bellman_ford(
+    edges: DataFrame, sources: DataFrame, rounds: int = 3
+) -> DataFrame:
+    """Bounded Bellman-Ford over WEIGHTED (src, dst, w) edges → (node,
+    cost): cheapest path cost from any source using at most ``rounds``
+    edges (unreached nodes absent). The weighted member of the iterative
+    family: each round relaxes cost(v) = min(cost(v), min_{u→v} cost(u)
+    + w(u,v)) — the same one-join + min-groupBy shuffle per round as
+    bfs_distances, same pre-partitioned cached edge table, same
+    unrolled-CTE oracle strategy. With INTEGER weights (the catalog
+    query uses fixed-point cents) every candidate cost is exact, so the
+    per-node MIN is engine-deterministic with no float-order caveats;
+    bounded rounds also make negative weights well-defined (cheapest
+    ≤k-edge walk), though the catalog uses non-negative costs."""
+    edges = edges.repartition(F.col("src")).persist()
+    cost = (
+        sources.select("node").distinct()
+        .withColumn("cost", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        relaxed = edges.join(cost, edges.src == cost.node).select(
+            F.col("dst").alias("node"), (F.col("cost") + F.col("w")).alias("cost")
+        )
+        cost = (
+            cost.union(relaxed)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint()
+        )
+    edges.unpersist()
+    return cost
+
+
 # --------------------------------------------------------------------------
 # COUNT(DISTINCT) OVER rewrites (Spark's window operator refuses DISTINCT)
 # --------------------------------------------------------------------------

@@ -1150,3 +1150,70 @@ def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     it tractable."""
     register_views(spark, sf_dir, ["orders", "lineitem"])
     return spark.sql(_RECURSIVE_REACH_SQL)
+
+
+_BF_STEP = """
+    SELECT node, MIN(cost) AS cost FROM (
+      SELECT node, cost FROM {prev}
+      UNION ALL
+      SELECT e.dst AS node, p.cost + e.w AS cost
+      FROM edges e JOIN {prev} p ON e.src = p.node
+    ) u GROUP BY node
+"""
+
+
+@register(
+    "graph_cheapest_path_bounded",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT 'c' || CAST(o_custkey AS VARCHAR) AS c_node,
+               's' || CAST(l_suppkey AS VARCHAR) AS s_node,
+               MIN(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS w
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT c_node AS src, s_node AS dst, w FROM pairs
+        UNION ALL
+        SELECT s_node AS src, c_node AS dst, w FROM pairs
+    ), b0 AS (
+        SELECT 's1' AS node, CAST(0 AS BIGINT) AS cost
+    ), b1 AS ({_BF_STEP.format(prev="b0")}),
+       b2 AS ({_BF_STEP.format(prev="b1")}),
+       b3 AS ({_BF_STEP.format(prev="b2")})
+    SELECT node, CAST(cost AS BIGINT) AS cost FROM b3
+    """,
+    tags=("graph", "iterative", "weighted"),
+)
+def graph_cheapest_path_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded WEIGHTED shortest path (Bellman-Ford, 3 relaxation
+    rounds) from supplier s1 over the trade graph, edge cost = cheapest
+    order (fixed-point cents) between the pair — "cheapest ≤3-hop trade
+    route", the weighted sibling of graph_bfs_hops. Runs through the
+    generic blow_spark.ops.bellman_ford (per-round relax join +
+    min-groupBy, pre-partitioned cached edges); integer costs make every
+    relaxation exact, and the oracle unrolls the three rounds as nested
+    CTEs exactly like the BFS and PageRank replays."""
+    from blow_spark import ops
+
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c_node"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s_node"),
+        )
+        .agg(F.min(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("w"))
+    )
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("c_node").alias("src"), F.col("s_node").alias("dst"), F.col("w")),
+                F.struct(F.col("s_node").alias("src"), F.col("c_node").alias("dst"), F.col("w")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.w")
+    sources = spark.createDataFrame([("s1",)], "node string")
+    return ops.bellman_ford(edges, sources, rounds=3).select(
+        "node", F.col("cost").cast("long").alias("cost")
+    )
