@@ -758,3 +758,59 @@ def scalar_date_arith_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofyear(d).cast("long").alias("day_of_year"),
         F.weekofyear(d).cast("long").alias("iso_week"),
     )
+
+
+@register(
+    "diag_key_skew_profile",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_partkey
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(n) AS BIGINT) AS max_mult,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             quantile_cont(n, 0.5) AS p50_mult,
+             quantile_cont(n, 0.99) AS p99_mult
+      FROM per_key
+    ), heavy AS (
+      SELECT array_to_string(list(CAST(key AS VARCHAR)), ',') AS top_keys
+      FROM (SELECT key FROM per_key ORDER BY n DESC, key LIMIT 3) t
+    )
+    SELECT n_keys, n_rows, max_mult, p50_mult, p99_mult,
+           CAST(max_mult AS DOUBLE) / (CAST(n_rows AS DOUBLE) / n_keys) AS skew_factor,
+           top_keys
+    FROM stats CROSS JOIN heavy
+    """,
+    tags=("diag", "skew", "agg"),
+)
+def diag_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile — the diagnostic a 100 TB run consults
+    BEFORE picking a join strategy (broadcast / salt / AQE skew-split):
+    per-key multiplicity distribution (p50/p99/max), the max-to-mean
+    skew factor, and the top-3 heavy keys (deterministic (count desc,
+    key) tie-break). One map-side-combined count per key, then a 5-row
+    reduction — the profile costs one scan, which is why it's worth
+    running before a shuffle that costs many. The skew_factor division
+    chain is written identically on both engines."""
+    li = read_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_partkey").alias("key")).agg(F.count("*").alias("n"))
+    stats = per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.max("n").alias("max_mult"),
+        F.sum("n").alias("n_rows"),
+        F.percentile("n", 0.5).alias("p50_mult"),
+        F.percentile("n", 0.99).alias("p99_mult"),
+    )
+    heavy = (
+        per_key.orderBy(F.col("n").desc(), "key")
+        .limit(3)
+        .agg(F.concat_ws(",", F.collect_list(F.col("key").cast("string"))).alias("top_keys"))
+    )
+    skew = F.col("max_mult").cast("double") / (
+        F.col("n_rows").cast("double") / F.col("n_keys")
+    )
+    return stats.crossJoin(heavy).select(
+        "n_keys", "n_rows", "max_mult", "p50_mult", "p99_mult",
+        skew.alias("skew_factor"), "top_keys",
+    )
