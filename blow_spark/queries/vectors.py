@@ -593,11 +593,12 @@ def similarity_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties break to the smaller label) — the standard label-propagation /
     weak-supervision primitive over an embedding column, and a composed
     test of the whole similarity stack (fixed-point top-k → label join →
-    per-query argmax). Plan: the top-k stage is the codegen'd
-    posexplode+integer-SUM broadcast plan (corpus never shuffles
-    vectors); the vote is a (query, label) hash aggregation over k·Q
-    rows and a WindowGroupLimit argmax. At 10⁹ vectors swap the top-k
-    stage for the GEMM or LSH variant — the vote stages are unchanged."""
+    per-query argmax). Plan: the top-k stage is the vectorized GEMM
+    scorer (bit-equal to the posexplode fold — see the code comment for
+    the measured 6× gap at 50 queries); the vote is a (query, label)
+    hash aggregation over k·Q rows and a WindowGroupLimit argmax. At
+    10⁹ vectors swap in the LSH variant — the vote stages are
+    unchanged."""
     e = read_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 50)
     # GEMM top-k, not the posexplode fold: 50 queries × corpus through
