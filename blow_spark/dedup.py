@@ -23,6 +23,7 @@ generation is built-in DataFrame ops — no Python in the hot path.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from blow_spark.functions import tokenize_ws, word_shingles
@@ -623,6 +624,60 @@ def ngram_jaccard_pairs(
     )
     blocked = exploded.join(rare.select("g"), "g")
     l, r = blocked.alias("l"), blocked.alias("r")
+    candidates = (
+        l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col("l.doc") < F.col("r.doc")))
+        .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+        .distinct()
+    )
+    return _verify_and_release(candidates, base, threshold)
+
+
+def jaccard_prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact AND complete word-n-gram Jaccard join via prefix filtering
+    (the AllPairs/PPJoin candidate rule, Bayardo et al. WWW'07 — public
+    literature, nothing comparable in the reference, which has no joins
+    at all: /root/reference/maps/maps.go ships only flatMap chains).
+
+    Rare-shingle blocking (``ngram_jaccard_pairs``) is exact on the pairs
+    it emits but can MISS a qualifying pair whose shared shingles are all
+    common. Prefix filtering is lossless at the threshold: order the
+    shingle vocabulary by (document frequency ASC, shingle ASC) — a total
+    order shared by every doc — and keep, per doc of set size ``s``, only
+    its first ``s - ceil(t*s) + 1`` shingles. Any pair with
+    ``J >= t`` must overlap in ``>= ceil(t/(1+t) * (|A|+|B|))`` shingles,
+    which forces the two prefixes to intersect; pairs sharing no prefix
+    shingle are provably below threshold and never join. Candidates are
+    then exact-verified on hashed shingle sets (``_verify_jaccard``).
+
+    Scale shape: one shuffle to count document frequencies, one shuffle
+    by doc for the per-doc rank window, then a self-join keyed ONLY on
+    prefix shingles — by construction each doc's *rarest* shingles, so
+    join-key fan-out is naturally bounded: boilerplate (high-frequency)
+    shingles sort to the back of the order and never become join keys
+    for long documents. This makes the completeness/fan-out trade of the
+    frequency cap unnecessary. The completeness claim is pinned against
+    a blocking-free brute-force oracle (dedup_jaccard_prefix_filter)."""
+    shingles = word_shingles(F.col(text_col), shingle_n)
+    base = _spread(df).select(F.col(id_col).alias("doc"), shingles.alias("shingles")).filter(
+        F.size("shingles") > 0
+    ).persist()
+    exploded = base.select(
+        "doc", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("g")
+    )
+    freq = exploded.groupBy("g").agg(F.count("*").alias("df_"))
+    win = W.partitionBy("doc").orderBy("df_", "g")
+    ranked = exploded.join(freq, "g").select(
+        "doc", "g", F.row_number().over(win).alias("rn"),
+        (F.col("n_sh") - F.ceil(F.lit(float(threshold)) * F.col("n_sh")) + 1).alias("plen"),
+    )
+    prefix = ranked.filter(F.col("rn") <= F.col("plen")).select("doc", "g")
+    l, r = prefix.alias("l"), prefix.alias("r")
     candidates = (
         l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col("l.doc") < F.col("r.doc")))
         .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))

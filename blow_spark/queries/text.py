@@ -285,6 +285,41 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_jaccard_prefix_filter",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS doc, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), base AS (
+      SELECT doc,
+             list_distinct(list_transform(
+               range(1, len(t) - 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS sh
+      FROM toks
+      WHERE len(t) >= 3
+    )
+    SELECT a.doc AS id_a, b.doc AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+    FROM base a JOIN base b ON a.doc < b.doc
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    """,
+    tags=("dedup", "jaccard", "prefix-filter"),
+)
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-COMPLETE 3-gram Jaccard self-join at tau=0.5 via prefix
+    filtering (AllPairs candidate rule). Unlike ``dedup_ngram_jaccard``'s
+    rare-shingle blocking — exact on emitted pairs but able to miss
+    pairs whose shared shingles are all common — this is lossless at the
+    threshold, so the oracle is the BLOCKING-FREE brute force: every
+    O(N^2) pair scored in DuckDB. Hash-match therefore proves both
+    precision and recall of the candidate rule."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.jaccard_prefix_filter_pairs(d, text_col="text", id_col="doc_id", threshold=0.5)
+
+
+@register(
     "text_fingerprint_md5",
     oracle="""
     SELECT doc_id,
@@ -719,6 +754,108 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("g").alias("n_shared_grams"),
             F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+@register(
+    "contamination_bloom_prefilter",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(t) - 3),
+               i -> array_to_string(t[i:i+4], ' ')))) AS g
+      FROM toks
+      WHERE len(t) >= 5
+    )
+    SELECT s.doc_id,
+           COUNT(DISTINCT s.g)     AS n_shared_grams,
+           MIN(b.doc_id)           AS first_bench_hit
+    FROM sh s
+    JOIN sh b ON s.g = b.g AND b.doc_id % 97 = 0 AND s.doc_id % 97 <> 0
+    GROUP BY s.doc_id
+    """,
+    tags=("text", "pipeline", "dedup", "bloom"),
+)
+def contamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with a Bloom-filter prefilter — the shape that
+    survives when the benchmark 5-gram set is too large to broadcast AS
+    ROWS but its ~bits-per-key summary is not (10^9 grams x 20 B strings
+    = 20 GB of rows vs a 1-2 GB bloom at 10 bits/key; here 32 KB).
+
+    The bloom is built ENTIRELY JVM-side — no driver collect, no UDF:
+    each bench gram sets k=3 bit positions (xxhash64(g, seed) mod m);
+    per-word OR via bit_or, densified to an array<long> of m/64 words in
+    a single-row aggregate that joins back as a one-row broadcast
+    (BroadcastNestedLoopJoin of 1 row == a closure variable, but staying
+    in the plan keeps it lazy and AQE-visible). Spark's own runtime
+    bloom-join (`spark.sql.optimizer.runtime.bloomFilter.enabled`, on in
+    this session) uses the identical construction; the public registry
+    doesn't expose might_contain, so the probe is the same three
+    element_at/bit-AND tests the JVM implementation compiles to.
+
+    Correctness: a Bloom filter has NO false negatives, so filtering the
+    100 TB training scan down to probe-positive grams is lossless; false
+    positives are removed by the exact confirm join that follows, whose
+    input the bloom has already cut to ~(true overlap + eps). Output is
+    therefore EXACT — the oracle recomputes it with no bloom at all, so
+    a hash-match proves the no-false-negative claim end to end."""
+    M_BITS = 1 << 18  # 262144 bits = 4096 longs = 32 KB
+    N_WORDS = M_BITS // 64
+    SEEDS = [0, 1, 2]
+    d = read_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(BF.word_shingles(F.col("text"), 5)).alias("g"))
+    bench = sh.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "g"
+    )
+    train = sh.filter(F.col("doc_id") % 97 != 0)
+
+    def probe(seed: int):
+        pos = F.pmod(F.xxhash64("g", F.lit(seed)), F.lit(M_BITS))
+        # F.shiftleft only takes a literal shift; call_function passes the
+        # column form straight through to the SQL builtin
+        return (pos / 64).cast("int").alias(f"w{seed}"), F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+        ).alias(f"b{seed}")
+
+    # build: every (word, bits) contribution from every bench gram, OR'd
+    # per word, densified into one array<long> row
+    contrib = bench.select(F.col("g")).distinct()
+    parts = []
+    for s in SEEDS:
+        w, b = probe(s)
+        parts.append(contrib.select(w.alias("w"), b.alias("b")))
+    words = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    bloom = (
+        words.groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .groupBy()
+        .agg(F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("m"))
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_WORDS - 1)),
+                lambda w: F.coalesce(F.element_at("m", w), F.lit(0).cast("long")),
+            ).alias("bloom")
+        )
+    )
+    probed = train.join(F.broadcast(bloom))
+    cond = None
+    for s in SEEDS:
+        w, b = probe(s)
+        hit = (F.element_at("bloom", w + F.lit(1)).bitwiseAND(b)) != 0
+        cond = hit if cond is None else (cond & hit)
+    survivors = probed.filter(cond).select("doc_id", "g")
+    return (
+        survivors.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_shared_grams"),
+            F.min("bench_id").alias("first_bench_hit"),
         )
     )
 

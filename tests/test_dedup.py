@@ -247,3 +247,53 @@ def test_incremental_lsh_equals_full_rebuild(spark, docs):
     a = {r["doc"]: (tuple(r["minhash"]), sorted(r["hs"]), r["n_sh"]) for r in new_rows.collect()}
     b = {r["doc"]: (tuple(r["minhash"]), sorted(r["hs"]), r["n_sh"]) for r in fresh.collect()}
     assert a == b
+
+
+def test_prefix_filter_complete_where_rare_blocking_misses(spark):
+    """Adversarial completeness: a near-dup pair whose every shared shingle
+    is COMMON (appears in > max_shingle_freq docs). Rare-shingle blocking
+    (ngram_jaccard_pairs with a tight cap) drops all its join keys and
+    misses the pair; prefix filtering must still emit it — its candidate
+    rule is lossless at the threshold regardless of shingle frequency."""
+    boiler = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(1, boiler + " one"), (2, boiler + " two")]
+    # 30 more docs that all contain every shingle of the pair, making each
+    # of the pair's shingles frequency >= 30
+    rows += [(10 + i, boiler + " one two filler" + str(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    blocked = dedup.ngram_jaccard_pairs(
+        df, "text", "doc_id", threshold=0.5, max_shingle_freq=5
+    )
+    missed = blocked.filter((F.col("id_a") == 1) & (F.col("id_b") == 2)).count()
+    assert missed == 0, "fixture no longer adversarial: tighten the cap"
+
+    complete = dedup.jaccard_prefix_filter_pairs(df, "text", "doc_id", threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in complete.collect()}
+    assert (1, 2) in got
+
+
+def test_prefix_filter_agrees_with_bruteforce(docs):
+    """Pairwise ground truth on the real fixture: prefix-filter output ==
+    brute-force all-pairs exact Jaccard at the same threshold."""
+    sample = docs.filter(F.col("doc_id") < 120)
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in dedup.jaccard_prefix_filter_pairs(
+            sample, "text", "doc_id", threshold=0.4
+        ).collect()
+    }
+    rows = sample.select(
+        "doc_id", dedup.word_shingles(F.col("text"), 3).alias("sh")
+    ).collect()
+    sets = {r["doc_id"]: set(r["sh"]) for r in rows if r["sh"]}
+    want = set()
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                j = inter / len(sets[a] | sets[b])
+                if j >= 0.4:
+                    want.add((a, b, round(j, 9)))
+    assert got == want
