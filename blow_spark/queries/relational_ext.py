@@ -1216,6 +1216,96 @@ def agg_histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "profile_column_summary",
+    oracle="""
+    SELECT 'l_quantity' AS col_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(l_quantity) AS n_nulls,
+           COUNT(DISTINCT l_quantity) AS n_distinct,
+           CAST(CAST(MIN(l_quantity) AS DECIMAL(18,2)) AS VARCHAR) AS min_val,
+           CAST(CAST(MAX(l_quantity) AS DECIMAL(18,2)) AS VARCHAR) AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(*), COUNT(*) - COUNT(l_extendedprice),
+           COUNT(DISTINCT l_extendedprice),
+           CAST(CAST(MIN(l_extendedprice) AS DECIMAL(18,2)) AS VARCHAR),
+           CAST(CAST(MAX(l_extendedprice) AS DECIMAL(18,2)) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*), COUNT(*) - COUNT(l_discount),
+           COUNT(DISTINCT l_discount),
+           CAST(CAST(MIN(l_discount) AS DECIMAL(18,2)) AS VARCHAR),
+           CAST(CAST(MAX(l_discount) AS DECIMAL(18,2)) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+           COUNT(DISTINCT l_returnflag), MIN(l_returnflag), MAX(l_returnflag)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linestatus', COUNT(*), COUNT(*) - COUNT(l_linestatus),
+           COUNT(DISTINCT l_linestatus), MIN(l_linestatus), MAX(l_linestatus)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', COUNT(*), COUNT(*) - COUNT(l_shipdate),
+           COUNT(DISTINCT l_shipdate),
+           strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+           strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S')
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_orderkey', COUNT(*), COUNT(*) - COUNT(l_orderkey),
+           COUNT(DISTINCT l_orderkey),
+           CAST(MIN(l_orderkey) AS VARCHAR), CAST(MAX(l_orderkey) AS VARCHAR)
+    FROM lineitem
+    """,
+    tags=("agg", "profiling"),
+)
+def profile_column_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style one-pass column profiler: per column, row count,
+    null count, EXACT distinct count, min and max — the statistics a
+    catalog / data-quality gate collects before a 100 TB ingest is
+    admitted. All seven columns profile in ONE aggregate over one scan
+    (the multi-distinct goes through Catalyst's Expand rewrite — one
+    shuffle, data touched once), then an array-of-structs inline-explodes
+    to the long (col_name, stats) shape. The DuckDB oracle recomputes
+    each column with a separate scan + UNION ALL; values match exactly,
+    with min/max normalized to strings the same way on both engines
+    (DECIMAL(18,2) for doubles, %Y-%m-%d %H:%M:%S for timestamps)."""
+    li = read_table(spark, sf_dir, "lineitem")
+
+    def num(e):
+        return e.cast("decimal(18,2)").cast("string")
+
+    def raw(e):
+        return e.cast("string")
+
+    def ts(e):
+        return F.date_format(e, "yyyy-MM-dd HH:mm:ss")
+
+    def prof(c, fmt):
+        # min/max aggregate the NATIVE value; formatting wraps the result
+        # (string min/max would be lexicographic and wrong)
+        return F.struct(
+            F.lit(c).alias("col_name"),
+            (F.count("*") - F.count(c)).alias("n_nulls"),
+            F.countDistinct(c).alias("n_distinct"),
+            fmt(F.min(c)).alias("min_val"),
+            fmt(F.max(c)).alias("max_val"),
+        )
+
+    cols = [
+        ("l_quantity", num), ("l_extendedprice", num), ("l_discount", num),
+        ("l_returnflag", raw), ("l_linestatus", raw),
+        ("l_shipdate", ts), ("l_orderkey", raw),
+    ]
+    one = li.agg(
+        F.count("*").alias("n_rows"),
+        F.array(*[prof(c, f) for c, f in cols]).alias("profs"),
+    )
+    return one.select(
+        F.inline("profs"), F.col("n_rows")
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+
+
+@register(
     "explode_with_position",
     oracle="""
     SELECT l_orderkey, l_linenumber,

@@ -380,3 +380,33 @@ def test_knn_vote_uses_window_group_limit(spark, sf_dir):
     p = _plan(spark, sf_dir, "similarity_knn_classify")
     assert "WindowGroupLimit" in p, p[:1200]
     assert "CartesianProduct" not in p
+
+
+def test_profile_summary_is_one_scan_one_pass(spark, sf_dir):
+    """profile_column_summary touches the data ONCE: a single FileScan,
+    multi-column distinct via Expand (no per-column re-scan), and the
+    bloom/prefix machinery absent. Seven separate scans (the oracle's
+    UNION ALL shape) would be 7x the IO at 100 TB."""
+    p = _plan(spark, sf_dir, "profile_column_summary")
+    assert p.count("FileScan") == 1, p[:1500]
+    assert "Expand" in p, p[:1500]
+
+
+def test_prefix_filter_join_keys_only_prefix_shingles(spark, sf_dir):
+    """dedup_jaccard_prefix_filter: the candidate self-join is a hash join
+    (never a cartesian/loop join), and a WindowGroupLimit-free rank pass
+    feeds it (row_number is the prefix cut, computed once per doc)."""
+    p = _plan(spark, sf_dir, "dedup_jaccard_prefix_filter")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p[:1500]
+
+
+def test_bloom_prefilter_filters_before_confirm_join(spark, sf_dir):
+    """contamination_bloom_prefilter: the one-row bloom joins as a
+    broadcast (BroadcastNestedLoopJoin of a single row) and the probe
+    filter sits BELOW the exact confirm join in the plan, so the
+    confirm join's streamed input is already bloom-reduced."""
+    p = _plan(spark, sf_dir, "contamination_bloom_prefilter")
+    assert "BroadcastNestedLoopJoin" in p, p[:1500]
+    probe = p.index("element_at(bloom")  # a probe test expression
+    confirm = p.index("BroadcastHashJoin")
+    assert probe > confirm, "probe filter should be deeper in the tree than the confirm join"
