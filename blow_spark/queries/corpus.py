@@ -723,3 +723,127 @@ def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.slice(F.col("t"), tok_start, tok_end - tok_start + 1)
         ).alias("chunk_text"),
     )
+
+
+def _bpe_round_oracle(prev: str, rnd: int) -> tuple[str, str]:
+    """One BPE round as DuckDB CTEs: pair counts from v{prev}, the argmax
+    pair as t{rnd} (with its count), the merged vocab as v{rnd}."""
+    return (
+        f"""
+    p{rnd} AS (
+      SELECT a[i] AS l, a[i+1] AS r, CAST(SUM(n) AS BIGINT) AS cnt
+      FROM (SELECT n, string_split(trim(s, '|'), '|') AS a FROM {prev}),
+           unnest(range(1, len(a))) AS u(i)
+      GROUP BY 1, 2
+    ), t{rnd} AS (
+      SELECT {rnd} AS round, l, r, l || r AS merged, cnt
+      FROM p{rnd} ORDER BY cnt DESC, l, r LIMIT 1
+    ), v{rnd} AS (
+      SELECT w, n,
+             replace(s, '|' || t.l || '|' || t.r || '|',
+                        '|' || t.l || t.r || '|') AS s
+      FROM {prev}, t{rnd} t
+    )""",
+        f"SELECT round, l, r, merged, cnt FROM t{rnd}",
+    )
+
+
+_BPE_ROUNDS = 6
+
+_bpe_ctes, _bpe_selects = [], []
+for _r in range(1, _BPE_ROUNDS + 1):
+    _cte, _sel = _bpe_round_oracle(f"v{_r - 1}", _r)
+    _bpe_ctes.append(_cte)
+    _bpe_selects.append(_sel)
+
+_BPE_ORACLE = (
+    r"""
+    WITH wf AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        FROM documents
+      )
+      WHERE regexp_matches(w, '^[a-z]+$')
+      GROUP BY w ORDER BY n DESC, w LIMIT 500
+    ), v0 AS (
+      SELECT w, n, '|' || array_to_string(string_split(w, ''), '|') || '|' AS s
+      FROM wf
+    ),"""
+    + ",".join(_bpe_ctes)
+    + " ".join(f"\n    {s}\n    UNION ALL" for s in _bpe_selects[:-1])
+    + "\n    "
+    + _bpe_selects[-1]
+)
+
+
+@register("tokenizer_bpe_merges", oracle=_BPE_ORACLE, tags=("corpus", "tokenizer", "bpe"))
+def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge TRAINING — the data-dependent iterative
+    half of tokenizer construction (``tokenizer_vocab_build`` is the
+    static half). Six merge rounds over the 500 most frequent all-alpha
+    words: each round counts adjacent-symbol pairs weighted by word
+    frequency, takes the argmax pair under the total order
+    (count DESC, left, right), and merges it everywhere with a
+    separator-delimited left-to-right non-overlapping string replace —
+    semantics both engines implement identically (pinned above with
+    '|a|a|a|' -> '|aa|a|'), so the whole iterative trainer is
+    oracle-paired, not rows-only.
+
+    Scale shape: the ONLY corpus-scale pass is the word-frequency count
+    (one shuffle); the merge loop runs on the Zipf-truncated vocab table
+    (500 rows), where per-round pair extraction is a trivially small HOF
+    — the interpreted-lambda rule (SCALE.md) targets corpus-scale rows,
+    not a fixed-500-row control table. Rounds chain lazily: at this
+    vocab size recomputation is cheaper than materialization; a
+    production run with 10^5 vocab rows and 10^4 merges would spill the
+    vocab per round (materialize.spill_to_parquet) exactly like the
+    other iterative operators. The argmax pair joins back as a one-row
+    broadcast — no driver collect in the loop."""
+    d = read_table(spark, sf_dir, "documents")
+    from blow_spark import functions as BF
+
+    toks = d.select(F.explode(BF.tokenize_ws(F.lower(F.col("text")))).alias("w"))
+    wf = (
+        toks.filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "w")
+        .limit(500)
+    )
+    cur = wf.select(
+        "w", "n",
+        F.concat(F.lit("|"), F.array_join(F.split("w", ""), "|"), F.lit("|")).alias("s"),
+    )
+    out = None
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        pairs = cur.select(
+            "n",
+            # CASE guard: Spark sequence(1, 0) counts DOWN ([1, 0]), so a
+            # single-symbol word must shortcut to an empty pair list
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(split(trim(BOTH '|' FROM s), '\\\\|')) < 2"
+                    " THEN array()"
+                    " ELSE transform(sequence(1, size(split(trim(BOTH '|' FROM s), '\\\\|')) - 1),"
+                    " i -> struct(split(trim(BOTH '|' FROM s), '\\\\|')[i-1] AS l,"
+                    "             split(trim(BOTH '|' FROM s), '\\\\|')[i]   AS r)) END"
+                )
+            ).alias("p"),
+        ).select("n", "p.l", "p.r")
+        cnt = pairs.groupBy("l", "r").agg(F.sum("n").alias("cnt"))
+        top = cnt.orderBy(F.desc("cnt"), "l", "r").limit(1)
+        row = top.select(
+            F.lit(rnd).alias("round"), "l", "r",
+            F.concat("l", "r").alias("merged"), "cnt",
+        )
+        out = row if out is None else out.unionAll(row)
+        cur = cur.crossJoin(
+            F.broadcast(top.select(F.col("l").alias("_l"), F.col("r").alias("_r")))
+        ).select(
+            "w", "n",
+            F.expr(
+                "replace(s, '|' || _l || '|' || _r || '|', '|' || _l || _r || '|')"
+            ).alias("s"),
+        )
+    return out
