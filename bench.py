@@ -75,6 +75,12 @@ HEADLINE = [
     "timeseries_interpolate_linear",
     "dq_quarantine_split",
     "similarity_knn_classify",
+    # exact-complete similarity join, bloom decontamination, one-pass
+    # profiling, iterative BPE training
+    "dedup_jaccard_prefix_filter",
+    "contamination_bloom_prefilter",
+    "profile_column_summary",
+    "tokenizer_bpe_merges",
 ]
 
 

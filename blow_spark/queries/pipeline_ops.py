@@ -607,6 +607,83 @@ def sort_full_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sort_equidepth_global_rank",
+    oracle="""
+    WITH r AS (
+      SELECT o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM orders
+    )
+    SELECT CAST(((rnk - 1) * 8) // n AS BIGINT) AS bucket,
+           COUNT(*) AS n_rows,
+           CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS lo,
+           CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS hi
+    FROM r GROUP BY 1
+    """,
+    tags=("sort", "rank", "histogram", "scale"),
+)
+def sort_equidepth_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global rank without a single-partition window, and an
+    equi-depth (equal-count) histogram built on it — the complement of
+    ``agg_histogram_buckets``' fixed-width buckets.
+
+    The naive ``ROW_NUMBER() OVER (ORDER BY ...)`` (the oracle's form)
+    collapses the whole table into ONE window partition — the exact
+    anti-pattern at 100 TB. The scalable identity used here: range-
+    partition by the sort key, row_number WITHIN each partition (every
+    partition is an independent window group — full parallelism), then
+    add each partition's cumulative predecessor count. The offsets table
+    has one row per PARTITION, so its running-sum window is over ~10^3
+    rows regardless of data size, and it joins back as a broadcast.
+    global_rank = within_rank + offset reproduces the single-window
+    answer exactly because the range exchange puts partition i's every
+    key strictly before partition i+1's (ties impossible: the sort key
+    (o_totalprice, o_orderkey) is total).
+
+    The ranked table is spilled once (materialize.spill_to_parquet):
+    offsets and final ranks both read it, and reusing one materialized
+    partitioning is what makes the two branches see the SAME partition
+    ids. Bucket = ((rank-1)*k) div n in pure integer arithmetic — no
+    float boundary jitter between engines."""
+    from blow_spark.materialize import spill_to_parquet
+
+    K = 8
+    o = read_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    parts = o.repartitionByRange(32, "o_totalprice", "o_orderkey").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    within = parts.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
+        ),
+    )
+    ranked = spill_to_parquet(within, "blow_spark_grank_")
+    counts = ranked.groupBy("pid").agg(F.max("rn").alias("cnt"))
+    offs = counts.select(
+        "pid",
+        (
+            F.sum("cnt").over(
+                W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+            )
+        ).alias("off"),
+        F.sum("cnt").over(W.orderBy("pid").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)).alias("n"),
+    )
+    g = ranked.join(F.broadcast(offs), "pid").select(
+        "o_totalprice",
+        (F.col("rn") + F.coalesce("off", F.lit(0))).alias("rank"),
+        "n",
+    )
+    bucket = F.expr(f"((rank - 1) * {K}) div n")
+    return g.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_rows"),
+        F.min(F.col("o_totalprice")).cast("decimal(18,2)").cast("string").alias("lo"),
+        F.max(F.col("o_totalprice")).cast("decimal(18,2)").cast("string").alias("hi"),
+    )
+
+
 _LATERAL_TOPK_SQL = """
     SELECT c_custkey, c_name, o_orderkey, o_totalprice
     FROM customer,

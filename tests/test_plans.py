@@ -410,3 +410,12 @@ def test_bloom_prefilter_filters_before_confirm_join(spark, sf_dir):
     probe = p.index("element_at(bloom")  # a probe test expression
     confirm = p.index("BroadcastHashJoin")
     assert probe > confirm, "probe filter should be deeper in the tree than the confirm join"
+
+
+def test_global_rank_never_single_partitions_the_data(spark, sf_dir):
+    """sort_equidepth_global_rank: the data-row window is partitioned by
+    pid (parallel); the only SinglePartition exchange in the plan is the
+    per-PARTITION offsets branch (~32 rows), never the data."""
+    p = _plan(spark, sf_dir, "sort_equidepth_global_rank")
+    assert "hashpartitioning(pid" in p, p[:1500]
+    assert p.count("Exchange SinglePartition") <= 1, p[:1500]
