@@ -1294,3 +1294,57 @@ def graph_cheapest_path_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.bellman_ford(edges, sources, rounds=3).select(
         "node", F.col("cost").cast("long").alias("cost")
     )
+
+
+@register(
+    "sample_weighted_stratified",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             ROUND(
+               -ln((CAST(('0x' || substring(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 13))
+                         AS BIGINT) + 1) / 4503599627370497.0)
+               / n_chars, 9) AS k
+      FROM documents
+      WHERE n_chars > 0
+    )
+    SELECT doc_id, source, n_chars, rn AS sample_rank
+    FROM (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY k, doc_id) AS rn
+      FROM keyed
+    ) t
+    WHERE rn <= 50
+    """,
+    tags=("pipeline", "sampling", "weighted"),
+)
+def sample_weighted_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED sampling without replacement, k=50 per source stratum,
+    inclusion probability proportional to document length — the
+    "prefer long documents when building the mixture" knob
+    (``sample_stratified_exact_k`` is the uniform case). The
+    Efraimidis–Spirakis exponential race: each row draws an
+    Exp(rate = weight) key and the k SMALLEST keys win; u comes from an
+    md5 hash-uniform (the repo's no-RNG rule — deterministic,
+    task-retry-stable, identical on both engines), so the whole draw is
+    reproducible and oracle-pairable. Keys are rounded to 9 decimals
+    before ordering so a 1-ulp ln() difference between JVM and libm
+    cannot reorder the race (the module's transcendental-determinism
+    rule). One shuffle on source; the same hash-prefix prefilter as the
+    uniform sampler applies at 100 TB: P(selected) decays exponentially
+    in the key, so rows whose hash-uniform is far above ~k/|stratum|
+    quantile can be pre-filtered before the window sort."""
+    d = read_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string"))), 1, 13),
+            16, 10,
+        ).cast("long")
+        + 1
+    ) / F.lit(4503599627370497.0)
+    key = F.round(-F.log(u) / F.col("n_chars"), 9)
+    w = W.partitionBy("source").orderBy(key.asc(), F.col("doc_id"))
+    return (
+        d.select("doc_id", "source", "n_chars", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= 50)
+    )
