@@ -621,3 +621,49 @@ def similarity_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.join(true_lab, "query_id").select(
         "query_id", "true_label", F.col("label").alias("pred_label"), "votes"
     )
+
+
+@register(
+    "vector_power_iteration_step",
+    oracle="""
+    WITH qd AS (
+      SELECT vec_id, u.i AS dim,
+             CAST(ROUND(CAST(embedding[u.i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      FROM embeddings CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS i) u
+    ), wv AS (
+      SELECT vec_id, CAST(SUM(q) AS BIGINT) AS w FROM qd GROUP BY vec_id
+    )
+    SELECT CAST(dim AS INTEGER) AS dim,
+           CAST(SUM(q * w) AS BIGINT) AS y
+    FROM qd JOIN wv USING (vec_id)
+    GROUP BY dim
+    """,
+    tags=("similarity", "vector", "iterative", "linalg"),
+)
+def vector_power_iteration_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One power-iteration step toward the corpus's top principal
+    direction: y = Xᵀ(X v₀) with v₀ = 1 (the uncentered Gram matvec —
+    iterating + normalizing converges to the dominant right singular
+    vector; the driver loop checkpoints per round like ops.pagerank).
+    Never materializes the 64×64 Gram matrix, let alone N×N: the matvec
+    factors into two keyed aggregations — w_i = Σ_j x_ij (one row per
+    VECTOR), then y_j = Σ_i x_ij·w_i (one row per DIMENSION) — so the
+    shuffles carry N + 64 rows of integers while the N×64 element table
+    stays in the scan stage. Engine-exact by the repo's fixed-point rule:
+    elements quantize to round(x·1e6) BIGINT and every sum is integer
+    (order-independent — float matvec accumulation order would differ
+    between engines and across partitionings). Magnitudes: |q| ≤ 1e6 ⇒
+    |w| ≤ 64e6, |Σ q·w| ≤ N·6.4e13 — int64-safe to N ≈ 10⁵; beyond that
+    the sums switch to DECIMAL(38,0), same plan."""
+    e = read_table(spark, sf_dir, "embeddings")
+    qd = e.select("vec_id", F.posexplode("embedding").alias("pos", "x")).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.round(F.col("x").cast("double") * 1000000).cast("long").alias("q"),
+    )
+    wv = qd.groupBy("vec_id").agg(F.sum("q").alias("w"))
+    return (
+        qd.join(wv, "vec_id")
+        .groupBy("dim")
+        .agg(F.sum(F.col("q") * F.col("w")).alias("y"))
+    )

@@ -1619,3 +1619,74 @@ def streaming_session_close_timeout(spark: SparkSession, sf_dir: str) -> DataFra
     )
     sessions = session_close_on_timeout(stream.withWatermark("ts", "1 minutes"))
     return _drain(sessions, "append", "sct_out")
+
+
+@register(
+    "window_session_max_duration",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), numbered AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM marked
+    ), anchored AS (
+      SELECT *, MIN(ts) OVER (PARTITION BY user_id, session_no) AS session_start
+      FROM numbered
+    )
+    SELECT user_id,
+           CAST(session_no AS BIGINT) AS session_no,
+           CAST(date_diff('second', session_start, ts) // 7200 AS BIGINT) AS sub_id,
+           MIN(ts) AS sub_start,
+           MAX(ts) AS sub_last,
+           COUNT(*) AS n_events
+    FROM anchored
+    GROUP BY user_id, session_no, sub_id
+    """,
+    tags=("streaming", "session", "window"),
+)
+def window_session_max_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with BOTH an inactivity gap (30 min) and a maximum
+    session length (2 h): real telemetry pipelines cap sessions so one
+    always-on client can't produce an unbounded session row (unbounded
+    per-key state is the same pathology watermarks fix in streaming).
+    Gap sessions come from the classic gaps-and-islands pass; the cap
+    then sub-splits each session by floor(elapsed-since-anchor / 7200)
+    in whole-second INTEGER arithmetic — the industry-standard
+    fixed-anchor split (sub-windows don't re-anchor on each split, so
+    one window pass suffices; a re-anchoring cap would be a sequential
+    recursion needing applyInPandasWithState — that variant lives in the
+    streaming sessionizer). Three window passes over ONE partitioning
+    (user_id) — Catalyst merges them into a single Exchange (same
+    merged-pass property pinned for timeseries_interpolate_linear)."""
+    e = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lag = F.lag("ts").over(w)
+    is_new = F.when(
+        lag.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(lag) > 1800),
+        1,
+    ).otherwise(0)
+    marked = e.select("user_id", "event_id", "ts", is_new.alias("is_new"))
+    snum = F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    numbered = marked.withColumn("session_no", snum)
+    anchor = F.min("ts").over(W.partitionBy("user_id", "session_no"))
+    anchored = numbered.withColumn("session_start", anchor)
+    sub = F.expr("(unix_timestamp(ts) - unix_timestamp(session_start)) div 7200")
+    return (
+        anchored.groupBy(
+            "user_id",
+            F.col("session_no").cast("bigint").alias("session_no"),
+            sub.alias("sub_id"),
+        )
+        .agg(
+            F.min("ts").alias("sub_start"),
+            F.max("ts").alias("sub_last"),
+            F.count("*").alias("n_events"),
+        )
+    )
