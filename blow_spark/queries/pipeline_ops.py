@@ -1348,3 +1348,76 @@ def sample_weighted_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "source", "n_chars", F.row_number().over(w).alias("sample_rank"))
         .filter(F.col("sample_rank") <= 50)
     )
+
+
+_PIPE_SQL = """
+FROM lineitem
+|> WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+|> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
+|> AGGREGATE CAST(SUM(CAST(ROUND(l_quantity * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_qty_dm,
+             CAST(SUM(CAST(ROUND(disc_price * 1000000, 0) AS BIGINT)) AS BIGINT) AS sum_disc_micro,
+             COUNT(*) AS count_order
+   GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "sql_pipe_syntax_front_door",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(ROUND(l_quantity * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_qty_dm,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000, 0) AS BIGINT)) AS BIGINT) AS sum_disc_micro,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("sql", "agg", "spark4", "pipe"),
+)
+def sql_pipe_syntax_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 / ZetaSQL `|>` operators) through the
+    front door: FROM |> WHERE |> EXTEND |> AGGREGATE ... GROUP BY — the
+    linear top-to-bottom dialect that matches how pipelines read. The
+    pipe form parses to the SAME logical plan as the nested-SELECT
+    oracle (filter pushdown, two-phase aggregate — nothing about the
+    dialect changes the physical plan), pinned by the cross-engine hash
+    on fixed-point integer sums."""
+    for t in ("lineitem",):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_PIPE_SQL)
+
+
+@register(
+    "sql_parameterized_query",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM orders
+    WHERE o_totalprice BETWEEN 50000.0 AND 200000.0
+      AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    tags=("sql", "spark4", "parameterized"),
+)
+def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (spark.sql(..., args={...}) binding `:name`
+    markers) — the injection-safe front door a service layer uses;
+    parameters bind as typed literals at parse time, so constant folding
+    and pushdown see real constants (the BETWEEN bounds reach the
+    parquet reader as PushedFilters exactly like inline literals). The
+    oracle is the same query with the literals inlined."""
+    for t in ("orders",):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM orders
+        WHERE o_totalprice BETWEEN :lo AND :hi
+          AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"lo": 50000.0, "hi": 200000.0, "status": "F"},
+    )

@@ -419,3 +419,13 @@ def test_global_rank_never_single_partitions_the_data(spark, sf_dir):
     p = _plan(spark, sf_dir, "sort_equidepth_global_rank")
     assert "hashpartitioning(pid" in p, p[:1500]
     assert p.count("Exchange SinglePartition") <= 1, p[:1500]
+
+
+def test_parameterized_sql_pushes_bound_literals(spark, sf_dir):
+    """Named parameters bind at parse time, so the BETWEEN bounds reach
+    the parquet scan as PushedFilters exactly like inline literals."""
+    p = _plan(spark, sf_dir, "sql_parameterized_query")
+    pf = p[p.index("PushedFilters") :][:300]
+    # the bound :lo literal appears in the scan's pushed filters (the
+    # printed filter list truncates, so one bound is proof enough)
+    assert "GreaterThanOrEqual(o_totalprice,50000.0" in pf, pf
