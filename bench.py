@@ -81,6 +81,10 @@ HEADLINE = [
     "contamination_bloom_prefilter",
     "profile_column_summary",
     "tokenizer_bpe_merges",
+    # scalable global rank, capped sessions, Gram matvec
+    "sort_equidepth_global_rank",
+    "window_session_max_duration",
+    "vector_power_iteration_step",
 ]
 
 

@@ -429,3 +429,13 @@ def test_parameterized_sql_pushes_bound_literals(spark, sf_dir):
     # the bound :lo literal appears in the scan's pushed filters (the
     # printed filter list truncates, so one bound is proof enough)
     assert "GreaterThanOrEqual(o_totalprice,50000.0" in pf, pf
+
+
+def test_capped_sessions_reuse_one_exchange(spark, sf_dir):
+    """window_session_max_duration: the gap window (user_id), the anchor
+    window (user_id, session_no) and the final aggregate all reuse the
+    ONE hashpartitioning(user_id) exchange — subset-key distributions
+    are satisfied by the coarser partitioning, so three window passes +
+    an aggregate cost a single shuffle."""
+    p = _plan(spark, sf_dir, "window_session_max_duration")
+    assert p.count("Exchange") == 1, p[:1500]
