@@ -1070,3 +1070,90 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_containment_pairs(
         d, text_col="text", id_col="doc_id", threshold=0.6
     )
+
+
+@register(
+    "er_golden_record_parts",
+    oracle="""
+    WITH RECURSIVE names AS (
+      SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY p_name
+    ), hits AS (
+      SELECT a.name AS id_a, b.name AS id_b
+      FROM names a JOIN names b
+        ON a.name < b.name
+       AND abs(length(a.name) - length(b.name)) <= 2
+       AND levenshtein(a.name, b.name) <= 2
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM hits
+      UNION
+      SELECT id_b, id_a FROM hits
+    ), reach(node, comp) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.node
+    ), comps AS (
+      SELECT node, MIN(comp) AS comp FROM reach GROUP BY node
+    ), assigned AS (
+      SELECT n.name, n.n_parts, COALESCE(c.comp, n.name) AS cluster_key
+      FROM names n LEFT JOIN comps c ON c.node = n.name
+    ), survived AS (
+      SELECT cluster_key, name, n_parts,
+             ROW_NUMBER() OVER (PARTITION BY cluster_key
+                                ORDER BY n_parts DESC, name) AS rn
+      FROM assigned
+    )
+    SELECT a.cluster_key,
+           s.name AS canonical_name,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(SUM(a.n_parts) AS BIGINT) AS total_records
+    FROM assigned a
+    JOIN survived s ON s.cluster_key = a.cluster_key AND s.rn = 1
+    GROUP BY a.cluster_key, s.name
+    """,
+    tags=("dedup", "entity-resolution", "join", "iterative"),
+)
+def er_golden_record_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end to end — the master-data 'golden record'
+    pipeline: (1) BLOCK candidate name pairs by a length band, (2) MATCH
+    with edit distance ≤ 2, (3) CLUSTER matches with connected
+    components (string node ids), (4) SURVIVE one canonical name per
+    cluster by the most-frequent-value rule (max record count, name
+    tiebreak), with singletons kept as their own cluster. Each stage
+    reuses a proven operator (the edit-distance band join, the adaptive
+    CC, a group-limit window), composed into the capability an MDM /
+    customer-360 user actually names. Scale: blocking bounds the
+    quadratic stage exactly like the similarity joins; the cluster graph
+    is vocabulary-sized, so CC takes the single-task union-find path."""
+    names = (
+        read_table(spark, sf_dir, "part")
+        .groupBy(F.col("p_name").alias("name"))
+        .agg(F.count("*").alias("n_parts"))
+    )
+    a, b = names.alias("a"), names.alias("b")
+    hits = a.join(
+        b,
+        (F.col("a.name") < F.col("b.name"))
+        & (F.abs(F.length("a.name") - F.length("b.name")) <= 2)
+        & (F.levenshtein(F.col("a.name"), F.col("b.name")) <= 2),
+    ).select(F.col("a.name").alias("id_a"), F.col("b.name").alias("id_b"))
+    comps = dedup.connected_components(hits)
+    assigned = names.join(
+        comps.withColumnRenamed("node", "name"), "name", "left"
+    ).select(
+        "name", "n_parts", F.coalesce("comp", "name").alias("cluster_key")
+    )
+    w = W.partitionBy("cluster_key").orderBy(F.desc("n_parts"), "name")
+    survivor = (
+        assigned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster_key", F.col("name").alias("canonical_name"))
+    )
+    return (
+        assigned.join(survivor, "cluster_key")
+        .groupBy("cluster_key", "canonical_name")
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.sum("n_parts").alias("total_records"),
+        )
+    )
