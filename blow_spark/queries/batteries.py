@@ -814,3 +814,50 @@ def diag_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_keys", "n_rows", "max_mult", "p50_mult", "p99_mult",
         skew.alias("skew_factor"), "top_keys",
     )
+
+
+@register(
+    "events_anomaly_robust_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), mad AS (
+      SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type, e.value, m.med, d.mad
+    FROM events e
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    WHERE abs(e.value - m.med) > 3 * d.mad AND d.mad > 0
+    """,
+    tags=("agg", "anomaly", "robust", "percentile"),
+)
+def events_anomaly_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: median/MAD instead of mean/stddev —
+    the estimator that does NOT move when the outliers it hunts
+    contaminate the baseline (z-score's circularity;
+    ``events_anomaly_zscore`` is the classical twin). Inherently
+    two-pass: per-type exact median, then the median of absolute
+    deviations FROM that median, then the 3-MAD flag — three
+    vocabulary-sized aggregates broadcast back over one events scan
+    each. Exact interpolated medians are bit-identical across engines
+    (probed by agg_percentiles_exact), so no rounding is needed; at
+    100 TB both medians swap to the KLL sketch (agg_kll_quantile_rollup)
+    with the same plan shape."""
+    e = read_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.median(F.abs(F.col("value") - F.col("med"))).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(
+            (F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"))
+            & (F.col("mad") > 0)
+        )
+        .select("event_id", "event_type", "value", "med", "mad")
+    )
