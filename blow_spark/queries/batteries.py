@@ -861,3 +861,60 @@ def events_anomaly_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "event_type", "value", "med", "mad")
     )
+
+
+@register(
+    "agg_approx_topk_mergeable",
+    oracle="""
+    SELECT o_orderpriority AS item, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "approx", "sketch", "topk", "spark4"),
+)
+def agg_approx_topk_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed heavy hitters via Spark 4's MERGEABLE approx_top_k:
+    accumulate per partition-group, combine the states, estimate once —
+    the two-phase rollup shape that lets daily top-k states merge into
+    monthly top-k WITHOUT re-touching raw events (same architecture as
+    the KLL/HLL rollups). The sketch is EXACT whenever the true distinct
+    count fits its capacity — deliberately the case here (5 priorities,
+    k budget 10), which is what makes an approximate operator
+    oracle-pairable against plain GROUP BY counts; on a high-cardinality
+    column it degrades gracefully to top-k-with-error and would register
+    rows-only like agg_approx_sketches."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+      WITH parts AS (
+        SELECT o_orderstatus, approx_top_k_accumulate(o_orderpriority, 10) AS st
+        FROM orders GROUP BY o_orderstatus
+      ), merged AS (
+        SELECT approx_top_k_estimate(approx_top_k_combine(st), 10) AS tk FROM parts
+      )
+      SELECT item, CAST(count AS BIGINT) AS n FROM (SELECT inline(tk) FROM merged)
+    """)
+
+
+@register(
+    "agg_theta_sketch_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_distinct_est
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg", "approx", "sketch", "spark4"),
+)
+def agg_theta_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketch distinct counting (Apache DataSketches, Spark 4
+    builtin) — the mergeable sketch family that, unlike HLL, also
+    supports set OPERATIONS on the sketch states at the library level.
+    Theta is exact below its retention threshold (default 2^12 entries);
+    the 5-value priority column sits firmly in that region, so the
+    estimate equals COUNT(DISTINCT) and the sketch path is
+    oracle-checkable. High-cardinality theta behaves like
+    agg_hll_sketch_union: rows-only with bounded relative error."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("theta_sketch_estimate(theta_sketch_agg(o_orderpriority))")
+        .cast("bigint")
+        .alias("n_distinct_est")
+    )
