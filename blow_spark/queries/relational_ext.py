@@ -1862,3 +1862,49 @@ def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("vc") * 10000, 0).cast("long")) / 10000.0 / F.count("*")
         ).alias("winsorized_mean"),
     )
+
+
+@register(
+    "map_higher_order_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           'priority=' || upper(o_orderpriority) AS filtered_csv,
+           'priority=P:' || upper(o_orderpriority)
+             || ',status=S:' || upper(o_orderstatus) AS zipped_csv,
+           2 AS n_entries
+    FROM orders WHERE o_orderkey < 300
+    """,
+    tags=("scalar", "map", "hof"),
+)
+def map_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions — transform_values, map_filter,
+    map_zip_with — the map-side of the HOF surface (array HOFs live in
+    higher_order_array_funcs). Raw maps can't be hash-compared (dict
+    rendering order differs across engines' pandas bridges), so the
+    comparison projection is key-sorted ``k=v`` CSV; the oracle computes
+    the SAME strings directly from the source columns with no maps at
+    all, making it an independent check of the map algebra. HOF lambdas
+    are interpreted — fine for a bounded battery (the repo's rule
+    targets corpus-scale hot paths, functions.word_shingles docstring)."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    m = F.create_map(
+        F.lit("priority"), F.col("o_orderpriority"),
+        F.lit("status"), F.col("o_orderstatus"),
+    )
+    up = F.transform_values(m, lambda k, v: F.upper(v))
+    filt = F.map_filter(up, lambda k, v: k != F.lit("status"))
+    tags = F.create_map(F.lit("priority"), F.lit("P"), F.lit("status"), F.lit("S"))
+    zipped = F.map_zip_with(up, tags, lambda k, a, b: F.concat(b, F.lit(":"), a))
+
+    def csv(mp):
+        ents = F.transform(
+            F.map_entries(mp), lambda e: F.concat(e["key"], F.lit("="), e["value"])
+        )
+        return F.concat_ws(",", F.array_sort(ents))
+
+    return o.select(
+        "o_orderkey",
+        csv(filt).alias("filtered_csv"),
+        csv(zipped).alias("zipped_csv"),
+        F.size(zipped).alias("n_entries"),
+    )
