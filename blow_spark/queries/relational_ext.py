@@ -1908,3 +1908,76 @@ def map_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         csv(zipped).alias("zipped_csv"),
         F.size(zipped).alias("n_entries"),
     )
+
+
+@register(
+    "pivot_multi_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(ROUND(CASE WHEN l_linestatus = 'O' THEN l_quantity END * 10000, 0) AS BIGINT)) AS BIGINT) AS o_qty_dm,
+           CAST(COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT)  AS o_cnt,
+           CAST(SUM(CAST(ROUND(CASE WHEN l_linestatus = 'F' THEN l_quantity END * 10000, 0) AS BIGINT)) AS BIGINT) AS f_qty_dm,
+           CAST(COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT)  AS f_cnt
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("pivot", "agg"),
+)
+def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per pivoted value (sum + count):
+    Spark names the output columns <value>_<aggAlias>, renamed here to
+    the oracle's flat names. Catalyst rewrites the whole pivot into one
+    conditional-aggregation pass — the same single-scan plan as the
+    oracle's CASE/FILTER form, with explicit pivot values so no
+    distinct-values pre-query runs (at 100 TB the value-discovery query
+    is a full extra scan; always pass the value list)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(
+            F.sum(F.round(F.col("l_quantity") * 10000, 0).cast("long")).alias("qty_dm"),
+            F.count("l_quantity").alias("cnt"),
+        )
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("O_qty_dm").alias("o_qty_dm"),
+        F.col("O_cnt").alias("o_cnt"),
+        F.col("F_qty_dm").alias("f_qty_dm"),
+        F.col("F_cnt").alias("f_cnt"),
+    )
+
+
+@register(
+    "sql_relational_division",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    HAVING COUNT(DISTINCT o.o_orderpriority)
+           = (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)
+    """,
+    tags=("sql", "subquery", "division"),
+)
+def sql_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DIVISION — 'customers who placed orders in EVERY
+    priority class' — the classic universal-quantification query
+    textbooks express as double NOT EXISTS. Implemented as the
+    count-matching form (distinct priorities per customer == distinct
+    priorities overall): Catalyst plans it as two aggregates and a
+    scalar-subquery filter — hash-partitionable everywhere, no
+    correlated per-row re-execution — where the double-NOT-EXISTS
+    nesting is not decorrelatable into a single pass by either engine.
+    The oracle states the same division set-theoretically."""
+    for t in ("customer", "orders"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+      SELECT c.c_custkey, c.c_name
+      FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_name
+      HAVING COUNT(DISTINCT o.o_orderpriority)
+             = (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)
+    """)
