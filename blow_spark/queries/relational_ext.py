@@ -1981,3 +1981,50 @@ def sql_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
       HAVING COUNT(DISTINCT o.o_orderpriority)
              = (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)
     """)
+
+
+@register(
+    "source_file_metadata_columns",
+    oracle="""
+    SELECT CAST(doc_id % 4 AS INT) AS shard,
+           doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) - 1
+                AS BIGINT) AS row_idx
+    FROM documents
+    """,
+    tags=("source", "metadata", "sink"),
+)
+def source_file_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hidden ``_metadata`` file columns (file_path, row_index) —
+    the provenance surface incremental pipelines and debuggers rely on.
+    The staging write pins a fully deterministic PHYSICAL layout: hash-
+    repartition by shard so each Hive partition is written by exactly
+    one task, sortWithinPartitions so rows land in the file in doc_id
+    order. The query then reconstructs shard FROM THE FILE PATH (never
+    from data) and row position FROM _metadata.row_index — and the
+    oracle recomputes both from the data alone (doc_id % 4;
+    ROW_NUMBER − 1). A hash match therefore proves the writer's file
+    layout and the reader's metadata columns agree end to end — it
+    would catch a nondeterministic write order, a split file, or a
+    wrong row_index base."""
+    import tempfile
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 4).cast("int").alias("shard")
+    )
+    path = tempfile.mkdtemp(prefix="blow_spark_meta_cols_")
+    (
+        d.repartition("shard")
+        .sortWithinPartitions("shard", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).select(
+        F.regexp_extract(F.col("_metadata.file_path"), r"shard=(\d+)", 1)
+        .cast("int")
+        .alias("shard"),
+        "doc_id",
+        F.col("_metadata.row_index").alias("row_idx"),
+    )
+    return back
