@@ -1690,3 +1690,118 @@ def window_session_max_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+@register(
+    "streaming_stream_stream_full_outer",
+    oracle="""
+    WITH err AS (
+      SELECT event_id AS probe_id, user_id, ts AS ts_a FROM events
+      WHERE event_type = 'error'
+    ), clk AS (
+      SELECT event_id AS match_id, user_id AS user_b, ts AS ts_b FROM events
+      WHERE event_type = 'click'
+    ), wm AS (
+      SELECT LEAST(
+               (SELECT date_trunc('milliseconds', MAX(ts)) FROM events
+                WHERE event_type = 'error'),
+               (SELECT date_trunc('milliseconds', MAX(ts)) FROM events
+                WHERE event_type = 'click')
+             ) - INTERVAL 10 MINUTE AS w
+    ), matched AS (
+      SELECT e.probe_id, e.user_id, c.match_id, c.user_b
+      FROM err e JOIN clk c
+        ON e.user_id = c.user_b
+       AND c.ts_b >= e.ts_a AND c.ts_b <= e.ts_a + INTERVAL 5 MINUTE
+    ), left_null AS (
+      SELECT e.probe_id, e.user_id,
+             CAST(NULL AS BIGINT) AS match_id, CAST(NULL AS BIGINT) AS user_b
+      FROM err e, wm
+      WHERE NOT EXISTS (
+              SELECT 1 FROM clk c
+              WHERE c.user_b = e.user_id
+                AND c.ts_b >= e.ts_a AND c.ts_b <= e.ts_a + INTERVAL 5 MINUTE)
+        AND e.ts_a + INTERVAL 5 MINUTE < wm.w
+    ), right_null AS (
+      SELECT CAST(NULL AS BIGINT) AS probe_id, CAST(NULL AS BIGINT) AS user_id,
+             c.match_id, c.user_b
+      FROM clk c, wm
+      WHERE NOT EXISTS (
+              SELECT 1 FROM err e
+              WHERE e.user_id = c.user_b
+                AND c.ts_b >= e.ts_a AND c.ts_b <= e.ts_a + INTERVAL 5 MINUTE)
+        AND c.ts_b < wm.w
+    )
+    SELECT * FROM matched
+    UNION ALL SELECT * FROM left_null
+    UNION ALL SELECT * FROM right_null
+    """,
+    tags=("streaming", "join", "outer", "runtime"),
+)
+def streaming_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join through the real runtime — both
+    emission contracts at once. The left horizon is the one the
+    left-outer query established (a NULL-extended left emits when
+    wm > ts_a + the join's 5-minute reach). The right horizon follows
+    from the condition's bound on the OTHER side: a right row at ts_b
+    can only ever match lefts with ts_a ∈ [ts_b − 5 min, ts_b]; lefts
+    below the watermark are discarded as late, so the right row's fate
+    is sealed exactly when wm > ts_b — no reach term, because the
+    condition upper-bounds ts_a BY ts_b. (The probe run that pinned
+    this: engine emitted 1 matched + 2010 left-NULL + 2004 right-NULL
+    at sf0.01, equal to these three populations computed in batch.)
+    Same two-spacer staging as the left-outer query so the eviction
+    watermark advances and flushes both unmatched sides; state stays
+    watermark-bounded on both inputs at any scale."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from blow_spark.streaming import EVENTS_SCHEMA
+
+    e = read_table(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="blow_spark_ssfo_")
+    tmp = tempfile.mkdtemp(prefix="blow_spark_ssfo_tmp_")
+    empty = e.filter(F.col("event_id") < 0)
+    for i, part in enumerate([e, empty, empty]):
+        d = os.path.join(tmp, str(i))
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        src = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        dst = os.path.join(stage, f"batch_{i}.parquet")
+        shutil.copyfile(src, dst)
+        t = 1_700_000_000 + i * 60
+        os.utime(dst, (t, t))
+    shutil.rmtree(tmp)
+
+    def rd():
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+        )
+
+    a = (
+        rd()
+        .filter(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("probe_id"), "user_id", F.col("ts").alias("ts_a"))
+        .withWatermark("ts_a", "10 minutes")
+    )
+    b = (
+        rd()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("match_id"),
+            F.col("user_id").alias("user_b"),
+            F.col("ts").alias("ts_b"),
+        )
+        .withWatermark("ts_b", "10 minutes")
+    )
+    joined = a.join(
+        b,
+        (F.col("user_id") == F.col("user_b"))
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTE")),
+        "full_outer",
+    ).select("probe_id", "user_id", "match_id", "user_b")
+    return _drain(joined, "append", "ssfo_out")
