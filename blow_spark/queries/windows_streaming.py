@@ -1805,3 +1805,98 @@ def streaming_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> Data
         "full_outer",
     ).select("probe_id", "user_id", "match_id", "user_b")
     return _drain(joined, "append", "ssfo_out")
+
+
+@register(
+    "streaming_join_then_window",
+    oracle="""
+    WITH err AS (
+      SELECT event_id, user_id, ts AS ts_a FROM events WHERE event_type = 'error'
+    ), clk AS (
+      SELECT event_id, user_id AS user_b, ts AS ts_b FROM events
+      WHERE event_type = 'click'
+    ), wm AS (
+      SELECT LEAST(
+               (SELECT date_trunc('milliseconds', MAX(ts)) FROM events
+                WHERE event_type = 'error'),
+               (SELECT date_trunc('milliseconds', MAX(ts)) FROM events
+                WHERE event_type = 'click')
+             ) - INTERVAL 10 MINUTE AS w
+    ), matched AS (
+      SELECT e.ts_a FROM err e JOIN clk c
+        ON e.user_id = c.user_b
+       AND c.ts_b >= e.ts_a AND c.ts_b <= e.ts_a + INTERVAL 120 MINUTE
+    )
+    SELECT CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts_a) / 3600) * 3600) AS TIMESTAMP) AS window_start,
+           COUNT(*) AS n_pairs
+    FROM matched, wm
+    WHERE FLOOR(EPOCH(ts_a) / 3600) * 3600 + 3600 <= EPOCH(wm.w)
+    GROUP BY 1
+    """,
+    tags=("streaming", "join", "window", "runtime", "chained-state"),
+)
+def streaming_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query — stream-stream
+    inner join feeding a tumbling event-time aggregation (allowed since
+    SPARK-42376; for years this required two queries with an
+    intermediate sink). The join emits matches as batches arrive; the
+    downstream hourly window then holds each group until the watermark
+    passes its end (append mode), so the emitted set is: windows over
+    the MATCHED pairs with window_end <= min-input watermark — exactly
+    what the oracle states, and what the probe run reproduced (74
+    windows at sf0.01, equal to the set-theoretic computation). Both
+    states stay watermark-bounded; the join reach (120 min) bounds the
+    pairing window and the agg keeps one row per open hour."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from blow_spark.streaming import EVENTS_SCHEMA
+
+    e = read_table(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="blow_spark_chain_")
+    tmp = tempfile.mkdtemp(prefix="blow_spark_chain_tmp_")
+    empty = e.filter(F.col("event_id") < 0)
+    for i, part in enumerate([e, empty, empty]):
+        d = os.path.join(tmp, str(i))
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        src = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        dst = os.path.join(stage, f"batch_{i}.parquet")
+        shutil.copyfile(src, dst)
+        t = 1_700_000_000 + i * 60
+        os.utime(dst, (t, t))
+    shutil.rmtree(tmp)
+
+    def rd():
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+        )
+
+    a = (
+        rd()
+        .filter(F.col("event_type") == "error")
+        .select("user_id", F.col("ts").alias("ts_a"))
+        .withWatermark("ts_a", "10 minutes")
+    )
+    b = (
+        rd()
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("user_b"), F.col("ts").alias("ts_b"))
+        .withWatermark("ts_b", "10 minutes")
+    )
+    joined = a.join(
+        b,
+        (F.col("user_id") == F.col("user_b"))
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 120 MINUTE")),
+        "inner",
+    )
+    agg = (
+        joined.groupBy(F.window("ts_a", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_pairs"))
+        .select(F.col("w.start").alias("window_start"), "n_pairs")
+    )
+    return _drain(agg, "append", "chain_out")
