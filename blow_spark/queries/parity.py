@@ -455,3 +455,64 @@ def udf_sql_declared(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@register(
+    "udtf_table_argument",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id
+    """,
+    tags=("udf", "udtf", "spark4", "table-argument"),
+)
+def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF taking a TABLE argument with PARTITION BY / ORDER BY
+    (Spark 4) — the 'process each group as an ordered stream' contract
+    the reference's NetworkMapper could only approximate with key
+    affinity (maps/dispatch.go keyed dispatch): here the engine
+    guarantees one UDTF instance per user_id partition fed rows in
+    (ts, event_id) order, and the UDTF keeps sequential state (previous
+    timestamp) that a plain scalar UDF cannot. Gap arithmetic is exact
+    integer microseconds from timedelta fields on the Python side and
+    epoch_us() on the oracle side — no float epoch conversions. The
+    same computation is window-expressible (and the oracle does exactly
+    that); the query pins the UDTF execution contract, not the math."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id: bigint, max_gap_us: bigint, n_events: bigint")
+    class MaxGap:
+        def __init__(self):
+            self._prev = None
+            self._user = None
+            self._max = None
+            self._n = 0
+
+        def eval(self, row):
+            self._user = row["user_id"]
+            self._n += 1
+            if self._prev is not None:
+                d = row["ts"] - self._prev
+                gap = (d.days * 86_400_000_000 + d.seconds * 1_000_000
+                       + d.microseconds)
+                if self._max is None or gap > self._max:
+                    self._max = gap
+            self._prev = row["ts"]
+
+        def terminate(self):
+            if self._user is not None:
+                yield self._user, self._max, self._n
+
+    spark.udtf.register("bs_max_gap", MaxGap)
+    read_table(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql(
+        "SELECT * FROM bs_max_gap(TABLE(events_v) "
+        "PARTITION BY user_id ORDER BY (ts, event_id))"
+    )
