@@ -624,3 +624,48 @@ def zorder_write(df: DataFrame, path: str, x_col: str, y_col: str, bits: int = 1
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction — the table-maintenance operator every
+    long-lived lake needs: streaming sinks, MERGE rewrites and
+    per-trigger appends accumulate files far below the scan-efficient
+    size, and at 100 TB an over-fragmented table turns every query's
+    planning (file listing, footer reads) and scan (task-per-file
+    scheduling) into the bottleneck. Reads the table, repartitions to
+    ceil(total_bytes / target_file_bytes) output files, writes to a
+    sibling staging directory and promotes it with the same two-rename
+    Hadoop-FS swap as ``merge_into_parquet`` (``.old`` retained until
+    the new generation is in place; a failed promote restores it) — so
+    any supported URI works and a crash never loses a generation.
+    Returns the number of output partitions. Size accounting uses the
+    FileSystem's content summary, not a Spark job — no data pass beyond
+    the one rewrite."""
+    import math
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    tgt_p = hpath(path)
+    fs = tgt_p.getFileSystem(hconf)
+    total = fs.getContentSummary(tgt_p).getLength()
+    n_out = max(1, math.ceil(total / target_file_bytes))
+
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + ".staging"
+    old = path.rstrip("/") + ".old"
+    df.repartition(n_out).write.mode("overwrite").parquet(staging)
+
+    stg_p, old_p = hpath(staging), hpath(old)
+    fs.delete(old_p, True)
+    if not fs.rename(tgt_p, old_p):
+        raise IOError(f"compact swap: could not retire current table {path}")
+    if not fs.rename(stg_p, tgt_p):
+        fs.rename(old_p, tgt_p)  # restore the previous generation
+        raise IOError(f"compact swap: could not promote staging into {path}")
+    fs.delete(old_p, True)
+    return n_out

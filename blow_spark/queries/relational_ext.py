@@ -2028,3 +2028,20 @@ def source_file_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_metadata.row_index").alias("row_idx"),
     )
     return back
+
+
+@register("sink_compact_small_files", oracle=_ROUNDTRIP_ORACLE, tags=("sink", "maintenance"))
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction under the oracle gate: fragment the
+    roundtrip frame into 16 tiny files, run ops.compact_parquet (atomic
+    two-rename swap), read the compacted table back. The oracle checks
+    content is bit-identical through the rewrite; the file-count
+    collapse and crash-safety are pinned in tests/test_pipeline_ops.py."""
+    import tempfile
+
+    from blow_spark import ops
+
+    path = tempfile.mkdtemp(prefix="blow_spark_compact_")
+    _roundtrip_frame(spark, sf_dir).repartition(16).write.mode("overwrite").parquet(path)
+    ops.compact_parquet(spark, path)
+    return spark.read.parquet(path)

@@ -164,3 +164,26 @@ def test_merge_into_parquet_rejected_merge_leaves_target_intact(spark, tmp_path)
         ops.merge_into_parquet(spark, path, dup, ["k"], delete_col="dead")
     post = sorted((r["k"], r["v"]) for r in spark.read.parquet(path).collect())
     assert pre == post
+
+
+def test_compact_parquet_collapses_files_preserves_content(spark, tmp_path):
+    """16 fragment files -> 1 output file (tiny table, 128 MB target),
+    content multiset unchanged, and no staging/old residue remains."""
+    import os
+
+    from blow_spark import ops
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).selectExpr("id", "id % 7 AS g")
+    df.repartition(16).write.mode("overwrite").parquet(path)
+    before = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    n_files_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_files_before == 16
+
+    n_out = ops.compact_parquet(spark, path)
+    assert n_out == 1
+    after_files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(after_files) == 1
+    assert sorted(r["id"] for r in spark.read.parquet(path).collect()) == before
+    assert not os.path.exists(path + ".staging")
+    assert not os.path.exists(path + ".old")
