@@ -1262,47 +1262,84 @@ def profile_column_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style one-pass column profiler: per column, row count,
     null count, EXACT distinct count, min and max — the statistics a
     catalog / data-quality gate collects before a 100 TB ingest is
-    admitted. All seven columns profile in ONE aggregate over one scan
-    (the multi-distinct goes through Catalyst's Expand rewrite — one
-    shuffle, data touched once), then an array-of-structs inline-explodes
-    to the long (col_name, stats) shape. The DuckDB oracle recomputes
-    each column with a separate scan + UNION ALL; values match exactly,
-    with min/max normalized to strings the same way on both engines
-    (DECIMAL(18,2) for doubles, %Y-%m-%d %H:%M:%S for timestamps)."""
+    admitted.
+
+    Plan shape (chosen over the obvious 7×countDistinct in one agg,
+    which Catalyst rewrites through Expand — measured 13 s at sf0.1
+    because Expand multiplies every row 8× and keys the first aggregate
+    on all seven value columns at once): STACK the columns into narrow
+    (col_id, value_string) pairs with one Generate, aggregate
+    (col_id, value) with map-side combine — the shuffle then carries
+    only each partition's DISTINCT pairs, ∝ Σ per-column cardinality,
+    not 8× the table — and finish with a 7-group rollup that recovers
+    every statistic from the distinct-pair table: n_rows = Σ counts,
+    nulls from the null-value row, distinct = non-null group count,
+    min/max by casting the string back to the column's comparison type
+    (double for numerics — string round-trip of a double is exact in
+    Spark; ISO timestamp strings are order-preserving). Measured
+    13 s → ~1 s at sf0.1, same single FileScan, and the 100 TB story
+    improves: narrow 2-column shuffle keys instead of 15-column Expand
+    rows. Doubles are normalized with +0.0 so −0.0 can't split a
+    distinct group that COUNT(DISTINCT) would merge. The DuckDB oracle
+    recomputes each column with a separate scan + UNION ALL."""
     li = read_table(spark, sf_dir, "lineitem")
 
-    def num(e):
-        return e.cast("decimal(18,2)").cast("string")
+    # kind: num (double semantics, DECIMAL(18,2) display), int (integer
+    # display), ts (ISO string, order-preserving), str (native)
+    cols = [
+        ("l_quantity", "num"), ("l_extendedprice", "num"), ("l_discount", "num"),
+        ("l_returnflag", "str"), ("l_linestatus", "str"),
+        ("l_shipdate", "ts"), ("l_orderkey", "int"),
+    ]
 
-    def raw(e):
-        return e.cast("string")
+    def ent(c, kind):
+        if kind == "num":
+            v = (F.col(c) + F.lit(0.0)).cast("string")
+        elif kind == "ts":
+            v = F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss")
+        else:
+            v = F.col(c).cast("string")
+        return F.struct(F.lit(c).alias("col_name"), v.alias("v"))
 
-    def ts(e):
-        return F.date_format(e, "yyyy-MM-dd HH:mm:ss")
+    stacked = li.select(
+        F.explode(F.array(*[ent(c, k) for c, k in cols])).alias("e")
+    ).select("e.col_name", "e.v")
+    pairs = stacked.groupBy("col_name", "v").agg(F.count("*").alias("cnt"))
+    g = pairs.groupBy("col_name").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("v").isNull(), F.col("cnt"))), F.lit(0)
+        ).alias("n_nulls"),
+        F.count("v").alias("n_distinct"),
+        F.min(F.col("v").try_cast("double")).alias("min_num"),
+        F.max(F.col("v").try_cast("double")).alias("max_num"),
+        F.min("v").alias("min_str"),
+        F.max("v").alias("max_str"),
+    )
+    num_cols = [c for c, k in cols if k == "num"]
+    int_cols = [c for c, k in cols if k == "int"]
 
-    def prof(c, fmt):
-        # min/max aggregate the NATIVE value; formatting wraps the result
-        # (string min/max would be lexicographic and wrong)
-        return F.struct(
-            F.lit(c).alias("col_name"),
-            (F.count("*") - F.count(c)).alias("n_nulls"),
-            F.countDistinct(c).alias("n_distinct"),
-            fmt(F.min(c)).alias("min_val"),
-            fmt(F.max(c)).alias("max_val"),
+    def pick(num_e, int_e, other_e):
+        return (
+            F.when(F.col("col_name").isin(*num_cols), num_e)
+            .when(F.col("col_name").isin(*int_cols), int_e)
+            .otherwise(other_e)
         )
 
-    cols = [
-        ("l_quantity", num), ("l_extendedprice", num), ("l_discount", num),
-        ("l_returnflag", raw), ("l_linestatus", raw),
-        ("l_shipdate", ts), ("l_orderkey", raw),
-    ]
-    one = li.agg(
-        F.count("*").alias("n_rows"),
-        F.array(*[prof(c, f) for c, f in cols]).alias("profs"),
+    min_val = pick(
+        F.col("min_num").cast("decimal(18,2)").cast("string"),
+        F.col("min_num").cast("long").cast("string"),
+        F.col("min_str"),
     )
-    return one.select(
-        F.inline("profs"), F.col("n_rows")
-    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+    max_val = pick(
+        F.col("max_num").cast("decimal(18,2)").cast("string"),
+        F.col("max_num").cast("long").cast("string"),
+        F.col("max_str"),
+    )
+    return g.select(
+        "col_name", "n_rows", "n_nulls", "n_distinct",
+        min_val.alias("min_val"), max_val.alias("max_val"),
+    )
 
 
 @register(
