@@ -339,8 +339,14 @@ def ngram_containment_pairs(
     contained in a 1000-shingle doc has J ≈ 0.1 but containment 1.0.
     The standard second pass of a training-corpus dedup after Jaccard.
     Same rare-shingle blocking and spilled hash-set verify as
-    ngram_jaccard_pairs (a contained pair shares ALL of the smaller
-    doc's shingles, so blocking recall is the same argument); output is
+    ngram_jaccard_pairs. RECALL CAVEAT (round-3 advice): the "contained
+    pair shares ALL of the smaller doc's shingles" argument makes
+    blocking lossless only at containment 1.0; at partial thresholds
+    (the 0.6-0.8 defaults) a qualifying pair whose shared shingles ALL
+    exceed max_shingle_freq is missed — the same known trade as
+    ngram_jaccard_pairs. For a lossless candidate rule at the threshold
+    use jaccard_prefix_filter_pairs (the prefix-filter generalizes to
+    containment but is not implemented for it here). Output is
     (id_a < id_b, containment, direction) where direction says which
     side is the contained one ('a', 'b', or 'both' on ties)."""
     shingles = word_shingles(F.col(text_col), shingle_n)
@@ -672,9 +678,16 @@ def jaccard_prefix_filter_pairs(
     )
     freq = exploded.groupBy("g").agg(F.count("*").alias("df_"))
     win = W.partitionBy("doc").orderBy("df_", "g")
+    # Exact rational ceil(t*s), never IEEE: float ceil(0.55*100) gives 56
+    # (0.55*100 = 55.000000000000007) — one shingle too short a prefix,
+    # silently dropping qualifying pairs and breaking the lossless
+    # guarantee (round-3 advice). Scale the threshold to integer
+    # micro-units and ceil in pure bigint arithmetic instead.
+    t_micro = round(float(threshold) * 1_000_000)
+    ceil_ts = F.expr(f"(CAST({t_micro} AS BIGINT) * n_sh + 999999) div 1000000")
     ranked = exploded.join(freq, "g").select(
         "doc", "g", F.row_number().over(win).alias("rn"),
-        (F.col("n_sh") - F.ceil(F.lit(float(threshold)) * F.col("n_sh")) + 1).alias("plen"),
+        (F.col("n_sh") - ceil_ts + 1).alias("plen"),
     )
     prefix = ranked.filter(F.col("rn") <= F.col("plen")).select("doc", "g")
     l, r = prefix.alias("l"), prefix.alias("r")

@@ -1161,9 +1161,13 @@ def streaming_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> Data
 )
 def streaming_cdc_merge_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming CDC upsert pipeline END-TO-END under the oracle
-    gate: a time-ordered changelog (events sorted by (ts, event_id),
-    split into one base snapshot + three staged micro-batch files with
-    increasing mtimes) flows through a real readStream →
+    gate: a time-ordered changelog (events split into one base snapshot
+    + three staged micro-batch files with increasing mtimes, chunked on
+    approx-quantile TIME boundaries — a 3-float driver pass + map-side
+    CASE, no global window anywhere in the harness since round 4; the
+    merge contract only needs every row of chunk i to precede every row
+    of chunk i+1 in event time, which boundary-split guarantees for any
+    boundary choice) flows through a real readStream →
     Trigger.AvailableNow → foreachBatch loop, where every micro-batch is
     compacted to its per-user latest row and MERGEd into a parquet
     target via ops.merge_into_parquet (copy-on-write full-outer join,
@@ -1186,10 +1190,21 @@ def streaming_cdc_merge_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFr
     ev = read_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
-    w_ord = W.orderBy("ts", "event_id")
-    numbered = ev.withColumn("rn", F.row_number().over(w_ord))
-    n = numbered.count()
-    step = n // 4 + 1
+    # Chunk on event-time quantile boundaries: assignment depends only on
+    # ts, so every chunk-i row precedes every chunk-(i+1) row in time —
+    # the only property the sequential-merge contract needs. Boundaries
+    # come from approxQuantile (3 doubles to the driver); rows landing
+    # exactly on a boundary all go to the earlier chunk, preserving the
+    # ordering invariant regardless of ties.
+    mic = ev.withColumn("tsm", F.unix_micros("ts"))
+    b1, b2, b3 = mic.stat.approxQuantile("tsm", [0.25, 0.5, 0.75], 0.01)
+    numbered = mic.withColumn(
+        "chunk",
+        F.when(F.col("tsm") <= b1, 0)
+        .when(F.col("tsm") <= b2, 1)
+        .when(F.col("tsm") <= b3, 2)
+        .otherwise(3),
+    ).drop("tsm")
 
     def latest_per_user(df):
         w_k = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
@@ -1207,12 +1222,10 @@ def streaming_cdc_merge_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFr
     # chunk 0 → initial target snapshot; chunks 1-3 → staged stream files
     # with strictly increasing mtimes (the file source replays in mtime
     # order — same rig as the streaming tests' events fixture)
-    chunk0 = numbered.filter(F.col("rn") <= step).drop("rn")
+    chunk0 = numbered.filter(F.col("chunk") == 0).drop("chunk")
     latest_per_user(chunk0).write.mode("overwrite").parquet(target)
     for i in range(1, 4):
-        chunk = numbered.filter(
-            (F.col("rn") > i * step) & (F.col("rn") <= (i + 1) * step)
-        ).drop("rn")
+        chunk = numbered.filter(F.col("chunk") == i).drop("chunk")
         chunk.coalesce(1).write.mode("append").parquet(stage)
         _time.sleep(0.4)
 
@@ -1667,9 +1680,15 @@ def window_session_max_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     lag = F.lag("ts").over(w)
+    # µs-exact gap test (unix_micros), matching the oracle's
+    # `ts - LAG(ts) > INTERVAL 30 MINUTE` exactly: a second-truncated
+    # unix_timestamp diff would silently merge any true gap in
+    # (1800 s, 1801 s) whose floor-difference is 1800 (round-3 advice) —
+    # and µs-exact is also what session_window and the streaming
+    # sessionizer already use.
     is_new = F.when(
         lag.isNull()
-        | (F.unix_timestamp("ts") - F.unix_timestamp(lag) > 1800),
+        | (F.unix_micros("ts") - F.unix_micros(lag) > 1800 * 1_000_000),
         1,
     ).otherwise(0)
     marked = e.select("user_id", "event_id", "ts", is_new.alias("is_new"))

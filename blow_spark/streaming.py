@@ -351,7 +351,13 @@ def _session_close_fn(
                 closed.append((s, l, n))
                 s, l, n = t, t, 1
             else:
-                l, n = t, n + 1
+                # Fold with min/max, not assignment: an out-of-order
+                # event WITHIN the watermark (arriving a batch after a
+                # later-ts event — explicitly allowed by watermark
+                # semantics) must extend the session backwards, never
+                # move `last` backwards and shorten the timeout
+                # (round-3 advice).
+                s, l, n = min(s, t), max(l, t), n + 1
         if s is not None:
             state.update((int(s), int(l), int(n)))
             # event-time timeout: fires once the watermark passes this
