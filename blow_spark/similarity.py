@@ -656,12 +656,21 @@ def ivf_topk(
     return rescored.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
 
 
+#: Hard cap on the driver-materialized query side of
+#: brute_force_topk_vectorized. 100k × 128-dim float64 ≈ 100 MB on the
+#: driver and in every executor's closure — the honest ceiling of the
+#: "broadcast the query matrix" design. Larger query sets must use the
+#: symmetric distributed paths instead.
+MAX_BROADCAST_QUERY_ROWS = 100_000
+
+
 def brute_force_topk_vectorized(
     queries_df: DataFrame,
     corpus_df: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int = MAX_BROADCAST_QUERY_ROWS,
 ) -> DataFrame:
     """Vectorized exact top-k: the query matrix broadcasts to every
     executor once (Python closure → one copy per worker), each corpus
@@ -677,13 +686,30 @@ def brute_force_topk_vectorized(
     the catalog (it was rows-only while it summed floats, whose
     pairwise-summation order differed by ulps). The per-batch cut sorts
     by (−cos, neighbor_id), matching the final window's tie-break, so
-    pruning can never drop a tie the global ranking would keep."""
+    pruning can never drop a tie the global ranking would keep.
+
+    The query side is DRIVER-MATERIALIZED by design (it becomes the
+    broadcast matrix), so it is explicitly bounded: above
+    ``max_query_rows`` the call fails fast with a routing message
+    instead of silently OOMing the driver (round-3 verdict item #4).
+    The bound check scans at most ``max_query_rows + 1`` rows (limit
+    pushdown), not the whole query table."""
     import numpy as np
     import pandas as pd
 
     from blow_spark.shipping import ensure_package_shipped
 
     ensure_package_shipped(corpus_df.sparkSession)
+    n_q = queries_df.limit(max_query_rows + 1).count()
+    if n_q > max_query_rows:
+        raise ValueError(
+            f"brute_force_topk_vectorized: queries_df has more than "
+            f"{max_query_rows} rows; the query side is broadcast to every "
+            f"executor and driver-materialized, so it must stay small. For "
+            f"a large query set use the symmetric distributed paths: "
+            f"brute_force_topk (expression-fold join), ivf_topk (bucketed "
+            f"probe join) or srp_lsh_topk (band join)."
+        )
     q_pdf = queries_df.select(id_col, vec_col).toPandas()
     q_ids = q_pdf[id_col].to_numpy()
     q_mat = np.array(q_pdf[vec_col].tolist(), dtype=np.float64)

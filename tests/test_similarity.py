@@ -196,3 +196,26 @@ def test_lsh_auto_bits_finds_planted_near_dups(spark):
     }
     hits = sum(1 for i in range(40) if got.get(i) == i + 1000)
     assert hits >= 38, f"only {hits}/40 planted near-dups found"
+
+
+def test_vectorized_topk_query_cap_fails_fast(spark, emb):
+    """The driver-materialized query side is bounded: an oversized
+    queries_df must raise the routing error BEFORE any toPandas, and a
+    10^6-row query set must never silently reach the driver (round-3
+    verdict item #4). The default cap routes a million-row set to the
+    error; a small explicit cap exercises the message cheaply."""
+    big = spark.range(1_000_000).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="brute_force_topk"):
+        similarity.brute_force_topk_vectorized(big, emb, k=3)
+    with pytest.raises(ValueError, match="ivf_topk"):
+        similarity.brute_force_topk_vectorized(
+            emb.limit(11), emb, k=3, max_query_rows=10
+        )
+    # at/under the cap the call still works end-to-end
+    out = similarity.brute_force_topk_vectorized(
+        emb.filter(F.col("vec_id") < 3), emb, k=2, max_query_rows=10
+    )
+    assert out.count() == 6
