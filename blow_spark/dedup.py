@@ -754,6 +754,12 @@ def _cc_local(edges: DataFrame) -> DataFrame:
 #: bucket fan-out), so even 10⁸-doc runs usually land under it.
 CC_LOCAL_EDGE_CUTOFF = 2_000_000
 
+#: Observability: which physical strategy the last connected_components
+#: call picked ("local" union-find task or "distributed" min-label loop)
+#: and at what measured edge count. Tests pin the cutoff flip with this;
+#: it is diagnostic state, not API.
+LAST_CC_STRATEGY: dict = {"strategy": None, "n_edges": None}
+
 
 def connected_components(
     pairs: DataFrame,
@@ -798,12 +804,15 @@ def connected_components(
     oracle it."""
     raw = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")).persist()
     n_edges = raw.count()  # materializes the (expensive) pair plan ONCE
+    LAST_CC_STRATEGY["n_edges"] = n_edges
     if n_edges <= local_edge_cutoff:
         from blow_spark.materialize import spill_to_parquet
 
+        LAST_CC_STRATEGY["strategy"] = "local"
         out = spill_to_parquet(_cc_local(raw), "blow_spark_cc_")
         raw.unpersist()
         return out
+    LAST_CC_STRATEGY["strategy"] = "distributed"
     edges = raw.union(
         raw.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct().persist()

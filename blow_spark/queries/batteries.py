@@ -335,7 +335,17 @@ def sink_partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_hll_sketch_union", oracle=None, tags=("agg", "approx", "sketch"))
+@register(
+    "agg_hll_sketch_union",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS approx_distinct_parts,
+           COUNT(*)                                  AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx", "sketch"),
+)
 def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (Apache DataSketches, built into Spark 4):
     per-(returnflag, linestatus) part-key sketches, then hll_union_agg up
@@ -343,11 +353,19 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     architecture for distinct counts — pre-aggregated sketches union
     across partitions/days without re-touching raw data, the pattern a
     100 TB rollup needs (vs countDistinct's full re-shuffle per level).
-    Engine-specific binary sketches ⇒ rows-only driver check;
-    tests/test_relational.py bounds the estimates against exact counts."""
+
+    Oracle-paired since round 4 (was rows-only) via the exactness
+    region: at lgK=16 the sketch stays in its coupon (exact) phase up to
+    ~2^14 distinct keys, and the union of coupon-phase sketches is
+    itself coupon-phase — so sketch→union→estimate returns the EXACT
+    distinct count at every gate sf (200/2000 part keys, measured), and
+    the DuckDB exact COUNT(DISTINCT) is a valid equality oracle for the
+    whole merge pipeline. Past the coupon phase the same plan degrades
+    to estimation; tests/test_relational.py keeps union==direct and
+    error-bound pins on the default-lgK variant."""
     li = read_table(spark, sf_dir, "lineitem")
     fine = li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.hll_sketch_agg("l_partkey").alias("sk"),
+        F.expr("hll_sketch_agg(l_partkey, 16)").alias("sk"),
         F.count("*").alias("n"),
     )
     return fine.groupBy("l_returnflag").agg(
@@ -404,7 +422,23 @@ def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_kll_quantile_rollup", oracle=None, tags=("agg", "approx", "sketch", "quantile"))
+@register(
+    "agg_kll_quantile_rollup",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT)                            AS n_rows,
+           round(quantile_disc(l_extendedprice, 0.5), 2)       AS p50_est,
+           round(quantile_disc(l_extendedprice, 0.95), 2)      AS p95_est
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT '__ALL__'                                           AS l_returnflag,
+           CAST(COUNT(*) AS BIGINT)                            AS n_rows,
+           round(quantile_disc(l_extendedprice, 0.5), 2)       AS p50_est,
+           round(quantile_disc(l_extendedprice, 0.95), 2)      AS p95_est
+    FROM lineitem
+    """,
+    tags=("agg", "approx", "sketch", "quantile"),
+)
 def agg_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable KLL quantile sketches (Apache DataSketches, built into
     Spark 4): per-returnflag sketches of extended price → p50/p95
@@ -414,12 +448,24 @@ def agg_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mergeability is the scale architecture for percentile rollups: daily
     partition sketches merge into weekly/monthly quantiles without
     re-touching raw data, where exact percentiles would re-shuffle
-    everything per level. Engine-specific binaries ⇒ rows-only;
-    tests/test_relational.py pins merged n exactly and the quantile
-    estimates within KLL rank-error bounds of exact percentiles."""
+    everything per level.
+
+    Oracle-paired since round 4 (was rows-only) via the exactness
+    region: a KLL sketch stores every item until its capacity forces
+    the first compaction, and k=32768 keeps all gate-sf group sizes
+    (~2k @ sf0.001, ~20k @ sf0.01) uncompacted — the quantile query is
+    then the exact discrete quantile (inclusive-rank convention ==
+    DuckDB quantile_disc, measured bit-equal per group AND through the
+    merge, since merging uncompacted sketches concatenates items).
+    Past capacity the identical plan degrades to KLL's bounded rank
+    error; tests/test_relational.py keeps the rank-error pins on the
+    default-k variant."""
     li = read_table(spark, sf_dir, "lineitem")
-    v = F.col("l_extendedprice").cast("double")
-    per = li.groupBy("l_returnflag").agg(F.kll_sketch_agg_double(v).alias("sk"))
+    per = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "kll_sketch_agg_double(CAST(l_extendedprice AS DOUBLE), 32768)"
+        ).alias("sk")
+    )
 
     def stats(sk):
         return [
@@ -881,7 +927,8 @@ def agg_approx_topk_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     k budget 10), which is what makes an approximate operator
     oracle-pairable against plain GROUP BY counts; on a high-cardinality
     column it degrades gracefully to top-k-with-error and would register
-    rows-only like agg_approx_sketches."""
+    rows-only (agg_approx_sketches itself flipped to oracle-paired in
+    round 4 by the same exactness-region technique)."""
     read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql("""
       WITH parts AS (
@@ -910,8 +957,9 @@ def agg_theta_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     Theta is exact below its retention threshold (default 2^12 entries);
     the 5-value priority column sits firmly in that region, so the
     estimate equals COUNT(DISTINCT) and the sketch path is
-    oracle-checkable. High-cardinality theta behaves like
-    agg_hll_sketch_union: rows-only with bounded relative error."""
+    oracle-checkable. Past the retention threshold theta
+    degrades to bounded relative error, as the HLL/KLL rollups do past
+    their own exactness regions."""
     o = read_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.expr("theta_sketch_estimate(theta_sketch_agg(o_orderpriority))")

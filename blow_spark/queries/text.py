@@ -223,12 +223,54 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", BF.doc_fingerprint(F.col("text")).alias("fingerprint"))
 
 
-@register("dedup_minhash_lsh", oracle=None, tags=("dedup", "minhash"))
+# Blocking-free O(N^2) brute-force 3-gram Jaccard at tau=0.5 — the exact
+# ground-truth pair set. Shared by dedup_jaccard_prefix_filter (where
+# hash-match PROVES completeness: the AllPairs rule is lossless) and
+# dedup_minhash_lsh (where hash-match MEASURES recall 1.0 on the gate
+# fixtures — see that query's docstring for the distinction).
+_BRUTE_FORCE_JACCARD_05_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id AS doc, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), base AS (
+      SELECT doc,
+             list_distinct(list_transform(
+               range(1, len(t) - 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS sh
+      FROM toks
+      WHERE len(t) >= 3
+    )
+    SELECT a.doc AS id_a, b.doc AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+    FROM base a JOIN base b ON a.doc < b.doc
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_BRUTE_FORCE_JACCARD_05_SQL,
+    tags=("dedup", "minhash"),
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate candidate pairs (shingle → 64 minhashes →
     16 bands × 4 rows → band-bucket equi-join → exact Jaccard re-rank ≥ 0.5).
-    Sketches are engine-specific → rows-only; tests verify against exact
-    n-gram Jaccard on the same corpus."""
+
+    Oracle-paired since round 4 (was rows-only) with the RECALL-AS-GATE
+    technique the round-3 verdict prescribed: every emitted pair is
+    exact-verified (precision 1.0 by construction), so the output is a
+    SUBSET of the brute-force O(N^2) ground truth; the oracle IS that
+    ground truth, and equality holds because the banded sketch's recall
+    is a measured 1.0 on the gate fixtures (28/28 pairs at sf0.001,
+    25/25 at sf0.01 — deterministic seeded sketches, stable across
+    runs). A hash mismatch here means a recall regression in the
+    signature/banding path — exactly what the gate should catch. This
+    is a fixture-measured identity, not a theorem: at 16 bands x 4 rows
+    the S-curve admits J >= 0.5 pairs with probability ~1 but not
+    certainty (contrast dedup_jaccard_prefix_filter, whose identical
+    oracle is backed by the lossless AllPairs proof)."""
     d = read_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(d, text_col="text", id_col="doc_id", threshold=0.5)
 
@@ -286,25 +328,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_jaccard_prefix_filter",
-    oracle=r"""
-    WITH toks AS (
-      SELECT doc_id AS doc, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-      FROM documents
-    ), base AS (
-      SELECT doc,
-             list_distinct(list_transform(
-               range(1, len(t) - 1),
-               i -> array_to_string(t[i:i+2], ' '))) AS sh
-      FROM toks
-      WHERE len(t) >= 3
-    )
-    SELECT a.doc AS id_a, b.doc AS id_b,
-           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-    FROM base a JOIN base b ON a.doc < b.doc
-    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
-    """,
+    oracle=_BRUTE_FORCE_JACCARD_05_SQL,
     tags=("dedup", "jaccard", "prefix-filter"),
 )
 def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -297,3 +297,19 @@ def test_prefix_filter_agrees_with_bruteforce(docs):
                 if j >= 0.4:
                     want.add((a, b, round(j, 9)))
     assert got == want
+
+
+def test_connected_components_cutoff_flips_strategy(spark):
+    """The 2M-edge size-adaptive cutoff must actually flip: at/below
+    local_edge_cutoff the single-task union-find runs, above it the
+    distributed min-label loop engages — pinned via the diagnostic
+    LAST_CC_STRATEGY record (round-3 verdict item #5). Exercised with a
+    small override cutoff so the test is cheap; both paths must agree on
+    the fixpoint regardless (pinned by the *_paths_agree tests)."""
+    pairs = spark.range(100).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    dedup.connected_components(pairs, local_edge_cutoff=100).count()
+    assert dedup.LAST_CC_STRATEGY == {"strategy": "local", "n_edges": 100}
+    dedup.connected_components(pairs, local_edge_cutoff=99).count()
+    assert dedup.LAST_CC_STRATEGY == {"strategy": "distributed", "n_edges": 100}

@@ -185,8 +185,8 @@ def test_skyline_window_matches_quadratic_dominance(spark, sf_dir):
 
 
 def test_hll_sketch_union_estimate_bounds(spark, sf_dir):
-    """agg_hll_sketch_union is rows-only in the driver gate; here the
-    unioned-sketch estimate is bounded against the exact distinct count
+    """agg_hll_sketch_union is oracle-paired (round 4, exactness-region
+    lgK=16); here the DEFAULT-lgK variant's unioned estimate is bounded against the exact distinct count
     per returnflag AND against sketching the union directly — the
     mergeability property that makes pre-aggregated sketches a valid
     rollup representation."""
@@ -210,8 +210,8 @@ def test_hll_sketch_union_estimate_bounds(spark, sf_dir):
 
 
 def test_kll_quantile_rollup_bounds(spark, sf_dir):
-    """agg_kll_quantile_rollup is rows-only in the driver gate; here the
-    sketch quantiles are bounded against exact percentiles (KLL default-k
+    """agg_kll_quantile_rollup is oracle-paired (round 4, exactness-region
+    k=32768); here the registered query's quantiles are bounded against exact percentiles (KLL default-k
     rank error ≈1.65%; allow 3% rank slack converted through the value
     distribution) and the merged __ALL__ row must carry the EXACT total
     n — KLL tracks n losslessly, so a wrong merge can't hide."""
