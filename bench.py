@@ -85,6 +85,12 @@ HEADLINE = [
     "sort_equidepth_global_rank",
     "window_session_max_duration",
     "vector_power_iteration_step",
+    # round 4 additions: the two de-serialized global-window rewrites
+    # (regression-guard their two-phase rank plans) and the persistent-
+    # index incremental dedup path
+    "curriculum_length_buckets",
+    "tokenizer_vocab_build",
+    "dedup_incremental_minhash",
 ]
 
 

@@ -73,7 +73,16 @@ def test_kafka_reader_contract(spark):
 def test_kafka_load_gated(spark):
     """Load succeeds only with the spark-sql-kafka connector on the
     classpath; this container lacks it — assert the gate trips cleanly
-    (DATA_SOURCE_NOT_FOUND), or exercise the stream when present."""
+    (DATA_SOURCE_NOT_FOUND), or exercise the stream when present.
+
+    CLOSED as permanently env-gated (round 4): a live `--packages`
+    resolution of spark-sql-kafka-0-10_2.13:4.1.2 was attempted and the
+    sandbox has no network route to Maven Central (DNS resolution fails;
+    ivy reports `unresolved dependency ... not found` and the JVM
+    gateway aborts). No connector jar exists anywhere on disk. The
+    wrapper surface + wire-schema codec stay contract-tested here and
+    oracle-gated via source_kafka_shape_decode; SURVEY §7.7 records the
+    attempt."""
     try:
         df = sources.read_kafka_stream(spark, "broker:9092", "t")
     except (AnalysisException, Py4JJavaError) as e:
