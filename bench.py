@@ -86,11 +86,12 @@ HEADLINE = [
     "window_session_max_duration",
     "vector_power_iteration_step",
     # round 4 additions: the two de-serialized global-window rewrites
-    # (regression-guard their two-phase rank plans) and the persistent-
-    # index incremental dedup path
+    # (regression-guard their two-phase rank plans), the persistent-
+    # index incremental dedup path, and duplicate-span excision
     "curriculum_length_buckets",
     "tokenizer_vocab_build",
     "dedup_incremental_minhash",
+    "dedup_span_excise",
 ]
 
 

@@ -854,3 +854,102 @@ def connected_components(
     edges.unpersist()
     raw.unpersist()
     return labels.select("node", "comp")
+
+
+# --------------------------------------------------------------------------
+# Duplicate-span excision (corpus-level substring dedup)
+# --------------------------------------------------------------------------
+
+
+def duplicate_span_excise(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 12,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-level duplicate SPAN removal — the sequence-level dedup of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (ACL 2022, public literature), reshaped for a distributed
+    engine: their suffix-array pass is single-machine; the scalable
+    identity used here is positional n-gram blocking, the standard
+    distributed approximation (a length-L duplicated substring is
+    detected by every one of its L-n+1 duplicated n-grams, so n is the
+    minimum span length removed — their edit similarity threshold role).
+
+    Document-level dedup (exact/MinHash) misses the dominant pattern in
+    web corpora: boilerplate SPANS (license headers, navigation text,
+    quoted tweets) repeated inside otherwise-unique documents. This
+    operator removes every token covered by an n-token window whose
+    normalized text occurs >= min_count times across the ENTIRE corpus.
+
+    Plan shape (all codegen'd JVM expressions, no Python per row):
+    1. one scan → per-doc token array; positional windows come from ONE
+       transform(sequence) producing (pos, xxhash64(window)) structs —
+       the gram STRING itself never leaves the map stage, only its
+       8-byte hash + position;
+    2. corpus-wide dup spans = groupBy(hash) HAVING count >= min_count —
+       a (hash, doc, pos) shuffle ∝ corpus token count, the same volume
+       as building an inverted index (SCALE.md row);
+    3. covered positions = dup-span join → explode(sequence(pos,
+       pos+n-1)) → distinct;
+    4. rebuild = positional tokens anti-join covered, array_sort by
+       position, concat — order restored without any window function.
+    Documents shorter than n tokens pass through unchanged (they have
+    no window, hence nothing to excise). A 64-bit hash stands in for
+    the gram string on the Spark side (~2^-50 collision odds per
+    corpus-pair, same argument as _verify_jaccard); the DuckDB oracle
+    groups the literal strings, so the gate also checks that identity.
+
+    Returns (id_col, clean_text, n_tokens_kept, n_tokens_removed)."""
+    toks = tokenize_ws(F.lower(F.col(text_col)))
+    base = _spread(df).select(
+        F.col(id_col).alias("doc"), toks.alias("t")
+    ).persist()
+
+    grams = base.filter(F.size("t") >= n).select(
+        "doc",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {n} + 1), "
+                f"i -> struct(i AS pos, xxhash64(concat_ws(' ', slice(t, i, {n}))) AS h))"
+            )
+        ).alias("g"),
+    ).select("doc", "g.pos", "g.h")
+
+    dup = grams.groupBy("h").agg(F.count("*").alias("cnt")).filter(
+        F.col("cnt") >= min_count
+    )
+    covered = (
+        grams.join(dup.select("h"), "h")
+        .select("doc", F.explode(F.sequence("pos", F.col("pos") + (n - 1))).alias("p"))
+        .distinct()
+    )
+    tokens = base.select(
+        "doc", F.posexplode("t").alias("p0", "tok")
+    ).select("doc", (F.col("p0") + 1).alias("p"), "tok")
+    kept = tokens.join(covered, ["doc", "p"], "left_anti")
+    rebuilt = kept.groupBy("doc").agg(
+        F.concat_ws(
+            " ",
+            F.expr("transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)"),
+        ).alias("clean_text"),
+        F.count("*").alias("n_tokens_kept"),
+    )
+    out = (
+        base.select("doc", F.size("t").alias("n_total"))
+        .join(rebuilt, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_tokens_kept", F.lit(0)).cast("bigint").alias("n_tokens_kept"),
+            (F.col("n_total") - F.coalesce("n_tokens_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_tokens_removed"),
+        )
+    )
+    from blow_spark.materialize import spill_to_parquet
+
+    spilled = spill_to_parquet(out, "blow_spark_span_")
+    base.unpersist()
+    return spilled

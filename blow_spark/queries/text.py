@@ -1128,6 +1128,58 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_span_excise",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS doc, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc, u.i AS pos, array_to_string(t[u.i:u.i+11], ' ') AS g
+      FROM toks, UNNEST(range(1, len(t) - 12 + 2)) AS u(i)
+      WHERE len(t) >= 12
+    ), dup AS (
+      SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2
+    ), cov AS (
+      SELECT DISTINCT doc, v.p
+      FROM grams JOIN dup USING (g), UNNEST(range(pos, pos + 12)) AS v(p)
+    ), tokens AS (
+      SELECT doc, u.i AS p, t[u.i] AS tok
+      FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+    ), kept AS (
+      SELECT tokens.doc, tokens.p, tokens.tok
+      FROM tokens ANTI JOIN cov ON tokens.doc = cov.doc AND tokens.p = cov.p
+    ), rebuilt AS (
+      SELECT doc,
+             string_agg(tok, ' ' ORDER BY p) AS clean_text,
+             CAST(COUNT(*) AS BIGINT)        AS n_tokens_kept
+      FROM kept GROUP BY doc
+    )
+    SELECT toks.doc                                   AS doc_id,
+           COALESCE(rebuilt.clean_text, '')           AS clean_text,
+           CAST(COALESCE(rebuilt.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+           CAST(len(toks.t) - COALESCE(rebuilt.n_tokens_kept, 0) AS BIGINT)
+                                                      AS n_tokens_removed
+    FROM toks LEFT JOIN rebuilt ON toks.doc = rebuilt.doc
+    """,
+    tags=("dedup", "span", "substring", "llm"),
+)
+def dedup_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicate-SPAN excision (Lee et al. ACL 2022
+    sequence dedup, distributed as positional 12-gram blocking): every
+    token covered by a 12-token window whose normalized text appears
+    ≥2 times in the whole corpus is removed; shorter docs pass through.
+    The span shuffle carries only (xxhash64, doc, pos) — gram strings
+    never leave the map stage — while the DuckDB oracle groups the
+    literal strings, so the gate also certifies the hash-stands-for-
+    string identity. See dedup.duplicate_span_excise for the full plan
+    shape."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.duplicate_span_excise(
+        d, text_col="text", id_col="doc_id", n=12, min_count=2
+    )
+
+
+@register(
     "er_golden_record_parts",
     oracle="""
     WITH RECURSIVE names AS (

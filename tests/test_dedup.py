@@ -313,3 +313,46 @@ def test_connected_components_cutoff_flips_strategy(spark):
     assert dedup.LAST_CC_STRATEGY == {"strategy": "local", "n_edges": 100}
     dedup.connected_components(pairs, local_edge_cutoff=99).count()
     assert dedup.LAST_CC_STRATEGY == {"strategy": "distributed", "n_edges": 100}
+
+
+def test_span_excise_removes_planted_boilerplate(spark):
+    """A 12-token boilerplate span shared by two otherwise-unique docs
+    must be excised from BOTH; unique text is untouched; a doc shorter
+    than the window passes through verbatim."""
+    boiler = " ".join(f"b{i}" for i in range(12))
+    rows = [
+        (1, f"alpha beta {boiler} gamma delta"),
+        (2, f"epsilon {boiler} zeta"),
+        (3, "completely unique text with no repeats at all"),
+        (4, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.duplicate_span_excise(df, "text", "doc_id").collect()
+    }
+    assert out[1]["clean_text"] == "alpha beta gamma delta"
+    assert out[1]["n_tokens_removed"] == 12
+    assert out[2]["clean_text"] == "epsilon zeta"
+    assert out[3]["clean_text"] == "completely unique text with no repeats at all"
+    assert out[3]["n_tokens_removed"] == 0
+    assert out[4]["clean_text"] == "short doc"
+    assert out[4]["n_tokens_removed"] == 0
+
+
+def test_span_excise_overlapping_windows_merge_coverage(spark):
+    """A 14-token duplicated run is covered by 3 overlapping 12-gram
+    windows; coverage must merge (distinct positions) so exactly the 14
+    duplicated tokens are removed, not 3x12."""
+    run = " ".join(f"r{i}" for i in range(14))
+    df = spark.createDataFrame(
+        [(1, f"head {run} tail"), (2, run)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.duplicate_span_excise(df, "text", "doc_id").collect()
+    }
+    assert out[1]["clean_text"] == "head tail"
+    assert out[1]["n_tokens_removed"] == 14
+    assert out[2]["clean_text"] == ""
+    assert out[2]["n_tokens_kept"] == 0
