@@ -451,19 +451,23 @@ def agg_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything per level.
 
     Oracle-paired since round 4 (was rows-only) via the exactness
-    region: a KLL sketch stores every item until its capacity forces
-    the first compaction, and k=32768 keeps all gate-sf group sizes
-    (~2k @ sf0.001, ~20k @ sf0.01) uncompacted — the quantile query is
-    then the exact discrete quantile (inclusive-rank convention ==
-    DuckDB quantile_disc, measured bit-equal per group AND through the
-    merge, since merging uncompacted sketches concatenates items).
-    Past capacity the identical plan degrades to KLL's bounded rank
-    error; tests/test_relational.py keeps the rank-error pins on the
-    default-k variant."""
+    region, with the bound set by the MERGED row, not the groups:
+    k=65535 ≥ the gate-sf TOTAL row count (~6k @ sf0.001, ~60k @
+    sf0.01), so no partition layout or merge order can force a
+    compaction anywhere — per-group and __ALL__ quantiles are the
+    exact discrete quantile (inclusive-rank convention == DuckDB
+    quantile_disc, measured bit-equal under both the vanilla-driver
+    and shuffle_partitions=8 session shapes). The measured trap that
+    set this bound: k=32768 covers every GROUP (20k rows) but the
+    60k-item merged row then compacts LAYOUT-DEPENDENTLY — exact under
+    one partitioning, 1-2 ranks off under another (caught by the full
+    sf0.01 sweep, round 4). Past k the identical plan degrades to
+    KLL's bounded rank error; tests/test_relational.py keeps the
+    rank-error pins on the default-k variant."""
     li = read_table(spark, sf_dir, "lineitem")
     per = li.groupBy("l_returnflag").agg(
         F.expr(
-            "kll_sketch_agg_double(CAST(l_extendedprice AS DOUBLE), 32768)"
+            "kll_sketch_agg_double(CAST(l_extendedprice AS DOUBLE), 65535)"
         ).alias("sk")
     )
 
