@@ -682,8 +682,17 @@ def jaccard_prefix_filter_pairs(
     # (0.55*100 = 55.000000000000007) — one shingle too short a prefix,
     # silently dropping qualifying pairs and breaking the lossless
     # guarantee (round-3 advice). Scale the threshold to integer
-    # micro-units and ceil in pure bigint arithmetic instead.
-    t_micro = round(float(threshold) * 1_000_000)
+    # micro-units and ceil in pure bigint arithmetic. The scaling is
+    # FLOOR-biased, not rounded: t_micro ≤ t ⇒ ceil(t_micro·s/10⁶) ≤
+    # ceil(t·s) ⇒ the prefix is never shorter than the AllPairs bound
+    # (rounding UP would re-introduce the bug for thresholds like 2/3,
+    # where round(t·10⁶)=666667 exceeds the double and can shave one
+    # prefix shingle at s≡0 (mod 3)). The only cost of the floor bias
+    # is an occasional one-longer prefix — more candidates, never lost
+    # pairs.
+    import math
+
+    t_micro = math.floor(float(threshold) * 1_000_000)
     ceil_ts = F.expr(f"(CAST({t_micro} AS BIGINT) * n_sh + 999999) div 1000000")
     ranked = exploded.join(freq, "g").select(
         "doc", "g", F.row_number().over(win).alias("rn"),

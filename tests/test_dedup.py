@@ -356,3 +356,45 @@ def test_span_excise_overlapping_windows_merge_coverage(spark):
     assert out[1]["n_tokens_removed"] == 14
     assert out[2]["clean_text"] == ""
     assert out[2]["n_tokens_kept"] == 0
+
+
+def test_prefix_filter_lossless_at_awkward_thresholds(spark):
+    """The AllPairs prefix rule must stay lossless at thresholds whose
+    micro-unit scaling is inexact in BOTH directions (0.55 scales high
+    in IEEE, 2/3 rounds high in micro-units — each historically shaved
+    one prefix shingle). Planted pairs sit exactly AT the threshold:
+    J(a,b) = 6/11 > 0.545... and J = 2/3 respectively; brute-force sets
+    computed inline as ground truth."""
+    import itertools
+
+    docs = []
+    # pair with J exactly 2/3 on 3-gram shingles: 12 tokens, 10 shingles,
+    # share 8 of 12 distinct → craft via common prefix of 10 tokens + 2
+    # distinct tails (shingle overlap 8, union 12, J = 0.666...)
+    common = [f"c{i}" for i in range(10)]
+    docs.append((1, " ".join(common + ["xa", "xb"])))
+    docs.append((2, " ".join(common + ["ya", "yb"])))
+    docs.append((3, " ".join(f"z{i}" for i in range(12))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def brute(threshold):
+        import re
+        sh = {}
+        for i, t in docs:
+            toks = re.split(r"\s+", t.strip().lower())
+            sh[i] = {" ".join(toks[j:j+3]) for j in range(len(toks) - 2)}
+        out = set()
+        for a, b in itertools.combinations(sorted(sh), 2):
+            j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+            if j >= threshold:
+                out.add((a, b))
+        return out
+
+    for thr in (2 / 3, 0.55, 0.5454):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.jaccard_prefix_filter_pairs(
+                df, "text", "doc_id", threshold=thr
+            ).collect()
+        }
+        assert got == brute(thr), f"threshold {thr}: {got} vs {brute(thr)}"
