@@ -1059,7 +1059,14 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental-index bookkeeping (a stale or incomplete index drops
     pairs). The algebraic property — incremental == full-rebuild
     restricted to batch-touching pairs — stays pinned in
-    tests/test_dedup.py::test_incremental_lsh_equals_full_rebuild."""
+    tests/test_dedup.py::test_incremental_lsh_equals_full_rebuild.
+
+    Reading the bench number (~4 s at sf0.1): ~1.9 s is the one-time
+    index BUILD over the 80% corpus — amortized to zero in the
+    production mode this models (the index persists across ingest
+    batches) — and the ~2.5 s query side is dominated by the same
+    per-plan codegen/JIT as dedup_minhash_lsh (see SCALE.md); the
+    data-proportional work per batch is O(new docs + collisions)."""
     from blow_spark.materialize import spill_to_parquet
 
     d = read_table(spark, sf_dir, "documents")
