@@ -136,6 +136,110 @@ def mix_sources_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mix_sources_temperature",
+    oracle="""
+    WITH sizes AS (
+      SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY lang
+    ), mn AS (
+      SELECT MIN(n_s) AS n_min FROM sizes
+    ), rates AS (
+      SELECT lang, n_s,
+             ROUND(POWER(CAST(n_min AS DOUBLE) / n_s, 0.7), 9) AS keep_rate
+      FROM sizes CROSS JOIN mn
+    ), keyed AS (
+      SELECT d.lang, d.n_chars, r.keep_rate, r.n_s,
+             ROUND((CAST(('0x' || substring(md5('tmix:' || CAST(d.doc_id AS VARCHAR)), 1, 13))
+                         AS BIGINT) + 1) / 4503599627370497.0, 9) AS u
+      FROM documents d JOIN rates r USING (lang)
+    )
+    SELECT lang,
+           CAST(n_s AS BIGINT)                                        AS n_docs_total,
+           keep_rate,
+           CAST(COUNT(*) FILTER (WHERE u < keep_rate) AS BIGINT)      AS kept_docs,
+           CAST(COALESCE(SUM(n_chars) FILTER (WHERE u < keep_rate), 0)
+                AS BIGINT)                                            AS kept_chars
+    FROM keyed
+    GROUP BY lang, n_s, keep_rate
+    ORDER BY lang
+    """,
+    tags=("pipeline", "sampling", "mix", "llm"),
+)
+def mix_sources_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (the mT5/XLM-R multilingual
+    data recipe, α = 0.3), balancing the corpus across LANGUAGES — the
+    fixture's genuinely skewed dimension (en is 3.4× fr), so the
+    downsampling branch is exercised at every gate sf. Keep rates are
+    DERIVED FROM THE DATA, not hand-set like ``mix_sources_weighted``:
+    r_l = (n_min/n_l)^(1-α), so the smallest language keeps 100% and
+    every larger one downsamples until final sizes ∝ n_l^α (the
+    standard without-repetition realization of p_l ∝ n_l^α; upsampling
+    small groups with repetition is ``mix_sources_with_repetition``'s
+    job).
+
+    Two tiny aggregates (per-source counts, global min) broadcast back
+    as the rate table; the keep decision is the repo's no-RNG
+    hash-uniform (md5 → 52-bit uniform — deterministic, retry-stable,
+    identical on both engines) compared against the rate, a pure
+    map-side filter over the corpus scan. Both the rate (a pow() —
+    transcendental) and the uniform are rounded to 9 decimals before
+    the comparison so a 1-ulp JVM-vs-libm difference cannot flip a
+    membership decision (the module's determinism rule). Output is the
+    recipe report: per-language totals, rate, kept docs/chars — groups
+    whose rate keeps nothing still report (conditional aggregation, no
+    pre-filter)."""
+    ALPHA = 0.3
+    d = read_table(spark, sf_dir, "documents")
+    sizes = d.groupBy("lang").agg(F.count("*").alias("n_s"))
+    nmin = sizes.agg(F.min("n_s").alias("n_min"))
+    rates = sizes.crossJoin(F.broadcast(nmin)).select(
+        "lang",
+        "n_s",
+        F.round(
+            F.pow(F.col("n_min").cast("double") / F.col("n_s"), F.lit(1 - ALPHA)), 9
+        ).alias("keep_rate"),
+    )
+    u = F.round(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("tmix:"), F.col("doc_id").cast("string"))),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            + 1
+        )
+        / F.lit(4503599627370497.0),
+        9,
+    )
+    keyed = d.join(F.broadcast(rates), "lang").select(
+        "lang", "n_chars", "n_s", "keep_rate", u.alias("u")
+    )
+    return (
+        keyed.groupBy("lang", "n_s", "keep_rate")
+        .agg(
+            F.count_if(F.col("u") < F.col("keep_rate")).alias("kept_docs"),
+            F.coalesce(
+                F.sum(F.when(F.col("u") < F.col("keep_rate"), F.col("n_chars"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+        .select(
+            "lang",
+            F.col("n_s").cast("bigint").alias("n_docs_total"),
+            "keep_rate",
+            "kept_docs",
+            "kept_chars",
+        )
+        .orderBy("lang")
+    )
+
+
 # --------------------------------------------------------------------------
 # Sequence packing (concatenate-then-chunk)
 # --------------------------------------------------------------------------
