@@ -690,9 +690,15 @@ def jaccard_prefix_filter_pairs(
     # prefix shingle at s≡0 (mod 3)). The only cost of the floor bias
     # is an occasional one-longer prefix — more candidates, never lost
     # pairs.
+    # Fraction(float) is the double's EXACT binary value, so this floor
+    # is guaranteed — `math.floor(float(t) * 1e6)` computes an IEEE
+    # product first, which can round UP across an integer boundary when
+    # t sits within half an ulp below k/1e6, reintroducing the shaved
+    # prefix in principle (round-4 advice).
     import math
+    from fractions import Fraction
 
-    t_micro = math.floor(float(threshold) * 1_000_000)
+    t_micro = math.floor(Fraction(float(threshold)) * 1_000_000)
     ceil_ts = F.expr(f"(CAST({t_micro} AS BIGINT) * n_sh + 999999) div 1000000")
     ranked = exploded.join(freq, "g").select(
         "doc", "g", F.row_number().over(win).alias("rn"),
@@ -763,10 +769,13 @@ def _cc_local(edges: DataFrame) -> DataFrame:
 #: bucket fan-out), so even 10⁸-doc runs usually land under it.
 CC_LOCAL_EDGE_CUTOFF = 2_000_000
 
-#: Observability: which physical strategy the last connected_components
-#: call picked ("local" union-find task or "distributed" min-label loop)
-#: and at what measured edge count. Tests pin the cutoff flip with this;
-#: it is diagnostic state, not API.
+#: Observability CONVENIENCE: which physical strategy the last
+#: connected_components call picked ("local" union-find task or
+#: "distributed" min-label loop) and at what measured edge count.
+#: Module-global and therefore SINGLE-THREADED-ONLY — concurrent calls
+#: interleave writes (round-4 advice). The race-free per-call record is
+#: the ``cc_strategy`` attribute attached to each returned DataFrame;
+#: assert on that under any parallelism.
 LAST_CC_STRATEGY: dict = {"strategy": None, "n_edges": None}
 
 
@@ -820,6 +829,8 @@ def connected_components(
         LAST_CC_STRATEGY["strategy"] = "local"
         out = spill_to_parquet(_cc_local(raw), "blow_spark_cc_")
         raw.unpersist()
+        # race-free per-call record (the global is single-threaded-only)
+        out.cc_strategy = {"strategy": "local", "n_edges": n_edges}
         return out
     LAST_CC_STRATEGY["strategy"] = "distributed"
     edges = raw.union(
@@ -862,7 +873,10 @@ def connected_components(
     # every catalog query in one session) otherwise accumulate it.
     edges.unpersist()
     raw.unpersist()
-    return labels.select("node", "comp")
+    out = labels.select("node", "comp")
+    # race-free per-call record (the global is single-threaded-only)
+    out.cc_strategy = {"strategy": "distributed", "n_edges": n_edges}
+    return out
 
 
 # --------------------------------------------------------------------------

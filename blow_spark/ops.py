@@ -710,9 +710,14 @@ def compact_parquet(
     see a missing table until then — single-writer/maintenance-window
     semantics, the same contract Hive's INSERT OVERWRITE has on plain
     FS without a transactional catalog; (b) ``.old.<token>`` dirs from
-    crashed runs persist until cleaned. Returns the number of output
-    partitions. Size accounting uses the FileSystem's content summary,
-    not a Spark job — no data pass beyond the one rewrite."""
+    crashed runs persist until the NEXT compact_parquet run on the same
+    path, which restores the newest one if ``path`` is missing (crash
+    inside the rename window) and deletes the rest as stale backups —
+    a failed restore rename now raises a distinct error naming the
+    backup dir instead of silently leaving the table missing (round-4
+    advice). Returns the number of output partitions. Size accounting
+    uses the FileSystem's content summary, not a Spark job — no data
+    pass beyond the one rewrite."""
     import math
     import uuid
 
@@ -721,24 +726,65 @@ def compact_parquet(
     hpath = jvm.org.apache.hadoop.fs.Path
     tgt_p = hpath(path)
     fs = tgt_p.getFileSystem(hconf)
+
+    # Sweep leftovers from a previous crashed run: if the table itself is
+    # missing, the newest .old.<token> sibling IS the table — restore it;
+    # any remaining .old.* dirs are superseded backups, delete them.
+    base = path.rstrip("/")
+    parent = hpath(base).getParent()
+    stale = []
+    if fs.exists(parent):
+        name = hpath(base).getName()
+        for st in fs.listStatus(parent):
+            n = st.getPath().getName()
+            if n.startswith(name + ".old."):
+                stale.append((st.getModificationTime(), st.getPath()))
+    # key on (mtime, name): Path is a py4j object, not Python-comparable
+    stale.sort(key=lambda t: (t[0], t[1].getName()))
+    if stale and not fs.exists(tgt_p):
+        newest = stale.pop()[1]
+        if not fs.rename(newest, tgt_p):
+            raise IOError(
+                f"compact swap: table {path} is missing and restoring the "
+                f"crashed-run backup {newest} failed — data is intact there; "
+                f"restore it manually before compacting"
+            )
+    for _, p in stale:
+        fs.delete(p, True)
+
     total = fs.getContentSummary(tgt_p).getLength()
     n_out = max(1, math.ceil(total / target_file_bytes))
 
     df = spark.read.parquet(path)
-    staging = path.rstrip("/") + ".staging"
-    old = path.rstrip("/") + ".old." + uuid.uuid4().hex[:8]
+    staging = base + ".staging"
+    old = base + ".old." + uuid.uuid4().hex[:8]
     df.repartition(n_out).write.mode("overwrite").parquet(staging)
 
     stg_p, old_p = hpath(staging), hpath(old)
     if not fs.rename(tgt_p, old_p):
         raise IOError(f"compact swap: could not retire current table {path}")
+
+    def _restore(reason: str) -> None:
+        try:
+            ok = fs.rename(old_p, tgt_p)
+        except Exception as rexc:
+            raise IOError(
+                f"compact swap: {reason}; RESTORE of {old} also failed "
+                f"({rexc}) — previous generation is intact under {old}"
+            ) from rexc
+        if not ok:
+            raise IOError(
+                f"compact swap: {reason}; RESTORE rename of {old} returned "
+                f"false — previous generation is intact under {old}"
+            )
+
     try:
         promoted = fs.rename(stg_p, tgt_p)
     except Exception as exc:  # restore the previous generation, then re-raise
-        fs.rename(old_p, tgt_p)
+        _restore(f"promote into {path} failed: {exc}")
         raise IOError(f"compact swap: promote into {path} failed: {exc}") from exc
     if not promoted:
-        fs.rename(old_p, tgt_p)  # restore the previous generation
+        _restore(f"could not promote staging into {path}")
         raise IOError(f"compact swap: could not promote staging into {path}")
     fs.delete(old_p, True)
     return n_out

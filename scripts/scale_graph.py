@@ -89,6 +89,9 @@ def main() -> None:
         results[f"cc_local_{n}"] = best_of(
             lambda pairs=pairs: dedup.connected_components(pairs).count()
         )
+        # LAST_CC_STRATEGY is a single-threaded convenience; this script
+        # runs serially so the assert is safe. Under any parallelization
+        # use the per-call `df.cc_strategy` attribute instead.
         assert dedup.LAST_CC_STRATEGY["strategy"] == "local"
         results[f"cc_distributed_{n}"] = best_of(
             lambda pairs=pairs: dedup.connected_components(

@@ -309,10 +309,16 @@ def test_connected_components_cutoff_flips_strategy(spark):
     pairs = spark.range(100).select(
         F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
     )
-    dedup.connected_components(pairs, local_edge_cutoff=100).count()
+    local = dedup.connected_components(pairs, local_edge_cutoff=100)
+    local.count()
     assert dedup.LAST_CC_STRATEGY == {"strategy": "local", "n_edges": 100}
-    dedup.connected_components(pairs, local_edge_cutoff=99).count()
+    dist = dedup.connected_components(pairs, local_edge_cutoff=99)
+    dist.count()
     assert dedup.LAST_CC_STRATEGY == {"strategy": "distributed", "n_edges": 100}
+    # the race-free per-call records survive later calls (the global is
+    # a single-threaded convenience only — round-4 advice)
+    assert local.cc_strategy == {"strategy": "local", "n_edges": 100}
+    assert dist.cc_strategy == {"strategy": "distributed", "n_edges": 100}
 
 
 def test_span_excise_removes_planted_boilerplate(spark):

@@ -187,3 +187,38 @@ def test_compact_parquet_collapses_files_preserves_content(spark, tmp_path):
     assert sorted(r["id"] for r in spark.read.parquet(path).collect()) == before
     assert not os.path.exists(path + ".staging")
     assert not os.path.exists(path + ".old")
+
+
+def test_compact_parquet_restores_crashed_run_and_sweeps_stale(spark, tmp_path):
+    """A crash inside the rename window leaves the table parked under
+    .old.<token>: the NEXT run must restore the newest backup when the
+    table is missing and delete superseded .old.* dirs (round-4 advice —
+    previously the docstring promised next-run restore but nothing did
+    it)."""
+    import os
+    import shutil
+    import time
+
+    from blow_spark import ops
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(0, 1_000).selectExpr("id")
+    df.repartition(4).write.mode("overwrite").parquet(path)
+    before = sorted(r["id"] for r in spark.read.parquet(path).collect())
+
+    # simulate an OLDER superseded backup, then a crash mid-swap: the
+    # current generation sits under .old.<token> and `path` is gone
+    stale_old = path + ".old.deadbeef"
+    shutil.copytree(path, stale_old)
+    os.utime(stale_old, (time.time() - 3600, time.time() - 3600))
+    crashed_old = path + ".old.cafef00d"
+    os.rename(path, crashed_old)
+    assert not os.path.exists(path)
+
+    n_out = ops.compact_parquet(spark, path)
+    assert n_out == 1
+    assert sorted(r["id"] for r in spark.read.parquet(path).collect()) == before
+    # both the crashed-run backup (restored then retired) and the stale
+    # one are gone
+    leftovers = [f for f in os.listdir(tmp_path) if ".old." in f or f.endswith(".staging")]
+    assert leftovers == []

@@ -219,3 +219,46 @@ def test_vectorized_topk_query_cap_fails_fast(spark, emb):
         emb.filter(F.col("vec_id") < 3), emb, k=2, max_query_rows=10
     )
     assert out.count() == 6
+
+
+def test_brute_force_topk_broadcast_cap_fails_fast(spark, emb):
+    """The broadcast-join query side of brute_force_topk is bounded on
+    POST-explode rows (Q·dim — the actual broadcast payload): a 10^6-row
+    query set at dim 5 (5M exploded rows > the 4M default cap) must raise
+    the routing error without materializing the join (round-4 verdict
+    item #1 — same fail-fast class as the vectorized kNN cap)."""
+    big = spark.range(1_000_000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(i)) for i in range(5)]).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="srp_lsh_topk"):
+        similarity.brute_force_topk(big, emb, k=3)
+    with pytest.raises(ValueError, match="ivf_topk"):
+        similarity.brute_force_topk(
+            emb.limit(11), emb, k=3, max_exploded_query_rows=10
+        )
+    # at/under the cap the call still works end-to-end
+    out = similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") < 2), emb, k=2, max_exploded_query_rows=1_000
+    )
+    assert out.count() == 4
+
+
+def test_cosine_pairs_exact_corpus_cap_fails_fast(spark, emb):
+    """cosine_pairs_exact broadcasts the ENTIRE packed corpus; a 10^6-row
+    corpus must raise the routing error (pointing at the bucketed
+    cosine_near_dup_pairs path) before any broadcast or O(N²) scoring
+    (round-4 verdict item #1). The check is limit-pushdown bounded."""
+    big = spark.range(1_000_000).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="cosine_near_dup_pairs"):
+        similarity.cosine_pairs_exact(big, threshold=0.9)
+    with pytest.raises(ValueError, match="cosine_near_dup_pairs"):
+        similarity.cosine_pairs_exact(emb.limit(11), threshold=0.9, max_rows=10)
+    # at/under the cap the call still works end-to-end
+    assert (
+        similarity.cosine_pairs_exact(emb.limit(10), threshold=-1.1, max_rows=10).count()
+        == 45
+    )
