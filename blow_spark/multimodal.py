@@ -408,3 +408,61 @@ def sample_frames(
         F.posexplode(frames).alias("frame_no", "frame_bytes"),
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# Image-corpus fixture builder (test/gate scaffolding — NOT an operator)
+# --------------------------------------------------------------------------
+
+
+def png_corpus_fixture_dir(spark, sf_dir: str, n_docs: int = 50) -> str:
+    """Build (once per sf_dir, cached) a directory of genuine ``.png``
+    files — one per document, stdlib-encoded from the document's leading
+    192 bytes (lossless, so an oracle knows every pixel) — and return its
+    path. This is the FIXTURE side of the binaryFile ingest query,
+    hoisted out of the registered builder (round-4 verdict item #7) so
+    the operator itself is purely scan→decode→stats.
+
+    The files are written DISTRIBUTED — each executor task encodes and
+    writes its partition's images inside mapInPandas — not via a driver
+    collect loop: on a cluster this is exactly how an image corpus is
+    staged (tasks write objects to shared storage); in local mode every
+    task sees the same filesystem. A ``_SUCCESS`` marker makes the build
+    idempotent across the many calls the gate/bench make; concurrent
+    builders write the same deterministic bytes to the same names, so a
+    race is harmless (last-write-wins with identical content)."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from blow_spark.shipping import ensure_package_shipped
+    from blow_spark.sources import read_table
+
+    token = hashlib.sha256(f"{sf_dir}|{n_docs}".encode()).hexdigest()[:12]
+    img_dir = os.path.join(tempfile.gettempdir(), f"blow_spark_pngs_{token}")
+    marker = os.path.join(img_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return img_dir
+    os.makedirs(img_dir, exist_ok=True)
+    ensure_package_shipped(spark)
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < n_docs)
+        .select("doc_id", "text")
+    )
+
+    def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = str(text).encode("utf-8")[:192].ljust(192, b"\0")
+                img = np.frombuffer(raw, dtype=np.uint8).reshape(8, 8, 3)
+                with open(os.path.join(img_dir, f"{int(doc_id)}.png"), "wb") as f:
+                    f.write(encode_png(img))
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    d.mapInPandas(write_part, "n long").count()  # run the write job
+    with open(marker, "w"):
+        pass
+    return img_dir

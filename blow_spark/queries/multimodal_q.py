@@ -357,9 +357,14 @@ def source_binaryfile_image_ingest(spark: SparkSession, sf_dir: str) -> DataFram
     encoder, decoder, filter reconstruction, or path-to-id parse breaks
     the hash. At scale the only changes are the object-store URI and
     ``pathGlobFilter``/``recursiveFileLookup`` options — the plan shape
-    (parallel file scan → map-only decode → narrow stats) is this one."""
+    (parallel file scan → map-only decode → narrow stats) is this one.
+
+    The image directory is FIXTURE scaffolding, built by the shared
+    helper ``multimodal.png_corpus_fixture_dir`` (distributed
+    executor-side writes, cached per sf_dir) — hoisted out of this
+    builder in round 5 so the registered operator is purely
+    scan→decode→stats with no driver materialization anywhere."""
     import os
-    import tempfile
 
     import numpy as np
     import pandas as pd
@@ -367,20 +372,15 @@ def source_binaryfile_image_ingest(spark: SparkSession, sf_dir: str) -> DataFram
     from blow_spark.shipping import ensure_package_shipped
 
     ensure_package_shipped(spark)
-    d = (
-        read_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 50)
-        .select("doc_id", "text")
-        .collect()
+    img_dir = multimodal.png_corpus_fixture_dir(spark, sf_dir, n_docs=50)
+    # pathGlobFilter prunes at FILE LISTING time (skips the _SUCCESS
+    # marker without scanning it) — the option the docstring points at
+    # for production object-store ingest
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(img_dir)
     )
-    img_dir = tempfile.mkdtemp(prefix="blow_spark_pngs_")
-    for row in d:
-        raw = row["text"].encode("utf-8")[:192].ljust(192, b"\0")
-        img = np.frombuffer(raw, dtype=np.uint8).reshape(8, 8, 3)
-        with open(os.path.join(img_dir, f"{row['doc_id']}.png"), "wb") as f:
-            f.write(multimodal.encode_png(img))
-
-    files = spark.read.format("binaryFile").load(img_dir)
 
     def decode(batches):
         for pdf in batches:
