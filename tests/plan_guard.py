@@ -59,3 +59,26 @@ def single_partition_windows(plan: str) -> list[str]:
 
 def physical_plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+def exchange_counts(plan: str) -> tuple[int, int]:
+    """(n_shuffle_exchanges, n_broadcast_exchanges) in a physical plan.
+
+    Node-name based (not substring): `ReusedExchange` / `ReusedBroadcast`
+    nodes are NOT counted — a reuse is free at runtime, and counting it
+    would make the pin depend on Catalyst's reuse bookkeeping rather
+    than on how many shuffles/broadcasts actually materialize. Used by
+    tests/test_plan_guard.py to pin the shuffle budget of every
+    headline-bench query: a lost broadcast shows up as (+1 shuffle,
+    -1 broadcast), a doubled shuffle as +1 shuffle — structural
+    regression detection instead of bench-noise archaeology."""
+    n_shuffle = n_broadcast = 0
+    for line in plan.splitlines():
+        if not line.strip():
+            continue
+        name = _node_name(line)
+        if name.startswith("Exchange "):
+            n_shuffle += 1
+        elif name.startswith("BroadcastExchange"):
+            n_broadcast += 1
+    return n_shuffle, n_broadcast

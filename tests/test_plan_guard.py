@@ -14,7 +14,7 @@ by their own tests.
 
 from __future__ import annotations
 
-from plan_guard import physical_plan, single_partition_windows
+from plan_guard import exchange_counts, physical_plan, single_partition_windows
 
 from blow_spark.queries import REGISTRY, queries
 
@@ -47,4 +47,118 @@ def test_no_unwhitelisted_single_partition_windows(spark):
         f"  new offenders: { {k: v for k, v in flagged.items() if k not in WHITELIST} }\n"
         f"  missing whitelisted: { {k: v for k, v in WHITELIST.items() if k not in flagged} }\n"
         f"  count changes: { {k: (WHITELIST[k], flagged[k]) for k in WHITELIST if k in flagged and flagged[k] != WHITELIST[k]} }"
+    )
+
+
+# --------------------------------------------------------------------------
+# Shuffle-budget pin for every headline-bench query (round-5 verdict #4)
+# --------------------------------------------------------------------------
+#
+# (n_shuffle_exchanges, n_broadcast_exchanges) of each bench query's
+# physical plan at sf0.001 under the pytest session (shuffle_partitions=8;
+# Exchange COUNTS are partition-count-independent). A plan regression —
+# a lost broadcast (+1 shuffle / -1 broadcast), a doubled shuffle, a
+# dropped reuse turning into a fresh exchange — fails this test with a
+# diff instead of surfacing as unattributed bench noise. ReusedExchange
+# nodes are deliberately not counted (see plan_guard.exchange_counts).
+#
+# Reading notes for the eyebrow-raisers:
+# - tokenizer_bpe_merges (63, 57): six data-dependent merge rounds UNROLL
+#   into one declarative plan; each round re-derives the word table under
+#   a new broadcast argmax. The EXECUTED cost is bounded by the per-round
+#   one-row broadcasts + one corpus-scale count (see its docstring and
+#   the ~flat measured slope in SCALE.md); the static plan is deep, not
+#   the runtime.
+# - similarity_lsh_topk (10, 6): includes the 50-query brute-force recall
+#   AUDIT side added in round 5, not just the production ANN path.
+# - spill-backed queries (dedup_minhash_lsh, dedup_embedding_clusters,
+#   dedup_span_excise, sink roundtrips) return a scan over materialized
+#   output, so their returned-plan counts are low by design — their
+#   internal shuffles are pinned by their own operator tests.
+BENCH_EXCHANGE_PINS = {
+    "flagship_fizzbuzz_agg": (1, 0),
+    "agg_pricing_summary": (1, 0),
+    "agg_distinct_counts": (2, 0),
+    "join_inner": (1, 1),
+    "join_left_outer": (1, 1),
+    "join_asof": (1, 1),
+    "tpch_q3_shipping_priority": (1, 2),
+    "tpch_q5_local_supplier_volume": (1, 5),
+    "tpch_q18_large_volume_customer": (2, 3),
+    "window_ranking": (1, 0),
+    "topk_per_group": (1, 0),
+    "sort_limit_topk": (0, 0),
+    "window_tumbling": (1, 0),
+    "window_session": (1, 0),
+    "explode_tokens": (1, 0),
+    "dedup_exact": (1, 0),
+    "dedup_minhash_lsh": (0, 2),
+    "similarity_topk_bruteforce": (2, 1),
+    "tpch_q8_national_market_share": (2, 7),
+    "tpch_q21_suppliers_who_kept_waiting": (4, 3),
+    "split_train_val_test": (3, 0),
+    "pack_token_stream_chunks": (2, 0),
+    "cdc_latest_state_by_key": (2, 0),
+    "sql_nation_monthly_rank": (3, 3),
+    "pipeline_corpus_end_to_end": (3, 1),
+    "text_bm25_search": (7, 3),
+    "agg_hll_sketch_union": (2, 0),
+    "window_time_range_frame": (1, 0),
+    "text_html_strip": (0, 0),
+    "join_salted_skew": (1, 1),
+    "source_python_datasource": (1, 0),
+    "window_distinct_count_trick": (1, 0),
+    "multimodal_frame_sample": (0, 0),
+    "graph_pagerank_bipartite": (1, 0),
+    "dedup_embedding_clusters": (0, 0),
+    "sink_merge_upsert_roundtrip": (0, 0),
+    # streaming_tumbling_availablenow: runtime-tagged (excluded below)
+    "similarity_lsh_topk": (10, 6),
+    "multimodal_wav_decode_energy": (0, 0),
+    "sink_jdbc_roundtrip": (0, 0),
+    "timeseries_interpolate_linear": (2, 1),
+    "dq_quarantine_split": (1, 0),
+    "similarity_knn_classify": (3, 2),
+    "dedup_jaccard_prefix_filter": (0, 2),
+    "contamination_bloom_prefilter": (7, 2),
+    "profile_column_summary": (2, 0),
+    "tokenizer_bpe_merges": (63, 57),
+    "sort_equidepth_global_rank": (3, 1),
+    "window_session_max_duration": (1, 0),
+    "vector_power_iteration_step": (2, 1),
+    "curriculum_length_buckets": (4, 1),
+    "tokenizer_vocab_build": (2, 1),
+    "dedup_incremental_minhash": (1, 4),
+    "dedup_span_excise": (0, 0),
+}
+
+
+def test_bench_query_exchange_budgets(spark):
+    import bench
+
+    qs = queries()
+    sf = "/root/testdata/sf0.001"
+    bench_names = [
+        n
+        for n in bench.HEADLINE
+        if n in REGISTRY and "runtime" not in REGISTRY[n].tags
+    ]
+    # every non-runtime bench query must carry a pin (and vice versa)
+    assert sorted(bench_names) == sorted(BENCH_EXCHANGE_PINS), (
+        f"bench list and exchange-pin table drifted:\n"
+        f"  unpinned: {sorted(set(bench_names) - set(BENCH_EXCHANGE_PINS))}\n"
+        f"  stale pins: {sorted(set(BENCH_EXCHANGE_PINS) - set(bench_names))}"
+    )
+    observed = {}
+    for n in bench_names:
+        observed[n] = exchange_counts(physical_plan(qs[n](spark, sf)))
+    drift = {
+        n: {"pinned": BENCH_EXCHANGE_PINS[n], "observed": observed[n]}
+        for n in observed
+        if observed[n] != BENCH_EXCHANGE_PINS[n]
+    }
+    assert not drift, (
+        "shuffle budget drifted — a plan changed structurally "
+        "((n_shuffle, n_broadcast) per query). If intentional, re-pin with "
+        f"the new counts and explain the change:\n{drift}"
     )

