@@ -92,6 +92,10 @@ HEADLINE = [
     "tokenizer_vocab_build",
     "dedup_incremental_minhash",
     "dedup_span_excise",
+    # round 5 additions: the quality-classifier gate and DSIR importance
+    # weighting (the two new LLM-recipe operators)
+    "text_quality_classifier",
+    "mix_dsir_importance",
 ]
 
 

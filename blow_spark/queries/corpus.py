@@ -849,3 +849,202 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
     return out
+
+
+@register(
+    "text_quality_classifier",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(1000000 * SUM(LEN(tok)) // COUNT(*) AS BIGINT) AS mean_wlen_micro,
+             CAST(1000000 * SUM(CASE WHEN tok IN ('the','a','an','of','to','and','in','is','it','that')
+                                     THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT) AS stop_micro
+      FROM toks GROUP BY doc_id
+    ), chars AS (
+      SELECT doc_id,
+             CAST(1000000 * LEN(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                  // GREATEST(LEN(text), 1) AS BIGINT) AS alpha_micro
+      FROM documents
+    ), scored AS (
+      SELECT f.doc_id, n_tokens, mean_wlen_micro, stop_micro, alpha_micro,
+             CAST(-2500000000 AS BIGINT)
+             + 300 * LEAST(n_tokens, 1000) * 1000
+             + 450 * stop_micro
+             + 650 * alpha_micro
+             - 180 * mean_wlen_micro AS score_nano
+      FROM feat f JOIN chars c ON f.doc_id = c.doc_id
+    )
+    SELECT doc_id, n_tokens, mean_wlen_micro, stop_micro, alpha_micro,
+           score_nano,
+           CAST(score_nano >= 0 AS INT) AS keep
+    FROM scored
+    """,
+    tags=("text", "quality", "llm", "classifier"),
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier INFERENCE, the fastText/DCLM-filter shape
+    (public recipe: CCNet / DCLM / FineWeb quality gates): engineered
+    per-doc features × a fixed weight vector → linear score → keep bit.
+    The weights stand in for an offline-trained model (shipping a real
+    fastText binary is out of scope — the SPARK-side shape is the
+    point: one scan, all-JVM feature extraction, a broadcastable weight
+    vector, and a map-side keep decision that composes with the recipe
+    operators downstream).
+
+    Exactness engineering (the house fixed-point rule, no
+    transcendentals at all here): every ratio feature is an integer
+    micro-unit via `1e6·num div den` (floor division on BOTH engines —
+    DuckDB `//` == Spark `div` for non-negative operands), weights are
+    integers in milli-units, so the score is a pure BIGINT dot product:
+    engine-exact at any parallelism, no rounding anywhere. n_tokens is
+    capped (LEAST 1000) before weighting so one runaway document cannot
+    saturate the feature the way an unbounded count would.
+
+    At 100 TB: one scan, zero shuffles beyond the per-doc token
+    aggregate (map-side combinable), no global state — the classifier
+    rides the ingest scan. The reference has no content operators at
+    all (SURVEY §2.2 'Extension ops')."""
+    from blow_spark import functions as BF
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(BF.tokenize_ws(F.lower(F.col("text")))).alias("tok")
+    )
+    stop = F.col("tok").isin(
+        "the", "a", "an", "of", "to", "and", "in", "is", "it", "that"
+    )
+    feat = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.expr("1000000 * SUM(length(tok)) div COUNT(*)").alias("mean_wlen_micro"),
+        (
+            F.lit(1_000_000) * F.sum(stop.cast("long"))
+        ).alias("_stop_num"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "mean_wlen_micro",
+        F.expr("_stop_num div n_tokens").alias("stop_micro"),
+    )
+    chars = d.select(
+        "doc_id",
+        F.expr(
+            "1000000 * length(regexp_replace(text, '[^A-Za-z]', ''))"
+            " div greatest(length(text), 1)"
+        ).alias("alpha_micro"),
+    )
+    scored = feat.join(chars, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "mean_wlen_micro",
+        "stop_micro",
+        "alpha_micro",
+        (
+            F.lit(-2_500_000_000)
+            + F.lit(300) * F.least(F.col("n_tokens"), F.lit(1000)) * F.lit(1000)
+            + F.lit(450) * F.col("stop_micro")
+            + F.lit(650) * F.col("alpha_micro")
+            - F.lit(180) * F.col("mean_wlen_micro")
+        ).alias("score_nano"),
+    )
+    return scored.withColumn("keep", (F.col("score_nano") >= 0).cast("int"))
+
+
+@register(
+    "mix_dsir_importance",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ), raw AS (
+      SELECT tok, COUNT(*) AS c_raw FROM toks GROUP BY tok
+    ), tgt AS (
+      SELECT tok, COUNT(*) AS c_tgt FROM toks WHERE lang = 'en' GROUP BY tok
+    ), norms AS (
+      SELECT (SELECT SUM(c_raw) FROM raw) AS n_raw,
+             (SELECT COALESCE(SUM(c_tgt), 0) FROM tgt) AS n_tgt,
+             (SELECT COUNT(*) FROM raw) AS v
+    ), ratio AS (
+      SELECT r.tok,
+             CAST(ROUND(
+               (LN(CAST(COALESCE(t.c_tgt, 0) + 1 AS DOUBLE) / (n_tgt + v))
+              - LN(CAST(r.c_raw + 1 AS DOUBLE) / (n_raw + v))) * 1000000, 0)
+             AS BIGINT) AS lr_micro
+      FROM raw r LEFT JOIN tgt t ON r.tok = t.tok CROSS JOIN norms
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(lr_micro) AS BIGINT) AS dsir_weight_micro,
+           CAST(SUM(lr_micro) >= 0 AS INT) AS target_like
+    FROM toks JOIN ratio USING (tok)
+    GROUP BY doc_id
+    """,
+    tags=("mix", "sampling", "llm", "dsir"),
+)
+def mix_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023 — public
+    literature, implemented from the paper's math): score every raw
+    document by how target-like its token distribution is,
+    weight(doc) = Σ_tok [ln p̂_target(tok) − ln p̂_raw(tok)], with
+    Laplace-smoothed unigram LMs (the paper's hashed-ngram estimator
+    degenerates to this at unigram order). Target here = the corpus's
+    English slice; raw = everything. Downstream a recipe samples
+    ∝ exp(weight) — this operator produces the weights and the
+    threshold bit the simple top-k selection variant uses.
+
+    Plan shape at 100 TB: two Zipf-small frequency tables (one shuffle
+    each, map-side combinable), broadcast-joined back to the token
+    stream, one per-doc aggregate — the same two-pass skeleton as
+    text_unigram_logprob, which is the point: DSIR at scale IS a pair
+    of unigram LMs plus one keyed reduce. ln() is fixed-pointed to
+    µ-units per token (the house rule for transcendentals) so the
+    per-doc BIGINT sum is order-free and engine-exact; the smoothed
+    ratio uses (c+1)/(N+V) on both engines with integer c, N, V."""
+    from blow_spark import functions as BF
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang",
+        F.explode(BF.tokenize_ws(F.lower(F.col("text")))).alias("tok"),
+    )
+    raw = toks.groupBy("tok").agg(F.count("*").alias("c_raw"))
+    tgt = toks.filter(F.col("lang") == "en").groupBy("tok").agg(
+        F.count("*").alias("c_tgt")
+    )
+    norms = raw.agg(
+        F.sum("c_raw").alias("n_raw"), F.count("*").alias("v")
+    ).crossJoin(
+        F.broadcast(
+            tgt.agg(F.coalesce(F.sum("c_tgt"), F.lit(0)).alias("n_tgt"))
+        )
+    )
+    lr = (
+        F.log(
+            (F.coalesce(F.col("c_tgt"), F.lit(0)) + 1).cast("double")
+            / (F.col("n_tgt") + F.col("v"))
+        )
+        - F.log((F.col("c_raw") + 1).cast("double") / (F.col("n_raw") + F.col("v")))
+    )
+    ratio = (
+        raw.join(F.broadcast(tgt), "tok", "left")
+        .crossJoin(F.broadcast(norms))
+        .select(
+            "tok",
+            F.round(lr * 1_000_000, 0).cast("bigint").alias("lr_micro"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(ratio), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("lr_micro").alias("dsir_weight_micro"),
+            (F.sum("lr_micro") >= 0).cast("int").alias("target_like"),
+        )
+    )

@@ -130,6 +130,9 @@ BENCH_EXCHANGE_PINS = {
     "tokenizer_vocab_build": (2, 1),
     "dedup_incremental_minhash": (1, 4),
     "dedup_span_excise": (0, 0),
+    # round 5 additions
+    "text_quality_classifier": (1, 1),
+    "mix_dsir_importance": (7, 4),
 }
 
 
