@@ -92,10 +92,12 @@ HEADLINE = [
     "tokenizer_vocab_build",
     "dedup_incremental_minhash",
     "dedup_span_excise",
-    # round 5 additions: the quality-classifier gate and DSIR importance
-    # weighting (the two new LLM-recipe operators)
+    # round 5 additions: the quality-classifier gate, DSIR importance
+    # weighting, and whole-document bin packing (the new LLM-recipe
+    # operators)
     "text_quality_classifier",
     "mix_dsir_importance",
+    "pack_bins_best_fit",
 ]
 
 

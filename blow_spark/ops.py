@@ -788,3 +788,65 @@ def compact_parquet(
         raise IOError(f"compact swap: could not promote staging into {path}")
     fs.delete(old_p, True)
     return n_out
+
+
+def pack_bins_best_fit(
+    df: DataFrame,
+    bucket_col: str,
+    id_col: str,
+    size_col: str,
+    cap: int,
+) -> DataFrame:
+    """Best-fit-decreasing bin packing per bucket → (bucket, bin_id,
+    bin_docs, bin_fill): items stay WHOLE (unlike concatenate-then-chunk
+    packing, which splits across boundaries). Deterministic: items sort
+    by (size desc, id asc); each goes to the FULLEST open bin that still
+    fits (ties → lowest bin id), else opens a new bin. One shuffle on
+    the bucket key, then an opaque per-bucket fold in applyInPandas —
+    the per-key sequential-state pattern Catalyst can't express. Any-fit
+    guarantee (the oracle gate in the registered query): every closed
+    bin except the last-opened holds > cap − max_item, so
+    n_bins ≤ total div (cap − max_item) + 1, and n_bins ≥ ⌈total/cap⌉.
+    At 100 TB salt the bucket key to bound group size — bins never
+    cross buckets, so sub-bucketing is always safe."""
+    import pandas as pd
+
+    from blow_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    items_df = df.select(
+        F.col(bucket_col).alias("bucket"),
+        F.col(id_col).alias("item_id"),
+        F.col(size_col).alias("size"),
+    )
+
+    def bfd(pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket = pdf["bucket"].iloc[0]
+        items = pdf.sort_values(["size", "item_id"], ascending=[False, True])[
+            ["item_id", "size"]
+        ].to_numpy()
+        fills: list[int] = []
+        counts: list[int] = []
+        for _item, t in items:
+            best, best_fill = -1, -1
+            for b, f in enumerate(fills):
+                if f + t <= cap and f > best_fill:
+                    best, best_fill = b, f
+            if best < 0:
+                fills.append(int(t))
+                counts.append(1)
+            else:
+                fills[best] += int(t)
+                counts[best] += 1
+        return pd.DataFrame(
+            {
+                "bucket": bucket,
+                "bin_id": range(len(fills)),
+                "bin_docs": counts,
+                "bin_fill": fills,
+            }
+        )
+
+    return items_df.groupBy("bucket").applyInPandas(
+        bfd, "bucket string, bin_id long, bin_docs long, bin_fill long"
+    )

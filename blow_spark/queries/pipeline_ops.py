@@ -1581,3 +1581,93 @@ def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"lo": 50000.0, "hi": 200000.0, "status": "F"},
     )
+
+
+@register(
+    "pack_bins_best_fit",
+    oracle="""
+    WITH toks AS (
+        SELECT source, doc_id,
+               CAST(FLOOR(n_chars / 4.0) AS BIGINT) + 1 AS tokens
+        FROM documents
+    ), stats AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT)      AS n_docs,
+               CAST(SUM(tokens) AS BIGINT)   AS total_tokens,
+               CAST(MAX(tokens) AS BIGINT)   AS max_tokens
+        FROM toks GROUP BY source
+    )
+    SELECT source, n_docs, total_tokens,
+           CAST(CEIL(total_tokens / 512.0) AS BIGINT) AS n_bins_lb,
+           1 AS bins_within_bound,
+           1 AS all_docs_packed,
+           1 AS no_overflow
+    FROM stats
+    """,
+    tags=("pipeline", "packing", "udf", "llm"),
+)
+def pack_bins_best_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing as BIN PACKING — best-fit-decreasing (BFD) into
+    fixed 512-token bins, per source bucket. Unlike the
+    concatenate-then-chunk form (`pack_token_stream_chunks`, which
+    splits documents across chunk boundaries), bin packing keeps every
+    document WHOLE — the variant used when crossing a sequence boundary
+    would corrupt training examples — at the cost of per-bin slack.
+
+    Distribution shape: documents shuffle once on the bucket key, each
+    bucket runs classic BFD (sort by tokens desc, place into the
+    fullest bin that still fits, deterministic doc_id tie-break) inside
+    one applyInPandas group — the per-key opaque-fold pattern Catalyst
+    cannot express (same family as the cogroup as-of join). At 100 TB
+    the bucket key is salted to bound group size (bins never cross
+    buckets, so sub-bucketing only forgoes cross-salt packing, it never
+    breaks correctness); here source (~20 buckets of ≤ a few hundred
+    docs) is the natural bucket.
+
+    Oracle technique — a THEORY-BACKED inequality gate realized in the
+    result rows (the recall-floor pattern): the per-source bin count is
+    algorithm-specific, but any-fit packing guarantees are data-
+    derivable. The query emits, per source, data-derived columns
+    (n_docs, total_tokens, lb = ceil(total/cap)) plus three proof bits
+    the oracle asserts true: (a) lb ≤ n_bins ≤ total div (cap −
+    max_item) + 1 — every bin an any-fit algorithm closes except the
+    last-opened holds > cap − max_item; (b) every document landed in
+    exactly one bin; (c) no bin exceeds cap. A packing bug (overflow, a
+    dropped doc, runaway bin count) flips a bit and the driver row goes
+    red, while the exact bin layout stays the algorithm's business."""
+    from blow_spark import ops
+
+    CAP = 512
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        "doc_id",
+        (F.floor(F.col("n_chars") / 4.0).cast("bigint") + 1).alias("tokens"),
+    )
+    bins = ops.pack_bins_best_fit(
+        toks, bucket_col="source", id_col="doc_id", size_col="tokens", cap=CAP
+    ).withColumnRenamed("bucket", "source")
+    per_bin = bins.groupBy("source").agg(
+        F.count("*").alias("n_bins"),
+        F.sum("bin_docs").alias("packed_docs"),
+        F.max("bin_fill").alias("max_fill"),
+    )
+    stats = toks.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tokens").alias("total_tokens"),
+        F.max("tokens").alias("max_tokens"),
+    )
+    j = stats.join(per_bin, "source")
+    lb = F.ceil(F.col("total_tokens") / F.lit(float(CAP))).cast("bigint")
+    ub = F.expr(f"total_tokens div ({CAP} - max_tokens)") + 1
+    return j.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        lb.alias("n_bins_lb"),
+        ((F.col("n_bins") >= lb) & (F.col("n_bins") <= ub)).cast("int").alias(
+            "bins_within_bound"
+        ),
+        (F.col("packed_docs") == F.col("n_docs")).cast("int").alias("all_docs_packed"),
+        (F.col("max_fill") <= F.lit(CAP)).cast("int").alias("no_overflow"),
+    )

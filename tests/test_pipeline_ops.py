@@ -222,3 +222,33 @@ def test_compact_parquet_restores_crashed_run_and_sweeps_stale(spark, tmp_path):
     # one are gone
     leftovers = [f for f in os.listdir(tmp_path) if ".old." in f or f.endswith(".staging")]
     assert leftovers == []
+
+
+def test_pack_bins_best_fit_exact_layout_and_invariants(spark):
+    """BFD packing on a hand-computed adversarial set: sizes
+    [300,300,300,212,212,100] at cap 512 must pack as exactly
+    [512, 512, 400] (three 300s each open a bin, the 212s best-fit the
+    first two to exactly full, the 100 lands in the third) — pinning
+    sort order, the fullest-that-fits choice, and the tie-break. Plus
+    the any-fit invariants on a second bucket with an item at exactly
+    cap (must sit alone, no overflow)."""
+    from blow_spark import ops
+
+    rows = [("a", i, s) for i, s in enumerate([300, 300, 300, 212, 212, 100])]
+    rows += [("b", 10, 512), ("b", 11, 1), ("b", 12, 511)]
+    df = spark.createDataFrame(rows, "bucket string, item_id long, size long")
+    out = ops.pack_bins_best_fit(df, "bucket", "item_id", "size", cap=512)
+    got = {
+        (r["bucket"], r["bin_id"]): (r["bin_docs"], r["bin_fill"])
+        for r in out.collect()
+    }
+    assert got[("a", 0)] == (2, 512)
+    assert got[("a", 1)] == (2, 512)
+    assert got[("a", 2)] == (2, 400)
+    # bucket b: 512 alone; 511+1 = 512 together (511 sorts before 1,
+    # then 1 best-fits the fuller 511-bin)
+    b_bins = sorted(v for k, v in got.items() if k[0] == "b")
+    assert b_bins == [(1, 512), (2, 512)]
+    # invariants over everything
+    assert all(fill <= 512 for _, fill in got.values())
+    assert sum(docs for docs, _ in got.values()) == 9

@@ -133,6 +133,7 @@ BENCH_EXCHANGE_PINS = {
     # round 5 additions
     "text_quality_classifier": (1, 1),
     "mix_dsir_importance": (7, 4),
+    "pack_bins_best_fit": (3, 1),
 }
 
 
