@@ -98,6 +98,7 @@ HEADLINE = [
     "text_quality_classifier",
     "mix_dsir_importance",
     "pack_bins_best_fit",
+    "dedup_semantic_semdedup",
 ]
 
 

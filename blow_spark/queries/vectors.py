@@ -718,3 +718,101 @@ def vector_power_iteration_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dim")
         .agg(F.sum(F.col("q") * F.col("w")).alias("y"))
     )
+
+
+@register(
+    "dedup_semantic_semdedup",
+    oracle="""
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           1 AS partition_ok,
+           1 AS no_kept_near_pair,
+           1 AS dropped_justified
+    FROM embeddings GROUP BY label
+    """,
+    tags=("dedup", "similarity", "vector", "semdedup"),
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end to end (Abbas et al. 2023 — k-means-bucketed
+    semantic dedup; similarity.semantic_dedup), gated by IN-PLAN PROOF
+    BITS (the theory/inequality-gate family: recall floor, any-fit
+    bound). The kept/dropped partition depends on the k-means geometry,
+    which SQL cannot replicate — but three properties of a CORRECT
+    SemDeDup are verifiable from the result itself, so the query emits
+    them as bits the oracle asserts true, per data-derived label group:
+
+    - partition_ok: every vector is decided exactly once
+      (Σ kept + Σ dropped == n_vecs — a dup/loss through the join
+      chain flips it);
+    - no_kept_near_pair: re-scoring every within-cluster KEPT-KEPT pair
+      (independent plan branch over the spilled exact pair scores)
+      finds none ≥ τ — two surviving near-dups in one cluster would be
+      the classic broken-union-find bug;
+    - dropped_justified: every dropped vector touches ≥ 1 edge of the
+      ≥ τ graph — nothing is discarded without a recorded near-dup
+      reason.
+
+    τ = 0.35 (the catalog's embedding-near-dup operating point —
+    produces real merge decisions on the near-orthogonal fixture).
+    A regression in clustering, scoring, or component labeling flips a
+    bit and turns the driver row red, while the exact kept set stays
+    the algorithm's business."""
+    e = read_table(spark, sf_dir, "embeddings")
+    TAU = 0.35
+    decisions, scored = similarity.semantic_dedup(e, threshold=TAU)
+    dec = decisions.join(
+        e.select(F.col("vec_id").alias("vid"), "label"), "vid"
+    )
+    # verification branch 1: kept-kept pairs at/above tau (expect none)
+    keep_flags = decisions.select("vid", "keep")
+    kk = (
+        scored.filter(F.col("cos_sim") >= TAU)
+        .join(
+            keep_flags.select(F.col("vid").alias("query_id"), F.col("keep").alias("ka")),
+            "query_id",
+        )
+        .join(
+            keep_flags.select(
+                F.col("vid").alias("neighbor_id"), F.col("keep").alias("kb")
+            ),
+            "neighbor_id",
+        )
+        .filter((F.col("ka") == 1) & (F.col("kb") == 1))
+        .agg(F.count("*").alias("bad_kept_pairs"))
+    )
+    # verification branch 2: dropped vectors with >=1 justifying edge
+    edge_nodes = (
+        scored.filter(F.col("cos_sim") >= TAU)
+        .select(F.col("query_id").alias("vid"))
+        .union(scored.filter(F.col("cos_sim") >= TAU).select(F.col("neighbor_id").alias("vid")))
+        .distinct()
+    )
+    justified = (
+        decisions.filter(F.col("keep") == 0)
+        .join(edge_nodes, "vid", "left_semi")
+        .agg(F.count("*").alias("n_justified"))
+    )
+    per_label = dec.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("keep").alias("n_kept"),
+        F.sum(1 - F.col("keep")).alias("n_dropped"),
+    )
+    totals = decisions.agg(
+        F.sum(1 - F.col("keep")).alias("total_dropped")
+    )
+    return (
+        per_label.crossJoin(F.broadcast(kk))
+        .crossJoin(F.broadcast(justified))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "label",
+            "n_vecs",
+            ((F.col("n_kept") + F.col("n_dropped")) == F.col("n_vecs"))
+            .cast("int")
+            .alias("partition_ok"),
+            (F.col("bad_kept_pairs") == 0).cast("int").alias("no_kept_near_pair"),
+            (F.col("n_justified") == F.col("total_dropped"))
+            .cast("int")
+            .alias("dropped_justified"),
+        )
+    )

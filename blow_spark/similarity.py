@@ -812,3 +812,64 @@ def brute_force_topk_vectorized(
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023 — public
+    literature): embedding-space dedup made tractable by k-means
+    bucketing. Pipeline: deterministic IVF k-means assignment
+    (ivf_assign) → WITHIN-cluster exact all-pairs cosine (the
+    vectorized fixed-point scorer, candidates generated by a cid
+    self-join so pair work is O(Σ cluster²), never O(N²)) → connected
+    components over the ≥ threshold edges → keep the min-id exemplar
+    per component (singletons keep themselves).
+
+    Returns ``(decisions, scored)``: decisions = (vec_id, cid, comp,
+    keep) for every input vector; scored = every within-cluster pair
+    with its exact cosine (spilled once — reused by callers for
+    verification, e.g. the registered query's proof bits).
+
+    Scale contract: cluster granularity is the knob — pick n_clusters ≈
+    N / target_cluster_size so per-cluster pair counts stay bounded;
+    the cid self-join shuffles by cid (AQE skew-split catches hot
+    clusters), the scorer is map-only after the id joins, and the CC
+    edge set is ∝ near-dup pairs, not vectors. This is exactly the
+    SemDeDup argument: clustering turns an impossible O(N²) into
+    per-bucket work."""
+    from blow_spark import dedup as _dedup
+    from blow_spark.materialize import spill_to_parquet
+
+    assigned, _cent = ivf_assign(
+        df, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col
+    )
+    a = assigned.select(F.col("vid").alias("query_id"), F.col("cid").alias("_ca"))
+    b = assigned.select(F.col("vid").alias("neighbor_id"), F.col("cid").alias("_cb"))
+    cand = a.join(b, (F.col("_ca") == F.col("_cb")) & (F.col("query_id") < F.col("neighbor_id"))).select(
+        "query_id", "neighbor_id"
+    )
+    scored = spill_to_parquet(
+        _rescore_candidates(cand, df, id_col=id_col, vec_col=vec_col),
+        "blow_spark_semdedup_",
+    )
+    edges = scored.filter(F.col("cos_sim") >= threshold).select(
+        F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
+    )
+    comp = _dedup.connected_components(edges)
+    decisions = (
+        assigned.select("vid", "cid")
+        .join(comp, assigned.vid == comp.node, "left")
+        .select(
+            "vid",
+            "cid",
+            F.coalesce(F.col("comp"), F.col("vid")).alias("comp"),
+        )
+        .withColumn("keep", (F.col("comp") == F.col("vid")).cast("int"))
+    )
+    return decisions, scored

@@ -134,6 +134,10 @@ BENCH_EXCHANGE_PINS = {
     "text_quality_classifier": (1, 1),
     "mix_dsir_importance": (7, 4),
     "pack_bins_best_fit": (3, 1),
+    # 7 shuffles are the semdedup pipeline (cid self-join, CC, per-label
+    # agg); 11 broadcasts are the small verification/decision sides
+    # (spilled pair-score scan joined thrice + 1-row proof aggregates)
+    "dedup_semantic_semdedup": (7, 11),
 }
 
 

@@ -262,3 +262,31 @@ def test_cosine_pairs_exact_corpus_cap_fails_fast(spark, emb):
         similarity.cosine_pairs_exact(emb.limit(10), threshold=-1.1, max_rows=10).count()
         == 45
     )
+
+
+def test_semantic_dedup_merges_planted_pairs_only(spark):
+    """SemDeDup on the planted corpus: every (i, i+1000) near-parallel
+    pair that lands in the same k-means cluster must merge (keep=min id,
+    drop the twin); random base vectors (near-orthogonal to each other)
+    must all survive. Clustering geometry decides which pairs share a
+    cluster — SemDeDup only ever merges within clusters — so the pin is:
+    (a) all 40 base vectors kept, (b) every dropped vector is a planted
+    twin whose base is kept, (c) at ≥0.9 the merge set is exactly the
+    co-clustered planted pairs (no false merges)."""
+    df = _planted_corpus(spark)
+    decisions, scored = similarity.semantic_dedup(df, threshold=0.9, n_clusters=4)
+    rows = {r["vid"]: r for r in decisions.collect()}
+    assert len(rows) == 80
+    # (a) base vectors all kept (base id < 1000 is always the component min)
+    assert all(rows[i]["keep"] == 1 for i in range(40))
+    # (b,c) dropped == planted twins co-clustered with their base
+    dropped = {v for v, r in rows.items() if r["keep"] == 0}
+    co_clustered = {
+        i + 1000
+        for i in range(40)
+        if rows[i]["cid"] == rows[i + 1000]["cid"]
+    }
+    assert dropped == co_clustered
+    # sanity: clustering actually brought most twins together (nearly
+    # parallel vectors land in the same Voronoi cell almost surely)
+    assert len(co_clustered) >= 35, f"only {len(co_clustered)}/40 co-clustered"
