@@ -99,6 +99,7 @@ HEADLINE = [
     "mix_dsir_importance",
     "pack_bins_best_fit",
     "dedup_semantic_semdedup",
+    "sample_poisson_bootstrap",
 ]
 
 

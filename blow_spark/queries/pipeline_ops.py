@@ -1671,3 +1671,71 @@ def pack_bins_best_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("packed_docs") == F.col("n_docs")).cast("int").alias("all_docs_packed"),
         (F.col("max_fill") <= F.lit(CAP)).cast("int").alias("no_overflow"),
     )
+
+
+@register(
+    "sample_poisson_bootstrap",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, source,
+             (strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(md5(text), 5, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(text), 6, 1)) - 1) AS u16
+      FROM documents
+    ), k AS (
+      SELECT doc_id, source,
+             CASE WHEN u16 < 24109 THEN 0
+                  WHEN u16 < 48218 THEN 1
+                  WHEN u16 < 60273 THEN 2
+                  WHEN u16 < 64291 THEN 3
+                  WHEN u16 < 65296 THEN 4
+                  WHEN u16 < 65497 THEN 5
+                  ELSE 6 END AS k
+      FROM u
+    )
+    SELECT doc_id, source, CAST(UNNEST(range(1, k + 1)) AS INT) AS replica_no
+    FROM k WHERE k > 0
+    """,
+    tags=("pipeline", "sampling", "bootstrap", "llm"),
+)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap resample — the distributed form of bootstrap
+    resampling (public statistics literature; the streaming/MapReduce
+    standard, e.g. Chamandy et al., "Estimating uncertainty for massive
+    data streams", 2012): instead of drawing one multinomial over N
+    documents (which needs global coordination), each document
+    independently contributes k ~ Poisson(1) replicas. For large N the
+    resample is distributionally indistinguishable from the classic
+    bootstrap, and the plan is a pure MAP: no shuffle, no RNG state, no
+    driver coordination — the property that makes bootstrap replicates
+    (for variance estimates / bagging) feasible at 100 TB.
+
+    Determinism (the house content-hash rule): the uniform is 16 bits of
+    md5(text) (digits 3-6 — independent of the nibbles the split and
+    mix recipes consume), and k comes from FIXED integer inverse-CDF
+    thresholds of Poisson(1) (floor(CDF·2¹⁶): 24109, 48218, 60273,
+    64291, 65296, 65497; capped at 6 — P(k>6) ≈ 8·10⁻⁵). Pure integer
+    compares, so the oracle replays the exact replica multiset;
+    task retries and re-ingestion under new doc_ids keep identical
+    resamples (Spark's sample() is neither)."""
+    docs = read_table(spark, sf_dir, "documents")
+    u16 = F.conv(F.substring(F.md5("text"), 3, 4), 16, 10).cast("int")
+    k = (
+        F.when(u16 < 24109, 0)
+        .when(u16 < 48218, 1)
+        .when(u16 < 60273, 2)
+        .when(u16 < 64291, 3)
+        .when(u16 < 65296, 4)
+        .when(u16 < 65497, 5)
+        .otherwise(6)
+    )
+    return (
+        docs.select("doc_id", "source", k.alias("k"))
+        .filter(F.col("k") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1), F.col("k"))).alias("replica_no"),
+        )
+    )

@@ -138,6 +138,8 @@ BENCH_EXCHANGE_PINS = {
     # agg); 11 broadcasts are the small verification/decision sides
     # (spilled pair-score scan joined thrice + 1-row proof aggregates)
     "dedup_semantic_semdedup": (7, 11),
+    # pure map plan: hash → inverse-CDF CASE → explode; zero exchanges
+    "sample_poisson_bootstrap": (0, 0),
 }
 
 
