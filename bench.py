@@ -100,6 +100,7 @@ HEADLINE = [
     "pack_bins_best_fit",
     "dedup_semantic_semdedup",
     "sample_poisson_bootstrap",
+    "corpus_bpe_encode",
 ]
 
 

@@ -970,3 +970,87 @@ def agg_theta_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_distinct_est")
     )
+
+
+@register(
+    "relational_transpose",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT 'n_rows' AS key,
+           (SELECT n_rows FROM s WHERE l_returnflag = 'A') AS A,
+           (SELECT n_rows FROM s WHERE l_returnflag = 'N') AS N,
+           (SELECT n_rows FROM s WHERE l_returnflag = 'R') AS R
+    UNION ALL
+    SELECT 'qty_cents',
+           (SELECT qty_cents FROM s WHERE l_returnflag = 'A'),
+           (SELECT qty_cents FROM s WHERE l_returnflag = 'N'),
+           (SELECT qty_cents FROM s WHERE l_returnflag = 'R')
+    """,
+    tags=("relational", "transpose", "spark4"),
+)
+def relational_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``DataFrame.transpose()``: rows↔columns over a small
+    aggregate — the metrics-as-rows report shape (each measure becomes a
+    row, each group a column). The transpose operates on the 3-row
+    aggregate, never the fact table — the only sane place for a
+    transpose at scale, since the result schema is data-dependent
+    (one column per input ROW; Spark collects the key column to the
+    driver at plan time, which is why the input must already be
+    aggregate-small). Integer measures keep the hash check exact; the
+    oracle derives the same grid with scalar subqueries."""
+    li = read_table(spark, sf_dir, "lineitem")
+    summary = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_cents"),
+    )
+    return summary.transpose()
+
+
+@register(
+    "sql_session_variables_front_door",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders
+    WHERE o_totalprice BETWEEN 50000.0 AND 200000.0 AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    tags=("sql", "variables", "spark4"),
+)
+def sql_session_variables_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL session variables (DECLARE VARIABLE / SET VAR) as the
+    parameter-binding surface: thresholds live in typed session state
+    and the query references them BY NAME — the scripting-style
+    alternative to `:name` bind parameters (`sql_parameterized_query`),
+    useful when one session runs a parameter sweep without rebuilding
+    query text. DECLARE OR REPLACE keeps the builder idempotent in
+    long-lived sessions (the driver and bench reuse one session for the
+    whole catalog). The oracle inlines the same literals — variable
+    resolution happens at analysis time, so the plan is identical to
+    the literal form (constant-folded, filters pushed)."""
+    from blow_spark.sources import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    spark.sql("DECLARE OR REPLACE VARIABLE price_lo DOUBLE DEFAULT 50000.0")
+    spark.sql("DECLARE OR REPLACE VARIABLE price_hi DOUBLE DEFAULT 200000.0")
+    spark.sql("DECLARE OR REPLACE VARIABLE status STRING DEFAULT 'F'")
+    spark.sql("SET VAR price_lo = 50000.0")
+    spark.sql("SET VAR price_hi = 200000.0")
+    spark.sql("SET VAR status = 'F'")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
+        FROM orders
+        WHERE o_totalprice BETWEEN price_lo AND price_hi
+          AND o_orderstatus = status
+        GROUP BY o_orderpriority
+        """
+    )

@@ -802,6 +802,16 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab per round (materialize.spill_to_parquet) exactly like the
     other iterative operators. The argmax pair joins back as a one-row
     broadcast — no driver collect in the loop."""
+    out, _cur = _bpe_train(spark, sf_dir)
+    return out
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Shared BPE trainer chain: returns (merges_df, final_vocab_df) —
+    merges_df = the six (round, l, r, merged, cnt) rows, final_vocab_df
+    = the top-500 word table carrying its POST-merge segmentation
+    string ``s``. Used by tokenizer_bpe_merges (emits the merges) and
+    corpus_bpe_encode (applies the segmentations to the corpus)."""
     d = read_table(spark, sf_dir, "documents")
     from blow_spark import functions as BF
 
@@ -848,7 +858,7 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "replace(s, '|' || _l || '|' || _r || '|', '|' || _l || _r || '|')"
             ).alias("s"),
         )
-    return out
+    return out, cur
 
 
 @register(
@@ -1047,4 +1057,80 @@ def mix_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lr_micro").alias("dsir_weight_micro"),
             (F.sum("lr_micro") >= 0).cast("int").alias("target_like"),
         )
+    )
+
+
+_BPE_ENCODE_ORACLE = (
+    r"""
+    WITH wf AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        FROM documents
+      )
+      WHERE regexp_matches(w, '^[a-z]+$')
+      GROUP BY w ORDER BY n DESC, w LIMIT 500
+    ), v0 AS (
+      SELECT w, n, '|' || array_to_string(string_split(w, ''), '|') || '|' AS s
+      FROM wf
+    ),"""
+    + ",".join(_bpe_ctes)
+    + r""",
+    dtoks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      FROM documents
+    ), enc AS (
+      SELECT d.doc_id,
+             CASE WHEN v.w IS NOT NULL
+                  THEN len(string_split(trim(v.s, '|'), '|'))
+                  ELSE length(d.w) END AS n_sym
+      FROM dtoks d LEFT JOIN v6 v ON d.w = v.w
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT)  AS n_words,
+           CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
+    FROM enc GROUP BY doc_id
+    """
+)
+
+
+@register("corpus_bpe_encode", oracle=_BPE_ENCODE_ORACLE, tags=("corpus", "tokenizer", "bpe"))
+def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING with the trained merges — the third leg of the
+    tokenizer family (vocab build → merge training → encode), closing
+    the loop: the corpus is re-tokenized under the segmentations the
+    six trained merges produce. Per document: word count and the BPE
+    token count (in-vocab words contribute their post-merge symbol
+    count; out-of-vocab words fall back to character-level — one token
+    per character, the standard byte/char fallback).
+
+    Scale shape — the reason this is the RIGHT factorization: merges
+    apply to the DISTINCT-word table (vocab-scale, 500 rows), never to
+    the token stream; the corpus-scale work is one broadcast join of
+    the token stream against the 500-row segmentation map plus a
+    map-combinable per-doc aggregate. A naive per-token merge
+    application would run the iterative replace chain over every token
+    occurrence — O(corpus · merges) string work instead of
+    O(vocab · merges). The oracle replays the identical trainer CTE
+    chain and the identical encode join, so the whole train→encode
+    pipeline is hash-checked end to end (data-dependent merges
+    included)."""
+    _merges, vocab = _bpe_train(spark, sf_dir)
+    seg = vocab.select(
+        "w",
+        F.size(F.split(F.expr("trim(BOTH '|' FROM s)"), "\\|")).alias("n_sym_v"),
+    )
+    d = read_table(spark, sf_dir, "documents")
+    from blow_spark import functions as BF
+
+    dtoks = d.select(
+        "doc_id", F.explode(BF.tokenize_ws(F.lower(F.col("text")))).alias("w")
+    )
+    enc = dtoks.join(F.broadcast(seg), "w", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_sym_v"), F.length("w")).alias("n_sym"),
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum("n_sym").alias("n_bpe_tokens"),
     )

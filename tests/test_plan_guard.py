@@ -140,6 +140,9 @@ BENCH_EXCHANGE_PINS = {
     "dedup_semantic_semdedup": (7, 11),
     # pure map plan: hash → inverse-CDF CASE → explode; zero exchanges
     "sample_poisson_bootstrap": (0, 0),
+    # the trainer chain unrolled (like tokenizer_bpe_merges) + the
+    # encode's broadcast join and per-doc aggregate
+    "corpus_bpe_encode": (65, 64),
 }
 
 
