@@ -440,7 +440,23 @@ def png_corpus_fixture_dir(spark, sf_dir: str, n_docs: int = 50) -> str:
     from blow_spark.shipping import ensure_package_shipped
     from blow_spark.sources import read_table
 
-    token = hashlib.sha256(f"{sf_dir}|{n_docs}".encode()).hexdigest()[:12]
+    # The cache token includes a FINGERPRINT of the source table (file
+    # names + sizes + mtimes), not just its path: fixture directories
+    # get regenerated in place between driver rounds, and a stale PNG
+    # cache keyed on path alone would silently desynchronize the query
+    # from its oracle.
+    src = os.path.join(sf_dir, "documents.parquet")
+    stat_parts = []
+    if os.path.isdir(src):
+        for fn in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, fn))
+            stat_parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        stat_parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    token = hashlib.sha256(
+        f"{sf_dir}|{n_docs}|{'|'.join(stat_parts)}".encode()
+    ).hexdigest()[:12]
     img_dir = os.path.join(tempfile.gettempdir(), f"blow_spark_pngs_{token}")
     marker = os.path.join(img_dir, "_SUCCESS")
     if os.path.exists(marker):
