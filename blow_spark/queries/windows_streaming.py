@@ -1919,3 +1919,73 @@ def streaming_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "n_pairs")
     )
     return _drain(agg, "append", "chain_out")
+
+@register(
+    "events_pattern_match",
+    oracle=r"""
+    WITH coded AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                  WHEN 'purchase' THEN 'p' WHEN 'error' THEN 'e'
+                  ELSE 's' END AS ch
+      FROM events
+    ), seqs AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT)            AS n_events,
+             string_agg(ch, '' ORDER BY ts, event_id) AS seq
+      FROM coded GROUP BY user_id
+    )
+    SELECT user_id, n_events, seq,
+           CAST(regexp_matches(seq, 'v[^p]*c[^p]*p') AS BIGINT) AS has_conversion,
+           CAST(len(regexp_extract_all(seq, 'v[^p]*c[^p]*p')) AS BIGINT) AS n_paths
+    FROM seqs
+    """,
+    tags=("events", "pattern", "analytics"),
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern matching: each user's event
+    history becomes a one-char-per-event string in (ts, event_id) order,
+    and the funnel pattern ``v[^p]*c[^p]*p`` (a view, then a click, then
+    a purchase, with no intervening purchase) is matched as a REGEX over
+    that string — the SQL:2016 row-pattern-recognition feature Spark
+    lacks, recovered as order-preserving aggregation + regexp. The
+    pattern alphabet is closed (5 event types) and both engines use
+    leftmost-first greedy matching, so ``has_conversion`` (rlike) and
+    ``n_paths`` (non-overlapping match count) are engine-exact.
+
+    Scale: ONE shuffle keyed by user_id; the regex runs map-side on the
+    aggregated row. The per-key sequence is the user's whole history —
+    the same per-key memory contract as any sessionization; a 100 TB run
+    bounds it by windowing the history first (cf. ops_sessionize).
+    Reference analog: blow's per-record Mapper chain (maps/maps.go:12-14)
+    can tag events but cannot see cross-record order at all."""
+    e = read_table(spark, sf_dir, "events")
+    ch = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "error", "e")
+        .otherwise("s")
+    )
+    pat = "v[^p]*c[^p]*p"
+    per_user = (
+        e.select("user_id", "ts", "event_id", ch.alias("ch"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "ch"))),
+                    lambda s: s["ch"],
+                ),
+            ).alias("seq"),
+        )
+    )
+    return per_user.select(
+        "user_id",
+        "n_events",
+        "seq",
+        F.col("seq").rlike(pat).cast("bigint").alias("has_conversion"),
+        F.regexp_count("seq", F.lit(pat)).cast("bigint").alias("n_paths"),
+    )
