@@ -1,0 +1,342 @@
+"""Data-governance operators: declarative quality expectations and
+k-anonymity generalization.
+
+The two pipeline stages every production data platform bolts on in
+front of training-data ingestion:
+
+* ``dq_expectations_audit`` — a Deequ/Great-Expectations-style
+  expectation suite evaluated in ONE pass per table (+ one join for the
+  cross-table rules), emitted as a long-format audit table the
+  orchestrator can gate on.
+* ``privacy_k_anonymity`` — k-anonymity generalization over
+  quasi-identifiers with an iterative-suppression ladder, computed
+  entirely at GROUP granularity (the corpus is touched by exactly one
+  shuffle; the ladder runs on the Zipf-small group table).
+
+Reference parity note: blow's per-record Mapper chain
+(maps/maps.go:12-14, cmd/fizzbuzz/fizzbuzz.go:19-46) can validate one
+record at a time but has no cross-record state, so neither uniqueness,
+referential integrity, nor group-size privacy checks are expressible
+there at all — these operators are part of the §2.2 extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blow_spark.queries import register
+from blow_spark.sources import read_table
+
+# ---------------------------------------------------------------------------
+# dq_expectations_audit
+# ---------------------------------------------------------------------------
+
+_DQ_ORACLE = r"""
+WITH o AS (
+  SELECT COUNT(*)                                          AS n,
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v_unique,
+         CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT) AS v_price,
+         CAST(COUNT(*) FILTER (WHERE NOT EXISTS (
+             SELECT 1 FROM customer c WHERE c.c_custkey = orders.o_custkey))
+           AS BIGINT)                                      AS v_fk_cust
+  FROM orders
+), l AS (
+  SELECT COUNT(*) AS n,
+         CAST(COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+           AS BIGINT) AS v_qty,
+         CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1)
+           AS BIGINT) AS v_disc
+  FROM lineitem
+), c AS (
+  SELECT COUNT(*) AS n,
+         CAST(COUNT(*) FILTER (WHERE c_mktsegment IS NULL) AS BIGINT) AS v_seg
+  FROM customer
+), lj AS (
+  SELECT COUNT(*)                                              AS n,
+         CAST(COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT) AS v_fk,
+         CAST(COUNT(o.o_orderkey) AS BIGINT)                   AS n_matched,
+         CAST(COUNT(*) FILTER (WHERE o.o_orderkey IS NOT NULL
+                                 AND li.l_shipdate < o.o_orderdate) AS BIGINT)
+                                                               AS v_dates
+  FROM lineitem li LEFT JOIN orders o ON li.l_orderkey = o.o_orderkey
+), long AS (
+  SELECT 'orders.o_orderkey.unique' AS expectation, n AS n_checked,
+         v_unique AS n_violations FROM o
+  UNION ALL
+  SELECT 'orders.o_totalprice.positive', n, v_price FROM o
+  UNION ALL
+  SELECT 'orders.o_custkey.fk_customer', n, v_fk_cust FROM o
+  UNION ALL
+  SELECT 'lineitem.l_quantity.range_1_50', n, v_qty FROM l
+  UNION ALL
+  SELECT 'lineitem.l_discount.range_0_0.1', n, v_disc FROM l
+  UNION ALL
+  SELECT 'customer.c_mktsegment.not_null', n, v_seg FROM c
+  UNION ALL
+  SELECT 'lineitem.l_orderkey.fk_orders', n, v_fk FROM lj
+  UNION ALL
+  SELECT 'lineitem.l_shipdate.after_orderdate', n_matched, v_dates FROM lj
+)
+SELECT expectation,
+       CAST(n_checked AS BIGINT)    AS n_checked,
+       n_violations,
+       CAST(n_violations = 0 AS BIGINT) AS passed
+FROM long
+"""
+
+
+@register(
+    "dq_expectations_audit",
+    oracle=_DQ_ORACLE,
+    tags=("governance", "quality", "audit"),
+)
+def dq_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite (Deequ-style): 8
+    expectations — uniqueness, two referential-integrity rules, range,
+    positivity, not-null, and a cross-table temporal rule — evaluated
+    as ONE aggregate per table plus ONE left join for the cross-table
+    rules, then unpivoted (stack) into a long-format audit table:
+    (expectation, n_checked, n_violations, passed).
+
+    The fixture genuinely fails `lineitem.l_shipdate.after_orderdate`
+    (the generator enforces no ship-after-order constraint), so the
+    audit is non-vacuous: a gate wired to `min(passed)` would hold.
+
+    Scale: every per-table check is a map-side partial aggregate (one
+    scan per table, no shuffle beyond the final 1-row exchange); the FK
+    + temporal pair share one l_orderkey-keyed shuffle join, the plan a
+    1000-executor run wants — per-expectation jobs would rescan the
+    fact table 8×. Violation ROW extraction is dq_quarantine_split's
+    job; this operator is the summary gate."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    c = read_table(spark, sf_dir, "customer")
+
+    o_agg = (
+        o.join(
+            c.select(F.col("c_custkey").alias("o_custkey"), F.lit(1).alias("_cm")),
+            "o_custkey",
+            "left",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            (F.count("*") - F.countDistinct("o_orderkey"))
+            .cast("bigint")
+            .alias("v_unique"),
+            F.count_if(F.col("o_totalprice") <= 0).cast("bigint").alias("v_price"),
+            F.count_if(F.col("_cm").isNull()).cast("bigint").alias("v_fk_cust"),
+        )
+        .select(
+            F.expr(
+                "stack(3,"
+                " 'orders.o_orderkey.unique', n, v_unique,"
+                " 'orders.o_totalprice.positive', n, v_price,"
+                " 'orders.o_custkey.fk_customer', n, v_fk_cust)"
+            ).alias("expectation", "n_checked", "n_violations")
+        )
+    )
+
+    l_agg = li.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.count_if((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50))
+        .cast("bigint")
+        .alias("v_qty"),
+        F.count_if((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1))
+        .cast("bigint")
+        .alias("v_disc"),
+    ).select(
+        F.expr(
+            "stack(2,"
+            " 'lineitem.l_quantity.range_1_50', n, v_qty,"
+            " 'lineitem.l_discount.range_0_0.1', n, v_disc)"
+        ).alias("expectation", "n_checked", "n_violations")
+    )
+
+    c_agg = c.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.count_if(F.col("c_mktsegment").isNull()).cast("bigint").alias("v_seg"),
+    ).select(
+        F.expr(
+            "stack(1, 'customer.c_mktsegment.not_null', n, v_seg)"
+        ).alias("expectation", "n_checked", "n_violations")
+    )
+
+    lj = li.select("l_orderkey", "l_shipdate").join(
+        o.select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+        ),
+        "l_orderkey",
+        "left",
+    )
+    lj_agg = lj.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.count_if(F.col("o_orderdate").isNull()).cast("bigint").alias("v_fk"),
+        F.count("o_orderdate").cast("bigint").alias("n_matched"),
+        F.count_if(
+            F.col("o_orderdate").isNotNull()
+            & (F.col("l_shipdate") < F.col("o_orderdate"))
+        )
+        .cast("bigint")
+        .alias("v_dates"),
+    ).select(
+        F.expr(
+            "stack(2,"
+            " 'lineitem.l_orderkey.fk_orders', n, v_fk,"
+            " 'lineitem.l_shipdate.after_orderdate', n_matched, v_dates)"
+        ).alias("expectation", "n_checked", "n_violations")
+    )
+
+    long = o_agg.unionAll(l_agg).unionAll(c_agg).unionAll(lj_agg)
+    return long.select(
+        "expectation",
+        "n_checked",
+        "n_violations",
+        (F.col("n_violations") == 0).cast("bigint").alias("passed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# privacy_k_anonymity
+# ---------------------------------------------------------------------------
+
+_K = 3
+_BUCKET_CENTS = 300_000  # $3,000-wide acctbal buckets
+_OFFSET_CENTS = 100_000_000  # shift so integer div is a true floor for negatives
+
+_KANON_ORACLE = rf"""
+WITH base AS (
+  SELECT c_nationkey AS n, c_mktsegment AS s,
+         (CAST(ROUND(c_acctbal * 100) AS BIGINT) + {_OFFSET_CENTS})
+           // {_BUCKET_CENTS} AS b
+  FROM customer
+), g0 AS (
+  SELECT n, s, b, CAST(COUNT(*) AS BIGINT) AS c0 FROM base GROUP BY n, s, b
+), lvl0 AS (
+  SELECT CAST(n AS VARCHAR) AS gen_nation, s AS gen_segment,
+         CAST(b AS VARCHAR) AS gen_bal_bucket,
+         CAST(0 AS BIGINT) AS anon_level, c0 AS n_rows,
+         CAST(1 AS BIGINT) AS n_source_groups
+  FROM g0 WHERE c0 >= {_K}
+), r1 AS (
+  SELECT n, s, CAST(SUM(c0) AS BIGINT) AS r1,
+         CAST(COUNT(*) AS BIGINT) AS ng
+  FROM g0 WHERE c0 < {_K} GROUP BY n, s
+), lvl1 AS (
+  SELECT CAST(n AS VARCHAR) AS gen_nation, s AS gen_segment,
+         '*' AS gen_bal_bucket, CAST(1 AS BIGINT) AS anon_level,
+         r1 AS n_rows, ng AS n_source_groups
+  FROM r1 WHERE r1 >= {_K}
+), r2 AS (
+  SELECT n, CAST(SUM(r1) AS BIGINT) AS r2, CAST(SUM(ng) AS BIGINT) AS ng
+  FROM r1 WHERE r1 < {_K} GROUP BY n
+), lvl2 AS (
+  SELECT CAST(n AS VARCHAR) AS gen_nation, '*' AS gen_segment,
+         '*' AS gen_bal_bucket, CAST(2 AS BIGINT) AS anon_level,
+         r2 AS n_rows, ng AS n_source_groups
+  FROM r2 WHERE r2 >= {_K}
+), lvl3 AS (
+  SELECT '*' AS gen_nation, '*' AS gen_segment, '*' AS gen_bal_bucket,
+         CAST(3 AS BIGINT) AS anon_level,
+         CAST(SUM(r2) AS BIGINT) AS n_rows,
+         CAST(SUM(ng) AS BIGINT) AS n_source_groups
+  FROM r2 WHERE r2 < {_K}
+  HAVING SUM(r2) IS NOT NULL
+)
+SELECT * FROM lvl0 UNION ALL SELECT * FROM lvl1
+UNION ALL SELECT * FROM lvl2 UNION ALL SELECT * FROM lvl3
+"""
+
+
+@register(
+    "privacy_k_anonymity",
+    oracle=_KANON_ORACLE,
+    tags=("governance", "privacy", "rollup"),
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity (k=3) generalization over the quasi-identifier
+    (nation, segment, $3,000 acctbal bucket) with an ITERATIVE
+    SUPPRESSION ladder — the honest variant: a published equivalence
+    class is the set of rows that actually DISPLAY the same generalized
+    tuple, so level-1 classes count only the rows whose level-0 group
+    failed (not the whole (nation, segment) population; counting the
+    latter is the classic broken-ladder bug that publishes classes
+    smaller than k). Rows failing all three levels emit as one fully
+    suppressed ('*','*','*') class.
+
+    Every published class at levels 0-2 therefore has n_rows >= k by
+    construction, and the oracle proves it by exact replay.
+
+    Scale: the customer table is touched by exactly ONE shuffle (the
+    level-0 groupBy); the ladder is pure re-aggregation of the group
+    table, bounded by |nations| x |segments| x |buckets| — group-level
+    algebra, never row-level joins. Bucket arithmetic is integer cents
+    with a positive offset so the integer division is a true floor on
+    negative balances in both engines."""
+    c = read_table(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_nationkey").alias("n"),
+        F.col("c_mktsegment").alias("s"),
+        F.expr(
+            f"(cast(round(c_acctbal * 100) as bigint) + {_OFFSET_CENTS})"
+            f" div {_BUCKET_CENTS}"
+        ).alias("b"),
+    )
+    g0 = base.groupBy("n", "s", "b").agg(F.count("*").cast("bigint").alias("c0"))
+    lvl0 = g0.filter(F.col("c0") >= _K).select(
+        F.col("n").cast("string").alias("gen_nation"),
+        F.col("s").alias("gen_segment"),
+        F.col("b").cast("string").alias("gen_bal_bucket"),
+        F.lit(0).cast("bigint").alias("anon_level"),
+        F.col("c0").alias("n_rows"),
+        F.lit(1).cast("bigint").alias("n_source_groups"),
+    )
+    r1 = (
+        g0.filter(F.col("c0") < _K)
+        .groupBy("n", "s")
+        .agg(
+            F.sum("c0").cast("bigint").alias("r1"),
+            F.count("*").cast("bigint").alias("ng"),
+        )
+    )
+    lvl1 = r1.filter(F.col("r1") >= _K).select(
+        F.col("n").cast("string").alias("gen_nation"),
+        F.col("s").alias("gen_segment"),
+        F.lit("*").alias("gen_bal_bucket"),
+        F.lit(1).cast("bigint").alias("anon_level"),
+        F.col("r1").alias("n_rows"),
+        F.col("ng").alias("n_source_groups"),
+    )
+    r2 = (
+        r1.filter(F.col("r1") < _K)
+        .groupBy("n")
+        .agg(
+            F.sum("r1").cast("bigint").alias("r2"),
+            F.sum("ng").cast("bigint").alias("ng"),
+        )
+    )
+    lvl2 = r2.filter(F.col("r2") >= _K).select(
+        F.col("n").cast("string").alias("gen_nation"),
+        F.lit("*").alias("gen_segment"),
+        F.lit("*").alias("gen_bal_bucket"),
+        F.lit(2).cast("bigint").alias("anon_level"),
+        F.col("r2").alias("n_rows"),
+        F.col("ng").alias("n_source_groups"),
+    )
+    lvl3 = (
+        r2.filter(F.col("r2") < _K)
+        .agg(
+            F.sum("r2").cast("bigint").alias("n_rows"),
+            F.sum("ng").cast("bigint").alias("n_source_groups"),
+        )
+        .filter(F.col("n_rows").isNotNull())
+        .select(
+            F.lit("*").alias("gen_nation"),
+            F.lit("*").alias("gen_segment"),
+            F.lit("*").alias("gen_bal_bucket"),
+            F.lit(3).cast("bigint").alias("anon_level"),
+            "n_rows",
+            "n_source_groups",
+        )
+    )
+    return lvl0.unionAll(lvl1).unionAll(lvl2).unionAll(lvl3)

@@ -33,3 +33,43 @@ def test_pattern_match_agrees_with_python_re(spark, sf_dir):
         n_hits += r["has_conversion"]
     # the fixture funnel actually fires for some users (non-vacuous test)
     assert n_hits > 0
+
+
+def test_dq_audit_shape_and_nonvacuous(spark, sf_dir):
+    """8 expectations, counts consistent, and the temporal rule really
+    fails on the fixture (the generator enforces no ship-after-order
+    constraint) so the audit gate is non-vacuous."""
+    rows = {r["expectation"]: r for r in
+            ALL_QUERIES["dq_expectations_audit"](spark, sf_dir).collect()}
+    assert len(rows) == 8
+    for r in rows.values():
+        assert 0 <= r["n_violations"] <= r["n_checked"]
+        assert r["passed"] == (1 if r["n_violations"] == 0 else 0)
+    assert rows["lineitem.l_shipdate.after_orderdate"]["n_violations"] > 0
+    assert rows["orders.o_orderkey.unique"]["passed"] == 1
+    assert rows["orders.o_custkey.fk_customer"]["passed"] == 1
+    assert rows["lineitem.l_orderkey.fk_orders"]["passed"] == 1
+
+
+def test_k_anonymity_invariants(spark, sf_dir):
+    """Every published class at levels 0-2 has >= k rows (the actual
+    k-anonymity property — the iterative-suppression ladder counts only
+    the rows that DISPLAY each generalized tuple); total rows are
+    conserved; the ladder is non-trivially exercised."""
+    from blow_spark.queries.governance import _K
+    from blow_spark.sources import read_table
+
+    rows = ALL_QUERIES["privacy_k_anonymity"](spark, sf_dir).collect()
+    n_customers = read_table(spark, sf_dir, "customer").count()
+    assert sum(r["n_rows"] for r in rows) == n_customers
+    levels = set()
+    for r in rows:
+        levels.add(r["anon_level"])
+        if r["anon_level"] <= 2:
+            assert r["n_rows"] >= _K, r
+        stars = [r["gen_bal_bucket"] == "*", r["gen_segment"] == "*",
+                 r["gen_nation"] == "*"]
+        # generalization is monotone: level L wildcards exactly the L
+        # finest quasi-identifier columns
+        assert stars == [lvl < r["anon_level"] for lvl in range(3)], r
+    assert len(levels) >= 2, f"ladder not exercised: {levels}"
