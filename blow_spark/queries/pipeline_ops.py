@@ -1739,3 +1739,181 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.sequence(F.lit(1), F.col("k"))).alias("replica_no"),
         )
     )
+
+
+@register(
+    "sample_negative_pairs",
+    oracle=r"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (ORDER BY md5(text), doc_id) AS BIGINT) AS r
+      FROM documents
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ranked
+    ), cand AS (
+      SELECT a.doc_id AS anchor_doc_id, a.source AS anchor_source, j.j,
+             ((a.r - 1) * 1000003 + j.j * 7919) % n.n + 1 AS neg_rank
+      FROM ranked a
+      CROSS JOIN (SELECT unnest(range(1, 5)) AS j) j
+      CROSS JOIN n
+    )
+    SELECT c.anchor_doc_id,
+           CAST(c.j AS BIGINT)  AS j,
+           b.doc_id             AS neg_doc_id,
+           c.anchor_source,
+           b.source             AS neg_source
+    FROM cand c JOIN ranked b ON b.r = c.neg_rank
+    WHERE b.doc_id <> c.anchor_doc_id AND b.source <> c.anchor_source
+    """,
+    tags=("llm", "sampling", "contrastive"),
+)
+def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    document draws up to 4 pseudo-random negatives from OTHER sources
+    via a multiplicative hash ring — docs are totally ordered by
+    (md5(text), doc_id), each anchor at ring position r probes positions
+    ((r-1)·1000003 + j·7919) mod N for j in 1..4, and probes landing on
+    the anchor itself or on a same-source doc are discarded (so a pair's
+    sources always differ — the label proxy for "true negative").
+
+    Coordination-free and reproducible: the pair set is a pure function
+    of corpus content, so re-runs, retries, and incremental rebuilds
+    agree — the property hash-based splits already rely on
+    (split_train_val_test). The ring multiplier is < 2^20, keeping
+    (r-1)·1000003 within int64 up to N ≈ 9×10^12 docs; past that the
+    product moves to DECIMAL(38,0) unchanged.
+
+    Scale: the global ring position comes from ops.global_row_number
+    (two-phase, no data-scale single-partition window); the probe join
+    keys are uniform ring positions — a uniform integer shuffle join, no
+    hot keys by construction. 4 probes/doc → output ∝ 4N."""
+    from blow_spark import ops
+
+    d = read_table(spark, sf_dir, "documents")
+    ranked = ops.global_row_number(
+        d.select("doc_id", "source", F.md5("text").alias("h")),
+        [F.col("h"), F.col("doc_id")],
+        out_col="r",
+    ).select("doc_id", "source", "r")
+    n = ranked.agg(F.count("*").cast("bigint").alias("n"))
+    cand = (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("anchor_doc_id"),
+            F.col("source").alias("anchor_source"),
+            F.explode(F.array(*[F.lit(j) for j in (1, 2, 3, 4)])).alias("j"),
+            "r",
+            "n",
+        )
+        .withColumn(
+            "neg_rank",
+            ((F.col("r") - 1) * F.lit(1000003) + F.col("j") * F.lit(7919))
+            % F.col("n")
+            + 1,
+        )
+    )
+    neg = ranked.select(
+        F.col("r").alias("neg_rank"),
+        F.col("doc_id").alias("neg_doc_id"),
+        F.col("source").alias("neg_source"),
+    )
+    return (
+        cand.join(neg, "neg_rank")
+        .filter(
+            (F.col("neg_doc_id") != F.col("anchor_doc_id"))
+            & (F.col("neg_source") != F.col("anchor_source"))
+        )
+        .select(
+            "anchor_doc_id",
+            F.col("j").cast("bigint").alias("j"),
+            "neg_doc_id",
+            "anchor_source",
+            "neg_source",
+        )
+    )
+
+
+@register(
+    "score_quantile_calibration",
+    oracle=r"""
+    WITH scored AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS raw_score FROM documents
+    ), per_src AS (
+      SELECT *,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY raw_score, doc_id) AS BIGINT) AS rs,
+             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS ns
+      FROM scored
+    ), gtab AS (
+      SELECT raw_score AS g_score,
+             CAST(ROW_NUMBER() OVER (ORDER BY raw_score, doc_id) AS BIGINT) AS rg
+      FROM scored
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM scored
+    ), mapped AS (
+      SELECT p.doc_id, p.source, p.raw_score, p.rs,
+             CASE WHEN p.ns > 1
+                  THEN 1 + (p.rs - 1) * (n.n - 1) // (p.ns - 1)
+                  ELSE (n.n + 1) // 2 END AS gidx
+      FROM per_src p CROSS JOIN n
+    )
+    SELECT m.doc_id, m.source, m.raw_score, m.rs AS src_rank,
+           m.gidx, g.g_score AS calibrated_score
+    FROM mapped m JOIN gtab g ON g.rg = m.gidx
+    """,
+    tags=("llm", "quality", "calibration"),
+)
+def score_quantile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of a quality score — the
+    calibration step a mixing pipeline needs before comparing scores
+    produced under different source distributions (a "good" score from
+    a clean source and one from a noisy source are not on the same
+    scale; mapping each through its source's quantile onto the GLOBAL
+    score distribution puts them there). Per-source rank rs of ns maps
+    to global index 1 + (rs-1)(N-1) div (ns-1) — the pure-integer
+    quantile interpolation, exact in both engines — and the calibrated
+    score is the global order statistic at that index.
+
+    Scale: per-source ranks are ordinary partitioned windows (parallel
+    across sources); the single global order comes from
+    ops.global_row_number (two-phase, no data-scale single-partition
+    window); the final lookup is a uniform integer join on gidx. The
+    int64 product (rs-1)(N-1) bounds N < ~3×10^9 per source-pair before
+    a DECIMAL(38,0) upgrade is needed — documented envelope."""
+    from blow_spark import ops
+
+    d = read_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("raw_score")
+    )
+    per_src = scored.select(
+        "*",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy("raw_score", "doc_id"))
+        .cast("bigint")
+        .alias("rs"),
+        F.count("*").over(W.partitionBy("source")).cast("bigint").alias("ns"),
+    )
+    glob = ops.global_row_number(
+        scored.select(F.col("raw_score").alias("g_score"), "doc_id"),
+        [F.col("g_score"), F.col("doc_id")],
+        out_col="rg",
+    ).select("g_score", "rg")
+    n = scored.agg(F.count("*").cast("bigint").alias("n"))
+    mapped = per_src.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "source",
+        "raw_score",
+        F.col("rs").alias("src_rank"),
+        F.when(
+            F.col("ns") > 1,
+            1 + F.expr("(rs - 1) * (n - 1) div (ns - 1)"),
+        )
+        .otherwise(F.expr("(n + 1) div 2"))
+        .cast("bigint")
+        .alias("gidx"),
+    )
+    return mapped.join(glob, mapped.gidx == glob.rg).select(
+        "doc_id", "source", "raw_score", "src_rank", "gidx",
+        F.col("g_score").alias("calibrated_score"),
+    )

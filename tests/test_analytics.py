@@ -73,3 +73,40 @@ def test_k_anonymity_invariants(spark, sf_dir):
         # finest quasi-identifier columns
         assert stars == [lvl < r["anon_level"] for lvl in range(3)], r
     assert len(levels) >= 2, f"ladder not exercised: {levels}"
+
+
+def test_negative_pairs_properties(spark, sf_dir):
+    """Pairs are cross-source, self-free, bounded at 4 per anchor, and
+    cover most anchors (the ring multiplier keeps probes spread)."""
+    rows = ALL_QUERIES["sample_negative_pairs"](spark, sf_dir).collect()
+    assert rows
+    per_anchor = {}
+    for r in rows:
+        assert r["anchor_source"] != r["neg_source"], r
+        assert r["anchor_doc_id"] != r["neg_doc_id"], r
+        assert 1 <= r["j"] <= 4
+        per_anchor.setdefault(r["anchor_doc_id"], set()).add(r["j"])
+    assert all(len(js) <= 4 for js in per_anchor.values())
+    from blow_spark.sources import read_table
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    # 20 uniform sources -> a probe dies ~1/20 of the time; anchors with
+    # ZERO surviving probes should be rare
+    assert len(per_anchor) > 0.9 * n_docs
+
+
+def test_quantile_calibration_monotone_and_bounded(spark, sf_dir):
+    """Within a source, calibration preserves order; gidx spans [1, N];
+    extremes map to extremes (rs=1 -> gidx=1, rs=ns -> gidx=N)."""
+    rows = ALL_QUERIES["score_quantile_calibration"](spark, sf_dir).collect()
+    n = len(rows)
+    by_src = {}
+    for r in rows:
+        assert 1 <= r["gidx"] <= n
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["src_rank"])
+        assert rs[0]["gidx"] == 1
+        assert rs[-1]["gidx"] == n
+        for a, b in zip(rs, rs[1:]):
+            assert a["calibrated_score"] <= b["calibrated_score"], (src, a, b)
+            assert a["raw_score"] <= b["raw_score"]
