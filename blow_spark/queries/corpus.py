@@ -1134,3 +1134,110 @@ def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_words"),
         F.sum("n_sym").alias("n_bpe_tokens"),
     )
+
+
+@register(
+    "text_bigram_logprob",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, tok, pos
+      FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok,
+               generate_subscripts(
+                 regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS pos
+        FROM documents
+      )
+    ), bg AS (
+      SELECT doc_id, tok AS w1,
+             LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM toks
+    ), bigrams AS (
+      SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL
+    ), c12 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM bigrams GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1
+    ), v AS (
+      SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM toks
+    ), scored AS (
+      SELECT b.doc_id,
+             CAST(ROUND(LN((CAST(c12.c12 AS DOUBLE) + 1.0)
+                           / (CAST(c1.c1 AS DOUBLE) + v.v))
+                        * 1000000, 0) AS BIGINT) AS lp
+      FROM bigrams b
+      JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+      JOIN c1  ON b.w1 = c1.w1
+      CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT)                      AS n_bigrams,
+           CAST(SUM(lp) AS BIGINT)                       AS logprob_mu_total,
+           CAST(SUM(lp) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("text", "quality", "llm"),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with Laplace smoothing — the CCNet
+    / KenLM-style perplexity filter one order above text_unigram_logprob:
+    each document's mean log P(w_i | w_{i-1}) under the corpus's own
+    bigram distribution, p = (c(w1,w2)+1) / (c(w1)+V). Word order now
+    matters (shuffled text scores low even with a natural unigram mix),
+    which is exactly what the unigram proxy cannot see.
+
+    Plan: positions from posexplode, next-token via a per-doc window
+    (parallel across docs), bigram counts in one (w1,w2)-keyed shuffle;
+    the context totals c1 derive from the bigram table (a re-aggregate
+    of counts, not a second corpus pass) and V is a one-row broadcast.
+    Scoring joins the token stream to the count table on (w1,w2) — at
+    100 TB the bigram table is the big state (∝ distinct bigrams, far
+    sublinear in corpus size but too big to broadcast), so this join
+    SHUFFLES both sides on the bigram key; a min-count cut on c12 is
+    the documented knob when it must shrink. Each bigram's logprob is
+    µ-unit fixed-pointed before the per-doc sum (house rule), making
+    the result engine-exact."""
+    from blow_spark import functions as BF
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(BF.tokenize_ws(F.lower(F.col("text")))).alias("pos", "tok"),
+    )
+    bigrams = (
+        toks.select(
+            "doc_id",
+            F.col("tok").alias("w1"),
+            F.lead("tok").over(W.partitionBy("doc_id").orderBy("pos")).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    c12 = bigrams.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    v = toks.agg(F.countDistinct("tok").cast("bigint").alias("v"))
+    scored = (
+        bigrams.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("c12").cast("double") + F.lit(1.0))
+                    / (F.col("c1").cast("double") + F.col("v"))
+                )
+                * 1_000_000,
+                0,
+            )
+            .cast("bigint")
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.sum("lp").cast("bigint").alias("logprob_mu_total"),
+        (F.sum("lp").cast("double") / F.count("*") / 1_000_000.0).alias(
+            "avg_logprob"
+        ),
+    )

@@ -1271,3 +1271,74 @@ def er_golden_record_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_parts").alias("total_records"),
         )
     )
+
+
+@register(
+    "text_char_entropy",
+    oracle=r"""
+    WITH c AS (
+      SELECT doc_id, string_split(lower(text), '') AS chars
+      FROM documents WHERE length(text) > 0
+    ), d AS (
+      SELECT doc_id,
+             CAST(len(chars) AS BIGINT) AS n_chars_ci,
+             list_transform(list_distinct(chars),
+                            ch -> len(list_filter(chars, x -> x = ch))) AS cnts
+      FROM c
+    )
+    SELECT doc_id, n_chars_ci,
+           CAST(len(cnts) AS BIGINT) AS n_distinct_chars,
+           CAST(list_sum(list_transform(cnts, cnt ->
+                  cnt * CAST(ROUND(LN(CAST(n_chars_ci AS DOUBLE) / cnt)
+                                   * 1000000, 0) AS BIGINT)))
+             AS BIGINT)                              AS entropy_mu_total,
+           CAST(list_sum(list_transform(cnts, cnt ->
+                  cnt * CAST(ROUND(LN(CAST(n_chars_ci AS DOUBLE) / cnt)
+                                   * 1000000, 0) AS BIGINT)))
+             AS DOUBLE) / n_chars_ci / 1000000.0     AS entropy_nats
+    FROM d
+    """,
+    tags=("text", "quality", "llm"),
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy (nats) — the
+    compression-adjacent junk signal quality filters use alongside
+    repetition shares (near-zero entropy ⇒ one repeated char ⇒ padding
+    or boilerplate; unusually high ⇒ random bytes/base64). Computed
+    ENTIRELY map-side with higher-order array functions: per doc,
+    distinct chars → per-char counts via transform+filter (O(distinct ×
+    len) comparisons, distinct ≤ alphabet size, all inside whole-stage
+    codegen) → Σ cnt·ln(len/cnt) in µ-unit fixed point (house rule for
+    transcendentals) → divide once at the end. ZERO shuffles: the only
+    exchange in the plan is whatever the sink needs — the 100 TB shape
+    for a per-row signal, vs the explode→groupBy(doc,char) formulation
+    whose shuffle carries one row per CHARACTER of the corpus.
+
+    Entropy identity used: H = Σ (c/n)·ln(n/c) over the per-char counts
+    c; each ln is rounded to µ-nats BEFORE the integer combine so the
+    sum is order-free and engine-exact."""
+    d = read_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    chars = F.split(F.lower(F.col("text")), "")
+    withc = d.select(
+        "doc_id",
+        F.size(chars).cast("bigint").alias("n_chars_ci"),
+        F.transform(
+            F.array_distinct(chars),
+            lambda ch: F.size(F.filter(chars, lambda x: x == ch)),
+        ).alias("cnts"),
+    )
+    term = lambda cnt: cnt.cast("bigint") * F.round(  # noqa: E731
+        F.log(F.col("n_chars_ci").cast("double") / cnt.cast("double")) * 1_000_000, 0
+    ).cast("bigint")
+    total = F.aggregate(
+        F.col("cnts"), F.lit(0).cast("bigint"), lambda acc, cnt: acc + term(cnt)
+    )
+    return withc.select(
+        "doc_id",
+        "n_chars_ci",
+        F.size("cnts").cast("bigint").alias("n_distinct_chars"),
+        total.alias("entropy_mu_total"),
+        (total.cast("double") / F.col("n_chars_ci") / 1_000_000.0).alias(
+            "entropy_nats"
+        ),
+    )

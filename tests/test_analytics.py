@@ -110,3 +110,63 @@ def test_quantile_calibration_monotone_and_bounded(spark, sf_dir):
         for a, b in zip(rs, rs[1:]):
             assert a["calibrated_score"] <= b["calibrated_score"], (src, a, b)
             assert a["raw_score"] <= b["raw_score"]
+
+
+def test_char_entropy_matches_python(spark, sf_dir):
+    """Third engine: recompute H = sum c*round(ln(n/c)*1e6) from Python
+    Counter over the same lowered text; bound check 0 <= H <= ln(k)."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    rows = ALL_QUERIES["text_char_entropy"](spark, sf_dir).collect()
+    texts = dict(
+        duckdb.sql(
+            f"SELECT doc_id, lower(text) FROM "
+            f"read_parquet('{sf_dir}/documents.parquet') WHERE length(text) > 0"
+        ).fetchall()
+    )
+    assert len(rows) == len(texts)
+    for r in rows:
+        cnt = Counter(texts[r["doc_id"]])
+        n = sum(cnt.values())
+        total = sum(c * round(math.log(n / c) * 1_000_000) for c in cnt.values())
+        assert r["n_chars_ci"] == n
+        assert r["n_distinct_chars"] == len(cnt)
+        assert r["entropy_mu_total"] == total, r["doc_id"]
+        assert 0 <= r["entropy_nats"] <= math.log(len(cnt)) + 1e-9
+
+
+def test_bigram_logprob_matches_python(spark, sf_dir):
+    """Third engine: full corpus bigram-LM recompute in Python
+    (Laplace smoothing, µ-unit fixed point) must agree bit-exactly."""
+    import math
+    import re as _re
+    from collections import Counter
+
+    import duckdb
+
+    rows = ALL_QUERIES["text_bigram_logprob"](spark, sf_dir).collect()
+    texts = duckdb.sql(
+        f"SELECT doc_id, trim(lower(text)) FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    doc_toks = {d: _re.split(r"\s+", t) for d, t in texts}
+    c12: Counter = Counter()
+    vocab = set()
+    for toks in doc_toks.values():
+        vocab.update(toks)
+        c12.update(zip(toks, toks[1:]))
+    c1: Counter = Counter()
+    for (w1, _), c in c12.items():
+        c1[w1] += c
+    v = len(vocab)
+    for r in rows:
+        toks = doc_toks[r["doc_id"]]
+        lps = [
+            round(math.log((c12[(a, b)] + 1.0) / (c1[a] + v)) * 1_000_000)
+            for a, b in zip(toks, toks[1:])
+        ]
+        assert r["n_bigrams"] == len(lps)
+        assert r["logprob_mu_total"] == sum(lps), r["doc_id"]
