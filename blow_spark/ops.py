@@ -850,3 +850,65 @@ def pack_bins_best_fit(
     return items_df.groupBy("bucket").applyInPandas(
         bfd, "bucket string, bin_id long, bin_docs long, bin_fill long"
     )
+
+
+def kcore(edges: DataFrame, k: int, max_iter: int = 16) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly drop nodes
+    whose degree (within the surviving subgraph) is below ``k`` until a
+    fixpoint — the maximal subgraph where every node keeps >= k
+    neighbors, the standard density backbone for graph cleaning (and the
+    dedup-graph analog of "only keep documents with enough corroborating
+    near-dup evidence").
+
+    ``edges`` is a canonical (u, v) pair table with u < v. Returns
+    (node, core_degree) for the surviving nodes, with the DataFrame
+    carrying a race-free per-call ``kcore_info`` record {rounds,
+    n_nodes_in, n_nodes_out} (same convention as
+    dedup.connected_components.cc_strategy).
+
+    Scale shape: each round is ONE node-keyed shuffle (two semi-joins of
+    the adjacency against the alive set + a degree aggregate);
+    localCheckpoint truncates the growing lineage per round exactly as
+    pagerank/connected-components do. Peeling converges in at most
+    "degeneracy layers" rounds — small for real graphs; the loop raises
+    if max_iter is hit without convergence rather than returning a
+    non-fixpoint."""
+    adj = (
+        edges.select("u", "v")
+        .unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .persist()
+    )
+    alive = adj.select(F.col("u").alias("n")).distinct().localCheckpoint()
+    n_in = alive.count()
+    rounds = 0
+    converged = False
+    for _ in range(max_iter):
+        survivors = (
+            adj.join(alive.select(F.col("n").alias("u")), "u")
+            .join(alive.select(F.col("n").alias("v")), "v")
+            .groupBy("u")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= k)
+            .select(F.col("u").alias("n"))
+        ).localCheckpoint()
+        rounds += 1
+        n_new, n_old = survivors.count(), alive.count()
+        alive = survivors
+        if n_new == n_old:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"kcore did not converge within {max_iter} rounds — raise max_iter "
+            f"(and the oracle's unroll depth) together"
+        )
+    out = (
+        adj.join(alive.select(F.col("n").alias("u")), "u")
+        .join(alive.select(F.col("n").alias("v")), "v")
+        .groupBy("u")
+        .agg(F.count("*").cast("bigint").alias("core_degree"))
+        .select(F.col("u").cast("bigint").alias("node"), "core_degree")
+    ).localCheckpoint()  # materialize BEFORE unpersisting the adjacency
+    adj.unpersist()
+    out.kcore_info = {"rounds": rounds, "n_nodes_in": n_in, "n_nodes_out": alive.count()}
+    return out

@@ -1917,3 +1917,114 @@ def score_quantile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "raw_score", "src_rank", "gidx",
         F.col("g_score").alias("calibrated_score"),
     )
+
+
+def _kcore_oracle(k: int, unroll: int) -> str:
+    """Unrolled-peel DuckDB oracle for graph_kcore_decomposition.
+
+    Peeling is monotone (the alive set only shrinks) and idempotent at
+    the fixpoint, so unrolling MORE rounds than convergence needs is a
+    no-op; ops.kcore raises if the Spark side ever needs more rounds
+    than this unroll depth, keeping the pair honest."""
+    steps = []
+    prev = "a0"
+    for i in range(1, unroll + 1):
+        steps.append(
+            f"a{i} AS MATERIALIZED (SELECT u AS n FROM adj "
+            f"WHERE u IN (SELECT n FROM {prev}) AND v IN (SELECT n FROM {prev}) "
+            f"GROUP BY u HAVING COUNT(*) >= {k})"
+        )
+        prev = f"a{i}"
+    return f"""
+    WITH op AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), np AS MATERIALIZED (
+      SELECT CAST(COUNT(DISTINCT p) AS BIGINT) AS n FROM op
+    ), pc AS MATERIALIZED (
+      SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+    ), tsel AS MATERIALIZED (
+      SELECT CAST(MIN(cand) AS BIGINT) AS t FROM (
+        SELECT g.cand FROM (SELECT unnest(range(2, 17)) AS cand) g
+        CROSS JOIN np
+        WHERE (SELECT COUNT(*) FROM pc WHERE pc.c >= g.cand) <= 4 * np.n
+      )
+    ), e AS MATERIALIZED (
+      SELECT u, v FROM pc CROSS JOIN tsel WHERE c >= tsel.t
+    ), adj AS MATERIALIZED (
+      SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+    ), a0 AS MATERIALIZED (
+      SELECT DISTINCT u AS n FROM adj
+    ), {", ".join(steps)}
+    SELECT CAST(adj.u AS BIGINT) AS node,
+           CAST(COUNT(*) AS BIGINT) AS core_degree,
+           tsel.t AS co_threshold
+    FROM adj CROSS JOIN tsel
+    WHERE adj.u IN (SELECT n FROM {prev}) AND adj.v IN (SELECT n FROM {prev})
+    GROUP BY adj.u, tsel.t
+    """
+
+
+_KCORE_K = 3
+_KCORE_UNROLL = 16
+
+
+@register(
+    "graph_kcore_decomposition",
+    oracle=_kcore_oracle(_KCORE_K, _KCORE_UNROLL),
+    tags=("graph", "iterative"),
+)
+def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core decomposition of the part co-purchase graph — iterative
+    peeling to the maximal subgraph where every part keeps >= 3
+    co-purchase partners (ops.kcore), the density-backbone extraction
+    used to clean association graphs before clustering.
+
+    The graph is sparsified with a DATA-DERIVED co-occurrence threshold:
+    the smallest t (>= 2) such that keeping only pairs co-ordered >= t
+    times leaves at most 4 edges per original node — a bounded-average-
+    degree rule both engines compute identically, which keeps the peel
+    non-trivial at every fixture scale (a fixed t is either vacuously
+    dense or empties the graph as sf changes). The oracle unrolls 16
+    peel rounds — more than convergence ever needs here (4 at sf0.001,
+    11 at sf0.01, pinned in tests); unrolling past the fixpoint is a
+    no-op by monotonicity, and ops.kcore RAISES if Spark needs more
+    rounds than the unroll, so the pair cannot silently diverge.
+
+    Scale: pair counts are one (u,v)-keyed shuffle over the order×order
+    self-join (bounded by basket sizes); threshold selection is a
+    15-candidate aggregate over the pair table; each peel round is one
+    node-keyed shuffle with localCheckpoint lineage truncation."""
+    from blow_spark import ops
+
+    li = read_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    np_ = op.agg(F.countDistinct("p").cast("bigint").alias("n"))
+    pc = (
+        op.alias("a")
+        .join(op.alias("b"), (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .persist()
+    )
+    cands = spark.range(1).select(
+        F.explode(F.sequence(F.lit(2), F.lit(16))).alias("cand")
+    )
+    cand = pc.crossJoin(F.broadcast(cands)).filter(F.col("c") >= F.col("cand"))
+    ne_by_cand = cand.groupBy("cand").agg(F.count("*").alias("ne"))
+    tsel = (
+        ne_by_cand.crossJoin(F.broadcast(np_))
+        .filter(F.col("ne") <= 4 * F.col("n"))
+        .agg(F.min("cand").cast("bigint").alias("t"))
+    )
+    e = pc.crossJoin(F.broadcast(tsel)).filter(F.col("c") >= F.col("t")).select(
+        "u", "v", "t"
+    )
+    core = ops.kcore(e.select("u", "v"), k=_KCORE_K, max_iter=_KCORE_UNROLL)
+    out = core.crossJoin(F.broadcast(tsel.select(F.col("t").alias("co_threshold"))))
+    out.kcore_info = core.kcore_info
+    pc.unpersist()
+    return out

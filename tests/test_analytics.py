@@ -170,3 +170,20 @@ def test_bigram_logprob_matches_python(spark, sf_dir):
         ]
         assert r["n_bigrams"] == len(lps)
         assert r["logprob_mu_total"] == sum(lps), r["doc_id"]
+
+
+def test_kcore_fixpoint_and_unroll_margin(spark, sf_dir):
+    """Every surviving node keeps >= k neighbors inside the core (the
+    defining property), and convergence rounds stay comfortably inside
+    the oracle's unroll depth (ops.kcore raises past it, so this pins
+    the MARGIN, not just non-failure)."""
+    from blow_spark.queries.pipeline_ops import _KCORE_K, _KCORE_UNROLL
+
+    df = ALL_QUERIES["graph_kcore_decomposition"](spark, sf_dir)
+    rows = df.collect()
+    info = df.kcore_info
+    assert rows, "core emptied — sparsification rule broke"
+    assert all(r["core_degree"] >= _KCORE_K for r in rows)
+    assert info["rounds"] <= _KCORE_UNROLL - 2, info
+    assert info["n_nodes_out"] == len(rows)
+    assert len({r["co_threshold"] for r in rows}) == 1
