@@ -340,3 +340,122 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return lvl0.unionAll(lvl1).unionAll(lvl2).unionAll(lvl3)
+
+
+# ---------------------------------------------------------------------------
+# drift_psi_by_source
+# ---------------------------------------------------------------------------
+
+_PSI_ORACLE = r"""
+WITH b AS (
+  SELECT source, n_chars // 64 AS bucket FROM documents
+), grid AS (
+  SELECT s.source, k.bucket
+  FROM (SELECT DISTINCT source FROM b) s
+  CROSS JOIN (SELECT DISTINCT bucket FROM b) k
+), sc AS (
+  SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY source, bucket
+), cells AS (
+  SELECT g.source, g.bucket, COALESCE(sc.c, 0) AS c_s
+  FROM grid g LEFT JOIN sc ON sc.source = g.source AND sc.bucket = g.bucket
+), gc AS (
+  SELECT bucket, CAST(SUM(c_s) AS BIGINT) AS c_g FROM cells GROUP BY bucket
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_buckets
+  FROM b
+), st AS (
+  SELECT source, CAST(SUM(c_s) AS BIGINT) AS n_s FROM cells GROUP BY source
+), terms AS (
+  SELECT cells.source,
+         CAST(ROUND(LN( ((cells.c_s + 1.0) / (st.n_s + tot.n_buckets))
+                      / ((gc.c_g + 1.0) / (tot.n_total + tot.n_buckets)) )
+                    * 1000000, 0) AS BIGINT)
+         * ( (cells.c_s + 1) * (tot.n_total + tot.n_buckets)
+           - (gc.c_g + 1) * (st.n_s + tot.n_buckets) )      AS t_num,
+         (st.n_s + tot.n_buckets) * (tot.n_total + tot.n_buckets) AS d
+  FROM cells
+  JOIN gc USING (bucket)
+  JOIN st ON st.source = cells.source
+  CROSS JOIN tot
+)
+SELECT source,
+       CAST(SUM(t_num) AS BIGINT)                    AS psi_num,
+       CAST(MIN(d) AS BIGINT)                        AS psi_den,
+       CAST(SUM(t_num) AS DOUBLE) / MIN(d) / 1000000.0 AS psi
+FROM terms GROUP BY source
+"""
+
+
+@register(
+    "drift_psi_by_source",
+    oracle=_PSI_ORACLE,
+    tags=("governance", "drift", "monitoring"),
+)
+def drift_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of each source's document-length
+    distribution against the global corpus — the standard drift monitor
+    a serving/training pipeline runs per ingestion batch (PSI < 0.1
+    stable, > 0.25 action). PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) over
+    64-char-wide length buckets with Laplace smoothing (+1 per cell) so
+    empty cells are defined.
+
+    Exactness: ln(p/q) is µ-unit-rounded (house rule — ln differs by
+    1 ulp across libm/JVM) then multiplied by the EXACT integer
+    numerator of (p − q) over the common denominator D =
+    (n_s+B)(N+B); each source's terms sum as BIGINTs and divide by D
+    once at the end, so the result is engine-exact. The int64 product
+    bounds cell counts ×corpus at ~10^9 before DECIMAL(38,0) — the
+    documented envelope.
+
+    Scale: bucket counts are ONE corpus shuffle; the (source × bucket)
+    grid, global marginals, and PSI terms all live on the counts table
+    (|sources|·|buckets| cells). A zero-count cell contributes via the
+    grid cross join — sources and buckets are both low-cardinality
+    dimensions by construction."""
+    d = read_table(spark, sf_dir, "documents")
+    b = d.select("source", F.expr("n_chars div 64").alias("bucket"))
+    sc = b.groupBy("source", "bucket").agg(F.count("*").cast("bigint").alias("c"))
+    sources = sc.select("source").distinct()
+    buckets = sc.select("bucket").distinct()
+    grid = sources.crossJoin(buckets)
+    cells = grid.join(sc, ["source", "bucket"], "left").select(
+        "source", "bucket", F.coalesce("c", F.lit(0)).alias("c_s")
+    )
+    gc = cells.groupBy("bucket").agg(F.sum("c_s").cast("bigint").alias("c_g"))
+    tot = b.agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.countDistinct("bucket").cast("bigint").alias("n_buckets"),
+    )
+    st = cells.groupBy("source").agg(F.sum("c_s").cast("bigint").alias("n_s"))
+    terms = (
+        cells.join(F.broadcast(gc), "bucket")
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            (
+                F.round(
+                    F.log(
+                        ((F.col("c_s") + F.lit(1.0)) / (F.col("n_s") + F.col("n_buckets")))
+                        / (
+                            (F.col("c_g") + F.lit(1.0))
+                            / (F.col("n_total") + F.col("n_buckets"))
+                        )
+                    )
+                    * 1_000_000,
+                    0,
+                ).cast("bigint")
+                * (
+                    (F.col("c_s") + 1) * (F.col("n_total") + F.col("n_buckets"))
+                    - (F.col("c_g") + 1) * (F.col("n_s") + F.col("n_buckets"))
+                )
+            ).alias("t_num"),
+            ((F.col("n_s") + F.col("n_buckets")) * (F.col("n_total") + F.col("n_buckets"))).alias("d"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.sum("t_num").cast("bigint").alias("psi_num"),
+        F.min("d").cast("bigint").alias("psi_den"),
+        (F.sum("t_num").cast("double") / F.min("d") / 1_000_000.0).alias("psi"),
+    )

@@ -816,3 +816,76 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dropped_justified"),
         )
     )
+
+
+@register(
+    "vector_standardize_dims",
+    oracle=r"""
+    WITH q AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) AS INTEGER) AS dim,
+             CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+      FROM embeddings
+    ), stats AS (
+      SELECT dim,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS BIGINT)   AS s,
+             CAST(SUM(q * q) AS BIGINT) AS s2
+      FROM q GROUP BY dim
+    )
+    SELECT q.vec_id, q.dim, q.q,
+           CAST(q.q * stats.n - stats.s AS BIGINT)            AS diff_num,
+           CAST(stats.n * stats.s2 - stats.s * stats.s AS BIGINT) AS var_num,
+           CASE WHEN stats.n * stats.s2 - stats.s * stats.s > 0
+                THEN CAST(q.q * stats.n - stats.s AS DOUBLE)
+                     / SQRT(CAST(stats.n * stats.s2 - stats.s * stats.s AS DOUBLE))
+                ELSE 0.0 END                                  AS z
+    FROM q JOIN stats USING (dim)
+    """,
+    tags=("vector", "preprocessing", "llm"),
+)
+def vector_standardize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization of the embedding corpus —
+    the whitening-lite preprocessing step ANN/clustering pipelines run
+    so no dimension dominates the metric. Engine-exact WITHOUT µ-unit
+    logs: elements quantize to round(x·1e3) BIGINT; the z-score
+    algebra is rearranged so everything before the last two ops is
+    integer — z = (q·n − S) / √(n·Σq² − S²) — and those last two ops
+    (IEEE sqrt, one division) are correctly-rounded per IEEE 754, hence
+    bit-identical across engines. No transcendental-rounding needed.
+
+    Magnitude envelope: |q| ≤ 1e3 ⇒ n·Σq² ≤ n²·1e6 — int64-safe AND
+    double-exact (< 2^53) to n ≈ 9×10⁴ vectors per dimension group;
+    past that the integer sums switch to DECIMAL(38,0), same plan.
+
+    Scale: one posexplode (N×64 rows, map stage only) feeding ONE
+    dim-keyed aggregate (64 groups — a broadcast-sized stats table
+    joined back map-side). The element table never shuffles."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.round(F.col("x").cast("double") * 1000).cast("long").alias("q"),
+    )
+    stats = q.groupBy("dim").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("s2"),
+    )
+    j = q.join(F.broadcast(stats), "dim")
+    diff = (F.col("q") * F.col("n") - F.col("s")).cast("bigint")
+    var_num = (F.col("n") * F.col("s2") - F.col("s") * F.col("s")).cast("bigint")
+    return j.select(
+        "vec_id",
+        "dim",
+        "q",
+        diff.alias("diff_num"),
+        var_num.alias("var_num"),
+        F.when(
+            var_num > 0, diff.cast("double") / F.sqrt(var_num.cast("double"))
+        )
+        .otherwise(F.lit(0.0))
+        .alias("z"),
+    )

@@ -1989,3 +1989,82 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seq").rlike(pat).cast("bigint").alias("has_conversion"),
         F.regexp_count("seq", F.lit(pat)).cast("bigint").alias("n_paths"),
     )
+
+
+_EWMA_K = 16
+
+
+def _ewma_oracle(k: int) -> str:
+    """Generated lag-sum oracle: weight 2^(k-1-i) for lag distance i —
+    dyadic weights make every term an exact integer product, so the
+    windowed sum is engine-exact with NO rounding anywhere."""
+    num_terms = " + ".join(
+        f"COALESCE(LAG(v_cents, {i}) OVER w, 0) * {1 << (k - 1 - i)}"
+        for i in range(k)
+    )
+    den_terms = " + ".join(
+        f"(CASE WHEN LAG(v_cents, {i}) OVER w IS NOT NULL "
+        f"THEN {1 << (k - 1 - i)} ELSE 0 END)"
+        for i in range(k)
+    )
+    return f"""
+    WITH v AS (
+      SELECT user_id, event_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS v_cents
+      FROM events
+    )
+    SELECT user_id, event_id, v_cents,
+           CAST({num_terms} AS BIGINT) AS ewma_num,
+           CAST({den_terms} AS BIGINT) AS ewma_den,
+           CAST({num_terms} AS DOUBLE) / ({den_terms}) / 100.0 AS ewma
+    FROM v
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+@register(
+    "timeseries_ewma_dyadic",
+    oracle=_ewma_oracle(_EWMA_K),
+    tags=("timeseries", "window", "exact"),
+)
+def timeseries_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α = 1/2) over each user's
+    event-value series, EXACT: with a dyadic decay every weight is a
+    power of two, so the 16-lag truncated EWMA is a pure-integer
+    weighted sum of cent-scaled values (numerator and denominator
+    emitted as BIGINTs; the only division happens once at the end,
+    identically in both engines). The 16-term truncation drops tail
+    weight < 2^-16 of the newest term — the span-limited EWMA monitoring
+    systems use — and makes the recursion expressible as a FIXED lag
+    fan (16 LAG() terms over one per-user window) instead of a
+    sequential scan, which is what lets it run as an ordinary
+    distributed window: one shuffle on user_id, no iterative state.
+
+    The float formulation (pow(0.5, i) products summed) differs across
+    engines at ulp scale and across partition layouts; dyadic integer
+    weights are the house fixed-point rule applied to decay itself."""
+    e = read_table(spark, sf_dir, "events")
+    v = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("v_cents"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    den = None
+    for i in range(_EWMA_K):
+        wt = 1 << (_EWMA_K - 1 - i)
+        lagv = F.lag("v_cents", i).over(w)
+        t_num = F.coalesce(lagv, F.lit(0)) * F.lit(wt)
+        t_den = F.when(lagv.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+        num = t_num if num is None else num + t_num
+        den = t_den if den is None else den + t_den
+    return v.select(
+        "user_id",
+        "event_id",
+        "v_cents",
+        num.cast("bigint").alias("ewma_num"),
+        den.cast("bigint").alias("ewma_den"),
+        (num.cast("double") / den / F.lit(100.0)).alias("ewma"),
+    )

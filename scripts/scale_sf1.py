@@ -28,6 +28,7 @@ separately in SCALE.md's streaming rows).
 
 Run: python scripts/scale_sf1.py            (~15 min incl. build)
      python scripts/scale_sf1.py --reuse /tmp/scale_sf1_...   (skip build)
+     python scripts/scale_sf1.py --only q1,q2 [--reuse DIR]   (other queries)
 """
 
 from __future__ import annotations
@@ -172,10 +173,15 @@ def main() -> None:
     def noop(df) -> None:
         df.write.mode("overwrite").format("noop").save()
 
+    if "--only" in sys.argv:
+        targets = sys.argv[sys.argv.index("--only") + 1].split(",")
+    else:
+        targets = HEAVY_TEN
+
     results: dict = {"sf1_dir": sf1}
     # warm codegen once
     noop(cat["flagship_fizzbuzz_agg"](spark, SF01))
-    for name in HEAVY_TEN:
+    for name in targets:
         for label, sfd in (("sf0.1", SF01), ("sf1", sf1)):
             best = float("inf")
             for _ in range(2):

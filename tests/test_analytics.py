@@ -187,3 +187,61 @@ def test_kcore_fixpoint_and_unroll_margin(spark, sf_dir):
     assert info["rounds"] <= _KCORE_UNROLL - 2, info
     assert info["n_nodes_out"] == len(rows)
     assert len({r["co_threshold"] for r in rows}) == 1
+
+
+def test_ewma_matches_python(spark, sf_dir):
+    """Third engine: recompute the 16-lag dyadic EWMA in pure Python
+    over each user's (ts, event_id)-ordered series; bit-exact."""
+    import duckdb
+
+    from blow_spark.queries.windows_streaming import _EWMA_K
+
+    rows = ALL_QUERIES["timeseries_ewma_dyadic"](spark, sf_dir).collect()
+    series = duckdb.sql(
+        f"SELECT user_id, event_id, CAST(ROUND(value*100) AS BIGINT) "
+        f"FROM read_parquet('{sf_dir}/events.parquet') ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    per_user: dict = {}
+    expect = {}
+    for uid, eid, cents in series:
+        hist = per_user.setdefault(uid, [])
+        hist.append(cents)
+        num = den = 0
+        for i in range(min(_EWMA_K, len(hist))):
+            w = 1 << (_EWMA_K - 1 - i)
+            num += hist[-1 - i] * w
+            den += w
+        expect[eid] = (num, den)
+    for r in rows:
+        num, den = expect[r["event_id"]]
+        assert (r["ewma_num"], r["ewma_den"]) == (num, den), r["event_id"]
+
+
+def test_psi_nonnegative_and_nonvacuous(spark, sf_dir):
+    """(p-q)ln(p/q) >= 0 termwise, so PSI >= 0 always — and the fixture
+    sources genuinely differ from the global mix (some PSI > 0)."""
+    rows = ALL_QUERIES["drift_psi_by_source"](spark, sf_dir).collect()
+    assert rows
+    assert all(r["psi"] >= 0 for r in rows)
+    assert any(r["psi"] > 0 for r in rows)
+    assert all(r["psi_den"] > 0 for r in rows)
+
+
+def test_standardize_dims_exact_centering(spark, sf_dir):
+    """Sum of diff_num per dimension is EXACTLY zero (integer algebra:
+    sum(q*n - S) = n*S - n*S), and z has ~unit scale."""
+    import math
+
+    df = ALL_QUERIES["vector_standardize_dims"](spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    agg = df.groupBy("dim").agg(
+        F.sum("diff_num").alias("sd"),
+        F.sum(F.col("z") * F.col("z")).alias("z2"),
+        F.count("*").alias("n"),
+    ).collect()
+    assert agg
+    for r in agg:
+        assert r["sd"] == 0, r["dim"]
+        # sum(z^2) = n * var/var = n exactly up to float error when var>0
+        assert math.isclose(r["z2"], r["n"], rel_tol=1e-9)

@@ -29,6 +29,11 @@ WHITELIST = {
     "curriculum_length_buckets": 1,  # quartile rank offsets
     "sort_equidepth_global_rank": 1, # equi-depth histogram rank offsets
     "tokenizer_vocab_build": 1,      # vocab id offsets
+    "sample_negative_pairs": 2,      # ring-position offsets (global_row_number);
+                                     # the ranked table is referenced twice
+                                     # (anchor + probe side), duplicating the
+                                     # constant-size offsets branch in the plan
+    "score_quantile_calibration": 1, # global order-statistic offsets (same)
 }
 
 
