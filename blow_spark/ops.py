@@ -912,3 +912,75 @@ def kcore(edges: DataFrame, k: int, max_iter: int = 16) -> DataFrame:
     adj.unpersist()
     out.kcore_info = {"rounds": rounds, "n_nodes_in": n_in, "n_nodes_out": alive.count()}
     return out
+
+
+# --------------------------------------------------------------------------
+# Versioned table: snapshot commits + time travel (mini table format)
+# --------------------------------------------------------------------------
+
+
+def versioned_commit(spark, df: DataFrame, path: str, max_retries: int = 10) -> int:
+    """Commit ``df`` as the next version of a versioned parquet table,
+    returning the committed version number.
+
+    Layout: each commit writes an immutable snapshot directory
+    ``snap-<token>/`` then publishes it with a manifest file
+    ``_v<NNNNNNNNNNNN>.manifest.json`` whose CREATION is the commit
+    point. Publication uses ``os.link`` (fail-if-exists hard link) so
+    two racing writers cannot both claim a version — the loser re-reads
+    the latest version and retries with the next number (optimistic
+    concurrency, Iceberg/Delta's commit protocol in miniature). Readers
+    only ever see fully-written snapshots because the manifest appears
+    AFTER the snapshot's parquet files are complete; nothing is ever
+    rewritten in place, so concurrent reads at any version are
+    consistent without locks (the property compact_parquet's
+    rename-swap cannot give — that's why this exists alongside it).
+
+    On an object store the os.link step maps to a conditional PUT
+    (if-none-match), the same primitive Delta/Iceberg use.
+    """
+    import json
+    import os
+    import uuid
+
+    os.makedirs(path, exist_ok=True)
+    token = uuid.uuid4().hex[:8]
+    snap = f"snap-{token}"
+    df.write.mode("overwrite").parquet(os.path.join(path, snap))
+    for _ in range(max_retries):
+        v = versioned_latest(path) + 1
+        tmp = os.path.join(path, f"_tmp-{token}-{v}")
+        with open(tmp, "w") as f:
+            json.dump({"version": v, "snapshot": snap}, f)
+        target = os.path.join(path, f"_v{v:012d}.manifest.json")
+        try:
+            os.link(tmp, target)
+            os.unlink(tmp)
+            return v
+        except FileExistsError:
+            os.unlink(tmp)  # lost the race — retry at the new tip
+    raise RuntimeError(f"versioned_commit: lost {max_retries} commit races at {path}")
+
+
+def versioned_latest(path: str) -> int:
+    """Highest committed version, or 0 if the table is empty."""
+    import os
+
+    vs = [
+        int(n[2:14])
+        for n in os.listdir(path)
+        if n.startswith("_v") and n.endswith(".manifest.json")
+    ]
+    return max(vs, default=0)
+
+
+def versioned_read(spark, path: str, version: int | None = None) -> DataFrame:
+    """Read a versioned table AS OF ``version`` (default: latest)."""
+    import json
+    import os
+
+    v = versioned_latest(path) if version is None else version
+    manifest = os.path.join(path, f"_v{v:012d}.manifest.json")
+    with open(manifest) as f:
+        snap = json.load(f)["snapshot"]
+    return spark.read.parquet(os.path.join(path, snap))

@@ -2082,3 +2082,77 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     _roundtrip_frame(spark, sf_dir).repartition(16).write.mode("overwrite").parquet(path)
     ops.compact_parquet(spark, path)
     return spark.read.parquet(path)
+
+
+@register(
+    "sink_versioned_time_travel",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey < 2000
+    ), v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 2 = 0 THEN price_cents + 500
+                  ELSE price_cents END AS price_cents
+      FROM v1
+      UNION ALL
+      SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT)
+      FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 3000
+    )
+    SELECT CAST(1 AS BIGINT) AS version, o_orderkey, price_cents FROM v1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT) AS version, o_orderkey, price_cents FROM v2
+    """,
+    tags=("sink", "storage", "timetravel"),
+)
+def sink_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-versioned table with TIME TRAVEL (ops.versioned_commit /
+    versioned_read) — the Iceberg/Delta commit protocol in miniature:
+    immutable snapshot dirs published by fail-if-exists manifest
+    creation (os.link; a conditional PUT on an object store), optimistic
+    retry on commit races, readers never locked out and never able to
+    observe a half-written snapshot.
+
+    The query exercises the full lifecycle: commit v1 (orders < 2000),
+    READ v1 back, derive v2 from that read (a read-modify-write: +5.00
+    on even keys, plus an appended 2000-2999 slice), commit v2, then
+    time-travel both versions and return their union. The oracle
+    replays both states declaratively — matching proves v1 stayed
+    byte-stable after v2 was committed (no in-place mutation anywhere).
+
+    Prices travel as exact cents (BIGINT)."""
+    import tempfile
+
+    from blow_spark import ops
+
+    o = read_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="blow_spark_vtable_")
+    v1_df = o.filter(F.col("o_orderkey") < 2000).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    v1 = ops.versioned_commit(spark, v1_df, path)
+    v1_back = ops.versioned_read(spark, path, v1)
+    updated = v1_back.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 2 == 0, F.col("price_cents") + 500
+        )
+        .otherwise(F.col("price_cents"))
+        .alias("price_cents"),
+    )
+    appended = o.filter(
+        (F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 3000)
+    ).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    v2 = ops.versioned_commit(spark, updated.unionAll(appended), path)
+    r1 = ops.versioned_read(spark, path, v1).select(
+        F.lit(1).cast("bigint").alias("version"), "o_orderkey", "price_cents"
+    )
+    r2 = ops.versioned_read(spark, path, v2).select(
+        F.lit(2).cast("bigint").alias("version"), "o_orderkey", "price_cents"
+    )
+    return r1.unionAll(r2)

@@ -245,3 +245,42 @@ def test_standardize_dims_exact_centering(spark, sf_dir):
         assert r["sd"] == 0, r["dim"]
         # sum(z^2) = n * var/var = n exactly up to float error when var>0
         assert math.isclose(r["z2"], r["n"], rel_tol=1e-9)
+
+
+def test_versioned_table_commit_race_and_isolation(spark, sf_dir):
+    """Two threads committing concurrently get DISTINCT versions (the
+    fail-if-exists manifest makes the race safe); a pre-planted
+    conflicting manifest forces the optimistic retry path; and v1's
+    content is byte-stable after later commits (snapshot isolation)."""
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    from blow_spark import ops
+
+    path = tempfile.mkdtemp(prefix="vtable_test_")
+    df1 = spark.range(10).withColumnRenamed("id", "k")
+    v1 = ops.versioned_commit(spark, df1, path)
+    assert v1 == 1
+    v1_rows = sorted(r["k"] for r in ops.versioned_read(spark, path, 1).collect())
+
+    with ThreadPoolExecutor(2) as ex:
+        futs = [
+            ex.submit(
+                ops.versioned_commit, spark, spark.range(n).withColumnRenamed("id", "k"), path
+            )
+            for n in (20, 30)
+        ]
+        got = sorted(f.result() for f in futs)
+    assert got == [2, 3], got
+
+    # plant a manifest at the next version: commit must retry past it
+    import json, os
+    with open(os.path.join(path, f"_v{4:012d}.manifest.json"), "w") as f:
+        json.dump({"version": 4, "snapshot": "snap-planted-nonexistent"}, f)
+    v5 = ops.versioned_commit(spark, df1, path)
+    assert v5 == 5
+    assert ops.versioned_latest(path) == 5
+
+    # snapshot isolation: v1 unchanged through all later commits
+    assert sorted(r["k"] for r in ops.versioned_read(spark, path, 1).collect()) == v1_rows
+    assert len(ops.versioned_read(spark, path, 5).collect()) == 10
