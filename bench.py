@@ -101,6 +101,10 @@ HEADLINE = [
     "dedup_semantic_semdedup",
     "sample_poisson_bootstrap",
     "corpus_bpe_encode",
+    # round 6 additions: the retrieval serving stack (hybrid RRF fusion,
+    # MMR diversity rerank)
+    "search_rrf_hybrid_fusion",
+    "search_mmr_rerank",
 ]
 
 

@@ -80,6 +80,7 @@ def _load() -> None:
         pipeline_ops,
         relational,
         relational_ext,
+        retrieval,
         text,
         tpch,
         tpch2,

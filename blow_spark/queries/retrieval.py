@@ -1,0 +1,422 @@
+"""Retrieval-stack queries: hybrid rank fusion and diversity reranking.
+
+The RAG-serving side of a training-data platform: candidates come from
+TWO independent rankers (a lexical token-overlap ranker and the exact
+dense-cosine ranker), are fused with Reciprocal Rank Fusion (Cormack,
+Clarke & Buettcher, SIGIR 2009), and optionally re-ranked for diversity
+with Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR 1998).
+
+Reference parity note: the reference engine (wizgrao/blow) has no
+retrieval surface at all — maps/maps.go:8-14 is its entire operator
+vocabulary — so these are extension operators mandated by the task
+brief's LLM-pipeline layer, built on the repo's existing exact-cosine
+primitives (blow_spark.similarity.brute_force_topk).
+
+Determinism: every score that decides an ordering is integer-valued —
+RRF contributions are exact integer divisions ``1e9 DIV (K + rank)``,
+MMR scores are pure-bigint combinations of µ-unit cosines — and every
+rank breaks ties on the id column, so both engines select identical row
+sets and the driver's value hash matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from blow_spark import similarity
+from blow_spark.queries import register
+from blow_spark.sources import read_table
+
+# RRF constant from the original paper; the 1e9 numerator keeps the
+# integer-division contributions well-separated down to rank ~100.
+_RRF_K = 60
+_RRF_NUM = 1_000_000_000
+_N_QUERIES = 8  # query documents: doc_id < 8 (embedded in both gate SFs)
+_LIST_DEPTH = 50  # per-ranker truncation depth
+_FUSED_TOPK = 10
+
+
+def _dense_ranked(spark: SparkSession, sf_dir: str, depth: int) -> DataFrame:
+    """Exact cosine rank list (query_id, cand_id, rank) at the given
+    depth for the first ``_N_QUERIES`` vectors, via the codegen'd
+    fixed-point brute-force plan (self-matches excluded, ties on id)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    return similarity.brute_force_topk(q, e, k=depth).select(
+        "query_id", F.col("neighbor_id").alias("cand_id"), "rank"
+    )
+
+
+@register(
+    "search_rrf_hybrid_fusion",
+    oracle=f"""
+    WITH cands AS (
+      SELECT d.doc_id, d.text FROM documents d
+      WHERE d.doc_id IN (SELECT vec_id FROM embeddings)
+    ), qtok AS (
+      SELECT doc_id AS query_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+      FROM cands WHERE doc_id < {_N_QUERIES}
+    ), ctok AS (
+      SELECT doc_id AS cand_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+      FROM cands
+    ), overlap AS (
+      SELECT query_id, cand_id, COUNT(*) AS ov
+      FROM ctok JOIN qtok USING (tok)
+      WHERE query_id <> cand_id
+      GROUP BY query_id, cand_id
+    ), lex AS (
+      SELECT query_id, cand_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY ov DESC, cand_id) AS rank
+      FROM overlap
+    ), qe AS (
+      SELECT vec_id AS query_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS qx
+      FROM embeddings CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS i) ix
+      WHERE vec_id < {_N_QUERIES}
+    ), ce AS (
+      SELECT vec_id AS cand_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS cx
+      FROM embeddings CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS i) ix
+    ), dot AS (
+      SELECT query_id, cand_id,
+             SUM(CAST(ROUND(qx * cx * 1000000000000.0) AS BIGINT)) AS dot_q,
+             SUM(CAST(ROUND(qx * qx * 1000000000000.0) AS BIGINT)) AS qn_q,
+             SUM(CAST(ROUND(cx * cx * 1000000000000.0) AS BIGINT)) AS cn_q
+      FROM ce JOIN qe USING (pos)
+      WHERE query_id <> cand_id
+      GROUP BY query_id, cand_id
+    ), dense AS (
+      SELECT query_id, cand_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY CAST(dot_q AS DOUBLE)
+                   / (SQRT(CAST(qn_q AS DOUBLE)) * SQRT(CAST(cn_q AS DOUBLE))) DESC,
+                 cand_id) AS rank
+      FROM dot
+    ), contrib AS (
+      SELECT query_id, cand_id,
+             CAST({_RRF_NUM} // ({_RRF_K} + rank) AS BIGINT) AS c
+      FROM lex WHERE rank <= {_LIST_DEPTH}
+      UNION ALL
+      SELECT query_id, cand_id,
+             CAST({_RRF_NUM} // ({_RRF_K} + rank) AS BIGINT) AS c
+      FROM dense WHERE rank <= {_LIST_DEPTH}
+    ), fused AS (
+      SELECT query_id, cand_id,
+             CAST(SUM(c) AS BIGINT) AS rrf_score,
+             CAST(COUNT(*) AS BIGINT) AS n_lists
+      FROM contrib GROUP BY query_id, cand_id
+    )
+    SELECT query_id, cand_id AS doc_id, rrf_score, n_lists, fused_rank FROM (
+      SELECT query_id, cand_id, rrf_score, n_lists,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY rrf_score DESC, cand_id) AS fused_rank
+      FROM fused) t
+    WHERE fused_rank <= {_FUSED_TOPK}
+    """,
+    tags=("retrieval", "search", "fusion", "llm"),
+)
+def search_rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion: a lexical ranker
+    (distinct-token overlap with the query document, the degenerate
+    integer form of BM25 — the full-weighted form is
+    ``text_bm25_search``) and the exact dense-cosine ranker each
+    produce a depth-50 list per query; each hit contributes the exact
+    integer ``1e9 DIV (60 + rank)`` and the per-document sums pick the
+    fused top-10. RRF is THE standard way production RAG stacks combine
+    a keyword index with a vector index (Cormack et al. 2009), and it
+    needs no score calibration — only ranks — which is also what makes
+    it engine-exact here.
+
+    Scale shape: both rank lists are depth-truncated per query, so the
+    fusion input is |Q|·2·50 rows regardless of corpus size; the
+    per-query rank windows partition BY QUERY (never a global window).
+    The lexical side broadcasts only the query docs' distinct tokens;
+    the dense side is the bounded brute-force plan (at 10⁹-corpus scale
+    its drop-in replacements are the bucketed ivf/srp paths — same
+    (query_id, cand_id, rank) contract, fusion unchanged)."""
+    cands = (
+        read_table(spark, sf_dir, "documents")
+        .join(
+            read_table(spark, sf_dir, "embeddings").select(
+                F.col("vec_id").alias("doc_id")
+            ),
+            "doc_id",
+            "left_semi",
+        )
+        .select("doc_id", "text")
+    )
+    toks = F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    qtok = cands.filter(F.col("doc_id") < _N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), toks
+    )
+    ctok = cands.select(F.col("doc_id").alias("cand_id"), toks)
+    overlap = (
+        ctok.join(F.broadcast(qtok), "tok")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.count("*").alias("ov"))
+    )
+    lex_w = W.partitionBy("query_id").orderBy(F.col("ov").desc(), F.col("cand_id"))
+    lex = overlap.select(
+        "query_id", "cand_id", F.row_number().over(lex_w).alias("rank")
+    ).filter(F.col("rank") <= _LIST_DEPTH)
+    dense = _dense_ranked(spark, sf_dir, _LIST_DEPTH)
+    contrib = F.expr(f"CAST({_RRF_NUM} DIV ({_RRF_K} + rank) AS BIGINT)").alias("c")
+    fused = (
+        lex.select("query_id", "cand_id", contrib)
+        .unionAll(dense.select("query_id", "cand_id", contrib))
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("c").alias("rrf_score"), F.count("*").alias("n_lists"))
+    )
+    fuse_w = W.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("cand_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(fuse_w))
+        .filter(F.col("fused_rank") <= _FUSED_TOPK)
+        .select(
+            "query_id",
+            F.col("cand_id").alias("doc_id"),
+            "rrf_score",
+            "n_lists",
+            "fused_rank",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# MMR diversity rerank
+# --------------------------------------------------------------------------
+
+_MMR_CANDS = 25  # per-query candidate depth entering the rerank
+_MMR_SELECT = 5  # greedy selections per query
+# λ = 0.7 realized as integer weights ×10: score = 7·rel_µ − 3·maxsim_µ
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR as explicit CTE steps (one per selection) —
+    the same integer arithmetic the Spark plan runs, so the gate checks
+    the full selection trajectory, not just the final set."""
+    head = f"""
+    WITH qe AS (
+      SELECT vec_id AS query_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS qx
+      FROM embeddings CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS i) ix
+      WHERE vec_id < {_N_QUERIES}
+    ), ce AS (
+      SELECT vec_id AS cand_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS cx
+      FROM embeddings CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS i) ix
+    ), dot AS (
+      SELECT query_id, cand_id,
+             SUM(CAST(ROUND(qx * cx * 1000000000000.0) AS BIGINT)) AS dot_q,
+             SUM(CAST(ROUND(qx * qx * 1000000000000.0) AS BIGINT)) AS qn_q,
+             SUM(CAST(ROUND(cx * cx * 1000000000000.0) AS BIGINT)) AS cn_q
+      FROM ce JOIN qe USING (pos)
+      WHERE query_id <> cand_id
+      GROUP BY query_id, cand_id
+    ), cand AS (
+      SELECT query_id, cand_id,
+             CAST(ROUND(CAST(dot_q AS DOUBLE)
+               / (SQRT(CAST(qn_q AS DOUBLE)) * SQRT(CAST(cn_q AS DOUBLE)))
+               * 1000000.0) AS BIGINT) AS rel_mu
+      FROM (
+        SELECT query_id, cand_id, dot_q, qn_q, cn_q,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY CAST(dot_q AS DOUBLE)
+                     / (SQRT(CAST(qn_q AS DOUBLE)) * SQRT(CAST(cn_q AS DOUBLE))) DESC,
+                   cand_id) AS rank
+        FROM dot) t
+      WHERE rank <= {_MMR_CANDS}
+    ), upair AS (
+      SELECT DISTINCT LEAST(a.cand_id, b.cand_id) AS a_id,
+                      GREATEST(a.cand_id, b.cand_id) AS b_id
+      FROM cand a JOIN cand b USING (query_id)
+      WHERE a.cand_id < b.cand_id
+    ), pe AS (
+      SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS i) ix
+      WHERE vec_id IN (SELECT a_id FROM upair UNION SELECT b_id FROM upair)
+    ), simtab AS (
+      SELECT a_id, b_id,
+             CAST(ROUND(CAST(SUM(CAST(ROUND(pa.x * pb.x * 1000000000000.0) AS BIGINT)) AS DOUBLE)
+               / (SQRT(CAST(SUM(CAST(ROUND(pa.x * pa.x * 1000000000000.0) AS BIGINT)) AS DOUBLE))
+                  * SQRT(CAST(SUM(CAST(ROUND(pb.x * pb.x * 1000000000000.0) AS BIGINT)) AS DOUBLE)))
+               * 1000000.0) AS BIGINT) AS sim_mu
+      FROM upair
+      JOIN pe pa ON pa.vec_id = a_id
+      JOIN pe pb ON pb.vec_id = b_id AND pb.pos = pa.pos
+      GROUP BY a_id, b_id
+    ), sel1 AS (
+      SELECT query_id, cand_id AS sel_id, CAST(1 AS INT) AS step,
+             7 * rel_mu AS score_mu
+      FROM (SELECT query_id, cand_id, rel_mu,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY rel_mu DESC, cand_id) AS rn
+            FROM cand) t
+      WHERE rn = 1
+    )"""
+    steps = []
+    prev_union = "SELECT * FROM sel1"
+    for s in range(2, _MMR_SELECT + 1):
+        steps.append(f""", seen{s} AS (
+      {prev_union}
+    ), scored{s} AS (
+      SELECT c.query_id, c.cand_id, c.rel_mu,
+             7 * c.rel_mu - 3 * MAX(st.sim_mu) AS score_mu
+      FROM cand c
+      JOIN seen{s} sn ON sn.query_id = c.query_id
+      JOIN simtab st ON st.a_id = LEAST(c.cand_id, sn.sel_id)
+                    AND st.b_id = GREATEST(c.cand_id, sn.sel_id)
+      WHERE NOT EXISTS (SELECT 1 FROM seen{s} x
+                        WHERE x.query_id = c.query_id AND x.sel_id = c.cand_id)
+      GROUP BY c.query_id, c.cand_id, c.rel_mu
+    ), sel{s} AS (
+      SELECT query_id, cand_id AS sel_id, CAST({s} AS INT) AS step, score_mu
+      FROM (SELECT query_id, cand_id, score_mu,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score_mu DESC, cand_id) AS rn
+            FROM scored{s}) t
+      WHERE rn = 1
+    )""")
+        prev_union += f" UNION ALL SELECT * FROM sel{s}"
+    tail = f"""
+    SELECT query_id, sel_id AS doc_id, step, score_mu
+    FROM ({prev_union}) u
+    """
+    return head + "".join(steps) + tail
+
+
+@register(
+    "search_mmr_rerank",
+    oracle=_mmr_oracle(),
+    tags=("retrieval", "search", "rerank", "llm"),
+)
+def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998):
+    greedily select 5 of the exact-cosine top-25 per query, each step
+    maximizing ``λ·relevance − (1−λ)·max-similarity-to-selected`` with
+    λ = 0.7 realized as the pure-integer score ``7·rel_µ − 3·maxsim_µ``
+    over µ-unit cosines — the standard diversity pass between retrieval
+    and prompt assembly in a RAG stack.
+
+    Spark-first shape: the greedy loop has a FIXED public iteration
+    count (5), so it unrolls into one declarative plan — per-step argmax
+    is a struct-MAX AGGREGATE per query (no windows, no driver loop,
+    like the unrolled rounds of ``tokenizer_bpe_merges``); candidate
+    sets are constant-size (25) per query, so every per-step join is
+    |Q|-proportional and the candidate pair-similarity table is built
+    ONCE over distinct co-occurring pairs (≤ |Q|·C²/2 rows, queries
+    pooled). Each step references the selection set twice (anti-join +
+    penalty join), so the raw lineage is exponential in steps —
+    ``localCheckpoint`` per step truncates it exactly as the graph
+    iterations do (ops.py pagerank/BFS); the checkpointed frames are
+    ≤ |Q|·steps rows. The oracle replays the full selection trajectory
+    through the same unrolled integer arithmetic, so a tie-break slip
+    or a penalty miscount in ANY step turns the row red."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    cand = similarity.brute_force_topk(q, e, k=_MMR_CANDS).select(
+        "query_id",
+        F.col("neighbor_id").alias("cand_id"),
+        F.round(F.col("cos_sim") * 1_000_000).cast("long").alias("rel_mu"),
+    )
+    # Truncate the brute-force-topk lineage once: cand is |Q|·25 rows
+    # and is referenced by every unrolled step below.
+    cand = cand.localCheckpoint()
+    # unordered co-occurring candidate pairs → exact µ-unit cosine table
+    a, b = cand.alias("a"), cand.alias("b")
+    upair = (
+        a.join(b, "query_id")
+        .filter(F.col("a.cand_id") < F.col("b.cand_id"))
+        .select(
+            F.col("a.cand_id").alias("a_id"), F.col("b.cand_id").alias("b_id")
+        )
+        .distinct()
+    )
+    ids = (
+        upair.select(F.col("a_id").alias("vec_id"))
+        .unionAll(upair.select(F.col("b_id").alias("vec_id")))
+        .distinct()
+    )
+    pe = (
+        e.join(ids, "vec_id", "left_semi")
+        .select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+        .select("vec_id", "pos", F.col("x").cast("double").alias("x"))
+    )
+    s = F.lit(similarity.DOT_SCALE)
+    pa, pb = pe.alias("pa"), pe.alias("pb")
+    simtab = (
+        upair.join(pa, F.col("pa.vec_id") == F.col("a_id"))
+        .join(
+            pb,
+            (F.col("pb.vec_id") == F.col("b_id")) & (F.col("pb.pos") == F.col("pa.pos")),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.sum(F.round(F.col("pa.x") * F.col("pb.x") * s).cast("long")).alias("dq"),
+            F.sum(F.round(F.col("pa.x") * F.col("pa.x") * s).cast("long")).alias("an"),
+            F.sum(F.round(F.col("pb.x") * F.col("pb.x") * s).cast("long")).alias("bn"),
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("dq").cast("double")
+                / (F.sqrt(F.col("an").cast("double")) * F.sqrt(F.col("bn").cast("double")))
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("sim_mu"),
+        )
+        .localCheckpoint()
+    )
+
+    def argmax(df: DataFrame, score_col: str, step: int) -> DataFrame:
+        """Deterministic per-query argmax as a struct-MAX aggregate:
+        max (score, −cand_id) picks the highest score, ties to the
+        LOWEST candidate id — no window, no sort."""
+        m = df.groupBy("query_id").agg(
+            F.max(
+                F.struct(
+                    F.col(score_col).alias("s"), (-F.col("cand_id")).alias("ni")
+                )
+            ).alias("m")
+        )
+        return m.select(
+            "query_id",
+            (-F.col("m.ni")).cast("long").alias("sel_id"),
+            F.lit(step).cast("int").alias("step"),
+            F.col("m.s").alias("score_mu"),
+        )
+
+    selected = argmax(
+        cand.select("query_id", "cand_id", (7 * F.col("rel_mu")).alias("sc")),
+        "sc",
+        1,
+    )
+    for step in range(2, _MMR_SELECT + 1):
+        seen = selected.select("query_id", "sel_id")
+        rem = cand.join(
+            seen,
+            (cand.query_id == seen.query_id) & (cand.cand_id == seen.sel_id),
+            "left_anti",
+        )
+        scored = (
+            rem.join(seen, "query_id")
+            .join(
+                simtab,
+                (F.least("cand_id", "sel_id") == F.col("a_id"))
+                & (F.greatest("cand_id", "sel_id") == F.col("b_id")),
+            )
+            .groupBy("query_id", "cand_id", "rel_mu")
+            .agg(F.max("sim_mu").alias("maxsim_mu"))
+            .select(
+                "query_id",
+                "cand_id",
+                (7 * F.col("rel_mu") - 3 * F.col("maxsim_mu")).alias("sc"),
+            )
+        )
+        selected = selected.unionAll(argmax(scored, "sc", step)).localCheckpoint()
+    return selected.select(
+        "query_id", F.col("sel_id").alias("doc_id"), "step", "score_mu"
+    )

@@ -148,6 +148,12 @@ BENCH_EXCHANGE_PINS = {
     # the trainer chain unrolled (like tokenizer_bpe_merges) + the
     # encode's broadcast join and per-doc aggregate
     "corpus_bpe_encode": (65, 64),
+    # round 6 additions
+    "search_rrf_hybrid_fusion": (4, 4),
+    # localCheckpoint per greedy step truncates the returned lineage
+    # (spill-backed-style low count); the per-step exchanges are pinned
+    # by tests/test_retrieval.py
+    "search_mmr_rerank": (0, 0),
 }
 
 
