@@ -102,9 +102,15 @@ HEADLINE = [
     "sample_poisson_bootstrap",
     "corpus_bpe_encode",
     # round 6 additions: the retrieval serving stack (hybrid RRF fusion,
-    # MMR diversity rerank)
+    # MMR diversity rerank, token-budget context assembly), the Spark 4
+    # recursive-CTE front door, the XML format roundtrip, and the
+    # filter-cascade attrition report
     "search_rrf_hybrid_fusion",
     "search_mmr_rerank",
+    "rag_context_pack",
+    "sql_recursive_cte_front_door",
+    "source_xml_roundtrip",
+    "pipeline_filter_attrition",
 ]
 
 

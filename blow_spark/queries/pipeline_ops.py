@@ -2028,3 +2028,83 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.kcore_info = core.kcore_info
     pc.unpersist()
     return out
+
+
+# --------------------------------------------------------------------------
+# Filter-cascade attrition report
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_filter_attrition",
+    oracle="""
+    WITH f AS (
+      SELECT CASE WHEN LENGTH(text) >= 150 THEN 1 ELSE 0 END AS f1,
+             CASE WHEN lang IN ('en', 'de', 'fr', 'es') THEN 1 ELSE 0 END AS f2,
+             CASE WHEN LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 >= 40
+                  THEN 1 ELSE 0 END AS f3,
+             CASE WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / len(string_split(text, ' ')) >= 0.5
+                  THEN 1 ELSE 0 END AS f4
+      FROM documents
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+             CAST(SUM(f1) AS BIGINT) AS s1,
+             CAST(SUM(f1 * f2) AS BIGINT) AS s2,
+             CAST(SUM(f1 * f2 * f3) AS BIGINT) AS s3,
+             CAST(SUM(f1 * f2 * f3 * f4) AS BIGINT) AS s4
+      FROM f
+    )
+    SELECT 1 AS stage, 'min_length' AS stage_name, s0 AS n_in, s1 AS n_kept,
+           s0 - s1 AS n_dropped FROM s
+    UNION ALL
+    SELECT 2, 'lang_whitelist', s1, s2, s1 - s2 FROM s
+    UNION ALL
+    SELECT 3, 'min_tokens', s2, s3, s2 - s3 FROM s
+    UNION ALL
+    SELECT 4, 'distinct_ratio', s3, s4, s3 - s4 FROM s
+    """,
+    tags=("pipeline", "quality", "observability"),
+)
+def pipeline_filter_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-cascade attrition report: the curation funnel (min length →
+    language whitelist → min token count → distinct-token ratio) scored
+    as SEQUENTIAL stages — stage k's input is stage k−1's survivors, so
+    the report shows where the corpus actually dies, the first artifact
+    a pipeline owner asks for when yield drops. One corpus pass computes
+    all four stage flags map-side; the cumulative-AND sums come back in
+    a SINGLE aggregate row and unpivot to the 4-row funnel via stack —
+    no per-stage re-scan, no shuffle beyond the one aggregate (vs
+    ``dq_quarantine_split``'s independent per-rule census: attrition
+    composes the rules in order). Integer counts only."""
+    d = read_table(spark, sf_dir, "documents")
+    n_tokens = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1
+    toks = F.split("text", " ")
+    f1 = (F.length("text") >= 150).cast("long")
+    f2 = F.col("lang").isin("en", "de", "fr", "es").cast("long")
+    f3 = (n_tokens >= 40).cast("long")
+    f4 = (
+        F.size(F.array_distinct(toks)).cast("double") / F.size(toks) >= 0.5
+    ).cast("long")
+    s = d.agg(
+        F.count("*").cast("long").alias("s0"),
+        F.sum(f1).cast("long").alias("s1"),
+        F.sum(f1 * f2).cast("long").alias("s2"),
+        F.sum(f1 * f2 * f3).cast("long").alias("s3"),
+        F.sum(f1 * f2 * f3 * f4).cast("long").alias("s4"),
+    )
+    return s.select(
+        F.expr(
+            "stack(4, "
+            "1, 'min_length',     s0, s1, "
+            "2, 'lang_whitelist', s1, s2, "
+            "3, 'min_tokens',     s2, s3, "
+            "4, 'distinct_ratio', s3, s4) AS (stage, stage_name, n_in, n_kept)"
+        )
+    ).select(
+        F.col("stage").cast("int").alias("stage"),
+        "stage_name",
+        "n_in",
+        "n_kept",
+        (F.col("n_in") - F.col("n_kept")).cast("long").alias("n_dropped"),
+    )

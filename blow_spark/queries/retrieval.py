@@ -420,3 +420,99 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return selected.select(
         "query_id", F.col("sel_id").alias("doc_id"), "step", "score_mu"
     )
+
+
+# --------------------------------------------------------------------------
+# RAG context assembly under a token budget
+# --------------------------------------------------------------------------
+
+_CTX_TOPK = 10  # retrieval depth entering assembly
+_CTX_BUDGET = 300  # context token budget per query
+
+
+@register(
+    "rag_context_pack",
+    oracle=f"""
+    WITH qe AS (
+      SELECT vec_id AS query_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS qx
+      FROM embeddings CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS i) ix
+      WHERE vec_id < {_N_QUERIES}
+    ), ce AS (
+      SELECT vec_id AS cand_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS cx
+      FROM embeddings CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS i) ix
+    ), dot AS (
+      SELECT query_id, cand_id,
+             SUM(CAST(ROUND(qx * cx * 1000000000000.0) AS BIGINT)) AS dot_q,
+             SUM(CAST(ROUND(qx * qx * 1000000000000.0) AS BIGINT)) AS qn_q,
+             SUM(CAST(ROUND(cx * cx * 1000000000000.0) AS BIGINT)) AS cn_q
+      FROM ce JOIN qe USING (pos)
+      WHERE query_id <> cand_id
+      GROUP BY query_id, cand_id
+    ), ranked AS (
+      SELECT query_id, cand_id, rank FROM (
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY CAST(dot_q AS DOUBLE)
+                     / (SQRT(CAST(qn_q AS DOUBLE)) * SQRT(CAST(cn_q AS DOUBLE))) DESC,
+                   cand_id) AS rank
+        FROM dot) t
+      WHERE rank <= {_CTX_TOPK}
+    ), toks AS (
+      SELECT doc_id,
+             CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT)
+               AS doc_tokens
+      FROM documents
+    ), cum AS (
+      SELECT r.query_id, r.rank, r.cand_id AS doc_id, t.doc_tokens,
+             CAST(SUM(t.doc_tokens) OVER (PARTITION BY r.query_id
+                  ORDER BY r.rank
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+      FROM ranked r JOIN toks t ON t.doc_id = r.cand_id
+    )
+    SELECT query_id, rank, doc_id, doc_tokens, cum_tokens
+    FROM cum WHERE cum_tokens <= {_CTX_BUDGET}
+    """,
+    tags=("retrieval", "rag", "packing", "llm"),
+)
+def rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG context assembly: the exact-cosine top-10 per query is packed
+    into the prompt in rank order until a 300-token budget exhausts —
+    the step between retrieval and generation in every RAG serving
+    stack, and the serving-side twin of the training-side
+    ``pack_token_stream_chunks``. The cumulative token sum is monotone
+    in rank, so ``cum_tokens <= budget`` IS the greedy prefix (no
+    stop-flag logic needed), and the whitespace token count is the
+    repo's standard integer formula — both sides exact, so the kept
+    set, order, and running totals hash-match.
+
+    Scale shape: assembly touches |Q|·10 rows regardless of corpus
+    size; the only corpus-scale work is the ranker itself (swap in the
+    bucketed ivf/srp paths at 10⁹-doc scale — same (query_id, cand_id,
+    rank) contract) and the doc-token join, which Catalyst turns into a
+    broadcast of the |Q|·10 candidate keys against the pruned
+    (doc_id, 2-column) documents scan."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES)
+    ranked = similarity.brute_force_topk(q, e, k=_CTX_TOPK).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    toks = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1
+        )
+        .cast("long")
+        .alias("doc_tokens"),
+    )
+    w = (
+        W.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        ranked.join(toks, "doc_id")
+        .withColumn("cum_tokens", F.sum("doc_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= _CTX_BUDGET)
+        .select("query_id", "rank", "doc_id", "doc_tokens", "cum_tokens")
+    )

@@ -154,6 +154,13 @@ BENCH_EXCHANGE_PINS = {
     # (spill-backed-style low count); the per-step exchanges are pinned
     # by tests/test_retrieval.py
     "search_mmr_rerank": (0, 0),
+    "rag_context_pack": (2, 2),
+    # recursive CTE: the date-keyed left join + the bounds aggregate,
+    # broadcasts of the 90-row spine and the 1-row bounds; the
+    # recursion loop materializes outside the exchange tree
+    "sql_recursive_cte_front_door": (2, 2),
+    "source_xml_roundtrip": (1, 0),
+    "pipeline_filter_attrition": (1, 0),
 }
 
 
