@@ -111,6 +111,9 @@ HEADLINE = [
     "sql_recursive_cte_front_door",
     "source_xml_roundtrip",
     "pipeline_filter_attrition",
+    # round 6: experimentation analytics (multi-touch attribution, CUPED)
+    "events_attribution_multitouch",
+    "experiment_cuped_readout",
 ]
 
 

@@ -1,0 +1,250 @@
+"""Experimentation & marketing analytics: multi-touch attribution and
+CUPED variance-reduced experiment readout.
+
+The measurement side of a product-analytics platform: attribution
+distributes conversion credit across the touchpoints that preceded each
+conversion (last-touch / first-touch / linear, the three standard
+models), and CUPED (Deng, Xu, Kohavi & Walker, WSDM 2013) adjusts an
+experiment metric with a pre-period covariate to shrink variance —
+the workhorse readout at every large experimentation platform.
+
+Reference parity note: the reference engine (wizgrao/blow) has no
+analytics surface — maps/maps.go:8-14 is its entire operator
+vocabulary — so these are extension operators from the task brief's
+analytics mandate, over the synthetic `events` fixture.
+
+Determinism: attribution credit is integer BASIS POINTS (10000 per
+conversion; ``10000 DIV n`` per touch with the remainder pinned to the
+most recent touch), CUPED moments are exact DECIMAL partial sums with
+one closed-form double division at the end, rounded — the same
+fixed-point/decimal conventions the rest of the catalog uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from blow_spark.queries import register
+from blow_spark.sources import read_table
+
+_LOOKBACK_DAYS = 7
+_BP = 10_000  # basis points distributed per conversion
+_CUPED_SPLIT = "2024-01-16 00:00:00"  # pre/post boundary (fixture spans Jan)
+
+
+@register(
+    "events_attribution_multitouch",
+    oracle=f"""
+    WITH conv AS (
+      SELECT event_id AS conv_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'
+    ), touch AS (
+      SELECT event_id, user_id, ts, event_type AS channel,
+             CAST(json_extract_string(props, 'k') AS INT) % 4 AS campaign
+      FROM events WHERE event_type IN ('view', 'click')
+    ), pair AS (
+      SELECT c.conv_id, t.event_id, t.channel, t.campaign, t.ts,
+             COUNT(*) OVER (PARTITION BY c.conv_id) AS n_touches,
+             ROW_NUMBER() OVER (PARTITION BY c.conv_id
+                                ORDER BY t.ts DESC, t.event_id DESC) AS r_last,
+             ROW_NUMBER() OVER (PARTITION BY c.conv_id
+                                ORDER BY t.ts ASC, t.event_id ASC) AS r_first
+      FROM conv c JOIN touch t ON t.user_id = c.user_id
+      WHERE t.ts < c.ts AND t.ts >= c.ts - INTERVAL {_LOOKBACK_DAYS} DAY
+    )
+    SELECT channel, campaign,
+           CAST(COUNT(*) AS BIGINT) AS n_touch_credits,
+           CAST(SUM(CASE WHEN r_last = 1 THEN {_BP} ELSE 0 END) AS BIGINT)
+             AS credit_last_bp,
+           CAST(SUM(CASE WHEN r_first = 1 THEN {_BP} ELSE 0 END) AS BIGINT)
+             AS credit_first_bp,
+           CAST(SUM({_BP} // n_touches
+                    + CASE WHEN r_last = 1 THEN {_BP} % n_touches ELSE 0 END)
+                AS BIGINT) AS credit_linear_bp
+    FROM pair
+    GROUP BY channel, campaign
+    """,
+    tags=("analytics", "attribution", "events"),
+)
+def events_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution, three models in one pass:
+    every purchase looks back 7 days over the user's view/click touches;
+    last-touch and first-touch give the full 10000 bp to one end of the
+    window, linear splits ``10000 DIV n`` per touch with the integer
+    remainder pinned to the most recent touch — so every model
+    distributes EXACTLY 10000 bp per attributed conversion (an invariant
+    the test suite checks) and the per-(channel, campaign) credit table
+    is pure-integer, hash-exact.
+
+    Scale shape: the conversion×touch pair join is user-keyed (the
+    interval condition prunes within each user's partition) — the same
+    bucketed-by-entity shape as the as-of joins; at 100 TB both sides
+    bucket by user_id and the join never crosses users. The per-
+    conversion windows partition by conversion id (≤ touches-per-week
+    rows each, never data-scale). Campaign comes from the JSON props
+    via get_json_object — pushed into the same scan."""
+    e = read_table(spark, sf_dir, "events")
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    touch = e.filter(F.col("event_type").isin("view", "click")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("event_type").alias("channel"),
+        (F.get_json_object("props", "$.k").cast("int") % 4).alias("campaign"),
+    )
+    pair = conv.join(
+        touch,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("ts") < F.col("c_ts"))
+        & (F.col("ts") >= F.col("c_ts") - F.expr(f"INTERVAL {_LOOKBACK_DAYS} DAYS")),
+    )
+    by_conv = W.partitionBy("conv_id")
+    pair = pair.select(
+        "conv_id",
+        "channel",
+        "campaign",
+        F.count("*").over(by_conv).alias("n_touches"),
+        F.row_number()
+        .over(by_conv.orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+        .alias("r_last"),
+        F.row_number()
+        .over(by_conv.orderBy(F.col("ts").asc(), F.col("event_id").asc()))
+        .alias("r_first"),
+    )
+    last1 = (F.col("r_last") == 1).cast("long")
+    first1 = (F.col("r_first") == 1).cast("long")
+    return pair.groupBy("channel", "campaign").agg(
+        F.count("*").alias("n_touch_credits"),
+        F.sum(last1 * _BP).alias("credit_last_bp"),
+        F.sum(first1 * _BP).alias("credit_first_bp"),
+        F.sum(
+            F.expr(f"{_BP} DIV n_touches")
+            + last1 * F.expr(f"{_BP} % n_touches")
+        ).alias("credit_linear_bp"),
+    )
+
+
+@register(
+    "experiment_cuped_readout",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS INT) AS arm,
+             CAST(ROUND(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_SPLIT}'
+                       THEN CAST(value AS DECIMAL(18,6)) END), 0) * 1000000)
+                  AS BIGINT) AS xi,
+             CAST(ROUND(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}'
+                            AND event_type = 'purchase'
+                       THEN CAST(value AS DECIMAL(18,6)) END), 0) * 1000000)
+                  AS BIGINT) AS yi
+      FROM events
+      GROUP BY user_id
+    ), pooled AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(xi) AS DOUBLE) AS sx,
+             CAST(SUM(yi) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(xi AS HUGEINT) * yi) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(xi AS HUGEINT) * xi) AS DOUBLE) AS sxx
+      FROM per_user
+    ), arm_stats AS (
+      SELECT arm,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(xi) AS DOUBLE) AS a_sx,
+             CAST(SUM(yi) AS DOUBLE) AS a_sy
+      FROM per_user
+      GROUP BY arm
+    )
+    SELECT a.arm, a.n_users,
+           ROUND(a.a_sy / a.n_users / 1000000.0, 6) AS mean_y,
+           ROUND((p.n * p.sxy - p.sx * p.sy) / (p.n * p.sxx - p.sx * p.sx), 9)
+             AS theta,
+           ROUND((a.a_sy / a.n_users
+                 - ((p.n * p.sxy - p.sx * p.sy) / (p.n * p.sxx - p.sx * p.sx))
+                   * (a.a_sx / a.n_users - p.sx / p.n)) / 1000000.0, 6)
+             AS mean_y_cuped
+    FROM arm_stats a CROSS JOIN pooled p
+    """,
+    tags=("analytics", "experiment", "cuped", "events"),
+)
+def experiment_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al., WSDM
+    2013): per-user pre-period activity (all event value before Jan 16)
+    is the covariate X, post-period purchase value is the metric Y, arms
+    are a deterministic user-id hash split, and the adjusted mean is
+    ``mean(Y) − θ·(mean(X_arm) − mean(X_pooled))`` with
+    ``θ = cov(X,Y)/var(X)`` estimated POOLED — the exact recipe every
+    large experimentation platform runs nightly. All moments are exact
+    DECIMAL partial sums (the ``agg_corr_covar_exact`` convention:
+    associative-exact, engine- and partitioning-independent) with one
+    closed-form double division at the end, rounded.
+
+    Scale shape: one user-keyed shuffle builds per_user; pooled moments
+    and per-arm sums are two one-row/two-row aggregates over it
+    (map-side combinable), joined by a 1-row broadcast cross join — at
+    100 TB the only data-scale pass is the first aggregate, identical
+    to the Q1 shape."""
+    e = read_table(spark, sf_dir, "events")
+    split = F.lit(_CUPED_SPLIT).cast("timestamp")
+    dec = F.col("value").cast("decimal(18,6)")
+    per_user = e.groupBy("user_id").agg(
+        F.round(
+            F.coalesce(F.sum(F.when(F.col("ts") < split, dec)), F.lit(0))
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("xi"),
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("ts") >= split)
+                        & (F.col("event_type") == "purchase"),
+                        dec,
+                    )
+                ),
+                F.lit(0),
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("yi"),
+    ).select((F.col("user_id") % 2).cast("int").alias("arm"), "xi", "yi")
+    # µ-unit BIGINT cross-products in DECIMAL(38,0) (HUGEINT on the
+    # oracle side): exact up to the single shared integer→double cast,
+    # which both engines round identically from the same integer.
+    xw = F.col("xi").cast("decimal(19,0)")
+    yw = F.col("yi").cast("decimal(19,0)")
+    pooled = per_user.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("xi").cast("double").alias("sx"),
+        F.sum("yi").cast("double").alias("sy"),
+        F.sum(xw * yw).cast("double").alias("sxy"),
+        F.sum(xw * xw).cast("double").alias("sxx"),
+    )
+    arm_stats = per_user.groupBy("arm").agg(
+        F.count("*").alias("n_users"),
+        F.sum("xi").cast("double").alias("a_sx"),
+        F.sum("yi").cast("double").alias("a_sy"),
+    )
+    j = arm_stats.crossJoin(F.broadcast(pooled))
+    theta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    mean_y = F.col("a_sy") / F.col("n_users")
+    mean_x = F.col("a_sx") / F.col("n_users")
+    mu_x = F.col("sx") / F.col("n")
+    return j.select(
+        "arm",
+        "n_users",
+        F.round(mean_y / 1_000_000.0, 6).alias("mean_y"),
+        F.round(theta, 9).alias("theta"),
+        F.round((mean_y - theta * (mean_x - mu_x)) / 1_000_000.0, 6).alias(
+            "mean_y_cuped"
+        ),
+    )

