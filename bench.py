@@ -114,6 +114,8 @@ HEADLINE = [
     # round 6: experimentation analytics (multi-touch attribution, CUPED)
     "events_attribution_multitouch",
     "experiment_cuped_readout",
+    # round 6: sorted-clustered storage layout
+    "sink_sorted_clustered_scan",
 ]
 
 

@@ -984,3 +984,75 @@ def versioned_read(spark, path: str, version: int | None = None) -> DataFrame:
     with open(manifest) as f:
         snap = json.load(f)["snapshot"]
     return spark.read.parquet(os.path.join(path, snap))
+
+
+def versioned_vacuum(
+    path: str, keep_last: int = 2, orphan_grace_sec: float = 3600.0
+) -> dict:
+    """Expire old snapshots of a versioned table: drop every version
+    below ``latest − keep_last + 1`` (manifest + its snapshot
+    directory) and sweep ORPHAN snapshot dirs that no manifest
+    references — completing the commit/read/time-travel lifecycle with
+    the retention step every table format needs (Delta/Iceberg VACUUM /
+    expire_snapshots).
+
+    Correctness constraints (same reasoning as the real formats):
+
+    * Retained manifests' snapshots are never touched, so every
+      readable version stays byte-identical after vacuum.
+    * An orphan snapshot (no manifest) is either a CRASHED commit's
+      leftover or a commit IN FLIGHT between its parquet write and its
+      manifest link — indistinguishable by listing alone. Orphans are
+      therefore only removed when older than ``orphan_grace_sec``
+      (mtime-based, the same retention defense Delta's VACUUM uses for
+      uncommitted files); pass 0 only when no writer can be live.
+    * Removal order is manifest first, then snapshot dir — a reader
+      that raced the vacuum sees a missing version, never a manifest
+      pointing at a half-deleted snapshot.
+
+    Returns ``{"removed_versions": [...], "removed_orphans": [...],
+    "kept_versions": [...]}``.
+    """
+    import json
+    import os
+    import shutil
+    import time
+
+    versions = sorted(
+        int(n[2:14])
+        for n in os.listdir(path)
+        if n.startswith("_v") and n.endswith(".manifest.json")
+    )
+    cut = versions[-keep_last:] if keep_last > 0 else []
+    expire = [v for v in versions if v not in cut]
+    keep_snaps = set()
+    for v in cut:
+        with open(os.path.join(path, f"_v{v:012d}.manifest.json")) as f:
+            keep_snaps.add(json.load(f)["snapshot"])
+    removed_versions = []
+    for v in expire:
+        manifest = os.path.join(path, f"_v{v:012d}.manifest.json")
+        with open(manifest) as f:
+            snap = json.load(f)["snapshot"]
+        os.unlink(manifest)  # version disappears atomically first
+        if snap not in keep_snaps:
+            shutil.rmtree(os.path.join(path, snap), ignore_errors=True)
+        removed_versions.append(v)
+    referenced = set(keep_snaps)
+    now = time.time()
+    removed_orphans = []
+    for n in os.listdir(path):
+        full = os.path.join(path, n)
+        if (
+            n.startswith("snap-")
+            and os.path.isdir(full)
+            and n not in referenced
+            and now - os.path.getmtime(full) >= orphan_grace_sec
+        ):
+            shutil.rmtree(full, ignore_errors=True)
+            removed_orphans.append(n)
+    return {
+        "removed_versions": removed_versions,
+        "removed_orphans": sorted(removed_orphans),
+        "kept_versions": cut,
+    }

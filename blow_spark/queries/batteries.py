@@ -1159,3 +1159,49 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("sum_n_chars"),
         F.sum("doc_id").alias("sum_doc_id"),
     )
+
+
+@register(
+    "sink_sorted_clustered_scan",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-06-01' AND l_shipdate < DATE '1995-07-01'
+    GROUP BY l_returnflag
+    """,
+    tags=("sink", "source", "sorting", "clustering"),
+)
+def sink_sorted_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Globally-SORTED table layout + range-predicate scan, end to end:
+    lineitem is range-partitioned on l_shipdate (16 non-overlapping
+    shards), sorted within each shard, written, and re-read with a
+    one-month predicate. Because the file key-ranges don't overlap, a
+    range predicate physically touches ~1/⌈span/month⌉ of the files via
+    parquet min/max footer stats — the sort-based sibling of
+    `sink_partitioned_pruned_scan`'s directory pruning and the layout
+    Delta/Iceberg call clustering. Non-overlap is proven from the
+    actual footers in tests/test_plans.py; the oracle states the
+    equivalent semantic filter over the raw table. At 100 TB the same
+    two calls (repartitionByRange + sortWithinPartitions) scale out:
+    range partitioning samples the key distribution, so shards stay
+    balanced under skew."""
+    import tempfile
+
+    li = read_table(spark, sf_dir, "lineitem")
+    stage = tempfile.mkdtemp(prefix="blow_spark_sorted_")
+    (
+        li.repartitionByRange(16, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(stage + "/li_sorted")
+    )
+    back = spark.read.parquet(stage + "/li_sorted").filter(
+        (F.col("l_shipdate") >= F.lit("1995-06-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1995-07-01").cast("date"))
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+    )

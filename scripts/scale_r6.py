@@ -1,0 +1,104 @@
+"""Two-point linearity measurements for the round-6 families: retrieval
+serving (RRF fusion, MMR rerank, context pack), the recursive-CTE front
+door, the XML roundtrip, the filter-attrition report, and the
+experimentation analytics (attribution, CUPED).
+
+Methodology (same as scale_families.py): seeded 10x replicas of the
+sf0.1 fixtures materialized to parquet first (timings exclude input
+derivation), operators warmed per session, min-of-2 on local[32],
+results consumed through a noop sink so column pruning cannot blind the
+timing (see the round-5 measurement-trap note in SCALE.md).
+
+Replica design notes:
+- embeddings/documents replicas offset ids by 1M·i, so the retrieval
+  query set stays FIXED at vec_id < 8 while the corpus scales 10x —
+  the |Q|-fixed serving contract the docstrings claim.
+- events replicas offset BOTH event_id and user_id: replicating events
+  under the same users would multiply per-user event density and make
+  the attribution pair join grow quadratically by construction (a
+  replica artifact, not operator behavior). Offsetting user_id scales
+  the user population instead, which is how a real corpus grows.
+
+Run: python scripts/scale_r6.py
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+from functools import reduce
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+
+def bench(fn, warm: int = 1, runs: int = 2) -> float:
+    for _ in range(warm):
+        fn()
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 2)
+
+
+def main() -> None:
+    from blow_spark.queries import queries
+    from blow_spark.session import get_spark
+    from blow_spark.sources import read_table
+
+    spark = get_spark(app_name="scale_r6", master="local[32]")
+    sf = "/root/testdata/sf0.1"
+    cat = queries()
+
+    def noop(df) -> None:
+        df.write.mode("overwrite").format("noop").save()
+
+    tenx = tempfile.mkdtemp(prefix="scale_r6_tenx_")
+
+    def rep10(df, keycols, off):
+        outs = []
+        for i in range(10):
+            d = df
+            for k in keycols:
+                d = d.withColumn(k, F.col(k) + F.lit(i * off))
+            outs.append(d)
+        return reduce(lambda a, b: a.union(b), outs)
+
+    rep10(read_table(spark, sf, "documents"), ["doc_id"], 1_000_000).write.parquet(
+        tenx + "/documents.parquet"
+    )
+    rep10(read_table(spark, sf, "embeddings"), ["vec_id"], 1_000_000).write.parquet(
+        tenx + "/embeddings.parquet"
+    )
+    rep10(
+        read_table(spark, sf, "orders"), ["o_orderkey", "o_custkey"], 100_000_000
+    ).write.parquet(tenx + "/orders.parquet")
+    ev = read_table(spark, sf, "events")
+    rep10(ev, ["event_id"], 10_000_000).withColumn(
+        "user_id",
+        F.col("user_id")
+        + F.floor(F.col("event_id") / 10_000_000) * 1_000_000,
+    ).write.parquet(tenx + "/events.parquet")
+
+    for name in [
+        "search_rrf_hybrid_fusion",
+        "search_mmr_rerank",
+        "rag_context_pack",
+        "sql_recursive_cte_front_door",
+        "source_xml_roundtrip",
+        "pipeline_filter_attrition",
+        "events_attribution_multitouch",
+        "experiment_cuped_readout",
+    ]:
+        fn = cat[name]
+        t1 = bench(lambda: noop(fn(spark, sf)))
+        t10 = bench(lambda: noop(fn(spark, tenx)))
+        print(name, "1x", t1, "10x", t10, "slope", round(t10 / t1, 2))
+
+
+if __name__ == "__main__":
+    main()

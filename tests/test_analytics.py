@@ -347,3 +347,50 @@ def test_cuped_reduces_to_identity_when_theta_applied_to_pooled_mean(
     pooled_adj = sum(r.mean_y_cuped * r.n_users for r in rows) / n_tot
     assert abs(pooled_raw - pooled_adj) < 1e-5
     assert rows[0].theta == rows[1].theta
+
+
+def test_versioned_vacuum_expires_old_snapshots_keeps_readable_tip(spark, tmp_path):
+    """VACUUM must: drop versions below the retention cut (manifest AND
+    snapshot dir), keep every retained version byte-readable, sweep
+    crashed-commit orphans only past the grace period, and be
+    idempotent."""
+    import os
+
+    from blow_spark import ops
+
+    path = str(tmp_path / "vtab")
+    for n in (3, 5, 7):
+        ops.versioned_commit(spark, spark.range(n).withColumnRenamed("id", "k"), path)
+    # a crashed commit: snapshot written, manifest never published
+    orphan = os.path.join(path, "snap-deadbeef")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "wb") as f:
+        f.write(b"junk")
+
+    # grace period protects the maybe-in-flight orphan
+    rep = ops.versioned_vacuum(path, keep_last=2, orphan_grace_sec=10_000)
+    assert rep["removed_versions"] == [1]
+    assert rep["kept_versions"] == [2, 3]
+    assert rep["removed_orphans"] == []
+    assert os.path.isdir(orphan)
+
+    # zero grace sweeps it
+    rep2 = ops.versioned_vacuum(path, keep_last=2, orphan_grace_sec=0)
+    assert rep2["removed_versions"] == []
+    assert rep2["removed_orphans"] == ["snap-deadbeef"]
+    assert not os.path.isdir(orphan)
+
+    # retained versions still read exactly; expired version is gone
+    assert len(ops.versioned_read(spark, path, 2).collect()) == 5
+    assert len(ops.versioned_read(spark, path, 3).collect()) == 7
+    try:
+        ops.versioned_read(spark, path, 1)
+        raise AssertionError("expired version still readable")
+    except FileNotFoundError:
+        pass
+    # idempotent
+    rep3 = ops.versioned_vacuum(path, keep_last=2, orphan_grace_sec=0)
+    assert rep3 == {"removed_versions": [], "removed_orphans": [], "kept_versions": [2, 3]}
+    # vacuumed table still accepts new commits
+    v4 = ops.versioned_commit(spark, spark.range(2).withColumnRenamed("id", "k"), path)
+    assert v4 == 4 and len(ops.versioned_read(spark, path).collect()) == 2

@@ -167,6 +167,10 @@ BENCH_EXCHANGE_PINS = {
     # per-user agg + two downstream aggs + AQE coalesce; 1-row pooled
     # moments broadcast
     "experiment_cuped_readout": (4, 1),
+    # returned plan scans the materialized sorted layout (the range
+    # repartition happens on the write side); footer non-overlap is
+    # pinned in tests/test_plans.py
+    "sink_sorted_clustered_scan": (1, 0),
 }
 
 

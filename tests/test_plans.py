@@ -442,3 +442,46 @@ def test_capped_sessions_reuse_one_exchange(spark, sf_dir):
     an aggregate cost a single shuffle."""
     p = _plan(spark, sf_dir, "window_session_max_duration")
     assert p.count("Exchange") == 1, p[:1500]
+
+
+def test_sorted_clustered_write_has_nonoverlapping_file_ranges(spark, sf_dir):
+    """sink_sorted_clustered_scan's layout claim, proven from real
+    footers: after repartitionByRange + sortWithinPartitions on
+    l_shipdate, the per-file [min, max] shipdate ranges must be
+    pairwise NON-OVERLAPPING (boundary dates may touch — range
+    partitioning splits a key's ties across the boundary) — the
+    property that lets a range predicate skip every file whose range
+    misses it. A hash-partitioned write has every file spanning ~the
+    whole domain."""
+    import glob
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    stage = tempfile.mkdtemp(prefix="sorted_footers_")
+    (
+        li.repartitionByRange(16, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    ranges = []
+    for f in glob.glob(stage + "/*.parquet"):
+        md = pq.read_metadata(f)
+        cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(cols["l_shipdate"]).statistics
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None:
+            ranges.append((lo, hi))
+    assert len(ranges) >= 8, f"expected >=8 data files, got {len(ranges)}"
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
+    # and the ranges genuinely partition a wide domain, not one value
+    assert ranges[0][0] < ranges[-1][1]
