@@ -116,6 +116,8 @@ HEADLINE = [
     "experiment_cuped_readout",
     # round 6: sorted-clustered storage layout
     "sink_sorted_clustered_scan",
+    # round 6: Poisson-bootstrap uplift CI
+    "experiment_bootstrap_uplift_ci",
 ]
 
 

@@ -248,3 +248,179 @@ def experiment_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_y_cuped"
         ),
     )
+
+
+_B_REPLICAS = 200  # bootstrap replicas
+# Poisson(1) inverse-CDF thresholds at 16 bits — the sample_poisson_
+# bootstrap constants (floor(CDF·2^16), capped at 6)
+_POIS = (24109, 48218, 60273, 64291, 65296, 65497)
+
+
+@register(
+    "experiment_bootstrap_uplift_ci",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS INT) AS arm,
+             CAST(ROUND(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}'
+                            AND event_type = 'purchase'
+                       THEN CAST(value AS DECIMAL(18,6)) END), 0) * 1000000)
+                  AS BIGINT) AS yi
+      FROM events
+      GROUP BY user_id
+    ), rep AS (
+      SELECT u.user_id, u.arm, u.yi, r.r,
+             (strpos('0123456789abcdef', substr(md5(CONCAT(CAST(u.user_id AS VARCHAR), ':', CAST(r.r AS VARCHAR))), 3, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(md5(CONCAT(CAST(u.user_id AS VARCHAR), ':', CAST(r.r AS VARCHAR))), 4, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(md5(CONCAT(CAST(u.user_id AS VARCHAR), ':', CAST(r.r AS VARCHAR))), 5, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(CONCAT(CAST(u.user_id AS VARCHAR), ':', CAST(r.r AS VARCHAR))), 6, 1)) - 1) AS u16
+      FROM per_user u CROSS JOIN (SELECT UNNEST(RANGE(1, {_B_REPLICAS} + 1)) AS r) r
+    ), w AS (
+      SELECT r, arm, yi,
+             CASE WHEN u16 < {_POIS[0]} THEN 0
+                  WHEN u16 < {_POIS[1]} THEN 1
+                  WHEN u16 < {_POIS[2]} THEN 2
+                  WHEN u16 < {_POIS[3]} THEN 3
+                  WHEN u16 < {_POIS[4]} THEN 4
+                  WHEN u16 < {_POIS[5]} THEN 5
+                  ELSE 6 END AS w
+      FROM rep
+    ), by_rep AS (
+      SELECT r,
+             SUM(CASE WHEN arm = 1 THEN CAST(w AS HUGEINT) * yi ELSE 0 END) AS s1,
+             SUM(CASE WHEN arm = 1 THEN w ELSE 0 END) AS n1,
+             SUM(CASE WHEN arm = 0 THEN CAST(w AS HUGEINT) * yi ELSE 0 END) AS s0,
+             SUM(CASE WHEN arm = 0 THEN w ELSE 0 END) AS n0
+      FROM w GROUP BY r
+    ), uplift AS (
+      SELECT r,
+             CAST(ROUND(CAST(s1 * n0 - s0 * n1 AS DOUBLE)
+                        / CAST(CAST(n1 AS HUGEINT) * n0 AS DOUBLE)) AS BIGINT)
+               AS uplift_mu
+      FROM by_rep WHERE n1 > 0 AND n0 > 0
+    ), point AS (
+      SELECT CAST(ROUND(CAST(p.s1 * p.n0 - p.s0 * p.n1 AS DOUBLE)
+                        / CAST(CAST(p.n1 AS HUGEINT) * p.n0 AS DOUBLE)) AS BIGINT)
+               AS uplift_point_mu
+      FROM (
+        SELECT SUM(CASE WHEN arm = 1 THEN CAST(yi AS HUGEINT) ELSE 0 END) AS s1,
+               SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+               SUM(CASE WHEN arm = 0 THEN CAST(yi AS HUGEINT) ELSE 0 END) AS s0,
+               SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0
+        FROM per_user) p
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_replicas,
+           (SELECT uplift_point_mu FROM point) AS uplift_point_mu,
+           ROUND(quantile_cont(uplift_mu, 0.025), 6) AS ci_lo_mu,
+           ROUND(quantile_cont(uplift_mu, 0.975), 6) AS ci_hi_mu
+    FROM uplift
+    """,
+    tags=("analytics", "experiment", "bootstrap", "events"),
+)
+def experiment_bootstrap_uplift_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the A/B uplift via the POISSON
+    bootstrap (Chamandy et al. 2012 — the distributed-data form): each
+    user contributes w ~ Poisson(1) copies per replica, weights derived
+    from fixed integer inverse-CDF thresholds over 16 bits of
+    md5(user_id:replica) — no RNG state, no coordination, bit-identical
+    on re-run — and each of the 200 replicas' uplift is the exact
+    integer µ-unit ratio ``(S1·n0 − S0·n1)/(n1·n0)``. The 95% interval
+    is exact linear-interpolation percentiles over the 200 integers
+    (the `agg_percentiles_exact` pairing: Spark `percentile` ≡ DuckDB
+    `quantile_cont`). Completes the experimentation readout next to
+    `experiment_cuped_readout`: point estimate, variance-reduced mean,
+    and now resampled uncertainty.
+
+    Scale shape: the user×replica table is the only fan-out (|users|·B
+    rows, pure map from one user-keyed aggregate); per-replica sums are
+    one shuffle keyed by (replica, arm) — B·2 groups — and the
+    percentile runs over B rows, constant-size by construction. At
+    100 TB the per-user aggregate is the only data-scale pass."""
+    e = read_table(spark, sf_dir, "events")
+    split = F.lit(_CUPED_SPLIT).cast("timestamp")
+    dec = F.col("value").cast("decimal(18,6)")
+    per_user = e.groupBy("user_id").agg(
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("ts") >= split)
+                        & (F.col("event_type") == "purchase"),
+                        dec,
+                    )
+                ),
+                F.lit(0),
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("yi"),
+    ).select("user_id", (F.col("user_id") % 2).cast("int").alias("arm"), "yi")
+    rep = per_user.select(
+        "user_id",
+        "arm",
+        "yi",
+        F.explode(F.sequence(F.lit(1), F.lit(_B_REPLICAS))).alias("r"),
+    )
+    u16 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("user_id"), F.col("r"))), 3, 4
+        ),
+        16,
+        10,
+    ).cast("int")
+    w = (
+        F.when(u16 < _POIS[0], 0)
+        .when(u16 < _POIS[1], 1)
+        .when(u16 < _POIS[2], 2)
+        .when(u16 < _POIS[3], 3)
+        .when(u16 < _POIS[4], 4)
+        .when(u16 < _POIS[5], 5)
+        .otherwise(6)
+    )
+    rep = rep.select("r", "arm", "yi", w.alias("w"))
+    wd = F.col("w").cast("decimal(19,0)")
+    by_rep = rep.groupBy("r").agg(
+        F.sum(F.when(F.col("arm") == 1, wd * F.col("yi")).otherwise(F.lit(0))).alias("s1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("w")).otherwise(F.lit(0))).alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, wd * F.col("yi")).otherwise(F.lit(0))).alias("s0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("w")).otherwise(F.lit(0))).alias("n0"),
+    )
+    n1d = F.col("n1").cast("decimal(19,0)")
+    n0d = F.col("n0").cast("decimal(19,0)")
+    uplift = by_rep.filter((F.col("n1") > 0) & (F.col("n0") > 0)).select(
+        F.round(
+            (F.col("s1") * n0d - F.col("s0") * n1d).cast("double")
+            / (n1d * n0d).cast("double")
+        )
+        .cast("long")
+        .alias("uplift_mu")
+    )
+    yid = F.col("yi").cast("decimal(19,0)")
+    point = per_user.agg(
+        F.sum(F.when(F.col("arm") == 1, yid).otherwise(F.lit(0))).alias("s1"),
+        F.sum(F.when(F.col("arm") == 1, F.lit(1)).otherwise(F.lit(0))).alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, yid).otherwise(F.lit(0))).alias("s0"),
+        F.sum(F.when(F.col("arm") == 0, F.lit(1)).otherwise(F.lit(0))).alias("n0"),
+    ).select(
+        F.round(
+            (
+                F.col("s1") * F.col("n0").cast("decimal(19,0)")
+                - F.col("s0") * F.col("n1").cast("decimal(19,0)")
+            ).cast("double")
+            / (
+                F.col("n1").cast("decimal(19,0)")
+                * F.col("n0").cast("decimal(19,0)")
+            ).cast("double")
+        )
+        .cast("long")
+        .alias("uplift_point_mu")
+    )
+    agg = uplift.agg(
+        F.count("*").alias("n_replicas"),
+        F.round(F.expr("percentile(uplift_mu, 0.025D)"), 6).alias("ci_lo_mu"),
+        F.round(F.expr("percentile(uplift_mu, 0.975D)"), 6).alias("ci_hi_mu"),
+    )
+    return agg.crossJoin(F.broadcast(point)).select(
+        "n_replicas", "uplift_point_mu", "ci_lo_mu", "ci_hi_mu"
+    )

@@ -394,3 +394,17 @@ def test_versioned_vacuum_expires_old_snapshots_keeps_readable_tip(spark, tmp_pa
     # vacuumed table still accepts new commits
     v4 = ops.versioned_commit(spark, spark.range(2).withColumnRenamed("id", "k"), path)
     assert v4 == 4 and len(ops.versioned_read(spark, path).collect()) == 2
+
+
+def test_bootstrap_ci_brackets_point_and_is_deterministic(spark, sf_dir):
+    """The 95% Poisson-bootstrap interval must bracket the full-sample
+    point estimate (200 replicas, resampling noise ≫ |point| on this
+    fixture), be properly ordered, and reproduce bit-identically on a
+    second run (hash-derived weights, no RNG state)."""
+    q = ALL_QUERIES["experiment_bootstrap_uplift_ci"]
+    r1 = q(spark, sf_dir).collect()[0]
+    assert r1.n_replicas == 200
+    assert r1.ci_lo_mu < r1.ci_hi_mu
+    assert r1.ci_lo_mu <= r1.uplift_point_mu <= r1.ci_hi_mu
+    r2 = q(spark, sf_dir).collect()[0]
+    assert r1 == r2

@@ -171,6 +171,9 @@ BENCH_EXCHANGE_PINS = {
     # repartition happens on the write side); footer non-overlap is
     # pinned in tests/test_plans.py
     "sink_sorted_clustered_scan": (1, 0),
+    # per-user agg → replica agg → B-row percentile agg + point branch;
+    # 1-row point estimate broadcast
+    "experiment_bootstrap_uplift_ci": (5, 1),
 }
 
 
