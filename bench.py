@@ -118,6 +118,8 @@ HEADLINE = [
     "sink_sorted_clustered_scan",
     # round 6: Poisson-bootstrap uplift CI
     "experiment_bootstrap_uplift_ci",
+    # round 6: entity-resolution fuzzy join
+    "join_fuzzy_levenshtein_block",
 ]
 
 

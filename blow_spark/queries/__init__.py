@@ -74,6 +74,7 @@ def _load() -> None:
     from blow_spark.queries import (  # noqa: F401
         batteries,
         corpus,
+        entity,
         experimentation,
         governance,
         multimodal_q,

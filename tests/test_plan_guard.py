@@ -174,6 +174,9 @@ BENCH_EXCHANGE_PINS = {
     # per-user agg → replica agg → B-row percentile agg + point branch;
     # 1-row point estimate broadcast
     "experiment_bootstrap_uplift_ci": (5, 1),
+    # distinct names + bigram-bucket self-join + candidate dedup; the
+    # small count tables broadcast (2 explicit + 2 optimizer-chosen)
+    "join_fuzzy_levenshtein_block": (7, 4),
 }
 
 

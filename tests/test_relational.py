@@ -346,3 +346,51 @@ def test_cumulative_distinct_over_ignores_nulls(spark):
         ).collect()
     }
     assert got == {1: 0, 2: 1, 3: 1, 4: 1, 5: 2}
+
+
+def test_fuzzy_join_blocking_is_lossless_on_adversarial_names(spark, tmp_path):
+    """join_fuzzy_levenshtein_block must equal the brute force on a
+    crafted catalog exercising both blocking paths: SHORT names (too
+    few bigrams for the count bound), pairs within distance 2 sharing
+    almost no bigrams, and unrelated names that must not pair."""
+    import itertools
+
+    from blow_spark.queries import queries
+
+    names = [
+        "ab", "ba", "ac",                     # SHORT block (1 bigram)
+        "red bolt", "rex bolts",              # dist 2, weak bigram overlap
+        "cold widget", "gold widget",         # dist 1
+        "cold widgets",                       # chains to both widgets
+        "completely different thing",         # should pair with nothing
+        "zzzzzzzz",
+    ]
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        d = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, n + 1):
+                prev, d[j] = d[j], min(
+                    d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                )
+        return d[n]
+
+    expect = {
+        (a, b, lev(a, b))
+        for a, b in itertools.combinations(sorted(names), 2)
+        if lev(a, b) <= 2
+    }
+    assert expect, "fixture must contain close pairs"
+    assert ("ab", "ba", 2) in expect and ("red bolt", "rex bolts", 2) in expect
+
+    stage = str(tmp_path / "fuzzy_sf")
+    spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "p_partkey long, p_name string"
+    ).write.parquet(stage + "/part.parquet")
+    got = {
+        (r.name_a, r.name_b, r.dist)
+        for r in queries()["join_fuzzy_levenshtein_block"](spark, stage).collect()
+    }
+    assert got == expect, f"missing={expect - got} extra={got - expect}"
