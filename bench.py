@@ -120,6 +120,8 @@ HEADLINE = [
     "experiment_bootstrap_uplift_ci",
     # round 6: entity-resolution fuzzy join
     "join_fuzzy_levenshtein_block",
+    # round 6: leakage-safe split (dedup-cluster-consistent assignment)
+    "split_leakage_safe",
 ]
 
 

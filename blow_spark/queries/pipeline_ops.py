@@ -2108,3 +2108,143 @@ def pipeline_filter_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_kept",
         (F.col("n_in") - F.col("n_kept")).cast("long").alias("n_dropped"),
     )
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe split: near-dup clusters never straddle train/val/test
+# --------------------------------------------------------------------------
+
+
+@register(
+    "split_leakage_safe",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id AS doc, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), base AS (
+      SELECT doc,
+             list_distinct(list_transform(
+               range(1, len(t) - 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS sh
+      FROM toks
+      WHERE len(t) >= 3
+    ), exploded AS (
+      SELECT doc, unnest(sh) AS g FROM base
+    ), rare AS (
+      SELECT g FROM exploded GROUP BY g HAVING COUNT(*) <= 50
+    ), blocked AS (
+      SELECT e.doc, e.g FROM exploded e JOIN rare USING (g)
+    ), cand AS (
+      SELECT DISTINCT l.doc AS id_a, r.doc AS id_b
+      FROM blocked l JOIN blocked r ON l.g = r.g AND l.doc < r.doc
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM (
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        FROM cand
+        JOIN base a ON a.doc = id_a
+        JOIN base b ON b.doc = id_b) s
+      WHERE jaccard >= 0.4
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(node, comp) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.node
+    ), comp AS (
+      SELECT node, MIN(comp) AS comp FROM reach GROUP BY node
+    ), asg AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(c.comp, d.doc_id) AS BIGINT) AS cluster,
+             CASE WHEN substr(md5(d.text), 1, 1) <= 'b' THEN 'train'
+                  WHEN substr(md5(d.text), 1, 1) <= 'd' THEN 'val'
+                  ELSE 'test' END AS naive_split
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ), canon AS (
+      SELECT a.doc_id, a.cluster, a.naive_split,
+             CASE WHEN substr(md5(d2.text), 1, 1) <= 'b' THEN 'train'
+                  WHEN substr(md5(d2.text), 1, 1) <= 'd' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM asg a JOIN documents d2 ON d2.doc_id = a.cluster
+    ), leaky AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS naive_leaky_clusters
+      FROM (SELECT cluster FROM canon
+            GROUP BY cluster HAVING COUNT(DISTINCT naive_split) > 1) x
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+           (SELECT naive_leaky_clusters FROM leaky) AS naive_leaky_clusters
+    FROM canon
+    GROUP BY split
+    """,
+    tags=("pipeline", "split", "dedup", "llm"),
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: documents are first clustered
+    by exact n-gram Jaccard near-duplication (the `dedup_clusters`
+    machinery — rare-shingle blocking → exact Jaccard ≥ 0.4 → connected
+    components), then the WHOLE cluster is assigned by the content hash
+    of its canonical (min-id) member — so two near-duplicate documents
+    can never land in different splits, the contamination mode a plain
+    per-document hash split (`split_train_val_test`) cannot rule out.
+    The emitted `naive_leaky_clusters` column is the count of clusters
+    the naive rule WOULD have split across sets — data-derived,
+    oracle-checked, and non-zero on the fixture, so the gate proves the
+    operator prevents real leakage, not hypothetical leakage.
+
+    Scale shape: pair generation is the blocked Jaccard join (fan-out
+    bounded by rare-shingle blocking), components run on the candidate
+    graph only (edges ≪ docs), and the final assignment is one
+    broadcast of the (cluster → canonical split) table — at 100 TB the
+    corpus-scale passes are the shingle explode and one join, identical
+    to the production dedup pipeline this composes with."""
+    from blow_spark import dedup
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        d, text_col="text", id_col="doc_id", threshold=0.4
+    )
+    comp = dedup.connected_components(pairs)
+    nib = F.substring(F.md5("text"), 1, 1)
+    split_rule = (
+        F.when(nib <= "b", "train").when(nib <= "d", "val").otherwise("test")
+    )
+    asg = (
+        d.select("doc_id", split_rule.alias("naive_split"))
+        .join(
+            comp.select(
+                F.col("node").alias("doc_id"), F.col("comp").alias("cluster")
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("cluster", "doc_id").cast("long").alias("cluster"),
+            "naive_split",
+        )
+    )
+    canon_split = d.select(
+        F.col("doc_id").alias("cluster"), split_rule.alias("split")
+    )
+    canon = asg.join(F.broadcast(canon_split), "cluster")
+    leaky = (
+        canon.groupBy("cluster")
+        .agg(F.countDistinct("naive_split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count("*").cast("long").alias("naive_leaky_clusters"))
+    )
+    return (
+        canon.groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("cluster").cast("long").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leaky))
+        .select("split", "n_docs", "n_clusters", "naive_leaky_clusters")
+    )

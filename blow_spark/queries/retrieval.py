@@ -321,8 +321,11 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cos_sim") * 1_000_000).cast("long").alias("rel_mu"),
     )
     # Truncate the brute-force-topk lineage once: cand is |Q|·25 rows
-    # and is referenced by every unrolled step below.
-    cand = cand.localCheckpoint()
+    # and is referenced by every unrolled step below. coalesce(1) first:
+    # every downstream job over these constant-size frames then runs
+    # single-task instead of shuffle_partitions tasks — at 5 unrolled
+    # steps the scheduling overhead is the whole cost of this operator.
+    cand = cand.coalesce(1).localCheckpoint()
     # unordered co-occurring candidate pairs → exact µ-unit cosine table
     a, b = cand.alias("a"), cand.alias("b")
     upair = (
@@ -368,6 +371,7 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("sim_mu"),
         )
+        .coalesce(1)
         .localCheckpoint()
     )
 
@@ -416,7 +420,11 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (7 * F.col("rel_mu") - 3 * F.col("maxsim_mu")).alias("sc"),
             )
         )
-        selected = selected.unionAll(argmax(scored, "sc", step)).localCheckpoint()
+        selected = (
+            selected.unionAll(argmax(scored, "sc", step))
+            .coalesce(1)
+            .localCheckpoint()
+        )
     return selected.select(
         "query_id", F.col("sel_id").alias("doc_id"), "step", "score_mu"
     )

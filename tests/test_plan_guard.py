@@ -177,6 +177,10 @@ BENCH_EXCHANGE_PINS = {
     # distinct names + bigram-bucket self-join + candidate dedup; the
     # small count tables broadcast (2 explicit + 2 optimizer-chosen)
     "join_fuzzy_levenshtein_block": (7, 4),
+    # the returned plan is the census over the assignment: the CC labels
+    # are materialized (localCheckpoint) during build, truncating the
+    # pair-pipeline lineage; canon-split / leak-count sides broadcast
+    "split_leakage_safe": (5, 5),
 }
 
 
