@@ -122,6 +122,9 @@ HEADLINE = [
     "join_fuzzy_levenshtein_block",
     # round 6: leakage-safe split (dedup-cluster-consistent assignment)
     "split_leakage_safe",
+    # round 6: grid-blocked spatial ε-join; rolling robust anomaly window
+    "join_spatial_grid_epsilon",
+    "timeseries_rolling_mad_anomaly",
 ]
 
 

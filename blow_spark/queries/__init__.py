@@ -83,6 +83,7 @@ def _load() -> None:
         relational,
         relational_ext,
         retrieval,
+        spatial,
         text,
         tpch,
         tpch2,

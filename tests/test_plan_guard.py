@@ -181,6 +181,11 @@ BENCH_EXCHANGE_PINS = {
     # are materialized (localCheckpoint) during build, truncating the
     # pair-pipeline lineage; canon-split / leak-count sides broadcast
     "split_leakage_safe": (5, 5),
+    # build side (9× cell-neighborhood explode of the small table)
+    # broadcasts; the only shuffle is the per-probe nearest window
+    "join_spatial_grid_epsilon": (1, 1),
+    # one keyed-window shuffle (series key); frame state is constant-size
+    "timeseries_rolling_mad_anomaly": (1, 0),
 }
 
 
