@@ -125,6 +125,9 @@ HEADLINE = [
     # round 6: grid-blocked spatial ε-join; rolling robust anomaly window
     "join_spatial_grid_epsilon",
     "timeseries_rolling_mad_anomaly",
+    # round 6: SRM trust gate; GDPR erasure cascade audit
+    "experiment_srm_check",
+    "privacy_erasure_cascade",
 ]
 
 

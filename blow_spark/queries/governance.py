@@ -459,3 +459,115 @@ def drift_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d").cast("bigint").alias("psi_den"),
         (F.sum("t_num").cast("double") / F.min("d") / 1_000_000.0).alias("psi"),
     )
+
+
+# --------------------------------------------------------------------------
+# Right-to-erasure cascade: tombstone subjects, purge downstream, prove it
+# --------------------------------------------------------------------------
+
+
+@register(
+    "privacy_erasure_cascade",
+    oracle="""
+    WITH cflag AS (
+      SELECT c_custkey, (c_custkey % 97 = 0) AS tomb FROM customer
+    ), c_audit AS (
+      SELECT 'customer' AS table_name,
+             COUNT(*) AS n_before,
+             COUNT(*) FILTER (WHERE tomb) AS n_purged,
+             COUNT(*) FILTER (WHERE NOT tomb) AS n_after,
+             COUNT(*) FILTER (WHERE NOT tomb AND c_custkey % 97 = 0)
+               AS orphans_after
+      FROM cflag
+    ), oflag AS (
+      SELECT o.o_orderkey,
+             COALESCE(c.tomb, FALSE) AS tomb,
+             (c.c_custkey IS NULL) AS fk_missing
+      FROM orders o LEFT JOIN cflag c ON o.o_custkey = c.c_custkey
+    ), o_audit AS (
+      SELECT 'orders',
+             COUNT(*),
+             COUNT(*) FILTER (WHERE tomb),
+             COUNT(*) FILTER (WHERE NOT tomb),
+             COUNT(*) FILTER (WHERE NOT tomb AND fk_missing)
+      FROM oflag
+    ), l_audit AS (
+      SELECT 'lineitem',
+             COUNT(*),
+             COUNT(*) FILTER (WHERE COALESCE(o.tomb, FALSE)),
+             COUNT(*) FILTER (WHERE NOT COALESCE(o.tomb, FALSE)),
+             COUNT(*) FILTER (WHERE NOT COALESCE(o.tomb, FALSE)
+                                AND o.o_orderkey IS NULL)
+      FROM lineitem l LEFT JOIN oflag o ON l.l_orderkey = o.o_orderkey
+    ), audit AS (
+      SELECT * FROM c_audit UNION ALL SELECT * FROM o_audit
+      UNION ALL SELECT * FROM l_audit
+    )
+    SELECT table_name,
+           CAST(n_before AS BIGINT) AS n_before,
+           CAST(n_purged AS BIGINT) AS n_purged,
+           CAST(n_after AS BIGINT) AS n_after,
+           CAST(orphans_after AS BIGINT) AS orphans_after
+    FROM audit
+    """,
+    tags=("governance", "privacy", "join"),
+)
+def privacy_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure (GDPR Art. 17) cascade: tombstoned data subjects
+    (the deterministic ``c_custkey % 97 = 0`` cohort — ~1%, non-empty at
+    every gate sf) are purged from ``customer``, their orders from
+    ``orders``, and those orders' line items from ``lineitem``, with a
+    per-table audit row proving the cascade: rows before / purged /
+    after, plus an ``orphans_after`` referential recount on the
+    POST-image (surviving orders whose customer FK resolves to nothing;
+    surviving line items whose order FK resolves to nothing) — a broken
+    cascade (e.g. purging customers but not their orders) flips a count
+    and the driver hash.
+
+    Plan shape: ONE scan per table. The tombstone flag rides the
+    customer scan; orders pick it up through a single custkey-keyed
+    LEFT join (which simultaneously yields the purge flag AND the FK
+    recount — an unmatched row IS the orphan evidence); lineitem reuses
+    the flagged-orders frame through one orderkey-keyed LEFT join. Each
+    audit row is then a one-row conditional aggregate — no IN-subquery
+    re-scans, no driver materialization. At 100 TB these are the same
+    two FK joins any fact-maintenance pass runs, and the tombstone
+    cohort broadcasts when small, shuffles when not — Catalyst's call."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+
+    cflag = cust.select(
+        "c_custkey", (F.col("c_custkey") % 97 == 0).alias("tomb")
+    )
+    oflag = orders.join(
+        cflag, orders.o_custkey == cflag.c_custkey, "left"
+    ).select(
+        "o_orderkey",
+        F.coalesce("tomb", F.lit(False)).alias("tomb"),
+        F.col("c_custkey").isNull().alias("fk_missing"),
+    )
+    lflag = li.join(oflag, li.l_orderkey == oflag.o_orderkey, "left").select(
+        F.coalesce("tomb", F.lit(False)).alias("tomb"),
+        F.col("o_orderkey").isNull().alias("fk_missing"),
+    )
+
+    def audit(df, name: str, purged, orphans) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count("*").cast("long").alias("n_before"),
+            F.count_if(purged).cast("long").alias("n_purged"),
+            F.count_if(~purged).cast("long").alias("n_after"),
+            F.count_if(orphans).cast("long").alias("orphans_after"),
+        )
+
+    c_row = audit(
+        cflag,
+        "customer",
+        F.col("tomb"),
+        ~F.col("tomb") & (F.col("c_custkey") % 97 == 0),
+    )
+    fk_orphan = ~F.col("tomb") & F.col("fk_missing")
+    o_row = audit(oflag, "orders", F.col("tomb"), fk_orphan)
+    l_row = audit(lflag, "lineitem", F.col("tomb"), fk_orphan)
+    return c_row.unionAll(o_row).unionAll(l_row)

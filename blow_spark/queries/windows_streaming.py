@@ -2079,22 +2079,22 @@ def timeseries_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "timeseries_rolling_mad_anomaly",
     oracle="""
     WITH win AS (
-      SELECT event_id, event_type, value,
+      SELECT event_id, user_id, event_type, value,
              list_sort(list(value) OVER (
-               PARTITION BY event_type ORDER BY ts, event_id
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS s
       FROM events
     ), med AS (
-      SELECT event_id, event_type, value, s, len(s) AS n,
+      SELECT event_id, user_id, event_type, value, s, len(s) AS n,
              CASE WHEN len(s) % 2 = 1 THEN s[(len(s) + 1) // 2]
                   ELSE (s[len(s) // 2] + s[len(s) // 2 + 1]) / 2 END AS med
       FROM win
     ), dev AS (
-      SELECT event_id, event_type, value, n, med,
+      SELECT event_id, user_id, event_type, value, n, med,
              list_sort(list_transform(s, v -> abs(v - med))) AS d
       FROM med
     )
-    SELECT event_id, event_type, value, med,
+    SELECT event_id, user_id, event_type, value, med,
            CASE WHEN n % 2 = 1 THEN d[(n + 1) // 2]
                 ELSE (d[n // 2] + d[n // 2 + 1]) / 2 END AS mad,
            (abs(value - med) > 3 * (CASE WHEN n % 2 = 1 THEN d[(n + 1) // 2]
@@ -2111,7 +2111,11 @@ def timeseries_rolling_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFram
     robust twin of a rolling z-score — one fat outlier inside the window
     cannot mask the next one, the classic failure of mean/stddev
     monitors; ``events_anomaly_robust_mad`` is the global-population
-    form). The bounded ROWS frame makes the exact computation cheap:
+    form). The series key is (user_id, event_type) — each entity's
+    metric stream — so window-key cardinality GROWS with the corpus and
+    parallelism is never bounded by a low-cardinality dimension (a
+    5-value event_type partition would serialize into 5 tasks at any
+    scale). The bounded ROWS frame makes the exact computation cheap:
     collect the ≤7-element window list, sort it, and read the median and
     the median-of-absolute-deviations straight out of the array — all
     JVM array expressions inside one window pass, no UDF, no
@@ -2127,7 +2131,7 @@ def timeseries_rolling_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFram
     doubles, and ties order by (ts, event_id), a total key."""
     e = read_table(spark, sf_dir, "events")
     w = (
-        W.partitionBy("event_type")
+        W.partitionBy("user_id", "event_type")
         .orderBy("ts", "event_id")
         .rowsBetween(-6, W.currentRow)
     )
@@ -2141,13 +2145,14 @@ def timeseries_rolling_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFram
             f"       + element_at({arr}, CAST(size({arr}) div 2 + 1 AS INT))) / 2 END"
         )
 
-    base = e.select("event_id", "event_type", "value", s.alias("s"))
+    base = e.select("event_id", "user_id", "event_type", "value", s.alias("s"))
     med = base.withColumn("med", list_median("s"))
     dev = med.withColumn(
         "d", F.expr("sort_array(transform(s, v -> abs(v - med)))")
     ).withColumn("mad", list_median("d"))
     return dev.select(
         "event_id",
+        "user_id",
         "event_type",
         "value",
         "med",

@@ -1,7 +1,9 @@
 """Two-point linearity measurements for the round-6 families: retrieval
 serving (RRF fusion, MMR rerank, context pack), the recursive-CTE front
-door, the XML roundtrip, the filter-attrition report, and the
-experimentation analytics (attribution, CUPED).
+door, the XML roundtrip, the filter-attrition report, the
+experimentation analytics (attribution, CUPED, bootstrap CI), the
+entity-resolution fuzzy join, the leakage-safe split, the spatial
+ε-join, and the rolling-MAD anomaly window.
 
 Methodology (same as scale_families.py): seeded 10x replicas of the
 sf0.1 fixtures materialized to parquet first (timings exclude input
@@ -18,6 +20,17 @@ Replica design notes:
   the attribution pair join grow quadratically by construction (a
   replica artifact, not operator behavior). Offsetting user_id scales
   the user population instead, which is how a real corpus grows.
+- the spatial ε-join replicates the PROBE (customer) side only: key
+  offsets re-hash into fresh uniform points, so probe density grows 10x
+  while build density is fixed — the "more customers, same warehouses"
+  growth. Replicating BOTH sides would grow the true pair count ~100x
+  (pair density scales with the density product — physics of ε-joins,
+  not a plan defect) and measure that instead of the operator.
+- part replicas offset p_partkey only; p_name is untouched, so the
+  fuzzy join's distinct-name universe is FIXED while the scanned corpus
+  grows 10x — measuring the scan+distinct phase. The name-pair phase is
+  corpus-size-independent by design (it runs on the distinct-name
+  census), so this is the whole story, not a shortcut.
 
 Run: python scripts/scale_r6.py
 """
@@ -77,6 +90,15 @@ def main() -> None:
     rep10(
         read_table(spark, sf, "orders"), ["o_orderkey", "o_custkey"], 100_000_000
     ).write.parquet(tenx + "/orders.parquet")
+    rep10(read_table(spark, sf, "customer"), ["c_custkey"], 10_000_000).write.parquet(
+        tenx + "/customer.parquet"
+    )
+    import shutil
+
+    shutil.copy(sf + "/supplier.parquet", tenx + "/supplier.parquet")
+    rep10(read_table(spark, sf, "part"), ["p_partkey"], 10_000_000).write.parquet(
+        tenx + "/part.parquet"
+    )
     ev = read_table(spark, sf, "events")
     rep10(ev, ["event_id"], 10_000_000).withColumn(
         "user_id",
@@ -93,6 +115,11 @@ def main() -> None:
         "pipeline_filter_attrition",
         "events_attribution_multitouch",
         "experiment_cuped_readout",
+        "experiment_bootstrap_uplift_ci",
+        "join_fuzzy_levenshtein_block",
+        "split_leakage_safe",
+        "join_spatial_grid_epsilon",
+        "timeseries_rolling_mad_anomaly",
     ]:
         fn = cat[name]
         t1 = bench(lambda: noop(fn(spark, sf)))

@@ -186,6 +186,12 @@ BENCH_EXCHANGE_PINS = {
     "join_spatial_grid_epsilon": (1, 1),
     # one keyed-window shuffle (series key); frame state is constant-size
     "timeseries_rolling_mad_anomaly": (1, 0),
+    # one distinct-users shuffle + the 1-row wide aggregate (both rules
+    # counted in a single pass, stack-unpivoted)
+    "experiment_srm_check": (2, 0),
+    # one scan per table: the two FK LEFT joins broadcast the flagged
+    # key sets; each audit row is a 1-row conditional aggregate
+    "privacy_erasure_cascade": (3, 3),
 }
 
 

@@ -84,8 +84,9 @@ def test_rolling_mad_python_replay(spark, sf_dir):
 
     con = duckdb.connect()
     src = con.execute(
-        f"SELECT event_id, event_type, value FROM "
-        f"read_parquet('{sf_dir}/events.parquet') ORDER BY event_type, ts, event_id"
+        f"SELECT event_id, user_id, event_type, value FROM "
+        f"read_parquet('{sf_dir}/events.parquet') "
+        f"ORDER BY user_id, event_type, ts, event_id"
     ).fetchall()
 
     def med(sorted_vals):
@@ -94,9 +95,9 @@ def test_rolling_mad_python_replay(spark, sf_dir):
             return sorted_vals[(n - 1) // 2]
         return (sorted_vals[n // 2 - 1] + sorted_vals[n // 2]) / 2
 
-    by_type: dict[str, list] = {}
-    for eid, etype, val in src:
-        hist = by_type.setdefault(etype, [])
+    by_type: dict[tuple, list] = {}
+    for eid, uid, etype, val in src:
+        hist = by_type.setdefault((uid, etype), [])
         hist.append(val)
         win = hist[-7:]
         m = med(sorted(win))
