@@ -128,6 +128,8 @@ HEADLINE = [
     # round 6: SRM trust gate; GDPR erasure cascade audit
     "experiment_srm_check",
     "privacy_erasure_cascade",
+    # round 6: exact mergeable distinct via bitmap aggregates
+    "agg_bitmap_exact_distinct",
 ]
 
 

@@ -1205,3 +1205,85 @@ def sink_sorted_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
     )
+
+
+@register(
+    "agg_bitmap_exact_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(2 AS INT) AS n_parts,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct_merged,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct_direct
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "distinct", "bitmap", "mergeable"),
+)
+def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counting via Spark's bitmap aggregates
+    (bitmap_bucket_number / bitmap_construct_agg / bitmap_or_agg /
+    bitmap_count, SPARK-44245) — the third point on the catalog's
+    distinct-count spectrum: COUNT(DISTINCT) re-shuffles raw keys and
+    cannot pre-aggregate; the HLL/theta sketches (`agg_hll_sketch_union`,
+    `agg_theta_sketch_distinct`) pre-aggregate but approximate; bitmaps
+    pre-aggregate AND stay exact, at a state cost of 4 KB per occupied
+    32768-key bucket — the Databricks incremental-MV recipe for exact
+    distincts over append-only facts.
+
+    Mergeability is EXERCISED, not assumed: the input is split into two
+    deterministic halves (o_orderkey mod 2 — both non-empty at every
+    gate sf), per-half per-bucket bitmaps are built independently
+    (bitmap_construct_agg), OR-merged across halves (bitmap_or_agg —
+    the associative rollup step an incremental pipeline would run per
+    batch), and counted; a direct single-pass bitmap count rides the
+    same result row. The DuckDB oracle states both columns as plain
+    COUNT(DISTINCT), so the driver hash proves the sharded-merge path
+    bit-equals the exact answer. Shuffles are keyed on (group, bucket)
+    — at 100 TB each reduce task holds bitmaps, never key sets, and a
+    new day's partition merges into a stored bitmap table without
+    touching history (the same contract `rollup_incremental_merge`
+    pins for SUM/COUNT)."""
+    orders = read_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("bm_orders")
+    return spark.sql(
+        """
+        WITH halves AS (
+          SELECT o_orderpriority,
+                 o_orderkey % 2 AS part,
+                 bitmap_bucket_number(o_custkey) AS bno,
+                 bitmap_construct_agg(bitmap_bit_position(o_custkey)) AS bm
+          FROM bm_orders
+          GROUP BY o_orderpriority, o_orderkey % 2,
+                   bitmap_bucket_number(o_custkey)
+        ), merged AS (
+          SELECT o_orderpriority,
+                 bno,
+                 bitmap_or_agg(bm) AS bm
+          FROM halves
+          GROUP BY o_orderpriority, bno
+        ), parts_ct AS (
+          SELECT o_orderpriority, CAST(COUNT(DISTINCT part) AS INT) AS n_parts
+          FROM halves GROUP BY o_orderpriority
+        ), direct AS (
+          SELECT o_orderpriority,
+                 bitmap_bucket_number(o_custkey) AS bno,
+                 bitmap_construct_agg(bitmap_bit_position(o_custkey)) AS bm
+          FROM bm_orders
+          GROUP BY o_orderpriority, bitmap_bucket_number(o_custkey)
+        )
+        , merged_counts AS (
+          SELECT o_orderpriority,
+                 CAST(SUM(bitmap_count(bm)) AS BIGINT) AS n_distinct_merged
+          FROM merged GROUP BY o_orderpriority
+        ), direct_counts AS (
+          SELECT o_orderpriority,
+                 CAST(SUM(bitmap_count(bm)) AS BIGINT) AS n_distinct_direct
+          FROM direct GROUP BY o_orderpriority
+        )
+        SELECT m.o_orderpriority, p.n_parts, m.n_distinct_merged,
+               d.n_distinct_direct
+        FROM merged_counts m
+        JOIN parts_ct p USING (o_orderpriority)
+        JOIN direct_counts d USING (o_orderpriority)
+        """
+    )

@@ -192,6 +192,10 @@ BENCH_EXCHANGE_PINS = {
     # one scan per table: the two FK LEFT joins broadcast the flagged
     # key sets; each audit row is a 1-row conditional aggregate
     "privacy_erasure_cascade": (3, 3),
+    # deliberately two-path (sharded-merge + direct twin, the merge
+    # PROOF): 3 bitmap aggregates + 3 count rollups + parts census;
+    # group-level count tables broadcast for the final join
+    "agg_bitmap_exact_distinct": (7, 2),
 }
 
 
