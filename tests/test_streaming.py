@@ -196,3 +196,48 @@ def test_typed_running_totals_matches_batch(spark, sf_dir, events_dir):
     )
     cols = ["user_id", "n_events", "total_value", "max_value"]
     assert _rows_set(got, cols) == _rows_set(want, cols)
+
+
+def test_bitmap_state_merge_is_idempotent_and_order_free(spark, sf_dir):
+    """The property that makes streaming_bitmap_distinct_rollup safe
+    under foreachBatch's at-least-once delivery: bitmap_or_agg state
+    merging is idempotent (replaying a batch changes nothing) and
+    commutative (batch order is irrelevant) — pinned on the real events
+    chunks the harness streams."""
+    ev = read_table(spark, sf_dir, "events")
+
+    def bitmaps(df):
+        return df.groupBy(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bno"),
+        ).agg(
+            F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm")
+        )
+
+    def merge(*frames):
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionAll(f)
+        return out.groupBy("event_type", "bno").agg(
+            F.expr("bitmap_or_agg(bm)").alias("bm")
+        )
+
+    def counts(state):
+        return {
+            r.event_type: r.n
+            for r in state.groupBy("event_type")
+            .agg(F.expr("CAST(SUM(bitmap_count(bm)) AS BIGINT)").alias("n"))
+            .collect()
+        }
+
+    chunks = [bitmaps(ev.filter(F.col("event_id") % 3 == i)).localCheckpoint() for i in range(3)]
+    once = counts(merge(*chunks))
+    replayed = counts(merge(*chunks, chunks[2]))          # batch 2 delivered twice
+    reordered = counts(merge(chunks[2], chunks[0], chunks[1]))
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("long").alias("n"))
+        .collect()
+    }
+    assert once == replayed == reordered == exact
