@@ -3,7 +3,8 @@ serving (RRF fusion, MMR rerank, context pack), the recursive-CTE front
 door, the XML roundtrip, the filter-attrition report, the
 experimentation analytics (attribution, CUPED, bootstrap CI), the
 entity-resolution fuzzy join, the leakage-safe split, the spatial
-ε-join, and the rolling-MAD anomaly window.
+ε-join, the rolling-MAD anomaly window, the SRM trust gate, the
+erasure cascade, and the bitmap exact-distinct aggregate.
 
 Methodology (same as scale_families.py): seeded 10x replicas of the
 sf0.1 fixtures materialized to parquet first (timings exclude input
@@ -99,6 +100,9 @@ def main() -> None:
     rep10(read_table(spark, sf, "part"), ["p_partkey"], 10_000_000).write.parquet(
         tenx + "/part.parquet"
     )
+    rep10(
+        read_table(spark, sf, "lineitem"), ["l_orderkey"], 100_000_000
+    ).write.parquet(tenx + "/lineitem.parquet")
     ev = read_table(spark, sf, "events")
     rep10(ev, ["event_id"], 10_000_000).withColumn(
         "user_id",
@@ -120,6 +124,9 @@ def main() -> None:
         "split_leakage_safe",
         "join_spatial_grid_epsilon",
         "timeseries_rolling_mad_anomaly",
+        "experiment_srm_check",
+        "privacy_erasure_cascade",
+        "agg_bitmap_exact_distinct",
     ]:
         fn = cat[name]
         t1 = bench(lambda: noop(fn(spark, sf)))
