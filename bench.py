@@ -130,6 +130,8 @@ HEADLINE = [
     "privacy_erasure_cascade",
     # round 6: exact mergeable distinct via bitmap aggregates
     "agg_bitmap_exact_distinct",
+    # round 6: tile-pyramid spatial rollup (one Expand, one shuffle)
+    "agg_spatial_tile_pyramid",
 ]
 
 

@@ -209,3 +209,99 @@ def join_spatial_grid_epsilon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d2_mu").alias("nearest_d2_mu"),
         F.col("n_cand").cast("long").alias("n_within_eps"),
     )
+
+
+# Tile sizes for the 3-level pyramid: 12° → 6° → 3° (each level halves
+# the cell edge, so parent ids are child ids div 2 — the map-tile
+# invariant that lets a serving layer aggregate any zoom from the next
+# finer one).
+_TILE_COARSE = 12_000_000
+_TILE_MID = 6_000_000
+_TILE_FINE = 3_000_000
+
+
+@register(
+    "agg_spatial_tile_pyramid",
+    oracle=f"""
+    WITH pts AS (
+      SELECT CAST(('0x' || substring(md5('geo:c:' || CAST(c_custkey AS VARCHAR)), 1, 13))
+                  AS BIGINT) % {_LAT_SPAN} - 60000000 AS lat,
+             CAST(('0x' || substring(md5('geo:C:' || CAST(c_custkey AS VARCHAR)), 1, 13))
+                  AS BIGINT) % {_LON_SPAN} - 180000000 AS lon,
+             CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+      FROM customer
+    ), cells AS (
+      SELECT (lat + 60000000) // {_TILE_COARSE} AS x12,
+             (lon + 180000000) // {_TILE_COARSE} AS y12,
+             (lat + 60000000) // {_TILE_MID} AS x6,
+             (lon + 180000000) // {_TILE_MID} AS y6,
+             (lat + 60000000) // {_TILE_FINE} AS x3,
+             (lon + 180000000) // {_TILE_FINE} AS y3,
+             bal_cents
+      FROM pts
+    )
+    , tiles AS (
+      SELECT GROUPING(x12) AS g12,
+             CAST(2 - (GROUPING(x6) + GROUPING(x3)) AS INT) AS level,
+             COALESCE(x3, x6, x12) AS cell_x,
+             COALESCE(y3, y6, y12) AS cell_y,
+             CAST(COUNT(*) AS BIGINT) AS n_points,
+             CAST(SUM(bal_cents) AS BIGINT) AS sum_bal_cents
+      FROM cells
+      GROUP BY ROLLUP ((x12, y12), (x6, y6), (x3, y3))
+    )
+    SELECT level, cell_x, cell_y, n_points, sum_bal_cents
+    FROM tiles WHERE g12 = 0
+    """,
+    tags=("agg", "spatial", "rollup"),
+)
+def agg_spatial_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-pyramid spatial rollup: point counts and a value measure
+    aggregated at three grid resolutions (12° → 6° → 3°; each level
+    halves the cell edge, so a child tile's parent id is its own id
+    div 2 — the standard web-map invariant) in ONE pass via
+    hierarchical ROLLUP grouping sets — the build step of every
+    map-tile/heat-map serving layer, and the spatial-aggregation
+    complement of ``join_spatial_grid_epsilon``'s blocking grid.
+
+    Catalyst plans the three-level rollup as a single Expand (3 rows
+    per input) feeding one hash aggregate — one corpus scan, one
+    shuffle keyed by cell id; output is bounded by occupied cells, not
+    points. At 100 TB you'd add levels, not passes: each extra zoom is
+    one more Expand projection against the same scan. Coordinates are
+    the repo's hash µ-degree BIGINTs (`_mu_coord`), cells are exact
+    integer division on nonneg-shifted coords, the measure is
+    cents-exact — nothing can diverge between engines, and the
+    parent/child sum consistency is pinned in tests/test_spatial.py."""
+    cust = read_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        _mu_coord("geo:c:", F.col("c_custkey"), _LAT_SPAN, 60_000_000).alias("lat"),
+        _mu_coord("geo:C:", F.col("c_custkey"), _LON_SPAN, 180_000_000).alias("lon"),
+        F.expr("CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)").alias("bal_cents"),
+    )
+    cells = pts.select(
+        F.expr(f"(lat + 60000000) div {_TILE_COARSE}").alias("x12"),
+        F.expr(f"(lon + 180000000) div {_TILE_COARSE}").alias("y12"),
+        F.expr(f"(lat + 60000000) div {_TILE_MID}").alias("x6"),
+        F.expr(f"(lon + 180000000) div {_TILE_MID}").alias("y6"),
+        F.expr(f"(lat + 60000000) div {_TILE_FINE}").alias("x3"),
+        F.expr(f"(lon + 180000000) div {_TILE_FINE}").alias("y3"),
+        "bal_cents",
+    )
+    cells.createOrReplaceTempView("tile_cells")
+    return spark.sql(
+        """
+        WITH tiles AS (
+          SELECT GROUPING(x12) AS g12,
+                 CAST(2 - (GROUPING(x6) + GROUPING(x3)) AS INT) AS level,
+                 COALESCE(x3, x6, x12) AS cell_x,
+                 COALESCE(y3, y6, y12) AS cell_y,
+                 CAST(COUNT(*) AS BIGINT) AS n_points,
+                 CAST(SUM(bal_cents) AS BIGINT) AS sum_bal_cents
+          FROM tile_cells
+          GROUP BY ROLLUP ((x12, y12), (x6, y6), (x3, y3))
+        )
+        SELECT level, cell_x, cell_y, n_points, sum_bal_cents
+        FROM tiles WHERE g12 = 0
+        """
+    )

@@ -196,6 +196,8 @@ BENCH_EXCHANGE_PINS = {
     # PROOF): 3 bitmap aggregates + 3 count rollups + parts census;
     # group-level count tables broadcast for the final join
     "agg_bitmap_exact_distinct": (7, 2),
+    # three-level ROLLUP = one Expand feeding one hash aggregate
+    "agg_spatial_tile_pyramid": (1, 0),
 }
 
 

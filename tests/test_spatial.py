@@ -105,3 +105,26 @@ def test_rolling_mad_python_replay(spark, sf_dir):
         anom = abs(val - m) > 3 * d and d > 0
         assert got[eid] == (m, d, anom), (eid, got[eid], (m, d, anom))
     assert len(got) == len(src)
+
+
+def test_tile_pyramid_parent_child_consistency(spark, sf_dir):
+    """Every parent tile's (n_points, sum) must equal the sum over its
+    children (child cell ids div 2 = parent id — the pyramid
+    invariant); also no tile is empty and the finest level partitions
+    the full point set."""
+    rows = queries()["agg_spatial_tile_pyramid"](spark, sf_dir).collect()
+    by_level = {0: {}, 1: {}, 2: {}}
+    for r in rows:
+        assert r.n_points > 0
+        by_level[r.level][(r.cell_x, r.cell_y)] = (r.n_points, r.sum_bal_cents)
+    for child_level in (1, 2):
+        rolled = {}
+        for (x, y), (n, s) in by_level[child_level].items():
+            k = (x // 2, y // 2)
+            pn, ps = rolled.get(k, (0, 0))
+            rolled[k] = (pn + n, ps + s)
+        assert rolled == by_level[child_level - 1]
+    total = sum(n for n, _ in by_level[2].values())
+    from blow_spark.sources import read_table
+
+    assert total == read_table(spark, sf_dir, "customer").count()
