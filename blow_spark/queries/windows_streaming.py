@@ -2246,6 +2246,9 @@ def streaming_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFr
         nxt = state + ".next"
         merged.write.mode("overwrite").parquet(nxt)
         old = state + ".old"
+        # sweep residue from a batch that crashed between renames —
+        # rename() onto an existing non-empty dir raises on POSIX
+        _shutil.rmtree(old, ignore_errors=True)
         if _os.path.isdir(state):
             _os.rename(state, old)
         _os.rename(nxt, state)
