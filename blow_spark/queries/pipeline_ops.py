@@ -2199,10 +2199,13 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: pair generation is the blocked Jaccard join (fan-out
     bounded by rare-shingle blocking), components run on the candidate
-    graph only (edges ≪ docs), and the final assignment is one
-    broadcast of the (cluster → canonical split) table — at 100 TB the
-    corpus-scale passes are the shingle explode and one join, identical
-    to the production dedup pipeline this composes with."""
+    graph only (edges ≪ docs), and the final assignment broadcasts the
+    (cluster → canonical split) lookup restricted to REAL dup-cluster
+    canonicals (∝ duplicate clusters, bounded by pair density — never
+    corpus size; un-clustered docs take their own hash split through a
+    coalesce, no lookup row at all) — at 100 TB the corpus-scale passes
+    are the shingle explode and one join, identical to the production
+    dedup pipeline this composes with."""
     from blow_spark import dedup
 
     d = read_table(spark, sf_dir, "documents")

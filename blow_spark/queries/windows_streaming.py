@@ -2206,12 +2206,9 @@ def streaming_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFr
     one row per (type, occupied 32768-key bucket), ∝ distinct keys /
     32768, never ∝ event history; at 100 TB/day the state table for a
     billion users is ~30 k rows × 4 KB per type."""
-    import glob as _glob
-    import os as _os
-    import shutil as _shutil
     import tempfile as _tempfile
 
-    from blow_spark.streaming import EVENTS_SCHEMA
+    from blow_spark.streaming import EVENTS_SCHEMA, SwapStateStore
 
     base = _tempfile.mkdtemp(prefix="blow_spark_bmroll_")
     stage, state = base + "/stage", base + "/state"
@@ -2231,28 +2228,26 @@ def streaming_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFr
             F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm")
         )
 
+    store = SwapStateStore(state)
+
     def apply_batch(batch_df, _epoch_id) -> None:
         sp = batch_df.sparkSession
+        # crash recovery FIRST: a failure between publish()'s two
+        # renames leaves `state` missing and `.old` holding the only
+        # copy — restore before reading, or a replayed batch would
+        # silently reset the accumulated distincts to one batch's worth
+        store.restore_if_crashed()
         fresh = batch_bitmaps(batch_df)
-        if _os.path.isdir(state):
+        prior = store.read(sp)
+        if prior is not None:
             merged = (
-                sp.read.parquet(state)
-                .unionAll(fresh)
+                prior.unionAll(fresh)
                 .groupBy("event_type", "bno")
                 .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
             )
         else:
             merged = fresh
-        nxt = state + ".next"
-        merged.write.mode("overwrite").parquet(nxt)
-        old = state + ".old"
-        # sweep residue from a batch that crashed between renames —
-        # rename() onto an existing non-empty dir raises on POSIX
-        _shutil.rmtree(old, ignore_errors=True)
-        if _os.path.isdir(state):
-            _os.rename(state, old)
-        _os.rename(nxt, state)
-        _shutil.rmtree(old, ignore_errors=True)
+        store.publish(merged)
 
     q = (
         spark.readStream.schema(EVENTS_SCHEMA)

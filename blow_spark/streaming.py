@@ -394,3 +394,49 @@ def session_close_on_timeout(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+class SwapStateStore:
+    """Tiny crash-safe parquet state table published by write-then-swap
+    (write `<path>.next` → retire `<path>` to `<path>.old` → rename
+    `.next` into place → sweep `.old`). Used by
+    streaming_bitmap_distinct_rollup's foreachBatch loop; exposed here
+    so the crash window — a failure BETWEEN the two renames leaves
+    `state` missing and `.old` holding the only copy — is directly
+    testable (tests/test_streaming.py).
+
+    Contract: call restore_if_crashed() at the top of every batch
+    BEFORE reading; read() returns None when no state exists yet;
+    publish() never leaves the store without a recoverable copy."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        self._old = path + ".old"
+        self._next = path + ".next"
+
+    def restore_if_crashed(self) -> bool:
+        import os
+
+        if not os.path.isdir(self.path) and os.path.isdir(self._old):
+            os.rename(self._old, self.path)
+            return True
+        return False
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        import os
+
+        if not os.path.isdir(self.path):
+            return None
+        return spark.read.parquet(self.path)
+
+    def publish(self, df: DataFrame) -> None:
+        import os
+        import shutil
+
+        df.write.mode("overwrite").parquet(self._next)
+        if os.path.isdir(self.path):
+            # normal path: retire current state, then sweep it at the end
+            shutil.rmtree(self._old, ignore_errors=True)
+            os.rename(self.path, self._old)
+        os.rename(self._next, self.path)
+        shutil.rmtree(self._old, ignore_errors=True)

@@ -82,16 +82,32 @@ def main() -> None:
             outs.append(d)
         return reduce(lambda a, b: a.union(b), outs)
 
-    rep10(read_table(spark, sf, "documents"), ["doc_id"], 1_000_000).write.parquet(
-        tenx + "/documents.parquet"
-    )
+    # documents replicas are per-doc seeded WORD PERMUTATIONS (the
+    # scale_sf1.py recipe), not verbatim copies: verbatim duplication
+    # multiplies every shingle's document frequency 10x, pushing
+    # mid-frequency shingles across the rare-shingle blocking cutoff and
+    # collapsing the pair-generation phase split_leakage_safe measures
+    # (the replica-density artifact class the events note below avoids)
+    sys.path.insert(0, "/root/repo/scripts")
+    from scale_sf1 import permuted_docs
+
+    docs01 = read_table(spark, sf, "documents")
+    reduce(
+        lambda a, b: a.union(b),
+        [docs01] + [permuted_docs(docs01, i) for i in range(1, 10)],
+    ).write.parquet(tenx + "/documents.parquet")
     rep10(read_table(spark, sf, "embeddings"), ["vec_id"], 1_000_000).write.parquet(
         tenx + "/embeddings.parquet"
     )
     rep10(
         read_table(spark, sf, "orders"), ["o_orderkey", "o_custkey"], 100_000_000
     ).write.parquet(tenx + "/orders.parquet")
-    rep10(read_table(spark, sf, "customer"), ["c_custkey"], 10_000_000).write.parquet(
+    # customer offset MUST equal orders' o_custkey offset (100M): a
+    # mismatch breaks the orders→customer FK for replicas 1-9 and turns
+    # the erasure-cascade 10x point into a 90%-orphan corpus (caught by
+    # the round-6 self-review; the spatial join is offset-agnostic
+    # since coords re-hash from the key either way)
+    rep10(read_table(spark, sf, "customer"), ["c_custkey"], 100_000_000).write.parquet(
         tenx + "/customer.parquet"
     )
     import shutil

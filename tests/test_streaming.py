@@ -241,3 +241,33 @@ def test_bitmap_state_merge_is_idempotent_and_order_free(spark, sf_dir):
         .collect()
     }
     assert once == replayed == reordered == exact
+
+
+def test_swap_state_store_survives_crash_between_renames(spark, tmp_path):
+    """The crash window the round-6 review flagged: a failure after
+    `state` → `state.old` but before `.next` → `state` leaves `.old`
+    holding the ONLY copy. restore_if_crashed() must bring it back —
+    and the pre-publish sweep must never run before that restore."""
+    import os
+
+    from blow_spark.streaming import SwapStateStore
+
+    store = SwapStateStore(str(tmp_path / "state"))
+    v1 = spark.range(5).selectExpr("id", "id * 10 AS v")
+    store.publish(v1)
+    assert store.read(spark).count() == 5
+
+    # simulate the mid-swap crash: state retired to .old, .next lost
+    os.rename(store.path, store.path + ".old")
+    assert store.read(spark) is None
+
+    assert store.restore_if_crashed() is True
+    got = store.read(spark)
+    assert got is not None and got.count() == 5
+    assert {r.v for r in got.collect()} == {0, 10, 20, 30, 40}
+
+    # and a publish AFTER recovery works and sweeps residue
+    store.publish(v1.unionAll(spark.range(5, 8).selectExpr("id", "id * 10 AS v")))
+    assert store.read(spark).count() == 8
+    assert not os.path.isdir(store.path + ".old")
+    assert store.restore_if_crashed() is False
