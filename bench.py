@@ -132,6 +132,8 @@ HEADLINE = [
     "agg_bitmap_exact_distinct",
     # round 6: tile-pyramid spatial rollup (one Expand, one shuffle)
     "agg_spatial_tile_pyramid",
+    # round 6: pre-join key-skew diagnostic
+    "diag_key_skew_report",
 ]
 
 

@@ -2156,3 +2156,78 @@ def sink_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2).cast("bigint").alias("version"), "o_orderkey", "price_cents"
     )
     return r1.unionAll(r2)
+
+
+@register(
+    "diag_key_skew_report",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_orderkey
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(MAX(cnt) AS BIGINT) AS max_rows_per_key,
+             median(cnt) AS median_rows_per_key
+      FROM per_key
+    ), hot AS (
+      SELECT k AS hottest_key, cnt AS hottest_rows
+      FROM per_key ORDER BY cnt DESC, k LIMIT 1
+    )
+    SELECT s.n_keys, s.n_rows, s.max_rows_per_key, s.median_rows_per_key,
+           ROUND(s.max_rows_per_key / s.median_rows_per_key, 6) AS skew_ratio,
+           h.hottest_key, CAST(h.hottest_rows AS BIGINT) AS hottest_rows,
+           (s.max_rows_per_key / s.median_rows_per_key) > 10.0 AS salt_recommended
+    FROM stats s CROSS JOIN hot h
+    """,
+    tags=("diag", "skew", "agg"),
+)
+def diag_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join key-skew diagnostic — the question to ask BEFORE any
+    large shuffle ("will one task serialize this join?"): per-key row
+    counts for the join key, reduced to the skew fingerprint — key and
+    row totals, max and exact-median rows per key, their ratio, the
+    hottest key itself, and a `salt_recommended` bit at the 10×
+    threshold (the regime where SCALE.md's skew table shows the plain
+    join going super-linear and `ops.salted_join` / AQE paying off).
+
+    One map-combinable count per key, then all statistics on the
+    per-key table (∝ distinct keys); the hottest-key probe is a top-1
+    under a total order. Exact interpolated median matches DuckDB
+    quantile_cont bit-for-bit (the `events_anomaly_robust_mad`
+    precedent). At 100 TB this is the cheap profile you run before
+    choosing plain/salted/AQE join strategy — the fixture's uniform
+    l_orderkey reports ~3× (flag false), and the salted-join tests
+    plant the true-positive side."""
+    li = read_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    stats = per_key.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_rows_per_key"),
+        F.median("cnt").alias("median_rows_per_key"),
+    )
+    hot = (
+        per_key.orderBy(F.col("cnt").desc(), F.col("k"))
+        .limit(1)
+        .select(
+            F.col("k").alias("hottest_key"),
+            F.col("cnt").cast("long").alias("hottest_rows"),
+        )
+    )
+    ratio = F.col("max_rows_per_key") / F.col("median_rows_per_key")
+    return (
+        stats.crossJoin(F.broadcast(hot))
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_rows_per_key",
+            "median_rows_per_key",
+            F.round(ratio, 6).alias("skew_ratio"),
+            "hottest_key",
+            "hottest_rows",
+            (ratio > 10.0).alias("salt_recommended"),
+        )
+    )

@@ -198,6 +198,9 @@ BENCH_EXCHANGE_PINS = {
     "agg_bitmap_exact_distinct": (7, 2),
     # three-level ROLLUP = one Expand feeding one hash aggregate
     "agg_spatial_tile_pyramid": (1, 0),
+    # per-key count shuffle + the 1-row stats/top-1 reductions; the
+    # hottest-key single row broadcasts into the report cross join
+    "diag_key_skew_report": (3, 1),
 }
 
 
