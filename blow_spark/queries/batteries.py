@@ -1287,3 +1287,73 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN direct_counts d USING (o_orderpriority)
         """
     )
+
+
+_CMS_DEPTH = 4  # independent hash rows
+_CMS_WIDTH = 64  # buckets per row
+
+
+@register(
+    "agg_countmin_heavy_hitters",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS item,
+           CAST(COUNT(*) AS BIGINT) AS est_n
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    """,
+    tags=("agg", "approx", "sketch", "mergeable"),
+)
+def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation (Cormode & Muthukrishnan,
+    J. Algorithms 2005), built as pure DataFrame aggregation and with
+    its MERGE exercised in-plan: the sketch for each order-status group
+    is a d×w counter matrix (d=4 hash rows via xxhash64(item, row), w=64
+    buckets); two sketches are built INDEPENDENTLY over the two
+    o_orderkey-parity halves of orders, merged by element-wise addition
+    (the CMS merge operator — what lets daily sketches roll into monthly
+    ones without re-touching raw data, same architecture as the
+    HLL/KLL/theta/bitmap rollups in this file), and every distinct key
+    is then estimated as min over rows of its bucket counts.
+
+    Exactness region: the estimate is exact iff each key has at least
+    one hash row where it collides with nothing — guaranteed-checked
+    here by the oracle itself (plain GROUP BY counts): with 5 distinct
+    priorities in 4 independent rows of 64 buckets, an all-rows
+    collision needs ~(1/64)^4 luck, and the key set is scale-invariant,
+    so the region is stable across SFs (calibrated at both gate SFs per
+    tests/test_exactness_regions.py conventions). On a high-cardinality
+    column the same plan degrades to the documented CMS overestimate
+    bound (err ≤ e/w · N with prob 1 - e^-d) and would register
+    rows-only, like the other sketches past their regions.
+
+    Scale shape: the sketch table is ≤ |status|·2·d·w rows regardless of
+    input size — the explode(d) fans each input row into d counter
+    updates that partial-aggregate MAP-SIDE down to the counter matrix,
+    so the only shuffle is sketch-sized, and the probe join broadcasts
+    the merged matrix. Reference has no aggregation operators at all
+    (SURVEY.md §2.2); this is §2.2-checklist "mergeable sketches"
+    coverage."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.col("o_orderpriority").alias("item"),
+        (F.col("o_orderkey") % 2).alias("half"),
+    )
+    rows = F.explode(F.array(*[F.lit(i) for i in range(_CMS_DEPTH)])).alias("row")
+    updates = o.select("o_orderstatus", "item", "half", rows).withColumn(
+        "bucket", F.pmod(F.xxhash64("item", "row"), F.lit(_CMS_WIDTH))
+    )
+    half_sketch = updates.groupBy("o_orderstatus", "half", "row", "bucket").agg(
+        F.count("*").alias("cnt")
+    )
+    # CMS merge = element-wise counter addition across the two halves.
+    merged = half_sketch.groupBy("o_orderstatus", "row", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    keys = o.select("o_orderstatus", "item").distinct()
+    probes = keys.select("o_orderstatus", "item", rows).withColumn(
+        "bucket", F.pmod(F.xxhash64("item", "row"), F.lit(_CMS_WIDTH))
+    )
+    return (
+        probes.join(F.broadcast(merged), ["o_orderstatus", "row", "bucket"])
+        .groupBy("o_orderstatus", "item")
+        .agg(F.min("cnt").cast("bigint").alias("est_n"))
+    )

@@ -2231,3 +2231,104 @@ def diag_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ratio > 10.0).alias("salt_recommended"),
         )
     )
+
+
+@register(
+    "sink_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders WHERE o_orderkey < 2000
+    ), v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 2 = 0 THEN price_cents + 500
+                  ELSE price_cents END AS price_cents
+      FROM v1 WHERE o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT)
+      FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 3000
+    )
+    SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           CAST(COALESCE(a.o_orderkey, b.o_orderkey) AS BIGINT) AS o_orderkey,
+           a.price_cents AS old_price_cents,
+           b.price_cents AS new_price_cents
+    FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.price_cents <> b.price_cents
+    """,
+    tags=("sink", "storage", "timetravel", "diff"),
+)
+def sink_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot DIFF between two committed versions of a versioned table
+    (the time-travel layer of sink_versioned_time_travel) — Delta's
+    `table_changes` / Iceberg's changelog scan in miniature: commit v1,
+    derive v2 from the v1 READ-BACK (update evens +5.00, delete keys
+    divisible by 13, append a 2000-2999 slice), commit v2, then
+    time-travel BOTH versions and emit only the rows that differ,
+    classified added / removed / changed. Unchanged rows are excluded,
+    so the result is change-volume-sized — the property that makes
+    snapshot diffs the cheap input to downstream incremental jobs (the
+    CDC family consumes exactly this shape).
+
+    The oracle replays both version derivations declaratively and diffs
+    them in SQL: a hash match proves the commit protocol stored both
+    snapshots faithfully AND that the diff join classifies every key
+    correctly (including that v1 stayed immutable after v2's commit).
+
+    Scale shape: one full-outer hash join keyed on the table key — at
+    100 TB both snapshot scans prune to changed partitions first when
+    the layout is partitioned (sink_partitioned_pruned_scan), and the
+    join shuffles at most the two snapshots once; output is bounded by
+    churn, not table size."""
+    import tempfile
+
+    from blow_spark import ops
+
+    o = read_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="blow_spark_vdiff_")
+    v1_df = o.filter(F.col("o_orderkey") < 2000).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    v1 = ops.versioned_commit(spark, v1_df, path)
+    v1_back = ops.versioned_read(spark, path, v1)
+    updated = (
+        v1_back.filter(F.col("o_orderkey") % 13 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 2 == 0, F.col("price_cents") + 500)
+            .otherwise(F.col("price_cents"))
+            .alias("price_cents"),
+        )
+    )
+    appended = o.filter(
+        (F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 3000)
+    ).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    v2 = ops.versioned_commit(spark, updated.unionAll(appended), path)
+    a = ops.versioned_read(spark, path, v1).alias("a")
+    b = ops.versioned_read(spark, path, v2).alias("b")
+    return (
+        a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+        .filter(
+            F.col("a.o_orderkey").isNull()
+            | F.col("b.o_orderkey").isNull()
+            | (F.col("a.price_cents") != F.col("b.price_cents"))
+        )
+        .select(
+            F.when(F.col("a.o_orderkey").isNull(), F.lit("added"))
+            .when(F.col("b.o_orderkey").isNull(), F.lit("removed"))
+            .otherwise(F.lit("changed"))
+            .alias("change_type"),
+            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey"))
+            .cast("bigint")
+            .alias("o_orderkey"),
+            F.col("a.price_cents").alias("old_price_cents"),
+            F.col("b.price_cents").alias("new_price_cents"),
+        )
+    )

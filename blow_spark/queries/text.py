@@ -1342,3 +1342,106 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_nats"
         ),
     )
+
+
+# Shared SQL core for dedup_url_canonical: identical text in both engines
+# except the three list-function names (Spark filter/array_sort/array_join
+# vs DuckDB list_filter/list_sort/array_to_string) and startswith vs
+# starts_with — substituted below so the two sides cannot drift.
+_URL_CANON_SQL = """
+WITH raw AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN 'HTTPS://WWW.EXAMPLE.COM:443/docs/' || (doc_id % 101)
+                       || '/?utm_source=feed&utm_campaign=c' || (doc_id % 7)
+           WHEN 1 THEN 'https://www.example.com/docs/' || (doc_id % 101)
+                       || '?ref=tw'
+           WHEN 2 THEN 'https://example.com/docs/' || (doc_id % 101)
+                       || '#sec-' || (doc_id % 3)
+           WHEN 3 THEN 'https://www.Example.com/docs/' || (doc_id % 101)
+                       || '?b=2&a=1'
+           ELSE 'https://www.example.com/docs/' || (doc_id % 101)
+                       || '?a=1&b=2'
+         END AS raw_url
+  FROM documents
+), defrag AS (
+  SELECT doc_id, raw_url, regexp_replace(raw_url, '#.*$', '') AS u
+  FROM raw
+), parts AS (
+  SELECT doc_id, raw_url,
+         lower(regexp_extract(u, '^[A-Za-z]+://([^/?#]+)', 1)) AS host0,
+         regexp_extract(u, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path0,
+         regexp_extract(u, '[?]([^#]*)', 1) AS qs0
+  FROM defrag
+), norm AS (
+  SELECT doc_id, raw_url,
+         regexp_replace(regexp_replace(host0, ':(443|80)$', ''),
+                        '^www[.]', '') AS host,
+         regexp_replace(path0, '/+$', '') AS path,
+         {ARR_JOIN}({ARR_SORT}({ARR_FILTER}({SPLIT}(qs0, '&'),
+           x -> NOT {STARTS}(x, 'utm_') AND NOT {STARTS}(x, 'ref=')
+                AND x <> '')), '&') AS qs
+  FROM parts
+), canon AS (
+  SELECT doc_id, raw_url,
+         'https://' || host || path
+           || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canonical_url
+  FROM norm
+)
+SELECT canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_dups,
+       CAST(COUNT(DISTINCT raw_url) AS BIGINT) AS n_raw_variants,
+       CAST(MIN(doc_id) AS BIGINT) AS kept_doc_id
+FROM canon
+GROUP BY canonical_url
+"""
+
+
+@register(
+    "dedup_url_canonical",
+    oracle=_URL_CANON_SQL.format(
+        ARR_JOIN="array_to_string",
+        ARR_SORT="list_sort",
+        ARR_FILTER="list_filter",
+        SPLIT="string_split",
+        STARTS="starts_with",
+    ),
+    tags=("dedup", "url", "text"),
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + exact dedup — the CommonCrawl-style ingest
+    step that collapses crawl variants of one page before any content
+    dedup runs: strip the fragment, lowercase the host, drop a leading
+    ``www.`` and default ports (:443/:80), trim trailing slashes, remove
+    tracking parameters (``utm_*``, ``ref``), and SORT the surviving
+    query parameters so parameter order can't split a group. Keep-first
+    by min doc_id, with ``n_raw_variants`` proving the canonicalizer did
+    real work (groups whose members disagreed as raw strings).
+
+    The raw URL column is synthesized deterministically from doc_id (the
+    fixtures carry no URL field) with five adversarial variant shapes —
+    upper-case host + default port + trailing slash + utm params,
+    ``ref`` param, fragment, mixed-case host with UNSORTED params, and
+    the canonical form itself; pages with real (non-tracking) params
+    stay distinct from their param-free siblings, as they must.
+
+    Engine parity: one shared SQL text instantiated for both engines
+    with only the list-function names substituted (Spark
+    filter/array_sort/array_join ↔ DuckDB list_filter/list_sort/
+    array_to_string) — probed semantics are identical including
+    no-match regexp_extract → '' and split('','&') → [''].
+
+    Scale shape: pure per-row string expressions (whole-stage codegen,
+    no Python) feeding one hash aggregation on the canonical key — the
+    same single-shuffle profile as dedup_exact; at 100 TB the group-by
+    key is the canonical URL hash, pre-combined map-side."""
+    read_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        _URL_CANON_SQL.format(
+            ARR_JOIN="array_join",
+            ARR_SORT="array_sort",
+            ARR_FILTER="filter",
+            SPLIT="split",
+            STARTS="startswith",
+        )
+    )

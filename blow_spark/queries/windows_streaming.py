@@ -2265,3 +2265,88 @@ def streaming_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFr
         .groupBy("event_type")
         .agg(F.expr("CAST(SUM(bitmap_count(bm)) AS BIGINT)").alias("n_distinct_users"))
     )
+
+
+@register(
+    "timeseries_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS x,
+             CAST(SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) AS BIGINT) AS yq
+      FROM events GROUP BY event_type, CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT)
+    ), win AS (
+      SELECT event_type, x, yq,
+             SUM(yq) OVER (PARTITION BY event_type ORDER BY x
+                           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w_sum,
+             COUNT(*) OVER (PARTITION BY event_type ORDER BY x
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w_cnt
+      FROM daily
+    ), det AS (
+      SELECT event_type, x, x % 7 AS dow, yq,
+             CAST(w_sum // 7 AS BIGINT) AS trend_q,
+             CAST(yq - w_sum // 7 AS BIGINT) AS det_q
+      FROM win WHERE w_cnt = 7
+    ), seas AS (
+      SELECT event_type, dow,
+             CAST(SUM(det_q) // COUNT(*) AS BIGINT) AS seasonal_q
+      FROM det GROUP BY event_type, dow
+    )
+    SELECT d.event_type, d.x, d.dow, d.yq, d.trend_q, s.seasonal_q,
+           CAST(d.det_q - s.seasonal_q AS BIGINT) AS residual_q
+    FROM det d JOIN seas s ON d.event_type = s.event_type AND d.dow = s.dow
+    """,
+    tags=("timeseries", "window", "decompose"),
+)
+def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (trend + day-of-week
+    seasonality + residual) of the per-type daily value series — the
+    moving-average method every monitoring stack runs before alerting on
+    a weekly-patterned metric. Trend is the centered 7-day moving
+    average (emitted only where the window is FULL — the standard
+    convention, and what keeps the row set deterministic); the seasonal
+    component is the mean detrended value per (type, day-of-week);
+    residual is what alerting thresholds.
+
+    Exactness: daily values are µ-unit BIGINT sums; trend and seasonal
+    means are integer divisions (both engines truncate toward zero —
+    probed), so every emitted column is a pure integer and the hash
+    compare is bit-exact.
+
+    Scale shape: the window runs over the DAILY AGGREGATE, which is
+    calendar-sized (days × event types), not data-sized — the raw scan
+    reduces map-side first, so the per-type ROWS window is ~series-length
+    rows regardless of corpus size. The seasonal table is ≤ types×7 rows
+    and joins back as a broadcast. At 100 TB only the first aggregation
+    touches data scale, and it is a map-side-combined single shuffle on
+    (type, day)."""
+    e = read_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / F.lit(86400)).cast("long").alias("x"),
+    ).agg(F.sum(F.round(F.col("value") * 1_000_000, 0).cast("long")).alias("yq"))
+    w7 = W.partitionBy("event_type").orderBy("x").rowsBetween(-3, 3)
+    win = daily.withColumn("w_sum", F.sum("yq").over(w7)).withColumn(
+        "w_cnt", F.count("*").over(w7)
+    )
+    det = (
+        win.filter(F.col("w_cnt") == 7)
+        .withColumn("dow", (F.col("x") % 7).cast("bigint"))
+        .withColumn("trend_q", F.expr("w_sum DIV 7").cast("bigint"))
+        .withColumn("det_q", (F.col("yq") - F.col("trend_q")).cast("bigint"))
+    )
+    seas = det.groupBy("event_type", "dow").agg(
+        F.expr("SUM(det_q) DIV COUNT(*)").cast("bigint").alias("seasonal_q")
+    )
+    return (
+        det.join(F.broadcast(seas), ["event_type", "dow"])
+        .select(
+            "event_type",
+            "x",
+            "dow",
+            "yq",
+            "trend_q",
+            "seasonal_q",
+            (F.col("det_q") - F.col("seasonal_q")).cast("bigint").alias("residual_q"),
+        )
+    )
