@@ -134,6 +134,14 @@ HEADLINE = [
     "agg_spatial_tile_pyramid",
     # round 6: pre-join key-skew diagnostic
     "diag_key_skew_report",
+    # round 6: Count-Min sketch (merge exercised in-plan), URL-canonical
+    # dedup, seasonal decomposition, label-propagation communities, and
+    # the exactly-balanced k-fold CV assignment
+    "agg_countmin_heavy_hitters",
+    "dedup_url_canonical",
+    "timeseries_seasonal_decompose",
+    "graph_label_propagation",
+    "split_kfold_cv",
 ]
 
 

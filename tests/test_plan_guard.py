@@ -34,6 +34,7 @@ WHITELIST = {
                                      # (anchor + probe side), duplicating the
                                      # constant-size offsets branch in the plan
     "score_quantile_calibration": 1, # global order-statistic offsets (same)
+    "split_kfold_cv": 1,             # fold-assignment rank offsets (same)
 }
 
 
@@ -201,6 +202,20 @@ BENCH_EXCHANGE_PINS = {
     # per-key count shuffle + the 1-row stats/top-1 reductions; the
     # hottest-key single row broadcasts into the report cross join
     "diag_key_skew_report": (3, 1),
+    # half-sketch agg + merge agg + distinct-keys probe; the d×w merged
+    # counter matrix broadcasts into the probe join
+    "agg_countmin_heavy_hitters": (3, 1),
+    # canonical-key hash agg with COUNT(DISTINCT raw) → two-phase Expand
+    "dedup_url_canonical": (2, 0),
+    # (type, day) daily agg + per-type series window + seasonal agg +
+    # final keyed join; the types×7 seasonal table broadcasts
+    "timeseries_seasonal_decompose": (4, 1),
+    # returned plan is the histogram over the final localCheckpoint'd
+    # label table (per-round lineage truncated, like search_mmr_rerank);
+    # the per-round join/argmax exchanges run during build
+    "graph_label_propagation": (1, 0),
+    # range-repartition rank (spilled) + offsets broadcast + final agg
+    "split_kfold_cv": (2, 1),
 }
 
 
