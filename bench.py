@@ -14,7 +14,15 @@ from outside interference (measured: the same plan 7 s and 162 s minutes
 apart with identical session state and near-zero GC). Min-of-2 reports
 steady-state plan cost, which is the quantity that scales. The plan
 cache is cleared between queries so one query's internal persists can't
-subsidize or crowd the next."""
+subsidize or crowd the next.
+
+The driver captures only the LAST ~2000 characters of stdout and
+json-parses the final line, so the full per-query timing map (which grew
+past 4 KB at 84 queries — BENCH_r05/r06 recorded ``parsed: null``) goes
+to the BENCH_DETAIL.json sidecar, and stdout ends with ONE compact
+summary line bounded well under the capture window no matter how many
+queries HEADLINE grows to (the embedded "queries" dict is capped to the
+slowest few; see summary_line())."""
 
 from __future__ import annotations
 
@@ -145,6 +153,39 @@ HEADLINE = [
 ]
 
 
+#: Hard budget for the final stdout line — the driver's tail capture is
+#: ~2000 chars; stay comfortably inside it.
+SUMMARY_LINE_BUDGET = 1500
+
+
+def summary_line(timings: dict[str, float], sf_val) -> str:
+    """The ONE compact JSON line bench.py prints last on stdout.
+
+    Keeps the driver contract's shape (metric/value/unit/queries/sf) but
+    bounds the "queries" dict to the slowest entries that fit the
+    SUMMARY_LINE_BUDGET, so the line stays parseable inside the driver's
+    2000-char tail capture at ANY catalog size. The complete per-query
+    map lives in BENCH_DETAIL.json next to this script."""
+    total = round(sum(timings.values()), 3)
+    base = {
+        "metric": "headline_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "detail": "BENCH_DETAIL.json",
+        "queries": {},
+    }
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    for name, sec in slowest:
+        candidate = dict(base)
+        candidate["queries"] = {**base["queries"], name: sec}
+        if len(json.dumps(candidate)) > SUMMARY_LINE_BUDGET:
+            break
+        base = candidate
+    return json.dumps(base)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -174,17 +215,22 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
             {
                 "metric": "headline_suite_wall_clock",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
-            }
+            },
+            fh,
+            indent=1,
         )
-    )
+    print(summary_line(timings, sf_val))
     spark.stop()
 
 

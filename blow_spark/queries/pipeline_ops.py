@@ -2232,10 +2232,19 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "naive_split",
         )
     )
+    # Broadcast side restricted to REAL dup-cluster canonicals: semi-join
+    # the (canonical doc_id -> split) lookup against the distinct component
+    # ids, so its row count is bounded by pair density (dup clusters), never
+    # corpus size. Un-clustered docs (cluster == doc_id) have no lookup row
+    # and take their own hash split via the coalesce below — value-identical,
+    # since a singleton's canonical member IS itself.
+    dup_clusters = comp.select(F.col("comp").alias("cluster")).distinct()
     canon_split = d.select(
         F.col("doc_id").alias("cluster"), split_rule.alias("split")
+    ).join(dup_clusters, "cluster", "left_semi")
+    canon = asg.join(F.broadcast(canon_split), "cluster", "left").withColumn(
+        "split", F.coalesce("split", "naive_split")
     )
-    canon = asg.join(F.broadcast(canon_split), "cluster")
     leaky = (
         canon.groupBy("cluster")
         .agg(F.countDistinct("naive_split").alias("ns"))

@@ -1,0 +1,64 @@
+"""Driver-contract guard for bench.py's stdout (round-6 verdict item #2).
+
+The external driver captures only the LAST ~2000 characters of bench.py's
+stdout and json-parses the final line; BENCH_r05/r06 recorded
+``parsed: null`` because the single output line grew past that window.
+These tests pin the fix: the summary line stays parseable and bounded at
+ANY catalog size, including a simulated tail-2000 capture."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import bench
+
+
+def _fake_timings(n: int) -> dict[str, float]:
+    return {f"some_rather_long_query_name_{i:04d}": round(0.123 + i * 0.017, 3) for i in range(n)}
+
+
+def test_summary_line_bounded_and_parseable_at_any_size():
+    for n in (1, 10, 84, 200, 500, 2000):
+        line = bench.summary_line(_fake_timings(n), 0.1)
+        assert len(line) < 1800, f"n={n}: line {len(line)} chars"
+        parsed = json.loads(line)
+        assert parsed["metric"] == "headline_suite_wall_clock"
+        assert parsed["unit"] == "sec"
+        assert parsed["n_queries"] == n
+        assert abs(parsed["value"] - round(sum(_fake_timings(n).values()), 3)) < 1e-9
+        # contract shape keeps a queries dict (slowest-first subset)
+        assert isinstance(parsed["queries"], dict)
+        if parsed["queries"]:
+            slowest = max(_fake_timings(n).values())
+            assert slowest in parsed["queries"].values()
+
+
+def test_tail_2000_capture_of_simulated_run_parses():
+    """Exactly what the driver does: take the last 2000 chars of stdout,
+    split lines, json.loads the final one. Simulate a noisy full run
+    (warn spam + the summary) without starting Spark."""
+    prog = (
+        "import bench, sys\n"
+        "sys.stdout.write('WARN noise line\\n' * 50)\n"
+        "t = {f'q{i:03d}': 1.5 + i for i in range(300)}\n"
+        "print(bench.summary_line(t, 0.1))\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", prog], capture_output=True, text=True, cwd="/root/repo"
+    )
+    assert out.returncode == 0, out.stderr
+    tail = out.stdout[-2000:]
+    last = [l for l in tail.splitlines() if l.strip()][-1]
+    parsed = json.loads(last)
+    assert parsed["n_queries"] == 300
+    assert parsed["unit"] == "sec"
+
+
+def test_headline_queries_all_registered():
+    from blow_spark.queries import queries
+
+    catalog = queries()
+    missing = [q for q in bench.HEADLINE if q not in catalog]
+    assert not missing, f"bench HEADLINE references unregistered queries: {missing}"

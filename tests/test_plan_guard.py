@@ -181,7 +181,11 @@ BENCH_EXCHANGE_PINS = {
     # the returned plan is the census over the assignment: the CC labels
     # are materialized (localCheckpoint) during build, truncating the
     # pair-pipeline lineage; canon-split / leak-count sides broadcast
-    "split_leakage_safe": (5, 5),
+    # +1 shuffle vs r6: the canon_split broadcast side is now semi-joined
+    # down to real dup-cluster canonicals (one distinct over component ids)
+    # so the broadcast is pair-density-bounded, never corpus-sized (r6
+    # verdict item #1). The extra small shuffle buys the bounded broadcast.
+    "split_leakage_safe": (6, 5),
     # build side (9× cell-neighborhood explode of the small table)
     # broadcasts; the only shuffle is the per-probe nearest window
     "join_spatial_grid_epsilon": (1, 1),
