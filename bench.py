@@ -150,6 +150,10 @@ HEADLINE = [
     "timeseries_seasonal_decompose",
     "graph_label_propagation",
     "split_kfold_cv",
+    # round 7: the BARE LSH production plan, separated from its recall
+    # audit so ANN-path regressions are visible (the gated query keeps
+    # the audit; this row times only the 100 TB path)
+    "similarity_lsh_topk_plan",
 ]
 
 

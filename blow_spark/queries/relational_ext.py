@@ -637,6 +637,55 @@ def source_kafka_shape_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_avro_shape_decode",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(CASE WHEN 2*event_id < 128 THEN 1
+                     WHEN 2*event_id < 16384 THEN 2
+                     WHEN 2*event_id < 2097152 THEN 3
+                     ELSE 4 END
+              + CASE WHEN 2*strlen(event_type) < 128 THEN 1 ELSE 2 END
+              + strlen(event_type) AS INT) AS avro_len,
+           CAST(CASE WHEN 2*event_id < 128 THEN 2*event_id
+                     ELSE (2*event_id) % 128 + 128 END AS INT) AS first_byte
+    FROM events
+    WHERE event_id < 3000
+    """,
+    tags=("source", "avro", "decode"),
+)
+def source_avro_shape_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Avro BINARY WIRE FORMAT end-to-end WITHOUT the spark-avro
+    DataSource (which is absent from this box's classpath; a live
+    `--packages org.apache.spark:spark-avro_2.13:4.1.2` resolution was
+    attempted in round 7 and failed — no network route to repo1.maven.org
+    or repos.spark-packages.org; gate documented at
+    blow_spark/sources.py and tests/test_sources_ext.py). Events are
+    serialized into Avro 1.12 binary records (zigzag-varint long +
+    length-prefixed UTF-8 string, per the public spec) by an
+    Arrow-batched pandas UDF and decoded back; the oracle predicts, from
+    the raw events table alone, (a) the round-tripped values, (b) the
+    EXACT encoded byte length (varint width tiers + string bytes), and
+    (c) the leading varint byte (computed Spark-side with BUILT-INS —
+    hex/conv over the binary — independent of the Python decoder), so a
+    wrong zigzag, a wrong varint continuation bit, or a wrong field
+    order breaks the hash. Same pattern as source_kafka_shape_decode."""
+    from blow_spark.sources import avro_decode_long_string, avro_encode_long_string
+
+    e = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    enc = avro_encode_long_string(
+        e.select("event_id", "event_type"), "event_id", "event_type", out_col="avro"
+    ).select(
+        "avro",
+        F.conv(F.hex(F.substring(F.col("avro"), 1, 1)), 16, 10)
+        .cast("int")
+        .alias("first_byte"),
+    )
+    return avro_decode_long_string(enc, "avro", "event_id", "event_type").select(
+        "event_id", "event_type", "avro_len", "first_byte"
+    )
+
+
+@register(
     "window_distinct_count_trick",
     oracle="""
     SELECT event_id, event_type,

@@ -148,6 +148,22 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("similarity_lsh_topk_plan", oracle=None, tags=("similarity", "lsh"))
+def similarity_lsh_topk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BARE SRP-LSH top-k production plan, benched on its own (round-6
+    verdict item #4): `similarity_lsh_topk` wraps this path in a 50-query
+    brute-force recall AUDIT that dominates its measured time (60-80% of
+    the 10.3 s bench row was audit instrumentation), so a real regression
+    in the 100 TB ANN path was invisible inside audit noise. This entry
+    times ONLY the production plan — band-bucket join on (band, 8-byte
+    sketch chunk) + id-keyed exact re-score; vectors never shuffle.
+    Rows-only by design: correctness is certified by the recall-floor
+    gate on `similarity_lsh_topk` (same plan, same parameters), and the
+    planted-near-dup tests in tests/test_similarity.py."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(e, k=5, dim=64)
+
+
 @register("similarity_near_dup", oracle=None, tags=("similarity", "dedup"))
 def similarity_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs at cos ≥ 0.9 via SRP buckets."""

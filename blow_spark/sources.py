@@ -299,6 +299,126 @@ def kafka_value_json(df: DataFrame, schema: T.StructType | str) -> DataFrame:
     ).select("key", "v.*", "topic", "partition", "offset", "kafka_ts")
 
 
+# --- Avro wire format (connector-gated DataSource; codec is local) --------
+#
+# The Spark distribution on this box ships avro-1.12.1.jar (the codec
+# library) but NOT spark-avro (the DataSource), and a live `--packages
+# org.apache.spark:spark-avro_2.13:4.1.2` resolution was attempted in
+# round 7 and failed with `Host repo1.maven.org not found` /
+# `Host repos.spark-packages.org not found` (no network route to any
+# Maven repo) — the same permanent env-gate as the Kafka connector.
+# So, exactly like Kafka's wire-schema twin, the Avro BINARY ENCODING
+# itself (the part a pipeline must get right regardless of which jar
+# does the file I/O) is implemented here from the public Avro 1.12 spec
+# (binary encoding: zigzag-varint longs, length-prefixed UTF-8 strings,
+# record = concatenated field encodings in schema order) as
+# Arrow-batched pandas UDFs, and `source_avro_shape_decode` gates the
+# round trip against a DuckDB oracle that independently predicts byte
+# lengths and the leading varint byte.
+
+
+def _avro_zigzag_bytes(n: int) -> bytes:
+    """Avro binary encoding of a long: zigzag then base-128 varint
+    (Avro 1.12 spec, "Binary Encoding > Primitive Types")."""
+    zz = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = zz & 0x7F
+        zz >>= 7
+        if zz:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _avro_read_long(buf: bytes, pos: int) -> tuple[int, int]:
+    shift, acc = 0, 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+def avro_encode_long_string(df: DataFrame, long_col: str, str_col: str, out_col: str = "avro") -> DataFrame:
+    """Encode (long, string) rows as Avro binary records (spec order:
+    zigzag-varint long, then zigzag-varint byte length + UTF-8 bytes).
+    Arrow-batched mapInPandas — per-batch Python, never per-row py4j.
+    All input columns pass through; the record lands in ``out_col``."""
+    from blow_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    passthrough = df.columns
+
+    def _enc(batches):
+        for pdf in batches:
+            pdf[out_col] = [
+                _avro_zigzag_bytes(int(n))
+                + _avro_zigzag_bytes(len(str(s).encode("utf-8")))
+                + str(s).encode("utf-8")
+                for n, s in zip(pdf[long_col], pdf[str_col])
+            ]
+            yield pdf
+
+    # NOTE: not df.schema.add(...) — StructType.add MUTATES the df's own
+    # schema object, desyncing the Python-side column list from the JVM plan.
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.BinaryType())]
+    )
+    out = df.mapInPandas(_enc, schema=schema)
+    return out.select(*passthrough, out_col)
+
+
+def avro_decode_long_string(df: DataFrame, bin_col: str, long_name: str, str_name: str) -> DataFrame:
+    """Inverse of avro_encode_long_string: parse the two-field Avro
+    binary record back into typed columns (plus the record's byte length,
+    so the oracle can pin the encoding size independently). Other input
+    columns pass through."""
+    from blow_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    keep = [c for c in df.columns if c != bin_col]
+
+    def _dec(batches):
+        for pdf in batches:
+            ids, texts, lens = [], [], []
+            for buf in pdf[bin_col]:
+                buf = bytes(buf)
+                n, pos = _avro_read_long(buf, 0)
+                slen, pos = _avro_read_long(buf, pos)
+                ids.append(n)
+                texts.append(buf[pos : pos + slen].decode("utf-8"))
+                lens.append(len(buf))
+            out = pdf[keep].copy()
+            out[long_name] = ids
+            out[str_name] = texts
+            out["avro_len"] = lens
+            yield out
+
+    schema = T.StructType(
+        [f for f in df.schema.fields if f.name != bin_col]
+        + [
+            T.StructField(long_name, T.LongType()),
+            T.StructField(str_name, T.StringType()),
+            T.StructField("avro_len", T.IntegerType()),
+        ]
+    )
+    return df.mapInPandas(_dec, schema=schema)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro FILE scan — requires the spark-avro DataSource, which is not
+    on this box's classpath and unreachable via --packages (no Maven
+    route; see the live-attempt note above). Kept as the real front door
+    so the call site is correct the moment the jar is present; the wire
+    codec above is what `source_avro_shape_decode` certifies meanwhile."""
+    return spark.read.format("avro").load(path)
+
+
 # --- streaming sources (SURVEY.md §2.2 "Streaming") -----------------------
 
 

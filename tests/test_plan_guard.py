@@ -120,6 +120,10 @@ BENCH_EXCHANGE_PINS = {
     "sink_merge_upsert_roundtrip": (0, 0),
     # streaming_tumbling_availablenow: runtime-tagged (excluded below)
     "similarity_lsh_topk": (10, 6),
+    # the bare production ANN plan (no audit): band-bucket self-join
+    # (1 shuffle on (band, chunk) + 1 for the top-k window) + broadcast
+    # re-score sides — the row that makes ANN regressions visible
+    "similarity_lsh_topk_plan": (2, 3),
     "multimodal_wav_decode_energy": (0, 0),
     "sink_jdbc_roundtrip": (0, 0),
     "timeseries_interpolate_linear": (2, 1),

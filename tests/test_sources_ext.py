@@ -141,3 +141,65 @@ def test_jdbc_live_roundtrip_derby(spark, tmp_path):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "GreaterThanOrEqual(k,990)" in plan, plan
     assert filtered.count() == 10
+
+
+# --- Avro (round-7: the last mainstream format; connector env-gated) ------
+
+
+def test_avro_file_load_gated(spark, tmp_path):
+    """.format("avro") works only with the spark-avro DataSource; this
+    container ships avro-1.12.1.jar (the codec) but not spark-avro.
+
+    CLOSED as permanently env-gated (round 7): a live `--packages
+    org.apache.spark:spark-avro_2.13:4.1.2` resolution was attempted and
+    failed — `Host repo1.maven.org not found` and `Host
+    repos.spark-packages.org not found` (no network route to any Maven
+    repo; same class as the Kafka connector gate). The wire codec stays
+    oracle-gated via source_avro_shape_decode and JVM-cross-checked
+    below."""
+    try:
+        sources.read_avro(spark, str(tmp_path / "nonexistent.avro"))
+    except (AnalysisException, Py4JJavaError) as e:
+        msg = str(e).lower()
+        assert "avro" in msg or "data_source" in msg
+        pytest.skip("spark-avro DataSource not on classpath (expected here)")
+    raise AssertionError("avro DataSource unexpectedly present — un-gate this")
+
+
+def test_avro_varint_matches_jvm_reference_decoder(spark):
+    """The Python zigzag-varint encoder must round-trip through the JVM's
+    OWN Avro library (avro-1.12.1.jar on Spark's classpath) — an
+    independent implementation of the public spec, so a continuation-bit
+    or zigzag error here cannot self-confirm through our paired decoder."""
+    from blow_spark.sources import _avro_read_long, _avro_zigzag_bytes
+
+    probes = [0, 1, -1, 2, -2, 63, 64, -64, 127, 128, 8191, 8192,
+              2**20, 2**31 - 1, -(2**31), 2**40, -(2**40), 2**62, -(2**62)]
+    dec_factory = spark._jvm.org.apache.avro.io.DecoderFactory.get()
+    for n in probes:
+        buf = _avro_zigzag_bytes(n)
+        jvm_val = dec_factory.binaryDecoder(bytes(bytearray(buf)), None).readLong()
+        assert jvm_val == n, f"JVM avro decoder disagrees at {n}: {jvm_val} ({buf.hex()})"
+        py_val, pos = _avro_read_long(buf, 0)
+        assert (py_val, pos) == (n, len(buf))
+
+
+def test_avro_record_roundtrip_distributed(spark):
+    """Encode→decode as the distributed mapInPandas plan on a hand-built
+    frame with multibyte UTF-8 — values, byte length, and unicode
+    fidelity all preserved."""
+    rows = [(0, "a"), (1, "héllo"), (8192, "噸 two"), (-5, ""), (2**40, "x" * 200)]
+    df = spark.createDataFrame(rows, "k long, s string")
+    enc = sources.avro_encode_long_string(df, "k", "s", out_col="avro")
+    dec = sources.avro_decode_long_string(
+        enc.select("avro"), "avro", "k2", "s2"
+    ).collect()
+    got = {(r["k2"], r["s2"]) for r in dec}
+    assert got == set(rows)
+    # byte-length law: vlen(zigzag(k)) + vlen(len_utf8) + len_utf8
+    by_k = {r["k2"]: r["avro_len"] for r in dec}
+    assert by_k[0] == 1 + 1 + 1
+    assert by_k[1] == 1 + 1 + len("héllo".encode())
+    assert by_k[8192] == 3 + 1 + len("噸 two".encode())
+    assert by_k[-5] == 1 + 1 + 0
+    assert by_k[2**40] == 6 + 2 + 200
