@@ -16,6 +16,14 @@ Options:
     --sf 0.01                  scale factor (dir /root/testdata/sf<sf>)
     --sf-dir PATH              explicit fixture dir (overrides --sf)
     --only a,b,c               restrict to named queries
+    --order least-recently-driver-sampled
+                               order the sweep by driver-sample recency
+                               (never-sampled first, then oldest round):
+                               the queries the driver is most likely to
+                               hit on first exposure next round. With
+                               --limit N this is the pre-snapshot gate
+                               (verify skill checklist item 2).
+    --limit N                  run only the first N (after ordering)
     --shuffle-partitions N     ALSO pin shuffle partitions (pytest's
                                shape is 8) — exactness-region claims
                                must hold under BOTH shapes, so run the
@@ -45,6 +53,8 @@ def main() -> int:
     ap.add_argument("--sf", default="0.01")
     ap.add_argument("--sf-dir", default=None)
     ap.add_argument("--only", default=None)
+    ap.add_argument("--order", default=None, choices=["least-recently-driver-sampled"])
+    ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--master", default="local[8]")
     args = ap.parse_args()
@@ -74,6 +84,41 @@ def main() -> int:
             print(f"unknown queries: {unknown}", file=sys.stderr)
             return 2
         names = picked
+
+    if args.order == "least-recently-driver-sampled":
+        # Most-recent driver round that sampled each query, scraped from
+        # the committed CORRECTNESS_r*.json files. Never-sampled queries
+        # sort first (round 0), then ascending by last-sampled round —
+        # i.e. the queries the driver's observed no-repeat pattern makes
+        # likeliest to hit on FIRST EXPOSURE next round. Name tiebreak
+        # keeps the order deterministic.
+        import glob
+        import re
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        last_round: dict[str, int] = {}
+        for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+            m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+            if not m:
+                continue
+            rnd = int(m.group(1))
+            try:
+                with open(path) as fh:
+                    sampled = json.load(fh)
+            except (OSError, json.JSONDecodeError):
+                continue
+            for q in sampled:
+                last_round[q] = max(last_round.get(q, 0), rnd)
+        names = sorted(names, key=lambda n: (last_round.get(n, 0), n))
+        n_never = sum(1 for n in names if n not in last_round)
+        print(
+            f"order=least-recently-driver-sampled: {n_never} never-sampled, "
+            f"{len(names) - n_never} sampled across {len(set(last_round.values()))} rounds",
+            flush=True,
+        )
+
+    if args.limit is not None:
+        names = names[: args.limit]
 
     t0 = time.time()
     n_pass = n_fail = n_rows_only = 0

@@ -271,3 +271,73 @@ def test_swap_state_store_survives_crash_between_renames(spark, tmp_path):
     assert store.read(spark).count() == 8
     assert not os.path.isdir(store.path + ".old")
     assert store.restore_if_crashed() is False
+
+
+def test_bitmap_rollup_mid_swap_crash_end_to_end(spark, sf_dir, tmp_path):
+    """Round-7 verdict item #6: audit the ba93054 crash-restore claim
+    END-TO-END, not just at the store level. Drives the exact batch loop
+    streaming_bitmap_distinct_rollup runs (batch bitmaps -> merge with
+    prior state -> write-then-swap publish), KILLS it mid-swap after
+    batch 1 (state retired to `.old`, `.next` lost — the crash window
+    between publish()'s two renames), then continues with batches 2-3.
+    Final per-type distincts must equal the exact replay oracle. On the
+    pre-ba93054 loop (no restore_if_crashed at the top of each batch)
+    this fails: the state silently resets to batches 2-3's worth —
+    asserted non-vacuously below."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from blow_spark.sources import read_table
+    from blow_spark.streaming import SwapStateStore
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type")
+    exact = {
+        (r["event_type"], r["n"])
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("long").alias("n"))
+        .collect()
+    }
+
+    def batch_bitmaps(df):
+        return df.groupBy(
+            "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bno")
+        ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+
+    def run_loop(store, crash_after_batch, restore):
+        for i in range(3):
+            if restore:
+                store.restore_if_crashed()
+            fresh = batch_bitmaps(ev.filter(F.col("user_id") % 3 == i))
+            prior = store.read(spark)
+            merged = (
+                prior.unionAll(fresh)
+                .groupBy("event_type", "bno")
+                .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+                if prior is not None
+                else fresh
+            )
+            store.publish(merged)
+            if i == crash_after_batch:
+                # the mid-swap crash: current state already retired to
+                # .old, the .next never made it into place
+                os.rename(store.path, store.path + ".old")
+
+    def counts(store):
+        return {
+            (r["event_type"], r["n"])
+            for r in store.read(spark)
+            .groupBy("event_type")
+            .agg(F.expr("CAST(SUM(bitmap_count(bm)) AS BIGINT)").alias("n"))
+            .collect()
+        }
+
+    fixed = SwapStateStore(str(tmp_path / "state_fixed"))
+    run_loop(fixed, crash_after_batch=0, restore=True)
+    assert counts(fixed) == exact
+
+    # non-vacuity: the PRE-ba93054 loop (no restore) gets it WRONG on
+    # this fixture — batch 1's users are lost from the state
+    broken = SwapStateStore(str(tmp_path / "state_broken"))
+    run_loop(broken, crash_after_batch=0, restore=False)
+    assert counts(broken) != exact
