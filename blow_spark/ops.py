@@ -1009,6 +1009,11 @@ def versioned_vacuum(
     * Removal order is manifest first, then snapshot dir — a reader
       that raced the vacuum sees a missing version, never a manifest
       pointing at a half-deleted snapshot.
+    * ``keep_last`` must be ≥ 1: keep_last=0 would delete EVERY
+      manifest, resetting versioned_latest() to 0 so the next commit
+      reuses version 1 — a remembered version would silently resolve
+      to different data, violating the monotonic-version contract real
+      table formats keep (round-6 advice). Raises ValueError.
 
     Returns ``{"removed_versions": [...], "removed_orphans": [...],
     "kept_versions": [...]}``.
@@ -1018,12 +1023,18 @@ def versioned_vacuum(
     import shutil
     import time
 
+    if keep_last < 1:
+        raise ValueError(
+            "versioned_vacuum: keep_last must be >= 1 — removing every "
+            "manifest would reset the version counter and let a future "
+            "commit reuse an already-published version number"
+        )
     versions = sorted(
         int(n[2:14])
         for n in os.listdir(path)
         if n.startswith("_v") and n.endswith(".manifest.json")
     )
-    cut = versions[-keep_last:] if keep_last > 0 else []
+    cut = versions[-keep_last:]
     expire = [v for v in versions if v not in cut]
     keep_snaps = set()
     for v in cut:
@@ -1050,6 +1061,16 @@ def versioned_vacuum(
             and now - os.path.getmtime(full) >= orphan_grace_sec
         ):
             shutil.rmtree(full, ignore_errors=True)
+            removed_orphans.append(n)
+        elif (
+            n.startswith("_tmp-")
+            and os.path.isfile(full)
+            and now - os.path.getmtime(full) >= orphan_grace_sec
+        ):
+            # a commit that crashed between writing its _tmp manifest
+            # and os.link()-ing it into place leaves this file forever;
+            # same grace window as snapshot orphans (round-6 advice)
+            os.unlink(full)
             removed_orphans.append(n)
     return {
         "removed_versions": removed_versions,

@@ -395,6 +395,25 @@ def test_versioned_vacuum_expires_old_snapshots_keeps_readable_tip(spark, tmp_pa
     v4 = ops.versioned_commit(spark, spark.range(2).withColumnRenamed("id", "k"), path)
     assert v4 == 4 and len(ops.versioned_read(spark, path).collect()) == 2
 
+    # keep_last=0 would delete every manifest and reset the version
+    # counter — the monotonic-version contract forbids it (round-6 advice)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep_last"):
+        ops.versioned_vacuum(path, keep_last=0)
+
+    # a commit that crashed between the _tmp manifest write and the
+    # os.link: the stale temp file is swept once past the grace window
+    stale_tmp = os.path.join(path, "_tmp-feedface-99")
+    with open(stale_tmp, "w") as f:
+        f.write("{}")
+    repg = ops.versioned_vacuum(path, keep_last=2, orphan_grace_sec=10_000)
+    assert os.path.isfile(stale_tmp)  # grace protects a maybe-live commit
+    rep4 = ops.versioned_vacuum(path, keep_last=2, orphan_grace_sec=0)
+    assert "_tmp-feedface-99" in rep4["removed_orphans"]
+    assert not os.path.exists(stale_tmp)
+    assert repg["kept_versions"] == [3, 4]
+
 
 def test_bootstrap_ci_brackets_point_and_is_deterministic(spark, sf_dir):
     """The 95% Poisson-bootstrap interval must bracket the full-sample
