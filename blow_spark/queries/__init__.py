@@ -77,6 +77,7 @@ def _load() -> None:
         entity,
         experimentation,
         governance,
+        journeys,
         multimodal_q,
         parity,
         pipeline_ops,

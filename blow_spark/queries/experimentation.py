@@ -516,3 +516,74 @@ def experiment_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("chi2"),
         (chi2 > 3.841459).alias("srm_detected"),
     )
+
+
+_Z95 = 1.959964  # two-sided 95% normal quantile
+
+
+@register(
+    "experiment_bayes_beta_posterior",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS INT) AS arm,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ), agg AS (
+      SELECT arm,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS conversions
+      FROM per_user GROUP BY arm
+    )
+    SELECT arm, n_users, conversions,
+           ROUND(CAST(1 + conversions AS DOUBLE) / (2 + n_users), 6)
+             AS post_mean,
+           ROUND(CAST(1 + conversions AS DOUBLE) / (2 + n_users)
+                 - {_Z95} * SQRT((CAST(1 + conversions AS DOUBLE) / (2 + n_users))
+                                 * (1.0 - CAST(1 + conversions AS DOUBLE) / (2 + n_users))
+                                 / (n_users + 3)), 6) AS ci_low,
+           ROUND(CAST(1 + conversions AS DOUBLE) / (2 + n_users)
+                 + {_Z95} * SQRT((CAST(1 + conversions AS DOUBLE) / (2 + n_users))
+                                 * (1.0 - CAST(1 + conversions AS DOUBLE) / (2 + n_users))
+                                 / (n_users + 3)), 6) AS ci_high
+    FROM agg
+    """,
+    tags=("experiment", "analytics", "bayes"),
+)
+def experiment_bayes_beta_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian conversion readout: per experiment arm (the catalog's
+    standard ``user_id % 2`` assignment, shared with the CUPED and SRM
+    queries), the Beta(1+c, 1+n-c) posterior over the conversion rate
+    under a uniform Beta(1,1) prior — posterior mean (1+c)/(2+n) and a
+    95% credible interval via the normal approximation with posterior
+    variance p(1-p)/(n+3). Every figure is a closed-form function of two
+    integer aggregates, so both engines perform the identical correctly-
+    rounded double ops (sqrt is IEEE-exact); ROUND-6 seals the hash.
+
+    Scale: one user-keyed aggregate (the only corpus-scale shuffle) into
+    a 2-row arm table; the posterior algebra is constant-size."""
+    e = read_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    agg = per_user.groupBy(
+        (F.col("user_id") % 2).cast("int").alias("arm")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("conversions"),
+    )
+    p = (F.lit(1) + F.col("conversions")).cast("double") / (
+        F.lit(2) + F.col("n_users")
+    )
+    half = F.lit(_Z95) * F.sqrt(p * (F.lit(1.0) - p) / (F.col("n_users") + 3))
+    return agg.select(
+        "arm",
+        "n_users",
+        "conversions",
+        F.round(p, 6).alias("post_mean"),
+        F.round(p - half, 6).alias("ci_low"),
+        F.round(p + half, 6).alias("ci_high"),
+    )

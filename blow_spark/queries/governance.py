@@ -571,3 +571,115 @@ def privacy_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_row = audit(oflag, "orders", F.col("tomb"), fk_orphan)
     l_row = audit(lflag, "lineitem", F.col("tomb"), fk_orphan)
     return c_row.unionAll(o_row).unionAll(l_row)
+
+
+@register(
+    "privacy_l_diversity",
+    oracle="""
+    WITH qi AS (
+      SELECT c_mktsegment AS segment,
+             CAST(c_nationkey % 5 AS INT) AS region_bucket,
+             CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS balance_band
+      FROM customer
+    )
+    SELECT segment, region_bucket,
+           CAST(COUNT(*) AS BIGINT) AS k_size,
+           CAST(COUNT(DISTINCT balance_band) AS BIGINT) AS l_distinct,
+           (COUNT(*) >= 5 AND COUNT(DISTINCT balance_band) >= 3)
+             AS releasable
+    FROM qi GROUP BY segment, region_bucket
+    """,
+    tags=("governance", "privacy"),
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al., ICDE 2006 — the
+    k-anonymity extension): for each quasi-identifier group (market
+    segment × coarse region bucket) count the group size k AND the
+    number of DISTINCT sensitive values (account-balance band) it
+    contains; a group is releasable only if k ≥ 5 and l ≥ 3 — a
+    k-anonymous group whose members all share one sensitive value still
+    leaks it (the homogeneity attack k-anonymity misses, which is the
+    whole point of l-diversity). Companion to privacy_k_anonymity.
+
+    Scale: one grouped aggregate with a distinct count — the QI
+    cardinality bounds the output, the distinct runs as Spark's standard
+    partial-distinct expand. No windows, no joins."""
+    c = read_table(spark, sf_dir, "customer")
+    qi = c.select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("c_nationkey") % 5).cast("int").alias("region_bucket"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("balance_band"),
+    )
+    return qi.groupBy("segment", "region_bucket").agg(
+        F.count("*").cast("bigint").alias("k_size"),
+        F.countDistinct("balance_band").cast("bigint").alias("l_distinct"),
+        (
+            (F.count("*") >= 5) & (F.countDistinct("balance_band") >= 3)
+        ).alias("releasable"),
+    )
+
+
+_DP_EPSILON = 1.0
+_DP_HEX_DIGITS = 13  # 52 bits of md5 → uniform in [0, 16^13)
+
+
+@register(
+    "privacy_dp_count_laplace",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ), noise AS (
+      SELECT source, n_docs,
+             (CAST(CAST(('0x' || substring(md5('dp:' || source), 1,
+                                           {_DP_HEX_DIGITS}))
+                        AS BIGINT) AS DOUBLE) + 0.5)
+               / 4503599627370496.0 - 0.5 AS u
+      FROM counts
+    )
+    SELECT source, n_docs,
+           ROUND(n_docs
+                 - (1.0 / {_DP_EPSILON})
+                   * CASE WHEN u < 0 THEN -1.0 ELSE 1.0 END
+                   * LN(1.0 - 2.0 * ABS(u)), 6) AS dp_count
+    FROM noise
+    """,
+    tags=("governance", "privacy", "dp"),
+)
+def privacy_dp_count_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release of per-source document counts via
+    the Laplace mechanism (Dwork et al., TCC 2006): COUNT has L1
+    sensitivity 1, so adding Laplace(1/ε) noise gives ε-DP. The noise is
+    DERIVED, not sampled — u = md5('dp:'||source)'s top 52 bits mapped
+    to (-0.5, 0.5), pushed through the Laplace inverse CDF
+    -sign(u)·ln(1-2|u|)/ε — so the release is reproducible and
+    oracle-checkable while exercising the exact production transform
+    (swap the hash for a real RNG to deploy; the plan is unchanged).
+    The +0.5 offset keeps u strictly inside (-0.5, 0.5): ln(0) is never
+    evaluated. ROUND-6 absorbs libm's last ulp (catalog precedent:
+    text_bigram_logprob).
+
+    Scale: one grouped count; the noise is a map-side expression on the
+    per-source aggregate — output bounded by |sources|."""
+    d = read_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("dp:"), F.col("source"))), 1, _DP_HEX_DIGITS
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + 0.5) / float(16**_DP_HEX_DIGITS) - 0.5
+    noise = (
+        (1.0 / _DP_EPSILON)
+        * F.when(u < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+        * F.log(1.0 - 2.0 * F.abs(u))
+    )
+    return counts.select(
+        "source",
+        "n_docs",
+        F.round(F.col("n_docs") - noise, 6).alias("dp_count"),
+    )

@@ -1,0 +1,362 @@
+"""User-journey & survival analytics over the ``events`` fixture:
+Kaplan-Meier retention, top user paths, sequential event patterns,
+bitmap-rolling DAU/MAU, and time-weighted averages.
+
+These are the product-analytics readouts every event warehouse serves
+(Amplitude/Mixpanel-class queries), re-expressed as single-pass Spark
+plans. Reference parity note: the reference engine (wizgrao/blow) has no
+analytics surface — maps/maps.go:8-14 is its entire operator vocabulary —
+so these are extension operators from the task brief's analytics mandate.
+
+Determinism notes (catalog conventions, see queries/__init__ docstring):
+
+* every continuous output is either pure-integer (counts, basis points,
+  fixed-point micro-units) or a ROUND(x, 6) of arithmetic whose inputs
+  are integers exactly representable in float64 — both engines perform
+  the identical correctly-rounded IEEE ops;
+* the Kaplan-Meier cumulative product goes through exp(sum(ln ·)) with a
+  zero-factor guard (ln is the one libm-bound op here; ROUND-6 absorbs
+  any last-ulp divergence — same precedent as text_bigram_logprob);
+* top-k outputs ORDER BY a provably total key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from blow_spark.queries import register
+from blow_spark.sources import read_table
+
+# Users whose last event falls on/after this date are right-censored
+# (still active when the observation window closed — the fixture spans
+# January 2024, so the final 3 days are the censoring horizon).
+_KM_CENSOR_DATE = "2024-01-28"
+_EPOCH_DAY0 = "2024-01-01"  # fixture start; day-index origin for MAU
+_PATH_LEN = 5
+_MAU_WINDOW_DAYS = 6  # 7-day window = current day + 6 preceding
+
+
+@register(
+    "events_kaplan_meier_retention",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE))
+               AS dur,
+             CAST(MAX(ts) AS DATE) >= DATE '{_KM_CENSOR_DATE}' AS censored
+      FROM events GROUP BY user_id
+    ), by_day AS (
+      SELECT CAST(dur AS BIGINT) AS t,
+             CAST(COUNT(*) FILTER (WHERE NOT censored) AS BIGINT) AS n_events,
+             CAST(COUNT(*) FILTER (WHERE censored) AS BIGINT) AS n_censored
+      FROM per_user GROUP BY dur
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM per_user
+    ), risk AS (
+      SELECT t, n_events, n_censored,
+             n_total
+               - SUM(n_events + n_censored) OVER (ORDER BY t)
+               + (n_events + n_censored) AS n_risk
+      FROM by_day CROSS JOIN tot
+    )
+    SELECT t, CAST(n_risk AS BIGINT) AS n_risk, n_events, n_censored,
+           CASE WHEN MAX(CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END)
+                       OVER (ORDER BY t) = 1
+                THEN 0.0
+                ELSE ROUND(EXP(SUM(CASE WHEN n_events > 0 AND n_events < n_risk
+                                        THEN LN(CAST(n_risk - n_events AS DOUBLE)
+                                                / n_risk)
+                                        ELSE 0.0 END) OVER (ORDER BY t)), 6)
+           END AS survival
+    FROM risk
+    """,
+    tags=("analytics", "survival", "events"),
+)
+def events_kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier retention curve over user lifetimes (Kaplan & Meier,
+    JASA 1958): lifetime = whole days between a user's first and last
+    event; users still active in the observation window's final days are
+    right-censored (they contribute to the at-risk set but never to the
+    death counts). Per distinct lifetime day t the query emits the
+    at-risk count, event (churn) count, censor count, and the KM
+    survival estimate S(t) = prod_{s<=t} (1 - d_s / n_s), computed as
+    exp(sum(ln factors)) with an exact-zero guard for the d == n edge
+    (ln(0) never evaluated in either engine).
+
+    Scale: one user-keyed aggregate (the only corpus-scale shuffle), then
+    everything runs on the day-level table whose row count is bounded by
+    the CALENDAR SPAN, not the data — the two cumulative windows over it
+    are single-partition by construction but constant-size, the same
+    whitelisted pattern as the global-rank offsets tables
+    (tests/test_plan_guard.py WHITELIST). n_total arrives as a one-row
+    broadcast cross join."""
+    e = read_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts")))
+        .cast("bigint")
+        .alias("dur"),
+        (F.to_date(F.max("ts")) >= F.lit(_KM_CENSOR_DATE).cast("date")).alias(
+            "censored"
+        ),
+    )
+    by_day = per_user.groupBy(F.col("dur").alias("t")).agg(
+        F.count_if(~F.col("censored")).cast("bigint").alias("n_events"),
+        F.count_if(F.col("censored")).cast("bigint").alias("n_censored"),
+    )
+    tot = per_user.agg(F.count("*").cast("bigint").alias("n_total"))
+    w = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    leaving = F.col("n_events") + F.col("n_censored")
+    risk = by_day.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk",
+        (F.col("n_total") - F.sum(leaving).over(w) + leaving).cast("bigint"),
+    )
+    dead = F.col("n_events")
+    at_risk = F.col("n_risk")
+    log_factor = F.when(
+        (dead > 0) & (dead < at_risk),
+        F.log((at_risk - dead).cast("double") / at_risk),
+    ).otherwise(F.lit(0.0))
+    hit_zero = F.max(F.when(dead >= at_risk, 1).otherwise(0)).over(w)
+    return risk.select(
+        "t",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.when(hit_zero == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.sum(log_factor).over(w)), 6))
+        .alias("survival"),
+    )
+
+
+@register(
+    "events_top_paths",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= {_PATH_LEN} GROUP BY user_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 20
+    """,
+    tags=("analytics", "journey", "events"),
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top onboarding paths: each user's first 5 events (by time, with
+    event_id as the total tiebreak) concatenated into a '>' journey
+    string, counted across users, top-20 by (n_users DESC, path ASC) —
+    a provably total order, so the LIMIT row set is unique.
+
+    Scale: the row_number window and the per-user fold share ONE
+    user-keyed shuffle (groupBy reuses the window's partitioning), and
+    the window truncates every user to 5 rows BEFORE collect — a user
+    with 10M events contributes 5, never an unbounded in-memory array.
+    The path-level aggregate and top-k run on the (≤ |event_types|^5)
+    path domain via TakeOrderedAndProject — no global sort."""
+    e = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    r = e.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= _PATH_LEN)
+    paths = r.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(20)
+    )
+
+
+@register(
+    "events_sequential_patterns",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev,
+             event_type AS curr
+      FROM events
+    )
+    SELECT prev || '>' || curr AS pattern,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM seq WHERE prev IS NOT NULL
+    GROUP BY prev || '>' || curr
+    """,
+    tags=("analytics", "journey", "events"),
+)
+def events_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent consecutive event-type bigrams (the depth-2 slice of
+    sequential-pattern mining, PrefixSpan-style but closed-form): for
+    every adjacent pair of events in a user's timeline, count total
+    occurrences and distinct users exhibiting the transition — the
+    input to funnel design and next-action models.
+
+    Scale: one user-keyed window shuffle produces the lag pairs; the
+    pattern aggregate runs on a |event_types|² domain. No self-join —
+    the naive ts-adjacency join shuffles the event table twice and
+    needs an anti-condition for adjacency; lag is one pass."""
+    e = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("prev"),
+        F.col("event_type").alias("curr"),
+    ).filter(F.col("prev").isNotNull())
+    return seq.groupBy(
+        F.concat_ws(">", "prev", "curr").alias("pattern")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_occurrences"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
+@register(
+    "events_mau_bitmap_rolling",
+    oracle=f"""
+    WITH ev AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), days AS (
+      SELECT DISTINCT day FROM ev
+    )
+    SELECT CAST(d.day AS VARCHAR) AS day,
+           CAST(COUNT(DISTINCT CASE WHEN e.day = d.day
+                                    THEN e.user_id END) AS BIGINT) AS dau,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS mau7
+    FROM days d
+    JOIN ev e ON e.day BETWEEN d.day - {_MAU_WINDOW_DAYS} AND d.day
+    GROUP BY d.day
+    """,
+    tags=("analytics", "events", "bitmap", "distinct"),
+)
+def events_mau_bitmap_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (the DAU/MAU board metric) via EXACT
+    mergeable bitmaps instead of the naive day×window COUNT(DISTINCT)
+    re-scan: per (day, 4096-user bucket) the user set densifies into one
+    bitmap (bitmap_construct_agg), a RANGE window ORs the trailing 7
+    days per bucket (bitmap_or_agg — set union as bit-OR), and
+    bitmap_count sums across buckets. The oracle recomputes with a
+    brute-force range self-join, proving the bitmap algebra exact.
+
+    Scale: the events table shuffles ONCE, keyed (day, bucket), into a
+    table bounded by days × (users / 4096) — at 10^9 users and a year
+    that is ~90M 512-byte rows, independent of event count (the naive
+    plan re-shuffles all events once per window day). The bucket-keyed
+    RANGE window is fully parallel; the day-level rollup is calendar-
+    bounded. Bucket×day densification (a broadcast cross join of two
+    tiny distinct sets) guarantees a bucket quiet TODAY still surfaces
+    its last-6-days users."""
+    e = read_table(spark, sf_dir, "events")
+    day0 = F.lit(_EPOCH_DAY0).cast("date")
+    b1 = (
+        e.select(
+            F.datediff(F.to_date("ts"), day0).alias("di"),
+            F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("di", "bkt")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    days = b1.select("di").distinct()
+    bkts = b1.select("bkt").distinct()
+    dense = days.crossJoin(F.broadcast(bkts)).join(b1, ["di", "bkt"], "left")
+    w = (
+        W.partitionBy("bkt")
+        .orderBy("di")
+        .rangeBetween(-_MAU_WINDOW_DAYS, W.currentRow)
+    )
+    per_bucket = dense.select(
+        "di",
+        F.coalesce(F.expr("bitmap_count(bm)"), F.lit(0)).alias("dau_part"),
+        F.coalesce(
+            F.call_function(
+                "bitmap_count", F.expr("bitmap_or_agg(bm)").over(w)
+            ),
+            F.lit(0),
+        ).alias("mau_part"),
+    )
+    return per_bucket.groupBy("di").agg(
+        F.sum("dau_part").cast("bigint").alias("dau"),
+        F.sum("mau_part").cast("bigint").alias("mau7"),
+    ).select(
+        F.date_add(day0, F.col("di")).cast("string").alias("day"),
+        "dau",
+        "mau7",
+    )
+
+
+@register(
+    "timeseries_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             (LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)
+              - epoch_us(ts)) // 1000000 AS dur_s,
+             CAST(ROUND(value * 10000) AS BIGINT) AS val_e4
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dur_s) AS BIGINT) AS total_seconds,
+           ROUND(CAST(SUM(dur_s * val_e4) AS DOUBLE)
+                 / CAST(SUM(dur_s) AS DOUBLE) / 10000.0, 6) AS twap
+    FROM seq WHERE dur_s IS NOT NULL AND dur_s > 0
+    GROUP BY user_id
+    """,
+    tags=("timeseries", "analytics", "events"),
+)
+def timeseries_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP): each observation's value holds until
+    the next observation, so the mean weights every value by its holding
+    duration in whole seconds — the correct average for irregularly
+    sampled series (a plain AVG over-weights bursty periods). The last
+    observation per key has no successor and is excluded (standard
+    left-closed TWAP over the observed span).
+
+    Determinism envelope: val_e4 = ROUND(value·10⁴) ≤ ~3.3×10⁶ on the
+    fixture, dur_s ≤ 2.6×10⁶ (the 30-day span), so every per-user sum
+    stays < 2⁵³ and the double division of exact integers is correctly
+    rounded identically in both engines; ROUND-6 seals it. Past ~10¹⁵
+    in the product the sums upgrade to DECIMAL(38,0) — documented here
+    as the envelope.
+
+    Scale: ONE user-keyed shuffle — the lead window and the per-user
+    aggregate share the partitioning; no self-join (the naive adjacency
+    join shuffles twice)."""
+    e = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    seq = e.select(
+        "user_id",
+        (F.lead(us).over(w) - us).alias("diff_us"),
+        F.round(F.col("value") * 10000).cast("bigint").alias("val_e4"),
+    ).withColumn("dur_s", F.expr("diff_us div 1000000"))
+    seq = seq.filter(F.col("dur_s").isNotNull() & (F.col("dur_s") > 0))
+    return seq.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_intervals"),
+        F.sum("dur_s").cast("bigint").alias("total_seconds"),
+        F.round(
+            F.sum(F.col("dur_s") * F.col("val_e4")).cast("double")
+            / F.sum("dur_s").cast("double")
+            / 10000.0,
+            6,
+        ).alias("twap"),
+    )

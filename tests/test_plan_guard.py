@@ -35,6 +35,12 @@ WHITELIST = {
                                      # constant-size offsets branch in the plan
     "score_quantile_calibration": 1, # global order-statistic offsets (same)
     "split_kfold_cv": 1,             # fold-assignment rank offsets (same)
+    # Calendar-bounded branch: the Kaplan-Meier cumulative windows run on
+    # the day-level lifetime table — ONE ROW PER DISTINCT LIFETIME DAY
+    # (bounded by the observation span, ~30 here, ~10^3 at a decade),
+    # AFTER the user-keyed aggregate reduced the corpus. Same constant-
+    # size justification as the offsets tables above.
+    "events_kaplan_meier_retention": 1,
 }
 
 
