@@ -78,6 +78,7 @@ def _load() -> None:
         experimentation,
         governance,
         journeys,
+        linkage,
         multimodal_q,
         parity,
         pipeline_ops,

@@ -1,0 +1,457 @@
+"""Linkage & association operators: nearest-asof join, Bloom semi-join
+reduction, common-neighbors link prediction, RFM segmentation, and
+market-basket association rules.
+
+Reference parity note: the reference engine (wizgrao/blow) has no join
+surface at all — maps/maps.go:8-14 is a flatMap contract — so these are
+extension operators from the task brief's analytics mandate, built on the
+same single-shuffle asof machinery as blow_spark.ops.asof_join.
+
+Determinism: integer counts and fixed-point cents everywhere; every
+ranked/limited output orders by a provably total key; the one double
+division (association confidence/lift) is a correctly-rounded IEEE op on
+integers < 2^53, sealed with ROUND-6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from blow_spark.queries import register
+from blow_spark.sources import read_table
+
+# Link-prediction blocking: parts bought by more than this many distinct
+# customers are skipped as uninformative hubs (standard common-neighbors
+# practice — a part half the customers buy certifies nothing, and its d²
+# pair fan-out is exactly the skew that kills the join at scale).
+_LINKPRED_MAX_DEGREE = 60
+_RULES_MIN_SUPPORT = 2
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH err AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ), clk AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ), cand AS (
+      SELECT e.event_id, e.user_id, e.ts, c.click_id,
+             abs(epoch_us(c.click_ts) - epoch_us(e.ts)) AS gap_us,
+             CASE WHEN c.click_ts <= e.ts THEN 0 ELSE 1 END AS is_fwd,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY abs(epoch_us(c.click_ts) - epoch_us(e.ts)),
+                        CASE WHEN c.click_ts <= e.ts THEN 0 ELSE 1 END,
+                        CASE WHEN c.click_ts <= e.ts
+                             THEN -c.click_id ELSE c.click_id END
+             ) AS rn
+      FROM err e LEFT JOIN clk c USING (user_id)
+    )
+    SELECT event_id, user_id, ts,
+           click_id AS nearest_click_id,
+           CAST(gap_us AS BIGINT) AS gap_us,
+           CASE WHEN click_id IS NULL THEN 'none'
+                WHEN is_fwd = 0 THEN 'backward' ELSE 'forward' END
+             AS direction
+    FROM cand WHERE rn = 1 OR rn IS NULL
+    """,
+    tags=("join", "asof", "events"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-asof join (pandas ``merge_asof(direction='nearest')``,
+    distributed): each error event attaches the click by the same user
+    with the MINIMAL absolute time gap, looking both backward (≤, ties
+    allowed at the same instant) and forward (>). Equal gaps prefer the
+    backward click (the pandas rule); simultaneous backward clicks break
+    to the highest click_id, forward to the lowest — a provably total
+    pick, so the oracle's argmin replay matches row for row.
+
+    Scale: BOTH directions come out of ONE user-keyed union+window pass
+    — last(ignorenulls) over the preceding frame gives the backward
+    candidate, first(ignorenulls) over the following frame the forward
+    one, on the same sort (cf. ops.asof_join, which runs one direction).
+    One shuffle, one sort; the naive range join shuffles the event
+    cross-product and the two-asof-calls form shuffles three times."""
+    e = read_table(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clk = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    lt = err.select(
+        "user_id",
+        F.col("ts").alias("_ts"),
+        F.lit(1).alias("_side"),
+        "event_id",
+        "ts",
+        F.lit(None)
+        .cast("struct<click_ts:timestamp,click_id:bigint>")
+        .alias("cs"),
+    )
+    rt = clk.select(
+        "user_id",
+        F.col("click_ts").alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.struct("click_ts", "click_id").alias("cs"),
+    )
+    u = lt.unionByName(rt)
+    order = [F.col("_ts").asc(), F.col("_side").asc(), F.col("cs.click_id").asc()]
+    w_back = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_fwd = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    marked = u.select(
+        "*",
+        F.last("cs", ignorenulls=True).over(w_back).alias("back"),
+        F.first("cs", ignorenulls=True).over(w_fwd).alias("fwd"),
+    ).filter(F.col("_side") == 1)
+    us = F.unix_micros(F.col("ts"))
+    back_gap = us - F.unix_micros(F.col("back.click_ts"))
+    fwd_gap = F.unix_micros(F.col("fwd.click_ts")) - us
+    pick_back = F.col("fwd").isNull() | (
+        F.col("back").isNotNull() & (back_gap <= fwd_gap)
+    )
+    chosen = F.when(pick_back, F.col("back")).otherwise(F.col("fwd"))
+    gap = F.when(pick_back, back_gap).otherwise(fwd_gap)
+    return marked.select(
+        "event_id",
+        "user_id",
+        "ts",
+        chosen["click_id"].alias("nearest_click_id"),
+        gap.cast("bigint").alias("gap_us"),
+        F.when(chosen.isNull(), "none")
+        .when(pick_back, "backward")
+        .otherwise("forward")
+        .alias("direction"),
+    )
+
+
+@register(
+    "join_bloom_semi_reduction",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+    GROUP BY strftime(o_orderdate, '%Y-%m')
+    """,
+    tags=("join", "bloom", "semi"),
+)
+def join_bloom_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction through a Bloom filter: monthly revenue for
+    orders whose customer is in the BUILDING segment, with the fact scan
+    pre-filtered MAP-SIDE by a Bloom filter built over the qualifying
+    customer keys before any shuffle reaches the exact semi-join. A
+    Bloom filter has no false negatives, so the prefilter is lossless;
+    the exact join removes false positives — the oracle recomputes with
+    a plain IN-subquery, proving the reduction exact end to end.
+
+    Why this exists next to the plain semi join: at 10⁹ qualifying
+    customers the dim is ~8 GB of key rows — too big to broadcast as a
+    hash relation — but its 10-bits/key Bloom is ~1.2 GB, and shipping
+    THAT lets the 100 TB fact table drop non-matching rows before the
+    shuffle instead of after (Spark's own runtime bloom-join pushes the
+    same construction when statistics allow; building it explicitly
+    makes the plan independent of the cost model's mood). Construction
+    is the all-JVM bit_or densification from contamination_bloom_prefilter
+    (text.py) — k=3 xxhash64 probes into a 2^18-bit array<long>, one-row
+    broadcast, zero Python."""
+    M_BITS = 1 << 18
+    N_WORDS = M_BITS // 64
+    SEEDS = [0, 1, 2]
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    dim = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+
+    def probe(key: F.Column, seed: int):
+        pos = F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(M_BITS))
+        word = (pos / 64).cast("int")
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+        )
+        return word, bit
+
+    parts = []
+    for s in SEEDS:
+        w, b = probe(F.col("c_custkey"), s)
+        parts.append(dim.select(w.alias("w"), b.alias("b")))
+    words = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    bloom = (
+        words.groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .groupBy()
+        .agg(F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("m"))
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_WORDS - 1)),
+                lambda w: F.coalesce(F.element_at("m", w), F.lit(0).cast("long")),
+            ).alias("bloom")
+        )
+    )
+    probed = o.join(F.broadcast(bloom))
+    cond = None
+    for s in SEEDS:
+        w, b = probe(F.col("o_custkey"), s)
+        hit = (F.element_at("bloom", w + F.lit(1)).bitwiseAND(b)) != 0
+        cond = hit if cond is None else (cond & hit)
+    survivors = probed.filter(cond).drop("bloom")
+    exact = survivors.join(dim, survivors.o_custkey == dim.c_custkey, "left_semi")
+    return exact.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )
+
+
+@register(
+    "graph_common_neighbors_linkpred",
+    oracle=f"""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), deg AS (
+      SELECT p, COUNT(*) AS d FROM edges GROUP BY p
+    ), kept AS (
+      SELECT e.c, e.p FROM edges e
+      JOIN deg USING (p) WHERE deg.d <= {_LINKPRED_MAX_DEGREE}
+    ), pairs AS (
+      SELECT a.c AS cust_a, b.c AS cust_b,
+             CAST(COUNT(*) AS BIGINT) AS common_parts
+      FROM kept a JOIN kept b ON a.p = b.p AND a.c < b.c
+      GROUP BY a.c, b.c
+    )
+    SELECT cust_a, cust_b, common_parts
+    FROM pairs
+    ORDER BY common_parts DESC, cust_a, cust_b
+    LIMIT 50
+    """,
+    tags=("graph", "linkpred", "join"),
+)
+def graph_common_neighbors_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors link prediction (Liben-Nowell & Kleinberg, CIKM
+    2003) on the bipartite customer—part purchase graph: score customer
+    pairs by how many distinct parts both bought, top-50 by
+    (common_parts DESC, cust_a, cust_b) — a provably total order.
+
+    Scale: the classic common-neighbors self-join explodes as Σ_p d_p²
+    — one hub part bought by 10⁶ customers alone contributes 10¹² pairs
+    — so the query degree-blocks first: parts above {_LINKPRED_MAX_DEGREE}
+    distinct buyers are dropped (they certify nothing; every link-pred
+    system blocks hubs for the same reason, cf. the boilerplate-bucket
+    cap in dedup.minhash). After blocking the fan-out is ≤ d·|edges| by
+    construction. Edge derivation is one orderkey-equi-join + distinct;
+    the pair aggregate is map-side-combinable integers; top-50 is
+    TakeOrderedAndProject — no global sort."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    deg = edges.groupBy("p").agg(F.count("*").alias("d"))
+    kept = edges.join(
+        deg.filter(F.col("d") <= _LINKPRED_MAX_DEGREE).select("p"), "p"
+    )
+    a = kept.select(F.col("c").alias("cust_a"), "p")
+    b = kept.select(F.col("c").alias("cust_b"), "p")
+    pairs = (
+        a.join(b, "p")
+        .filter(F.col("cust_a") < F.col("cust_b"))
+        .groupBy("cust_a", "cust_b")
+        .agg(F.count("*").cast("bigint").alias("common_parts"))
+    )
+    return pairs.orderBy(
+        F.desc("common_parts"), "cust_a", "cust_b"
+    ).limit(50)
+
+
+@register(
+    "orders_rfm_segments",
+    oracle="""
+    WITH ref AS (
+      SELECT MAX(o_orderdate) AS ref_date FROM orders
+    ), per_cust AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(o_orderdate), ref.ref_date) AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS monetary_cents
+      FROM orders CROSS JOIN ref GROUP BY o_custkey, ref.ref_date
+    ), scored AS (
+      SELECT o_custkey,
+             CASE WHEN recency_days <= 90 THEN 3
+                  WHEN recency_days <= 365 THEN 2 ELSE 1 END AS r_score,
+             CASE WHEN frequency >= 13 THEN 3
+                  WHEN frequency >= 8 THEN 2 ELSE 1 END AS f_score,
+             CASE WHEN monetary_cents >= 350000000 THEN 3
+                  WHEN monetary_cents >= 200000000 THEN 2 ELSE 1 END AS m_score,
+             monetary_cents
+      FROM per_cust
+    )
+    SELECT CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_cents) AS BIGINT) AS segment_revenue_cents
+    FROM scored GROUP BY segment
+    """,
+    tags=("analytics", "segmentation", "orders"),
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary — the
+    standard CRM cut): per customer, days since last order relative to
+    the dataset's newest order, order count, and lifetime revenue in
+    exact cents; each dimension scores 1-3 on fixed business thresholds
+    and the concatenated code (e.g. '333' = best) aggregates to segment
+    size and revenue. Fixed thresholds rather than ntile: quantile
+    scoring needs a global ranking (a data-scale global window) and
+    makes every customer's label depend on every other customer — fixed
+    cutoffs are what production CRM systems pin anyway, and keep the
+    plan one shuffle.
+
+    Scale: one customer-keyed aggregate; the global max date is a 1-row
+    broadcast cross join; scoring is a map-side CASE; the segment
+    rollup has ≤ 27 groups."""
+    o = read_table(spark, sf_dir, "orders")
+    ref = o.agg(F.max("o_orderdate").alias("ref_date"))
+    per_cust = (
+        o.crossJoin(F.broadcast(ref))
+        .groupBy("o_custkey", "ref_date")
+        .agg(
+            F.datediff(
+                F.to_date(F.first("ref_date")), F.to_date(F.max("o_orderdate"))
+            ).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias(
+                "monetary_cents"
+            ),
+        )
+    )
+    r = (
+        F.when(F.col("recency_days") <= 90, 3)
+        .when(F.col("recency_days") <= 365, 2)
+        .otherwise(1)
+    )
+    f_ = (
+        F.when(F.col("frequency") >= 13, 3)
+        .when(F.col("frequency") >= 8, 2)
+        .otherwise(1)
+    )
+    m = (
+        F.when(F.col("monetary_cents") >= 350_000_000, 3)
+        .when(F.col("monetary_cents") >= 200_000_000, 2)
+        .otherwise(1)
+    )
+    scored = per_cust.select(
+        F.concat(
+            r.cast("string"), f_.cast("string"), m.cast("string")
+        ).alias("segment"),
+        "monetary_cents",
+    )
+    return scored.groupBy("segment").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("monetary_cents").cast("bigint").alias("segment_revenue_cents"),
+    )
+
+
+@register(
+    "basket_association_rules",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), n AS (
+      SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM items
+    ), item_cnt AS (
+      SELECT pk, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY pk
+    ), pair_cnt AS (
+      SELECT a.pk AS part_a, b.pk AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk
+      HAVING COUNT(*) >= {_RULES_MIN_SUPPORT}
+    )
+    SELECT p.part_a, p.part_b, p.n_both,
+           ca.c AS n_a, cb.c AS n_b,
+           ROUND(CAST(p.n_both AS DOUBLE) / ca.c, 6) AS confidence_ab,
+           ROUND(CAST(p.n_both * n.n_orders AS DOUBLE) / (ca.c * cb.c), 6)
+             AS lift
+    FROM pair_cnt p
+    JOIN item_cnt ca ON ca.pk = p.part_a
+    JOIN item_cnt cb ON cb.pk = p.part_b
+    CROSS JOIN n
+    """,
+    tags=("analytics", "basket", "association"),
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets (Agrawal & Srikant, VLDB
+    1994's A-priori counting step): for every part pair co-occurring in
+    ≥ {_RULES_MIN_SUPPORT} orders, support count, the antecedent→consequent
+    confidence P(b|a) = c(ab)/c(a), and lift = N·c(ab)/(c(a)·c(b)) — the
+    independence-corrected signal a recommender ranks by. Companion to
+    basket_part_pairs (raw co-occurrence); this adds the per-item joins
+    that turn counts into rules. All divisions are correctly-rounded
+    double ops on integers < 2^53, sealed with ROUND-6.
+
+    Scale: pair generation self-joins WITHIN orderkey — fan-out is
+    Σ_orders (items/order choose 2), bounded by basket width (TPC-H ~4,
+    retail ~30), never by catalog size. Item counts join back as a
+    part-keyed table ∝ |parts| (broadcastable when parts fit, shuffled
+    hash join otherwise — Spark's cost model picks); N is a 1-row
+    broadcast."""
+    li = read_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n = items.agg(F.countDistinct("ok").cast("bigint").alias("n_orders"))
+    item_cnt = items.groupBy("pk").agg(F.count("*").cast("bigint").alias("c"))
+    a = items.select("ok", F.col("pk").alias("part_a"))
+    b = items.select("ok", F.col("pk").alias("part_b"))
+    pair_cnt = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+        .filter(F.col("n_both") >= _RULES_MIN_SUPPORT)
+    )
+    ca = item_cnt.select(F.col("pk").alias("part_a"), F.col("c").alias("n_a"))
+    cb = item_cnt.select(F.col("pk").alias("part_b"), F.col("c").alias("n_b"))
+    joined = (
+        pair_cnt.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(n))
+    )
+    return joined.select(
+        "part_a",
+        "part_b",
+        "n_both",
+        "n_a",
+        "n_b",
+        F.round(F.col("n_both").cast("double") / F.col("n_a"), 6).alias(
+            "confidence_ab"
+        ),
+        F.round(
+            (F.col("n_both") * F.col("n_orders")).cast("double")
+            / (F.col("n_a") * F.col("n_b")),
+            6,
+        ).alias("lift"),
+    )
