@@ -1445,3 +1445,115 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             STARTS="startswith",
         )
     )
+
+
+_KN_D = 0.75  # absolute-discount mass (the standard Kneser-Ney constant)
+
+
+@register(
+    "text_bigram_kneser_ney",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, tok, pos
+      FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok,
+               generate_subscripts(
+                 regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS pos
+        FROM documents
+      )
+    ), bg AS (
+      SELECT doc_id, tok AS w1,
+             LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM toks
+    ), c12 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM bg WHERE w2 IS NOT NULL GROUP BY w1, w2
+    ), w1s AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS n1fw
+      FROM c12 GROUP BY w1
+    ), w2s AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1bw FROM c12 GROUP BY w2
+    ), t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS t FROM c12
+    ), top AS (
+      SELECT w1, w2, c12 FROM c12
+      ORDER BY c12 DESC, w1, w2 LIMIT 100
+    )
+    SELECT top.w1, top.w2, top.c12,
+           ROUND((CASE WHEN top.c12 - 0.75 > 0.0
+                       THEN top.c12 - 0.75 ELSE 0.0 END) / w1s.c1
+                 + (0.75 * w1s.n1fw / w1s.c1)
+                   * (CAST(w2s.n1bw AS DOUBLE) / t.t), 6) AS kn_prob,
+           ROUND(LN((CASE WHEN top.c12 - 0.75 > 0.0
+                          THEN top.c12 - 0.75 ELSE 0.0 END) / w1s.c1
+                    + (0.75 * w1s.n1fw / w1s.c1)
+                      * (CAST(w2s.n1bw AS DOUBLE) / t.t)), 6) AS kn_logprob
+    FROM top
+    JOIN w1s ON w1s.w1 = top.w1
+    JOIN w2s ON w2s.w2 = top.w2
+    CROSS JOIN t
+    """,
+    tags=("text", "quality", "llm", "lm"),
+)
+def text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney,
+    ICASSP 1995; Chen & Goodman 1998's workhorse smoothing) for the
+    corpus's 100 most frequent bigrams:
+
+        P_KN(w2|w1) = max(c(w1,w2) - D, 0)/c(w1)
+                      + D·N1+(w1,·)/c(w1) · N1+(·,w2)/T
+
+    with D = 0.75, fertility N1+(w1,·) = distinct continuations of w1,
+    continuation probability N1+(·,w2)/T over T distinct bigram types —
+    the smoothing that makes "francisco" cheap after "san" but expensive
+    elsewhere, which Laplace smoothing (text_bigram_logprob) cannot
+    express. The discounted term, fertility and continuation statistics
+    are all integer-derived; ROUND-6 seals the two double expressions.
+
+    Plan: ONE corpus tokenization pass → per-doc lead window → one
+    (w1,w2)-keyed count; the three smoothing statistics are
+    RE-AGGREGATES of that count table (c1 and N1+(w1,·) in one groupBy,
+    N1+(·,w2) in another, T a one-row broadcast) — no second corpus
+    scan. The top-100 selection runs BEFORE the statistics joins, so
+    only 100 rows join back against the w1/w2 stat tables (broadcast of
+    the tiny side). At 100 TB the bigram count table is the big state
+    (∝ distinct bigrams, far sublinear in corpus size); everything
+    after it is vocabulary-bounded."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(BF.tokenize_ws(F.lower(F.col("text")))).alias("pos", "tok"),
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.col("tok").alias("w1"),
+        F.lead("tok").over(W.partitionBy("doc_id").orderBy("pos")).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    c12 = bigrams.groupBy("w1", "w2").agg(
+        F.count("*").cast("bigint").alias("c12")
+    )
+    w1s = c12.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count("*").cast("bigint").alias("n1fw"),
+    )
+    w2s = c12.groupBy("w2").agg(F.count("*").cast("bigint").alias("n1bw"))
+    t = c12.agg(F.count("*").cast("bigint").alias("t"))
+    top = c12.orderBy(F.desc("c12"), "w1", "w2").limit(100)
+    joined = (
+        top.join(w1s, "w1").join(w2s, "w2").crossJoin(F.broadcast(t))
+    )
+    disc = F.when(
+        F.col("c12") - _KN_D > 0.0, F.col("c12") - _KN_D
+    ).otherwise(F.lit(0.0))
+    p_kn = disc / F.col("c1") + (
+        _KN_D * F.col("n1fw") / F.col("c1")
+    ) * (F.col("n1bw").cast("double") / F.col("t"))
+    return joined.select(
+        "w1",
+        "w2",
+        "c12",
+        F.round(p_kn, 6).alias("kn_prob"),
+        F.round(F.log(p_kn), 6).alias("kn_logprob"),
+    )

@@ -905,3 +905,102 @@ def vector_standardize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("z"),
     )
+
+
+@register(
+    "similarity_dim_truncation_recall",
+    oracle="""
+    WITH qe AS (
+      SELECT vec_id AS query_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS qx
+      FROM embeddings CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS i) d
+      WHERE vec_id < 20
+    ), ce AS (
+      SELECT vec_id AS neighbor_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS cx
+      FROM embeddings CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS i) d
+    ), agg AS (
+      SELECT query_id, neighbor_id,
+             SUM(CAST(ROUND(qx * cx * 1000000000000.0) AS BIGINT)) AS dot_q,
+             SUM(CAST(ROUND(qx * qx * 1000000000000.0) AS BIGINT)) AS qn_q,
+             SUM(CAST(ROUND(cx * cx * 1000000000000.0) AS BIGINT)) AS cn_q
+      FROM ce JOIN qe USING (pos)
+      WHERE query_id <> neighbor_id
+      GROUP BY query_id, neighbor_id
+    ), full10 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY CAST(dot_q AS DOUBLE)
+                     / (SQRT(CAST(qn_q AS DOUBLE)) * SQRT(CAST(cn_q AS DOUBLE)))
+                     DESC,
+                   neighbor_id) AS rank
+        FROM agg) x WHERE rank <= 10
+    ), qe16 AS (
+      SELECT vec_id AS query_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS qx
+      FROM embeddings CROSS JOIN (SELECT UNNEST(RANGE(1, 17)) AS i) d
+      WHERE vec_id < 20
+    ), ce16 AS (
+      SELECT vec_id AS neighbor_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS cx
+      FROM embeddings CROSS JOIN (SELECT UNNEST(RANGE(1, 17)) AS i) d
+    ), agg16 AS (
+      SELECT query_id, neighbor_id,
+             SUM(CAST(ROUND(qx * cx * 1000000000000.0) AS BIGINT)) AS dot_q,
+             SUM(CAST(ROUND(qx * qx * 1000000000000.0) AS BIGINT)) AS qn_q,
+             SUM(CAST(ROUND(cx * cx * 1000000000000.0) AS BIGINT)) AS cn_q
+      FROM ce16 JOIN qe16 USING (pos)
+      WHERE query_id <> neighbor_id
+      GROUP BY query_id, neighbor_id
+    ), trunc10 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY CAST(dot_q AS DOUBLE)
+                     / (SQRT(CAST(qn_q AS DOUBLE)) * SQRT(CAST(cn_q AS DOUBLE)))
+                     DESC,
+                   neighbor_id) AS rank
+        FROM agg16) x WHERE rank <= 10
+    )
+    SELECT f.query_id,
+           CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_overlap,
+           ROUND(COUNT(t.neighbor_id) / 10.0, 6) AS recall_at_10
+    FROM full10 f
+    LEFT JOIN trunc10 t USING (query_id, neighbor_id)
+    GROUP BY f.query_id
+    """,
+    tags=("similarity", "vector", "eval"),
+)
+def similarity_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation evaluation (Kusupati et
+    al., NeurIPS 2022): for 20 query vectors, compare exact cosine
+    top-10 under the FULL 64 dimensions against top-10 using only the
+    FIRST 16 dimensions, reporting per-query overlap — the measurement
+    that decides whether a pipeline can serve truncated embeddings (4×
+    less memory and shuffle) at acceptable recall. Both sides are the
+    engine-exact fixed-point brute-force plan (similarity.
+    brute_force_topk), so the oracle replays the identical integer
+    arithmetic and the overlap is hash-exact, not approximate.
+
+    Scale: each side is the bounded-broadcast brute-force path (queries
+    × dim capped, corpus never shuffles vectors); the truncated side
+    slices map-side before explode, so it moves 1/4 the bytes — which
+    is the production claim this query quantifies. The overlap join is
+    per-query constant-size (10 rows a side)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    full10 = similarity.brute_force_topk(q, e, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    e16 = e.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    q16 = e16.filter(F.col("vec_id") < 20)
+    trunc10 = similarity.brute_force_topk(q16, e16, k=10).select(
+        "query_id", F.col("neighbor_id").alias("t_neighbor_id")
+    )
+    marked = full10.join(
+        trunc10,
+        (full10.query_id == trunc10.query_id)
+        & (full10.neighbor_id == trunc10.t_neighbor_id),
+        "left",
+    ).select(full10.query_id, "t_neighbor_id")
+    return marked.groupBy("query_id").agg(
+        F.count("t_neighbor_id").cast("bigint").alias("n_overlap"),
+        F.round(F.count("t_neighbor_id") / 10.0, 6).alias("recall_at_10"),
+    )
