@@ -154,6 +154,16 @@ HEADLINE = [
     # audit so ANN-path regressions are visible (the gated query keeps
     # the audit; this row times only the 100 TB path)
     "similarity_lsh_topk_plan",
+    # round 7: journey/survival analytics (KM retention, bitmap-rolling
+    # DAU/MAU), the single-shuffle nearest-asof join, the Bloom
+    # semi-join reduction, degree-blocked common-neighbors link
+    # prediction, and Kneser-Ney bigram smoothing
+    "events_kaplan_meier_retention",
+    "events_mau_bitmap_rolling",
+    "join_asof_nearest",
+    "join_bloom_semi_reduction",
+    "graph_common_neighbors_linkpred",
+    "text_bigram_kneser_ney",
 ]
 
 

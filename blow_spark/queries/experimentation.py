@@ -587,3 +587,101 @@ def experiment_bayes_beta_posterior(spark: SparkSession, sf_dir: str) -> DataFra
         F.round(p - half, 6).alias("ci_low"),
         F.round(p + half, 6).alias("ci_high"),
     )
+
+
+@register(
+    "experiment_delta_method_ratio_ci",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS INT) AS arm,
+             CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS y_e4,
+             CAST(COUNT(*) AS BIGINT) AS n_ev
+      FROM events GROUP BY user_id
+    ), moments AS (
+      SELECT arm,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(y_e4) AS BIGINT) AS sy,
+             CAST(SUM(n_ev) AS BIGINT) AS sn,
+             CAST(SUM(y_e4 * y_e4) AS BIGINT) AS syy,
+             CAST(SUM(n_ev * n_ev) AS BIGINT) AS snn,
+             CAST(SUM(y_e4 * n_ev) AS BIGINT) AS syn
+      FROM per_user GROUP BY arm
+    ), alg AS (
+      SELECT arm, n_users, sy, sn,
+             CAST(sy AS DOUBLE) / sn AS r,
+             (CAST(syy AS DOUBLE) / n_users
+                - (CAST(sy AS DOUBLE) / n_users) * (CAST(sy AS DOUBLE) / n_users))
+               AS vy,
+             (CAST(snn AS DOUBLE) / n_users
+                - (CAST(sn AS DOUBLE) / n_users) * (CAST(sn AS DOUBLE) / n_users))
+               AS vn,
+             (CAST(syn AS DOUBLE) / n_users
+                - (CAST(sy AS DOUBLE) / n_users) * (CAST(sn AS DOUBLE) / n_users))
+               AS cyn,
+             CAST(sn AS DOUBLE) / n_users AS nbar
+      FROM moments
+    )
+    SELECT arm, n_users,
+           ROUND(r / 10000.0, 6) AS ratio,
+           ROUND((r - {_Z95} * SQRT(
+                    (vy - 2.0 * r * cyn + r * r * vn)
+                      / (n_users * nbar * nbar))) / 10000.0, 6) AS ci_low,
+           ROUND((r + {_Z95} * SQRT(
+                    (vy - 2.0 * r * cyn + r * r * vn)
+                      / (n_users * nbar * nbar))) / 10000.0, 6) AS ci_high
+    FROM alg
+    """,
+    tags=("experiment", "analytics"),
+)
+def experiment_delta_method_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric (value per
+    event, the 'revenue per session' shape) with the USER as the
+    randomization unit — the readout every experimentation platform
+    needs once the metric denominator is not the unit of randomization
+    (naively treating events as i.i.d. understates variance; Deng et
+    al., KDD 2018 'Applying the Delta Method in Metric Analytics').
+    R = ΣY/ΣN per arm; Var(R) ≈ (σ²_Y − 2R·σ_YN + R²·σ²_N)/(n·n̄²) from
+    five integer moment sums. Everything up to the final algebra is
+    exact fixed-point integers; the closed-form doubles are identical
+    correctly-rounded ops in both engines, sealed with ROUND-6.
+
+    Scale: ONE user-keyed aggregate then a 2-row arm rollup carrying
+    five moments — the same one-pass moment pattern as
+    experiment_cuped_readout. Integer envelope: Σy² < 2^63 holds to
+    ~10⁹ e4-scaled value units per user; past that the moment columns
+    upgrade to DECIMAL(38,0) (documented, same rule as CUPED)."""
+    e = read_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 10000).cast("bigint"))
+        .cast("bigint")
+        .alias("y_e4"),
+        F.count("*").cast("bigint").alias("n_ev"),
+    )
+    m = per_user.groupBy(
+        (F.col("user_id") % 2).cast("int").alias("arm")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("y_e4").cast("bigint").alias("sy"),
+        F.sum("n_ev").cast("bigint").alias("sn"),
+        F.sum(F.col("y_e4") * F.col("y_e4")).cast("bigint").alias("syy"),
+        F.sum(F.col("n_ev") * F.col("n_ev")).cast("bigint").alias("snn"),
+        F.sum(F.col("y_e4") * F.col("n_ev")).cast("bigint").alias("syn"),
+    )
+    n = F.col("n_users")
+    r = F.col("sy").cast("double") / F.col("sn")
+    my = F.col("sy").cast("double") / n
+    mn = F.col("sn").cast("double") / n
+    vy = F.col("syy").cast("double") / n - my * my
+    vn = F.col("snn").cast("double") / n - mn * mn
+    cyn = F.col("syn").cast("double") / n - my * mn
+    half = F.lit(_Z95) * F.sqrt(
+        (vy - 2.0 * r * cyn + r * r * vn) / (n * mn * mn)
+    )
+    return m.select(
+        "arm",
+        "n_users",
+        F.round(r / 10000.0, 6).alias("ratio"),
+        F.round((r - half) / 10000.0, 6).alias("ci_low"),
+        F.round((r + half) / 10000.0, 6).alias("ci_high"),
+    )

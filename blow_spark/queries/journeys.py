@@ -360,3 +360,169 @@ def timeseries_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("twap"),
     )
+
+
+_M4_BUCKETS = 50
+
+
+@register(
+    "timeseries_m4_downsample",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+    ), pts AS (
+      SELECT event_type, event_id, ts,
+             CAST(ROUND(value * 10000) AS BIGINT) AS v_e4,
+             CAST(((epoch_us(ts) - b.lo) * {_M4_BUCKETS})
+                  // (b.hi - b.lo + 1) AS BIGINT) AS bucket
+      FROM events CROSS JOIN bounds b
+    ), ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM pts
+    )
+    SELECT event_type, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(v_e4) AS BIGINT) AS vmin_e4,
+           CAST(MAX(v_e4) AS BIGINT) AS vmax_e4,
+           CAST(MAX(CASE WHEN rn_a = 1 THEN v_e4 END) AS BIGINT) AS first_e4,
+           CAST(MAX(CASE WHEN rn_d = 1 THEN v_e4 END) AS BIGINT) AS last_e4
+    FROM ranked GROUP BY event_type, bucket
+    """,
+    tags=("timeseries", "downsample", "events"),
+)
+def timeseries_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014): per series and fixed
+    time bucket (one per output pixel, {_M4_BUCKETS} here), keep exactly
+    the four value-and-time extrema a pixel-perfect line rendering needs
+    — min, max, first, last — the provably error-free reduction for
+    line-chart visualization (any other point cannot change a drawn
+    pixel). Values fixed-pointed to e4 integers; first/last resolved by
+    the (ts, event_id) total order via two rank columns sharing one
+    window sort.
+
+    Scale: ONE (series, bucket)-keyed shuffle; the two row_numbers and
+    the five aggregates all run inside that partitioning. Bucket bounds
+    are a 1-row broadcast. Output is |series|×{_M4_BUCKETS} rows no matter
+    how many points came in — the whole point of M4."""
+    e = read_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    )
+    pts = e.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 10000).cast("bigint").alias("v_e4"),
+        F.expr(
+            f"((unix_micros(ts) - lo) * {_M4_BUCKETS}) div (hi - lo + 1)"
+        ).alias("bucket"),
+    )
+    wa = W.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
+    wd = W.partitionBy("event_type", "bucket").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = pts.select(
+        "event_type",
+        "bucket",
+        "v_e4",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return ranked.groupBy("event_type", "bucket").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("v_e4").cast("bigint").alias("vmin_e4"),
+        F.max("v_e4").cast("bigint").alias("vmax_e4"),
+        F.max(F.when(F.col("rn_a") == 1, F.col("v_e4")))
+        .cast("bigint")
+        .alias("first_e4"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("v_e4")))
+        .cast("bigint")
+        .alias("last_e4"),
+    )
+
+
+@register(
+    "timeseries_cusum_deviation",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS s_e4,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), tot AS (
+      SELECT event_type,
+             CAST(SUM(s_e4) AS BIGINT) AS tot_s,
+             CAST(SUM(n) AS BIGINT) AS tot_n
+      FROM daily GROUP BY event_type
+    ), dev AS (
+      SELECT d.event_type, d.day,
+             d.s_e4 * t.tot_n - t.tot_s * d.n AS dev_scaled,
+             t.tot_n
+      FROM daily d JOIN tot t USING (event_type)
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           CAST(SUM(dev_scaled) OVER (PARTITION BY event_type ORDER BY day)
+                AS BIGINT) AS cusum_scaled,
+           ROUND(CAST(SUM(dev_scaled) OVER (PARTITION BY event_type
+                                            ORDER BY day) AS DOUBLE)
+                 / tot_n / 10000.0, 6) AS cusum_value
+    FROM dev
+    """,
+    tags=("timeseries", "anomaly", "events"),
+)
+def timeseries_cusum_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM control chart (Page, Biometrika 1954 — the V-mask form):
+    per series, the running sum of daily deviations from the series'
+    own mean; a persistent drift accumulates while noise cancels, which
+    a pointwise z-score (events_anomaly_zscore) cannot see. Kept EXACT
+    by integer cross-multiplication: deviation of day d scales to
+    s_d·N − S·n_d (s=daily fixed-point sum, n=daily count, S/N series
+    totals) — a pure-integer window sum, no float accumulation order to
+    diverge on; the value-unit column divides once at the end (inputs
+    < 2^53, correctly rounded identically, ROUND-6).
+
+    Scale: one (series, day) aggregate, one series-total re-aggregate
+    joined back (series-keyed, tiny), and a series-partitioned
+    cumulative window over calendar-bounded rows. Integer envelope:
+    s_d·N < 2^63 up to ~10⁹ events/series/day at e4 scale — past that,
+    DECIMAL(38,0)."""
+    e = read_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 10000).cast("bigint"))
+        .cast("bigint")
+        .alias("s_e4"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("s_e4").cast("bigint").alias("tot_s"),
+        F.sum("n").cast("bigint").alias("tot_n"),
+    )
+    dev = daily.join(tot, "event_type").select(
+        "event_type",
+        "day",
+        (F.col("s_e4") * F.col("tot_n") - F.col("tot_s") * F.col("n")).alias(
+            "dev_scaled"
+        ),
+        "tot_n",
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cusum = F.sum("dev_scaled").over(w)
+    return dev.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        cusum.cast("bigint").alias("cusum_scaled"),
+        F.round(
+            cusum.cast("double") / F.col("tot_n") / 10000.0, 6
+        ).alias("cusum_value"),
+    )

@@ -1557,3 +1557,60 @@ def text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_kn, 6).alias("kn_prob"),
         F.round(F.log(p_kn), 6).alias("kn_logprob"),
     )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(t) - 3),
+               i -> array_to_string(t[i:i+4], ' ')))) AS g
+      FROM toks
+      WHERE len(t) >= 5
+    ), first_seen AS (
+      SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY g
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (WHERE f.first_doc = s.doc_id) AS BIGINT)
+             AS n_novel,
+           ROUND(CAST(COUNT(*) FILTER (WHERE f.first_doc = s.doc_id)
+                      AS DOUBLE) / COUNT(*), 6) AS novelty
+    FROM sh s JOIN first_seen f USING (g)
+    GROUP BY s.doc_id
+    """,
+    tags=("text", "dedup", "llm", "quality"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty against the rest of the corpus in
+    doc_id (ingestion) order: the fraction of a document's distinct word
+    5-grams whose FIRST corpus occurrence is this document — the
+    marginal-information signal a dedup-aware mixing pipeline ranks by
+    (a doc whose shingles all appeared in earlier docs adds ~nothing to
+    training even if no single earlier doc matches it, which pairwise
+    dedup cannot see; cf. Lee et al., ACL 2022 on repeated n-grams).
+
+    Plan: one shingle explode, one gram-keyed MIN aggregate (the
+    first-occurrence index), one join back on gram, one per-doc
+    aggregate. At 100 TB the gram-keyed shuffle is the big move — the
+    same table the contamination and span-excision operators already
+    build, so in a composed pipeline it amortizes; the join never moves
+    document bodies, only (gram, doc_id) pairs."""
+    d = read_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(BF.word_shingles(F.col("text"), 5)).alias("g")
+    )
+    first_seen = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    joined = sh.join(first_seen, "g")
+    novel = F.count_if(F.col("first_doc") == F.col("doc_id"))
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_grams"),
+        novel.cast("bigint").alias("n_novel"),
+        F.round(novel.cast("double") / F.count("*"), 6).alias("novelty"),
+    )

@@ -230,6 +230,23 @@ BENCH_EXCHANGE_PINS = {
     "graph_label_propagation": (1, 0),
     # range-repartition rank (spilled) + offsets broadcast + final agg
     "split_kfold_cv": (2, 1),
+    # user-lifetime agg + day agg + calendar-bounded cumulative window
+    # + the 1-row n_total broadcast (whitelisted single-partition)
+    "events_kaplan_meier_retention": (5, 1),
+    # (day,bucket) bitmap agg + days/buckets distincts + dense left
+    # join; the tiny days×buckets frame broadcasts twice
+    "events_mau_bitmap_rolling": (5, 2),
+    # BOTH asof directions out of one union+window pass: one shuffle
+    "join_asof_nearest": (1, 0),
+    # dim bit-position agg + 1-row bloom densify + month rollup; the
+    # bloom array and the exact-confirm dim side broadcast
+    "join_bloom_semi_reduction": (3, 2),
+    # edge derivation join/distinct + degree cut + pair self-join +
+    # top-50; part-keyed sides broadcast where small
+    "graph_common_neighbors_linkpred": (9, 4),
+    # tokenize window + bigram count + 3 stat re-aggregates + top-100
+    # joins (stat sides broadcast) + 1-row T
+    "text_bigram_kneser_ney": (11, 3),
 }
 
 
