@@ -536,6 +536,59 @@ def global_row_number(
     )
 
 
+def global_running_sum(
+    df: DataFrame,
+    order_exprs: list,
+    value_col: str,
+    num_parts: int = 32,
+    out_col: str = "running_sum",
+) -> DataFrame:
+    """Exact ``SUM(value) OVER (ORDER BY <order_exprs>)`` with NO
+    data-scale single-partition window — the prefix-sum twin of
+    ``global_row_number`` (same two-phase range-partition shape, same
+    constant-size offsets branch): range-partition on the order key,
+    running sum WITHIN each partition (independent window groups, full
+    parallelism), then add each partition's cumulative predecessor
+    total. The offsets table is one row per partition (~10^2 rows at
+    any data size); it joins back as a broadcast. The partitioned table
+    is spilled once so both branches observe the same partition ids.
+
+    ``order_exprs`` must define a TOTAL order (unique tiebreaker) and
+    ``value_col`` must be an integral/decimal column — float prefix
+    sums are order-sensitive and would not be engine-exact."""
+    from blow_spark.materialize import spill_to_parquet
+
+    parts = df.repartitionByRange(num_parts, *order_exprs).withColumn(
+        "__grs_pid", F.spark_partition_id()
+    )
+    within = parts.withColumn(
+        "__grs_run",
+        F.sum(value_col).over(
+            W.partitionBy("__grs_pid")
+            .orderBy(*order_exprs)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    staged = spill_to_parquet(within, "blow_spark_gsum_")
+    totals = staged.groupBy("__grs_pid").agg(F.max("__grs_run").alias("tot"))
+    offs = totals.select(
+        "__grs_pid",
+        F.sum("tot")
+        .over(W.orderBy("__grs_pid").rowsBetween(W.unboundedPreceding, -1))
+        .alias("__grs_off"),
+    )
+    return (
+        staged.join(F.broadcast(offs), "__grs_pid")
+        .withColumn(
+            out_col,
+            (F.col("__grs_run") + F.coalesce("__grs_off", F.lit(0))).cast(
+                "bigint"
+            ),
+        )
+        .drop("__grs_pid", "__grs_run", "__grs_off")
+    )
+
+
 # --------------------------------------------------------------------------
 # MERGE INTO (write side, copy-on-write over parquet)
 # --------------------------------------------------------------------------

@@ -526,3 +526,95 @@ def timeseries_cusum_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             cusum.cast("double") / F.col("tot_n") / 10000.0, 6
         ).alias("cusum_value"),
     )
+
+
+@register(
+    "events_time_to_convert",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS fv_us
+      FROM events GROUP BY user_id
+    ), conv AS (
+      SELECT e.user_id,
+             (MIN(epoch_us(e.ts)) - u.fv_us) // 1000000 AS latency_s
+      FROM per_user u
+      JOIN events e ON e.user_id = u.user_id
+       AND e.event_type = 'purchase' AND epoch_us(e.ts) > u.fv_us
+      GROUP BY e.user_id, u.fv_us
+    ), ranked AS (
+      SELECT user_id, latency_s,
+             ROW_NUMBER() OVER (ORDER BY latency_s, user_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM conv
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+           CAST(MAX(CASE WHEN rn = (n - 1) * 25 // 100 + 1
+                         THEN latency_s END) AS BIGINT) AS p25_s,
+           CAST(MAX(CASE WHEN rn = (n - 1) * 50 // 100 + 1
+                         THEN latency_s END) AS BIGINT) AS p50_s,
+           CAST(MAX(CASE WHEN rn = (n - 1) * 90 // 100 + 1
+                         THEN latency_s END) AS BIGINT) AS p90_s
+    FROM ranked
+    """,
+    tags=("analytics", "funnel", "events"),
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every user, the whole-second
+    latency from their FIRST view to their first purchase AFTER it,
+    summarized as exact order-statistic percentiles (p25/p50/p90 at the
+    lower-index convention rank = (n-1)·p/100 + 1) — the funnel-latency
+    readout that complements events_funnel_conversion's rate.
+
+    Scale: one user-keyed aggregate derives the first view per user in
+    a single conditional-MIN pass; first-purchase-after-view is a
+    user-keyed join + MIN (no event-log self-join at event granularity
+    — the oracle replays with one for independence). The percentile
+    selection runs on the converted-users table via
+    ops.global_row_number (two-phase range rank, no data-scale
+    single-partition window); the total count joins back as a 1-row
+    broadcast so the rank→index arithmetic stays in-plan (no driver
+    scalar)."""
+    from blow_spark import ops
+
+    e = read_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+        ).alias("fv_us"),
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("p_us")
+    )
+    conv = (
+        purch.join(per_user, "user_id")
+        .filter(F.col("fv_us").isNotNull() & (F.col("p_us") > F.col("fv_us")))
+        .groupBy("user_id", "fv_us")
+        .agg(F.min("p_us").alias("fp_us"))
+        .select(
+            "user_id",
+            F.expr("(fp_us - fv_us) div 1000000").alias("latency_s"),
+        )
+    )
+    ranked = ops.global_row_number(
+        conv, [F.col("latency_s").asc(), F.col("user_id").asc()], out_col="rn"
+    )
+    tot = ranked.agg(F.count("*").cast("bigint").alias("n"))
+    at = ranked.crossJoin(F.broadcast(tot))
+
+    def pick(p: int):
+        idx = (F.col("n") - 1) * p / F.lit(100)
+        # integer floor of an exact small-int ratio, then +1
+        return F.max(
+            F.when(
+                F.col("rn") == F.floor(idx).cast("bigint") + 1,
+                F.col("latency_s"),
+            )
+        ).cast("bigint")
+
+    return at.agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        pick(25).alias("p25_s"),
+        pick(50).alias("p50_s"),
+        pick(90).alias("p90_s"),
+    )

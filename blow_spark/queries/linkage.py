@@ -550,3 +550,86 @@ def graph_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("common_parts"), "cust_a", "cust_b")
         .limit(50)
     )
+
+
+@register(
+    "orders_abc_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+      SELECT pk, cents,
+             SUM(cents) OVER (ORDER BY cents DESC, pk) AS cum_cents,
+             SUM(cents) OVER () AS total_cents
+      FROM rev
+    ), classed AS (
+      SELECT pk, cents,
+             CASE WHEN CAST(cum_cents AS DOUBLE) / total_cents <= 0.8 THEN 'A'
+                  WHEN CAST(cum_cents AS DOUBLE) / total_cents <= 0.95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             total_cents
+      FROM ranked
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+           ROUND(CAST(SUM(cents) AS DOUBLE) / MAX(total_cents), 6)
+             AS revenue_share
+    FROM classed GROUP BY abc_class
+    """,
+    tags=("analytics", "pareto", "orders"),
+)
+def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification: parts ranked by exact-cents
+    revenue, class A = the head of the ranking up to 80% cumulative
+    revenue share, B to 95%, C the tail — the 80/20 cut every inventory
+    and catalog-curation pipeline starts from. The cumulative revenue is
+    an EXACT integer prefix sum over a provably total order
+    (cents DESC, partkey), so the class boundary is deterministic; the
+    one share division is a correctly-rounded double op on integers,
+    sealed with ROUND-6.
+
+    Scale: per-part revenue is one part-keyed aggregate; the corpus-wide
+    prefix sum runs through ops.global_running_sum — the two-phase
+    range-partition form whose only single-partition window is the
+    one-row-per-partition offsets table (whitelisted constant-size
+    pattern, cf. ops.global_row_number) — NOT a data-scale global
+    window; the grand total joins back as a 1-row broadcast and the
+    class rollup has 3 groups."""
+    from blow_spark import ops
+
+    li = read_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    cum = ops.global_running_sum(
+        rev,
+        [F.col("cents").desc(), F.col("pk").asc()],
+        "cents",
+        out_col="cum_cents",
+    )
+    total = rev.agg(F.sum("cents").cast("bigint").alias("total_cents"))
+    share = F.col("cum_cents").cast("double") / F.col("total_cents")
+    classed = cum.crossJoin(F.broadcast(total)).select(
+        "cents",
+        "total_cents",
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+        F.round(
+            F.sum("cents").cast("double") / F.max("total_cents"), 6
+        ).alias("revenue_share"),
+    )

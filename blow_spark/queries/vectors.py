@@ -1004,3 +1004,148 @@ def similarity_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFr
         F.count("t_neighbor_id").cast("bigint").alias("n_overlap"),
         F.round(F.count("t_neighbor_id") / 10.0, 6).alias("recall_at_10"),
     )
+
+
+_PQ_SUBS = 4      # subspaces (64 dims -> 4 x 16)
+_PQ_SUBDIM = 16
+_PQ_CODES = 8     # centroids per subspace
+_PQ_E12 = 1_000_000_000_000.0
+_PQ_HEX_DEN = 4503599627370496.0  # 16^13 = 2^52
+
+
+@register(
+    "vector_pq_quantize",
+    oracle=f"""
+    WITH cb AS (
+      SELECT s.s, j.j, d.d,
+             (CAST(CAST(('0x' || substring(
+                md5('pq:' || s.s || ':' || j.j || ':' || d.d), 1, 13))
+                AS BIGINT) AS DOUBLE) / {_PQ_HEX_DEN}) * 0.5 - 0.25 AS c
+      FROM (SELECT UNNEST(RANGE(0, {_PQ_SUBS})) AS s) s
+      CROSS JOIN (SELECT UNNEST(RANGE(0, {_PQ_CODES})) AS j) j
+      CROSS JOIN (SELECT UNNEST(RANGE(0, {_PQ_SUBDIM})) AS d) d
+    ), ex AS (
+      SELECT vec_id, (i - 1) // {_PQ_SUBDIM} AS s, (i - 1) % {_PQ_SUBDIM} AS d,
+             CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings
+      CROSS JOIN (SELECT UNNEST(RANGE(1, {_PQ_SUBS * _PQ_SUBDIM} + 1)) AS i) di
+    ), dist AS (
+      SELECT e.vec_id, e.s, cb.j,
+             SUM(CAST(ROUND((e.x - cb.c) * (e.x - cb.c) * {_PQ_E12})
+                      AS BIGINT)) AS d2
+      FROM ex e JOIN cb ON cb.s = e.s AND cb.d = e.d
+      GROUP BY e.vec_id, e.s, cb.j
+    ), best AS (
+      SELECT vec_id, s, j AS code, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                ORDER BY d2, j) AS rn
+      FROM dist
+    )
+    SELECT vec_id,
+           string_agg(CAST(code AS VARCHAR), '-' ORDER BY s) AS pq_code,
+           CAST(SUM(d2) AS BIGINT) AS total_d2_e12
+    FROM best WHERE rn = 1
+    GROUP BY vec_id
+    """,
+    tags=("vector", "quantize", "similarity"),
+)
+def vector_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou, Douze & Schmid, TPAMI 2011 — the
+    compression behind every billion-scale ANN index): each 64-dim
+    vector splits into {_PQ_SUBS} subspaces of {_PQ_SUBDIM} dims; each
+    subspace assigns to the nearest of {_PQ_CODES} codebook centroids;
+    the vector compresses to {_PQ_SUBS} small codes (here 4×3 bits vs
+    256 bytes — the 100 TB memory story). The codebook is DERIVED
+    (md5-seeded uniform centroids) rather than k-means-trained, so the
+    assignment and its reconstruction error are deterministic and
+    oracle-replayable while exercising the exact production plan —
+    swap the codebook table for trained centroids and nothing else
+    changes (vector_kmeans_lloyd_step is the trained-codebook path).
+    Distances are e12 fixed-point integer sums (order-independent,
+    engine-exact); argmin ties break to the lower code.
+
+    Scale: the 512-row codebook is generated IN-PLAN (sequence +
+    explode) and broadcast; vectors posexplode map-side, join the
+    codebook per (subspace, dim) and partially aggregate to
+    (vec, subspace, code) BEFORE the one shuffle — ~{_PQ_SUBS * _PQ_CODES}
+    rows × 24 B per vector move, independent of dim. No Python, no
+    driver materialization."""
+    e = read_table(spark, sf_dir, "embeddings")
+    cb = (
+        spark.range(1)
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(_PQ_SUBS - 1))).alias("s")
+        )
+        .select(
+            "s",
+            F.explode(F.sequence(F.lit(0), F.lit(_PQ_CODES - 1))).alias("j"),
+        )
+        .select(
+            "s",
+            "j",
+            F.explode(F.sequence(F.lit(0), F.lit(_PQ_SUBDIM - 1))).alias("d"),
+        )
+        .select(
+            "s",
+            "j",
+            "d",
+            (
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    ":",
+                                    F.lit("pq"),
+                                    F.col("s"),
+                                    F.col("j"),
+                                    F.col("d"),
+                                )
+                            ),
+                            1,
+                            13,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                ).cast("double")
+                / F.lit(_PQ_HEX_DEN)
+                * 0.5
+                - 0.25
+            ).alias("c"),
+        )
+    )
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xr")
+    ).select(
+        "vec_id",
+        F.expr(f"pos div {_PQ_SUBDIM}").alias("s"),
+        (F.col("pos") % _PQ_SUBDIM).alias("d"),
+        F.col("xr").cast("double").alias("x"),
+    )
+    dist = (
+        ex.join(F.broadcast(cb), ["s", "d"])
+        .groupBy("vec_id", "s", "j")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("x") - F.col("c"))
+                    * (F.col("x") - F.col("c"))
+                    * _PQ_E12
+                ).cast("long")
+            ).alias("d2")
+        )
+    )
+    best = dist.groupBy("vec_id", "s").agg(
+        F.min(F.struct("d2", "j")).alias("b")
+    )
+    return best.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", F.col("b.j").alias("j")))),
+                lambda r: r["j"].cast("string"),
+            ),
+            "-",
+        ).alias("pq_code"),
+        F.sum("b.d2").cast("bigint").alias("total_d2_e12"),
+    )

@@ -123,3 +123,47 @@ def test_dim_truncation_recall_bounds(spark):
     for r in rows:
         assert 0 <= r.n_overlap <= 10
         assert abs(r.recall_at_10 - r.n_overlap / 10.0) < 1e-9
+
+
+def test_global_running_sum_matches_naive(spark):
+    """ops.global_running_sum == the naive single-partition prefix sum."""
+    from blow_spark import ops
+
+    df = spark.range(1000).select(
+        F.col("id"), ((F.col("id") * 37) % 101).cast("bigint").alias("v")
+    )
+    got = {
+        r.id: r.rs
+        for r in ops.global_running_sum(
+            df, [F.col("v").desc(), F.col("id").asc()], "v", out_col="rs"
+        ).collect()
+    }
+    rows = sorted(df.collect(), key=lambda r: (-r.v, r.id))
+    acc = 0
+    for r in rows:
+        acc += r.v
+        assert got[r.id] == acc, (r.id, got[r.id], acc)
+
+
+def test_abc_pareto_partitions_all_parts(spark):
+    rows = {r.abc_class: r for r in queries()["orders_abc_pareto"](spark, SF).collect()}
+    assert set(rows) <= {"A", "B", "C"} and "A" in rows
+    total_share = sum(r.revenue_share for r in rows.values())
+    assert abs(total_share - 1.0) < 1e-4
+    # A-class revenue share is the head of the curve
+    assert rows["A"].revenue_share >= rows.get("C", rows["A"]).revenue_share
+
+
+def test_time_to_convert_percentiles_ordered(spark):
+    r = queries()["events_time_to_convert"](spark, SF).first()
+    assert r.n_converted > 0
+    assert 0 <= r.p25_s <= r.p50_s <= r.p90_s
+
+
+def test_pq_codes_in_range_and_error_nonnegative(spark):
+    rows = queries()["vector_pq_quantize"](spark, SF).collect()
+    assert len(rows) == 500
+    for r in rows:
+        codes = [int(c) for c in r.pq_code.split("-")]
+        assert len(codes) == 4 and all(0 <= c <= 7 for c in codes)
+        assert r.total_d2_e12 >= 0

@@ -41,6 +41,9 @@ WHITELIST = {
     # AFTER the user-keyed aggregate reduced the corpus. Same constant-
     # size justification as the offsets tables above.
     "events_kaplan_meier_retention": 1,
+    "events_time_to_convert": 1,     # percentile rank offsets (global_row_number)
+    "orders_abc_pareto": 1,          # prefix-sum offsets (global_running_sum —
+                                     # one row per range partition, same shape)
 }
 
 
