@@ -1241,3 +1241,93 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_logprob"
         ),
     )
+
+
+_ZIPF_TOP = 200
+_ZIPF_E6 = 1_000_000.0
+
+
+@register(
+    "corpus_zipf_exponent",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+        FROM documents
+      ) GROUP BY tok
+    ), ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r
+      FROM cnt
+    ), pts AS (
+      SELECT CAST(ROUND(LN(CAST(r AS DOUBLE)) * {_ZIPF_E6}) AS BIGINT) AS x,
+             CAST(ROUND(LN(CAST(c AS DOUBLE)) * {_ZIPF_E6}) AS BIGINT) AS y
+      FROM ranked WHERE r <= {_ZIPF_TOP}
+    ), sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pts
+    )
+    SELECT n AS n_points,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           ROUND(-(CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE)), 6) AS zipf_exponent
+    FROM sums
+    """,
+    tags=("corpus", "stats", "llm"),
+)
+def corpus_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law exponent of the corpus vocabulary (Zipf 1949; natural
+    language sits near s≈1): ordinary least squares of ln(frequency) on
+    ln(rank) over the top-{_ZIPF_TOP} tokens — the one-number corpus
+    health check a data pipeline tracks across snapshots (a drifting
+    exponent flags boilerplate floods or tokenizer regressions before
+    any downstream metric moves). Log points are e6 fixed-point
+    integers, so the five OLS moment sums are exact BIGINTs (< 2^53 —
+    envelope documented below) and the closed-form slope is one
+    correctly-rounded double division, ROUND-6.
+
+    Scale: one corpus tokenize + count (the vocabulary table), ranks
+    via ops.global_row_number (two-phase, no data-scale single-partition
+    window), moments in a 1-row aggregate over {_ZIPF_TOP} points.
+    Envelope: Σx·y ≤ {_ZIPF_TOP}·(ln({_ZIPF_TOP})·10⁶)·(ln(c_max)·10⁶)
+    stays under 2^53 for c_max up to ~10^30 — effectively unbounded."""
+    from blow_spark import functions as BF
+    from blow_spark import ops
+
+    d = read_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select(
+            F.explode(BF.tokenize_ws(F.lower(F.col("text")))).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    ranked = ops.global_row_number(
+        cnt, [F.col("c").desc(), F.col("tok").asc()], out_col="r"
+    ).filter(F.col("r") <= _ZIPF_TOP)
+    pts = ranked.select(
+        F.round(F.log(F.col("r").cast("double")) * _ZIPF_E6)
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.log(F.col("c").cast("double")) * _ZIPF_E6)
+        .cast("bigint")
+        .alias("y"),
+    )
+    sums = pts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return sums.select(
+        F.col("n").alias("n_points"),
+        F.round(num / den, 6).alias("slope"),
+        F.round(-(num / den), 6).alias("zipf_exponent"),
+    )

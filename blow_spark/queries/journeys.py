@@ -618,3 +618,31 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(50).alias("p50_s"),
         pick(90).alias("p90_s"),
     )
+
+
+@register(
+    "events_activity_heatmap",
+    oracle="""
+    SELECT CAST(date_part('dow', ts) AS INT) AS dow,
+           CAST(date_part('hour', ts) AS INT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY date_part('dow', ts), date_part('hour', ts)
+    """,
+    tags=("analytics", "events"),
+)
+def events_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap (0 = Sunday, matching
+    PostgreSQL/DuckDB dow; Spark's dayofweek is 1-based so it shifts by
+    one) with event and distinct-user counts — the standard seasonality
+    panel. One grouped aggregate with a ≤168-row output; the distinct
+    runs as Spark's partial-distinct expand."""
+    e = read_table(spark, sf_dir, "events")
+    return e.groupBy(
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )

@@ -1614,3 +1614,75 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         novel.cast("bigint").alias("n_novel"),
         F.round(novel.cast("double") / F.count("*"), 6).alias("novelty"),
     )
+
+
+_WM_Z_THRESHOLD = 4.0  # Kirchenbauer et al.'s detection threshold
+
+
+@register(
+    "text_watermark_greenlist",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) FILTER (
+               WHERE CAST(('0x' || substring(md5('wm:' || tok), 1, 13))
+                          AS BIGINT) % 2 = 0) AS BIGINT) AS n_green
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_green,
+           ROUND((2.0 * n_green - n_tokens) / SQRT(CAST(n_tokens AS DOUBLE)), 6)
+             AS z_score,
+           ((2.0 * n_green - n_tokens) / SQRT(CAST(n_tokens AS DOUBLE)))
+             > 4.0 AS watermark_detected
+    FROM scored
+    """,
+    tags=("text", "llm", "watermark", "governance"),
+)
+def text_watermark_greenlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM watermark detection, unigram green-list variant (Kirchenbauer
+    et al., ICML 2023): a watermarking sampler boosts tokens whose hash
+    lands in a pseudorandom "green" half of the vocabulary; the detector
+    re-derives membership and computes the one-proportion z-score
+    z = (2G − T)/√T against the γ=0.5 null. Human text hovers near z≈0;
+    watermarked text pushes z past the 4.0 threshold — the provenance
+    audit a training-data pipeline runs to keep synthetic text out of
+    (or deliberately in) a corpus. Green membership is the parity of an
+    md5-derived integer (engine-portable, same idiom as the catalog's
+    other derived hashes); counts are exact integers and the z algebra
+    is one correctly-rounded double expression, ROUND-6.
+
+    Scale: tokenize-explode + one doc-keyed aggregate — no joins, no
+    vocabulary state, no Python; the detector is a pure map-combine
+    over the corpus (the cheapest full-corpus audit in the catalog)."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(BF.tokenize_ws(F.lower(F.col("text")))).alias("tok")
+    )
+    green = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("wm:"), F.col("tok"))), 1, 13),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0
+    )
+    scored = toks.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.count_if(green).cast("bigint").alias("n_green"),
+    )
+    z = (2.0 * F.col("n_green") - F.col("n_tokens")) / F.sqrt(
+        F.col("n_tokens").cast("double")
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "n_green",
+        F.round(z, 6).alias("z_score"),
+        (z > _WM_Z_THRESHOLD).alias("watermark_detected"),
+    )

@@ -42,6 +42,7 @@ WHITELIST = {
     # size justification as the offsets tables above.
     "events_kaplan_meier_retention": 1,
     "events_time_to_convert": 1,     # percentile rank offsets (global_row_number)
+    "corpus_zipf_exponent": 1,       # vocab rank offsets (global_row_number)
     "orders_abc_pareto": 1,          # prefix-sum offsets (global_running_sum —
                                      # one row per range partition, same shape)
 }
