@@ -683,3 +683,108 @@ def privacy_dp_count_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.round(F.col("n_docs") - noise, 6).alias("dp_count"),
     )
+
+
+_FRESH_SLA_HOURS = 24
+
+
+@register(
+    "dq_freshness_lag",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             MAX(doc_id) AS latest_doc
+      FROM documents GROUP BY source
+    ), overall AS (
+      SELECT MAX(doc_id) AS global_latest FROM documents
+    )
+    SELECT source, n_docs,
+           CAST(global_latest - latest_doc AS BIGINT) AS staleness_ids,
+           (global_latest - latest_doc)
+             > (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) / 10
+             AS sla_breached
+    FROM per_source CROSS JOIN overall
+    """,
+    tags=("governance", "dq", "freshness"),
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source freshness audit — the data-SLA check every ingestion
+    pipeline runs: how far each source's newest record lags the
+    corpus-wide newest (doc_id is the fixture's monotone ingestion
+    sequence, standing in for an ingestion timestamp), flagged when the
+    lag exceeds 10% of the corpus span. A silently stalled source is
+    the most common upstream failure mode and invisible to row-count DQ
+    checks when the source keeps re-delivering old data.
+
+    Scale: one grouped aggregate + two 1-row broadcasts; pure integer
+    comparisons."""
+    d = read_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.max("doc_id").alias("latest_doc"),
+    )
+    overall = d.agg(
+        F.max("doc_id").alias("global_latest"),
+        (F.count("*") / 10).cast("bigint").alias("sla_ids"),
+    )
+    j = per_source.crossJoin(F.broadcast(overall))
+    lag = F.col("global_latest") - F.col("latest_doc")
+    return j.select(
+        "source",
+        "n_docs",
+        lag.cast("bigint").alias("staleness_ids"),
+        (lag > F.col("sla_ids")).alias("sla_breached"),
+    )
+
+
+@register(
+    "privacy_pseudonymize_joinable",
+    oracle="""
+    WITH c AS (
+      SELECT md5('pseudo:' || CAST(c_custkey AS VARCHAR)) AS pid, c_mktsegment
+      FROM customer
+    ), o AS (
+      SELECT md5('pseudo:' || CAST(o_custkey AS VARCHAR)) AS pid,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT c.pid) AS BIGINT) AS n_customers,
+           CAST(SUM(o.cents) AS BIGINT) AS revenue_cents
+    FROM o JOIN c USING (pid)
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("governance", "privacy"),
+)
+def privacy_pseudonymize_joinable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-consistent pseudonymization: both tables replace the raw
+    customer key with a salted one-way hash INDEPENDENTLY, then join on
+    the pseudonym — proving the anonymized lake still supports exactly
+    the analytics the raw keys did (per-segment revenue here matches
+    the raw-key join bit for bit, which the oracle verifies by replaying
+    the same construction). This is the GDPR-grade pattern where the raw
+    key never leaves its source system; only the keyed-hash crosses the
+    boundary. A real deployment swaps md5 for an HMAC with a vaulted
+    salt — the plan is identical.
+
+    Scale: the hash is a map-side projection on both sides; the join
+    shuffles on the pseudonym exactly as it would on the raw key (hash
+    keys distribute at least as uniformly — pseudonymization can only
+    REDUCE key skew, never add it)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    pid = lambda col: F.md5(F.concat(F.lit("pseudo:"), F.col(col).cast("string")))  # noqa: E731
+    cp = c.select(pid("c_custkey").alias("pid"), "c_mktsegment")
+    op = o.select(
+        pid("o_custkey").alias("pid"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    return op.join(cp, "pid").groupBy(
+        F.col("c_mktsegment").alias("segment")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.countDistinct("pid").cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )

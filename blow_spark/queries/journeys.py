@@ -646,3 +646,57 @@ def events_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_events"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+_COHORT_WEEKS = 4
+
+
+@register(
+    "events_cohort_retention_weekly",
+    oracle=f"""
+    WITH weekly AS (
+      SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '{_EPOCH_DAY0}', CAST(ts AS DATE)) // 7
+                  AS INT) AS week
+      FROM events
+    ), cohorts AS (
+      SELECT user_id, MIN(week) AS cohort FROM weekly GROUP BY user_id
+    )
+    SELECT c.cohort,
+           w.week - c.cohort AS week_offset,
+           CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_active
+    FROM cohorts c
+    JOIN weekly w ON w.user_id = c.user_id
+    WHERE w.week - c.cohort < {_COHORT_WEEKS}
+    GROUP BY c.cohort, w.week - c.cohort
+    """,
+    tags=("analytics", "retention", "events"),
+)
+def events_cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users grouped by first-active
+    week (the cohort); for each later week offset, how many of the
+    cohort were active — the classic retention matrix, offset 0 being
+    cohort size (companion to orders_retention_cohort, which cuts by
+    calendar month over orders). Pure integer counts.
+
+    Scale: distinct (user, week) is one user-keyed reduction; the
+    cohort table re-aggregates it (no second corpus pass) and joins
+    back user-keyed — both shuffles on the same key, so AQE coalesces
+    them onto one partitioning. Output is a weeks×offsets triangle,
+    calendar-bounded."""
+    e = read_table(spark, sf_dir, "events")
+    weekly = e.select(
+        "user_id",
+        F.expr(
+            f"datediff(to_date(ts), date'{_EPOCH_DAY0}') div 7"
+        ).cast("int").alias("week"),
+    ).distinct()
+    cohorts = weekly.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    j = weekly.join(cohorts, "user_id").withColumn(
+        "week_offset", F.col("week") - F.col("cohort")
+    )
+    return (
+        j.filter(F.col("week_offset") < _COHORT_WEEKS)
+        .groupBy("cohort", "week_offset")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+    )

@@ -2381,3 +2381,49 @@ def sink_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.price_cents").alias("new_price_cents"),
         )
     )
+
+
+@register(
+    "sql_pivot_unpivot_front_door",
+    oracle="""
+    WITH wide AS (
+      SELECT l_returnflag,
+             CAST(SUM(CASE WHEN l_linestatus = 'F'
+                           THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_f,
+             CAST(SUM(CASE WHEN l_linestatus = 'O'
+                           THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_o
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'qty_f' AS measure, qty_f AS qty FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'qty_o', qty_o FROM wide
+    """,
+    tags=("sql", "pivot", "front-door"),
+)
+def sql_pivot_unpivot_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIVOT → UNPIVOT round trip through the SQL front door: the
+    quantity matrix pivots on linestatus into wide columns and unpivots
+    straight back to long form — exercising BOTH Spark SQL clauses in
+    one statement (the DataFrame pivot/unpivot twins are
+    pivot_linestatus / unpivot_measures; this pins the SQL surface a
+    BI tool emits). The oracle replays with conditional aggregation +
+    UNION ALL, which is exactly what Catalyst lowers the clauses to —
+    the hash-match proves the lowering faithful.
+
+    Scale: one grouped aggregate (PIVOT lowers to hash-agg over
+    CASE-projected columns — ONE pass, not one scan per pivot value);
+    UNPIVOT is a zero-shuffle Expand."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        SELECT l_returnflag, measure, qty FROM (
+          SELECT * FROM (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(l_quantity AS BIGINT) AS q
+            FROM lineitem
+          )
+          PIVOT (SUM(q) FOR l_linestatus IN ('F' AS qty_f, 'O' AS qty_o))
+        )
+        UNPIVOT (qty FOR measure IN (qty_f, qty_o))
+        """
+    )
