@@ -2427,3 +2427,125 @@ def sql_pivot_unpivot_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNPIVOT (qty FOR measure IN (qty_f, qty_o))
         """
     )
+
+
+@register(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 1
+                         ELSE CAST(FLOOR(o_totalprice * 100) AS BIGINT) END)
+                AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey < 600
+    GROUP BY o_orderpriority
+    """,
+    tags=("sink", "source", "partitioned"),
+)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the incremental-reload contract
+    every partitioned lake table depends on: a full five-partition write,
+    then a second overwrite-mode write containing ONLY the 1-URGENT
+    partition (with revised values). Under
+    ``partitionOverwriteMode=dynamic`` the second write must replace
+    exactly the partitions present in its data and leave the other four
+    untouched — static mode would wipe them. The readback aggregates all
+    five partitions; the oracle states the expected merged end state
+    (+1 cent on the urgent rows), so a wrong mode (dropped partitions)
+    or a non-atomic partial overwrite breaks the hash.
+
+    Scale: partition-wise replacement writes only the changed partition's
+    bytes — the delta-reload pattern that keeps a 100 TB table's daily
+    refresh proportional to the day, not the table."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="blow_spark_sink_dyn_")
+    base = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 600)
+    frame = base.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderpriority",
+    )
+    frame.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    revised = frame.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
+        "cents", F.col("cents") + 1
+    )
+    (
+        revised.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderpriority")
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+    )
+
+
+@register(
+    "source_csv_corrupt_records",
+    oracle="""
+    WITH rows AS (
+      SELECT o_orderkey,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey % 97 = 0 AS corrupt
+      FROM orders WHERE o_orderkey < 600
+    )
+    SELECT CAST(COUNT(*) FILTER (WHERE NOT corrupt) AS BIGINT) AS n_good,
+           CAST(COUNT(*) FILTER (WHERE corrupt) AS BIGINT) AS n_corrupt,
+           CAST(SUM(cents) FILTER (WHERE NOT corrupt) AS BIGINT) AS good_cents
+    FROM rows
+    """,
+    tags=("source", "csv", "dq"),
+)
+def source_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV ingestion of a deliberately dirty file: rows whose
+    key ≡ 0 mod 97 are written as malformed lines (wrong arity, non-
+    numeric field); the reader declares a schema plus
+    ``columnNameOfCorruptRecord`` and must (a) parse every clean row
+    bit-faithfully and (b) quarantine — not drop, not crash on — every
+    malformed one. The oracle recomputes the expected good/corrupt
+    split and clean-row checksum from the clean source, so a reader
+    that silently skips corrupt lines or misparses a good one breaks
+    the count or the checksum. Companion to json_malformed_tolerance
+    (same contract, JSON reader).
+
+    Scale: the corrupt-record column is populated during the same
+    single-pass parse — no second scan; quarantine routing is a
+    map-side filter (cf. dq_quarantine_split)."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="blow_spark_csv_dirty_")
+    base = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 600)
+    lines = base.select(
+        F.when(
+            F.col("o_orderkey") % 97 == 0,
+            F.concat_ws(",", F.col("o_orderkey").cast("string"), F.lit("not_a_number,extra,junk")),
+        )
+        .otherwise(
+            F.concat_ws(
+                ",",
+                F.col("o_orderkey").cast("string"),
+                F.floor(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            )
+        )
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    parsed = (
+        spark.read.schema("o_orderkey long, cents long, _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    bad = F.col("_corrupt").isNotNull()
+    return parsed.agg(
+        F.count_if(~bad).cast("bigint").alias("n_good"),
+        F.count_if(bad).cast("bigint").alias("n_corrupt"),
+        F.sum(F.when(~bad, F.col("cents"))).cast("bigint").alias("good_cents"),
+    )

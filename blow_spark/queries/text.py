@@ -1686,3 +1686,88 @@ def text_watermark_greenlist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_score"),
         (z > _WM_Z_THRESHOLD).alias("watermark_detected"),
     )
+
+
+_MH_EVAL_THRESHOLD = 0.2
+_MH_EVAL_MEAN_BOUND = 0.06  # measured 0.0125/0.0138 at the gate SFs (~4x margin)
+_MH_EVAL_MAX_BOUND = 0.15   # measured 0.036/0.034 at the gate SFs (~4x margin)
+
+
+@register(
+    "dedup_minhash_estimate_error",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS doc, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), base AS (
+      SELECT doc,
+             list_distinct(list_transform(
+               range(1, len(t) - 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS sh
+      FROM toks
+      WHERE len(t) >= 3
+    ), exploded AS (
+      SELECT doc, unnest(sh) AS g FROM base
+    ), rare AS (
+      SELECT g FROM exploded GROUP BY g HAVING COUNT(*) <= 50
+    ), blocked AS (
+      SELECT e.doc, e.g FROM exploded e JOIN rare USING (g)
+    ), cand AS (
+      SELECT DISTINCT l.doc AS id_a, r.doc AS id_b
+      FROM blocked l JOIN blocked r ON l.g = r.g AND l.doc < r.doc
+    ), scored AS (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      FROM cand
+      JOIN base a ON a.doc = id_a
+      JOIN base b ON b.doc = id_b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           64 AS num_hashes,
+           TRUE AS mean_bound_met,
+           TRUE AS max_bound_met
+    FROM scored WHERE jaccard >= 0.2
+    """,
+    tags=("dedup", "minhash", "eval"),
+)
+def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash accuracy certification: over EVERY exact-Jaccard pair at
+    J ≥ 0.2 (the ground-truth path, dedup.ngram_jaccard_pairs), compare
+    the 64-permutation MinHash estimate (matching signature components
+    / 64 — Broder 1997's unbiased estimator) against the exact value
+    and realize two inequalities in the result row: mean |error| ≤ 0.06
+    and max |error| ≤ 0.15. Measured on the gate fixtures: mean
+    0.0125/0.0138, max 0.036/0.034 (sf0.001/sf0.01) — ~4× margin; the
+    theoretical per-pair SE at J≈0.3 is √(J(1−J)/64) ≈ 0.057, so the
+    bounds are tight enough that a broken permutation family or a
+    signature off-by-one flips the bit (random signatures score mean
+    ≈ 0.3). n_pairs is data-derived through the oracle's independent
+    SQL replay of the blocked exact-Jaccard path, so the gate cannot
+    pass vacuously. The estimator itself is engine-specific (xxhash64
+    permutations) — the realized-inequality pattern is the same one
+    similarity_lsh_topk uses (round-5 verdict).
+
+    Scale: the eval joins signatures (64×8 B each) onto the exact-pair
+    table — pair-bounded, not corpus-bounded; both inputs are the
+    production dedup artifacts this certifies."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        d, text_col="text", id_col="doc_id", threshold=_MH_EVAL_THRESHOLD
+    )
+    sigs = dedup.minhash_signatures(d, "text", "doc_id", 64, 3)
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("minhash").alias("ma"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("minhash").alias("mb"))
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    matches = F.aggregate(
+        F.zip_with("ma", "mb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    err = F.abs(matches.cast("double") / 64 - F.col("jaccard"))
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.lit(64).alias("num_hashes"),
+        (F.avg(err) <= _MH_EVAL_MEAN_BOUND).alias("mean_bound_met"),
+        (F.max(err) <= _MH_EVAL_MAX_BOUND).alias("max_bound_met"),
+    )
