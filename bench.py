@@ -164,6 +164,14 @@ HEADLINE = [
     "join_bloom_semi_reduction",
     "graph_common_neighbors_linkpred",
     "text_bigram_kneser_ney",
+    # round 7 (late): product quantization, exact Pareto prefix sum,
+    # corpus-wide n-gram novelty, the MinHash accuracy gate, and M4
+    # pixel-exact downsampling
+    "vector_pq_quantize",
+    "orders_abc_pareto",
+    "text_ngram_novelty",
+    "dedup_minhash_estimate_error",
+    "timeseries_m4_downsample",
 ]
 
 

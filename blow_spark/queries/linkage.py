@@ -30,6 +30,27 @@ _LINKPRED_MAX_DEGREE = 60
 _RULES_MIN_SUPPORT = 2
 
 
+def _purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (customer, part) purchase edges, SPILLED to temp parquet:
+    the link-prediction queries reference this table three times (degree
+    census + both self-join sides); without materialization Catalyst
+    re-derives the lineitem⋈orders join + distinct once per reference
+    (measured: 4 lineitem scans and ~4× wall for the Adamic-Adar query
+    at sf0.1). One write, three column-pruned scans — the id-pair table
+    is ≪ the fact table (the same spill-once pattern as the dedup
+    candidate tables, materialize.spill_to_parquet)."""
+    from blow_spark.materialize import spill_to_parquet
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    return spill_to_parquet(edges, "blow_spark_linkpred_")
+
+
 @register(
     "join_asof_nearest",
     oracle="""
@@ -260,16 +281,14 @@ def graph_common_neighbors_linkpred(spark: SparkSession, sf_dir: str) -> DataFra
     distinct buyers are dropped (they certify nothing; every link-pred
     system blocks hubs for the same reason, cf. the boilerplate-bucket
     cap in dedup.minhash). After blocking the fan-out is ≤ d·|edges| by
-    construction. Edge derivation is one orderkey-equi-join + distinct;
-    the pair aggregate is map-side-combinable integers; top-50 is
+    construction. Edge derivation is one orderkey-equi-join + distinct,
+    SPILLED once (materialize.spill_to_parquet) because the lazy plan
+    references it three times (degree census + both self-join sides) —
+    without the spill Catalyst re-derives the join+distinct per
+    reference (measured 4 lineitem scans, ~4× wall at sf0.1); the pair
+    aggregate is map-side-combinable integers; top-50 is
     TakeOrderedAndProject — no global sort."""
-    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    edges = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
+    edges = _purchase_edges(spark, sf_dir)
     deg = edges.groupBy("p").agg(F.count("*").alias("d"))
     kept = edges.join(
         deg.filter(F.col("d") <= _LINKPRED_MAX_DEGREE).select("p"), "p"
@@ -506,14 +525,11 @@ def graph_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph_common_neighbors_linkpred (degree ≤ {_LINKPRED_MAX_DEGREE};
     degree-1 parts additionally drop since ln(1)=0 carries no signal);
     the weight join rides the same part-keyed pass that applies the
-    degree cut — no extra shuffle over the unweighted variant."""
-    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    edges = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
+    degree cut — no extra shuffle over the unweighted variant. The
+    derived edge table is spilled once and re-read by the three
+    references (degree census + both sides), same as the unweighted
+    twin — this was a measured 25 s → ~6 s fix at sf0.1."""
+    edges = _purchase_edges(spark, sf_dir)
     deg = edges.groupBy("p").agg(F.count("*").alias("d"))
     kept = edges.join(
         deg.filter(

@@ -43,8 +43,9 @@ def main() -> None:
                 qs[n](spark, sf).collect()
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
-            out.setdefault(n, {})[sf[-6:]] = round(best, 3)
-            print(f"{sf[-6:]} {n} {best:.3f}", flush=True)
+            key = sf.rsplit("/", 1)[-1]
+            out.setdefault(n, {})[key] = round(best, 3)
+            print(f"{key} {n} {best:.3f}", flush=True)
     print("---- summary ----", flush=True)
     for n, d in out.items():
         s01, s1 = d.get("sf0.01"), d.get("sf0.1")

@@ -245,12 +245,27 @@ BENCH_EXCHANGE_PINS = {
     # dim bit-position agg + 1-row bloom densify + month rollup; the
     # bloom array and the exact-confirm dim side broadcast
     "join_bloom_semi_reduction": (3, 2),
-    # edge derivation join/distinct + degree cut + pair self-join +
-    # top-50; part-keyed sides broadcast where small
-    "graph_common_neighbors_linkpred": (9, 4),
+    # returned plan scans the SPILLED edge table (derived once —
+    # measured 4 lineitem scans / 4x wall without it); degree cut +
+    # pair self-join + top-50, part-keyed sides broadcast at this SF
+    "graph_common_neighbors_linkpred": (3, 3),
     # tokenize window + bigram count + 3 stat re-aggregates + top-100
     # joins (stat sides broadcast) + 1-row T
     "text_bigram_kneser_ney": (11, 3),
+    # codebook broadcast + (vec,sub,code) partial-agg shuffle + argmin
+    # + per-vec fold
+    "vector_pq_quantize": (3, 1),
+    # part revenue agg + two-phase prefix sum (range repartition +
+    # offsets broadcast) + 1-row total broadcast + class rollup
+    "orders_abc_pareto": (5, 2),
+    # shingle explode + gram-min agg + join back + per-doc agg; the
+    # first-seen side broadcasts at this SF
+    "text_ngram_novelty": (2, 1),
+    # exact-Jaccard candidate path (blocked self-join) + two signature
+    # joins (signature sides broadcast at this SF) + 1-row proof agg
+    "dedup_minhash_estimate_error": (5, 4),
+    # 1-row bounds broadcast + one (series,bucket)-keyed shuffle
+    "timeseries_m4_downsample": (2, 1),
 }
 
 
