@@ -700,3 +700,103 @@ def events_cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("cohort", "week_offset")
         .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
     )
+
+
+_FUNNEL_WINDOW_H = 48
+
+
+@register(
+    "events_window_funnel_depth",
+    oracle=f"""
+    WITH t1 AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), t2 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.t1
+        AND epoch_us(e.ts) <= t1.t1 + {_FUNNEL_WINDOW_H} * 3600000000::BIGINT
+      GROUP BY e.user_id
+    ), t3 AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+      FROM events e
+      JOIN t1 ON e.user_id = t1.user_id
+      JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.t2
+        AND epoch_us(e.ts) <= t1.t1 + {_FUNNEL_WINDOW_H} * 3600000000::BIGINT
+      GROUP BY e.user_id
+    ), users AS (
+      SELECT DISTINCT user_id FROM events
+    ), depth AS (
+      SELECT u.user_id,
+             CASE WHEN t3.t3 IS NOT NULL THEN 3
+                  WHEN t2.t2 IS NOT NULL THEN 2
+                  WHEN t1.t1 IS NOT NULL THEN 1
+                  ELSE 0 END AS depth
+      FROM users u
+      LEFT JOIN t1 ON u.user_id = t1.user_id
+      LEFT JOIN t2 ON u.user_id = t2.user_id
+      LEFT JOIN t3 ON u.user_id = t3.user_id
+    )
+    SELECT CAST(depth AS INT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM depth GROUP BY depth
+    """,
+    tags=("analytics", "funnel", "events"),
+)
+def events_window_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel depth (ClickHouse ``windowFunnel`` parity): for
+    the ordered chain view → click → purchase, each user's depth is the
+    longest prefix completed with every later step STRICTLY after its
+    predecessor and inside a 48h window anchored at the FIRST view —
+    the exact sequenced-within-window semantics (a click before the
+    first view, or a purchase outside the window, does not count; a
+    plain per-type MIN comparison would get both wrong). Output is the
+    depth histogram.
+
+    Scale: three user-keyed conditional-MIN passes, one per funnel step
+    — each step's anchor joins back user-keyed, so all shuffles share
+    one partitioning (the alternative single-pass form collects each
+    user's full event array: unbounded per-user state; ClickHouse pays
+    that memory, this plan pays one extra keyed pass per step and
+    streams). Depth histogram is a ≤4-row rollup."""
+    e = read_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    win = _FUNNEL_WINDOW_H * 3_600_000_000
+    t1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t1"))
+    )
+    t2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter((us > F.col("t1")) & (us <= F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t2"))
+    )
+    t3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(t1, "user_id")
+        .join(t2, "user_id")
+        .filter((us > F.col("t2")) & (us <= F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t3"))
+    )
+    users = e.select("user_id").distinct()
+    depth = (
+        users.join(t1, "user_id", "left")
+        .join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .when(F.col("t1").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("depth")
+        )
+    )
+    return depth.groupBy("depth").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )

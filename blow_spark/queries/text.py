@@ -1771,3 +1771,71 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg(err) <= _MH_EVAL_MEAN_BOUND).alias("mean_bound_met"),
         (F.max(err) <= _MH_EVAL_MAX_BOUND).alias("max_bound_met"),
     )
+
+
+@register(
+    "text_readability_flesch",
+    oracle=r"""
+    WITH counts AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                  AS BIGINT) AS n_words,
+             CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS BIGINT) AS n_sentences,
+             CAST(GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+                  AS BIGINT) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           ROUND(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)
+             AS flesch_score
+    FROM counts
+    """,
+    tags=("text", "quality", "llm"),
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease score (Flesch 1948; the readability feature in
+    classic quality-classifier stacks, cf. the C4/Gopher signal
+    batteries): 206.835 − 1.015·(words/sentences) − 84.6·(syllables/
+    words), with sentences counted as terminal-punctuation runs and
+    syllables approximated by vowel-group runs — the standard cheap
+    proxy (exact syllabification needs a dictionary; the proxy is
+    monotone with it on English text, which is what a quality filter
+    thresholds on). Counts are exact integers from two regexp passes;
+    the score is one correctly-rounded double expression, ROUND-6;
+    GREATEST(·,1) guards division for fragment documents.
+
+    Scale: pure map — no shuffle at all; composes into the
+    text_quality_signals battery as one more column."""
+    d = read_table(spark, sf_dir, "documents")
+    n_words = F.size(BF.tokenize_ws(F.lower(F.col("text")))).cast("bigint")
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)),
+        F.lit(1),
+    ).cast("bigint")
+    n_syl = F.greatest(
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiouy]+"), 0)
+        ),
+        F.lit(1),
+    ).cast("bigint")
+    c = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+    )
+    score = (
+        F.lit(206.835)
+        - 1.015 * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        - 84.6 * (F.col("n_syllables").cast("double") / F.col("n_words"))
+    )
+    return c.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(score, 6).alias("flesch_score"),
+    )

@@ -1149,3 +1149,103 @@ def vector_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pq_code"),
         F.sum("b.d2").cast("bigint").alias("total_d2_e12"),
     )
+
+
+_CC_E6 = 1_000_000.0   # fixed-point scale for centroid coordinate sums
+_CC_E9 = 1_000_000_000.0  # fixed-point scale for squared distances
+
+
+@register(
+    "vector_centroid_confusion",
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS i) d
+    ), csum AS (
+      SELECT label AS c_label, pos,
+             CAST(SUM(CAST(ROUND(x * {_CC_E6}) AS BIGINT)) AS BIGINT) AS sx,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ex GROUP BY label, pos
+    ), cent AS (
+      SELECT c_label, pos,
+             CAST(sx AS DOUBLE) / n / {_CC_E6} AS c
+      FROM csum
+    ), dist AS (
+      SELECT e.vec_id, e.label AS true_label, c.c_label,
+             SUM(CAST(ROUND((e.x - c.c) * (e.x - c.c) * {_CC_E9})
+                      AS BIGINT)) AS d2
+      FROM ex e JOIN cent c USING (pos)
+      GROUP BY e.vec_id, e.label, c.c_label
+    ), pred AS (
+      SELECT vec_id, true_label, c_label AS pred_label,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY d2, c_label) AS rn
+      FROM dist
+    )
+    SELECT CAST(true_label AS INT) AS true_label,
+           CAST(pred_label AS INT) AS pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred WHERE rn = 1
+    GROUP BY true_label, pred_label
+    """,
+    tags=("vector", "ml", "eval"),
+)
+def vector_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classifier confusion matrix (Rocchio 1971 — the
+    eval every embedding pipeline runs after clustering or labeling):
+    per-label mean centroids, every vector assigned to its nearest
+    centroid by squared L2, confusion counts over (true, predicted).
+    Centroid means come from e6 fixed-point coordinate sums (exact,
+    order-independent) with one correctly-rounded division; distances
+    are e9 fixed-point integer sums (the PQ idiom), so the argmin — tie
+    to the lower label — is engine-exact and the whole matrix
+    hash-matches, no tolerance anywhere.
+
+    Scale: centroid build is one (label, dim)-keyed aggregate
+    (labels×dim rows out — broadcastable at any corpus size);
+    classification joins the broadcast centroids per dim and partially
+    aggregates to (vec, label) map-side — |labels| rows per vector
+    cross the wire; the confusion rollup is |labels|² rows. The
+    self-classification setup (train == eval set) keeps the oracle
+    single-source; swapping in a held-out eval side changes no plan
+    shape."""
+    e = read_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "xr")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("xr").cast("double").alias("x"),
+    )
+    csum = ex.groupBy(F.col("label").alias("c_label"), "pos").agg(
+        F.sum(F.round(F.col("x") * _CC_E6).cast("bigint"))
+        .cast("bigint")
+        .alias("sx"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    cent = csum.select(
+        "c_label",
+        "pos",
+        (F.col("sx").cast("double") / F.col("n") / _CC_E6).alias("c"),
+    )
+    dist = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", F.col("label").alias("true_label"), "c_label")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("x") - F.col("c"))
+                    * (F.col("x") - F.col("c"))
+                    * _CC_E9
+                ).cast("bigint")
+            ).alias("d2")
+        )
+    )
+    pred = dist.groupBy("vec_id", "true_label").agg(
+        F.min(F.struct("d2", "c_label")).alias("b")
+    )
+    return pred.groupBy(
+        F.col("true_label").cast("int").alias("true_label"),
+        F.col("b.c_label").cast("int").alias("pred_label"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
