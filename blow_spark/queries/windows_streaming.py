@@ -2350,3 +2350,90 @@ def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("det_q") - F.col("seasonal_q")).cast("bigint").alias("residual_q"),
         )
     )
+
+
+@register(
+    "streaming_m4_availablenow",
+    oracle=f"""
+    WITH pts AS (
+      SELECT {_BUCKET.format(sec=86400)} AS window_start,
+             event_type, ts, event_id,
+             CAST(ROUND(value * 10000) AS BIGINT) AS v_e4
+      FROM events
+    ), ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY window_start, event_type
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY window_start, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM pts
+    )
+    SELECT window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(v_e4) AS BIGINT) AS vmin_e4,
+           CAST(MAX(v_e4) AS BIGINT) AS vmax_e4,
+           CAST(MAX(CASE WHEN rn_a = 1 THEN v_e4 END) AS BIGINT) AS first_e4,
+           CAST(MAX(CASE WHEN rn_d = 1 THEN v_e4 END) AS BIGINT) AS last_e4
+    FROM ranked GROUP BY window_start, event_type
+    """,
+    tags=("streaming", "window", "runtime", "downsample"),
+)
+def streaming_m4_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling ON THE STREAM: the pixel-exact min/max/first/last
+    reduction (timeseries_m4_downsample's batch form) expressed as a
+    streaming windowed aggregate and drained with Trigger.AvailableNow
+    into a memory sink — possible incrementally because all four M4
+    statistics are MERGEABLE aggregates (min/max trivially; first/last
+    as min_by/max_by keyed on the (ts, event_id) total order), so
+    Spark's streaming state store maintains them per (window, series)
+    without buffering rows. This is the live-dashboard form of the
+    operator: the chart stays pixel-exact while micro-batches arrive.
+    The oracle replays the batch computation — the hash-match proves
+    stream == batch.
+
+    Scale: state is one 5-number tuple per (series, window) — bounded
+    by the watermark horizon, never by event volume; each micro-batch
+    does a map-side partial merge before touching state."""
+    import tempfile
+    import uuid
+
+    from blow_spark.streaming import EVENTS_SCHEMA
+
+    stage = tempfile.mkdtemp(prefix="blow_spark_stream_m4_")
+    read_table(spark, sf_dir, "events").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
+    v_e4 = F.round(F.col("value") * 10000).cast("bigint")
+    okey = F.struct("ts", "event_id")
+    agg = (
+        stream.withColumn("v_e4", v_e4)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("v_e4").cast("bigint").alias("vmin_e4"),
+            F.max("v_e4").cast("bigint").alias("vmax_e4"),
+            F.min_by("v_e4", okey).cast("bigint").alias("first_e4"),
+            F.max_by("v_e4", okey).cast("bigint").alias("last_e4"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "vmin_e4",
+            "vmax_e4",
+            "first_e4",
+            "last_e4",
+        )
+    )
+    name = f"stream_m4_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
