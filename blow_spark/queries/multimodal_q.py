@@ -403,3 +403,75 @@ def source_binaryfile_image_ingest(spark: SparkSession, sf_dir: str) -> DataFram
     return files.select("path", "content").mapInPandas(
         decode, "doc_id long, height int, width int, n_px int, px_sum long"
     )
+
+
+_CHUNK_BYTES = 64
+
+
+@register(
+    "multimodal_blob_chunk_reassemble",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(CEIL(strlen(text) / {_CHUNK_BYTES}.0) AS BIGINT) AS n_chunks,
+           CAST(strlen(text) AS BIGINT) AS total_bytes,
+           TRUE AS reassembly_ok
+    FROM documents
+    """,
+    tags=("multimodal", "binary", "storage"),
+)
+def multimodal_blob_chunk_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob chunking + reassembly round trip — the storage plumbing every
+    multimodal lake needs for payloads bigger than a row-group cell
+    (images/video split into fixed-size chunk rows keyed (id, seq);
+    readers reassemble by ordered concat): each document's byte payload
+    splits into {_CHUNK_BYTES}-byte chunks, the chunks are carried as
+    independent rows, reassembled by (doc, seq) order, and VERIFIED
+    byte-identical against the original via md5 — the oracle pins the
+    expected chunk count and byte length from the source and asserts
+    the round-trip bit TRUE, so a dropped/duplicated/reordered chunk
+    breaks the row. The payload here is the document text's UTF-8
+    bytes (the fixture's only unbounded byte column); a real image
+    column changes nothing in the plan.
+
+    Scale: chunk rows are the SHUFFLE-SAFE representation of big blobs
+    (a 500 MB video never materializes in one executor row); reassembly
+    is one doc-keyed fold. Chunk explode and reassembly both stream —
+    no driver collect, no Python."""
+    d = read_table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    n_bytes = F.length(payload)
+    n_chunks = F.ceil(n_bytes / float(_CHUNK_BYTES)).cast("int")
+    chunks = d.select(
+        "doc_id",
+        F.md5(payload).alias("orig_md5"),
+        n_bytes.alias("total_bytes"),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("ignored", "seq"),
+        payload.alias("p"),
+    ).select(
+        "doc_id",
+        "orig_md5",
+        "total_bytes",
+        "seq",
+        F.expr(
+            f"substring(p, seq * {_CHUNK_BYTES} + 1, {_CHUNK_BYTES})"
+        ).alias("chunk"),
+    )
+    reassembled = chunks.groupBy("doc_id", "orig_md5", "total_bytes").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.md5(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seq", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                F.lit(b""),
+                lambda acc, x: F.concat(acc, x),
+            )
+        ).alias("re_md5"),
+    )
+    return reassembled.select(
+        "doc_id",
+        "n_chunks",
+        F.col("total_bytes").cast("bigint").alias("total_bytes"),
+        (F.col("re_md5") == F.col("orig_md5")).alias("reassembly_ok"),
+    )

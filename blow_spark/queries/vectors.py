@@ -1249,3 +1249,88 @@ def vector_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("true_label").cast("int").alias("true_label"),
         F.col("b.c_label").cast("int").alias("pred_label"),
     ).agg(F.count("*").cast("bigint").alias("n"))
+
+
+@register(
+    "similarity_hamming_sign_topk",
+    oracle="""
+    WITH bits AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN CAST(embedding[i] AS DOUBLE) > 0 AND i <= 32
+                           THEN (1::BIGINT << (i - 1)) ELSE 0 END) AS BIGINT)
+               AS lo,
+             CAST(SUM(CASE WHEN CAST(embedding[i] AS DOUBLE) > 0 AND i > 32
+                           THEN (1::BIGINT << (i - 33)) ELSE 0 END) AS BIGINT)
+               AS hi
+      FROM embeddings CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS i) d
+      GROUP BY vec_id
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi))
+                  AS INT) AS hamming
+      FROM bits q JOIN bits c ON q.vec_id < 20 AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, hamming, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY hamming, neighbor_id) AS rank
+      FROM scored) t
+    WHERE rank <= 10
+    """,
+    tags=("similarity", "vector", "quantize"),
+)
+def similarity_hamming_sign_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign-bit) quantized retrieval: each 64-dim float vector
+    compresses to 64 BITS (one sign per dimension — the 1-bit extreme of
+    the quantization ladder next to vector_quantize_int8 and
+    vector_pq_quantize; 32× smaller than float32), and search becomes
+    Hamming distance = popcount(XOR) — integer ops the JVM vectorizes.
+    Sign-bit Hamming is a monotone estimator of angular distance for
+    centered data (Charikar, STOC 2002's SRP with identity projections),
+    and is how production vector stores do their coarse first pass.
+    Stored as two 32-bit halves in BIGINTs so the bit algebra never
+    touches the sign bit in either engine; ties break on neighbor_id —
+    fully integer, hash-exact, no tolerance.
+
+    Scale: the 20-query bit-signature side broadcasts (16 B/vector);
+    the corpus side streams map-side — per (query, corpus) candidate
+    only two XOR+popcounts, and the per-query top-10 is a partitioned
+    window. The corpus signature build is one vec-keyed aggregate over
+    the posexploded dims (64 rows in, 2 words out, map-combined)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    ex = e.select("vec_id", F.posexplode("embedding").alias("pos0", "xr"))
+    lo_bit = F.when(
+        (F.col("xr").cast("double") > 0) & (F.col("pos0") < 32),
+        F.call_function("shiftleft", F.lit(1).cast("long"), F.col("pos0").cast("int")),
+    ).otherwise(F.lit(0).cast("long"))
+    hi_bit = F.when(
+        (F.col("xr").cast("double") > 0) & (F.col("pos0") >= 32),
+        F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (F.col("pos0") - 32).cast("int")
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    bits = ex.groupBy("vec_id").agg(
+        F.sum(lo_bit).cast("bigint").alias("lo"),
+        F.sum(hi_bit).cast("bigint").alias("hi"),
+    )
+    q = bits.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    c = bits.select(
+        F.col("vec_id").alias("neighbor_id"), "lo", "hi"
+    )
+    ham = (
+        F.bit_count(F.col("qlo").bitwiseXOR(F.col("lo")))
+        + F.bit_count(F.col("qhi").bitwiseXOR(F.col("hi")))
+    ).cast("int")
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", ham.alias("hamming"))
+    )
+    w = W.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= 10)
