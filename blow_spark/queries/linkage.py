@@ -649,3 +649,60 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("double") / F.max("total_cents"), 6
         ).alias("revenue_share"),
     )
+
+
+@register(
+    "orders_revenue_yoy",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(date_part('year', o_orderdate) AS INT) AS yr,
+             CAST(date_part('month', o_orderdate) AS INT) AS mo,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT yr, mo, cents,
+           LAG(cents) OVER (PARTITION BY mo ORDER BY yr) AS prev_year_cents,
+           ROUND((CAST(cents AS DOUBLE)
+                  - LAG(cents) OVER (PARTITION BY mo ORDER BY yr))
+                 / LAG(cents) OVER (PARTITION BY mo ORDER BY yr) * 100, 6)
+             AS yoy_pct
+    FROM monthly
+    """,
+    tags=("analytics", "window", "orders"),
+)
+def orders_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per calendar month — the BI staple:
+    monthly exact-cents revenue, the same month one year earlier via
+    lag() PARTITIONED BY month-of-year (ordered by year), and the growth
+    percentage. Partitioning by month-of-year instead of a global
+    month-series sort makes the YoY lag embarrassingly parallel — twelve
+    independent window groups, no single-partition window — which is
+    the right generalization at any scale (a global ORDER BY month with
+    lag(12) serializes the whole series through one task AND silently
+    breaks when a month is missing; the partitioned form pairs calendar
+    months exactly). First year emits NULLs (no prior year), which both
+    engines agree on.
+
+    Scale: one grouped aggregate to the year×month table (calendar-
+    bounded), then the twelve-group window."""
+    o = read_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = W.partitionBy("mo").orderBy("yr")
+    prev = F.lag("cents").over(w)
+    return monthly.select(
+        "yr",
+        "mo",
+        "cents",
+        prev.alias("prev_year_cents"),
+        F.round(
+            (F.col("cents").cast("double") - prev) / prev * 100, 6
+        ).alias("yoy_pct"),
+    )

@@ -2549,3 +2549,56 @@ def source_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(bad).cast("bigint").alias("n_corrupt"),
         F.sum(F.when(~bad, F.col("cents"))).cast("bigint").alias("good_cents"),
     )
+
+
+_HLL_REL_ERR_BOUND = 0.15  # 3x the default 5% rsd of approx_count_distinct
+
+
+@register(
+    "agg_hll_error_gate",
+    oracle=f"""
+    WITH exact AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(exact_distinct) AS BIGINT) AS total_exact,
+           TRUE AS rel_err_bound_met
+    FROM exact
+    """,
+    tags=("agg", "sketch", "eval"),
+)
+def agg_hll_error_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog accuracy certification — the same realized-inequality
+    pattern as dedup_minhash_estimate_error, applied to the OTHER
+    approximate primitive the catalog ships: per priority group, Spark's
+    approx_count_distinct (HLL++, default 5% rsd) is compared against
+    the exact distinct in one pass, and the result row realizes
+    max |approx − exact| / exact ≤ {_HLL_REL_ERR_BOUND} (3× the
+    configured rsd — the standard 3σ envelope; HLL++'s sparse mode is
+    typically EXACT at these cardinalities, so the bound fires only on
+    a genuinely broken sketch). n_groups and total_exact are
+    data-derived through the oracle's independent exact replay, so the
+    gate cannot pass vacuously; the sketch itself is engine-specific,
+    which is exactly why it gates through inequalities rather than a
+    value compare.
+
+    Scale: both estimates come from ONE grouped aggregate (Spark plans
+    the exact distinct as the two-phase expand and the HLL as a
+    mergeable buffer in the same pass); the proof row is a 1-row
+    reduction over |groups|."""
+    o = read_table(spark, sf_dir, "orders")
+    per_group = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_distinct"),
+        F.approx_count_distinct("o_custkey").cast("bigint").alias("hll"),
+    )
+    rel_err = (
+        F.abs(F.col("hll") - F.col("exact_distinct")).cast("double")
+        / F.col("exact_distinct")
+    )
+    return per_group.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum("exact_distinct").cast("bigint").alias("total_exact"),
+        (F.max(rel_err) <= _HLL_REL_ERR_BOUND).alias("rel_err_bound_met"),
+    )
