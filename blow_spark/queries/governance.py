@@ -788,3 +788,89 @@ def privacy_pseudonymize_joinable(spark: SparkSession, sf_dir: str) -> DataFrame
         F.countDistinct("pid").cast("bigint").alias("n_customers"),
         F.sum("cents").cast("bigint").alias("revenue_cents"),
     )
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'orders.o_custkey -> customer.c_custkey' AS fk_edge,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_child_rows,
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT) AS n_orphans,
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) = 0
+             AS intact
+    UNION ALL
+    SELECT 'lineitem.l_orderkey -> orders.o_orderkey',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) = 0
+    UNION ALL
+    SELECT 'lineitem.l_partkey -> part.p_partkey',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey))
+                AS BIGINT),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey)) = 0
+    """,
+    tags=("governance", "dq", "join"),
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit — the FK health check a
+    lake without enforced constraints must run itself: for each declared
+    FK edge, the child row count, the orphan count (children whose key
+    has no parent), and the intact bit. Orphans are LEFT ANTI joins —
+    the exact relational form of NOT EXISTS — so the audit composes
+    from the same join machinery the engine already certifies
+    (complement to privacy_erasure_cascade, which repairs; this one
+    detects). One row per FK edge; the fixture is FK-consistent so
+    intact=true is the non-vacuous expected state (the oracle derives
+    every count independently — a broken generator or a wrong anti-join
+    flips counts or bits).
+
+    Scale: one anti-join per edge, each keyed on the FK — parent sides
+    broadcast when they fit, shuffled-hash otherwise; counts are 1-row
+    reductions. No driver materialization."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+
+    def audit(child: DataFrame, ck: str, parent: DataFrame, pk: str, label: str):
+        orphans = child.join(
+            parent, child[ck] == parent[pk], "left_anti"
+        ).agg(F.count("*").cast("bigint").alias("n_orphans"))
+        total = child.agg(F.count("*").cast("bigint").alias("n_child_rows"))
+        return (
+            total.crossJoin(F.broadcast(orphans))
+            .select(
+                F.lit(label).alias("fk_edge"),
+                "n_child_rows",
+                "n_orphans",
+                (F.col("n_orphans") == 0).alias("intact"),
+            )
+        )
+
+    return (
+        audit(o, "o_custkey", c, "c_custkey",
+              "orders.o_custkey -> customer.c_custkey")
+        .unionAll(
+            audit(li, "l_orderkey", o, "o_orderkey",
+                  "lineitem.l_orderkey -> orders.o_orderkey")
+        )
+        .unionAll(
+            audit(li, "l_partkey", p, "p_partkey",
+                  "lineitem.l_partkey -> part.p_partkey")
+        )
+    )

@@ -800,3 +800,67 @@ def events_window_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return depth.groupBy("depth").agg(
         F.count("*").cast("bigint").alias("n_users")
     )
+
+
+@register(
+    "events_bounce_rate",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), numbered AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS session_no
+      FROM marked
+    ), sessions AS (
+      SELECT user_id, session_no,
+             CAST(MIN(ts) AS DATE) AS day,
+             COUNT(*) AS n_events
+      FROM numbered GROUP BY user_id, session_no
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) FILTER (WHERE n_events = 1) AS BIGINT) AS n_bounces,
+           ROUND(CAST(COUNT(*) FILTER (WHERE n_events = 1) AS DOUBLE)
+                 / COUNT(*), 6) AS bounce_rate
+    FROM sessions GROUP BY day
+    """,
+    tags=("analytics", "session", "events"),
+)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: the share of 30-min-gap sessions containing
+    exactly ONE event, grouped by the session's start day — the
+    engagement-quality KPI next to raw session counts (window_session).
+    Spark side sessionizes with the native session_window aggregate;
+    the oracle replays with the gaps-and-islands rewrite (the catalog's
+    established equivalence, cf. window_session) — the hash-match
+    re-proves session_window == islands on a new derived metric.
+
+    Scale: one user-keyed session aggregate, one calendar-bounded day
+    rollup. Pure integer counts + one ROUND-6 ratio."""
+    e = read_table(spark, sf_dir, "events")
+    sessions = e.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("first_ts"),
+    )
+    days = sessions.select(
+        F.to_date("first_ts").cast("string").alias("day"),
+        F.col("n_events"),
+    )
+    return days.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.count_if(F.col("n_events") == 1).cast("bigint").alias("n_bounces"),
+        F.round(
+            F.count_if(F.col("n_events") == 1).cast("double") / F.count("*"),
+            6,
+        ).alias("bounce_rate"),
+    )

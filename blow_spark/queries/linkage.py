@@ -706,3 +706,51 @@ def orders_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cents").cast("double") - prev) / prev * 100, 6
         ).alias("yoy_pct"),
     )
+
+
+@register(
+    "orders_new_customers_curve",
+    oracle="""
+    WITH first_order AS (
+      SELECT o_custkey, MIN(strftime(o_orderdate, '%Y-%m')) AS cohort_month
+      FROM orders GROUP BY o_custkey
+    ), monthly AS (
+      SELECT cohort_month,
+             CAST(COUNT(*) AS BIGINT) AS new_customers
+      FROM first_order GROUP BY cohort_month
+    )
+    SELECT cohort_month, new_customers,
+           CAST(SUM(new_customers) OVER (ORDER BY cohort_month)
+                AS BIGINT) AS cumulative_customers
+    FROM monthly
+    """,
+    tags=("analytics", "growth", "orders"),
+)
+def orders_new_customers_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-acquisition curve: per month, how many customers placed
+    their FIRST-ever order, plus the running total — the growth chart on
+    every business dashboard. 'New' means first lifetime order (a MIN
+    over the customer's history), not first-in-period, which naive
+    monthly distinct counting gets wrong.
+
+    Scale: one customer-keyed MIN aggregate, one month rollup; the
+    cumulative sum runs on the month-level table — CALENDAR-BOUNDED
+    rows, the same whitelisted constant-size single-partition pattern as
+    the Kaplan-Meier day table."""
+    o = read_table(spark, sf_dir, "orders")
+    first_order = o.groupBy("o_custkey").agg(
+        F.min(F.date_format("o_orderdate", "yyyy-MM")).alias("cohort_month")
+    )
+    monthly = first_order.groupBy("cohort_month").agg(
+        F.count("*").cast("bigint").alias("new_customers")
+    )
+    w = W.orderBy("cohort_month").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return monthly.select(
+        "cohort_month",
+        "new_customers",
+        F.sum("new_customers").over(w).cast("bigint").alias(
+            "cumulative_customers"
+        ),
+    )

@@ -43,6 +43,9 @@ WHITELIST = {
     "events_kaplan_meier_retention": 1,
     "events_time_to_convert": 1,     # percentile rank offsets (global_row_number)
     "corpus_zipf_exponent": 1,       # vocab rank offsets (global_row_number)
+    # Calendar-bounded: cumulative acquisition over the MONTH-level
+    # rollup (one row per calendar month — same class as the KM days)
+    "orders_new_customers_curve": 1,
     "orders_abc_pareto": 1,          # prefix-sum offsets (global_running_sum —
                                      # one row per range partition, same shape)
 }
