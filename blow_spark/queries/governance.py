@@ -874,3 +874,61 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
                   "lineitem.l_partkey -> part.p_partkey")
         )
     )
+
+
+@register(
+    "privacy_column_masking_roles",
+    oracle="""
+    WITH roles AS (
+      SELECT 'finance' AS role UNION ALL SELECT 'analyst'
+    )
+    SELECT r.role, c.c_custkey,
+           CASE WHEN r.role = 'finance' THEN c.c_name
+                ELSE substring(c.c_name, 1, 9) || '***' END AS name_display,
+           CASE WHEN r.role = 'finance'
+                THEN CAST(CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT)
+                          AS VARCHAR)
+                ELSE 'band_' || CAST(CAST(FLOOR(c.c_acctbal / 2500.0)
+                                          AS BIGINT) AS VARCHAR)
+           END AS acctbal_display
+    FROM customer c CROSS JOIN roles r
+    """,
+    tags=("governance", "privacy", "masking"),
+)
+def privacy_column_masking_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-based column masking — the governed-view contract every
+    catalog (Unity/Ranger-style) enforces: the SAME base table renders
+    per role, with finance seeing exact cents and full names while
+    analysts get a truncated name and a coarse balance band (banding,
+    not NULLing, keeps the column analytically useful — the standard
+    masking design). The policy is a pure CASE projection, so masking
+    costs nothing at scale and composes under every downstream
+    operator; the oracle replays both role renderings and the hash
+    proves no policy leak in either direction (an exact balance
+    surviving into an analyst row breaks the match).
+
+    Scale: map-side projection; the roles dimension is a 2-row
+    broadcast cross join (in production the role comes from the session
+    principal — the plan per role is exactly one branch of this)."""
+    c = read_table(spark, sf_dir, "customer")
+    roles = spark.createDataFrame([("finance",), ("analyst",)], ["role"])
+    j = c.crossJoin(F.broadcast(roles))
+    is_fin = F.col("role") == "finance"
+    name_display = F.when(is_fin, F.col("c_name")).otherwise(
+        F.concat(F.substring("c_name", 1, 9), F.lit("***"))
+    )
+    acct_display = F.when(
+        is_fin,
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").cast("string"),
+    ).otherwise(
+        F.concat(
+            F.lit("band_"),
+            F.floor(F.col("c_acctbal") / 2500.0).cast("bigint").cast("string"),
+        )
+    )
+    return j.select(
+        "role",
+        "c_custkey",
+        name_display.alias("name_display"),
+        acct_display.alias("acctbal_display"),
+    )

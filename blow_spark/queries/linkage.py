@@ -754,3 +754,196 @@ def orders_new_customers_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cumulative_customers"
         ),
     )
+
+
+@register(
+    "join_allen_interval_relations",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), numbered AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS session_no
+      FROM marked
+    ), sessions AS (
+      SELECT user_id, session_no,
+             epoch_us(MIN(ts)) AS s,
+             epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS e
+      FROM numbered GROUP BY user_id, session_no
+    ), buckets AS (
+      SELECT user_id, session_no, s, e,
+             unnest(range(s // 3600000000, e // 3600000000 + 1)) AS hb
+      FROM sessions
+    ), pairs AS (
+      SELECT DISTINCT
+             a.user_id AS u1, a.session_no AS n1, a.s AS s1, a.e AS e1,
+             b.user_id AS u2, b.session_no AS n2, b.s AS s2, b.e AS e2
+      FROM buckets a JOIN buckets b
+        ON a.hb = b.hb
+       AND (a.s < b.s OR (a.s = b.s AND (a.user_id < b.user_id
+            OR (a.user_id = b.user_id AND a.session_no < b.session_no))))
+       AND a.user_id <> b.user_id
+    )
+    SELECT relation, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM (
+      SELECT CASE
+               WHEN e1 < s2 THEN 'precedes'
+               WHEN e1 = s2 THEN 'meets'
+               WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+               WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+               WHEN s1 = s2 THEN 'started_by'
+               WHEN e1 = e2 THEN 'finished_by'
+               WHEN e1 > e2 THEN 'contains'
+               ELSE 'overlaps' END AS relation
+      FROM pairs
+    ) t GROUP BY relation
+    """,
+    tags=("join", "interval", "temporal"),
+)
+def join_allen_interval_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen's interval algebra (Allen, CACM 1983) over user sessions:
+    every cross-user session pair sharing an hour bucket is classified
+    into its temporal relation — precedes / meets / equals / starts /
+    started_by / finished_by / contains / overlaps (the inverse
+    relations collapse by ordering each pair so s1 ≤ s2 with a total
+    tiebreak) — the vocabulary temporal-DB and process-mining queries
+    are built from, as a histogram. Sessions come from the native
+    session_window aggregate; the oracle re-derives them with the
+    gaps-and-islands rewrite and replays the classification, so both
+    the sessionization equivalence AND the CASE algebra are under the
+    hash. All integer µs comparisons — no tolerance.
+
+    Scale: the pair join is HOUR-BUCKET-BLOCKED (each session explodes
+    to its spanned hours — bounded by session length / 1h — and joins
+    on the bucket key), the standard interval-join banding that keeps
+    fan-out proportional to true temporal overlap density rather than
+    |sessions|²; DISTINCT collapses multi-bucket double-pairs before
+    classification."""
+    e = read_table(spark, sf_dir, "events")
+    sessions = e.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"))
+    sess = sessions.select(
+        "user_id",
+        F.unix_micros(F.col("mn")).alias("s"),
+        (F.unix_micros(F.col("mx")) + 1_800_000_000).alias("e"),
+    )
+    HOUR = 3_600_000_000
+    b = sess.select(
+        "user_id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.expr(f"s div {HOUR}"), F.expr(f"e div {HOUR}")
+            )
+        ).alias("hb"),
+    )
+    a1 = b.select(
+        F.col("user_id").alias("u1"),
+        F.col("s").alias("s1"),
+        F.col("e").alias("e1"),
+        "hb",
+    )
+    a2 = b.select(
+        F.col("user_id").alias("u2"),
+        F.col("s").alias("s2"),
+        F.col("e").alias("e2"),
+        "hb",
+    )
+    pairs = (
+        a1.join(a2, "hb")
+        .filter(
+            (F.col("u1") != F.col("u2"))
+            & (
+                (F.col("s1") < F.col("s2"))
+                | (
+                    (F.col("s1") == F.col("s2"))
+                    & (
+                        (F.col("u1") < F.col("u2"))
+                        | (
+                            (F.col("u1") == F.col("u2"))
+                            & (F.col("s1") < F.col("s2"))
+                        )
+                    )
+                )
+            )
+        )
+        .select("u1", "s1", "e1", "u2", "s2", "e2")
+        .distinct()
+    )
+    relation = (
+        F.when(F.col("e1") < F.col("s2"), "precedes")
+        .when(F.col("e1") == F.col("s2"), "meets")
+        .when(
+            (F.col("s1") == F.col("s2")) & (F.col("e1") == F.col("e2")),
+            "equals",
+        )
+        .when(
+            (F.col("s1") == F.col("s2")) & (F.col("e1") < F.col("e2")),
+            "starts",
+        )
+        .when(F.col("s1") == F.col("s2"), "started_by")
+        .when(F.col("e1") == F.col("e2"), "finished_by")
+        .when(F.col("e1") > F.col("e2"), "contains")
+        .otherwise("overlaps")
+    )
+    return pairs.groupBy(relation.alias("relation")).agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
+
+
+@register(
+    "orders_seasonal_index",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(date_part('month', o_orderdate) AS INT) AS mo,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(cents) AS BIGINT) AS total_cents FROM monthly
+    )
+    SELECT mo, cents, n_orders,
+           ROUND(CAST(cents AS DOUBLE) * 12.0 / total_cents, 6)
+             AS seasonal_index
+    FROM monthly CROSS JOIN tot
+    """,
+    tags=("analytics", "timeseries", "orders"),
+)
+def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month seasonal index: each month-of-year's revenue share
+    scaled so a perfectly flat year scores 1.0 per month (×12 of the
+    share) — the classical multiplicative seasonal factor used to
+    deseasonalize forecasts and to read 'December is 1.4×' directly.
+    Complements orders_revenue_yoy (same-month growth) and
+    timeseries_seasonal_decompose (additive event-level decomposition).
+
+    Scale: one 12-group aggregate plus a 1-row broadcast total; the
+    index is one correctly-rounded double expression over exact
+    cents."""
+    o = read_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.month("o_orderdate").cast("int").alias("mo")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+    tot = monthly.agg(F.sum("cents").cast("bigint").alias("total_cents"))
+    return monthly.crossJoin(F.broadcast(tot)).select(
+        "mo",
+        "cents",
+        "n_orders",
+        F.round(
+            F.col("cents").cast("double") * 12.0 / F.col("total_cents"), 6
+        ).alias("seasonal_index"),
+    )
