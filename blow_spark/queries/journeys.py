@@ -864,3 +864,72 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("bounce_rate"),
     )
+
+
+@register(
+    "events_longest_streak",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di
+      FROM events
+    ), grouped AS (
+      SELECT user_id, di,
+             di - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY di)
+               AS grp
+      FROM days
+    ), streaks AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS streak_days,
+             CAST(MIN(di) AS BIGINT) AS start_di
+      FROM grouped GROUP BY user_id, grp
+    ), best AS (
+      SELECT user_id, streak_days, start_di,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY streak_days DESC, start_di) AS rn
+      FROM streaks
+    )
+    SELECT user_id, streak_days AS longest_streak_days,
+           start_di AS streak_start_day_index
+    FROM best WHERE rn = 1
+    """,
+    tags=("analytics", "journey", "events"),
+)
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (the engagement
+    metric behind every 'N-day streak' badge), via the gaps-and-islands
+    identity: over a user's DISTINCT active day indices in order,
+    day_index − row_number is constant exactly within a consecutive
+    run, so one partitioned window + one group-by finds every streak;
+    ties between equal-length streaks resolve to the earliest. Pure
+    integer day arithmetic.
+
+    Scale: distinct (user, day) is the only corpus-scale reduction;
+    the islands window and both aggregates stay user-partitioned —
+    fully parallel, no global state."""
+    e = read_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id",
+        F.datediff(
+            F.to_date("ts"), F.lit(_EPOCH_DAY0).cast("date")
+        ).alias("di"),
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("di")
+    grouped = days.withColumn(
+        "grp", F.col("di") - F.row_number().over(w)
+    )
+    streaks = grouped.groupBy("user_id", "grp").agg(
+        F.count("*").cast("bigint").alias("streak_days"),
+        F.min("di").cast("bigint").alias("start_di"),
+    )
+    wb = W.partitionBy("user_id").orderBy(
+        F.desc("streak_days"), F.asc("start_di")
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("streak_days").alias("longest_streak_days"),
+            F.col("start_di").alias("streak_start_day_index"),
+        )
+    )

@@ -2602,3 +2602,66 @@ def agg_hll_error_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("exact_distinct").cast("bigint").alias("total_exact"),
         (F.max(rel_err) <= _HLL_REL_ERR_BOUND).alias("rel_err_bound_met"),
     )
+
+
+@register(
+    "agg_weighted_median_exact",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS price_cents,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+    ), agg AS (
+      SELECT price_cents, CAST(SUM(w) AS BIGINT) AS w
+      FROM pts GROUP BY price_cents
+    ), ranked AS (
+      SELECT price_cents, w,
+             SUM(w) OVER (ORDER BY price_cents, w) AS cum_w,
+             SUM(w) OVER () AS total_w
+      FROM agg
+    )
+    SELECT CAST(MIN(price_cents) AS BIGINT) AS weighted_median_cents,
+           CAST(MAX(total_w) AS BIGINT) AS total_weight
+    FROM ranked WHERE cum_w * 2 >= total_w
+    """,
+    tags=("agg", "percentile", "exact"),
+)
+def agg_weighted_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted median — the lower weighted median of line-item
+    price weighted by quantity (the 'median price per unit SOLD', which
+    an unweighted median over line items gets wrong whenever quantity
+    correlates with price): the smallest value whose cumulative weight
+    reaches half the total. Pure integers end to end: fixed-point cents,
+    integer weights, and the crossing test as cum·2 ≥ total (no
+    division).
+
+    Scale: values pre-aggregate to (value, Σweight) — the cumulative
+    scan runs over DISTINCT values, not rows — then the prefix sum goes
+    through ops.global_running_sum (two-phase range partition; the only
+    single-partition window is the one-row-per-partition offsets table)
+    and the crossing point is a 1-row conditional aggregate. This is
+    the same shape SQL engines use for exact PERCENTILE_DISC at scale;
+    the approximate twin is agg_kll_quantile_rollup."""
+    from blow_spark import ops
+
+    li = read_table(spark, sf_dir, "lineitem")
+    agg = li.select(
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint")
+        .alias("price_cents"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    ).groupBy("price_cents").agg(F.sum("w").cast("bigint").alias("w"))
+    ranked = ops.global_running_sum(
+        agg,
+        [F.col("price_cents").asc(), F.col("w").asc()],
+        "w",
+        out_col="cum_w",
+    )
+    tot = agg.agg(F.sum("w").cast("bigint").alias("total_w"))
+    crossed = ranked.crossJoin(F.broadcast(tot)).filter(
+        F.col("cum_w") * 2 >= F.col("total_w")
+    )
+    return crossed.agg(
+        F.min("price_cents").cast("bigint").alias("weighted_median_cents"),
+        F.max("total_w").cast("bigint").alias("total_weight"),
+    )

@@ -48,6 +48,7 @@ WHITELIST = {
     "orders_new_customers_curve": 1,
     "orders_abc_pareto": 1,          # prefix-sum offsets (global_running_sum —
                                      # one row per range partition, same shape)
+    "agg_weighted_median_exact": 1,  # prefix-sum offsets (global_running_sum)
 }
 
 
