@@ -2403,3 +2403,49 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     adj.unpersist()
     return out
+
+
+_SYS_K = 25  # systematic sampling stride
+
+
+@register(
+    "sample_systematic_every_kth",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (ORDER BY md5(text), doc_id) AS rank
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE (rank - 1) % {_SYS_K} = 0
+    """,
+    tags=("pipeline", "sample"),
+)
+def sample_systematic_every_kth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (every k-th) sampling over a content-hash total order:
+    rows ranked by md5(text) — a deterministic pseudo-shuffle, the same
+    device as split_kfold_cv — then every 25th row kept. Systematic
+    sampling over a hashed order gives per-stratum balance a Bernoulli
+    sample only achieves in expectation (exactly ⌈n/k⌉ rows, evenly
+    spread through the hash space), which is why survey pipelines
+    prefer it for fixed-size audit samples.
+
+    Scale: the rank comes from ops.global_row_number (two-phase range
+    rank; the one single-partition window is the per-partition offsets
+    table — whitelisted constant-size); the modulo filter is map-side.
+    Output size is exactly n/{_SYS_K}."""
+    from blow_spark import ops
+
+    d = read_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    ranked = ops.global_row_number(
+        keyed, [F.col("h").asc(), F.col("doc_id").asc()], out_col="rank"
+    )
+    return ranked.filter((F.col("rank") - 1) % _SYS_K == 0).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "source",
+        F.col("rank").cast("bigint").alias("rank"),
+    )

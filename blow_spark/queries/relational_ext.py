@@ -2665,3 +2665,72 @@ def agg_weighted_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("price_cents").cast("bigint").alias("weighted_median_cents"),
         F.max("total_w").cast("bigint").alias("total_weight"),
     )
+
+
+@register(
+    "agg_gini_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, pk) AS i
+      FROM rev
+    ), sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS sx,
+             CAST(SUM(i * cents) AS BIGINT) AS six
+      FROM ranked
+    )
+    SELECT n AS n_parts, sx AS total_cents,
+           ROUND(2.0 * CAST(six AS DOUBLE) / (CAST(n AS DOUBLE) * sx)
+                 - (CAST(n AS DOUBLE) + 1.0) / n, 6) AS gini
+    FROM sums
+    """,
+    tags=("agg", "analytics", "exact"),
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across parts (Gini
+    1912, via the rank formula G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n over
+    values sorted ascending) — the single-number inequality measure
+    next to the ABC classification (orders_abc_pareto shows WHERE the
+    80% cut falls; Gini says HOW concentrated the whole curve is, 0 =
+    uniform, →1 = winner-take-all). Σi·xᵢ is an exact BIGINT (envelope:
+    n·max(i·x) < 2⁶³ holds to ~10⁹ parts at cents scale); the two
+    divisions are correctly-rounded double ops, ROUND-6.
+
+    Scale: per-part revenue is one keyed aggregate; the ascending rank
+    comes from ops.global_row_number (two-phase, offsets-table-only
+    single partition); the three moments are a 1-row reduction."""
+    from blow_spark import ops
+
+    li = read_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    ranked = ops.global_row_number(
+        rev, [F.col("cents").asc(), F.col("pk").asc()], out_col="i"
+    )
+    sums = ranked.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sx"),
+        F.sum(F.col("i") * F.col("cents")).cast("bigint").alias("six"),
+    )
+    n = F.col("n").cast("double")
+    gini = 2.0 * F.col("six").cast("double") / (
+        n * F.col("sx").cast("double")
+    ) - (n + 1.0) / n
+    return sums.select(
+        F.col("n").alias("n_parts"),
+        F.col("sx").alias("total_cents"),
+        F.round(gini, 6).alias("gini"),
+    )

@@ -49,6 +49,8 @@ WHITELIST = {
     "orders_abc_pareto": 1,          # prefix-sum offsets (global_running_sum —
                                      # one row per range partition, same shape)
     "agg_weighted_median_exact": 1,  # prefix-sum offsets (global_running_sum)
+    "sample_systematic_every_kth": 1,  # rank offsets (global_row_number)
+    "agg_gini_concentration": 1,     # rank offsets (global_row_number)
 }
 
 
