@@ -570,7 +570,12 @@ def global_running_sum(
         ),
     )
     staged = spill_to_parquet(within, "blow_spark_gsum_")
-    totals = staged.groupBy("__grs_pid").agg(F.max("__grs_run").alias("tot"))
+    # Per-partition total = SUM(value), not MAX(running) — max(__grs_run)
+    # equals the partition sum only when every value is non-negative,
+    # and the contract admits any integral/decimal column (refunds,
+    # deltas). SUM is exact for any sign at identical cost (one
+    # map-side-combined aggregate over the spilled stage).
+    totals = staged.groupBy("__grs_pid").agg(F.sum(value_col).alias("tot"))
     offs = totals.select(
         "__grs_pid",
         F.sum("tot")

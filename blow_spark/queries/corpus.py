@@ -1286,15 +1286,19 @@ def corpus_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     health check a data pipeline tracks across snapshots (a drifting
     exponent flags boilerplate floods or tokenizer regressions before
     any downstream metric moves). Log points are e6 fixed-point
-    integers, so the five OLS moment sums are exact BIGINTs (< 2^53 —
-    envelope documented below) and the closed-form slope is one
-    correctly-rounded double division, ROUND-6.
+    integers, so the five OLS moment sums are exact BIGINTs and the
+    closed-form slope is one correctly-rounded double division, ROUND-6.
 
     Scale: one corpus tokenize + count (the vocabulary table), ranks
     via ops.global_row_number (two-phase, no data-scale single-partition
     window), moments in a 1-row aggregate over {_ZIPF_TOP} points.
-    Envelope: Σx·y ≤ {_ZIPF_TOP}·(ln({_ZIPF_TOP})·10⁶)·(ln(c_max)·10⁶)
-    stays under 2^53 for c_max up to ~10^30 — effectively unbounded."""
+    Envelope (on the post-cancellation numerator/denominator — the
+    values actually cast to double): n·sxy and n·sxx stay within int64
+    for c_max up to ~e^43 ≈ 10^18 token occurrences, far beyond any
+    corpus. They exceed 2^53 already at realistic counts, but
+    determinism is unaffected: both engines run the identical int64
+    arithmetic and the identical int64→double conversion, so the one
+    ROUND-6 division sees bit-identical operands."""
     from blow_spark import functions as BF
     from blow_spark import ops
 

@@ -249,15 +249,16 @@ def events_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_mau_bitmap_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day active users (the DAU/MAU board metric) via EXACT
     mergeable bitmaps instead of the naive day×window COUNT(DISTINCT)
-    re-scan: per (day, 4096-user bucket) the user set densifies into one
-    bitmap (bitmap_construct_agg), a RANGE window ORs the trailing 7
+    re-scan: per (day, 32768-user bucket) the user set densifies into
+    one bitmap (bitmap_construct_agg; Spark's bitmap buckets are
+    32768 bits = 4 KB each), a RANGE window ORs the trailing 7
     days per bucket (bitmap_or_agg — set union as bit-OR), and
     bitmap_count sums across buckets. The oracle recomputes with a
     brute-force range self-join, proving the bitmap algebra exact.
 
     Scale: the events table shuffles ONCE, keyed (day, bucket), into a
-    table bounded by days × (users / 4096) — at 10^9 users and a year
-    that is ~90M 512-byte rows, independent of event count (the naive
+    table bounded by days × (users / 32768) — at 10^9 users and a year
+    that is ~11M 4-KB rows (~45 GB state), independent of event count (the naive
     plan re-shuffles all events once per window day). The bucket-keyed
     RANGE window is fully parallel; the day-level rollup is calendar-
     bounded. Bucket×day densification (a broadcast cross join of two

@@ -865,16 +865,7 @@ def join_allen_interval_relations(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("u1") != F.col("u2"))
             & (
                 (F.col("s1") < F.col("s2"))
-                | (
-                    (F.col("s1") == F.col("s2"))
-                    & (
-                        (F.col("u1") < F.col("u2"))
-                        | (
-                            (F.col("u1") == F.col("u2"))
-                            & (F.col("s1") < F.col("s2"))
-                        )
-                    )
-                )
+                | ((F.col("s1") == F.col("s2")) & (F.col("u1") < F.col("u2")))
             )
         )
         .select("u1", "s1", "e1", "u2", "s2", "e2")

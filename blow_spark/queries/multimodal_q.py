@@ -412,8 +412,9 @@ _CHUNK_BYTES = 64
     "multimodal_blob_chunk_reassemble",
     oracle=f"""
     SELECT doc_id,
-           CAST(CEIL(strlen(text) / {_CHUNK_BYTES}.0) AS BIGINT) AS n_chunks,
-           CAST(strlen(text) AS BIGINT) AS total_bytes,
+           GREATEST(CAST(CEIL(strlen(COALESCE(text, '')) / {_CHUNK_BYTES}.0)
+                         AS BIGINT), 1) AS n_chunks,
+           CAST(strlen(COALESCE(text, '')) AS BIGINT) AS total_bytes,
            TRUE AS reassembly_ok
     FROM documents
     """,
@@ -436,11 +437,20 @@ def multimodal_blob_chunk_reassemble(spark: SparkSession, sf_dir: str) -> DataFr
     Scale: chunk rows are the SHUFFLE-SAFE representation of big blobs
     (a 500 MB video never materializes in one executor row); reassembly
     is one doc-keyed fold. Chunk explode and reassembly both stream —
-    no driver collect, no Python."""
+    no driver collect, no Python.
+
+    Total over the input domain (advice r7): a NULL payload is treated
+    as empty, and every document emits at least ONE (possibly empty)
+    chunk — without the GREATEST, an empty text makes n_chunks = 0 and
+    ``sequence(0, -1)`` auto-DESCENDS to [0, -1] (two bogus chunk
+    rows), while a NULL text drops the row entirely. One empty chunk
+    round-trips exactly (md5 of the empty payload on both sides)."""
     d = read_table(spark, sf_dir, "documents")
-    payload = F.col("text").cast("binary")
+    payload = F.coalesce(F.col("text"), F.lit("")).cast("binary")
     n_bytes = F.length(payload)
-    n_chunks = F.ceil(n_bytes / float(_CHUNK_BYTES)).cast("int")
+    n_chunks = F.greatest(
+        F.ceil(n_bytes / float(_CHUNK_BYTES)).cast("int"), F.lit(1)
+    )
     chunks = d.select(
         "doc_id",
         F.md5(payload).alias("orig_md5"),

@@ -145,6 +145,28 @@ def test_global_running_sum_matches_naive(spark):
         assert got[r.id] == acc, (r.id, got[r.id], acc)
 
 
+def test_global_running_sum_signed_values(spark):
+    """Signed deltas (refunds/CUSUM shape): per-partition totals must be
+    SUM, not MAX of the running column — max(run) != partition sum as
+    soon as any value is negative (advice r7)."""
+    from blow_spark import ops
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        (((F.col("id") * 37) % 101) - 50).cast("bigint").alias("v"),
+    )
+    got = {
+        r.id: r.rs
+        for r in ops.global_running_sum(
+            df, [F.col("id").asc()], "v", num_parts=8, out_col="rs"
+        ).collect()
+    }
+    acc = 0
+    for r in sorted(df.collect(), key=lambda r: r.id):
+        acc += r.v
+        assert got[r.id] == acc, (r.id, got[r.id], acc)
+
+
 def test_abc_pareto_partitions_all_parts(spark):
     rows = {r.abc_class: r for r in queries()["orders_abc_pareto"](spark, SF).collect()}
     assert set(rows) <= {"A", "B", "C"} and "A" in rows

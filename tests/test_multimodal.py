@@ -229,3 +229,31 @@ def test_production_png_encoder_roundtrip():
         img = rng.integers(0, 256, size=shape, dtype=np.uint8)
         got = multimodal.decode_image(multimodal.encode_png(img))
         assert got.shape == img.shape and np.array_equal(got, img)
+
+
+def test_blob_chunk_reassemble_total_domain(spark, tmp_path):
+    """Empty and NULL texts are in the query's domain (advice r7):
+    empty -> exactly one empty chunk (not the [0, -1] descending-
+    sequence artifact), NULL -> treated as empty, row KEPT. Both
+    round-trip TRUE."""
+    from blow_spark.queries import queries
+
+    spark.createDataFrame(
+        [
+            (1, "x" * 130, "en", "s", 130),  # 3 chunks (64+64+2)
+            (2, "", "en", "s", 0),  # empty payload
+            (3, None, "en", "s", None),  # NULL payload
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: r
+        for r in queries()["multimodal_blob_chunk_reassemble"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert len(got) == 3
+    assert (got[1].n_chunks, got[1].total_bytes) == (3, 130)
+    assert (got[2].n_chunks, got[2].total_bytes) == (1, 0)
+    assert (got[3].n_chunks, got[3].total_bytes) == (1, 0)
+    assert all(got[i].reassembly_ok for i in (1, 2, 3))
