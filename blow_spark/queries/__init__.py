@@ -86,6 +86,7 @@ def _load() -> None:
         relational_ext,
         retrieval,
         spatial,
+        stats,
         text,
         tpch,
         tpch2,

@@ -51,6 +51,13 @@ WHITELIST = {
     "agg_weighted_median_exact": 1,  # prefix-sum offsets (global_running_sum)
     "sample_systematic_every_kth": 1,  # rank offsets (global_row_number)
     "agg_gini_concentration": 1,     # rank offsets (global_row_number)
+    # Domain-bounded branch (round 8): each window runs AFTER a keyed
+    # aggregate reduced the corpus to a bounded-label-domain table —
+    # 5×5 contingency cells, ≤50 distinct quantity values, 25 brands.
+    # Same constant-size justification as the KM day table above.
+    "stats_chi_square_independence": 1,  # grand-total window over 25 cells
+    "stats_mann_whitney_u": 1,           # cumulative window over ≤50 values
+    "stats_benjamini_hochberg": 1,       # rank + max-k windows over 25 brands
 }
 
 

@@ -1,0 +1,79 @@
+"""Statistical-test family invariants (the oracle compare in
+test_queries_oracle.py covers exactness; these pin the math's internal
+consistency so a formula transposition can't pass both sides)."""
+
+from __future__ import annotations
+
+from blow_spark.queries import queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_welch_df_bounds(spark):
+    r = queries()["stats_welch_ttest"](spark, SF).first()
+    # Welch-Satterthwaite df lies between min(n)-1 and n0+n1-2
+    assert min(r.n0, r.n1) - 1 <= r.welch_df <= r.n0 + r.n1 - 2
+    assert r.n0 > 0 and r.n1 > 0
+
+
+def test_chi_square_nonnegative_df(spark):
+    r = queries()["stats_chi_square_independence"](spark, SF).first()
+    assert r.chi2_stat >= 0.0
+    assert r.df == 16  # (5 segments - 1) x (5 regions - 1)
+    assert r.n > 0
+
+
+def test_mann_whitney_u_range(spark):
+    r = queries()["stats_mann_whitney_u"](spark, SF).first()
+    # U in [0, na*nb] (doubled representation)
+    assert 0 <= r.u_a_x2 <= 2 * r.na * r.nb
+    # near-balanced hash arms => z should not be astronomical
+    assert abs(r.z_stat) < 50
+
+
+def test_benjamini_hochberg_stepup(spark):
+    rows = sorted(
+        queries()["stats_benjamini_hochberg"](spark, SF).collect(),
+        key=lambda r: r.p_rank,
+    )
+    assert [r.p_rank for r in rows] == list(range(1, len(rows) + 1))
+    # rejections form a prefix of the p-value ranking (step-up property)
+    flags = [r.rejected for r in rows]
+    assert flags == sorted(flags, reverse=True)
+    # every rejected row's p is <= the threshold at the cut rank
+    k = sum(flags)
+    if k:
+        assert rows[k - 1].p_cheb <= rows[k - 1].bh_threshold
+
+
+def test_mode_is_max_count(spark):
+    import pyspark.sql.functions as F
+
+    from blow_spark.sources import read_table
+
+    got = {
+        r.l_returnflag: (r.mode_quantity, r.mode_count)
+        for r in queries()["agg_mode_exact"](spark, SF).collect()
+    }
+    li = read_table(spark, SF, "lineitem")
+    counts = (
+        li.groupBy("l_returnflag", F.col("l_quantity").cast("bigint").alias("v"))
+        .count()
+        .collect()
+    )
+    by_flag: dict[str, list] = {}
+    for r in counts:
+        by_flag.setdefault(r.l_returnflag, []).append((r["count"], r.v))
+    for flag, vs in by_flag.items():
+        best = max(c for c, _ in vs)
+        want_v = min(v for c, v in vs if c == best)
+        assert got[flag] == (want_v, best)
+
+
+def test_geo_harmonic_mean_ordering(spark):
+    rows = queries()["agg_geo_harmonic_means"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        # AM-GM-HM inequality: harmonic <= geometric (strict unless constant)
+        assert r.harmonic_mean <= r.geo_mean + 1e-6
+        assert r.geo_mean > 0 and r.harmonic_mean > 0
