@@ -934,3 +934,45 @@ def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("start_di").alias("streak_start_day_index"),
         )
     )
+
+
+@register(
+    "events_power_user_curve",
+    oracle="""
+    WITH per_user AS (
+      SELECT strftime(ts, '%Y-%m') AS month, user_id,
+             CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT month, active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM per_user
+    GROUP BY month, active_days
+    """,
+    tags=("analytics", "events", "engagement"),
+)
+def events_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-user curve (the L28/L30 engagement histogram): for each
+    calendar month, how many users were active exactly d distinct days —
+    the smile-vs-frown shape product teams read before any retention
+    metric (Facebook's classic growth-accounting chart). Bounded output:
+    months × 31 rows.
+
+    Scale: one (month, user)-keyed COUNT(DISTINCT day) — the distinct
+    collapses inside the keyed aggregate, no window — then a
+    constant-size histogram rollup. Both aggregates are map-side
+    combinable; nothing shuffles twice at data scale."""
+    e = read_table(spark, sf_dir, "events")
+    per_user = (
+        e.select(
+            F.date_format("ts", "yyyy-MM").alias("month"),
+            "user_id",
+            F.to_date("ts").alias("day"),
+        )
+        .groupBy("month", "user_id")
+        .agg(F.countDistinct("day").alias("active_days"))
+    )
+    return per_user.groupBy("month", "active_days").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )

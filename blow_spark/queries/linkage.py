@@ -938,3 +938,75 @@ def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents").cast("double") * 12.0 / F.col("total_cents"), 6
         ).alias("seasonal_index"),
     )
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), dc AS (
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY c
+    ), dp AS (
+      SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY p
+    ), m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(dc.d) AS DOUBLE) AS sx,
+             CAST(SUM(dp.d) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(dc.d AS HUGEINT) * dc.d) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(dp.d AS HUGEINT) * dp.d) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(dc.d AS HUGEINT) * dp.d) AS DOUBLE) AS sxy
+      FROM edges e JOIN dc ON dc.c = e.c JOIN dp ON dp.p = e.p
+    )
+    SELECT CAST(n AS BIGINT) AS n_edges,
+           ROUND((n * sxy - sx * sy)
+                 / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)),
+                 6) AS assortativity
+    FROM m
+    """,
+    tags=("graph", "stats", "join"),
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman, PRL 2002) of the customer-part
+    purchase graph: the Pearson correlation between the two endpoint
+    degrees across EDGES — positive means hubs buy hub products
+    (popularity concentrates), negative means hubs fan out to niche
+    parts. The one-number mixing diagnostic for any bipartite
+    interaction graph (user-item, doc-token, query-click).
+
+    Scale: rides the SPILLED purchase-edge table (one write, three
+    column-pruned scans — same rationale as the link-prediction
+    family); the two degree censuses are map-side-combinable groupBys
+    and join back BY KEY on the edge list (each side shuffles on its
+    own key — no pair fan-out anywhere). Degree products widen to
+    DECIMAL(38,0)/HUGEINT (d ~ 10^6 at catalog scale makes d·d' pass
+    int64 when summed over 10^12 edges); the correlation is one
+    closed-form double over the exact moments, ROUND-6."""
+    edges = _purchase_edges(spark, sf_dir)
+    dc = edges.groupBy("c").agg(F.count("*").alias("d_c"))
+    dp = edges.groupBy("p").agg(F.count("*").alias("d_p"))
+    j = edges.join(dc, "c").join(dp, "p")
+    dcd = F.col("d_c").cast("decimal(38,0)")
+    m = j.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("d_c").cast("double").alias("sx"),
+        F.sum("d_p").cast("double").alias("sy"),
+        F.sum(dcd * F.col("d_c")).cast("double").alias("sxx"),
+        F.sum(F.col("d_p").cast("decimal(38,0)") * F.col("d_p"))
+        .cast("double")
+        .alias("syy"),
+        F.sum(dcd * F.col("d_p")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    return m.select(
+        n.cast("bigint").alias("n_edges"),
+        F.round(
+            (n * F.col("sxy") - sx * sy)
+            / (
+                F.sqrt(n * F.col("sxx") - sx * sx)
+                * F.sqrt(n * F.col("syy") - sy * sy)
+            ),
+            6,
+        ).alias("assortativity"),
+    )

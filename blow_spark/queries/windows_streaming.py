@@ -2437,3 +2437,112 @@ def streaming_m4_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+_ACF_MAX_LAG = 7
+
+
+@register(
+    "timeseries_autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS di,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1
+    ), g AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS s,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx
+      FROM daily
+    ), lags AS (
+      SELECT unnest(range(1, {_ACF_MAX_LAG} + 1)) AS k
+    ), p AS (
+      SELECT l.k,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CAST(a.x AS HUGEINT) * b.x) AS DOUBLE) AS sxy,
+             CAST(SUM(a.x) AS DOUBLE) AS sh,
+             CAST(SUM(b.x) AS DOUBLE) AS st
+      FROM daily a
+      JOIN lags l ON TRUE
+      JOIN daily b ON b.di = a.di + l.k
+      GROUP BY l.k
+    )
+    SELECT CAST(p.k AS INT) AS lag, p.n_pairs,
+           ROUND((p.sxy - (g.s / g.n) * (p.sh + p.st)
+                  + p.n_pairs * (g.s / g.n) * (g.s / g.n))
+                 / (g.sxx - g.n * (g.s / g.n) * (g.s / g.n)), 6) AS acf
+    FROM p CROSS JOIN g
+    ORDER BY lag
+    """,
+    tags=("timeseries", "stats", "orders"),
+)
+def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation function of the daily revenue series at
+    lags 1..{_ACF_MAX_LAG} — the first diagnostic on any metric series
+    (weekly periodicity shows as a lag-7 spike; a slowly decaying ACF
+    flags trend before a forecaster is fit). Uses the standard
+    lag-k estimator r_k = Σ(x_t−x̄)(x_t+k−x̄) / Σ(x_t−x̄)², expanded so
+    every data-scale reduction is an EXACT integer sum (cents, cents²
+    and lag cross-products in DECIMAL(38,0)/HUGEINT — a day of revenue
+    at catalog scale is ~10^11 cents, whose square passes int64); the
+    mean substitution happens once per lag over the 1-row moment table.
+    Days missing from the calendar simply drop from the pair set
+    (n_pairs is data-derived per lag, so the oracle proves the grid).
+
+    Scale: ONE date-keyed aggregate reduces the fact table to the
+    calendar-bounded daily series (~10^3 rows per decade), spilled once
+    and re-read by the global-moment branch and both sides of the
+    lag self-join — everything after the first shuffle is
+    constant-size work."""
+    from blow_spark.materialize import spill_to_parquet
+
+    o = read_table(spark, sf_dir, "orders")
+    daily = spill_to_parquet(
+        o.groupBy(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+            .alias("di")
+        ).agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("x")
+        ),
+        "blow_spark_acf_",
+    )
+    g = daily.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("s"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").alias("k"))
+    a = daily.select(F.col("di").alias("di_a"), F.col("x").alias("xa"))
+    b = daily.select(F.col("di").alias("di_b"), F.col("x").alias("xb"))
+    p = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("di_b") == F.col("di_a") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xb"))
+            .cast("double")
+            .alias("sxy"),
+            F.sum("xa").cast("double").alias("sh"),
+            F.sum("xb").cast("double").alias("st"),
+        )
+    )
+    m = F.col("s") / F.col("n")
+    return (
+        p.crossJoin(F.broadcast(g))
+        .select(
+            F.col("k").cast("int").alias("lag"),
+            "n_pairs",
+            F.round(
+                (F.col("sxy") - m * (F.col("sh") + F.col("st"))
+                 + F.col("n_pairs") * m * m)
+                / (F.col("sxx") - F.col("n") * m * m),
+                6,
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )

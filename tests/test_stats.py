@@ -77,3 +77,45 @@ def test_geo_harmonic_mean_ordering(spark):
         # AM-GM-HM inequality: harmonic <= geometric (strict unless constant)
         assert r.harmonic_mean <= r.geo_mean + 1e-6
         assert r.geo_mean > 0 and r.harmonic_mean > 0
+
+
+def test_degree_assortativity_range(spark):
+    r = queries()["graph_degree_assortativity"](spark, SF).first()
+    assert r.n_edges > 0
+    assert -1.0 <= r.assortativity <= 1.0
+
+
+def test_clustering_coefficient_bounds(spark):
+    r = queries()["graph_clustering_coefficient"](spark, SF).first()
+    assert r.n_nodes > 0 and r.n_wedges > 0
+    # transitivity lies in [0, 1]; triangles never exceed wedges/3
+    assert 0.0 <= r.global_cc <= 1.0
+    assert 3 * r.n_triangles <= r.n_wedges
+
+
+def test_autocorrelation_bounds(spark):
+    rows = queries()["timeseries_autocorrelation"](spark, SF).collect()
+    assert [r.lag for r in rows] == list(range(1, 8))
+    for r in rows:
+        assert r.n_pairs > 0
+        # sample ACF with data-derived pair sets stays within [-1, 1]
+        # up to the missing-day normalization slack
+        assert -1.05 <= r.acf <= 1.05
+
+
+def test_power_user_curve_accounting(spark):
+    from blow_spark.sources import read_table
+    import pyspark.sql.functions as F
+
+    rows = queries()["events_power_user_curve"](spark, SF).collect()
+    assert rows
+    total_users = sum(r.n_users for r in rows)
+    e = read_table(spark, SF, "events")
+    want = (
+        e.select(F.date_format("ts", "yyyy-MM").alias("m"), "user_id")
+        .distinct()
+        .count()
+    )
+    # every (month, user) lands in exactly one active-days bin
+    assert total_users == want
+    assert all(1 <= r.active_days <= 31 for r in rows)
