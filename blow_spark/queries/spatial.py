@@ -305,3 +305,76 @@ def agg_spatial_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tiles WHERE g12 = 0
         """
     )
+
+
+# DBSCAN parameters: ε shared with the ε-join above; a point is CORE if
+# at least this many OTHER points sit within ε (minPts counts neighbors
+# excluding self — the strict Ester et al. formulation minus the point
+# itself, pinned identically in the oracle).
+_DBSCAN_MIN_NEIGHBORS = 2
+
+
+@register(
+    "spatial_dbscan_core_points",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey,
+             CAST(('0x' || substring(md5('geo:c:' || CAST(c_custkey AS VARCHAR)), 1, 13))
+                  AS BIGINT) % {_LAT_SPAN} - 60000000 AS lat,
+             CAST(('0x' || substring(md5('geo:C:' || CAST(c_custkey AS VARCHAR)), 1, 13))
+                  AS BIGINT) % {_LON_SPAN} - 180000000 AS lon
+      FROM customer
+    ), neigh AS (
+      SELECT a.c_custkey,
+             CAST(COUNT(*) AS BIGINT) AS n_neighbors
+      FROM c a JOIN c b
+        ON a.c_custkey <> b.c_custkey
+       AND (a.lat - b.lat) * (a.lat - b.lat)
+           + (a.lon - b.lon) * (a.lon - b.lon) <= {_EPS_MU2}
+      GROUP BY a.c_custkey
+    )
+    SELECT c_custkey AS point_id, n_neighbors,
+           n_neighbors >= {_DBSCAN_MIN_NEIGHBORS} AS is_core
+    FROM neigh
+    ORDER BY point_id
+    """,
+    tags=("spatial", "dbscan", "cluster"),
+)
+def spatial_dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN's region-query phase (Ester et al., KDD 1996): count each
+    point's ε-neighbors and label CORE points (≥ minPts neighbors,
+    self excluded) — the step that determines density clusters; border/
+    noise labeling and cluster growth then reduce to the connected-
+    components machinery dedup_clusters already provides. Points with
+    zero ε-neighbors don't appear (they're noise by definition and the
+    pair join never emits them), so the row set itself is data-derived.
+
+    Scale: the self-join runs through the SAME lossless 3×3
+    grid-blocked ε-join as join_spatial_grid_epsilon (cell = ε, build
+    side replicated onto its neighborhood, exact integer predicate
+    verifies) — candidate count is density-bounded per cell, never
+    all-pairs; the oracle is the blocking-free brute-force replay, so
+    the hash match proves blocking recall. Pure-BIGINT µ-degree
+    arithmetic, no doubles anywhere."""
+    c = read_table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("probe_id"),
+        _mu_coord("geo:c:", F.col("c_custkey"), _LAT_SPAN, 60_000_000).alias("lat"),
+        _mu_coord("geo:C:", F.col("c_custkey"), _LON_SPAN, 180_000_000).alias("lon"),
+    )
+    build = pts.select(
+        F.col("probe_id").alias("build_id"), "lat", "lon"
+    )
+    pairs = grid_epsilon_pairs(pts, build, _EPS_MU).filter(
+        F.col("probe_id") != F.col("build_id")
+    )
+    return (
+        pairs.groupBy(F.col("probe_id").alias("point_id"))
+        .agg(F.count("*").cast("bigint").alias("n_neighbors"))
+        .select(
+            "point_id",
+            "n_neighbors",
+            (F.col("n_neighbors") >= _DBSCAN_MIN_NEIGHBORS).alias("is_core"),
+        )
+        .orderBy("point_id")
+    )

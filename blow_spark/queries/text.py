@@ -1839,3 +1839,243 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_syllables",
         F.round(score, 6).alias("flesch_score"),
     )
+
+
+@register(
+    "dedup_soft_reweight",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id AS doc, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), base AS (
+      SELECT doc,
+             list_distinct(list_transform(
+               range(1, len(t) - 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS sh
+      FROM toks
+      WHERE len(t) >= 3
+    ), exploded AS (
+      SELECT doc, unnest(sh) AS g FROM base
+    ), rare AS (
+      SELECT g FROM exploded GROUP BY g HAVING COUNT(*) <= 50
+    ), blocked AS (
+      SELECT e.doc, e.g FROM exploded e JOIN rare USING (g)
+    ), cand AS (
+      SELECT DISTINCT l.doc AS id_a, r.doc AS id_b
+      FROM blocked l JOIN blocked r ON l.g = r.g AND l.doc < r.doc
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM (
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        FROM cand
+        JOIN base a ON a.doc = id_a
+        JOIN base b ON b.doc = id_b) s
+      WHERE jaccard >= 0.4
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(node, comp) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.node
+    ), comps AS (
+      SELECT node, MIN(comp) AS comp FROM reach GROUP BY node
+    ), assigned AS (
+      SELECT d.doc_id,
+             COALESCE(c.comp, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN comps c ON c.node = d.doc_id
+    ), sized AS (
+      SELECT doc_id, cluster,
+             CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT)
+               AS cluster_size
+      FROM assigned
+    )
+    SELECT doc_id, CAST(cluster AS BIGINT) AS cluster, cluster_size,
+           CAST(10000 // cluster_size AS BIGINT) AS weight_bp
+    FROM sized
+    """,
+    tags=("dedup", "llm", "reweight"),
+)
+def dedup_soft_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: instead of DROPPING near-duplicates, every
+    document keeps a sampling weight of 1/|dup cluster| (integer basis
+    points), so each duplicate FAMILY contributes one document's worth
+    of probability mass to the training mixture while all surface
+    variants stay available — the reweight-don't-delete strategy
+    (cf. SoftDedup, He et al. ACL 2024; the D4 pipeline keeps soft
+    weights for the same reason). Clusters come from the exact-Jaccard
+    edges via connected components (the same ground-truth path
+    dedup_clusters certifies); unclustered docs form singleton clusters
+    of weight 10000.
+
+    Scale: the pair generation is the prefix-filtered exact path
+    (production swaps in MinHash-LSH edges — identical downstream
+    plumbing); components converge in O(log diameter) rounds; the size
+    census is a cluster-keyed window over the assignment table (one
+    shuffle, no data-scale single-partition anything). Weights are
+    integer bp — deterministic and mixture-budget-composable
+    (mix_token_budget consumes exactly this shape)."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        d, text_col="text", id_col="doc_id", threshold=0.4
+    )
+    comps = dedup.connected_components(pairs)
+    assigned = d.select("doc_id").join(
+        comps.select(F.col("node").alias("doc_id"), "comp"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("comp", "doc_id").alias("cluster")
+    )
+    sized = assigned.withColumn(
+        "cluster_size",
+        F.count("*").over(W.partitionBy("cluster")).cast("bigint"),
+    )
+    return sized.select(
+        "doc_id",
+        F.col("cluster").cast("bigint").alias("cluster"),
+        "cluster_size",
+        F.expr("10000 div cluster_size").cast("bigint").alias("weight_bp"),
+    )
+
+
+@register(
+    "text_naive_bayes_langid",
+    oracle=r"""
+    WITH doc_toks AS (
+      SELECT doc_id, lang,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ), doc_counts AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS dcnt
+      FROM doc_toks GROUP BY doc_id, tok
+    ), class_counts AS (
+      SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS ccnt
+      FROM doc_toks GROUP BY lang, tok
+    ), classes AS (
+      SELECT lang, CAST(SUM(ccnt) AS BIGINT) AS n_c
+      FROM class_counts GROUP BY lang
+    ), priors AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+    ), vocab AS (
+      SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM doc_toks
+    ), n_all AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_all FROM documents
+    ), lik AS (
+      SELECT t.tok, c.lang,
+             CAST(ROUND(LN((COALESCE(cc.ccnt, 0) + 1.0) / (c.n_c + vocab.v))
+                        * 1000000) AS BIGINT) AS lnlik_fix
+      FROM (SELECT DISTINCT tok FROM doc_toks) t
+      CROSS JOIN classes c
+      CROSS JOIN vocab
+      LEFT JOIN class_counts cc ON cc.tok = t.tok AND cc.lang = c.lang
+    ), scored AS (
+      SELECT dc.doc_id, l.lang,
+             CAST(SUM(dc.dcnt * l.lnlik_fix) AS BIGINT)
+             + CAST(ROUND(LN(CAST(p.n_docs AS DOUBLE) / n_all.n_docs_all)
+                          * 1000000) AS BIGINT) AS score_fix
+      FROM doc_counts dc
+      JOIN lik l ON l.tok = dc.tok
+      JOIN priors p ON p.lang = l.lang
+      CROSS JOIN n_all
+      GROUP BY dc.doc_id, l.lang, p.n_docs, n_all.n_docs_all
+    ), best AS (
+      SELECT doc_id, lang AS pred_lang, score_fix,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score_fix DESC, lang ASC) AS rn
+      FROM scored
+    )
+    SELECT b.doc_id, b.pred_lang, b.score_fix,
+           b.pred_lang = d.lang AS is_correct
+    FROM best b JOIN documents d ON d.doc_id = b.doc_id
+    WHERE b.rn = 1
+    """,
+    tags=("text", "ml", "classify", "llm"),
+)
+def text_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language identification (Laplace-smoothed;
+    McCallum & Nigam, AAAI-98 WS): the classical counts-only text
+    classifier — train and classify in ONE declarative plan, no
+    iterative fitting. Token log-likelihoods ln((c+1)/(N_c+V)) and the
+    class log-priors fix-point to micro-units, so the per-(doc, class)
+    score is an exact integer dot product (doc token count × log-lik)
+    and the argmax (score DESC, lang ASC — total order) is pure-integer;
+    is_correct realizes the resubstitution accuracy per row, proving
+    the model learned something (a broken likelihood table would
+    misclassify visibly).
+
+    Scale: token counting is two keyed aggregates; the likelihood table
+    is vocabulary×|classes| (vocab-scale, NOT corpus-scale) and joins
+    doc tokens BY TOKEN — the same token-keyed shuffle shape as TF-IDF;
+    the per-doc argmax partitions by doc. Priors and vocab size ride
+    one-row broadcasts. ln under ROUND-6 carries the documented 1-ulp
+    allowance (precedent: text_bigram_logprob)."""
+    d = read_table(spark, sf_dir, "documents")
+    doc_toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("tok"),
+    )
+    doc_counts = doc_toks.groupBy("doc_id", "tok").agg(
+        F.count("*").alias("dcnt")
+    )
+    class_counts = doc_toks.groupBy("lang", "tok").agg(
+        F.count("*").alias("ccnt")
+    )
+    classes = class_counts.groupBy("lang").agg(F.sum("ccnt").alias("n_c"))
+    priors = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    vocab = doc_toks.select("tok").distinct().agg(F.count("*").alias("v"))
+    n_all = d.agg(F.count("*").alias("n_docs_all"))
+    toks = doc_toks.select("tok").distinct()
+    lik = (
+        toks.crossJoin(F.broadcast(classes))
+        .crossJoin(F.broadcast(vocab))
+        .join(class_counts, ["tok", "lang"], "left")
+        .select(
+            "tok",
+            "lang",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("ccnt"), F.lit(0)) + 1.0)
+                    / (F.col("n_c") + F.col("v"))
+                )
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("lnlik_fix"),
+        )
+    )
+    prior_fix = F.round(
+        F.log(F.col("n_docs").cast("double") / F.col("n_docs_all")) * 1_000_000
+    ).cast("bigint")
+    scored = (
+        doc_counts.join(lik, "tok")
+        .join(F.broadcast(priors), "lang")
+        .crossJoin(F.broadcast(n_all))
+        .groupBy("doc_id", "lang", "n_docs", "n_docs_all")
+        .agg(F.sum(F.col("dcnt") * F.col("lnlik_fix")).alias("dot"))
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("dot") + prior_fix).cast("bigint").alias("score_fix"),
+        )
+    )
+    best = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(
+                F.col("score_fix").desc(), F.col("lang").asc()
+            )
+        ),
+    ).filter(F.col("rn") == 1)
+    return best.join(
+        d.select("doc_id", F.col("lang").alias("true_lang")), "doc_id"
+    ).select(
+        "doc_id",
+        F.col("lang").alias("pred_lang"),
+        "score_fix",
+        (F.col("lang") == F.col("true_lang")).alias("is_correct"),
+    )

@@ -119,3 +119,48 @@ def test_power_user_curve_accounting(spark):
     # every (month, user) lands in exactly one active-days bin
     assert total_users == want
     assert all(1 <= r.active_days <= 31 for r in rows)
+
+
+def test_dbscan_core_points_nonvacuous(spark):
+    rows = queries()["spatial_dbscan_core_points"](spark, SF).collect()
+    assert rows, "epsilon too small: no neighbor pairs at the gate SF"
+    assert any(r.is_core for r in rows)
+    for r in rows:
+        assert r.n_neighbors >= 1
+        assert r.is_core == (r.n_neighbors >= 2)
+
+
+def test_soft_reweight_mass_conservation(spark):
+    rows = queries()["dedup_soft_reweight"](spark, SF).collect()
+    n_docs = len(rows)
+    assert n_docs > 0
+    # every doc present exactly once; weights bounded by 10000/size
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    assert sum(len(v) for v in by_cluster.values()) == n_docs
+    multi = 0
+    for cl, members in by_cluster.items():
+        size = members[0].cluster_size
+        assert len(members) == size
+        for m in members:
+            assert m.weight_bp == 10000 // size
+        if size > 1:
+            multi += 1
+    assert multi > 0, "fixture has no dup clusters: reweighting vacuous"
+
+
+def test_naive_bayes_beats_majority_class(spark):
+    import collections
+
+    from blow_spark.sources import read_table
+
+    rows = queries()["text_naive_bayes_langid"](spark, SF).collect()
+    acc = sum(r.is_correct for r in rows) / len(rows)
+    langs = collections.Counter(
+        r.lang for r in read_table(spark, SF, "documents").select("lang").collect()
+    )
+    majority = max(langs.values()) / sum(langs.values())
+    # resubstitution accuracy must beat always-predict-majority: the
+    # likelihood table carries real signal (measured 0.438 vs 0.386)
+    assert acc > majority, (acc, majority)
