@@ -2546,3 +2546,81 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("global_cc"),
         )
     )
+
+
+_NAMED_WINDOW_SQL = """
+SELECT c_custkey,
+       c_mktsegment,
+       CAST(RANK() OVER w_bal AS BIGINT) AS bal_rank,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) OVER w_run AS BIGINT)
+         AS seg_running_cents,
+       CAST(COUNT(*) OVER w_seg AS BIGINT) AS seg_size
+FROM customer
+WHERE c_custkey <= 600
+WINDOW w_seg AS (PARTITION BY c_mktsegment),
+       w_bal AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey),
+       w_run AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register(
+    "sql_named_window_front_door",
+    oracle=_NAMED_WINDOW_SQL,
+    tags=("sql", "window"),
+)
+def sql_named_window_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named WINDOW clause through the SQL front door with ONE shared
+    query text: three named specs over one partitioning (bare, ordered,
+    framed) — stated once in the WINDOW clause and referenced by name
+    per expression, resolved identically by both engines or the hash
+    breaks. (ANSI window INHERITANCE — `w2 AS (w1 ORDER BY ...)` — is a
+    DuckDB extension Spark's parser rejects, so the shared text uses
+    independent specs; the plan consequence below is identical.)
+    The running sum is over exact cent integers (catalog fixed-point
+    convention) and the rank key (acctbal DESC, custkey) is total.
+
+    Scale: all three windows share ONE partitioning (c_mktsegment), so
+    the physical plan is a single hash-partition exchange + one sort —
+    the named-window form isn't just sugar; it's how an analyst states
+    'these analytics share a shuffle' declaratively."""
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_NAMED_WINDOW_SQL)
+
+
+_FILTER_CLAUSE_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+         AS n_discounted,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+            FILTER (WHERE l_linestatus = 'F') AS BIGINT)
+         AS finished_cents,
+       CAST(COUNT(DISTINCT l_suppkey) FILTER (WHERE l_quantity >= 30)
+            AS BIGINT) AS bulk_suppliers
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "sql_filter_clause_front_door",
+    oracle=_FILTER_CLAUSE_SQL,
+    tags=("sql", "agg"),
+)
+def sql_filter_clause_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI aggregate FILTER clause through the SQL front door, ONE
+    shared query text: per-aggregate predicates (plain count, filtered
+    count, filtered fixed-point SUM, filtered COUNT DISTINCT) — the
+    standard way to compute many conditional aggregates in one pass
+    without CASE pyramids. Both engines fold every FILTER into the
+    same single grouped aggregate; the filtered-distinct is the
+    interesting one (it must not collapse with the global count).
+
+    Scale: one keyed aggregate over the fact table; the distinct adds
+    the usual expand-shuffle and everything else stays map-side
+    combinable — same plan class as agg_multi_distinct."""
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_FILTER_CLAUSE_SQL)

@@ -511,3 +511,86 @@ def agg_geo_harmonic_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*") * 1e12 / F.sum(invfix).cast("double"), 6
         ).alias("harmonic_mean"),
     )
+
+
+@register(
+    "agg_skewness_kurtosis",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) AS s1,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+                      * CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) AS s2,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+                      * CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) AS s3,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+                      * CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) AS s4
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / ((s2 / n - (s1 / n) * (s1 / n))
+                    * SQRT(s2 / n - (s1 / n) * (s1 / n))), 6) AS skewness,
+           ROUND((s4 / n - 4 * (s1 / n) * (s3 / n)
+                  + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                  - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                 / ((s2 / n - (s1 / n) * (s1 / n))
+                    * (s2 / n - (s1 / n) * (s1 / n))) - 3, 6) AS excess_kurtosis
+    FROM m
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "stats", "lineitem"),
+)
+def agg_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact population skewness and excess kurtosis per group from raw
+    integer moments — the distribution-shape diagnostics next to
+    avg/stddev on any metrics board. Spark's built-in skewness()/
+    kurtosis() accumulate FLOATS in shuffle order (nondeterministic
+    across runs); this computes Σx, Σx², Σx³, Σx⁴ as exact
+    DECIMAL(38,0)/HUGEINT cent sums in ONE map-side-combinable
+    aggregate, then expands the central moments in doubles — both
+    engines run the identical IEEE expression on identical integers,
+    so the result is bit-stable (m2^1.5 deliberately spelled
+    m2·sqrt(m2): sqrt is correctly rounded where pow is not).
+
+    Envelope: x⁴ ≈ 10²⁸ at 10⁷-cent values, so per-group sums stay
+    inside DECIMAL(38,0)/HUGEINT for ~10¹⁰ rows per group; past that
+    the standard fix is the two-pass shifted-moment form (subtract an
+    approximate group mean first), noted in SCALE.md rather than
+    implemented — the one-pass form is the production default."""
+    li = read_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    xd = x.cast("decimal(38,0)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("s1"),
+        F.sum(xd * x).cast("double").alias("s2"),
+        F.sum(xd * x * x).cast("double").alias("s3"),
+        F.sum(xd * x * x * x).cast("double").alias("s4"),
+    )
+    n = F.col("n")
+    mean = F.col("s1") / n
+    m2 = F.col("s2") / n - mean * mean
+    m3 = F.col("s3") / n - 3 * mean * (F.col("s2") / n) + 2 * mean * mean * mean
+    m4 = (
+        F.col("s4") / n
+        - 4 * mean * (F.col("s3") / n)
+        + 6 * mean * mean * (F.col("s2") / n)
+        - 3 * mean * mean * mean * mean
+    )
+    return m.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3, 6).alias("excess_kurtosis"),
+    ).orderBy("l_returnflag")

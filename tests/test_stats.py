@@ -164,3 +164,34 @@ def test_naive_bayes_beats_majority_class(spark):
     # resubstitution accuracy must beat always-predict-majority: the
     # likelihood table carries real signal (measured 0.438 vs 0.386)
     assert acc > majority, (acc, majority)
+
+
+def test_named_window_single_shuffle(spark):
+    """The three named specs share one partitioning -> exactly one hash
+    exchange and one sort in the physical plan."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from plan_guard import exchange_counts, physical_plan
+
+    df = queries()["sql_named_window_front_door"](spark, SF)
+    plan = physical_plan(df)
+    assert exchange_counts(plan) == (1, 0)
+    assert plan.count("Sort") == 1
+
+
+def test_filter_clause_subset_invariants(spark):
+    rows = queries()["sql_filter_clause_front_door"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_discounted <= r.n_rows
+        assert r.bulk_suppliers >= 0
+
+
+def test_skewness_kurtosis_bounds(spark):
+    rows = queries()["agg_skewness_kurtosis"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        # kurtosis >= skewness^2 - 2 (Pearson inequality) for any dist
+        assert r.excess_kurtosis + 3 >= r.skewness**2 + 1 - 1e-6
+        assert abs(r.skewness) < 10
