@@ -2624,3 +2624,131 @@ def sql_filter_clause_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable — same plan class as agg_multi_distinct."""
     read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_FILTER_CLAUSE_SQL)
+
+
+@register(
+    "join_scd2_point_in_time",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id,
+             CAST(FLOOR(value / 100) AS BIGINT) AS tier,
+             ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM events WHERE event_type = 'signup'
+    ), fact AS (
+      SELECT event_id, user_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS amount_cents
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id, f.user_id, f.amount_cents,
+           d.tier AS tier_at_purchase
+    FROM fact f
+    JOIN dim d
+      ON d.user_id = f.user_id
+     AND f.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    ORDER BY f.event_id
+    """,
+    tags=("join", "scd2", "cdc", "events"),
+)
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against an SCD2 dimension — THE warehouse
+    pattern for 'what was the customer's tier WHEN they purchased':
+    signup events form the type-2 changelog (each change opens a
+    validity interval, the live row keeps valid_to NULL — the same
+    derivation cdc_state_intervals_scd2 certifies), and each purchase
+    matches the one interval containing its timestamp. SCD2
+    half-open intervals per key never overlap BY CONSTRUCTION, so the
+    containment join is 1:≤1 — a purchase before the user's first
+    signup simply drops (inner semantics, pinned by the oracle).
+
+    Scale: both sides shuffle ONCE on user_id and the interval
+    predicate evaluates inside the per-user hash-join partition — the
+    bounded-fanout equi+range shape every point-in-time lookup
+    compiles to (the as-of window form in ops.asof_join is the
+    sort-based twin; this is the interval-table front door)."""
+    e = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        e.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.floor(F.col("value") / 100).cast("bigint").alias("tier"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+        .withColumnRenamed("user_id", "d_user")
+    )
+    fact = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("amount_cents"),
+    )
+    return (
+        fact.join(
+            dim,
+            (F.col("d_user") == F.col("user_id"))
+            & (F.col("ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "amount_cents",
+            F.col("tier").alias("tier_at_purchase"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "sample_class_balance",
+    oracle="""
+    WITH sizes AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ), k AS (
+      SELECT MIN(n) AS k_min FROM sizes
+    ), ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(text), doc_id) AS rn
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang, CAST(r.rn AS BIGINT) AS sample_rank,
+           k.k_min AS class_size
+    FROM ranked r CROSS JOIN k
+    WHERE r.rn <= k.k_min
+    """,
+    tags=("pipeline", "sampling", "ml"),
+)
+def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every language keeps exactly
+    min-class-size documents, chosen by content hash — the
+    deterministic majority-class undersampler that precedes any
+    classifier fit on skewed labels (the fixture is ~3:1 en-heavy; the
+    output is exactly |classes|×k_min rows, so a class-prior-free model
+    sees a uniform label distribution). The hash order is the repo's
+    no-RNG uniform (task-retry-stable, oracle-pairable), identical to
+    sample_stratified_exact_k's — the difference is that k here is
+    DATA-DERIVED (the min class census) instead of a constant.
+
+    Scale: one label-keyed census (a tiny broadcast), one label-keyed
+    window; the same hash-prefix pre-filter as the stratified sampler
+    makes the per-class sort survivor-sized at 100 TB (SCALE.md)."""
+    d = read_table(spark, sf_dir, "documents")
+    k = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .agg(F.min("n").alias("k_min"))
+    )
+    w = W.partitionBy("lang").orderBy(F.md5("text"), "doc_id")
+    ranked = d.select(
+        "doc_id", "lang", F.row_number().over(w).cast("bigint").alias("sample_rank")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(k))
+        .filter(F.col("sample_rank") <= F.col("k_min"))
+        .select("doc_id", "lang", "sample_rank", F.col("k_min").alias("class_size"))
+    )

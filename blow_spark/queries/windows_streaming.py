@@ -2546,3 +2546,76 @@ def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+_SNAIVE_SEASON = 7  # weekly seasonality on the daily grid
+
+
+@register(
+    "timeseries_seasonal_naive_backtest",
+    oracle=f"""
+    WITH daily AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS di,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1
+    ), scored AS (
+      SELECT a.di, a.x, b.x AS pred,
+             ABS(a.x - b.x) AS abs_err
+      FROM daily a JOIN daily b ON b.di = a.di - {_SNAIVE_SEASON}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(abs_err) AS BIGINT) AS sum_abs_err_cents,
+           ROUND(CAST(SUM(abs_err) AS DOUBLE) / COUNT(*) / 100.0, 6) AS mae,
+           ROUND(SUM(CAST(ROUND(CAST(abs_err AS DOUBLE)
+                                / (CAST(ABS(x) AS DOUBLE) + pred)
+                                * 2000000000)
+                          AS BIGINT)) / COUNT(*) / 1000000000.0, 6) AS smape
+    FROM scored
+    """,
+    tags=("timeseries", "forecast", "orders"),
+)
+def timeseries_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's revenue as
+    the value {_SNAIVE_SEASON} days earlier (the benchmark every real
+    forecaster must beat — Hyndman & Athanasopoulos, FPP3 §5.2) and
+    score MAE and sMAPE over the whole observed grid. Per-day sMAPE
+    terms fix-point to nano-units BEFORE the mean, so the reduction is
+    an exact integer sum; MAE comes from the exact cent error sum.
+    Days with no t−{_SNAIVE_SEASON} observation drop from the pair set
+    (n_days is data-derived — the oracle proves the backtest grid).
+
+    Scale: the same calendar-bounded daily table as the ACF query (one
+    fact shuffle, constant-size everything after); the lag join is a
+    self-join on day index over ~10³ rows per decade."""
+    from blow_spark.materialize import spill_to_parquet
+
+    o = read_table(spark, sf_dir, "orders")
+    daily = spill_to_parquet(
+        o.groupBy(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+            .alias("di")
+        ).agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("x")
+        ),
+        "blow_spark_snaive_",
+    )
+    a = daily.select(F.col("di").alias("di_a"), F.col("x").alias("xa"))
+    b = daily.select(F.col("di").alias("di_b"), F.col("x").alias("pred"))
+    scored = a.join(b, F.col("di_b") == F.col("di_a") - _SNAIVE_SEASON).select(
+        F.col("xa").alias("x"), "pred", F.abs(F.col("xa") - F.col("pred")).alias("abs_err")
+    )
+    smape_fix = F.round(
+        F.col("abs_err").cast("double")
+        / (F.abs(F.col("x")).cast("double") + F.col("pred"))
+        * 2_000_000_000
+    ).cast("bigint")
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("abs_err").cast("bigint").alias("sum_abs_err_cents"),
+        F.round(F.sum("abs_err").cast("double") / F.count("*") / 100.0, 6).alias(
+            "mae"
+        ),
+        F.round(F.sum(smape_fix) / F.count("*") / 1e9, 6).alias("smape"),
+    )

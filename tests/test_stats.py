@@ -195,3 +195,28 @@ def test_skewness_kurtosis_bounds(spark):
         # kurtosis >= skewness^2 - 2 (Pearson inequality) for any dist
         assert r.excess_kurtosis + 3 >= r.skewness**2 + 1 - 1e-6
         assert abs(r.skewness) < 10
+
+
+def test_scd2_point_in_time_unique_match(spark):
+    rows = queries()["join_scd2_point_in_time"](spark, SF).collect()
+    assert rows
+    # SCD2 intervals never overlap => each purchase matches at most once
+    ids = [r.event_id for r in rows]
+    assert len(ids) == len(set(ids))
+
+
+def test_seasonal_naive_backtest_bounds(spark):
+    r = queries()["timeseries_seasonal_naive_backtest"](spark, SF).first()
+    assert r.n_days > 0
+    assert r.mae >= 0
+    assert 0.0 <= r.smape <= 2.0  # sMAPE is bounded by 2 by construction
+
+
+def test_class_balance_uniform_labels(spark):
+    import collections
+
+    rows = queries()["sample_class_balance"](spark, SF).collect()
+    counts = collections.Counter(r.lang for r in rows)
+    k = rows[0].class_size
+    assert len(counts) >= 2
+    assert all(v == k for v in counts.values()), counts
