@@ -2734,3 +2734,57 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sx").alias("total_cents"),
         F.round(gini, 6).alias("gini"),
     )
+
+
+@register(
+    "sink_csv_multiline_quoted",
+    oracle="""
+    SELECT doc_id,
+           source || ',"' || substring(text, 1, 40) || chr(10) || lang
+             AS payload
+    FROM documents
+    """,
+    tags=("sink", "source", "csv"),
+)
+def sink_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round trip under ADVERSARIAL content: every payload embeds a
+    comma, a double quote, and a NEWLINE (derived deterministically from
+    the document text), written with RFC-4180 quote-doubling
+    (escape = quote) and read back with multiLine=true — the three
+    classic CSV corruption vectors in one value. The oracle recomputes
+    the payload straight from parquet, so the hash match proves the
+    writer quoted and the reader re-assembled every byte (a reader
+    without multiLine would split records at the embedded newline and
+    the row count itself would break).
+
+    Scale note: multiLine=true is the one CSV option that costs
+    parallelism — records can span line boundaries, so each FILE parses
+    as one split. The write side explicitly repartitions to keep files
+    executor-sized; at 100 TB the honest answer is 'don't ship newlines
+    in CSV' (use parquet), which is exactly what this query documents
+    by construction."""
+    import tempfile
+
+    d = read_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.col("source"),
+        F.lit(',"'),
+        F.substring("text", 1, 40),
+        F.lit("\n"),
+        F.col("lang"),
+    )
+    path = tempfile.mkdtemp(prefix="blow_spark_csv_ml_")
+    (
+        d.select("doc_id", payload.alias("payload"))
+        .repartition(4)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+    return spark.read.schema("doc_id long, payload string").option(
+        "header", "true"
+    ).option("multiLine", "true").option("quote", '"').option(
+        "escape", '"'
+    ).csv(path)
