@@ -82,11 +82,13 @@ def _load() -> None:
         multimodal_q,
         parity,
         pipeline_ops,
+        product,
         relational,
         relational_ext,
         retrieval,
         spatial,
         stats,
+        stats2,
         text,
         tpch,
         tpch2,

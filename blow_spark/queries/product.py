@@ -1,0 +1,455 @@
+"""Product-analytics and finance-curve operators: DAU/WAU stickiness,
+peak concurrency (interval sweep), cohort lifetime value, maximum
+drawdown, and lagged cross-correlation.
+
+These are the dashboard-level metrics a growth/finance team computes
+over the event and order streams every day; each one is a named,
+oracle-paired catalog query built from exact integer sums so the
+driver hash matches DuckDB bit-for-bit.
+
+Scale notes are per-query; the common themes are (a) aggregate FIRST
+so every ordered window runs over a bounded day-grain series, never
+raw events, and (b) the two genuinely global order-statistics
+(concurrency sweep) go through ops.global_running_sum's two-phase
+range-partitioned prefix sum rather than any single-partition window.
+
+Reference parity note: the reference engine (wizgrao/blow) has no
+analytics surface (maps/maps.go:8-14); these are extension operators
+from the task brief's analytics mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from blow_spark.ops import global_running_sum
+from blow_spark.queries import register
+from blow_spark.sources import read_table
+
+
+@register(
+    "events_stickiness_dau_wau",
+    oracle="""
+    WITH userdays AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+      FROM userdays GROUP BY day
+    ), wau AS (
+      SELECT d.day, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS wau
+      FROM dau d
+      JOIN userdays a
+        ON a.day <= d.day AND a.day >= d.day - INTERVAL 6 DAY
+      GROUP BY d.day
+    )
+    SELECT CAST(d.day AS VARCHAR) AS day, d.dau, w.wau,
+           ROUND(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+    FROM dau d JOIN wau w USING (day)
+    ORDER BY d.day
+    """,
+    tags=("events", "product", "journeys"),
+)
+def events_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — the standard engagement-frequency
+    ratio ("what fraction of this week's actives came back today?").
+    WAU is a 7-day ROLLING distinct-user count; rolling distinct does
+    not decompose into window partials, so each (user, day) activity
+    row is EXPANDED to the 7 future days it keeps the user "weekly
+    active" for, and WAU(d) is a plain count-distinct at day d.
+
+    Scale: the expansion is a map-side 7× fan-out of the user-DAY
+    grain (already deduplicated — far smaller than raw events),
+    followed by one (day)-keyed distinct aggregate; no non-equi join,
+    no ordered window at all. The oracle spells the same semantics as
+    a range join, which is fine single-node but would be the wrong
+    distributed plan."""
+    e = read_table(spark, sf_dir, "events")
+    userdays = e.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    dau = userdays.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("dau")
+    )
+    contrib = userdays.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+        "user_id",
+    )
+    wau = contrib.groupBy("day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "events_concurrency_peak",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             MIN(ts) AS t0, MAX(ts) AS t1
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ), pts AS (
+      SELECT t0 AS ts, 1 AS delta, user_id FROM spans
+      UNION ALL
+      SELECT t1 AS ts, -1 AS delta, user_id FROM spans
+    ), run AS (
+      SELECT ts, delta,
+             SUM(delta) OVER (ORDER BY ts, delta DESC, user_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS conc
+      FROM pts
+    ), mx AS (
+      SELECT CAST(MAX(conc) AS BIGINT) AS peak_concurrency FROM run
+    )
+    SELECT m.peak_concurrency,
+           MIN(r.ts) AS first_peak_ts,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM spans) AS n_spans
+    FROM run r JOIN mx m ON r.conc = m.peak_concurrency
+    GROUP BY m.peak_concurrency
+    """,
+    tags=("events", "product", "intervals"),
+)
+def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency over user activity spans — the classic
+    +1/−1 boundary-sweep interval problem ("how many users were on
+    simultaneously at the worst moment, and when?"). Each user-day
+    span [min ts, max ts] emits a +1 start and a −1 end point; the
+    signed running sum over (ts, starts-before-ends, user_id) IS the
+    live concurrency, its max is the peak, and the earliest point
+    attaining it is the incident timestamp. Touching spans count as
+    concurrent (start sorts before end at equal ts).
+
+    Scale: spans aggregate first (one user/day-keyed shuffle), the
+    sweep is ops.global_running_sum's two-phase range-partitioned
+    prefix sum over a SIGNED step column — the exact contract the
+    round-7 SUM-not-MAX fix guarantees — and the peak row resolves
+    via a 1-row broadcast, not a second global sort."""
+    e = read_table(spark, sf_dir, "events")
+    spans = e.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    pts = spans.select(
+        F.col("t0").alias("ts"), F.lit(1).alias("delta"), "user_id"
+    ).unionAll(
+        spans.select(
+            F.col("t1").alias("ts"), F.lit(-1).alias("delta"), "user_id"
+        )
+    )
+    run = global_running_sum(
+        pts,
+        [F.col("ts").asc(), F.col("delta").desc(), F.col("user_id").asc()],
+        "delta",
+        out_col="conc",
+    )
+    mx = run.agg(F.max("conc").cast("bigint").alias("peak_concurrency"))
+    n = spans.agg(F.count("*").cast("bigint").alias("n_spans"))
+    return (
+        run.join(
+            F.broadcast(mx), run["conc"] == mx["peak_concurrency"], "inner"
+        )
+        .groupBy("peak_concurrency")
+        .agg(F.min("ts").alias("first_peak_ts"))
+        .crossJoin(F.broadcast(n))
+        .select("peak_concurrency", "first_peak_ts", "n_spans")
+    )
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             DATE_TRUNC('month', MIN(o_orderdate)) AS cohort_month
+      FROM orders GROUP BY o_custkey
+    ), sized AS (
+      SELECT cohort_month, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM firsts GROUP BY cohort_month
+    ), rev AS (
+      SELECT f.cohort_month,
+             CAST(DATEDIFF('month', f.cohort_month,
+                           DATE_TRUNC('month', o.o_orderdate)) AS INT)
+               AS age_months,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT CAST(CAST(r.cohort_month AS DATE) AS VARCHAR) AS cohort_month,
+           r.age_months,
+           s.cohort_size,
+           CAST(SUM(r.rev_cents)
+                  OVER (PARTITION BY r.cohort_month ORDER BY r.age_months
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_rev_cents,
+           ROUND(CAST(SUM(r.rev_cents)
+                        OVER (PARTITION BY r.cohort_month
+                              ORDER BY r.age_months
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS DOUBLE)
+                 / s.cohort_size / 100.0, 6) AS ltv_per_customer
+    FROM rev r JOIN sized s USING (cohort_month)
+    ORDER BY cohort_month, age_months
+    """,
+    tags=("orders", "product", "cohort"),
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers cohort by first-order
+    month, and each cohort's CUMULATIVE revenue per customer is
+    tracked by month-age — the curve a growth team reads payback
+    periods off. Composes with orders_retention_cohort (same cohort
+    axis, revenue instead of presence).
+
+    Scale: first-order month is one customer-keyed aggregate; revenue
+    buckets to (cohort, age) grain BEFORE any window, so the
+    cumulative-sum window runs over ≤ #months rows per cohort
+    partition (bounded by calendar length, independent of order
+    volume). Cents stay BIGINT end to end; the per-customer division
+    is the only double."""
+    o = read_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    sized = firsts.groupBy("cohort_month").agg(
+        F.count("*").cast("bigint").alias("cohort_size")
+    )
+    rev = (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort_month",
+            F.months_between(
+                F.date_trunc("month", F.col("o_orderdate")),
+                F.col("cohort_month"),
+            )
+            .cast("int")
+            .alias("age_months"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    w = (
+        W.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        rev.join(sized, "cohort_month")
+        .select(
+            F.col("cohort_month").cast("date").cast("string").alias(
+                "cohort_month"
+            ),
+            "age_months",
+            "cohort_size",
+            F.sum("rev_cents").over(w).cast("bigint").alias("cum_rev_cents"),
+            F.round(
+                F.sum("rev_cents").over(w).cast("double")
+                / F.col("cohort_size")
+                / 100.0,
+                6,
+            ).alias("ltv_per_customer"),
+        )
+        .orderBy("cohort_month", "age_months")
+    )
+
+
+@register(
+    "finance_max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT c.c_mktsegment,
+             CAST(o.o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), curve AS (
+      SELECT c_mktsegment, day, rev,
+             MAX(rev) OVER (PARTITION BY c_mktsegment ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS peak
+      FROM daily
+    ), dd AS (
+      SELECT c_mktsegment, day, rev, peak,
+             peak - rev AS drawdown
+      FROM curve
+    ), mx AS (
+      SELECT c_mktsegment,
+             CAST(MAX(drawdown) AS BIGINT) AS max_drawdown_cents
+      FROM dd GROUP BY c_mktsegment
+    )
+    SELECT d.c_mktsegment,
+           m.max_drawdown_cents,
+           CAST(MIN(d.day) AS VARCHAR) AS trough_day,
+           ROUND(CAST(m.max_drawdown_cents AS DOUBLE)
+                 / MIN(d.peak), 6) AS drawdown_frac
+    FROM dd d
+    JOIN mx m ON d.c_mktsegment = m.c_mktsegment
+             AND d.drawdown = m.max_drawdown_cents
+    GROUP BY d.c_mktsegment, m.max_drawdown_cents
+    ORDER BY d.c_mktsegment
+    """,
+    tags=("orders", "finance", "timeseries"),
+)
+def finance_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each market segment's daily-revenue series:
+    the largest drop from a historical peak (running max − current),
+    plus the trough day and the drop as a fraction of that peak — the
+    risk-curve statistic finance applies to any KPI series. Tie on
+    equal drawdowns resolves to the earliest trough day, and the
+    fraction uses the peak in force AT the trough (MIN(peak) over the
+    tied trough rows is exact because peak is constant once drawdown
+    is maximal for a given peak).
+
+    Scale: the fact join and daily rollup do all the data-scale work;
+    the running-max window then runs per segment over day-grain rows
+    (≤ #days per partition, bounded by calendar, not data volume).
+    The max-drawdown row resolves by a segment-keyed join, not a
+    second ordered pass."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    daily = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment", F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+    wpk = (
+        W.partitionBy("c_mktsegment")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    dd = daily.select(
+        "c_mktsegment",
+        "day",
+        "rev",
+        F.max("rev").over(wpk).alias("peak"),
+    ).withColumn("drawdown", F.col("peak") - F.col("rev"))
+    mx = dd.groupBy("c_mktsegment").agg(
+        F.max("drawdown").cast("bigint").alias("max_drawdown_cents")
+    ).select(
+        F.col("c_mktsegment").alias("seg_mx"), "max_drawdown_cents"
+    )
+    return (
+        dd.join(
+            mx,
+            (dd["c_mktsegment"] == mx["seg_mx"])
+            & (dd["drawdown"] == mx["max_drawdown_cents"]),
+        )
+        .drop("seg_mx")
+        .groupBy("c_mktsegment", "max_drawdown_cents")
+        .agg(
+            F.min("day").cast("string").alias("trough_day"),
+            F.round(
+                F.col("max_drawdown_cents").cast("double") / F.min("peak"), 6
+            ).alias("drawdown_frac"),
+        )
+        .select(
+            "c_mktsegment", "max_drawdown_cents", "trough_day", "drawdown_frac"
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "timeseries_cross_correlation",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ), lags AS (
+      SELECT UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS lag
+    ), paired AS (
+      SELECT l.lag, a.rev AS x, b.n_orders AS y
+      FROM daily a
+      CROSS JOIN lags l
+      JOIN daily b ON b.day = a.day - CAST(l.lag AS INT) * INTERVAL 1 DAY
+    ), m AS (
+      SELECT lag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+      FROM paired GROUP BY lag
+    )
+    SELECT lag, CAST(n AS BIGINT) AS n,
+           ROUND((n * sxy - sx * sy)
+                 / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)),
+                 6) AS xcorr
+    FROM m
+    ORDER BY lag
+    """,
+    tags=("timeseries", "orders", "stats"),
+)
+def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between daily revenue and daily order
+    COUNT ℓ days earlier, ℓ = 0..7 — "does volume lead value, and by
+    how many days?" (the CCF a forecaster inspects before adding a
+    lagged regressor). Pearson per lag over exact BIGINT day sums;
+    edge days without a ℓ-back partner drop out per lag, exactly as
+    in the oracle.
+
+    Scale: the day-grain series is tiny after the first rollup; the
+    8× lag fan-out and the self-equi-join on (day−ℓ) happen on that
+    bounded series, never on raw orders. Moment sums widen to
+    DECIMAL(38,0) (rev² ≈ 10²² per day-pair)."""
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+    lags = spark.range(8).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select(F.col("day").alias("d_a"), F.col("rev").alias("x"))
+    b = daily.select(F.col("day").alias("d_b"), F.col("n_orders").alias("y"))
+    paired = (
+        a.crossJoin(F.broadcast(lags))
+        .withColumn("d_match", F.expr("date_sub(d_a, lag)"))
+        .join(b, F.col("d_match") == F.col("d_b"))
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    m = paired.groupBy("lag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * F.col("x")).cast("double").alias("sxx"),
+        F.sum(yd * F.col("y")).cast("double").alias("syy"),
+        F.sum(xd * F.col("y")).cast("double").alias("sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = (
+        F.col(c) for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
+    )
+    return m.select(
+        "lag",
+        n.cast("bigint").alias("n"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("xcorr"),
+    ).orderBy("lag")

@@ -1,0 +1,545 @@
+"""Second statistics battery: one-way ANOVA, Jarque-Bera normality,
+Benford first-digit law, Cohen's d / Hedges' g effect sizes, the
+two-sample Kolmogorov-Smirnov test, and Spearman rank correlation.
+
+Together with stats.py (Welch t, chi-square, Mann-Whitney U, BH-FDR)
+this completes the classical-inference shelf an experimentation /
+data-quality platform needs on top of the catalog's metric tables.
+Every test reduces to exact integer/decimal moment or count sums (one
+keyed shuffle at most) followed by a closed-form double expression, so
+all six are engine-exact and oracle-paired.
+
+The two order-statistics tests (KS, Spearman) are the interesting ones
+at 100 TB: both need a GLOBAL cumulative over a sorted axis, which is
+exactly what ops.global_running_sum provides without any data-scale
+single-partition window — range-partition on the sort key, per-
+partition prefix sums, constant-size offsets branch. KS additionally
+folds its two arms' ECDFs into ONE signed running sum
+(n1·c0 − n0·c1), exercising the signed-value contract fixed in round
+7 (ops.py global_running_sum).
+
+Reference parity note: the reference engine (wizgrao/blow) has no
+statistics surface (maps/maps.go:8-14 is its whole operator
+vocabulary); these are extension operators from the task brief's
+analytics mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blow_spark.ops import global_running_sum
+from blow_spark.queries import register
+from blow_spark.sources import read_table
+
+# KS rejection threshold: c(alpha)=1.358 for alpha=0.05 (two-sided,
+# large-sample Smirnov approximation).
+_KS_C_ALPHA = 1.358
+
+
+@register(
+    "stats_anova_oneway",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS DOUBLE) AS s_g,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT)
+                      * CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS DOUBLE) AS ss_g
+      FROM orders
+      GROUP BY o_orderpriority
+    ), t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n_g) AS BIGINT) AS n,
+             SUM(s_g) AS s,
+             SUM(ss_g) AS ss,
+             SUM(s_g * s_g / n_g) AS sb
+      FROM g
+    )
+    SELECT k, n,
+           ROUND((sb - s * s / n) / (k - 1)
+                 / ((ss - sb) / (n - k)), 6) AS f_stat,
+           ROUND((sb - s * s / n) / (ss - s * s / n), 6) AS eta_squared
+    FROM t
+    """,
+    tags=("stats", "orders"),
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test of order value across the five order
+    priorities — "does priority class move spend?". Between/within sums
+    of squares come from per-group (n, Σy, Σy²) over exact cent
+    integers; F = (SSB/(k−1))/(SSW/(N−k)) and the η² effect size are
+    closed-form doubles over those sums.
+
+    Scale: one map-side-combinable groupBy over the fact table (k=5
+    output rows), then a 1-row combine — the same two-level aggregate
+    shape as every sketch rollup in the catalog; nothing is ordered,
+    nothing is broadcast. Σy² widens to DECIMAL(38,0)/HUGEINT (cents²
+    ≈ 10¹⁵ → exact past 10²² rows per group)."""
+    o = read_table(spark, sf_dir, "orders")
+    y = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    yd = y.cast("decimal(38,0)")
+    g = o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum(y).cast("double").alias("s_g"),
+        F.sum(yd * y).cast("double").alias("ss_g"),
+    )
+    t = g.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("ss_g").alias("ss"),
+        F.sum(F.col("s_g") * F.col("s_g") / F.col("n_g")).alias("sb"),
+    )
+    k, n, s, ss, sb = (F.col(c) for c in ("k", "n", "s", "ss", "sb"))
+    return t.select(
+        "k",
+        "n",
+        F.round((sb - s * s / n) / (k - 1) / ((ss - sb) / (n - k)), 6).alias(
+            "f_stat"
+        ),
+        F.round((sb - s * s / n) / (ss - s * s / n), 6).alias("eta_squared"),
+    )
+
+
+@register(
+    "stats_jarque_bera",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) AS s1,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+                      * CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) AS s2,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+                      * CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) AS s3,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+                      * CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) AS s4
+      FROM lineitem
+      GROUP BY l_returnflag
+    ), c AS (
+      SELECT l_returnflag, n,
+             (s3 / n - 3 * (s1 / n) * (s2 / n)
+              + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+               / ((s2 / n - (s1 / n) * (s1 / n))
+                  * SQRT(s2 / n - (s1 / n) * (s1 / n))) AS skw,
+             (s4 / n - 4 * (s1 / n) * (s3 / n)
+              + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+              - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+               / ((s2 / n - (s1 / n) * (s1 / n))
+                  * (s2 / n - (s1 / n) * (s1 / n))) - 3 AS ek
+      FROM m
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           ROUND(n / 6.0 * (skw * skw + ek * ek / 4.0), 6) AS jb_stat,
+           CAST(n / 6.0 * (skw * skw + ek * ek / 4.0) > 5.991
+                AS BOOLEAN) AS reject_normal_05
+    FROM c
+    ORDER BY l_returnflag
+    """,
+    tags=("stats", "lineitem"),
+)
+def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test per group: JB = n/6·(S² + K²/4) over
+    the exact sample skewness S and excess kurtosis K (Jarque & Bera
+    1980) — the standard "is this metric even remotely Gaussian?" gate
+    before anyone quotes a z-interval on it. Rejection compares against
+    the chi-square(2) 95th percentile (5.991).
+
+    Scale: identical shape to agg_skewness_kurtosis — ONE map-side-
+    combinable moment aggregate (Σx..Σx⁴ as DECIMAL(38,0)/HUGEINT cent
+    sums), closed-form doubles after; same 10¹⁰-rows-per-group
+    envelope, same m2·sqrt(m2) spelling for the 1.5 power."""
+    li = read_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    xd = x.cast("decimal(38,0)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("s1"),
+        F.sum(xd * x).cast("double").alias("s2"),
+        F.sum(xd * x * x).cast("double").alias("s3"),
+        F.sum(xd * x * x * x).cast("double").alias("s4"),
+    )
+    n = F.col("n")
+    mean = F.col("s1") / n
+    m2 = F.col("s2") / n - mean * mean
+    m3 = F.col("s3") / n - 3 * mean * (F.col("s2") / n) + 2 * mean * mean * mean
+    m4 = (
+        F.col("s4") / n
+        - 4 * mean * (F.col("s3") / n)
+        + 6 * mean * mean * (F.col("s2") / n)
+        - 3 * mean * mean * mean * mean
+    )
+    skw = m3 / (m2 * F.sqrt(m2))
+    ek = m4 / (m2 * m2) - 3
+    jb = n / 6.0 * (skw * skw + ek * ek / 4.0)
+    return m.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        F.round(jb, 6).alias("jb_stat"),
+        (jb > 5.991).alias("reject_normal_05"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "stats_benford_first_digit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(SUBSTRING(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders
+      WHERE o_totalprice > 0
+    ), obs AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS observed
+      FROM d GROUP BY digit
+    ), tot AS (
+      SELECT CAST(SUM(observed) AS DOUBLE) AS n FROM obs
+    ), rows_ AS (
+      SELECT o.digit, o.observed,
+             t.n * LOG10(1.0 + 1.0 / o.digit) AS expected
+      FROM obs o CROSS JOIN tot t
+    ), chi AS (
+      SELECT SUM((observed - expected) * (observed - expected) / expected)
+               AS chi2
+      FROM rows_
+    )
+    SELECT r.digit, r.observed,
+           ROUND(r.expected, 6) AS expected,
+           ROUND(c.chi2, 6) AS chi2_total,
+           CAST(c.chi2 > 15.507 AS BOOLEAN) AS reject_benford_05
+    FROM rows_ r CROSS JOIN chi c
+    ORDER BY r.digit
+    """,
+    tags=("stats", "dq", "orders"),
+)
+def stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order values — the classic
+    fabricated-data / broken-upstream detector (Benford 1938; standard
+    in fraud audit). The first significant digit is taken from the
+    CENT integer's decimal string (exact in both engines — no
+    floor(log10(double)) boundary hazard at powers of ten), observed
+    counts are compared to N·log10(1+1/d), and the chi-square(8)
+    statistic decides at the 95th percentile (15.507).
+
+    Scale: one map-side-combinable 9-group aggregate; the grand total
+    and the chi-square fold back as 1-row broadcast cross joins (no
+    global window). log10 carries the catalog's documented 1-ulp
+    JVM-vs-libm allowance under ROUND-6."""
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    obs = (
+        o.select(
+            F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("observed"))
+    )
+    tot = obs.agg(F.sum("observed").cast("double").alias("n"))
+    rows = obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "observed",
+        (F.col("n") * F.log10(1.0 + 1.0 / F.col("digit"))).alias("expected"),
+    )
+    chi = rows.agg(
+        F.sum(
+            (F.col("observed") - F.col("expected"))
+            * (F.col("observed") - F.col("expected"))
+            / F.col("expected")
+        ).alias("chi2")
+    )
+    return (
+        rows.crossJoin(F.broadcast(chi))
+        .select(
+            "digit",
+            "observed",
+            F.round("expected", 6).alias("expected"),
+            F.round("chi2", 6).alias("chi2_total"),
+            (F.col("chi2") > 15.507).alias("reject_benford_05"),
+        )
+        .orderBy("digit")
+    )
+
+
+@register(
+    "stats_cohens_d_effect",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS INT) AS arm,
+             CAST(ROUND(COALESCE(SUM(CAST(value AS DECIMAL(18,6))), 0)
+                        * 1000000) AS BIGINT) AS yi
+      FROM events
+      GROUP BY user_id
+    ), arms AS (
+      SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN arm = 0 THEN yi ELSE 0 END) AS DOUBLE) AS s0,
+             CAST(SUM(CASE WHEN arm = 1 THEN yi ELSE 0 END) AS DOUBLE) AS s1,
+             CAST(SUM(CASE WHEN arm = 0
+                           THEN CAST(yi AS HUGEINT) * yi ELSE 0 END)
+                  AS DOUBLE) AS ss0,
+             CAST(SUM(CASE WHEN arm = 1
+                           THEN CAST(yi AS HUGEINT) * yi ELSE 0 END)
+                  AS DOUBLE) AS ss1
+      FROM per_user
+    ), d AS (
+      SELECT n0, n1,
+             (s0 / n0 - s1 / n1)
+               / SQRT(((ss0 - s0 * s0 / n0) + (ss1 - s1 * s1 / n1))
+                      / (n0 + n1 - 2.0)) AS cd
+      FROM arms
+    )
+    SELECT n0, n1,
+           ROUND(cd, 6) AS cohens_d,
+           ROUND(cd * (1.0 - 3.0 / (4.0 * (n0 + n1) - 9.0)), 6) AS hedges_g
+    FROM d
+    """,
+    tags=("stats", "experiment", "events"),
+)
+def stats_cohens_d_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d standardized effect size between the two hash-assigned
+    experiment arms, with the Hedges' g small-sample correction
+    (Hedges 1981) — the number a readout quotes NEXT to the p-value so
+    "significant" can't hide "trivially small". Pooled SD uses the
+    exact (n, Σy, Σy²) per arm from ONE conditional aggregate — the
+    same moment table Welch's t reads (stats.py), so the two queries
+    stay consistent by construction.
+
+    Scale: one user-keyed shuffle → 1-row moment combine; Σy² widened
+    to DECIMAL(38,0)/HUGEINT. Closed-form doubles after."""
+    e = read_table(spark, sf_dir, "events")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.round(
+                F.coalesce(F.sum(F.col("value").cast("decimal(18,6)")), F.lit(0))
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("yi")
+        )
+        .select((F.col("user_id") % 2).cast("int").alias("arm"), "yi")
+    )
+    a0 = (F.col("arm") == 0).cast("long")
+    a1 = (F.col("arm") == 1).cast("long")
+    yi_dec = F.col("yi").cast("decimal(38,0)")
+    arms = per_user.agg(
+        F.sum(a0).alias("n0"),
+        F.sum(a1).alias("n1"),
+        F.sum(a0 * F.col("yi")).cast("double").alias("s0"),
+        F.sum(a1 * F.col("yi")).cast("double").alias("s1"),
+        F.sum(F.when(F.col("arm") == 0, yi_dec * F.col("yi")).otherwise(F.lit(0)))
+        .cast("double")
+        .alias("ss0"),
+        F.sum(F.when(F.col("arm") == 1, yi_dec * F.col("yi")).otherwise(F.lit(0)))
+        .cast("double")
+        .alias("ss1"),
+    )
+    n0, n1 = F.col("n0"), F.col("n1")
+    s0, s1, ss0, ss1 = (F.col(c) for c in ("s0", "s1", "ss0", "ss1"))
+    cd = (s0 / n0 - s1 / n1) / F.sqrt(
+        ((ss0 - s0 * s0 / n0) + (ss1 - s1 * s1 / n1)) / (n0 + n1 - 2.0)
+    )
+    return arms.select(
+        "n0",
+        "n1",
+        F.round(cd, 6).alias("cohens_d"),
+        F.round(cd * (1.0 - 3.0 / (4.0 * (n0 + n1) - 9.0)), 6).alias("hedges_g"),
+    )
+
+
+@register(
+    "stats_ks_two_sample",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS INT) AS arm,
+             CAST(ROUND(COALESCE(SUM(CAST(value AS DECIMAL(18,6))), 0)
+                        * 1000000) AS BIGINT) AS yi
+      FROM events
+      GROUP BY user_id
+    ), vals AS (
+      SELECT yi,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      FROM per_user GROUP BY yi
+    ), tot AS (
+      SELECT CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1
+      FROM vals
+    ), run AS (
+      SELECT v.yi,
+             SUM(t.n1 * v.c0 - t.n0 * v.c1)
+               OVER (ORDER BY v.yi
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS signed_run,
+             t.n0, t.n1
+      FROM vals v CROSS JOIN tot t
+    )
+    SELECT n0, n1,
+           ROUND(CAST(MAX(ABS(signed_run)) AS DOUBLE) / (n0 * n1), 6)
+             AS ks_d,
+           ROUND(1.358 * SQRT((n0 + n1) / (1.0 * n0 * n1)), 6) AS crit_05,
+           CAST(CAST(MAX(ABS(signed_run)) AS DOUBLE) / (n0 * n1)
+                > 1.358 * SQRT((n0 + n1) / (1.0 * n0 * n1))
+                AS BOOLEAN) AS reject_05
+    FROM run
+    GROUP BY n0, n1
+    """,
+    tags=("stats", "experiment", "events"),
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between the two hash-assigned
+    arms' per-user metric DISTRIBUTIONS — the nonparametric "did the
+    whole shape shift?" companion to Welch's mean test. D =
+    max|F0−F1| folds both ECDFs into ONE signed integer running sum:
+    at each distinct metric value, n1·c0 − n0·c1 steps the scaled gap
+    n0·n1·(F0−F1), so D = max|running|/(n0·n1) — exact integer
+    arithmetic until the final division. Rejection uses the Smirnov
+    large-sample critical value c(0.05)·sqrt((n0+n1)/(n0·n1)).
+
+    Scale: user-keyed shuffle → value-grain counts (groupBy yi), then
+    ops.global_running_sum's two-phase range-partitioned prefix sum —
+    NO data-scale single-partition window; the signed value exercises
+    the round-7 SUM(tot)-not-MAX(run) fix. Envelope: |running| ≤
+    n0·n1 < 2⁶³ up to ~3·10⁹ users per arm; past that the step values
+    rescale to DECIMAL(38,0)."""
+    e = read_table(spark, sf_dir, "events")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.round(
+                F.coalesce(F.sum(F.col("value").cast("decimal(18,6)")), F.lit(0))
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("yi")
+        )
+        .select((F.col("user_id") % 2).cast("int").alias("arm"), "yi")
+    )
+    vals = per_user.groupBy("yi").agg(
+        F.sum((F.col("arm") == 0).cast("long")).cast("bigint").alias("c0"),
+        F.sum((F.col("arm") == 1).cast("long")).cast("bigint").alias("c1"),
+    )
+    tot = vals.agg(
+        F.sum("c0").cast("bigint").alias("n0"),
+        F.sum("c1").cast("bigint").alias("n1"),
+    )
+    stepped = vals.crossJoin(F.broadcast(tot)).withColumn(
+        "step", F.col("n1") * F.col("c0") - F.col("n0") * F.col("c1")
+    )
+    run = global_running_sum(stepped, ["yi"], "step", out_col="signed_run")
+    d_scaled = run.groupBy("n0", "n1").agg(
+        F.max(F.abs(F.col("signed_run"))).alias("max_run")
+    )
+    n0, n1 = F.col("n0"), F.col("n1")
+    ks = F.col("max_run").cast("double") / (n0 * n1)
+    crit = _KS_C_ALPHA * F.sqrt((n0 + n1) / (1.0 * n0 * n1))
+    return d_scaled.select(
+        "n0",
+        "n1",
+        F.round(ks, 6).alias("ks_d"),
+        F.round(crit, 6).alias("crit_05"),
+        (ks > crit).alias("reject_05"),
+    )
+
+
+@register(
+    "stats_spearman_rank_corr",
+    oracle="""
+    WITH pairs AS (
+      SELECT l_orderkey,
+             CAST(ROUND(SUM(l_quantity) * 100) AS BIGINT) AS x,
+             CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT) AS y
+      FROM lineitem GROUP BY l_orderkey
+    ), rx AS (
+      SELECT l_orderkey,
+             2 * (RANK() OVER (ORDER BY x))
+               + (COUNT(*) OVER (PARTITION BY x)) - 1 AS rx2
+      FROM pairs
+    ), ry AS (
+      SELECT l_orderkey,
+             2 * (RANK() OVER (ORDER BY y))
+               + (COUNT(*) OVER (PARTITION BY y)) - 1 AS ry2
+      FROM pairs
+    ), m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(rx2 AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ry2 AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(rx2 AS HUGEINT) * rx2) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ry2 AS HUGEINT) * ry2) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(rx2 AS HUGEINT) * ry2) AS DOUBLE) AS sxy
+      FROM rx JOIN ry USING (l_orderkey)
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND((n * sxy - sx * sy)
+                 / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)),
+                 6) AS spearman_rho
+    FROM m
+    """,
+    tags=("stats", "lineitem"),
+)
+def stats_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between per-order total quantity and
+    total revenue — the monotonic-association readout that survives
+    outliers and nonlinearity where Pearson doesn't (Spearman 1904).
+    Average ranks with exact tie handling, kept INTEGER by working in
+    doubled ranks: rx2 = 2·(#values below) + (#ties) + 1 ≡
+    2·RANK() + tiecount − 1, so ρ = Pearson over (rx2, ry2) needs no
+    .5 fractions until the closed-form double expression.
+
+    Scale: ranks come from value-grain counts (groupBy x) +
+    ops.global_running_sum — range-partitioned prefix counts, NO
+    data-scale single-partition window, NO global rank window — then
+    join back to the pair table by value. Doubled-rank moment sums
+    widen to DECIMAL(38,0): Σrx2² ≈ 4N³ stays exact past 10¹²
+    pairs."""
+    li = read_table(spark, sf_dir, "lineitem")
+    pairs = li.groupBy("l_orderkey").agg(
+        F.round(F.sum("l_quantity") * 100).cast("bigint").alias("x"),
+        F.round(F.sum("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+
+    def doubled_ranks(col: str, out: str) -> DataFrame:
+        counts = pairs.groupBy(col).agg(F.count("*").cast("bigint").alias("c"))
+        run = global_running_sum(counts, [col], "c", out_col="cum")
+        # below = cum - c; doubled average rank = 2*below + c + 1
+        return run.select(
+            col,
+            (2 * (F.col("cum") - F.col("c")) + F.col("c") + 1).alias(out),
+        )
+
+    rx = doubled_ranks("x", "rx2")
+    ry = doubled_ranks("y", "ry2")
+    ranked = pairs.join(rx, "x").join(ry, "y")
+    rx2d = F.col("rx2").cast("decimal(38,0)")
+    ry2d = F.col("ry2").cast("decimal(38,0)")
+    m = ranked.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(rx2d).cast("double").alias("sx"),
+        F.sum(ry2d).cast("double").alias("sy"),
+        F.sum(rx2d * F.col("rx2")).cast("double").alias("sxx"),
+        F.sum(ry2d * F.col("ry2")).cast("double").alias("syy"),
+        F.sum(rx2d * F.col("ry2")).cast("double").alias("sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = (
+        F.col(c) for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
+    )
+    return m.select(
+        n.cast("bigint").alias("n"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("spearman_rho"),
+    )
