@@ -76,6 +76,7 @@ def _load() -> None:
         corpus,
         entity,
         experimentation,
+        graph2,
         governance,
         journeys,
         linkage,
@@ -85,6 +86,7 @@ def _load() -> None:
         product,
         relational,
         relational_ext,
+        relational3,
         retrieval,
         spatial,
         stats,

@@ -543,3 +543,104 @@ def stats_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("spearman_rho"),
     )
+
+
+@register(
+    "stats_ols_two_feature",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y,
+             CAST(ROUND(l_quantity * 100) AS BIGINT) AS x1,
+             CAST(ROUND(l_discount * 10000) AS BIGINT) AS x2
+      FROM lineitem
+    ), m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x1 AS HUGEINT)) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(x2 AS HUGEINT)) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS DOUBLE) AS s11,
+             CAST(SUM(CAST(x1 AS HUGEINT) * x2) AS DOUBLE) AS s12,
+             CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS DOUBLE) AS s22,
+             CAST(SUM(CAST(x1 AS HUGEINT) * y) AS DOUBLE) AS s1y,
+             CAST(SUM(CAST(x2 AS HUGEINT) * y) AS DOUBLE) AS s2y,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+      FROM t
+    ), c AS (
+      SELECT n, sy,
+             s11 - s1 * s1 / n AS a11,
+             s12 - s1 * s2 / n AS a12,
+             s22 - s2 * s2 / n AS a22,
+             s1y - s1 * sy / n AS b1v,
+             s2y - s2 * sy / n AS b2v,
+             syy - sy * sy / n AS tss,
+             s1 / n AS m1, s2 / n AS m2, sy / n AS my
+      FROM m
+    ), sol AS (
+      SELECT n, my, m1, m2, tss, b1v, b2v, a11, a12, a22,
+             (b1v * a22 - b2v * a12) / (a11 * a22 - a12 * a12) AS beta1,
+             (b2v * a11 - b1v * a12) / (a11 * a22 - a12 * a12) AS beta2
+      FROM c
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND((my - beta1 * m1 - beta2 * m2) / 100.0, 6) AS beta0_dollars,
+           ROUND(beta1, 6) AS beta1_per_qty,
+           ROUND(beta2, 6) AS beta2_per_disc,
+           ROUND((beta1 * b1v + beta2 * b2v) / tss, 6) AS r_squared
+    FROM sol
+    """,
+    tags=("stats", "ml", "lineitem"),
+)
+def stats_ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature ordinary least squares by the closed-form normal
+    equations: extendedprice ~ quantity + discount, solved with
+    Cramer's rule on the 2x2 centered Gram matrix - distributed linear
+    regression with NO iteration, NO gradient, just one exact moment
+    aggregate (the textbook trick that scales OLS to any row count as
+    long as the feature count stays tiny). R-squared comes from the
+    same sums.
+
+    Scale: ONE map-side-combinable aggregate over the fact table
+    produces all nine sums; everything after is 1-row closed-form
+    double arithmetic spelled identically in both engines. Cross
+    moments widen to DECIMAL(38,0)/HUGEINT (x1*y ~ 10^10 per row ->
+    exact past 10^27 rows). The k-feature generalization (k x k
+    Gram + LU solve on the driver) is noted in SCALE.md; k <= 2 keeps
+    the whole solve inside the SQL expression tree."""
+    li = read_table(spark, sf_dir, "lineitem")
+    y = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    x1 = F.round(F.col("l_quantity") * 100).cast("bigint")
+    x2 = F.round(F.col("l_discount") * 10000).cast("bigint")
+    t = li.select(y.alias("y"), x1.alias("x1"), x2.alias("x2"))
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = t.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(d("x1")).cast("double").alias("s1"),
+        F.sum(d("x2")).cast("double").alias("s2"),
+        F.sum(d("y")).cast("double").alias("sy"),
+        F.sum(d("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(d("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum(d("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum(d("x1") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(d("x2") * F.col("y")).cast("double").alias("s2y"),
+        F.sum(d("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    a11 = F.col("s11") - F.col("s1") * F.col("s1") / n
+    a12 = F.col("s12") - F.col("s1") * F.col("s2") / n
+    a22 = F.col("s22") - F.col("s2") * F.col("s2") / n
+    b1v = F.col("s1y") - F.col("s1") * F.col("sy") / n
+    b2v = F.col("s2y") - F.col("s2") * F.col("sy") / n
+    tss = F.col("syy") - F.col("sy") * F.col("sy") / n
+    det = a11 * a22 - a12 * a12
+    beta1 = (b1v * a22 - b2v * a12) / det
+    beta2 = (b2v * a11 - b1v * a12) / det
+    m1, m2, my = F.col("s1") / n, F.col("s2") / n, F.col("sy") / n
+    return m.select(
+        n.cast("bigint").alias("n"),
+        F.round((my - beta1 * m1 - beta2 * m2) / 100.0, 6).alias(
+            "beta0_dollars"
+        ),
+        F.round(beta1, 6).alias("beta1_per_qty"),
+        F.round(beta2, 6).alias("beta2_per_disc"),
+        F.round((beta1 * b1v + beta2 * b2v) / tss, 6).alias("r_squared"),
+    )
