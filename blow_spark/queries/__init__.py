@@ -92,6 +92,7 @@ def _load() -> None:
         stats,
         stats2,
         text,
+        text2,
         tpch,
         tpch2,
         vectors,

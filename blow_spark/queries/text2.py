@@ -1,0 +1,228 @@
+"""Second text battery: RAKE keyword extraction and Unicode NFC
+normalization.
+
+Reference parity note: the reference engine (wizgrao/blow) has no text
+surface (maps/maps.go:8-14); extension operators from the task brief's
+LLM-data-pipeline mandate, companions to queries/text.py.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from blow_spark.queries import register
+from blow_spark.sources import read_table
+
+# RAKE phrase delimiters present in the synthetic corpus.
+_RAKE_STOPWORDS = ("a", "the")
+_RAKE_TOPK = 15
+
+# Appended to every document before normalization so the NFC path is
+# exercised non-vacuously on the ASCII fixture: 'e'+COMBINING ACUTE and
+# 'i'+COMBINING DIAERESIS compose under NFC; the zero-width space and
+# BOM must be stripped explicitly (NFC does not remove them).
+_NFC_SUFFIX = " cafe\u0301 nai\u0308ve\u200bword\ufeff"
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH toks AS (
+      SELECT d.doc_id, t.pos, t.tok,
+             t.tok IN ('a', 'the') AS is_stop
+      FROM documents d,
+           LATERAL (SELECT UNNEST(string_split(d.text, ' ')) AS tok,
+                           UNNEST(generate_series(
+                             1, len(string_split(d.text, ' ')))) AS pos) t
+      WHERE t.tok <> ''
+    ), nonstop AS (
+      SELECT doc_id, pos, tok,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM toks WHERE NOT is_stop
+    ), phrases AS (
+      SELECT doc_id, grp,
+             STRING_AGG(tok, ' ' ORDER BY pos) AS phrase,
+             CAST(COUNT(*) AS BIGINT) AS plen
+      FROM nonstop GROUP BY doc_id, grp
+    ), word_occ AS (
+      SELECT n.tok, p.plen
+      FROM nonstop n JOIN phrases p
+        ON n.doc_id = p.doc_id AND n.grp = p.grp
+    ), word_scores AS (
+      SELECT tok,
+             CAST(ROUND(CAST(SUM(plen) AS DOUBLE) * 1000000 / COUNT(*))
+                  AS BIGINT) AS score_e6
+      FROM word_occ GROUP BY tok
+    ), phrase_scores AS (
+      SELECT p.phrase,
+             CAST(COUNT(DISTINCT p.doc_id || '#' || p.grp) AS BIGINT)
+               AS occurrences,
+             CAST(SUM(w.score_e6) AS BIGINT)
+               / CAST(COUNT(DISTINCT p.doc_id || '#' || p.grp) AS BIGINT)
+               AS score_e6
+      FROM phrases p
+      JOIN nonstop n ON n.doc_id = p.doc_id AND n.grp = p.grp
+      JOIN word_scores w ON w.tok = n.tok
+      GROUP BY p.phrase
+    )
+    SELECT phrase, occurrences,
+           ROUND(score_e6 / 1000000.0, 6) AS rake_score
+    FROM phrase_scores
+    ORDER BY score_e6 DESC, phrase
+    LIMIT {_RAKE_TOPK}
+    """,
+    tags=("text", "keywords", "documents"),
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs; each word scores
+    deg(w)/freq(w) where deg sums the lengths of every phrase the word
+    occurs in; a phrase scores the sum of its words' scores — the
+    zero-model keyword extractor a corpus-triage pipeline runs before
+    anything learned. Top-{_RAKE_TOPK} corpus-wide phrases, ties by
+    phrase text.
+
+    Engine-exact: word scores fix-point to e6 integers BEFORE the
+    phrase sum (float sum order never matters), and a phrase's total
+    divides by its occurrence count in exact integer arithmetic
+    (identical text → identical word multiset → identical sum, so the
+    division is exact per distinct phrase).
+
+    Scale: tokenize is a map-side posexplode; phrase assembly is one
+    (doc, grp)-keyed aggregate whose islands come from a PER-DOCUMENT
+    window (bounded by doc length); word stats and the phrase-word
+    join are token-keyed shuffles — the same shapes as the BPE/TF-IDF
+    family; final top-k is TakeOrderedAndProject."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok"),
+        )
+        .where(F.col("tok") != "")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    nonstop = (
+        toks.where(~F.col("tok").isin(*_RAKE_STOPWORDS))
+        .withColumn(
+            "grp",
+            F.col("pos")
+            - F.row_number().over(
+                W.partitionBy("doc_id").orderBy("pos")
+            ),
+        )
+    )
+    phrases = nonstop.groupBy("doc_id", "grp").agg(
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, tok))),"
+                " s -> s.tok)"
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count("*").cast("bigint").alias("plen"),
+    )
+    word_occ = nonstop.join(phrases, ["doc_id", "grp"]).select("tok", "plen")
+    word_scores = word_occ.groupBy("tok").agg(
+        F.round(F.sum("plen").cast("double") * 1_000_000 / F.count("*"))
+        .cast("bigint")
+        .alias("score_e6")
+    )
+    phrase_scores = (
+        phrases.join(nonstop, ["doc_id", "grp"])
+        .join(word_scores, "tok")
+        .groupBy("phrase")
+        .agg(
+            F.countDistinct(
+                F.concat_ws("#", F.col("doc_id"), F.col("grp"))
+            )
+            .cast("bigint")
+            .alias("occurrences"),
+            F.sum("score_e6").cast("bigint").alias("sum_e6"),
+        )
+        .select(
+            "phrase",
+            "occurrences",
+            (F.col("sum_e6") / F.col("occurrences"))
+            .cast("bigint")
+            .alias("score_e6"),
+        )
+    )
+    return (
+        phrase_scores.orderBy(F.col("score_e6").desc(), F.col("phrase").asc())
+        .limit(_RAKE_TOPK)
+        .select(
+            "phrase",
+            "occurrences",
+            F.round(F.col("score_e6") / 1_000_000.0, 6).alias("rake_score"),
+        )
+    )
+
+
+@register(
+    "text_unicode_nfc_normalize",
+    oracle=f"""
+    WITH dirty AS (
+      SELECT doc_id, text || ' cafe' || CHR(769) || ' nai' || CHR(776)
+               || 've' || CHR(8203) || 'word' || CHR(65279) AS raw
+      FROM documents
+    ), cleaned AS (
+      SELECT doc_id, raw,
+             nfc_normalize(REPLACE(REPLACE(raw, CHR(8203), ''),
+                                   CHR(65279), '')) AS nfc
+      FROM dirty
+    )
+    SELECT doc_id,
+           CAST(LENGTH(raw) AS BIGINT) AS raw_chars,
+           CAST(LENGTH(nfc) AS BIGINT) AS nfc_chars,
+           CAST(LENGTH(raw) - LENGTH(nfc) AS BIGINT) AS removed,
+           MD5(nfc) AS nfc_md5
+    FROM cleaned
+    ORDER BY doc_id
+    """,
+    tags=("text", "unicode", "documents"),
+)
+def text_unicode_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization + invisible-codepoint strip — the
+    first cleaning pass any multilingual corpus needs (decomposed
+    accents from OCR/mac filesystems, zero-width spaces and BOMs from
+    web scrapes, all of which break tokenizers and dedup hashes). Each
+    document gets a synthetic suffix with combining marks, a ZWSP and
+    a BOM so the fixture exercises the path non-vacuously; the check
+    is each row's post-NFC md5 plus exact before/after codepoint
+    counts (combining pairs compose −2, invisibles strip −2).
+
+    Scale: Spark has no built-in NFC, so this is one of the catalog's
+    sanctioned Python paths — an Arrow-batched pandas UDF
+    (unicodedata.normalize per BATCH column, not per row), map-only,
+    no shuffle at all; the oracle uses DuckDB's native nfc_normalize
+    to prove the UDF agrees with an independent ICU-grade
+    implementation on every row."""
+    d = read_table(spark, sf_dir, "documents")
+
+    @pandas_udf("string")
+    def nfc_strip(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: unicodedata.normalize(
+                "NFC", t.replace("\u200b", "").replace("\ufeff", "")
+            )
+        )
+
+    dirty = d.select(
+        "doc_id", F.concat(F.col("text"), F.lit(_NFC_SUFFIX)).alias("raw")
+    )
+    cleaned = dirty.withColumn("nfc", nfc_strip(F.col("raw")))
+    return cleaned.select(
+        "doc_id",
+        F.length("raw").cast("bigint").alias("raw_chars"),
+        F.length("nfc").cast("bigint").alias("nfc_chars"),
+        (F.length("raw") - F.length("nfc")).cast("bigint").alias("removed"),
+        F.md5(F.col("nfc")).alias("nfc_md5"),
+    ).orderBy("doc_id")

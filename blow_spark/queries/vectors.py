@@ -1334,3 +1334,145 @@ def similarity_hamming_sign_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("int")
     ).filter(F.col("rank") <= 10)
+
+
+@register(
+    "similarity_maxsim_multivector",
+    oracle="""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+      FROM embeddings
+    ), chunks AS (
+      SELECT vec_id, c.ch,
+             list_slice(v, c.ch * 16 + 1, c.ch * 16 + 16) AS sv
+      FROM qv CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS ch) c
+    ), normed AS (
+      SELECT vec_id, ch, sv,
+             list_dot_product(sv::DOUBLE[], sv::DOUBLE[]) AS nrm
+      FROM chunks
+    ), q AS (
+      SELECT vec_id AS qid, ch AS qch, sv AS qsv, nrm AS qn
+      FROM normed WHERE vec_id < 8
+    ), d AS (
+      SELECT vec_id AS did, ch AS dch, sv AS dsv, nrm AS dn FROM normed
+    ), per_qchunk AS (
+      SELECT qid, did, qch,
+             MAX(CASE WHEN qn > 0 AND dn > 0
+                 THEN CAST(ROUND(list_dot_product(qsv::DOUBLE[],
+                                                  dsv::DOUBLE[])
+                                 / (SQRT(qn) * SQRT(dn))
+                                 * 1000000000.0) AS BIGINT)
+                 ELSE 0 END) AS mx
+      FROM q JOIN d ON qid <> did
+      GROUP BY qid, did, qch
+    ), scores AS (
+      SELECT qid, did, CAST(SUM(mx) AS BIGINT) AS maxsim_e9
+      FROM per_qchunk GROUP BY qid, did
+    )
+    SELECT qid AS query_id, did AS neighbor_id, rank, maxsim_e9,
+           ROUND(maxsim_e9 / 1000000000.0, 6) AS maxsim
+    FROM (
+      SELECT qid, did, maxsim_e9,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY maxsim_e9 DESC, did) AS rank
+      FROM scores) t
+    WHERE rank <= 3
+    """,
+    tags=("similarity", "retrieval", "vector"),
+)
+def similarity_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction MaxSim retrieval (the ColBERT scoring rule,
+    Khattab & Zaharia, SIGIR 2020): each document is a BAG of
+    sub-vectors (here the 64-dim embedding chunked into 4x16 token-like
+    sub-vectors), and score(q, d) = sum over query sub-vectors of the
+    MAX cosine against any document sub-vector - the retrieval model
+    that beats single-vector cosine when different parts of a document
+    answer different parts of a query. Top-3 per query, ties by
+    neighbor id.
+
+    Engine-exact: components fix-point to 1e6 integers, every 16-dim
+    dot product and norm is an exact integer realized in double
+    (|terms| <= 16 * 1e13 < 2^53, so summation order is irrelevant in
+    BOTH engines), each per-chunk cosine rounds to an e9 integer, and
+    the 4-term MaxSim sum is BIGINT - the ranking key is an integer,
+    never a float.
+
+    Scale: the query side (|Q| chunk rows = 4|Q|) broadcasts; document
+    chunks stream through ONE codegen'd join + two keyed aggregates
+    (max per query-chunk, sum per pair) - per-doc work is constant
+    (16 dots of width 16), so the full-scan path is |Q|-proportional
+    exactly like search_rrf/search_mmr. At corpus scale the candidate
+    set first prunes through the LSH/IVF ANN paths (similarity.py);
+    this query IS the exact re-scorer those candidates feed. The final
+    top-3 window partitions by query id (|Q| bounded partitions, each
+    |D| rows -> WindowGroupLimit pushes the rank<=3 head down)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    qv = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> cast(round(cast(x as double) * 1000000) as bigint))"
+        ).alias("v"),
+    )
+    chunks = (
+        qv.crossJoin(F.broadcast(spark.range(4).select(F.col("id").cast("int").alias("ch"))))
+        .select(
+            "vec_id",
+            "ch",
+            F.expr("slice(v, ch * 16 + 1, 16)").alias("sv"),
+        )
+        .withColumn(
+            "nrm",
+            F.expr("aggregate(sv, 0L, (acc, x) -> acc + x * x)").cast(
+                "double"
+            ),
+        )
+    )
+    q = (
+        chunks.where(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("ch").alias("qch"),
+            F.col("sv").alias("qsv"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    d = chunks.select(
+        F.col("vec_id").alias("did"),
+        F.col("ch").alias("dch"),
+        F.col("sv").alias("dsv"),
+        F.col("nrm").alias("dn"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qsv, dsv, (a, b) -> a * b), 0L,"
+        " (acc, x) -> acc + x)"
+    ).cast("double")
+    cos_e9 = F.when(
+        (F.col("qn") > 0) & (F.col("dn") > 0),
+        F.round(dot / (F.sqrt("qn") * F.sqrt("dn")) * 1e9).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    per_qchunk = (
+        d.join(F.broadcast(q), F.col("qid") != F.col("did"))
+        .select("qid", "did", "qch", cos_e9.alias("c_e9"))
+        .groupBy("qid", "did", "qch")
+        .agg(F.max("c_e9").alias("mx"))
+    )
+    scores = per_qchunk.groupBy("qid", "did").agg(
+        F.sum("mx").cast("bigint").alias("maxsim_e9")
+    )
+    w = W.partitionBy("qid").orderBy(
+        F.col("maxsim_e9").desc(), F.col("did").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("did").alias("neighbor_id"),
+            "rank",
+            "maxsim_e9",
+            F.round(F.col("maxsim_e9") / 1e9, 6).alias("maxsim"),
+        )
+    )
