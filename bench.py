@@ -172,6 +172,17 @@ HEADLINE = [
     "text_ngram_novelty",
     "dedup_minhash_estimate_error",
     "timeseries_m4_downsample",
+    # round 8: MaxSim late-interaction rescorer, KS two-sample (signed
+    # global prefix sum), interval concurrency sweep, DAU/WAU stickiness,
+    # RAKE keywords, spill-backed HITS, closed-form OLS, cohort LTV
+    "similarity_maxsim_multivector",
+    "stats_ks_two_sample",
+    "events_concurrency_peak",
+    "events_stickiness_dau_wau",
+    "text_rake_keywords",
+    "graph_hits_hubs_authorities",
+    "stats_ols_two_feature",
+    "orders_cohort_ltv",
 ]
 
 

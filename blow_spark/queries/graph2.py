@@ -62,24 +62,34 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: distinct-edge projection (one shuffle), degree aggregate,
     one edge-keyed join+aggregate for hubs — the same bounded-fanout
-    shapes as graph_pagerank_bipartite; the two L2 norms are 1-row
-    broadcast cross joins, and each top-10 is TakeOrderedAndProject
-    (per-partition heads, no global sort materialized). Further
-    iterations repeat the same pair of joins; one step is registered
-    because each subsequent step is plan-identical with hub/auth
-    swapped."""
+    shapes as graph_pagerank_bipartite. Edges, auth, and hub scores
+    each SPILL once (materialize.spill_to_parquet) because the norm
+    branch and the top-k branch both read them — without the spill the
+    union's two branches re-derive the whole chain (measured 16 static
+    exchanges → 6). The two L2 norms are 1-row broadcast cross joins,
+    and each top-10 is TakeOrderedAndProject (per-partition heads, no
+    global sort materialized). Further iterations repeat the same pair
+    of joins; one step is registered because each subsequent step is
+    plan-identical with hub/auth swapped."""
+    from blow_spark.materialize import spill_to_parquet
+
     o = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
-    edges = (
+    edges = spill_to_parquet(
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
+        .distinct(),
+        "blow_spark_hits_edges_",
     )
-    auth = edges.groupBy("p").agg(F.count("*").cast("bigint").alias("a"))
-    hub = (
+    auth = spill_to_parquet(
+        edges.groupBy("p").agg(F.count("*").cast("bigint").alias("a")),
+        "blow_spark_hits_auth_",
+    )
+    hub = spill_to_parquet(
         edges.join(auth, "p")
         .groupBy("c")
-        .agg(F.sum("a").cast("bigint").alias("h"))
+        .agg(F.sum("a").cast("bigint").alias("h")),
+        "blow_spark_hits_hub_",
     )
     an = auth.agg(
         F.sum(F.col("a").cast("decimal(38,0)") * F.col("a"))

@@ -58,6 +58,14 @@ WHITELIST = {
     "stats_chi_square_independence": 1,  # grand-total window over 25 cells
     "stats_mann_whitney_u": 1,           # cumulative window over ≤50 values
     "stats_benjamini_hochberg": 1,       # rank + max-k windows over 25 brands
+    # Round-8 prefix-sum offsets (global_running_sum — one row per range
+    # partition, same constant-size shape as orders_abc_pareto above).
+    "stats_ks_two_sample": 1,            # signed ECDF-gap prefix sum
+    "stats_spearman_rank_corr": 2,       # one per rank axis (x and y)
+    "events_concurrency_peak": 2,        # sweep offsets; run table feeds
+                                         # both the peak agg and the join
+                                         # branch, duplicating the
+                                         # constant-size offsets subtree
 }
 
 
@@ -279,6 +287,23 @@ BENCH_EXCHANGE_PINS = {
     "dedup_minhash_estimate_error": (5, 4),
     # 1-row bounds broadcast + one (series,bucket)-keyed shuffle
     "timeseries_m4_downsample": (2, 1),
+    # round 8 pins
+    # broadcast query chunks + two keyed aggregates + top-3 window
+    "similarity_maxsim_multivector": (3, 3),
+    # user-keyed metric, value-grain counts, two-phase prefix sum
+    "stats_ks_two_sample": (3, 1),
+    # spans agg reused by points/count branches; two-phase signed sweep
+    "events_concurrency_peak": (8, 4),
+    # user-day distinct, 7x expansion distinct, day-keyed join
+    "events_stickiness_dau_wau": (6, 1),
+    # token explode -> islands window -> phrase/word keyed aggregates
+    "text_rake_keywords": (7, 3),
+    # spill-backed (edges/auth/hub each materialize once; see docstring)
+    "graph_hits_hubs_authorities": (2, 2),
+    # ONE map-side-combined moment aggregate; closed form after
+    "stats_ols_two_feature": (1, 0),
+    # cohort aggregate + fact join + bounded per-cohort window
+    "orders_cohort_ltv": (6, 2),
 }
 
 
