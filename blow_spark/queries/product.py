@@ -453,3 +453,368 @@ def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("xcorr"),
     ).orderBy("lag")
+
+
+@register(
+    "sample_priority_weighted",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderkey AS id,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS wt,
+             CAST(CONCAT('0x', SUBSTRING(md5(CAST(o_orderkey AS VARCHAR)),
+                                         1, 10)) AS BIGINT) + 1 AS h
+      FROM orders
+    ), keyed AS (
+      SELECT id, wt, h, (h * 1000000) // wt AS sortkey
+      FROM w
+    ), lim AS (
+      SELECT id, wt, h, sortkey,
+             ROW_NUMBER() OVER (ORDER BY sortkey, id) AS rn
+      FROM keyed
+      ORDER BY sortkey, id LIMIT 21
+    ), thr AS (
+      SELECT wt * 1099511627776.0 / h AS tau
+      FROM lim WHERE rn = 21
+    )
+    SELECT l.id AS o_orderkey, l.wt AS weight_cents,
+           ROUND(l.wt * 1099511627776.0 / l.h, 2) AS priority,
+           ROUND(t.tau, 2) AS tau,
+           ROUND(GREATEST(CAST(l.wt AS DOUBLE), t.tau) / 100.0, 2)
+             AS est_dollars
+    FROM lim l CROSS JOIN thr t
+    WHERE l.rn <= 20
+    ORDER BY o_orderkey
+    """,
+    tags=("sample", "orders"),
+)
+def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield, Lund & Thorup, JACM 2007): each
+    record draws priority wᵢ/uᵢ from a hash-derived uniform uᵢ, the
+    top-k priorities form the sample, and max(wᵢ, τ) — τ the (k+1)-th
+    priority — is an UNBIASED estimator of any subset's weight sum:
+    THE way to keep a tiny weighted sample of a 100 TB fact stream
+    that still answers "how much revenue did segment X have?". k=20
+    over orders weighted by order value; deterministic (md5-derived
+    u, no RNG — identical sample on every rerun and retry).
+
+    Engine-exact: the selection ORDER is the integer key
+    (h·10⁶ div w) ascending (h/w ascending ⇔ priority descending) with
+    id tiebreaks — floor-division collisions fall to the tiebreak, so
+    both engines pick the identical k+1 rows; τ and the estimates are
+    then closed-form doubles over those rows' exact (w, h).
+
+    Scale: the whole query is a map-side key computation plus ONE
+    TakeOrderedAndProject head of k+1 rows (per-partition heaps, no
+    global sort, no shuffle of the fact table); the threshold fold-in
+    is a 1-row broadcast. Envelope: h ≤ 2⁴⁰ so h·10⁶ < 2⁶³ always;
+    any integer weight ≥ 1 is admissible."""
+    o = read_table(spark, sf_dir, "orders")
+    wt = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 10),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    )
+    keyed = o.select(
+        F.col("o_orderkey").alias("id"),
+        wt.alias("wt"),
+        h.alias("h"),
+    ).withColumn(
+        "sortkey",
+        ((F.col("h") * 1_000_000) - (F.col("h") * 1_000_000) % F.col("wt"))
+        / F.col("wt"),
+    ).withColumn("sortkey", F.col("sortkey").cast("bigint"))
+    lim = keyed.orderBy("sortkey", "id").limit(21)
+    boundary = lim.agg(
+        F.max(F.struct("sortkey", "id")).alias("m")
+    ).select(F.col("m.sortkey").alias("bk"), F.col("m.id").alias("bid"))
+    tau_row = (
+        lim.join(
+            F.broadcast(boundary),
+            (F.col("sortkey") == F.col("bk")) & (F.col("id") == F.col("bid")),
+        )
+        .select(
+            (F.col("wt") * 1099511627776.0 / F.col("h")).alias("tau"),
+            "bk",
+            "bid",
+        )
+    )
+    return (
+        lim.crossJoin(F.broadcast(tau_row))
+        .where(
+            (F.col("sortkey") != F.col("bk")) | (F.col("id") != F.col("bid"))
+        )
+        .select(
+            F.col("id").alias("o_orderkey"),
+            F.col("wt").alias("weight_cents"),
+            F.round(F.col("wt") * 1099511627776.0 / F.col("h"), 2).alias(
+                "priority"
+            ),
+            F.round(F.col("tau"), 2).alias("tau"),
+            F.round(
+                F.greatest(F.col("wt").cast("double"), F.col("tau")) / 100.0,
+                2,
+            ).alias("est_dollars"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "timeseries_theil_sen_trend",
+    oracle="""
+    WITH monthly AS (
+      SELECT c.c_mktsegment AS seg,
+             DATE_DIFF('month', DATE '1990-01-01',
+                       DATE_TRUNC('month', o.o_orderdate)) AS m,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.seg,
+             CAST(b.rev - a.rev AS DOUBLE) / (b.m - a.m) AS slope
+      FROM monthly a JOIN monthly b
+        ON a.seg = b.seg AND b.m > a.m
+    )
+    SELECT seg,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(MEDIAN(slope) / 100.0, 6) AS theil_sen_dollars_per_month
+    FROM pairs
+    GROUP BY seg
+    ORDER BY seg
+    """,
+    tags=("timeseries", "stats", "orders"),
+)
+def timeseries_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend (Theil 1950; Sen, JASA 1968): the median
+    of all pairwise slopes of each segment's MONTHLY-revenue series —
+    the slope estimator with a 29% breakdown point that one wild
+    flash-sale month cannot drag (unlike OLS). Slopes are exact-integer
+    differences over exact month gaps, so both engines form identical
+    doubles; the median interpolates identically.
+
+    Scale: the O(n²) pair join runs on the MONTH-GRAIN rollup — n is
+    bounded by the calendar (~10² months/decade → ≤10⁴ pairs per
+    segment), never by order volume; the fact-table work is the one
+    monthly aggregate. Month grain is deliberate: Spark's exact
+    percentile BUFFERS each group's values, so a decade of DAILY pairs
+    (~10⁶ doubles/group) would pressure a 1 GB vanilla driver heap —
+    the finer-grain escape hatch is percentile_approx or the Siegel
+    repeated median, noted in SCALE.md."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    monthly = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.months_between(
+                F.date_trunc("month", F.col("o_orderdate")),
+                F.lit("1990-01-01").cast("date"),
+            )
+            .cast("bigint")
+            .alias("m"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+    a = monthly.select(
+        F.col("seg"), F.col("m").alias("m1"), F.col("rev").alias("r1")
+    )
+    b = monthly.select(
+        F.col("seg").alias("seg_b"),
+        F.col("m").alias("m2"),
+        F.col("rev").alias("r2"),
+    )
+    pairs = a.join(
+        b, (F.col("seg") == F.col("seg_b")) & (F.col("m2") > F.col("m1"))
+    ).select(
+        "seg",
+        (
+            (F.col("r2") - F.col("r1")).cast("double")
+            / (F.col("m2") - F.col("m1"))
+        ).alias("slope"),
+    )
+    return (
+        pairs.groupBy("seg")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(F.expr("percentile(slope, 0.5)") / 100.0, 6).alias(
+                "theil_sen_dollars_per_month"
+            ),
+        )
+        .orderBy("seg")
+    )
+
+
+@register(
+    "timeseries_mann_kendall_trend",
+    oracle="""
+    WITH monthly AS (
+      SELECT c.c_mktsegment AS seg,
+             DATE_DIFF('month', DATE '1990-01-01',
+                       DATE_TRUNC('month', o.o_orderdate)) AS m,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), s AS (
+      SELECT a.seg,
+             CAST(SUM(CASE WHEN b.rev > a.rev THEN 1
+                           WHEN b.rev < a.rev THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s_stat
+      FROM monthly a JOIN monthly b ON a.seg = b.seg AND b.m > a.m
+      GROUP BY a.seg
+    ), nn AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS n FROM monthly GROUP BY seg
+    ), ties AS (
+      SELECT seg,
+             CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_term
+      FROM (SELECT seg, rev, CAST(COUNT(*) AS BIGINT) AS t
+            FROM monthly GROUP BY seg, rev) g
+      WHERE t > 1
+      GROUP BY seg
+    ), v AS (
+      SELECT n.seg, n.n, s.s_stat,
+             (n.n * (n.n - 1) * (2 * n.n + 5)
+              - COALESCE(t.tie_term, 0)) / 18.0 AS var_s
+      FROM nn n
+      JOIN s USING (seg)
+      LEFT JOIN ties t ON t.seg = n.seg
+    )
+    SELECT seg, n AS n_months, s_stat,
+           ROUND(var_s, 6) AS var_s,
+           ROUND(CASE WHEN s_stat > 0 THEN (s_stat - 1) / SQRT(var_s)
+                      WHEN s_stat < 0 THEN (s_stat + 1) / SQRT(var_s)
+                      ELSE 0.0 END, 6) AS z_stat,
+           CASE WHEN ABS(CASE WHEN s_stat > 0
+                              THEN (s_stat - 1) / SQRT(var_s)
+                              WHEN s_stat < 0
+                              THEN (s_stat + 1) / SQRT(var_s)
+                              ELSE 0.0 END) > 1.96
+                THEN CASE WHEN s_stat > 0 THEN 'increasing'
+                          ELSE 'decreasing' END
+                ELSE 'no_trend' END AS trend
+    FROM v
+    ORDER BY seg
+    """,
+    tags=("timeseries", "stats", "orders"),
+)
+def timeseries_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test (Mann 1945; Kendall 1975) per
+    segment: S = Σ sign(revⱼ − revᵢ) over ordered day pairs, with the
+    exact tie-corrected variance and the continuity-corrected z — the
+    standard nonparametric "is this KPI actually drifting?" gate used
+    before anyone fits a trend line. S and the tie term are exact
+    BIGINTs; z is one closed-form double.
+
+    Scale: same month-grain pair join as Theil-Sen (calendar-bounded,
+    never data-bounded; S is a streaming SUM so no group buffering at
+    all); the tie correction is a (seg, rev)-keyed count — one extra
+    map-side-combinable aggregate."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    monthly = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.months_between(
+                F.date_trunc("month", F.col("o_orderdate")),
+                F.lit("1990-01-01").cast("date"),
+            )
+            .cast("bigint")
+            .alias("m"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+    a = monthly.select("seg", F.col("m").alias("m1"), F.col("rev").alias("r1"))
+    b = monthly.select(
+        F.col("seg").alias("seg_b"),
+        F.col("m").alias("m2"),
+        F.col("rev").alias("r2"),
+    )
+    s = (
+        a.join(b, (F.col("seg") == F.col("seg_b")) & (F.col("m2") > F.col("m1")))
+        .groupBy("seg")
+        .agg(
+            F.sum(
+                F.when(F.col("r2") > F.col("r1"), 1)
+                .when(F.col("r2") < F.col("r1"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    nn = monthly.groupBy("seg").agg(F.count("*").cast("bigint").alias("n"))
+    ties = (
+        monthly.groupBy("seg", "rev")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .where(F.col("t") > 1)
+        .groupBy("seg")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    v = (
+        nn.join(s, "seg")
+        .join(ties, "seg", "left")
+        .select(
+            "seg",
+            "n",
+            "s_stat",
+            (
+                (
+                    F.col("n")
+                    * (F.col("n") - 1)
+                    * (2 * F.col("n") + 5)
+                    - F.coalesce(F.col("tie_term"), F.lit(0))
+                )
+                / 18.0
+            ).alias("var_s"),
+        )
+    )
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1) / F.sqrt(F.col("var_s")),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1) / F.sqrt(F.col("var_s")),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return v.select(
+        "seg",
+        F.col("n").alias("n_months"),
+        "s_stat",
+        F.round("var_s", 6).alias("var_s"),
+        F.round(z, 6).alias("z_stat"),
+        F.when(
+            F.abs(z) > 1.96,
+            F.when(F.col("s_stat") > 0, F.lit("increasing")).otherwise(
+                F.lit("decreasing")
+            ),
+        )
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    ).orderBy("seg")
