@@ -818,3 +818,202 @@ def timeseries_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame
         .otherwise(F.lit("no_trend"))
         .alias("trend"),
     ).orderBy("seg")
+
+
+@register(
+    "orders_interpurchase_percentiles",
+    oracle="""
+    WITH seq AS (
+      SELECT c.c_mktsegment AS seg, o.o_custkey,
+             DATEDIFF('day',
+                      LAG(o.o_orderdate) OVER (PARTITION BY o.o_custkey
+                                               ORDER BY o.o_orderdate,
+                                                        o.o_orderkey),
+                      o.o_orderdate) AS gap
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), gaps AS (
+      SELECT seg, CAST(gap AS BIGINT) AS gap,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM seq WHERE gap IS NOT NULL GROUP BY seg, gap
+    ), cum AS (
+      SELECT seg, gap, c,
+             SUM(c) OVER (PARTITION BY seg ORDER BY gap
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cumc,
+             SUM(c) OVER (PARTITION BY seg) AS n
+      FROM gaps
+    ), pct AS (
+      SELECT UNNEST([50, 90]) AS pctl
+    )
+    SELECT c.seg, p.pctl, CAST(MIN(c.n) AS BIGINT) AS n_gaps,
+           CAST(MIN(c.gap) AS BIGINT) AS gap_days
+    FROM cum c CROSS JOIN pct p
+    WHERE c.cumc >= CEIL(p.pctl / 100.0 * c.n)
+    GROUP BY c.seg, p.pctl
+    ORDER BY c.seg, p.pctl
+    """,
+    tags=("orders", "product", "timeseries"),
+)
+def orders_interpurchase_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase-time P50/P90 per market segment — the repeat-
+    purchase cadence a lifecycle team sets re-engagement timers from.
+    Gaps come from a PER-CUSTOMER lag window (bounded by each
+    customer's history); the percentiles are EXACT type-1 quantiles
+    read off a (segment, gap)-grain cumulative count — no value
+    buffering anywhere, because day gaps are small integers and the
+    distinct-gap domain is calendar-bounded (~10³ values), not
+    data-bounded. That is the scalable exact-quantile trick for any
+    integer-valued metric: histogram at value grain, then one bounded
+    cumulative pass (contrast percentile(), which buffers every row
+    of the group).
+
+    Engine-exact: thresholds are CEIL(q·n) over exact BIGINTs; the
+    answer is the minimal gap meeting the threshold — integers end to
+    end."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    wlag = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            "o_custkey",
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(wlag)
+            ).alias("gap"),
+        )
+        .where(F.col("gap").isNotNull())
+    )
+    gaps = seq.groupBy("seg", F.col("gap").cast("bigint").alias("gap")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    wcum = (
+        W.partitionBy("seg")
+        .orderBy("gap")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = W.partitionBy("seg")
+    cum = gaps.select(
+        "seg",
+        "gap",
+        F.sum("c").over(wcum).alias("cumc"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    pct = spark.range(2).select(
+        F.when(F.col("id") == 0, 50).otherwise(90).alias("pctl")
+    )
+    return (
+        cum.crossJoin(F.broadcast(pct))
+        .where(
+            F.col("cumc") >= F.ceil(F.col("pctl") / 100.0 * F.col("n"))
+        )
+        .groupBy("seg", "pctl")
+        .agg(
+            F.min("n").cast("bigint").alias("n_gaps"),
+            F.min("gap").cast("bigint").alias("gap_days"),
+        )
+        .orderBy("seg", "pctl")
+    )
+
+
+@register(
+    "events_rolling_retention_d1_d7",
+    oracle="""
+    WITH userdays AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+      FROM userdays GROUP BY day
+    ), mx AS (
+      SELECT MAX(day) AS max_day FROM userdays
+    ), ret AS (
+      SELECT b.day,
+             CAST(SUM(CASE WHEN f1.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d1_retained,
+             CAST(SUM(CASE WHEN f7.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d7_retained
+      FROM userdays b
+      LEFT JOIN userdays f1
+        ON f1.user_id = b.user_id AND f1.day = b.day + INTERVAL 1 DAY
+      LEFT JOIN userdays f7
+        ON f7.user_id = b.user_id AND f7.day = b.day + INTERVAL 7 DAY
+      GROUP BY b.day
+    )
+    SELECT CAST(r.day AS VARCHAR) AS day, d.dau,
+           r.d1_retained,
+           ROUND(CAST(r.d1_retained AS DOUBLE) / d.dau, 6) AS d1_rate,
+           r.d7_retained,
+           ROUND(CAST(r.d7_retained AS DOUBLE) / d.dau, 6) AS d7_rate
+    FROM ret r
+    JOIN dau d USING (day)
+    CROSS JOIN mx
+    WHERE r.day + INTERVAL 7 DAY <= mx.max_day
+    ORDER BY r.day
+    """,
+    tags=("events", "product", "journeys"),
+)
+def events_rolling_retention_d1_d7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling D1/D7 retention: of the users active on day d, the
+    fraction active again exactly 1 and exactly 7 days later — the
+    unsmoothed bounded-window retention curve growth teams track
+    daily (cohort-free, unlike events_cohort_retention_weekly). Days
+    whose +7 horizon exceeds the observation window are excluded so
+    every reported rate has a full denominator.
+
+    Scale: everything runs on the deduplicated user-DAY grain. Each
+    retention horizon is ONE equi-join on (user, day+k) — the shifted
+    key is computed map-side, so there is no range join and no window
+    at all; the horizon cut is a 1-row max-day broadcast."""
+    e = read_table(spark, sf_dir, "events")
+    userdays = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    dau = userdays.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
+    f1 = userdays.select(
+        F.date_sub(F.col("day"), 1).alias("day"),
+        F.col("user_id").alias("u1"),
+    )
+    f7 = userdays.select(
+        F.date_sub(F.col("day"), 7).alias("day"),
+        F.col("user_id").alias("u7"),
+    )
+    ret = (
+        userdays.join(
+            f1,
+            (userdays["day"] == f1["day"]) & (userdays["user_id"] == f1["u1"]),
+            "left",
+        )
+        .drop(f1["day"])
+        .join(
+            f7,
+            (userdays["day"] == f7["day"]) & (userdays["user_id"] == f7["u7"]),
+            "left",
+        )
+        .drop(f7["day"])
+        .groupBy(userdays["day"])
+        .agg(
+            F.sum(F.col("u1").isNotNull().cast("long"))
+            .cast("bigint")
+            .alias("d1_retained"),
+            F.sum(F.col("u7").isNotNull().cast("long"))
+            .cast("bigint")
+            .alias("d7_retained"),
+        )
+    )
+    mx = userdays.agg(F.max("day").alias("max_day"))
+    return (
+        ret.join(dau, "day")
+        .crossJoin(F.broadcast(mx))
+        .where(F.date_add(F.col("day"), 7) <= F.col("max_day"))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "dau",
+            "d1_retained",
+            F.round(
+                F.col("d1_retained").cast("double") / F.col("dau"), 6
+            ).alias("d1_rate"),
+            "d7_retained",
+            F.round(
+                F.col("d7_retained").cast("double") / F.col("dau"), 6
+            ).alias("d7_rate"),
+        )
+        .orderBy("day")
+    )

@@ -293,6 +293,7 @@ def stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
                            THEN CAST(yi AS HUGEINT) * yi ELSE 0 END)
                   AS DOUBLE) AS ss1
       FROM per_user
+      GROUP BY event_type
     ), d AS (
       SELECT n0, n1,
              (s0 / n0 - s1 / n1)
@@ -644,3 +645,104 @@ def stats_ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(beta2, 6).alias("beta2_per_disc"),
         F.round((beta1 * b1v + beta2 * b2v) / tss, 6).alias("r_squared"),
     )
+
+
+@register(
+    "stats_power_mde",
+    oracle="""
+    WITH per_user AS (
+      SELECT event_type, user_id,
+             CAST(user_id % 2 AS INT) AS arm,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) * 1000000)
+                  AS BIGINT) AS yi
+      FROM events
+      GROUP BY event_type, user_id
+    ), arms AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN arm = 0 THEN yi ELSE 0 END) AS DOUBLE) AS s0,
+             CAST(SUM(CASE WHEN arm = 0
+                           THEN CAST(yi AS HUGEINT) * yi ELSE 0 END)
+                  AS DOUBLE) AS ss0,
+             CAST(SUM(CASE WHEN arm = 1 THEN yi ELSE 0 END) AS DOUBLE) AS s1,
+             CAST(SUM(CASE WHEN arm = 1
+                           THEN CAST(yi AS HUGEINT) * yi ELSE 0 END)
+                  AS DOUBLE) AS ss1
+      FROM per_user
+      GROUP BY event_type
+    ), d AS (
+      SELECT event_type, n0, n1,
+             s0 / n0 AS mean0,
+             ((ss0 - s0 * s0 / n0) + (ss1 - s1 * s1 / n1))
+               / (n0 + n1 - 2.0) AS pooled_var
+      FROM arms
+    )
+    SELECT event_type, n0, n1,
+           ROUND(mean0 / 1000000.0, 6) AS baseline_mean,
+           ROUND(2.801585 * SQRT(pooled_var * (1.0 / n0 + 1.0 / n1))
+                 / 1000000.0, 6) AS mde_abs,
+           ROUND(2.801585 * SQRT(pooled_var * (1.0 / n0 + 1.0 / n1))
+                 / mean0, 6) AS mde_rel
+    FROM d
+    ORDER BY event_type
+    """,
+    tags=("stats", "experiment", "events"),
+)
+def stats_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect at 80% power / 5% two-sided alpha for
+    each event-type metric, at the experiment's ACTUAL arm sizes:
+    MDE = (z_{0.975} + z_{0.80})*sqrt(s2p*(1/n0 + 1/n1)) with
+    z constants folded to 2.801585 - the pre-launch sizing readout
+    every experimentation platform shows next to the assignment
+    counts ("you cannot detect less than X% with this traffic").
+
+    Scale: one (event_type, user)-keyed aggregate then a per-type
+    1-row moment combine, exactly the Welch/Cohen shape; pooled
+    variance from exact DECIMAL/HUGEINT micro-unit sums; the z
+    quantiles are compile-time constants so no special functions
+    enter the plan."""
+    e = read_table(spark, sf_dir, "events")
+    per_user = (
+        e.groupBy("event_type", "user_id")
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")) * 1_000_000)
+            .cast("bigint")
+            .alias("yi")
+        )
+        .select(
+            "event_type",
+            (F.col("user_id") % 2).cast("int").alias("arm"),
+            "yi",
+        )
+    )
+    a0 = (F.col("arm") == 0).cast("long")
+    a1 = (F.col("arm") == 1).cast("long")
+    yi_dec = F.col("yi").cast("decimal(38,0)")
+    arms = per_user.groupBy("event_type").agg(
+        F.sum(a0).cast("bigint").alias("n0"),
+        F.sum(a1).cast("bigint").alias("n1"),
+        F.sum(a0 * F.col("yi")).cast("double").alias("s0"),
+        F.sum(F.when(F.col("arm") == 0, yi_dec * F.col("yi")).otherwise(F.lit(0)))
+        .cast("double")
+        .alias("ss0"),
+        F.sum(a1 * F.col("yi")).cast("double").alias("s1"),
+        F.sum(F.when(F.col("arm") == 1, yi_dec * F.col("yi")).otherwise(F.lit(0)))
+        .cast("double")
+        .alias("ss1"),
+    )
+    n0, n1 = F.col("n0"), F.col("n1")
+    mean0 = F.col("s0") / n0
+    pooled_var = (
+        (F.col("ss0") - F.col("s0") * F.col("s0") / n0)
+        + (F.col("ss1") - F.col("s1") * F.col("s1") / n1)
+    ) / (n0 + n1 - 2.0)
+    mde = 2.801585 * F.sqrt(pooled_var * (1.0 / n0 + 1.0 / n1))
+    return arms.select(
+        "event_type",
+        "n0",
+        "n1",
+        F.round(mean0 / 1_000_000.0, 6).alias("baseline_mean"),
+        F.round(mde / 1_000_000.0, 6).alias("mde_abs"),
+        F.round(mde / mean0, 6).alias("mde_rel"),
+    ).orderBy("event_type")
