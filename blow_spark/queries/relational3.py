@@ -429,3 +429,222 @@ def agg_hll_intersection_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("exact_a") + F.col("exact_b") + F.col("exact_union"))
         ).alias("inclusion_exclusion_within_bound"),
     ).orderBy("t1", "t2")
+
+
+# asof-topk lookback horizon (days) and k
+_ASOF_TOPK_HORIZON_DAYS = 14
+_ASOF_TOPK_K = 3
+
+
+@register(
+    "join_asof_topk",
+    oracle=f"""
+    WITH err AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ), clk AS (
+      SELECT user_id, ts, event_id AS click_id FROM events
+      WHERE event_type = 'click'
+    ), cand AS (
+      SELECT e.event_id, e.user_id, c.click_id, c.ts AS click_ts,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY c.ts DESC, c.click_id DESC) AS rnk
+      FROM err e JOIN clk c
+        ON e.user_id = c.user_id
+       AND c.ts < e.ts
+       AND c.ts >= e.ts - INTERVAL {_ASOF_TOPK_HORIZON_DAYS} DAY
+    )
+    SELECT event_id, user_id, rnk, click_id, click_ts
+    FROM cand WHERE rnk <= {_ASOF_TOPK_K}
+    ORDER BY event_id, rnk
+    """,
+    tags=("join", "asof", "events"),
+)
+def join_asof_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest as-of join: for each error event, the {_ASOF_TOPK_K}
+    most recent strictly-earlier clicks by the same user within a
+    {_ASOF_TOPK_HORIZON_DAYS}-day lookback — the "last-k touchpoints
+    before failure" extension of the plain as-of family (asof /
+    forward / nearest / tolerance return exactly one row; incident
+    triage and attribution want the k-deep history). Ties at equal
+    timestamps break by click id, so the selected set is unique.
+
+    Scale: the bounded lookback is what makes this distributable —
+    anchors and ticks bucket to {_ASOF_TOPK_HORIZON_DAYS}-day epochs
+    map-side, each anchor probes its own and the previous epoch only
+    (2× tick fan-out, the ops.range_join_bucketed pattern), and the
+    per-anchor top-k window runs AFTER the horizon filter, so frame
+    size is bounded by per-user activity in the window, never by
+    history length. An unbounded-k asof over all history is exactly
+    the plan this avoids."""
+    ev = read_table(spark, sf_dir, "events")
+    bucket_sec = _ASOF_TOPK_HORIZON_DAYS * 86400
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("err_ts"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts") % bucket_sec).alias(
+            "b"
+        ),
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts") % bucket_sec).alias(
+            "cb"
+        ),
+    )
+    # each tick serves its own epoch and the next (anchor looks back
+    # across at most one epoch boundary within the horizon)
+    clk2 = clk.unionAll(
+        clk.select(
+            "c_user", "click_ts", "click_id",
+            (F.col("cb") + bucket_sec).alias("cb"),
+        )
+    )
+    cand = err.join(
+        clk2,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("b") == F.col("cb"))
+        & (F.col("click_ts") < F.col("err_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("err_ts") - F.expr(
+                f"INTERVAL {_ASOF_TOPK_HORIZON_DAYS} DAY"
+            )
+        ),
+    )
+    w = W.partitionBy("event_id").orderBy(
+        F.col("click_ts").desc(), F.col("click_id").desc()
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _ASOF_TOPK_K)
+        .select("event_id", "user_id", "rnk", "click_id", "click_ts")
+        .orderBy("event_id", "rnk")
+    )
+
+
+# Generalization ladder for the acctbal quasi-identifier (cents bands)
+# and the k-anonymity threshold the release must satisfy.
+_KANON_K = 5
+_KANON_BANDS = (10_000, 100_000, 1_000_000)  # $100, $1k, $10k bands
+
+
+@register(
+    "privacy_k_anonymize_generalize",
+    oracle=f"""
+    WITH lv AS (
+      SELECT UNNEST([0, 1, 2, 3]) AS level
+    ), banded AS (
+      SELECT c.c_nationkey, l.level,
+             CASE l.level
+               WHEN 0 THEN CAST((CAST(ROUND(c.c_acctbal * 100) AS BIGINT)
+                                 // {_KANON_BANDS[0]}) AS VARCHAR)
+               WHEN 1 THEN CAST((CAST(ROUND(c.c_acctbal * 100) AS BIGINT)
+                                 // {_KANON_BANDS[1]}) AS VARCHAR)
+               WHEN 2 THEN CAST((CAST(ROUND(c.c_acctbal * 100) AS BIGINT)
+                                 // {_KANON_BANDS[2]}) AS VARCHAR)
+               ELSE '*' END AS band
+      FROM customer c CROSS JOIN lv l
+    ), cells AS (
+      SELECT c_nationkey, level, band, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM banded GROUP BY 1, 2, 3
+    ), floors AS (
+      SELECT c_nationkey, level,
+             CAST(MIN(cnt) AS BIGINT) AS min_cell,
+             CAST(COUNT(*) AS BIGINT) AS n_cells
+      FROM cells GROUP BY 1, 2
+    ), ok AS (
+      SELECT c_nationkey,
+             MIN(CASE WHEN min_cell >= {_KANON_K} THEN level END)
+               AS chosen_level
+      FROM floors GROUP BY c_nationkey
+    )
+    SELECT o.c_nationkey,
+           COALESCE(o.chosen_level, -1) AS chosen_level,
+           f.min_cell, f.n_cells
+    FROM ok o
+    LEFT JOIN floors f
+      ON f.c_nationkey = o.c_nationkey AND f.level = o.chosen_level
+    ORDER BY o.c_nationkey
+    """,
+    tags=("privacy", "governance", "customer"),
+)
+def privacy_k_anonymize_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymization by generalization ladder (Samarati & Sweeney
+    1998): for each nation, pick the LEAST-general account-balance
+    banding ($100 → $1k → $10k → suppressed) whose smallest
+    quasi-identifier cell still holds ≥ {_KANON_K} customers — the
+    release decision an anonymization pipeline actually makes, not
+    just the k-anonymity AUDIT the catalog already has
+    (privacy_k_anonymity). chosen_level −1 marks nations
+    unreleasable even fully suppressed (fewer than k rows total).
+
+    Scale: the ladder is a 4× map-side fan-out (constant, the number
+    of generalization levels) followed by two keyed aggregates — cell
+    counts, then per-(nation, level) floors; the arg-min level is a
+    conditional MIN, no window, no iteration. Bands are exact integer
+    divisions of cent values."""
+    c = read_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    lv = spark.range(4).select(F.col("id").cast("int").alias("level"))
+    band = (
+        F.when(
+            F.col("level") == 0,
+            ((cents - cents % _KANON_BANDS[0]) / _KANON_BANDS[0])
+            .cast("bigint")
+            .cast("string"),
+        )
+        .when(
+            F.col("level") == 1,
+            ((cents - cents % _KANON_BANDS[1]) / _KANON_BANDS[1])
+            .cast("bigint")
+            .cast("string"),
+        )
+        .when(
+            F.col("level") == 2,
+            ((cents - cents % _KANON_BANDS[2]) / _KANON_BANDS[2])
+            .cast("bigint")
+            .cast("string"),
+        )
+        .otherwise(F.lit("*"))
+    )
+    banded = c.crossJoin(F.broadcast(lv)).select(
+        "c_nationkey", "level", band.alias("band")
+    )
+    cells = banded.groupBy("c_nationkey", "level", "band").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    floors = cells.groupBy("c_nationkey", "level").agg(
+        F.min("cnt").cast("bigint").alias("min_cell"),
+        F.count("*").cast("bigint").alias("n_cells"),
+    )
+    ok = floors.groupBy("c_nationkey").agg(
+        F.min(
+            F.when(F.col("min_cell") >= _KANON_K, F.col("level"))
+        ).alias("chosen_level")
+    )
+    fl = floors.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("level").alias("flevel"),
+        "min_cell",
+        "n_cells",
+    )
+    return (
+        ok.join(
+            fl,
+            (F.col("c_nationkey") == F.col("nk"))
+            & (F.col("chosen_level") == F.col("flevel")),
+            "left",
+        )
+        .select(
+            "c_nationkey",
+            F.coalesce(F.col("chosen_level"), F.lit(-1)).alias(
+                "chosen_level"
+            ),
+            "min_cell",
+            "n_cells",
+        )
+        .orderBy("c_nationkey")
+    )

@@ -1476,3 +1476,158 @@ def similarity_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.col("maxsim_e9") / 1e9, 6).alias("maxsim"),
         )
     )
+
+
+@register(
+    "vector_gram_matrix_pandas",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ), cells AS (
+      SELECT vec_id, i.i AS i, j.j AS j, v[i.i] AS xi, v[j.j] AS xj
+      FROM q
+      CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS i) i
+      CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS j) j
+      WHERE i.i <= j.j
+    ), gram AS (
+      SELECT i, j,
+             CAST(SUM(xi * xj) AS BIGINT) AS g
+      FROM cells GROUP BY i, j
+    ), sums AS (
+      SELECT i.i AS d, CAST(SUM(v[i.i]) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM q CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS i) i
+      GROUP BY i.i
+    ), corr AS (
+      SELECT g.i, g.j, g.g,
+             (g.g * si.n - si.s * sj.s)
+               / (SQRT(CAST(gi.g AS DOUBLE) * si.n - si.s * si.s)
+                  * SQRT(CAST(gj.g AS DOUBLE) * sj.n - sj.s * sj.s)) AS c
+      FROM gram g
+      JOIN sums si ON si.d = g.i
+      JOIN sums sj ON sj.d = g.j
+      JOIN gram gi ON gi.i = g.i AND gi.j = g.i
+      JOIN gram gj ON gj.i = g.j AND gj.j = g.j
+      WHERE g.i < g.j
+    )
+    SELECT i, j, g AS gram_int, ROUND(c, 6) AS corr
+    FROM corr
+    ORDER BY ABS(c) DESC, i, j
+    LIMIT 10
+    """,
+    tags=("vector", "ml", "pandas"),
+)
+def vector_gram_matrix_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix XᵀX over the embedding corpus via
+    Arrow-batched PARTIAL aggregation — the building block under every
+    closed-form linear model, PCA, and whitening step: each
+    mapInPandas batch computes its own 64×64 numpy int64 XᵀX (one BLAS
+    call per batch, zero Python per row), emits 64·65/2 partial rows,
+    and one tiny (i, j)-keyed sum combines partitions. Output: the 10
+    most correlated dimension pairs (from the same sums, Pearson in
+    closed form), |corr| descending.
+
+    Engine-exact: components fix-point to e3 integers; every partial
+    and the combine are int64/DECIMAL-exact, so the Gram entries are
+    integers and the correlations identical doubles. The oracle
+    replays the Gram as a 64² UNNEST fan-out — correct single-node,
+    and exactly the quadratic blow-up the batched numpy path avoids.
+
+    Scale: per-batch work is O(batch·d²) inside BLAS, shuffle is
+    d(d+1)/2 rows PER PARTITION (constant ~2080 rows regardless of
+    data size — the textbook partial-aggregate shape). Envelope:
+    int64 partials hold to ~10¹² rows/partition at e3 quantization;
+    the DECIMAL(38,0) combine is exact essentially unbounded."""
+    import pandas as _pd
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    d_dim = 64
+
+    def gram_batches(batches):
+        import numpy as np
+
+        acc = np.zeros((d_dim, d_dim), dtype="int64")
+        sums = np.zeros(d_dim, dtype="int64")
+        n = 0
+        for pdf in batches:
+            X = np.stack(
+                pdf["embedding"].map(
+                    lambda v: np.round(
+                        np.asarray(v, dtype="float64") * 1000
+                    ).astype("int64")
+                )
+            )
+            acc += X.T @ X
+            sums += X.sum(axis=0)
+            n += X.shape[0]
+        iu = [(i, j) for i in range(d_dim) for j in range(i, d_dim)]
+        yield _pd.DataFrame(
+            {
+                "i": [i + 1 for i, _ in iu],
+                "j": [j + 1 for _, j in iu],
+                "g_part": [int(acc[i, j]) for i, j in iu],
+                "s_part": [int(sums[i]) if i == j else 0 for i, j in iu],
+                "n_part": [n if i == j else 0 for i, j in iu],
+            }
+        )
+
+    parts = emb.select("embedding").mapInPandas(
+        gram_batches, "i int, j int, g_part long, s_part long, n_part long"
+    )
+    gram = parts.groupBy("i", "j").agg(
+        F.sum(F.col("g_part").cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("g"),
+        F.sum(F.col("s_part").cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("s_diag"),
+        F.sum("n_part").cast("bigint").alias("n_diag"),
+    )
+    sums = gram.where(F.col("i") == F.col("j")).select(
+        F.col("i").alias("d"),
+        F.col("g").alias("g_diag"),
+        F.col("s_diag").alias("s"),
+        F.col("n_diag").alias("n"),
+    )
+    si = sums.select(
+        F.col("d").alias("i"),
+        F.col("g_diag").alias("gi"),
+        F.col("s").alias("s_i"),
+        F.col("n").alias("n_i"),
+    )
+    sj = sums.select(
+        F.col("d").alias("j"),
+        F.col("g_diag").alias("gj"),
+        F.col("s").alias("s_j"),
+    )
+    corr = (
+        gram.where(F.col("i") < F.col("j"))
+        .join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .select(
+            "i",
+            "j",
+            F.col("g").alias("gram_int"),
+            (
+                (F.col("g") * F.col("n_i") - F.col("s_i") * F.col("s_j"))
+                / (
+                    F.sqrt(
+                        F.col("gi").cast("double") * F.col("n_i")
+                        - F.col("s_i") * F.col("s_i")
+                    )
+                    * F.sqrt(
+                        F.col("gj").cast("double") * F.col("n_i")
+                        - F.col("s_j") * F.col("s_j")
+                    )
+                )
+            ).alias("c"),
+        )
+    )
+    return (
+        corr.orderBy(F.abs(F.col("c")).desc(), "i", "j")
+        .limit(10)
+        .select("i", "j", "gram_int", F.round(F.col("c"), 6).alias("corr"))
+    )
