@@ -8,6 +8,7 @@ SQL-expressible."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -484,4 +485,133 @@ def multimodal_blob_chunk_reassemble(spark: SparkSession, sf_dir: str) -> DataFr
         "n_chunks",
         F.col("total_bytes").cast("bigint").alias("total_bytes"),
         (F.col("re_md5") == F.col("orig_md5")).alias("reassembly_ok"),
+    )
+
+
+def _ahash_pixel_exprs_sql() -> str:
+    """DuckDB SQL list literal of the 64 deterministic pixel bytes:
+    pixel i = byte (i mod 16) of md5(text || '#' || (i div 16))."""
+    parts = []
+    for i in range(64):
+        k, off = divmod(i, 16)
+        parts.append(
+            f"CAST(CONCAT('0x', SUBSTRING(md5(text || '#{k}'), "
+            f"{2 * off + 1}, 2)) AS BIGINT)"
+        )
+    return "[" + ", ".join(parts) + "]"
+
+
+def _ahash_pixel_exprs_spark():
+    cols = []
+    for i in range(64):
+        k, off = divmod(i, 16)
+        cols.append(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("text"), F.lit(f"#{k}"))),
+                    2 * off + 1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("long")
+        )
+    return F.array(*cols)
+
+
+@register(
+    "multimodal_image_ahash_dedup",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id, {_ahash_pixel_exprs_sql()} AS p
+      FROM documents
+    ), bits AS (
+      SELECT doc_id, p,
+             list_sum(p) AS s
+      FROM px
+    ), hashed AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(RANGE(1, 33),
+               i -> CASE WHEN 64 * p[i] > s
+                         THEN CAST(POW(2, i - 1) AS BIGINT)
+                         ELSE 0 END)) AS BIGINT) AS hash_lo,
+             CAST(list_sum(list_transform(RANGE(33, 65),
+               i -> CASE WHEN 64 * p[i] > s
+                         THEN CAST(POW(2, i - 33) AS BIGINT)
+                         ELSE 0 END)) AS BIGINT) AS hash_hi
+      FROM bits
+    )
+    SELECT hash_hi, hash_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           TRUE AS all_roundtrip_ok
+    FROM hashed
+    GROUP BY hash_hi, hash_lo
+    ORDER BY hash_hi, hash_lo
+    """,
+    tags=("multimodal", "dedup", "image"),
+)
+def multimodal_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash (aHash) dedup over images, with the PNG
+    codec ON the path: each document synthesizes a deterministic 8x8
+    grayscale thumbnail (md5-derived pixels), the pandas UDF encodes it
+    to a REAL PNG and decodes it back (multimodal.encode_png /
+    decode_image - stdlib zlib, per-spec filters), then thresholds
+    each pixel against the image mean to form the 64-bit aHash; docs
+    group by hash and elect a keeper - the standard near-identical-
+    image dedup pass (aHash collides across re-encodes and minor noise
+    where byte-level SHA cannot).
+
+    Oracle pairing: the EXPECTED hash is recomputed by DuckDB straight
+    from the md5 pixel formula - so a hash mismatch means the PNG
+    round trip corrupted pixels, and the realized all_roundtrip_ok bit
+    (decoded == source pixels, verified inside the UDF) pins the codec
+    itself. The threshold is integer-exact (64*p > sum).
+
+    Scale: pixels/hash are per-row map work (Arrow-batched UDF, one
+    encode+decode per row on an 8x8 payload); the dedup is one
+    64-bit-key groupBy - payloads never shuffle. For corpus-scale
+    near-dup (hamming <= t), the hash feeds the banded join pattern of
+    similarity_hamming_sign_topk; exact-equality buckets are the
+    registered, oracle-exact core."""
+    from pyspark.sql.functions import pandas_udf
+
+    from blow_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    d = read_table(spark, sf_dir, "documents")
+
+    @pandas_udf("struct<hash_hi: long, hash_lo: long, ok: boolean>")
+    def ahash_png(px: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        his, los, oks = [], [], []
+        for p in px:
+            arr = np.asarray(p, dtype="int64")
+            img = arr.reshape(8, 8).astype("uint8")
+            blob = multimodal.encode_png(img)
+            back = multimodal.decode_image(blob)
+            ok = bool((back.reshape(-1).astype("int64") == arr).all())
+            s = int(arr.sum())
+            bits = (64 * arr) > s
+            lo = sum(1 << i for i in range(32) if bits[i])
+            hi = sum(1 << (i - 32) for i in range(32, 64) if bits[i])
+            his.append(hi)
+            los.append(lo)
+            oks.append(ok)
+        return pd.DataFrame({"hash_hi": his, "hash_lo": los, "ok": oks})
+
+    hashed = d.select(
+        "doc_id", ahash_png(_ahash_pixel_exprs_spark()).alias("h")
+    ).select("doc_id", "h.hash_hi", "h.hash_lo", "h.ok")
+    return (
+        hashed.groupBy("hash_hi", "hash_lo")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("keep_id"),
+            F.min(F.col("ok").cast("int")).cast("boolean").alias(
+                "all_roundtrip_ok"
+            ),
+        )
+        .orderBy("hash_hi", "hash_lo")
     )
