@@ -1017,3 +1017,121 @@ def events_rolling_retention_d1_d7(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("day")
     )
+
+
+@register(
+    "timeseries_burst_detection_kleinberg",
+    oracle="""
+    WITH RECURSIVE counts AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE event_type = 'error'
+      GROUP BY 1
+    ), base AS (
+      SELECT day, n, ROW_NUMBER() OVER (ORDER BY day) AS t FROM counts
+    ), params AS (
+      SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) AS lam0,
+             CAST(COUNT(*) AS BIGINT) AS tt
+      FROM base
+    ), costs AS (
+      SELECT b.t, b.day, b.n,
+             CAST(ROUND((p.lam0 - b.n * LN(p.lam0)) * 1000000) AS BIGINT)
+               AS c0,
+             CAST(ROUND((2 * p.lam0 - b.n * LN(2 * p.lam0)) * 1000000)
+                  AS BIGINT) AS c1,
+             CAST(ROUND(LN(CAST(p.tt AS DOUBLE)) * 1000000) AS BIGINT)
+               AS tr
+      FROM base b CROSS JOIN params p
+    ), dp AS (
+      SELECT t, day, n, c0 AS v0, c1 + tr AS v1, tr
+      FROM costs WHERE t = 1
+      UNION ALL
+      SELECT c.t, c.day, c.n,
+             c.c0 + LEAST(d.v0, d.v1),
+             c.c1 + LEAST(d.v0 + c.tr, d.v1),
+             c.tr
+      FROM dp d JOIN costs c ON c.t = d.t + 1
+    )
+    SELECT CAST(day AS VARCHAR) AS day, n AS n_events, v0, v1,
+           CAST(v1 < v0 AS BOOLEAN) AS in_burst
+    FROM dp
+    ORDER BY day
+    """,
+    tags=("timeseries", "events", "stateful"),
+)
+def timeseries_burst_detection_kleinberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg burst detection (KDD 2002), two-state automaton over
+    the daily error-count series: state 0 emits at the base rate
+    lambda0, state 1 at 2*lambda0, switching INTO burst costs
+    gamma = ln(T); the forward dynamic program's running costs (v0, v1)
+    mark a day as bursting when the burst state is strictly cheaper -
+    the principled alternative to threshold alerts (a one-day spike is
+    absorbed by the transition cost; a sustained elevation flips the
+    state). Poisson emission costs drop the state-independent ln(n!)
+    term, which cancels in every comparison - so no factorial/lgamma
+    is needed in either engine.
+
+    Engine-exact: all per-day costs fix-point to e6 BIGINTs BEFORE the
+    DP, so the entire recurrence is integer min/plus arithmetic -
+    identical in pandas (Spark side) and the recursive CTE (oracle);
+    ln carries the documented 1-ulp allowance under the rounding.
+
+    Scale: the data-scale work is ONE day-keyed count; the DP is
+    inherently sequential but runs on the CALENDAR-bounded series
+    (~10^3 rows/decade) inside one applyInPandas group - the same
+    bounded-stateful shape as the M4/seasonal family. Per-key burst
+    detection over many series parallelizes by the group key for
+    free."""
+    import math
+
+    import pandas as _pd
+
+    e = read_table(spark, sf_dir, "events")
+    counts = (
+        e.where(F.col("event_type") == "error")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .withColumn("g", F.lit(1))
+    )
+
+    def dp(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        s_total = int(pdf["n"].sum())
+        t_len = len(pdf)
+        lam0 = s_total / t_len
+        tr = round(math.log(float(t_len)) * 1_000_000)
+        days, ns, v0s, v1s, bursts = [], [], [], [], []
+        v0 = v1 = None
+        for _, r in pdf.iterrows():
+            n = int(r["n"])
+            c0 = round((lam0 - n * math.log(lam0)) * 1_000_000)
+            c1 = round((2 * lam0 - n * math.log(2 * lam0)) * 1_000_000)
+            if v0 is None:
+                v0, v1 = c0, c1 + tr
+            else:
+                v0, v1 = (
+                    c0 + min(v0, v1),
+                    c1 + min(v0 + tr, v1),
+                )
+            days.append(str(r["day"]))
+            ns.append(n)
+            v0s.append(v0)
+            v1s.append(v1)
+            bursts.append(v1 < v0)
+        return _pd.DataFrame(
+            {
+                "day": days,
+                "n_events": ns,
+                "v0": v0s,
+                "v1": v1s,
+                "in_burst": bursts,
+            }
+        )
+
+    return (
+        counts.groupBy("g")
+        .applyInPandas(
+            dp,
+            "day string, n_events long, v0 long, v1 long, in_burst boolean",
+        )
+        .orderBy("day")
+    )

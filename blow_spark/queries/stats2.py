@@ -746,3 +746,78 @@ def stats_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mde / 1_000_000.0, 6).alias("mde_abs"),
         F.round(mde / mean0, 6).alias("mde_rel"),
     ).orderBy("event_type")
+
+
+@register(
+    "stats_negbin_moments_fit",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_mktsegment AS seg, c.c_custkey,
+             CAST(COUNT(o.o_orderkey) AS BIGINT) AS k
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), m AS (
+      SELECT seg,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(k) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(k AS HUGEINT) * k) AS DOUBLE) AS s2
+      FROM per_cust GROUP BY seg
+    ), mv AS (
+      SELECT seg, n, s1 / n AS mean,
+             (s2 - s1 * s1 / n) / (n - 1.0) AS var
+      FROM m
+    )
+    SELECT seg, CAST(n AS BIGINT) AS n_customers,
+           ROUND(mean, 6) AS mean_orders,
+           ROUND(var, 6) AS var_orders,
+           CAST(var > mean AS BOOLEAN) AS overdispersed,
+           ROUND(CASE WHEN var > mean
+                      THEN mean * mean / (var - mean) END, 6) AS r_hat,
+           ROUND(CASE WHEN var > mean THEN mean / var END, 6) AS p_hat
+    FROM mv
+    ORDER BY seg
+    """,
+    tags=("stats", "orders", "customer"),
+)
+def stats_negbin_moments_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial method-of-moments fit of per-customer order
+    counts per segment: r̂ = m²/(v−m), p̂ = m/v — the standard
+    overdispersed count model behind purchase-frequency and BTYD-style
+    CLV analyses (Poisson fails the moment v > m, which the
+    overdispersed flag makes explicit; r̂/p̂ are NULL when the data is
+    under-dispersed and the model is inadmissible). Zero-order
+    customers enter through the LEFT join — dropping them silently
+    biases m̂ upward, the classic mistake this query refuses.
+
+    Scale: one customer-keyed count (the LEFT join preserves the
+    zero class), one segment-keyed exact moment aggregate, closed-form
+    doubles after; Σk² widens to DECIMAL(38,0)/HUGEINT."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"), "c_custkey"
+        )
+        .agg(F.count("o_orderkey").cast("bigint").alias("k"))
+    )
+    kd = F.col("k").cast("decimal(38,0)")
+    m = per_cust.groupBy("seg").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("k").cast("double").alias("s1"),
+        F.sum(kd * F.col("k")).cast("double").alias("s2"),
+    )
+    n = F.col("n")
+    mean = F.col("s1") / n
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1.0)
+    return m.select(
+        "seg",
+        n.cast("bigint").alias("n_customers"),
+        F.round(mean, 6).alias("mean_orders"),
+        F.round(var, 6).alias("var_orders"),
+        (var > mean).alias("overdispersed"),
+        F.round(
+            F.when(var > mean, mean * mean / (var - mean)), 6
+        ).alias("r_hat"),
+        F.round(F.when(var > mean, mean / var), 6).alias("p_hat"),
+    ).orderBy("seg")
