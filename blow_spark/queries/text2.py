@@ -226,3 +226,237 @@ def text_unicode_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("raw") - F.length("nfc")).cast("bigint").alias("removed"),
         F.md5(F.col("nfc")).alias("nfc_md5"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM Viterbi segmentation (SentencePiece's other half, next to
+# the BPE family in queries/corpus.py). Integer e6 min/plus DP over
+# word positions. The oracle unrolls the DP as MATERIALIZED CTEs
+# (plain CTEs inline PER REFERENCE, and a 4-branch 12-step recurrence
+# inlines into a 4^12-node plan — measured hang); the Spark side runs
+# the identical recurrence imperatively with a spill per step for the
+# same reason.
+# ---------------------------------------------------------------------------
+
+_UNI_MAX_WORD = 12
+_UNI_MAX_PIECE = 4
+_UNI_TOPK = 30
+
+
+def _unigram_oracle_sql() -> str:
+    pos_vals = ", ".join(
+        f"({i}, {l})"
+        for i in range(1, _UNI_MAX_WORD + 1)
+        for l in range(1, _UNI_MAX_PIECE + 1)
+        if i + l - 1 <= _UNI_MAX_WORD
+    )
+    ctes = [
+        """tok AS (
+      SELECT UNNEST(string_split(text, ' ')) AS word FROM documents
+    )""",
+        f"""wf AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS wf
+      FROM tok WHERE LENGTH(word) <= {_UNI_MAX_WORD} AND word <> ''
+      GROUP BY word
+    )""",
+        f"""pieces AS MATERIALIZED (
+      SELECT SUBSTRING(w.word, p.i, p.l) AS piece,
+             CAST(SUM(w.wf) AS BIGINT) AS cnt
+      FROM wf w
+      JOIN (VALUES {pos_vals}) AS p(i, l)
+        ON p.i + p.l - 1 <= LENGTH(w.word)
+      GROUP BY SUBSTRING(w.word, p.i, p.l)
+    )""",
+        """tot AS (
+      SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM pieces
+    )""",
+        """pcost AS MATERIALIZED (
+      SELECT piece,
+             CAST(ROUND(-LN(CAST(cnt AS DOUBLE) / tot) * 1000000)
+                  AS BIGINT) AS c
+      FROM pieces CROSS JOIN tot
+    )""",
+        """dp0 AS MATERIALIZED (
+      SELECT word, CAST(0 AS BIGINT) AS cost, '' AS path FROM wf
+    )""",
+    ]
+    for i in range(1, _UNI_MAX_WORD + 1):
+        branches = []
+        for l in range(1, _UNI_MAX_PIECE + 1):
+            if i - l < 0:
+                continue
+            branches.append(
+                f"""SELECT d.word, d.cost + c.c AS cost,
+               CASE WHEN d.path = '' THEN c.piece
+                    ELSE d.path || ' ' || c.piece END AS path
+        FROM dp{i - l} d
+        JOIN pcost c ON c.piece = SUBSTRING(d.word, {i - l + 1}, {l})
+        WHERE LENGTH(d.word) >= {i}"""
+            )
+        union = "\n        UNION ALL\n        ".join(branches)
+        ctes.append(
+            f"""dp{i} AS MATERIALIZED (
+      SELECT word, cost, path FROM (
+        SELECT word, cost, path,
+               ROW_NUMBER() OVER (PARTITION BY word
+                                  ORDER BY cost, path) AS rn
+        FROM (
+        {union}
+        ) u
+      ) r WHERE rn = 1
+    )"""
+        )
+    finals = "\n      UNION ALL\n      ".join(
+        f"SELECT word, cost, path FROM dp{i} WHERE LENGTH(word) = {i}"
+        for i in range(1, _UNI_MAX_WORD + 1)
+    )
+    ctes.append(f"""best AS (
+      {finals}
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT b.word, w.wf AS freq,
+           b.cost AS cost_e6,
+           CAST(LENGTH(b.path) - LENGTH(REPLACE(b.path, ' ', '')) + 1
+                AS BIGINT) AS n_pieces,
+           b.path AS segmentation
+    FROM best b JOIN wf w ON w.word = b.word
+    ORDER BY w.wf DESC, b.word
+    LIMIT {_UNI_TOPK}"""
+    )
+
+
+@register(
+    "tokenizer_unigram_viterbi_segment",
+    oracle=_unigram_oracle_sql(),
+    tags=("tokenizer", "corpus", "documents"),
+)
+def tokenizer_unigram_viterbi_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unigram-LM Viterbi segmentation (Kudo, ACL 2018 — the
+    SentencePiece model, completing the tokenizer shelf next to BPE in
+    queries/corpus.py): candidate pieces are all substrings up to
+    length 4 weighted by corpus word frequency, piece cost is
+    −ln(count/total) fix-pointed to e6 integers, and each word's
+    optimal segmentation is the min-cost path of an integer min/plus
+    DP over its ≤12 character positions (single-char pieces exist by
+    construction, so the DP is total). Top-30 corpus words with their
+    optimal splits, costs, and piece counts.
+
+    Engine-exact: the recurrence is identical integer arithmetic on
+    both sides with (cost, path)-ordered deterministic tie-breaks at
+    every position; ln carries the catalog's 1-ulp allowance under
+    the e6 rounding.
+
+    Scale: word-frequency and piece tables are VOCABULARY-sized
+    (sublinear — the only corpus-scale pass is tokenize+count). The
+    DP MUST NOT be written as a plain CTE/DataFrame chain: CTEs
+    inline per reference, and this 4-branch 12-step recurrence
+    inlines into a 4¹² ≈ 16M-node plan (measured: DuckDB hung, and
+    Catalyst would blow up identically). Each dpᵢ therefore
+    MATERIALIZES — `AS MATERIALIZED` in the oracle, a per-step
+    parquet spill here — making the plan 12 small linear steps over
+    vocabulary-sized tables. The full EM loop repeats this plan with
+    pcost re-estimated from the Viterbi counts; one step is
+    registered because each iteration is plan-identical."""
+    from blow_spark.materialize import spill_to_parquet
+
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).where((F.col("word") != "") & (F.length("word") <= _UNI_MAX_WORD))
+    wf = spill_to_parquet(
+        tok.groupBy("word").agg(F.count("*").cast("bigint").alias("wf")),
+        "blow_spark_uni_wf_",
+    )
+    positions = [
+        (i, l)
+        for i in range(1, _UNI_MAX_WORD + 1)
+        for l in range(1, _UNI_MAX_PIECE + 1)
+        if i + l - 1 <= _UNI_MAX_WORD
+    ]
+    pos_df = spark.createDataFrame(positions, "i int, l int")
+    pieces = (
+        wf.crossJoin(F.broadcast(pos_df))
+        .where(F.col("i") + F.col("l") - 1 <= F.length("word"))
+        .groupBy(
+            F.expr("substring(word, i, l)").alias("piece")
+        )
+        .agg(F.sum("wf").cast("bigint").alias("cnt"))
+    )
+    tot = pieces.agg(F.sum("cnt").cast("double").alias("tot"))
+    pcost = spill_to_parquet(
+        pieces.crossJoin(F.broadcast(tot)).select(
+            "piece",
+            F.round(-F.log(F.col("cnt") / F.col("tot")) * 1_000_000)
+            .cast("bigint")
+            .alias("c"),
+        ),
+        "blow_spark_uni_pcost_",
+    )
+    dp = {
+        0: wf.select(
+            "word",
+            F.lit(0).cast("bigint").alias("cost"),
+            F.lit("").alias("path"),
+        )
+    }
+    for i in range(1, _UNI_MAX_WORD + 1):
+        branches = []
+        for l in range(1, _UNI_MAX_PIECE + 1):
+            if i - l < 0:
+                continue
+            b = (
+                dp[i - l]
+                .join(
+                    F.broadcast(pcost),
+                    F.col("piece")
+                    == F.expr(f"substring(word, {i - l + 1}, {l})"),
+                )
+                .where(F.length("word") >= i)
+                .select(
+                    "word",
+                    (F.col("cost") + F.col("c")).alias("cost"),
+                    F.when(F.col("path") == "", F.col("piece"))
+                    .otherwise(
+                        F.concat(F.col("path"), F.lit(" "), F.col("piece"))
+                    )
+                    .alias("path"),
+                )
+            )
+            branches.append(b)
+        cand = branches[0]
+        for b in branches[1:]:
+            cand = cand.unionAll(b)
+        w = W.partitionBy("word").orderBy("cost", "path")
+        dp[i] = spill_to_parquet(
+            cand.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn"),
+            f"blow_spark_uni_dp{i}_",
+        )
+    best = None
+    for i in range(1, _UNI_MAX_WORD + 1):
+        part = dp[i].where(F.length("word") == i)
+        best = part if best is None else best.unionAll(part)
+    return (
+        best.join(wf, "word")
+        .select(
+            "word",
+            F.col("wf").alias("freq"),
+            F.col("cost").alias("cost_e6"),
+            (
+                F.length("path")
+                - F.length(F.regexp_replace("path", " ", ""))
+                + 1
+            )
+            .cast("bigint")
+            .alias("n_pieces"),
+            F.col("path").alias("segmentation"),
+        )
+        .orderBy(F.col("freq").desc(), "word")
+        .limit(_UNI_TOPK)
+    )
