@@ -1135,3 +1135,148 @@ def timeseries_burst_detection_kleinberg(spark: SparkSession, sf_dir: str) -> Da
         )
         .orderBy("day")
     )
+
+
+@register(
+    "timeseries_anomaly_shesd",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ), seas AS (
+      SELECT DAYOFWEEK(day) AS dow, MEDIAN(n) AS med_dow
+      FROM daily GROUP BY 1
+    ), resid AS (
+      SELECT d.day, d.n, d.n - s.med_dow AS r
+      FROM daily d JOIN seas s ON DAYOFWEEK(d.day) = s.dow
+    ), m1 AS (
+      SELECT MEDIAN(r) AS med, MEDIAN(ABS(r - (SELECT MEDIAN(r) FROM resid)))
+               AS mad
+      FROM resid
+    ), z1 AS (
+      SELECT r.day, r.n, r.r,
+             ABS(r.r - m.med) / (1.4826 * m.mad) AS z,
+             ROW_NUMBER() OVER (ORDER BY ABS(r.r - m.med) DESC, r.day) AS rn
+      FROM resid r CROSS JOIN m1 m
+    ), o1 AS (SELECT * FROM z1 WHERE rn = 1),
+    rem2 AS (SELECT day, n, r FROM z1 WHERE rn > 1),
+    m2 AS (
+      SELECT MEDIAN(r) AS med, MEDIAN(ABS(r - (SELECT MEDIAN(r) FROM rem2)))
+               AS mad
+      FROM rem2
+    ), z2 AS (
+      SELECT r.day, r.n, r.r,
+             ABS(r.r - m.med) / (1.4826 * m.mad) AS z,
+             ROW_NUMBER() OVER (ORDER BY ABS(r.r - m.med) DESC, r.day) AS rn
+      FROM rem2 r CROSS JOIN m2 m
+    ), o2 AS (SELECT * FROM z2 WHERE rn = 1),
+    rem3 AS (SELECT day, n, r FROM z2 WHERE rn > 1),
+    m3 AS (
+      SELECT MEDIAN(r) AS med, MEDIAN(ABS(r - (SELECT MEDIAN(r) FROM rem3)))
+               AS mad
+      FROM rem3
+    ), z3 AS (
+      SELECT r.day, r.n, r.r,
+             ABS(r.r - m.med) / (1.4826 * m.mad) AS z,
+             ROW_NUMBER() OVER (ORDER BY ABS(r.r - m.med) DESC, r.day) AS rn
+      FROM rem3 r CROSS JOIN m3 m
+    ), o3 AS (SELECT * FROM z3 WHERE rn = 1),
+    outs AS (
+      SELECT 1 AS round, day, n, r, z FROM o1
+      UNION ALL SELECT 2, day, n, r, z FROM o2
+      UNION ALL SELECT 3, day, n, r, z FROM o3
+    )
+    SELECT round, CAST(day AS VARCHAR) AS day, n AS n_events,
+           ROUND(r, 6) AS residual, ROUND(z, 6) AS z_score
+    FROM outs WHERE z > 3.0
+    ORDER BY round
+    """,
+    tags=("timeseries", "events", "anomaly"),
+)
+def timeseries_anomaly_shesd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-Hybrid ESD anomaly detection (Hochenbaum, Vallis &
+    Kejariwal 2017 — the Twitter AnomalyDetection algorithm, simplified
+    to a fixed 3σ robust threshold in place of the t-quantile ladder):
+    remove day-of-week seasonality with PER-DOW MEDIANS, then run three
+    unrolled ESD rounds — each takes the remaining days' median/MAD,
+    flags the most extreme residual if its robust z exceeds 3, and
+    removes it before re-estimating — the repeated re-estimation is
+    what lets ESD find the SECOND anomaly that a one-shot z-score
+    misses when the first one inflates the spread (masking).
+
+    Engine-exact: residuals are integer-or-half values (integer counts
+    minus medians), every median/MAD interpolates identically, and
+    each round's argmax breaks ties by day.
+
+    Scale: one day-keyed count is the only data-scale pass; all three
+    rounds run on the CALENDAR-bounded residual table (the tiny
+    per-round windows sort ≤10³ rows). k rounds unroll statically —
+    the plan is k small passes, not a loop."""
+    e = read_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    seas = daily.groupBy(F.dayofweek("day").alias("dow")).agg(
+        F.expr("percentile(n, 0.5)").alias("med_dow")
+    )
+    resid = (
+        daily.withColumn("dow", F.dayofweek("day"))
+        .join(F.broadcast(seas), "dow")
+        .select("day", "n", (F.col("n") - F.col("med_dow")).alias("r"))
+    )
+
+    from blow_spark.materialize import spill_to_parquet
+
+    def esd_round(rem: DataFrame, rno: int):
+        # spill the round input: each round is referenced by both the
+        # flagged-row branch and the remainder branch, and rounds nest
+        # — without the spill the day-grain plan re-inlines ~2^k times
+        # (and the naive argmax-by-window variant put 12 single-
+        # partition windows in the plan; the broadcast argmax below
+        # puts zero)
+        rem = spill_to_parquet(rem, f"blow_spark_shesd_{rno}_")
+        med = rem.agg(F.expr("percentile(r, 0.5)").alias("med"))
+        mad = (
+            rem.crossJoin(F.broadcast(med))
+            .agg(
+                F.expr("percentile(abs(r - med), 0.5)").alias("mad"),
+                F.first("med").alias("med"),
+            )
+        )
+        z = rem.crossJoin(F.broadcast(mad)).select(
+            "day",
+            "n",
+            "r",
+            (F.abs(F.col("r") - F.col("med")) / (1.4826 * F.col("mad"))).alias(
+                "z"
+            ),
+            F.abs(F.col("r") - F.col("med")).alias("dev"),
+        )
+        mx = z.agg(F.max("dev").alias("mxdev"))
+        pick = (
+            z.join(F.broadcast(mx), F.col("dev") == F.col("mxdev"))
+            .agg(F.min("day").alias("pick_day"))
+        )
+        out = z.join(
+            F.broadcast(pick), F.col("day") == F.col("pick_day")
+        ).select(F.lit(rno).alias("round"), "day", "n", "r", "z")
+        rest = z.join(
+            F.broadcast(pick), F.col("day") == F.col("pick_day"), "left_anti"
+        ).select("day", "n", "r")
+        return out, rest
+
+    o1, rem2 = esd_round(resid, 1)
+    o2, rem3 = esd_round(rem2, 2)
+    o3, _ = esd_round(rem3, 3)
+    outs = o1.unionAll(o2).unionAll(o3)
+    return (
+        outs.where(F.col("z") > 3.0)
+        .select(
+            "round",
+            F.col("day").cast("string").alias("day"),
+            F.col("n").alias("n_events"),
+            F.round("r", 6).alias("residual"),
+            F.round("z", 6).alias("z_score"),
+        )
+        .orderBy("round")
+    )

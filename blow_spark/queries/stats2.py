@@ -27,6 +27,7 @@ analytics mandate.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from blow_spark.ops import global_running_sum
@@ -821,3 +822,130 @@ def stats_negbin_moments_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r_hat"),
         F.round(F.when(var > mean, mean / var), 6).alias("p_hat"),
     ).orderBy("seg")
+
+
+@register(
+    "drift_ks_by_source",
+    oracle="""
+    WITH vals AS (
+      SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY source, n_chars
+    ), allv AS (
+      SELECT v, CAST(SUM(c) AS BIGINT) AS c_all FROM vals GROUP BY v
+    ), sizes AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM vals GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(c_all) AS BIGINT) AS n FROM allv
+    ), grid AS (
+      SELECT s.source, a.v, a.c_all, COALESCE(g.c, 0) AS c_s,
+             s2.n_s, t.n
+      FROM sizes s
+      CROSS JOIN allv a
+      CROSS JOIN tot t
+      JOIN sizes s2 ON s2.source = s.source
+      LEFT JOIN vals g ON g.source = s.source AND g.v = a.v
+    ), cums AS (
+      SELECT source, v, n_s, n,
+             SUM(c_s) OVER (PARTITION BY source ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum_s,
+             SUM(c_all) OVER (PARTITION BY source ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum_all
+      FROM grid
+    ), d AS (
+      SELECT source, n_s, n,
+             CAST(MAX(ABS((n - n_s) * cum_s - n_s * (cum_all - cum_s)))
+                  AS BIGINT) AS num
+      FROM cums GROUP BY source, n_s, n
+    )
+    SELECT source, n_s,
+           ROUND(CAST(num AS DOUBLE) / (n_s * (n - n_s)), 6) AS ks_d,
+           ROUND(1.358 * SQRT(CAST(n AS DOUBLE)
+                              / (n_s * (n - n_s))), 6) AS crit_05,
+           CAST(CAST(num AS DOUBLE) / (n_s * (n - n_s))
+                > 1.358 * SQRT(CAST(n AS DOUBLE) / (n_s * (n - n_s)))
+                AS BOOLEAN) AS drifted
+    FROM d
+    ORDER BY source
+    """,
+    tags=("stats", "dq", "drift", "documents"),
+)
+def drift_ks_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift by two-sample KS: each source's
+    document-length distribution against the REST of the corpus —
+    the shape-sensitive companion to drift_psi_by_source (PSI needs
+    binning choices; KS reads the whole ECDF). D = max over values of
+    |(N−n_s)·cum_s − n_s·(cum_rest)| / (n_s·(N−n_s)) — exact integer
+    numerators until the final division, Smirnov critical value at
+    α=0.05.
+
+    Scale: value-grain counts (n_chars is integer — the domain is
+    bounded by max document length, not corpus size), a source×value
+    grid whose cumulative windows partition PER SOURCE (no global
+    window; cum_all is accumulated inside the same per-source
+    partition, dodging the single-partition trap entirely), one max
+    per source. Envelope: |num| ≤ n_s·N < 2⁶³ to ~3·10⁹ docs."""
+    d = read_table(spark, sf_dir, "documents")
+    vals = d.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    allv = vals.groupBy("v").agg(F.sum("c").cast("bigint").alias("c_all"))
+    sizes = vals.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_s")
+    )
+    tot = allv.agg(F.sum("c_all").cast("bigint").alias("n"))
+    grid = (
+        sizes.crossJoin(F.broadcast(allv))
+        .crossJoin(F.broadcast(tot))
+        .join(
+            vals.select(
+                F.col("source").alias("src_g"),
+                F.col("v").alias("v_g"),
+                F.col("c").alias("c_s"),
+            ),
+            (F.col("source") == F.col("src_g")) & (F.col("v") == F.col("v_g")),
+            "left",
+        )
+        .select(
+            "source",
+            "v",
+            "c_all",
+            F.coalesce(F.col("c_s"), F.lit(0)).alias("c_s"),
+            "n_s",
+            "n",
+        )
+    )
+    wc = (
+        W.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cums = grid.select(
+        "source",
+        "n_s",
+        "n",
+        F.sum("c_s").over(wc).alias("cum_s"),
+        F.sum("c_all").over(wc).alias("cum_all"),
+    )
+    dres = cums.groupBy("source", "n_s", "n").agg(
+        F.max(
+            F.abs(
+                (F.col("n") - F.col("n_s")) * F.col("cum_s")
+                - F.col("n_s") * (F.col("cum_all") - F.col("cum_s"))
+            )
+        )
+        .cast("bigint")
+        .alias("num")
+    )
+    ks = F.col("num").cast("double") / (F.col("n_s") * (F.col("n") - F.col("n_s")))
+    crit = 1.358 * F.sqrt(
+        F.col("n").cast("double") / (F.col("n_s") * (F.col("n") - F.col("n_s")))
+    )
+    return dres.select(
+        "source",
+        "n_s",
+        F.round(ks, 6).alias("ks_d"),
+        F.round(crit, 6).alias("crit_05"),
+        (ks > crit).alias("drifted"),
+    ).orderBy("source")
