@@ -1280,3 +1280,76 @@ def timeseries_anomaly_shesd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("round")
     )
+
+
+@register(
+    "events_decayed_engagement_score",
+    oracle="""
+    WITH ref AS (
+      SELECT MAX(ts) AS t_ref FROM events
+    ), weighted AS (
+      SELECT e.user_id,
+             CASE WHEN DATEDIFF('day', CAST(e.ts AS DATE),
+                                CAST(r.t_ref AS DATE)) // 7 >= 40
+                  THEN 0
+                  ELSE (CAST(1099511627776 AS BIGINT) >>
+                        (DATEDIFF('day', CAST(e.ts AS DATE),
+                                  CAST(r.t_ref AS DATE)) // 7))
+             END AS w
+      FROM events e CROSS JOIN ref r
+    )
+    SELECT user_id,
+           CAST(SUM(w) AS BIGINT) AS score,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM weighted
+    GROUP BY user_id
+    ORDER BY score DESC, user_id
+    LIMIT 20
+    """,
+    tags=("events", "product", "feature"),
+)
+def events_decayed_engagement_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed engagement score with WEEKLY HALVING: each event
+    contributes 2^(40 − age_weeks) units, so last week's action is
+    worth twice the week before's — the standard recency-weighted
+    counter behind ranking features and churn scores, in its
+    EXACT-integer form (the smooth exp(−λt) variant multiplies a
+    per-event transcendental into the sum; halving per whole week is
+    a power of two, so scores are exact BIGINTs, reproducible across
+    engines, retries, and reorderings — no 1-ulp exposure at all).
+    Top-20 users, ties by id.
+
+    Scale: the reference time is a 1-row broadcast; the weight is a
+    map-side shift; then ONE user-keyed sum and a
+    TakeOrderedAndProject head. Envelope: 2⁴⁰ max weight × 10⁶
+    events/user stays under 2⁶³; the 40-week clamp zeroes the tail
+    rather than shifting past the word."""
+    e = read_table(spark, sf_dir, "events")
+    ref = e.agg(F.max("ts").alias("t_ref"))
+    return (
+        e.crossJoin(F.broadcast(ref))
+        .withColumn(
+            "weeks",
+            (F.datediff(F.to_date("t_ref"), F.to_date("ts")) / 7).cast(
+                "int"
+            ),
+        )
+        .select(
+            "user_id",
+            F.when(F.col("weeks") >= 40, F.lit(0).cast("bigint"))
+            .otherwise(
+                F.expr(
+                    "shiftright(CAST(1099511627776 AS BIGINT),"
+                    " CAST(weeks AS INT))"
+                )
+            )
+            .alias("w"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("w").cast("bigint").alias("score"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .orderBy(F.col("score").desc(), F.col("user_id").asc())
+        .limit(20)
+    )

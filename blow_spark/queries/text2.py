@@ -460,3 +460,149 @@ def tokenizer_unigram_viterbi_segment(
         .orderBy(F.col("freq").desc(), "word")
         .limit(_UNI_TOPK)
     )
+
+
+@register(
+    "corpus_heldout_bigram_perplexity",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id, lang, text,
+             CASE WHEN substr(md5(text), 1, 1) <= 'b' THEN 'train'
+                  WHEN substr(md5(text), 1, 1) <= 'd' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ), toks AS (
+      SELECT d.doc_id, d.lang, d.split, t.pos, t.tok
+      FROM tagged d,
+           LATERAL (SELECT UNNEST(string_split(d.text, ' ')) AS tok,
+                           UNNEST(generate_series(
+                             1, len(string_split(d.text, ' ')))) AS pos) t
+      WHERE t.tok <> ''
+    ), bigrams AS (
+      SELECT a.lang, a.split, a.tok AS w1, b.tok AS w2
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ), c2 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+      FROM bigrams WHERE split = 'train' GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1
+    ), vocab AS (
+      SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+      FROM toks WHERE split = 'train'
+    ), scored AS (
+      SELECT b.lang,
+             CAST(ROUND(-LN((COALESCE(c2.c2, 0) + 1.0)
+                            / (COALESCE(c1.c1, 0) + v.v)) * 1000000)
+                  AS BIGINT) AS nll_e6
+      FROM bigrams b
+      CROSS JOIN vocab v
+      LEFT JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+      LEFT JOIN c1 ON c1.w1 = b.w1
+      WHERE b.split = 'val'
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS val_bigrams,
+           CAST(SUM(nll_e6) AS BIGINT) AS total_nll_e6,
+           ROUND(EXP(CAST(SUM(nll_e6) AS DOUBLE) / COUNT(*) / 1000000.0),
+                 6) AS perplexity
+    FROM scored
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("corpus", "lm", "eval", "documents"),
+)
+def corpus_heldout_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT bigram perplexity per language: the add-one-smoothed
+    bigram model is counted on the TRAIN split only and evaluated on
+    the VAL split (the same content-addressed split as
+    split_train_val_test) — the train/eval hygiene every LM data
+    ablation needs, where the existing text_bigram_logprob scores the
+    corpus on itself. Smoothed probabilities are rationals
+    ((c2+1)/(c1+V)), each token's NLL fix-points to an e6 integer
+    BEFORE the per-language sum, and PPL = exp(mean NLL) is the one
+    closed-form double at the end.
+
+    Scale: tokenize + two count aggregates (bigram-type and context
+    tables are VOCABULARY²-bounded, sublinear in the corpus); scoring
+    is one left join of val bigrams against the count tables on the
+    bigram key. The vocabulary scalar is a 1-row broadcast."""
+    d = read_table(spark, sf_dir, "documents")
+    nib = F.substring(F.md5("text"), 1, 1)
+    tagged = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.when(nib <= "b", "train")
+        .when(nib <= "d", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    toks = (
+        tagged.select(
+            "doc_id",
+            "lang",
+            "split",
+            F.posexplode(F.split("text", " ")).alias("pos0", "tok"),
+        )
+        .where(F.col("tok") != "")
+        .select("doc_id", "lang", "split", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    a = toks.select("doc_id", "lang", "split", "pos", F.col("tok").alias("w1"))
+    b = toks.select(
+        F.col("doc_id").alias("doc_b"),
+        (F.col("pos") - 1).alias("pos_b"),
+        F.col("tok").alias("w2"),
+    )
+    bigrams = a.join(
+        b, (F.col("doc_id") == F.col("doc_b")) & (F.col("pos") == F.col("pos_b"))
+    ).select("lang", "split", "w1", "w2")
+    c2 = (
+        bigrams.where(F.col("split") == "train")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c2"))
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
+    vocab = (
+        toks.where(F.col("split") == "train")
+        .agg(F.countDistinct("tok").cast("bigint").alias("v"))
+    )
+    scored = (
+        bigrams.where(F.col("split") == "val")
+        .crossJoin(F.broadcast(vocab))
+        .join(c2, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .select(
+            "lang",
+            F.round(
+                -F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + 1.0)
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+                )
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("nll_e6"),
+        )
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("val_bigrams"),
+            F.sum("nll_e6").cast("bigint").alias("total_nll_e6"),
+        )
+        .select(
+            "lang",
+            "val_bigrams",
+            "total_nll_e6",
+            F.round(
+                F.exp(
+                    F.col("total_nll_e6").cast("double")
+                    / F.col("val_bigrams")
+                    / 1_000_000.0
+                ),
+                6,
+            ).alias("perplexity"),
+        )
+        .orderBy("lang")
+    )
