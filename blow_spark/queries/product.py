@@ -1353,3 +1353,76 @@ def events_decayed_engagement_score(spark: SparkSession, sf_dir: str) -> DataFra
         .orderBy(F.col("score").desc(), F.col("user_id").asc())
         .limit(20)
     )
+
+
+@register(
+    "events_hourly_load_p95",
+    oracle="""
+    WITH hourly AS (
+      SELECT DAYOFWEEK(CAST(ts AS DATE)) + 1 AS dow,
+             EXTRACT(HOUR FROM ts) AS hr,
+             CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS load
+      FROM events GROUP BY 1, 2, 3
+    ), vals AS (
+      SELECT dow, hr, load, CAST(COUNT(*) AS BIGINT) AS c
+      FROM hourly GROUP BY dow, hr, load
+    ), cum AS (
+      SELECT dow, hr, load,
+             SUM(c) OVER (PARTITION BY dow, hr ORDER BY load
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cumc,
+             SUM(c) OVER (PARTITION BY dow, hr) AS n
+      FROM vals
+    )
+    SELECT dow, hr, CAST(MIN(n) AS BIGINT) AS n_slots,
+           CAST(MIN(load) AS BIGINT) AS p95_load
+    FROM cum
+    WHERE cumc >= CEIL(0.95 * n)
+    GROUP BY dow, hr
+    ORDER BY dow, hr
+    """,
+    tags=("events", "product", "capacity"),
+)
+def events_hourly_load_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P95 hourly event load per (day-of-week, hour) slot — the
+    capacity-planning percentile an SRE sizes autoscaling floors
+    from. Exact type-1 quantiles via the integer-metric histogram
+    trick (value-grain counts + bounded cumulative pass — loads are
+    integers, so no percentile() buffering), the same pattern as
+    orders_interpurchase_percentiles.
+
+    Scale: one (dow, hr, day)-keyed count over events, then all work
+    runs on the slot×load grain (bounded by calendar × distinct load
+    values); cumulative windows partition per slot."""
+    e = read_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.dayofweek(F.to_date("ts")).alias("dow"),
+        F.hour("ts").alias("hr"),
+        F.to_date("ts").alias("day"),
+    ).agg(F.count("*").cast("bigint").alias("load"))
+    vals = hourly.groupBy("dow", "hr", "load").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    wc = (
+        W.partitionBy("dow", "hr")
+        .orderBy("load")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = W.partitionBy("dow", "hr")
+    cum = vals.select(
+        "dow",
+        "hr",
+        "load",
+        F.sum("c").over(wc).alias("cumc"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    return (
+        cum.where(F.col("cumc") >= F.ceil(0.95 * F.col("n")))
+        .groupBy("dow", "hr")
+        .agg(
+            F.min("n").cast("bigint").alias("n_slots"),
+            F.min("load").cast("bigint").alias("p95_load"),
+        )
+        .orderBy("dow", "hr")
+    )

@@ -648,3 +648,153 @@ def privacy_k_anonymize_generalize(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("c_nationkey")
     )
+
+
+# Randomized-response flip probability (f = 0.25 -> each report is
+# truthful w.p. 0.75), derived from a content hash so the "coin" is
+# reproducible: the mechanism is the production shape, the derived
+# coin is what makes it oracle-checkable (same stance as
+# privacy_dp_count_laplace).
+_RR_F_NUM, _RR_F_DEN = 1, 4  # f = 1/4
+
+
+@register(
+    "privacy_randomized_response_freq",
+    oracle=f"""
+    WITH coin AS (
+      SELECT event_type,
+             CAST(CONCAT('0x', SUBSTRING(md5(CAST(event_id AS VARCHAR)),
+                                         1, 8)) AS BIGINT) AS h,
+             CAST(CONCAT('0x', SUBSTRING(md5(CAST(event_id AS VARCHAR)),
+                                         9, 8)) AS BIGINT) AS h2
+      FROM events
+    ), types AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS tix,
+             CAST(COUNT(*) OVER () AS BIGINT) AS k
+      FROM (SELECT DISTINCT event_type FROM coin) t
+    ), reported AS (
+      SELECT t2.event_type AS reported_type
+      FROM coin c
+      JOIN types t1 ON t1.event_type = c.event_type
+      JOIN types t2
+        ON t2.tix = CASE WHEN c.h % {_RR_F_DEN} < {_RR_F_NUM}
+                         THEN c.h2 % t1.k
+                         ELSE t1.tix END
+    ), obs AS (
+      SELECT reported_type AS event_type,
+             CAST(COUNT(*) AS BIGINT) AS reported
+      FROM reported GROUP BY 1
+    ), truec AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_count
+      FROM coin GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(true_count) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM truec
+    )
+    SELECT o.event_type, t.true_count, o.reported,
+           ROUND((o.reported - CAST({_RR_F_NUM} AS DOUBLE)
+                    / {_RR_F_DEN} * x.n / x.k)
+                 / (1.0 - CAST({_RR_F_NUM} AS DOUBLE) / {_RR_F_DEN}), 6)
+             AS debiased_est,
+           CAST(ABS((o.reported - CAST({_RR_F_NUM} AS DOUBLE)
+                       / {_RR_F_DEN} * x.n / x.k)
+                    / (1.0 - CAST({_RR_F_NUM} AS DOUBLE) / {_RR_F_DEN})
+                    - t.true_count)
+                <= 4.0 * SQRT(CAST(x.n AS DOUBLE)) AS BOOLEAN)
+             AS within_4_sqrt_n
+    FROM obs o
+    JOIN truec t ON t.event_type = o.event_type
+    CROSS JOIN tot x
+    ORDER BY o.event_type
+    """,
+    tags=("privacy", "governance", "events"),
+)
+def privacy_randomized_response_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomized response (Warner 1965 — the original local-DP
+    mechanism, the core of RAPPOR): each event reports its TRUE type
+    with probability 1−f and a uniform random type with probability
+    f=1/4; the collector sees only the noisy histogram and debiases
+    with est = (reported − f·n/k)/(1−f). The realized
+    within-4·sqrt(n) bit pins the estimator against the true counts
+    the oracle recomputes independently. The flip coin derives from
+    md5(event_id) so the mechanism replays bit-identically — swap the
+    hash for a seeded RNG in production and every downstream line is
+    unchanged (the privacy_dp_count_laplace stance).
+
+    Scale: two map-side hash coins, one broadcast type-index table
+    (k rows), two keyed counts — no shuffle beyond the histograms;
+    the estimator is 1-row algebra per type."""
+    e = read_table(spark, sf_dir, "events")
+    coin = e.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 9, 8), 16, 10)
+        .cast("long")
+        .alias("h2"),
+    )
+    types = (
+        coin.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            (
+                F.row_number().over(W.orderBy("event_type")) - 1
+            ).alias("tix"),
+        )
+    )
+    k_tot = types.agg(F.count("*").cast("bigint").alias("k"))
+    types = types.crossJoin(F.broadcast(k_tot))
+    t1 = types.select(
+        F.col("event_type").alias("true_type"),
+        F.col("tix").alias("tix1"),
+        "k",
+    )
+    t2 = types.select(
+        F.col("event_type").alias("reported_type"),
+        F.col("tix").alias("tix2"),
+    )
+    reported = (
+        coin.join(F.broadcast(t1), F.col("event_type") == F.col("true_type"))
+        .withColumn(
+            "rix",
+            F.when(
+                F.col("h") % _RR_F_DEN < _RR_F_NUM,
+                F.col("h2") % F.col("k"),
+            ).otherwise(F.col("tix1")),
+        )
+        .join(F.broadcast(t2), F.col("rix") == F.col("tix2"))
+    )
+    obs = reported.groupBy(
+        F.col("reported_type").alias("event_type")
+    ).agg(F.count("*").cast("bigint").alias("reported"))
+    truec = coin.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("true_count")
+    )
+    tot = truec.agg(
+        F.sum("true_count").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k2"),
+    )
+    f_frac = _RR_F_NUM / _RR_F_DEN
+    est = (
+        F.col("reported")
+        - F.lit(f_frac) * F.col("n") / F.col("k2")
+    ) / (1.0 - f_frac)
+    return (
+        obs.join(truec, "event_type")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "true_count",
+            "reported",
+            F.round(est, 6).alias("debiased_est"),
+            (
+                F.abs(est - F.col("true_count"))
+                <= 4.0 * F.sqrt(F.col("n").cast("double"))
+            ).alias("within_4_sqrt_n"),
+        )
+        .orderBy("event_type")
+    )

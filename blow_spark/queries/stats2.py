@@ -949,3 +949,180 @@ def drift_ks_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(crit, 6).alias("crit_05"),
         (ks > crit).alias("drifted"),
     ).orderBy("source")
+
+
+@register(
+    "stats_price_elasticity_loglog",
+    oracle="""
+    WITH t AS (
+      SELECT p.p_brand,
+             CAST(ROUND(LN(l.l_extendedprice / l.l_quantity) * 1000000)
+                  AS BIGINT) AS lp,
+             CAST(ROUND(LN(l.l_quantity) * 1000000) AS BIGINT) AS lq
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+    ), m AS (
+      SELECT p_brand,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(lp AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(lq AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(lp AS HUGEINT) * lp) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(lq AS HUGEINT) * lq) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(lp AS HUGEINT) * lq) AS DOUBLE) AS sxy
+      FROM t GROUP BY p_brand
+    )
+    SELECT p_brand, CAST(n AS BIGINT) AS n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             AS elasticity,
+           ROUND(POW(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS r_squared
+    FROM m
+    ORDER BY p_brand
+    """,
+    tags=("stats", "econ", "lineitem"),
+)
+def stats_price_elasticity_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Own-price elasticity of demand per brand by the log-log
+    regression ln(qty) ~ ln(unit price): the OLS slope IS the
+    elasticity (a 1% price move shifts quantity by elasticity %) —
+    the pricing team's first-pass demand readout. Unit price is
+    extendedprice/quantity; both logs fix-point to e6 integers AT THE
+    ROW so the moment sums are order-independent exact integers, and
+    the slope/R² are closed-form doubles — the same discipline as the
+    geometric-mean battery (ln carries the documented 1-ulp
+    allowance under the fixed-point rounding).
+
+    Scale: one fact-dim join (part broadcasts at dim scale) + ONE
+    map-side-combinable moment aggregate per brand; ln moments widen
+    to DECIMAL(38,0)/HUGEINT (lp² ≈ 10¹⁴)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    t = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .where((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+        .select(
+            "p_brand",
+            F.round(
+                F.log(F.col("l_extendedprice") / F.col("l_quantity"))
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("lp"),
+            F.round(F.log(F.col("l_quantity")) * 1_000_000)
+            .cast("bigint")
+            .alias("lq"),
+        )
+    )
+    lpd = F.col("lp").cast("decimal(38,0)")
+    lqd = F.col("lq").cast("decimal(38,0)")
+    m = t.groupBy("p_brand").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(lpd).cast("double").alias("sx"),
+        F.sum(lqd).cast("double").alias("sy"),
+        F.sum(lpd * F.col("lp")).cast("double").alias("sxx"),
+        F.sum(lqd * F.col("lq")).cast("double").alias("syy"),
+        F.sum(lpd * F.col("lq")).cast("double").alias("sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = (
+        F.col(c) for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
+    )
+    return m.select(
+        "p_brand",
+        n.cast("bigint").alias("n"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias(
+            "elasticity"
+        ),
+        F.round(
+            F.pow(n * sxy - sx * sy, 2)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r_squared"),
+    ).orderBy("p_brand")
+
+
+@register(
+    "experiment_msprt_sequential",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CASE WHEN user_id % 2 = 1
+                           THEN CAST(ROUND(value * 10000) AS BIGINT)
+                           ELSE -CAST(ROUND(value * 10000) AS BIGINT) END)
+                  AS BIGINT) AS diff_e4,
+             CAST(SUM(CAST(ROUND(value * 10000) AS HUGEINT)
+                      * CAST(ROUND(value * 10000) AS BIGINT)) AS DOUBLE)
+               AS ss
+      FROM events GROUP BY 1
+    ), cum AS (
+      SELECT day,
+             CAST(SUM(diff_e4) OVER w AS BIGINT) AS s,
+             SUM(ss) OVER w AS v
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ), lam AS (
+      SELECT day, s, v,
+             SQRT(v / (v + 1000000000000.0))
+               * EXP((CAST(s AS DOUBLE) * s) * 1000000000000.0
+                     / (2.0 * v * (v + 1000000000000.0))) AS lambda
+      FROM cum
+    )
+    SELECT CAST(day AS VARCHAR) AS day, s AS s_e4,
+           ROUND(lambda, 6) AS mixture_lr,
+           ROUND(LEAST(1.0, 1.0 / lambda), 6) AS always_valid_p,
+           CAST(lambda > 20.0 AS BOOLEAN) AS reject_at_005
+    FROM lam
+    ORDER BY day
+    """,
+    tags=("experiment", "stats", "events", "sequential"),
+)
+def experiment_msprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture sequential probability ratio test (mSPRT — Johari,
+    Koomen, Pekelis & Walsh, KDD 2017): the always-valid experiment
+    monitor that lets you PEEK every day without inflating false
+    positives, unlike the fixed-horizon t-test the catalog already
+    has. The statistic Λ_t = sqrt(V/(V+h))·exp(S²h/(2V(V+h))) grows
+    with the cumulative treatment-control gap S over the cumulative
+    second moment V (mixture variance h = 10¹² in e4 fixed-point
+    units); 1/Λ is the always-valid p-value, and Λ > 1/α rejects.
+
+    Engine-exact: S is an exact signed BIGINT cumulative (arm sign
+    applied per event in e4 fixed-point), V an exact HUGEINT/DECIMAL
+    cumulative realized in double; Λ is one closed-form double per
+    day, ROUND-6.
+
+    Scale: one day-keyed aggregate over events, then cumulative
+    windows over the CALENDAR-bounded day table (≤10³ rows — same
+    class as the CUSUM/KM whitelisted windows, ordered but tiny).
+    The per-day decision needs no global state beyond (S, V)."""
+    e = read_table(spark, sf_dir, "events")
+    v4 = F.round(F.col("value") * 10_000).cast("bigint")
+    v4d = v4.cast("decimal(38,0)")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.when(F.col("user_id") % 2 == 1, v4).otherwise(-v4)
+        )
+        .cast("bigint")
+        .alias("diff_e4"),
+        F.sum(v4d * v4).cast("double").alias("ss"),
+    )
+    wc = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = daily.select(
+        "day",
+        F.sum("diff_e4").over(wc).cast("bigint").alias("s"),
+        F.sum("ss").over(wc).alias("v"),
+    )
+    h = 1_000_000_000_000.0
+    lam = F.sqrt(F.col("v") / (F.col("v") + h)) * F.exp(
+        (F.col("s").cast("double") * F.col("s"))
+        * h
+        / (2.0 * F.col("v") * (F.col("v") + h))
+    )
+    return cum.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("s").alias("s_e4"),
+        F.round(lam, 6).alias("mixture_lr"),
+        F.round(F.least(F.lit(1.0), 1.0 / lam), 6).alias("always_valid_p"),
+        (lam > 20.0).alias("reject_at_005"),
+    ).orderBy("day")

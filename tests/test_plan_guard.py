@@ -66,6 +66,13 @@ WHITELIST = {
                                          # both the peak agg and the join
                                          # branch, duplicating the
                                          # constant-size offsets subtree
+    # Calendar-bounded: the mSPRT cumulative (S, V) windows run on the
+    # DAY-grain aggregate (same class as the CUSUM/KM day tables).
+    "experiment_msprt_sequential": 1,
+    # Type-vocabulary-bounded: the randomized-response type-index
+    # row_number runs over the DISTINCT event types (k ≈ 5 rows);
+    # referenced by both the true-type and reported-type branches.
+    "privacy_randomized_response_freq": 2,
 }
 
 
