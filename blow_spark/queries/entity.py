@@ -132,3 +132,154 @@ def join_fuzzy_levenshtein_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         "name_b",
         F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
     ).filter(F.col("dist") <= _K)
+
+
+# Fellegi-Sunter documented priors: P(field agrees | same entity).
+# The u-probabilities (agreement among NON-matches) are estimated from
+# the blocked candidate pairs themselves — at fixture scale every
+# blocked pair is a non-match, which is exactly the standard
+# u-estimation assumption (matches are vanishingly rare among random
+# pairs). Thresholds in e6 log-units.
+_FS_M_SEG = 0.95
+_FS_M_BAL = 0.90
+_FS_UPPER_E6 = 2_000_000   # weight above → link
+_FS_LOWER_E6 = -2_000_000  # weight below → non-link
+
+
+@register(
+    "er_fellegi_sunter_linkage",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) // 100000 AS band
+      FROM customer
+    ), pairs AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             CAST(a.c_mktsegment = b.c_mktsegment AS INT) AS agr_seg,
+             CAST(ABS(a.bal - b.bal) <= 5000 AS INT) AS agr_bal
+      FROM c a JOIN c b
+        ON a.c_nationkey = b.c_nationkey AND a.band = b.band
+       AND a.c_custkey < b.c_custkey
+    ), u AS (
+      SELECT CAST(SUM(agr_seg) AS DOUBLE) / COUNT(*) AS u_seg,
+             CAST(SUM(agr_bal) AS DOUBLE) / COUNT(*) AS u_bal,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM pairs
+    ), weighted AS (
+      SELECT p.agr_seg, p.agr_bal, u.n_pairs,
+             CAST(ROUND((CASE WHEN p.agr_seg = 1
+                          THEN LN({_FS_M_SEG} / u.u_seg)
+                          ELSE LN((1 - {_FS_M_SEG}) / (1 - u.u_seg)) END
+                        + CASE WHEN p.agr_bal = 1
+                          THEN LN({_FS_M_BAL} / u.u_bal)
+                          ELSE LN((1 - {_FS_M_BAL}) / (1 - u.u_bal)) END)
+                        * 1000000) AS BIGINT) AS w_e6
+      FROM pairs p CROSS JOIN u
+    )
+    SELECT agr_seg, agr_bal,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(w_e6) AS BIGINT) AS weight_e6,
+           CASE WHEN MIN(w_e6) > {_FS_UPPER_E6} THEN 'link'
+                WHEN MIN(w_e6) < {_FS_LOWER_E6} THEN 'non-link'
+                ELSE 'possible' END AS decision,
+           CAST(MIN(n_pairs) AS BIGINT) AS blocked_pairs
+    FROM weighted
+    GROUP BY agr_seg, agr_bal
+    ORDER BY agr_seg, agr_bal
+    """,
+    tags=("er", "linkage", "customer"),
+)
+def er_fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (JASA 1969 — the
+    framework under every production matcher from Splink to AWS
+    Entity Resolution): blocked candidate pairs are compared on a
+    field vector (segment equality, balance within $50), each pattern
+    scores Σ ln(m/u) for agreements and Σ ln((1−m)/(1−u)) for
+    disagreements, and the weight thresholds into link / possible /
+    non-link. m-probabilities are documented priors;
+    u-probabilities are ESTIMATED FROM THE DATA as the blocked pairs'
+    own agreement rates (the standard random-pair assumption), so the
+    weights move with the fixture, not with constants.
+
+    Engine-exact: agreement bits are integers, u-rates are exact
+    rational doubles, each pattern's weight fix-points to e6 AT THE
+    PAIR before the per-pattern MIN (identical pattern → identical
+    weight, so MIN is a no-op that keeps the aggregate deterministic).
+
+    Scale: blocking on (nation, $1000 balance band) bounds the pair
+    fan-out exactly like the q-gram blocker above; the u-estimate is
+    one 1-row aggregate over the same pairs (no second scan of the
+    base table); pattern space is 2^#fields rows."""
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal"),
+    )
+    cents = F.col("bal")
+    c = c.withColumn(
+        "band", ((cents - cents % 100000) / 100000).cast("bigint")
+    )
+    a = c.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_nationkey").alias("nk_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+        F.col("bal").alias("bal_a"),
+        F.col("band").alias("band_a"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_nationkey").alias("nk_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+        F.col("bal").alias("bal_b"),
+        F.col("band").alias("band_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("nk_a") == F.col("nk_b"))
+        & (F.col("band_a") == F.col("band_b"))
+        & (F.col("id_a") < F.col("id_b")),
+    ).select(
+        (F.col("seg_a") == F.col("seg_b")).cast("int").alias("agr_seg"),
+        (F.abs(F.col("bal_a") - F.col("bal_b")) <= 5000)
+        .cast("int")
+        .alias("agr_bal"),
+    )
+    u = pairs.agg(
+        (F.sum("agr_seg").cast("double") / F.count("*")).alias("u_seg"),
+        (F.sum("agr_bal").cast("double") / F.count("*")).alias("u_bal"),
+        F.count("*").cast("bigint").alias("n_pairs"),
+    )
+    w_seg = F.when(
+        F.col("agr_seg") == 1, F.log(F.lit(_FS_M_SEG) / F.col("u_seg"))
+    ).otherwise(F.log(F.lit(1 - _FS_M_SEG) / (1 - F.col("u_seg"))))
+    w_bal = F.when(
+        F.col("agr_bal") == 1, F.log(F.lit(_FS_M_BAL) / F.col("u_bal"))
+    ).otherwise(F.log(F.lit(1 - _FS_M_BAL) / (1 - F.col("u_bal"))))
+    weighted = pairs.crossJoin(F.broadcast(u)).select(
+        "agr_seg",
+        "agr_bal",
+        "n_pairs",
+        F.round((w_seg + w_bal) * 1_000_000).cast("bigint").alias("w_e6"),
+    )
+    return (
+        weighted.groupBy("agr_seg", "agr_bal")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("w_e6").cast("bigint").alias("weight_e6"),
+            F.min("n_pairs").cast("bigint").alias("blocked_pairs"),
+        )
+        .select(
+            "agr_seg",
+            "agr_bal",
+            "n",
+            "weight_e6",
+            F.when(F.col("weight_e6") > _FS_UPPER_E6, "link")
+            .when(F.col("weight_e6") < _FS_LOWER_E6, "non-link")
+            .otherwise("possible")
+            .alias("decision"),
+            "blocked_pairs",
+        )
+        .orderBy("agr_seg", "agr_bal")
+    )
