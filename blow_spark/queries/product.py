@@ -1426,3 +1426,104 @@ def events_hourly_load_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hr")
     )
+
+
+# Spend-tier bands (cents) for the migration matrix and the timeline
+# midpoint split. Bands chosen so all three tiers are populated at the
+# gate SFs (per-customer half-period spend ~ 10^7-10^8 cents).
+_MIG_LOW_CENTS = 50_000_000
+_MIG_MID_CENTS = 100_000_000
+
+
+@register(
+    "orders_tier_migration_matrix",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi FROM orders
+    ), tagged AS (
+      SELECT o.o_custkey,
+             CASE WHEN o.o_orderdate <
+                       b.lo + TO_SECONDS((CAST(EPOCH(b.hi) AS BIGINT)
+                                          - CAST(EPOCH(b.lo) AS BIGINT)) // 2)
+                  THEN 'p1' ELSE 'p2' END AS period,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o CROSS JOIN bounds b
+    ), spend AS (
+      SELECT o_custkey, period,
+             CAST(SUM(cents) AS BIGINT) AS tot
+      FROM tagged GROUP BY o_custkey, period
+    ), tiers AS (
+      SELECT o_custkey, period,
+             CASE WHEN tot < {_MIG_LOW_CENTS} THEN 'low'
+                  WHEN tot < {_MIG_MID_CENTS} THEN 'mid'
+                  ELSE 'high' END AS tier
+      FROM spend
+    ), p1 AS (SELECT o_custkey, tier AS tier_from FROM tiers
+              WHERE period = 'p1'),
+    p2 AS (SELECT o_custkey, tier AS tier_to FROM tiers
+           WHERE period = 'p2')
+    SELECT COALESCE(p1.tier_from, 'absent') AS tier_from,
+           COALESCE(p2.tier_to, 'absent') AS tier_to,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM p1 FULL OUTER JOIN p2 ON p1.o_custkey = p2.o_custkey
+    GROUP BY 1, 2
+    ORDER BY tier_from, tier_to
+    """,
+    tags=("orders", "product", "lifecycle"),
+)
+def orders_tier_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend-tier migration matrix between the two halves of the
+    observation window: each customer tiers (low/mid/high, fixed cent
+    bands) by half-period spend, and the FULL-OUTER transition counts
+    — including churn-to-absent and new-from-absent — are the
+    lifecycle flow a CRM team reads upgrade/downgrade/churn rates
+    off. The timeline midpoint derives from the data (1-row min/max
+    broadcast), so the query is calendar-free.
+
+    Scale: one customer×period-keyed sum, a map-side CASE tier, and a
+    customer-keyed full-outer self-join of the two period slices —
+    every shuffle is on the customer key; output is the constant
+    4×4 tier matrix."""
+    o = read_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    )
+    diff = F.unix_timestamp("hi") - F.unix_timestamp("lo")
+    mid = F.timestamp_seconds(
+        (F.unix_timestamp("lo") + (diff - diff % 2) / 2).cast("long")
+    )
+    tagged = o.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey",
+        F.when(F.col("o_orderdate") < mid, "p1").otherwise("p2").alias(
+            "period"
+        ),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    spend = tagged.groupBy("o_custkey", "period").agg(
+        F.sum("cents").cast("bigint").alias("tot")
+    )
+    tiers = spend.select(
+        "o_custkey",
+        "period",
+        F.when(F.col("tot") < _MIG_LOW_CENTS, "low")
+        .when(F.col("tot") < _MIG_MID_CENTS, "mid")
+        .otherwise("high")
+        .alias("tier"),
+    )
+    p1 = tiers.where(F.col("period") == "p1").select(
+        F.col("o_custkey").alias("ck1"), F.col("tier").alias("tier_from")
+    )
+    p2 = tiers.where(F.col("period") == "p2").select(
+        F.col("o_custkey").alias("ck2"), F.col("tier").alias("tier_to")
+    )
+    return (
+        p1.join(p2, F.col("ck1") == F.col("ck2"), "full_outer")
+        .groupBy(
+            F.coalesce(F.col("tier_from"), F.lit("absent")).alias(
+                "tier_from"
+            ),
+            F.coalesce(F.col("tier_to"), F.lit("absent")).alias("tier_to"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+        .orderBy("tier_from", "tier_to")
+    )
