@@ -183,6 +183,11 @@ HEADLINE = [
     "graph_hits_hubs_authorities",
     "stats_ols_two_feature",
     "orders_cohort_ltv",
+    # round 8 (late): unigram Viterbi segmentation (12-spill DP plan),
+    # Kleinberg burst DP, priority sampling
+    "tokenizer_unigram_viterbi_segment",
+    "timeseries_burst_detection_kleinberg",
+    "sample_priority_weighted",
 ]
 
 

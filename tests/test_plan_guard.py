@@ -311,6 +311,12 @@ BENCH_EXCHANGE_PINS = {
     "stats_ols_two_feature": (1, 0),
     # cohort aggregate + fact join + bounded per-cohort window
     "orders_cohort_ltv": (6, 2),
+    # spill-backed 12-step DP (internal shuffles run at spill time)
+    "tokenizer_unigram_viterbi_segment": (0, 1),
+    # day-keyed count + applyInPandas DP over one bounded group
+    "timeseries_burst_detection_kleinberg": (3, 0),
+    # map-side keying + k+1 TakeOrdered head + 1-row broadcasts
+    "sample_priority_weighted": (0, 2),
 }
 
 
