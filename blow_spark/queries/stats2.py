@@ -294,7 +294,6 @@ def stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
                            THEN CAST(yi AS HUGEINT) * yi ELSE 0 END)
                   AS DOUBLE) AS ss1
       FROM per_user
-      GROUP BY event_type
     ), d AS (
       SELECT n0, n1,
              (s0 / n0 - s1 / n1)
