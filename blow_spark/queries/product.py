@@ -1527,3 +1527,152 @@ def orders_tier_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_customers"))
         .orderBy("tier_from", "tier_to")
     )
+
+
+@register(
+    "orders_dow_effect_anova",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             DAYOFWEEK(CAST(o_orderdate AS DATE)) + 1 AS dow,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1, 2
+    ), g AS (
+      SELECT dow,
+             CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(rev) AS DOUBLE) AS s_g,
+             CAST(SUM(CAST(rev AS HUGEINT) * rev) AS DOUBLE) AS ss_g
+      FROM daily GROUP BY dow
+    ), t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n_g) AS BIGINT) AS n,
+             SUM(s_g) AS s, SUM(ss_g) AS ss,
+             SUM(s_g * s_g / n_g) AS sb
+      FROM g
+    )
+    SELECT k, n,
+           ROUND((sb - s * s / n) / (k - 1)
+                 / ((ss - sb) / (n - k)), 6) AS f_stat,
+           ROUND((sb - s * s / n) / (ss - s * s / n), 6) AS eta_squared,
+           CAST((sb - s * s / n) / (k - 1) / ((ss - sb) / (n - k)) > 2.1
+                AS BOOLEAN) AS dow_effect_at_05
+    FROM t
+    """,
+    tags=("orders", "timeseries", "stats"),
+)
+def orders_dow_effect_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week effect test on daily revenue: one-way ANOVA of the
+    day-grain revenue series across the 7 weekday groups — the "is
+    there real weekly seasonality?" gate a forecaster runs BEFORE
+    fitting seasonal terms (and the justification step for
+    orders_seasonal_index's per-dow factors). F compares against the
+    F(6, large) 95th percentile ≈ 2.1.
+
+    Scale: the only data-scale pass is the daily rollup; the moment
+    aggregate runs on the calendar-bounded day table (7 output
+    rows → 1-row combine)."""
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.to_date("o_orderdate").alias("day"),
+        F.dayofweek(F.to_date("o_orderdate")).alias("dow"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    revd = F.col("rev").cast("decimal(38,0)")
+    g = daily.groupBy("dow").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum("rev").cast("double").alias("s_g"),
+        F.sum(revd * F.col("rev")).cast("double").alias("ss_g"),
+    )
+    t = g.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("ss_g").alias("ss"),
+        F.sum(F.col("s_g") * F.col("s_g") / F.col("n_g")).alias("sb"),
+    )
+    k, n, s, ss, sb = (F.col(c) for c in ("k", "n", "s", "ss", "sb"))
+    fstat = (sb - s * s / n) / (k - 1) / ((ss - sb) / (n - k))
+    return t.select(
+        "k",
+        "n",
+        F.round(fstat, 6).alias("f_stat"),
+        F.round((sb - s * s / n) / (ss - s * s / n), 6).alias("eta_squared"),
+        (fstat > 2.1).alias("dow_effect_at_05"),
+    )
+
+
+@register(
+    "timeseries_wow_change_alerts",
+    oracle="""
+    WITH weekly AS (
+      SELECT event_type,
+             DATE_DIFF('week', DATE '1990-01-01',
+                       DATE_TRUNC('week', CAST(ts AS DATE))) AS wk,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT event_type, wk, n,
+             LAG(n) OVER (PARTITION BY event_type ORDER BY wk) AS prev_n,
+             LAG(wk) OVER (PARTITION BY event_type ORDER BY wk) AS prev_wk
+      FROM weekly
+    )
+    SELECT event_type, wk, n, prev_n,
+           ROUND((CAST(n AS DOUBLE) - prev_n) / prev_n, 6) AS wow_change,
+           CAST(ABS((CAST(n AS DOUBLE) - prev_n) / prev_n) > 0.2
+                AS BOOLEAN) AS alert_20pct
+    FROM lagged
+    WHERE prev_n IS NOT NULL AND prev_wk = wk - 1
+    ORDER BY event_type, wk
+    """,
+    tags=("timeseries", "events", "anomaly"),
+)
+def timeseries_wow_change_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week volume change per event type with a ±20% alert
+    flag — the simplest production health monitor (every metrics
+    platform ships it before anything model-based), made
+    gap-correct: a week following a MISSING week is excluded rather
+    than silently compared against a stale predecessor (the prev_wk =
+    wk−1 guard — the subtle bug in naive LAG-based WoW).
+
+    Scale: one (type, week)-keyed count; the lag window partitions
+    per event type over calendar-bounded week rows."""
+    e = read_table(spark, sf_dir, "events")
+    weekly = e.groupBy(
+        "event_type",
+        (
+            F.datediff(
+                F.date_trunc("week", F.to_date("ts")),
+                F.lit("1990-01-01").cast("date"),
+            )
+            / 7
+        )
+        .cast("bigint")
+        .alias("wk"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    w = W.partitionBy("event_type").orderBy("wk")
+    lagged = weekly.select(
+        "event_type",
+        "wk",
+        "n",
+        F.lag("n").over(w).alias("prev_n"),
+        F.lag("wk").over(w).alias("prev_wk"),
+    )
+    chg = (F.col("n").cast("double") - F.col("prev_n")) / F.col("prev_n")
+    return (
+        lagged.where(
+            F.col("prev_n").isNotNull() & (F.col("prev_wk") == F.col("wk") - 1)
+        )
+        .select(
+            "event_type",
+            "wk",
+            "n",
+            "prev_n",
+            F.round(chg, 6).alias("wow_change"),
+            (F.abs(chg) > 0.2).alias("alert_20pct"),
+        )
+        .orderBy("event_type", "wk")
+    )

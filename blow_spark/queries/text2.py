@@ -606,3 +606,61 @@ def corpus_heldout_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "text_lexical_diversity_ttr",
+    oracle="""
+    WITH toks AS (
+      SELECT d.lang, t.tok
+      FROM documents d,
+           LATERAL (SELECT UNNEST(string_split(d.text, ' ')) AS tok) t
+      WHERE t.tok <> ''
+    ), m AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types
+      FROM toks GROUP BY lang
+    )
+    SELECT lang, n_tokens, n_types,
+           ROUND(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+           ROUND(LN(CAST(n_types AS DOUBLE)) / LN(CAST(n_tokens AS DOUBLE)),
+                 6) AS herdan_c,
+           ROUND(CAST(n_types AS DOUBLE)
+                 / SQRT(CAST(n_tokens AS DOUBLE)), 6) AS guiraud_r
+    FROM m
+    ORDER BY lang
+    """,
+    tags=("text", "quality", "documents"),
+)
+def text_lexical_diversity_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per language: raw type-token ratio plus the
+    two length-corrected classics — Herdan's C (ln V / ln N, stable
+    under corpus growth where raw TTR collapses) and Guiraud's R
+    (V/√N) — the vocabulary-richness signals a corpus-quality
+    dashboard tracks next to the entropy and repetition batteries
+    (low diversity flags template/boilerplate floods). Exact integer
+    type/token counts; the ratios are closed-form doubles under the
+    documented ln allowance.
+
+    Scale: one tokenize pass, one (lang, token)-keyed distinct and a
+    lang-keyed count — vocabulary-bounded state, corpus-linear
+    scan."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    m = toks.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.countDistinct("tok").cast("bigint").alias("n_types"),
+    )
+    nt = F.col("n_tokens").cast("double")
+    ty = F.col("n_types").cast("double")
+    return m.select(
+        "lang",
+        "n_tokens",
+        "n_types",
+        F.round(ty / nt, 6).alias("ttr"),
+        F.round(F.log(ty) / F.log(nt), 6).alias("herdan_c"),
+        F.round(ty / F.sqrt(nt), 6).alias("guiraud_r"),
+    ).orderBy("lang")
