@@ -1125,3 +1125,94 @@ def experiment_msprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.least(F.lit(1.0), 1.0 / lam), 6).alias("always_valid_p"),
         (lam > 20.0).alias("reject_at_005"),
     ).orderBy("day")
+
+
+# Hill estimator order-statistic depth (top-k tail sample).
+_HILL_K = 200
+
+
+@register(
+    "stats_hill_tail_index",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey,
+             ROW_NUMBER() OVER (ORDER BY ROUND(o_totalprice * 100) DESC,
+                                o_orderkey) AS rn
+      FROM orders
+    ), top AS (
+      SELECT cents, rn FROM ranked WHERE rn <= {_HILL_K + 1}
+    ), thr AS (
+      SELECT CAST(cents AS DOUBLE) AS xk FROM top WHERE rn = {_HILL_K + 1}
+    ), lns AS (
+      SELECT CAST(ROUND(LN(t.cents / r.xk) * 1000000000) AS BIGINT)
+               AS ln_e9
+      FROM top t CROSS JOIN thr r
+      WHERE t.rn <= {_HILL_K}
+    )
+    SELECT CAST({_HILL_K} AS BIGINT) AS k,
+           CAST(SUM(ln_e9) AS BIGINT) AS sum_ln_e9,
+           ROUND({_HILL_K} * 1000000000.0 / SUM(ln_e9), 6) AS hill_alpha,
+           ROUND(CAST(SUM(ln_e9) AS DOUBLE) / {_HILL_K} / 1000000000.0, 6)
+             AS mean_excess_ln
+    FROM lns
+    """,
+    tags=("stats", "orders", "tail"),
+)
+def stats_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimator (Hill, Annals of Statistics 1975):
+    α̂ = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the top-k order values — THE
+    standard heavy-tail diagnostic (α ≤ 2 means infinite variance:
+    means and CIs on that metric are lies; α̂ also calibrates the
+    ABC/Pareto and whale-revenue analyses the catalog already ships).
+    Per-term logs fix-point to e9 integers so the sum is
+    order-independent; α̂ is one closed-form double.
+
+    Scale: the ONLY data-scale operation is a k+1 TakeOrdered head
+    (per-partition heaps — no global sort, no shuffle of the fact
+    table); everything after runs on k+1 ≈ 200 rows. The rank window
+    in the oracle is single-node DuckDB's equivalent; the Spark plan
+    has no rank window at all."""
+    o = read_table(spark, sf_dir, "orders")
+    top = (
+        o.select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            "o_orderkey",
+        )
+        .orderBy(F.col("cents").desc(), F.col("o_orderkey").asc())
+        .limit(_HILL_K + 1)
+    )
+    from blow_spark.materialize import spill_to_parquet
+
+    top = spill_to_parquet(top, "blow_spark_hill_")
+    # the (k+1)-th order statistic is the LAST of the k+1 spilled rows
+    # under (cents desc, orderkey asc) = the FIRST under the reversed
+    # order; excluding exactly that row leaves the k tail rows even
+    # when values tie at the threshold — no rank window needed
+    thr = (
+        top.orderBy(F.col("cents").asc(), F.col("o_orderkey").desc())
+        .limit(1)
+        .select(
+            F.col("cents").cast("double").alias("xk"),
+            F.col("o_orderkey").alias("k_key"),
+        )
+    )
+    lns = (
+        top.crossJoin(F.broadcast(thr))
+        .where(F.col("o_orderkey") != F.col("k_key"))
+        .select(
+            F.round(F.log(F.col("cents") / F.col("xk")) * 1_000_000_000)
+            .cast("bigint")
+            .alias("ln_e9")
+        )
+    )
+    return lns.agg(
+        F.lit(_HILL_K).cast("bigint").alias("k"),
+        F.sum("ln_e9").cast("bigint").alias("sum_ln_e9"),
+        F.round(_HILL_K * 1_000_000_000.0 / F.sum("ln_e9"), 6).alias(
+            "hill_alpha"
+        ),
+        F.round(
+            F.sum("ln_e9").cast("double") / _HILL_K / 1_000_000_000.0, 6
+        ).alias("mean_excess_ln"),
+    )
