@@ -664,3 +664,65 @@ def text_lexical_diversity_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(ty) / F.log(nt), 6).alias("herdan_c"),
         F.round(ty / F.sqrt(nt), 6).alias("guiraud_r"),
     ).orderBy("lang")
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle="""
+    WITH hashed AS (
+      SELECT source, md5(text) AS h, n_chars FROM documents
+    ), per_hash AS (
+      SELECT source, h, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(n_chars) AS BIGINT) AS bytes_all,
+             CAST(MIN(n_chars) AS BIGINT) AS bytes_keep
+      FROM hashed GROUP BY source, h
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_unique,
+           CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dupes,
+           ROUND(CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c), 6)
+             AS dup_rate,
+           CAST(SUM(bytes_all - bytes_keep) AS BIGINT)
+             AS reclaimable_chars
+    FROM per_hash
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("dedup", "governance", "documents"),
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate rate report — the governance readout
+    a data-acquisition team reads BEFORE running the expensive near-
+    dup passes ("which feed is flooding us with copies, and how many
+    chars would dedup reclaim?"). Content-addressed by md5(text)
+    WITHIN source, so cross-source near-identical content stays out
+    of scope (that is dedup_minhash_lsh's job); reports doc counts,
+    unique counts, dup rate, and reclaimable character volume.
+
+    Scale: digests computed where the text lives; the shuffle carries
+    (source, 16-byte digest, length) — never bodies; two keyed
+    aggregates, the same shape as multimodal_payload_dedup."""
+    d = read_table(spark, sf_dir, "documents")
+    per_hash = d.select(
+        "source", F.md5("text").alias("h"), "n_chars"
+    ).groupBy("source", "h").agg(
+        F.count("*").cast("bigint").alias("c"),
+        F.sum("n_chars").cast("bigint").alias("bytes_all"),
+        F.min("n_chars").cast("bigint").alias("bytes_keep"),
+    )
+    return (
+        per_hash.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_unique"),
+            (F.sum("c") - F.count("*")).cast("bigint").alias("n_dupes"),
+            F.round(
+                (F.sum("c") - F.count("*")).cast("double") / F.sum("c"), 6
+            ).alias("dup_rate"),
+            F.sum(F.col("bytes_all") - F.col("bytes_keep"))
+            .cast("bigint")
+            .alias("reclaimable_chars"),
+        )
+        .orderBy("source")
+    )
