@@ -22,6 +22,8 @@ order-insensitive value-hash matches):
 
 from __future__ import annotations
 
+import re
+
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -41,12 +43,30 @@ class Query:
 REGISTRY: dict[str, Query] = {}
 
 
+def _interp_doc(fn: QueryFn) -> None:
+    """Resolve {_CONST}-style placeholders in a builder's docstring
+    against its module globals. Docstrings can't be f-strings, so
+    authors write the same {_NAME} placeholders the oracle f-string
+    uses; without this the generated QUERIES.md shows the literal
+    brace text (round-8 ADVICE item 3). Unknown names are left as-is."""
+    doc = fn.__doc__
+    if not doc or "{_" not in doc:
+        return
+    g = fn.__globals__
+    fn.__doc__ = re.sub(
+        r"\{(_[A-Za-z0-9_]+)\}",
+        lambda m: str(g[m.group(1)]) if m.group(1) in g else m.group(0),
+        doc,
+    )
+
+
 def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     """Decorator: add a query to the catalog."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
+        _interp_doc(fn)
         REGISTRY[name] = Query(name=name, builder=fn, oracle=oracle, tags=tags)
         return fn
 

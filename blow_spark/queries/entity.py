@@ -144,6 +144,54 @@ _FS_M_SEG = 0.95
 _FS_M_BAL = 0.90
 _FS_UPPER_E6 = 2_000_000   # weight above → link
 _FS_LOWER_E6 = -2_000_000  # weight below → non-link
+# Data-adaptive blocking: per nation, B = ceil(n/DEPTH) equi-width
+# bands over the EXACT observed cents range, so bands multiply with
+# the data and the expected block size stays ≈ DEPTH at any scale.
+# CAP is the enforced worst-case: any block that still exceeds it
+# (value skew) is salted into ceil(cnt/CAP) deterministic sub-blocks.
+_FS_DEPTH = 100   # target rows per block
+_FS_CAP = 400     # hard per-block row cap before salted sub-blocking
+
+
+def _fs_blocked_rows(c: DataFrame) -> DataFrame:
+    """Attach the adaptive block key (rule, band, sub) to each customer
+    row of ``c`` (columns c_custkey, c_nationkey, c_mktsegment, bal).
+
+    Per nation: B = ceil(n / DEPTH) equi-width bigint bands over the
+    exact observed cents range (rule 0) plus the half-shifted grid
+    (rule 1); any (nation, rule, band) block above CAP rows is salted
+    into ceil(cnt / CAP) sub-blocks keyed by c_custkey mod n_sub. All
+    integer arithmetic, so the DuckDB oracle replays it bit-exactly.
+    Shared by er_fellegi_sunter_linkage and its block-size pin test.
+    """
+    stats = c.groupBy("c_nationkey").agg(
+        F.min("bal").alias("lo"),
+        (F.max("bal") - F.min("bal") + F.lit(1)).cast("bigint").alias("span"),
+        F.expr(f"(count(*) + {_FS_DEPTH - 1}) div {_FS_DEPTH}")
+        .cast("bigint")
+        .alias("nb"),
+    )
+    keyed = (
+        c.join(F.broadcast(stats), "c_nationkey")
+        .withColumn("rule", F.explode(F.array(F.lit(0), F.lit(1))))
+        .withColumn(
+            "band",
+            F.expr(
+                "CASE WHEN rule = 0 THEN ((bal - lo) * nb) div span "
+                "ELSE (2 * (bal - lo) * nb + span) div (2 * span) END"
+            ).cast("bigint"),
+        )
+        .select("c_custkey", "c_nationkey", "c_mktsegment", "bal", "rule", "band")
+    )
+    counts = keyed.groupBy("c_nationkey", "rule", "band").agg(
+        F.count("*").alias("n_blk")
+    )
+    return keyed.join(counts, ["c_nationkey", "rule", "band"]).withColumn(
+        "sub",
+        F.expr(f"c_custkey % ((n_blk + {_FS_CAP - 1}) div {_FS_CAP})").cast(
+            "bigint"
+        ),
+    )
 
 
 @register(
@@ -151,16 +199,41 @@ _FS_LOWER_E6 = -2_000_000  # weight below → non-link
     oracle=f"""
     WITH c AS (
       SELECT c_custkey, c_nationkey, c_mktsegment,
-             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal,
-             CAST(ROUND(c_acctbal * 100) AS BIGINT) // 100000 AS band
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal
       FROM customer
+    ), stats AS (
+      SELECT c_nationkey,
+             MIN(bal) AS lo,
+             MAX(bal) - MIN(bal) + 1 AS span,
+             (COUNT(*) + {_FS_DEPTH - 1}) // {_FS_DEPTH} AS nb
+      FROM c GROUP BY c_nationkey
+    ), keyed AS (
+      SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment, c.bal, r.rule,
+             CASE WHEN r.rule = 0
+                  THEN ((c.bal - s.lo) * s.nb) // s.span
+                  ELSE (2 * (c.bal - s.lo) * s.nb + s.span) // (2 * s.span)
+             END AS band
+      FROM c JOIN stats s ON c.c_nationkey = s.c_nationkey
+      CROSS JOIN (VALUES (0), (1)) AS r(rule)
+    ), sized AS (
+      SELECT k.c_custkey, k.c_nationkey, k.c_mktsegment, k.bal,
+             k.rule, k.band,
+             k.c_custkey % ((cnt.n_blk + {_FS_CAP - 1}) // {_FS_CAP}) AS sub
+      FROM keyed k JOIN (
+        SELECT c_nationkey, rule, band, COUNT(*) AS n_blk
+        FROM keyed GROUP BY c_nationkey, rule, band
+      ) cnt ON k.c_nationkey = cnt.c_nationkey
+           AND k.rule = cnt.rule AND k.band = cnt.band
     ), pairs AS (
-      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-             CAST(a.c_mktsegment = b.c_mktsegment AS INT) AS agr_seg,
-             CAST(ABS(a.bal - b.bal) <= 5000 AS INT) AS agr_bal
-      FROM c a JOIN c b
-        ON a.c_nationkey = b.c_nationkey AND a.band = b.band
-       AND a.c_custkey < b.c_custkey
+      SELECT DISTINCT id_a, id_b, agr_seg, agr_bal FROM (
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               CAST(a.c_mktsegment = b.c_mktsegment AS INT) AS agr_seg,
+               CAST(ABS(a.bal - b.bal) <= 5000 AS INT) AS agr_bal
+        FROM sized a JOIN sized b
+          ON a.c_nationkey = b.c_nationkey AND a.rule = b.rule
+         AND a.band = b.band AND a.sub = b.sub
+         AND a.c_custkey < b.c_custkey
+      )
     ), u AS (
       SELECT CAST(SUM(agr_seg) AS DOUBLE) / COUNT(*) AS u_seg,
              CAST(SUM(agr_bal) AS DOUBLE) / COUNT(*) AS u_bal,
@@ -206,45 +279,71 @@ def er_fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     rational doubles, each pattern's weight fix-points to e6 AT THE
     PAIR before the per-pattern MIN (identical pattern → identical
     weight, so MIN is a no-op that keeps the aggregate deterministic).
+    The blocker itself is pure bigint arithmetic (band = (pos*B) div
+    span), so both engines derive identical blocks and identical
+    candidate pairs.
 
-    Scale: blocking on (nation, $1000 balance band) bounds the pair
-    fan-out exactly like the q-gram blocker above; the u-estimate is
+    Scale: the blocker is DATA-ADAPTIVE, Splink-style (union of two
+    size-capped blocking rules). Per nation, B = ceil(n/100) equi-width
+    bands over the exact cents range, so the band COUNT grows with the
+    data and expected block size stays ≈ 100 rows at any N — candidate
+    pairs grow ∝ N·DEPTH (linear), not N²/constant. Rule 2 is the same
+    grid half-shifted, so any pair within half a bandwidth of each
+    other in balance shares a block in at least one rule (the standard
+    union-of-rules recall device); the UNION is deduped on (id_a,id_b).
+    A hard cap backstops value skew: any block above 400 rows is
+    salted into ceil(cnt/CAP) deterministic sub-blocks (c_custkey mod
+    n_sub), so no task ever materializes more than ~CAP² candidate
+    comparisons. Evidence: tests/test_round9.py pins max block size
+    ≤ CAP and flat across a 10× row growth; SCALE.md has the
+    blocked_pairs sf0.01→0.1→1 slope row (linear). The u-estimate is
     one 1-row aggregate over the same pairs (no second scan of the
-    base table); pattern space is 2^#fields rows."""
+    base table); pattern space is 2^#fields rows. The 25-row per-nation
+    stats table is the only broadcast (fixed nation domain)."""
     c = read_table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_nationkey",
         "c_mktsegment",
         F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal"),
     )
-    cents = F.col("bal")
-    c = c.withColumn(
-        "band", ((cents - cents % 100000) / 100000).cast("bigint")
-    )
-    a = c.select(
+    keyed = _fs_blocked_rows(c)
+    a = keyed.select(
         F.col("c_custkey").alias("id_a"),
         F.col("c_nationkey").alias("nk_a"),
         F.col("c_mktsegment").alias("seg_a"),
         F.col("bal").alias("bal_a"),
+        F.col("rule").alias("rule_a"),
         F.col("band").alias("band_a"),
+        F.col("sub").alias("sub_a"),
     )
-    b = c.select(
+    b = keyed.select(
         F.col("c_custkey").alias("id_b"),
         F.col("c_nationkey").alias("nk_b"),
         F.col("c_mktsegment").alias("seg_b"),
         F.col("bal").alias("bal_b"),
+        F.col("rule").alias("rule_b"),
         F.col("band").alias("band_b"),
+        F.col("sub").alias("sub_b"),
     )
-    pairs = a.join(
-        b,
-        (F.col("nk_a") == F.col("nk_b"))
-        & (F.col("band_a") == F.col("band_b"))
-        & (F.col("id_a") < F.col("id_b")),
-    ).select(
-        (F.col("seg_a") == F.col("seg_b")).cast("int").alias("agr_seg"),
-        (F.abs(F.col("bal_a") - F.col("bal_b")) <= 5000)
-        .cast("int")
-        .alias("agr_bal"),
+    pairs = (
+        a.join(
+            b,
+            (F.col("nk_a") == F.col("nk_b"))
+            & (F.col("rule_a") == F.col("rule_b"))
+            & (F.col("band_a") == F.col("band_b"))
+            & (F.col("sub_a") == F.col("sub_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("seg_a") == F.col("seg_b")).cast("int").alias("agr_seg"),
+            (F.abs(F.col("bal_a") - F.col("bal_b")) <= 5000)
+            .cast("int")
+            .alias("agr_bal"),
+        )
+        .distinct()
+        .select("agr_seg", "agr_bal")
     )
     u = pairs.agg(
         (F.sum("agr_seg").cast("double") / F.count("*")).alias("u_seg"),

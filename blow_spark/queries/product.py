@@ -523,10 +523,12 @@ def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         wt.alias("wt"),
         h.alias("h"),
     ).withColumn(
+        # exact bigint floor division — h·10⁶ can exceed 2⁵³, so the
+        # double-division spelling would round the numerator; `div`
+        # stays in integer arithmetic like the oracle's `//`.
         "sortkey",
-        ((F.col("h") * 1_000_000) - (F.col("h") * 1_000_000) % F.col("wt"))
-        / F.col("wt"),
-    ).withColumn("sortkey", F.col("sortkey").cast("bigint"))
+        F.expr("(h * 1000000L) div wt").cast("bigint"),
+    )
     lim = keyed.orderBy("sortkey", "id").limit(21)
     boundary = lim.agg(
         F.max(F.struct("sortkey", "id")).alias("m")
@@ -1098,13 +1100,20 @@ def timeseries_burst_detection_kleinberg(spark: SparkSession, sf_dir: str) -> Da
         s_total = int(pdf["n"].sum())
         t_len = len(pdf)
         lam0 = s_total / t_len
-        tr = round(math.log(float(t_len)) * 1_000_000)
+
+        def _rha(x: float) -> int:
+            # SQL ROUND semantics (half away from zero); Python's
+            # built-in round() is banker's (half to even) and would
+            # diverge from the DuckDB oracle on exact .5 costs.
+            return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+        tr = _rha(math.log(float(t_len)) * 1_000_000)
         days, ns, v0s, v1s, bursts = [], [], [], [], []
         v0 = v1 = None
         for _, r in pdf.iterrows():
             n = int(r["n"])
-            c0 = round((lam0 - n * math.log(lam0)) * 1_000_000)
-            c1 = round((2 * lam0 - n * math.log(2 * lam0)) * 1_000_000)
+            c0 = _rha((lam0 - n * math.log(lam0)) * 1_000_000)
+            c1 = _rha((2 * lam0 - n * math.log(2 * lam0)) * 1_000_000)
             if v0 is None:
                 v0, v1 = c0, c1 + tr
             else:

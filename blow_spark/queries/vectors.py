@@ -1009,6 +1009,7 @@ def similarity_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFr
 _PQ_SUBS = 4      # subspaces (64 dims -> 4 x 16)
 _PQ_SUBDIM = 16
 _PQ_CODES = 8     # centroids per subspace
+_PQ_TOTAL_CODES = _PQ_SUBS * _PQ_CODES  # total codebook rows (docstring interp)
 _PQ_E12 = 1_000_000_000_000.0
 _PQ_HEX_DEN = 4503599627370496.0  # 16^13 = 2^52
 
@@ -1067,7 +1068,7 @@ def vector_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the 512-row codebook is generated IN-PLAN (sequence +
     explode) and broadcast; vectors posexplode map-side, join the
     codebook per (subspace, dim) and partially aggregate to
-    (vec, subspace, code) BEFORE the one shuffle — ~{_PQ_SUBS * _PQ_CODES}
+    (vec, subspace, code) BEFORE the one shuffle — ~{_PQ_TOTAL_CODES}
     rows × 24 B per vector move, independent of dim. No Python, no
     driver materialization."""
     e = read_table(spark, sf_dir, "embeddings")
