@@ -155,3 +155,19 @@ def test_no_brace_placeholders_in_catalog_docstrings():
         n for n, q in Q.REGISTRY.items() if "{_" in (q.builder.__doc__ or "")
     ]
     assert offenders == []
+
+
+def test_unigram_em_cost_monotone(spark):
+    """Round-8 verdict item #3: the full EM loop is registered
+    (tokenizer_unigram_em) and its Σcost is non-increasing — every
+    round's monotone_ok proof bit is realized true, and the first
+    M-step strictly improves on the substring-count initialization."""
+    from blow_spark.queries.text2 import tokenizer_unigram_em
+
+    rows = tokenizer_unigram_em(spark, SF_SMALL).collect()
+    assert [r["em_round"] for r in rows] == [0, 1, 2]
+    assert all(r["monotone_ok"] for r in rows)
+    assert rows[1]["total_cost_e6"] < rows[0]["total_cost_e6"]
+    assert rows[2]["total_cost_e6"] <= rows[1]["total_cost_e6"] + 2 * rows[1][
+        "piece_tokens"
+    ]
