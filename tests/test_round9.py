@@ -171,3 +171,48 @@ def test_unigram_em_cost_monotone(spark):
     assert rows[2]["total_cost_e6"] <= rows[1]["total_cost_e6"] + 2 * rows[1][
         "piece_tokens"
     ]
+
+
+def test_scale_claims_carry_receipts():
+    """Claims ledger (round-8 verdict item #6): any registered query
+    whose docstring makes a strong scale claim — bounded/capped
+    fan-out, 'never <grows with> corpus/data size', 'independent of
+    corpus/data/N' — must carry a receipt: the docstring cites
+    SCALE.md or a test file, OR the query name appears in SCALE.md
+    (a measured slope row) or in a dedicated test module. Rounds 6
+    and 8 each caught a bounded-fan-out claim with nothing behind it;
+    this makes the pattern structurally impossible to repeat."""
+    import glob
+    import re
+
+    import blow_spark.queries as Q
+
+    Q.queries()
+    scale = open("/root/repo/SCALE.md").read()
+    tests_blob = ""
+    for p in glob.glob("/root/repo/tests/*.py"):
+        if "test_queries_oracle" in p:  # auto-enrollment is not a receipt
+            continue
+        tests_blob += open(p).read()
+    strong = re.compile(
+        r"(bounds?|caps?|capped|bounding)\b[^.]*\bfan-?out"
+        r"|fan-?out[^.]*\b(bound|cap)"
+        r"|never [^.]*\b(corpus|data) (size|volume)"
+        r"|independent of (corpus|data|N)\b",
+        re.I | re.S,
+    )
+    receipt_doc = re.compile(r"SCALE\.md|tests/test_\w+\.py", re.I)
+    offenders = []
+    for name, q in Q.REGISTRY.items():
+        doc = q.builder.__doc__ or ""
+        if strong.search(doc):
+            backed = (
+                bool(receipt_doc.search(doc))
+                or name in scale
+                or name in tests_blob
+            )
+            if not backed:
+                offenders.append(name)
+    assert offenders == [], (
+        f"scale claims without a SCALE.md slope row or pinned test: {offenders}"
+    )
