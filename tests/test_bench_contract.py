@@ -62,3 +62,19 @@ def test_headline_queries_all_registered():
     catalog = queries()
     missing = [q for q in bench.HEADLINE if q not in catalog]
     assert not missing, f"bench HEADLINE references unregistered queries: {missing}"
+
+
+def test_core_tier_policy():
+    """Round-9 tier policy: CORE is a subset of HEADLINE, stays near 40
+    entries, and the summary line's visible per-query rows draw ONLY
+    from CORE — so the driver-visible tail is stable round over round
+    while EXTENDED still counts toward the total."""
+    assert set(bench.CORE) <= set(bench.HEADLINE)
+    assert len(bench.CORE) <= 50
+    t = {q: 1.0 + i * 0.01 for i, q in enumerate(bench.HEADLINE)}
+    parsed = json.loads(bench.summary_line(t, 0.1, core=bench.CORE))
+    assert parsed["n_queries"] == len(bench.HEADLINE)
+    assert parsed["queries"]  # something is visible
+    assert all(k in set(bench.CORE) for k in parsed["queries"])
+    # total still covers the whole suite, not just the visible tier
+    assert abs(parsed["value"] - round(sum(t.values()), 3)) < 1e-9
