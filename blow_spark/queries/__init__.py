@@ -104,6 +104,7 @@ def _load() -> None:
         parity,
         pipeline_ops,
         product,
+        recsys,
         relational,
         relational_ext,
         relational3,
@@ -111,6 +112,7 @@ def _load() -> None:
         spatial,
         stats,
         stats2,
+        stats3,
         text,
         text2,
         tpch,

@@ -1,0 +1,767 @@
+"""Round-9 statistics & evaluation shelf: inter-annotator agreement,
+information-theoretic dependence, classifier calibration, rank
+correlation with ties, rank-based ANOVA, and exponential smoothing.
+
+These are the measurement operators an LLM labeling/eval pipeline runs
+over its own outputs — agreement between labeling passes (kappa),
+leakage between metadata columns (mutual information), probability
+calibration of a quality classifier (ECE), and monotone-association /
+distribution-shift checks that don't assume normality (Kendall τ-b,
+Kruskal-Wallis).
+
+Reference parity note: the reference engine (wizgrao/blow,
+maps/maps.go:8-21) has no aggregate surface at all; this shelf extends
+the repo's classical-statistics family (queries/stats.py, stats2.py)
+with the agreement/calibration measures those modules don't cover.
+
+Engine-exactness follows the catalog rules: counts stay BIGINT,
+transcendental outputs are fix-pointed per TERM before any sum (so
+float summation order can't diverge), and single divisions of
+identical integer operands are IEEE-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blow_spark.queries import register
+from blow_spark.sources import read_table
+
+# Cohen's kappa: two deterministic length-based "annotators" over the
+# documents table (character count vs whitespace word count — correlated
+# but not identical raters, so the kappa is informative). Thresholds are
+# the fixture medians, documented constants.
+_KAPPA_CHARS = 306
+_KAPPA_WORDS = 56
+
+
+@register(
+    "eval_cohens_kappa",
+    oracle=f"""
+    WITH lab AS (
+      SELECT CAST(n_chars >= {_KAPPA_CHARS} AS INT) AS a,
+             CAST(len(string_split(text, ' ')) >= {_KAPPA_WORDS} AS INT) AS b
+      FROM documents
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a * b) AS BIGINT) AS n11,
+             CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+             CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+             CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+      FROM lab
+    )
+    SELECT n, n11, n10, n01, n00,
+           CAST(ROUND(CAST((n11 + n00) AS DOUBLE) / n * 1000000)
+                AS BIGINT) AS po_e6,
+           CAST(ROUND(CAST(((n11 + n10) * (n11 + n01)
+                          + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+                      / (n * n) * 1000000) AS BIGINT) AS pe_e6,
+           CAST(ROUND((CAST((n11 + n00) AS DOUBLE) / n
+                      - CAST(((n11 + n10) * (n11 + n01)
+                            + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+                        / (n * n))
+                     / (1 - CAST(((n11 + n10) * (n11 + n01)
+                                + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+                           / (n * n)) * 1000000) AS BIGINT) AS kappa_e6
+    FROM m
+    """,
+    tags=("eval", "stats", "documents"),
+)
+def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (Cohen 1960) — chance-corrected agreement between
+    two raters, THE gate metric for LLM labeling pipelines (two model
+    passes, or model vs human sample): po = observed agreement, pe =
+    expected agreement from the raters' marginals, κ = (po−pe)/(1−pe).
+    Raters here are two deterministic length rules over documents
+    (chars ≥ median vs words ≥ median) so the confusion matrix is
+    data-derived and reproducible.
+
+    Engine-exact: the confusion matrix is pure integer counts; po and
+    pe are single divisions of identical BIGINT operands (IEEE-
+    identical across engines — pe's numerator stays exact: marginal
+    products ≤ n² < 2⁶³ for n < 3·10⁹); κ is arithmetic on those two
+    identical doubles, fix-pointed to e6 once at the end.
+
+    Scale: one map-side-combinable 1-row aggregate over the corpus —
+    no shuffle of document bodies, no Python."""
+    d = read_table(spark, sf_dir, "documents")
+    lab = d.select(
+        (F.col("n_chars") >= _KAPPA_CHARS).cast("int").alias("a"),
+        (F.size(F.split(F.col("text"), " ")) >= _KAPPA_WORDS)
+        .cast("int")
+        .alias("b"),
+    )
+    m = lab.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("bigint").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("bigint").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("bigint").alias("n00"),
+    )
+    po = (F.col("n11") + F.col("n00")).cast("double") / F.col("n")
+    pe = (
+        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    ).cast("double") / (F.col("n") * F.col("n"))
+    return m.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po * 1_000_000).cast("bigint").alias("po_e6"),
+        F.round(pe * 1_000_000).cast("bigint").alias("pe_e6"),
+        F.round((po - pe) / (1 - pe) * 1_000_000).cast("bigint").alias("kappa_e6"),
+    )
+
+
+@register(
+    "stats_mutual_information",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY lang, source
+    ), mx AS (
+      SELECT lang, CAST(SUM(c) AS BIGINT) AS cx FROM cells GROUP BY lang
+    ), my AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS cy FROM cells GROUP BY source
+    ), nn AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells
+    ), terms AS (
+      SELECT CAST(ROUND(c * LN(CAST(c AS DOUBLE) * n
+                               / (CAST(cx AS DOUBLE) * cy)) * 1000000)
+                  AS BIGINT) AS t_e6
+      FROM cells JOIN mx USING (lang) JOIN my USING (source) CROSS JOIN nn
+    ), hx AS (
+      SELECT CAST(SUM(CAST(ROUND(cx * LN(CAST(n AS DOUBLE) / cx) * 1000000)
+                           AS BIGINT)) AS BIGINT) AS s
+      FROM mx CROSS JOIN nn
+    ), hy AS (
+      SELECT CAST(SUM(CAST(ROUND(cy * LN(CAST(n AS DOUBLE) / cy) * 1000000)
+                           AS BIGINT)) AS BIGINT) AS s
+      FROM my CROSS JOIN nn
+    ), mi AS (
+      SELECT CAST(SUM(t_e6) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_cells
+      FROM terms
+    )
+    SELECT nn.n AS n_docs, mi.n_cells,
+           CAST(ROUND(CAST(mi.s AS DOUBLE) / nn.n) AS BIGINT) AS mi_e6,
+           CAST(ROUND(CAST(hx.s AS DOUBLE) / nn.n) AS BIGINT) AS h_lang_e6,
+           CAST(ROUND(CAST(hy.s AS DOUBLE) / nn.n) AS BIGINT) AS h_source_e6,
+           CAST(ROUND(CAST(mi.s AS DOUBLE) / nn.n * 1000000
+                      / SQRT(ROUND(CAST(hx.s AS DOUBLE) / nn.n)
+                             * ROUND(CAST(hy.s AS DOUBLE) / nn.n)))
+                AS BIGINT) AS nmi_e6
+    FROM mi CROSS JOIN hx CROSS JOIN hy CROSS JOIN nn
+    """,
+    tags=("stats", "information", "documents"),
+)
+def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categorical metadata columns
+    (lang × source over documents) with entropies and normalized MI —
+    the dependence probe a mixing pipeline runs to catch metadata
+    leakage (e.g. is "source" secretly a language partition?):
+    MI = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))), NMI = MI/√(H(x)H(y)).
+
+    Engine-exact: every transcendental term is fix-pointed to e6 AT
+    THE CELL (c·ln(cN/(cx·cy)) is an integer per cell) so the sum is
+    BIGINT and float summation order cannot diverge; the final /N and
+    √ are single operations on identical integers. Envelope:
+    c·ln(·)·10⁶ stays under 2⁵³ for cell counts up to ~4·10⁸.
+
+    Scale: one (lang, source)-keyed count — map-side combinable, cells
+    bounded by the label-domain product, margins are trivial rollups of
+    the cell table. No second corpus scan, no Python."""
+    d = read_table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    mx = cells.groupBy("lang").agg(F.sum("c").cast("bigint").alias("cx"))
+    my = cells.groupBy("source").agg(F.sum("c").cast("bigint").alias("cy"))
+    nn = cells.agg(F.sum("c").cast("bigint").alias("n"))
+    terms = (
+        cells.join(mx, "lang")
+        .join(my, "source")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.round(
+                F.col("c")
+                * F.log(
+                    F.col("c").cast("double")
+                    * F.col("n")
+                    / (F.col("cx").cast("double") * F.col("cy"))
+                )
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("t_e6")
+        )
+    )
+    mi = terms.agg(
+        F.sum("t_e6").cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("n_cells"),
+    )
+    hx = (
+        mx.crossJoin(F.broadcast(nn))
+        .select(
+            F.round(
+                F.col("cx") * F.log(F.col("n").cast("double") / F.col("cx")) * 1_000_000
+            )
+            .cast("bigint")
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("bigint").alias("s"))
+    )
+    hy = (
+        my.crossJoin(F.broadcast(nn))
+        .select(
+            F.round(
+                F.col("cy") * F.log(F.col("n").cast("double") / F.col("cy")) * 1_000_000
+            )
+            .cast("bigint")
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("bigint").alias("s"))
+    )
+    mi_e6 = F.round(F.col("s").cast("double") / F.col("n")).cast("bigint")
+    hx_e6 = F.round(F.col("hxs").cast("double") / F.col("n")).cast("bigint")
+    hy_e6 = F.round(F.col("hys").cast("double") / F.col("n")).cast("bigint")
+    return (
+        mi.crossJoin(hx.select(F.col("s").alias("hxs")))
+        .crossJoin(hy.select(F.col("s").alias("hys")))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("n").alias("n_docs"),
+            "n_cells",
+            mi_e6.alias("mi_e6"),
+            hx_e6.alias("h_lang_e6"),
+            hy_e6.alias("h_source_e6"),
+            F.round(
+                F.col("s").cast("double")
+                / F.col("n")
+                * 1_000_000
+                / F.sqrt(hx_e6 * hy_e6)
+            )
+            .cast("bigint")
+            .alias("nmi_e6"),
+        )
+    )
+
+
+@register(
+    "eval_expected_calibration_error",
+    oracle="""
+    WITH scored AS (
+      SELECT
+        CAST(('0x' || substring(md5('cal:p:' || CAST(doc_id AS VARCHAR)), 1, 13))
+             AS BIGINT) % 1000000 AS p_e6,
+        CAST(('0x' || substring(md5('cal:y:' || CAST(doc_id AS VARCHAR)), 1, 13))
+             AS BIGINT) % 1000000 AS u_e6
+      FROM documents
+    ), binned AS (
+      SELECT p_e6 // 100000 AS bin,
+             p_e6,
+             CAST(u_e6 < p_e6 AS INT) AS y
+      FROM scored
+    ), agg AS (
+      SELECT bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(p_e6) AS BIGINT) AS sum_p,
+             CAST(SUM(y) AS BIGINT) AS n_pos
+      FROM binned GROUP BY bin
+    ), rounded AS (
+      SELECT bin, n,
+             CAST(ROUND(CAST(sum_p AS DOUBLE) / n) AS BIGINT) AS conf_e6,
+             CAST(ROUND(CAST(n_pos AS DOUBLE) * 1000000 / n) AS BIGINT) AS acc_e6
+      FROM agg
+    ), gaps AS (
+      SELECT bin, n, conf_e6, acc_e6,
+             ABS(acc_e6 - conf_e6) AS gap_e6
+      FROM rounded
+    ), tot AS (
+      SELECT CAST(ROUND(CAST(SUM(n * gap_e6) AS DOUBLE) / SUM(n)) AS BIGINT)
+             AS ece_e6
+      FROM gaps
+    )
+    SELECT g.bin, g.n, g.conf_e6, g.acc_e6, g.gap_e6, t.ece_e6
+    FROM gaps g CROSS JOIN tot t
+    ORDER BY g.bin
+    """,
+    tags=("eval", "calibration", "documents"),
+)
+def eval_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error (Naeini et al., AAAI 2015 — the
+    standard reliability metric for classifier probability outputs,
+    e.g. the corpus quality classifier before its scores gate a
+    mixture): documents get a deterministic pseudo-probability p and a
+    Bernoulli(p) label from two INDEPENDENT md5-derived uniforms (so
+    the generator is perfectly calibrated in expectation and ECE
+    measures finite-sample deviation), 10 fixed-width probability
+    bins, per-bin confidence vs accuracy gap, ECE = Σ (n_b/N)·|gap_b|.
+
+    Engine-exact: p and the label are pure integer hash arithmetic
+    (the md5-13-nibble device the spatial family uses); per-bin conf
+    and acc round single BIGINT-operand divisions; the gap is integer
+    arithmetic on the ROUNDED values, and ECE is one more single
+    division (Σ n·gap ≤ N·10⁶ < 2⁵³ for N < 9·10⁹).
+
+    Scale: map-side hash + one 10-group aggregate — no shuffle beyond
+    the 10-row combine, no Python, no second scan."""
+    d = read_table(spark, sf_dir, "documents")
+
+    def _h(tag: str):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(tag), F.col("doc_id").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long") % 1_000_000
+
+    binned = d.select(
+        _h("cal:p:").alias("p_e6"), _h("cal:y:").alias("u_e6")
+    ).select(
+        F.expr("p_e6 div 100000").alias("bin"),
+        "p_e6",
+        (F.col("u_e6") < F.col("p_e6")).cast("int").alias("y"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("p_e6").cast("bigint").alias("sum_p"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+    )
+    rounded = agg.select(
+        "bin",
+        "n",
+        F.round(F.col("sum_p").cast("double") / F.col("n"))
+        .cast("bigint")
+        .alias("conf_e6"),
+        F.round(F.col("n_pos").cast("double") * 1_000_000 / F.col("n"))
+        .cast("bigint")
+        .alias("acc_e6"),
+    )
+    gaps = rounded.withColumn(
+        "gap_e6", F.abs(F.col("acc_e6") - F.col("conf_e6"))
+    )
+    tot = gaps.agg(
+        F.round(
+            F.sum(F.col("n") * F.col("gap_e6")).cast("double") / F.sum("n")
+        )
+        .cast("bigint")
+        .alias("ece_e6")
+    )
+    return (
+        gaps.crossJoin(F.broadcast(tot))
+        .select("bin", "n", "conf_e6", "acc_e6", "gap_e6", "ece_e6")
+        .orderBy("bin")
+    )
+
+
+@register(
+    "stats_kendall_tau_b",
+    oracle="""
+    WITH m AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS mon,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY strftime(o_orderdate, '%Y-%m')
+    ), p AS (
+      SELECT a.rev AS xa, b.rev AS xb, a.cnt AS ya, b.cnt AS yb
+      FROM m a JOIN m b ON a.mon < b.mon
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN (xa < xb AND ya < yb)
+                             OR (xa > xb AND ya > yb) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS conc,
+             CAST(SUM(CASE WHEN (xa < xb AND ya > yb)
+                             OR (xa > xb AND ya < yb) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS disc,
+             CAST(SUM(CASE WHEN xa = xb THEN 1 ELSE 0 END) AS BIGINT) AS tie_x,
+             CAST(SUM(CASE WHEN ya = yb THEN 1 ELSE 0 END) AS BIGINT) AS tie_y
+      FROM p
+    )
+    SELECT n0, conc, disc, tie_x, tie_y,
+           CAST(ROUND(CAST(conc - disc AS DOUBLE)
+                      / SQRT(CAST((n0 - tie_x) AS DOUBLE) * (n0 - tie_y))
+                      * 1000000) AS BIGINT) AS tau_b_e6
+    FROM s
+    """,
+    tags=("stats", "correlation", "orders"),
+)
+def stats_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b rank correlation WITH tie correction (Kendall 1945)
+    between monthly revenue and monthly order count — the
+    nonparametric monotone-association twin of the Spearman query in
+    stats.py (τ-b differs: it counts concordant/discordant PAIRS and
+    corrects both margins for ties, the estimator of choice when the
+    series is short and tied). τ-b = (C−D)/√((n₀−Tx)(n₀−Ty)).
+
+    Engine-exact: concordance bits are pure integer comparisons on
+    BIGINT cent/count values; the only doubles are the final single
+    division and √ of identical integer operands, fix-pointed to e6.
+
+    Scale: the pair join runs at MONTH grain — the series length is
+    the date span (a constant per dataset, not a row count), so the
+    O(T²) pair table is span-bounded exactly like the Theil-Sen and
+    Mann-Kendall queries (SCALE.md:634-639); everything before it is
+    one month-keyed map-side-combinable rollup of orders."""
+    o = read_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("mon")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev"),
+        F.count("*").cast("bigint").alias("cnt"),
+    )
+    a = m.select(
+        F.col("mon").alias("mon_a"),
+        F.col("rev").alias("xa"),
+        F.col("cnt").alias("ya"),
+    )
+    b = m.select(
+        F.col("mon").alias("mon_b"),
+        F.col("rev").alias("xb"),
+        F.col("cnt").alias("yb"),
+    )
+    p = a.join(b, F.col("mon_a") < F.col("mon_b"))
+    conc = (
+        ((F.col("xa") < F.col("xb")) & (F.col("ya") < F.col("yb")))
+        | ((F.col("xa") > F.col("xb")) & (F.col("ya") > F.col("yb")))
+    ).cast("int")
+    disc = (
+        ((F.col("xa") < F.col("xb")) & (F.col("ya") > F.col("yb")))
+        | ((F.col("xa") > F.col("xb")) & (F.col("ya") < F.col("yb")))
+    ).cast("int")
+    s = p.agg(
+        F.count("*").cast("bigint").alias("n0"),
+        F.sum(conc).cast("bigint").alias("conc"),
+        F.sum(disc).cast("bigint").alias("disc"),
+        F.sum((F.col("xa") == F.col("xb")).cast("int"))
+        .cast("bigint")
+        .alias("tie_x"),
+        F.sum((F.col("ya") == F.col("yb")).cast("int"))
+        .cast("bigint")
+        .alias("tie_y"),
+    )
+    return s.select(
+        "n0",
+        "conc",
+        "disc",
+        "tie_x",
+        "tie_y",
+        F.round(
+            (F.col("conc") - F.col("disc")).cast("double")
+            / F.sqrt(
+                (F.col("n0") - F.col("tie_x")).cast("double")
+                * (F.col("n0") - F.col("tie_y"))
+            )
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("tau_b_e6"),
+    )
+
+
+@register(
+    "stats_kruskal_wallis",
+    oracle="""
+    WITH c AS (
+      SELECT c_mktsegment AS seg,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal
+      FROM customer
+    ), vg AS (
+      SELECT bal, CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY bal
+    ), cum AS (
+      SELECT bal, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY bal
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - cnt AS BIGINT) AS cumlt
+      FROM vg
+    ), r2 AS (
+      SELECT bal, 2 * cumlt + cnt + 1 AS rr FROM cum
+    ), cell AS (
+      SELECT seg, bal, CAST(COUNT(*) AS BIGINT) AS cg
+      FROM c GROUP BY seg, bal
+    ), grp AS (
+      SELECT seg, CAST(SUM(cg) AS BIGINT) AS n_g,
+             CAST(SUM(cg * r2.rr) AS BIGINT) AS s2
+      FROM cell JOIN r2 USING (bal) GROUP BY seg
+    ), nn AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vg
+    ), dev AS (
+      SELECT seg, n_g, s2,
+             CAST(s2 AS DOUBLE) / (2 * n_g)
+               - (CAST(n AS DOUBLE) + 1) / 2 AS d
+      FROM grp CROSS JOIN nn
+    ), hterm AS (
+      SELECT seg, n_g,
+             CAST(ROUND(CAST(s2 AS DOUBLE) / (2 * n_g) * 1000000)
+                  AS BIGINT) AS mean_rank_e6,
+             CAST(ROUND(12.0 * n_g * (d * d)
+                        / (CAST(n AS DOUBLE) * (n + 1)) * 1000000000)
+                  AS BIGINT) AS h_e9
+      FROM dev CROSS JOIN nn
+    ), ties AS (
+      SELECT CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS st FROM vg
+    ), hh AS (
+      SELECT CAST(SUM(h_e9) AS BIGINT) AS h9 FROM hterm
+    ), cc AS (
+      SELECT 1.0 - CAST(st AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * n * n - n) AS corr
+      FROM ties CROSS JOIN nn
+    )
+    SELECT h.seg, h.n_g AS n, h.mean_rank_e6,
+           CAST(ROUND(CAST(hh.h9 AS DOUBLE) / 1000) AS BIGINT) AS h_e6,
+           CAST(ROUND(cc.corr * 1000000) AS BIGINT) AS tie_c_e6,
+           CAST(ROUND(CAST(hh.h9 AS DOUBLE) / cc.corr / 1000)
+                AS BIGINT) AS h_corrected_e6
+    FROM hterm h CROSS JOIN hh CROSS JOIN cc
+    ORDER BY h.seg
+    """,
+    tags=("stats", "nonparametric", "customer"),
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test (Kruskal & Wallis, JASA 1952) — the
+    rank-based one-way ANOVA: does account balance differ across the 5
+    market segments WITHOUT assuming normality? Midranks with ties,
+    H = 12/(N(N+1))·Σ n_g(r̄_g − r̄)², tie-corrected by
+    C = 1 − Σ(t³−t)/(N³−N). Completes the nonparametric shelf next to
+    Mann-Whitney (two groups) and the classical ANOVA (stats.py).
+
+    Engine-exact: midranks are kept as INTEGER doubled-ranks
+    (2·cumlt + t + 1) built from value-grain counts, so per-group rank
+    sums are exact BIGINTs; each group's H contribution is fix-pointed
+    to e9 before the 5-term sum (float order can't diverge); the tie
+    correction is a single division of deterministically-converted
+    BIGINTs. Envelope: Σ(t³−t) needs max tie group ≤ 2·10⁶;
+    doubled-rank sums stay exact BIGINT to N ≈ 2·10⁹.
+
+    Scale: value-grain tables only — the cumulative below-count rides
+    ops.global_running_sum's two-phase prefix sum (NO single-partition
+    window at data scale, same as the Spearman/KS queries); everything
+    else is keyed aggregates over (value) and (segment, value) cells."""
+    from blow_spark import ops
+
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal"),
+    )
+    vg = c.groupBy("bal").agg(F.count("*").cast("bigint").alias("cnt"))
+    cum = ops.global_running_sum(
+        vg, [F.col("bal")], "cnt", out_col="run"
+    ).select("bal", "cnt", (F.col("run") - F.col("cnt")).alias("cumlt"))
+    r2 = cum.select(
+        "bal", (2 * F.col("cumlt") + F.col("cnt") + 1).alias("rr")
+    )
+    cell = c.groupBy("seg", "bal").agg(F.count("*").cast("bigint").alias("cg"))
+    grp = (
+        cell.join(r2, "bal")
+        .groupBy("seg")
+        .agg(
+            F.sum("cg").cast("bigint").alias("n_g"),
+            F.sum(F.col("cg") * F.col("rr")).cast("bigint").alias("s2"),
+        )
+    )
+    nn = vg.agg(F.sum("cnt").cast("bigint").alias("n"))
+    dev = grp.crossJoin(F.broadcast(nn)).select(
+        "seg",
+        "n_g",
+        "s2",
+        "n",
+        (
+            F.col("s2").cast("double") / (2 * F.col("n_g"))
+            - (F.col("n").cast("double") + 1) / 2
+        ).alias("d"),
+    )
+    hterm = dev.select(
+        "seg",
+        "n_g",
+        F.round(F.col("s2").cast("double") / (2 * F.col("n_g")) * 1_000_000)
+        .cast("bigint")
+        .alias("mean_rank_e6"),
+        F.round(
+            F.lit(12.0)
+            * F.col("n_g")
+            * (F.col("d") * F.col("d"))
+            / (F.col("n").cast("double") * (F.col("n") + 1))
+            * 1_000_000_000
+        )
+        .cast("bigint")
+        .alias("h_e9"),
+    )
+    ties = vg.agg(
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("bigint")
+        .alias("st")
+    )
+    hh = hterm.agg(F.sum("h_e9").cast("bigint").alias("h9"))
+    cc = ties.crossJoin(F.broadcast(nn)).select(
+        (
+            F.lit(1.0)
+            - F.col("st").cast("double")
+            / (
+                F.col("n").cast("double") * F.col("n") * F.col("n")
+                - F.col("n")
+            )
+        ).alias("corr")
+    )
+    return (
+        hterm.crossJoin(F.broadcast(hh))
+        .crossJoin(F.broadcast(cc))
+        .select(
+            "seg",
+            F.col("n_g").alias("n"),
+            "mean_rank_e6",
+            F.round(F.col("h9").cast("double") / 1000).cast("bigint").alias("h_e6"),
+            F.round(F.col("corr") * 1_000_000).cast("bigint").alias("tie_c_e6"),
+            F.round(F.col("h9").cast("double") / F.col("corr") / 1000)
+            .cast("bigint")
+            .alias("h_corrected_e6"),
+        )
+        .orderBy("seg")
+    )
+
+
+_ES_ALPHA = 0.3   # smoothing weight (1-α = 0.7 decay per day)
+_ES_TAIL = 10     # output: the last N days with forecasts
+
+
+@register(
+    "timeseries_exponential_smoothing",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events WHERE event_type = 'error' GROUP BY CAST(ts AS DATE)
+    ), span AS (
+      SELECT MIN(day) AS mind, MAX(day) AS maxd FROM daily
+    ), cal AS (
+      SELECT UNNEST(generate_series(mind, maxd, INTERVAL 1 DAY))::DATE AS day
+      FROM span
+    ), series AS (
+      SELECT date_diff('day', s.mind, c.day) + 1 AS idx,
+             c.day, COALESCE(d.x, 0) AS x
+      FROM cal c CROSS JOIN span s LEFT JOIN daily d ON d.day = c.day
+    ), w AS (
+      SELECT t.idx AS t, i.idx AS i,
+             CAST(ROUND(CASE WHEN i.idx = 1
+                        THEN POWER({1 - _ES_ALPHA}, t.idx - 1)
+                        ELSE {_ES_ALPHA} * POWER({1 - _ES_ALPHA}, t.idx - i.idx)
+                        END * 1000000000) AS BIGINT) AS w_e9,
+             i.x
+      FROM series t JOIN series i ON i.idx <= t.idx
+    ), sm AS (
+      SELECT t, CAST(SUM(w_e9 * x) AS BIGINT) AS s_e9 FROM w GROUP BY t
+    ), tt AS (
+      SELECT CAST(MAX(idx) AS BIGINT) AS tmax FROM series
+    )
+    SELECT CAST(s.day AS VARCHAR) AS day, s.x AS n_events,
+           CAST(ROUND(CAST(cur.s_e9 AS DOUBLE) / 1000) AS BIGINT) AS smooth_e6,
+           CAST(ROUND(CAST(prev.s_e9 AS DOUBLE) / 1000) AS BIGINT)
+             AS forecast_e6,
+           ABS(s.x * 1000000
+               - CAST(ROUND(CAST(prev.s_e9 AS DOUBLE) / 1000) AS BIGINT))
+             AS abs_err_e6
+    FROM series s
+    JOIN sm cur ON cur.t = s.idx
+    JOIN sm prev ON prev.t = s.idx - 1
+    CROSS JOIN tt
+    WHERE s.idx > tt.tmax - {_ES_TAIL}
+    ORDER BY s.day
+    """,
+    tags=("timeseries", "forecast", "events"),
+)
+def timeseries_exponential_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple exponential smoothing over the daily error-event series
+    (zero-filled calendar), with the one-step-ahead forecast and its
+    absolute error for the last 10 days — the classical ES baseline
+    (Brown 1956) next to the seasonal-naive backtest in product.py.
+
+    The recurrence s_t = αx_t + (1−α)s_{t−1} is NOT run as a sequential
+    loop: with s_1 = x_1 it has the closed form
+    s_t = (1−α)^{{t−1}}x_1 + Σ_{{i≥2}} α(1−α)^{{t−i}}x_i, so the whole
+    series is ONE span-bounded pair join (weight table t×i) plus a
+    keyed sum — the same de-recursion device the repo uses for prefix
+    sums. Each weight is fix-pointed to e9 BEFORE multiplying, so the
+    per-day sum is exact BIGINT (Σ weights ≤ 10⁹ keeps Σ w·x < 2⁶³ for
+    daily counts up to 10⁹) and float summation order cannot diverge;
+    POWER carries the catalog's 1-ulp allowance under the rounding.
+
+    Scale: the day-grain series is tiny after the first rollup (the
+    span is a property of the dataset's time range, not its row
+    count); the t×i pair table is span² — the only corpus-scale work
+    is the one map-side-combinable daily count."""
+    e = read_table(spark, sf_dir, "events")
+    daily = (
+        e.where(F.col("event_type") == "error")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    span = daily.agg(
+        F.min("day").alias("mind"), F.max("day").alias("maxd")
+    )
+    cal = span.select(
+        F.explode(F.expr("sequence(mind, maxd, interval 1 day)")).alias("day")
+    )
+    series = (
+        cal.crossJoin(F.broadcast(span))
+        .join(daily, "day", "left")
+        .select(
+            (F.datediff(F.col("day"), F.col("mind")) + 1)
+            .cast("bigint")
+            .alias("idx"),
+            "day",
+            F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"),
+        )
+    )
+    t = series.select(F.col("idx").alias("t"))
+    i = series.select(F.col("idx").alias("i"), "x")
+    w = (
+        t.join(i, F.col("i") <= F.col("t"))
+        .select(
+            "t",
+            F.round(
+                F.when(
+                    F.col("i") == 1,
+                    F.pow(F.lit(1 - _ES_ALPHA), F.col("t") - 1),
+                ).otherwise(
+                    F.lit(_ES_ALPHA)
+                    * F.pow(F.lit(1 - _ES_ALPHA), F.col("t") - F.col("i"))
+                )
+                * 1_000_000_000
+            )
+            .cast("bigint")
+            .alias("w_e9"),
+            "x",
+        )
+    )
+    sm = w.groupBy("t").agg(
+        F.sum(F.col("w_e9") * F.col("x")).cast("bigint").alias("s_e9")
+    )
+    tt = series.agg(F.max("idx").cast("bigint").alias("tmax"))
+    cur = sm.select(F.col("t").alias("idx"), F.col("s_e9").alias("cur_e9"))
+    prev = sm.select(
+        (F.col("t") + 1).alias("idx"), F.col("s_e9").alias("prev_e9")
+    )
+    fc = F.round(F.col("prev_e9").cast("double") / 1000).cast("bigint")
+    return (
+        series.join(cur, "idx")
+        .join(prev, "idx")
+        .crossJoin(F.broadcast(tt))
+        .where(F.col("idx") > F.col("tmax") - _ES_TAIL)
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.col("x").alias("n_events"),
+            F.round(F.col("cur_e9").cast("double") / 1000)
+            .cast("bigint")
+            .alias("smooth_e6"),
+            fc.alias("forecast_e6"),
+            F.abs(F.col("x") * 1_000_000 - fc).alias("abs_err_e6"),
+        )
+        .orderBy("day")
+    )

@@ -964,3 +964,123 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 20
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, tok, pos
+      FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok,
+               generate_subscripts(
+                 regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS pos
+        FROM documents
+      )
+    ), bg AS (
+      SELECT doc_id, tok AS w1,
+             LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM toks
+    ), bigrams AS (
+      SELECT w1, w2 FROM bg WHERE w2 IS NOT NULL
+    ), c12 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM bigrams GROUP BY w1, w2
+    ), cw AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cw FROM toks GROUP BY tok
+    ), nt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM toks
+    ), nb AS (
+      SELECT CAST(SUM(c12) AS BIGINT) AS nb FROM c12
+    )
+    SELECT s.w1, s.w2, s.c12, a.cw AS c1, b.cw AS c2,
+           CAST(ROUND(LN(CAST(s.c12 AS DOUBLE) * nt.nt * nt.nt
+                         / (CAST(nb.nb AS DOUBLE) * a.cw * b.cw))
+                      * 1000000) AS BIGINT) AS pmi_e6
+    FROM c12 s
+    JOIN cw a ON a.tok = s.w1
+    JOIN cw b ON b.tok = s.w2
+    CROSS JOIN nt CROSS JOIN nb
+    WHERE s.c12 >= {_PMI_MIN_COUNT}
+    ORDER BY pmi_e6 DESC, s.w1, s.w2
+    LIMIT {_PMI_TOPK}
+    """,
+    tags=("text", "collocation", "documents"),
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocations (Church & Hanks, CL
+    1990) — the classic "statistically glued" adjacent-word-pair
+    detector a corpus pipeline uses to find multiword units before
+    tokenizer training: PMI = ln(p(w1,w2)/(p(w1)p(w2))) with the joint
+    over bigram positions and marginals over token positions, minimum
+    joint count 5, top-20 by PMI with a totally-ordered tiebreak.
+
+    Engine-exact: counts BIGINT; PMI is one LN over a single chain of
+    multiply/divide on identical operands, fix-pointed to e6 (the
+    catalog's 1-ulp allowance).
+
+    Scale: bigram and unigram tables are vocabulary-sized after one
+    (w1,w2)-keyed and one token-keyed map-side-combinable count; the
+    min-count cut prunes the long tail BEFORE the marginal joins; the
+    1-row totals broadcast. Same shuffle inventory as
+    text_bigram_logprob minus its corpus-scale re-join."""
+    from blow_spark import functions as BF
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(BF.tokenize_ws(F.lower(F.col("text")))).alias("pos", "tok"),
+    )
+    bigrams = (
+        toks.select(
+            "doc_id",
+            F.col("tok").alias("w1"),
+            F.lead("tok").over(W.partitionBy("doc_id").orderBy("pos")).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .select("w1", "w2")
+    )
+    c12 = bigrams.groupBy("w1", "w2").agg(
+        F.count("*").cast("bigint").alias("c12")
+    )
+    cw = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("cw"))
+    nt = toks.agg(F.count("*").cast("bigint").alias("nt"))
+    nb = c12.agg(F.sum("c12").cast("bigint").alias("nb"))
+    a = cw.select(F.col("tok").alias("w1"), F.col("cw").alias("c1"))
+    b = cw.select(F.col("tok").alias("w2"), F.col("cw").alias("c2"))
+    return (
+        c12.where(F.col("c12") >= _PMI_MIN_COUNT)
+        .join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            F.round(
+                F.log(
+                    F.col("c12").cast("double")
+                    * F.col("nt")
+                    * F.col("nt")
+                    / (
+                        F.col("nb").cast("double")
+                        * F.col("c1")
+                        * F.col("c2")
+                    )
+                )
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("pmi_e6"),
+        )
+        .orderBy(F.col("pmi_e6").desc(), "w1", "w2")
+        .limit(_PMI_TOPK)
+    )
