@@ -1335,3 +1335,135 @@ def corpus_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(num / den, 6).alias("slope"),
         F.round(-(num / den), 6).alias("zipf_exponent"),
     )
+
+
+@register(
+    "corpus_heaps_law_fit",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ), first_doc AS (
+      SELECT tok, CAST(MIN(doc_id) AS BIGINT) AS fd FROM toks GROUP BY tok
+    ), per_doc AS (
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks
+      FROM toks t GROUP BY t.doc_id
+    ), new_types AS (
+      SELECT fd AS doc_id, CAST(COUNT(*) AS BIGINT) AS nt
+      FROM first_doc GROUP BY fd
+    ), curve AS (
+      SELECT p.doc_id,
+             CAST(SUM(p.n_toks) OVER (ORDER BY p.doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS big_n,
+             CAST(SUM(COALESCE(n.nt, 0)) OVER (ORDER BY p.doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS v
+      FROM per_doc p LEFT JOIN new_types n ON n.doc_id = p.doc_id
+    ), pts AS (
+      SELECT CAST(ROUND(LN(CAST(big_n AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+             CAST(ROUND(LN(CAST(v AS DOUBLE)) * 1000000) AS BIGINT) AS y
+      FROM curve
+    ), mom AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS d,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx
+      FROM pts
+    ), tot AS (
+      SELECT CAST(MAX(big_n) AS BIGINT) AS total_tokens,
+             CAST(MAX(v) AS BIGINT) AS vocab_size,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM curve
+    )
+    SELECT t.n_docs, t.total_tokens, t.vocab_size,
+           CAST(ROUND((m.d * m.sxy - m.sx * m.sy)
+                      / (m.d * m.sxx - m.sx * m.sx) * 1000000)
+                AS BIGINT) AS beta_e6,
+           CAST(ROUND((m.sy - (m.d * m.sxy - m.sx * m.sy)
+                              / (m.d * m.sxx - m.sx * m.sx) * m.sx)
+                      / m.d) AS BIGINT) AS intercept_e6
+    FROM mom m CROSS JOIN tot t
+    """,
+    tags=("corpus", "tokenizer", "documents"),
+)
+def corpus_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (Heaps 1978; the companion of
+    the Zipf exponent above): V(N) ≈ k·N^β, estimated by OLS on the
+    log-log vocabulary-growth curve — how fast new types appear as the
+    corpus streams in doc-id order. The growth exponent is the number
+    a tokenizer-budget planner needs (how big does the vocab get at
+    100× the corpus?).
+
+    Plan: each token's FIRST document is one token-keyed MIN; per-doc
+    new-type and token counts are doc-keyed aggregates; the cumulative
+    (N_d, V_d) curve rides ops.global_running_sum TWICE (no data-scale
+    single-partition window — the two offsets branches are whitelisted
+    constant-size); the OLS runs on e6-fix-pointed ln points with
+    DECIMAL(38,0) cross-moments (the CUPED device), so the only
+    doubles are deterministic decimal→double casts and single
+    divisions.
+
+    Scale: everything after the tokenize pass is vocabulary- or
+    doc-grain; moments are map-side-combinable. Envelope: ln points
+    ≤ ~50e6 each, so Σx² ≤ docs·2.5e15 — exact in DECIMAL(38,0) to
+    ~10²² docs."""
+    from blow_spark import functions as BF
+    from blow_spark import ops
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(BF.tokenize_ws(F.lower(F.col("text")))).alias("tok")
+    )
+    first_doc = toks.groupBy("tok").agg(
+        F.min("doc_id").cast("bigint").alias("fd")
+    )
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_toks")
+    )
+    new_types = first_doc.groupBy(F.col("fd").alias("doc_id")).agg(
+        F.count("*").cast("bigint").alias("nt")
+    )
+    base = per_doc.join(new_types, "doc_id", "left").select(
+        "doc_id",
+        "n_toks",
+        F.coalesce(F.col("nt"), F.lit(0)).cast("bigint").alias("nt"),
+    )
+    c1 = ops.global_running_sum(base, [F.col("doc_id")], "n_toks", out_col="big_n")
+    curve = ops.global_running_sum(c1, [F.col("doc_id")], "nt", out_col="v")
+    pts = curve.select(
+        F.round(F.log(F.col("big_n").cast("double")) * 1_000_000)
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.log(F.col("v").cast("double")) * 1_000_000)
+        .cast("bigint")
+        .alias("y"),
+    )
+    xw = F.col("x").cast("decimal(19,0)")
+    yw = F.col("y").cast("decimal(19,0)")
+    mom = pts.agg(
+        F.count("*").cast("double").alias("d"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(xw * yw).cast("double").alias("sxy"),
+        F.sum(xw * xw).cast("double").alias("sxx"),
+    )
+    tot = curve.agg(
+        F.max("big_n").cast("bigint").alias("total_tokens"),
+        F.max("v").cast("bigint").alias("vocab_size"),
+        F.count("*").cast("bigint").alias("n_docs"),
+    )
+    slope = (F.col("d") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("d") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return mom.crossJoin(F.broadcast(tot)).select(
+        "n_docs",
+        "total_tokens",
+        "vocab_size",
+        F.round(slope * 1_000_000).cast("bigint").alias("beta_e6"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("d"))
+        .cast("bigint")
+        .alias("intercept_e6"),
+    )

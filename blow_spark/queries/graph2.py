@@ -124,3 +124,163 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_a.unionAll(top_h).orderBy(
         "role", F.col("score").desc(), "node_id"
     )
+
+
+_KTRUSS_K = 4       # edges must sit in ≥ k-2 = 2 triangles
+_KTRUSS_ROUNDS = 6  # pruning rounds (fixture cascades 5 rounds, then proves
+                    # the fixpoint: sf0.001 removes 276/51/24/5/2/0)
+_KTRUSS_MIN_CO = 2  # co-order support threshold for the part graph
+
+
+def _ktruss_oracle_sql() -> str:
+    support = """sup{r} AS MATERIALIZED (
+      SELECT u, v, CAST(COUNT(*) AS BIGINT) AS sup FROM (
+        SELECT t.a AS u, t.b AS v FROM tri{r} t
+        UNION ALL
+        SELECT t.b AS u, t.c AS v FROM tri{r} t
+        UNION ALL
+        SELECT t.a AS u, t.c AS v FROM tri{r} t
+      ) s GROUP BY u, v
+    )"""
+    tri = """tri{r} AS MATERIALIZED (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e{r} e1
+      JOIN e{r} e2 ON e2.u = e1.v
+      JOIN e{r} e3 ON e3.u = e1.u AND e3.v = e2.v
+    )"""
+    ctes = [
+        """b AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    )""",
+        f"""e0 AS MATERIALIZED (
+      SELECT a.p AS u, b2.p AS v
+      FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p
+      GROUP BY a.p, b2.p HAVING COUNT(*) >= {_KTRUSS_MIN_CO}
+    )""",
+    ]
+    thresh = _KTRUSS_K - 2
+    for r in range(_KTRUSS_ROUNDS):
+        ctes.append(tri.format(r=r))
+        ctes.append(support.format(r=r))
+        ctes.append(
+            f"""e{r + 1} AS MATERIALIZED (
+      SELECT e.u, e.v FROM e{r} e
+      JOIN sup{r} s ON s.u = e.u AND s.v = e.v
+      WHERE s.sup >= {thresh}
+    )"""
+        )
+    rows = ",\n      ".join(
+        f"({r + 1})" for r in range(_KTRUSS_ROUNDS)
+    )
+    selects = []
+    for r in range(_KTRUSS_ROUNDS):
+        selects.append(
+            f"""SELECT CAST({r + 1} AS BIGINT) AS round,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM e{r + 1}) AS n_edges,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM e{r})
+               - (SELECT CAST(COUNT(*) AS BIGINT) FROM e{r + 1}) AS n_removed,
+             (SELECT COUNT(*) FROM e{r})
+               = (SELECT COUNT(*) FROM e{r + 1}) AS converged"""
+        )
+    union = "\n      UNION ALL\n      ".join(selects)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT * FROM (
+      {union}
+    ) ORDER BY round"""
+    )
+
+
+@register(
+    "graph_ktruss_prune",
+    oracle=_ktruss_oracle_sql(),
+    tags=("graph", "iterative", "lineitem"),
+)
+def graph_ktruss_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss decomposition (Cohen 2008 — the triangle-dense-core
+    mining standard, the edge analog of k-core): iteratively delete
+    every edge supporting fewer than k−2 triangles until fixpoint, on
+    the part CO-ORDER graph (parts are adjacent when they share ≥2
+    order baskets — sparse and Zipfian, unlike the near-complete
+    supplier co-part graph, so the pruning cascade is real: the
+    sf0.001 fixture removes 276/51/24/5/2/0 edges over the six
+    rounds). The FULL loop is registered (the pagerank/k-core/EM
+    standard), and the last round's n_removed = 0 realizes convergence
+    in the result so the oracle hash proves the fixpoint, not just six
+    arbitrary steps.
+
+    Engine-exact: triangle enumeration on canonical u<v edges is pure
+    equi-join arithmetic; supports and edge counts are BIGINT counts.
+
+    Scale: edge generation is the basket-bounded within-order pair
+    join (C(basket,2) fan-out, the basket_part_pairs bound) with a ≥2
+    co-support cut; each round is one wedge-join triangle count
+    (broadcast of the co-occurrence-bounded edge list, same plan as
+    graph_triangle_count) plus an edge-keyed support aggregate; edge
+    sets SPILL per round so round r+1 rereads a small parquet instead
+    of recomputing the chain (the pagerank localCheckpoint lesson,
+    SCALE.md:437-480). At 100 TB the degree-ordered orientation bounds
+    wedge fan-out by arboricity — same note as graph_triangle_count."""
+    from blow_spark.materialize import spill_to_parquet
+
+    li = read_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    e = spill_to_parquet(
+        b.alias("a")
+        .join(
+            b.alias("b2"),
+            (F.col("a.o") == F.col("b2.o")) & (F.col("a.p") < F.col("b2.p")),
+        )
+        .groupBy(F.col("a.p").alias("u"), F.col("b2.p").alias("v"))
+        .agg(F.count("*").alias("n_co"))
+        .where(F.col("n_co") >= _KTRUSS_MIN_CO)
+        .select("u", "v"),
+        "blow_spark_ktruss_e0_",
+    )
+    thresh = _KTRUSS_K - 2
+    rows = []
+    for r in range(_KTRUSS_ROUNDS):
+        tri = (
+            e.alias("e1")
+            .join(F.broadcast(e.alias("e2")), F.col("e2.u") == F.col("e1.v"))
+            .join(
+                F.broadcast(e.alias("e3")),
+                (F.col("e3.u") == F.col("e1.u"))
+                & (F.col("e3.v") == F.col("e2.v")),
+            )
+            .select(
+                F.col("e1.u").alias("a"),
+                F.col("e1.v").alias("b"),
+                F.col("e2.v").alias("c"),
+            )
+        )
+        sup = (
+            tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionAll(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+            .unionAll(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
+            .groupBy("u", "v")
+            .agg(F.count("*").cast("bigint").alias("sup"))
+        )
+        e_next = spill_to_parquet(
+            e.join(sup, ["u", "v"]).where(F.col("sup") >= thresh).select("u", "v"),
+            f"blow_spark_ktruss_e{r + 1}_",
+        )
+        prev_n = e.agg(F.count("*").cast("bigint").alias("prev_n"))
+        next_n = e_next.agg(F.count("*").cast("bigint").alias("next_n"))
+        rows.append(
+            prev_n.crossJoin(next_n).select(
+                F.lit(r + 1).cast("bigint").alias("round"),
+                F.col("next_n").alias("n_edges"),
+                (F.col("prev_n") - F.col("next_n")).alias("n_removed"),
+                (F.col("prev_n") == F.col("next_n")).alias("converged"),
+            )
+        )
+        e = e_next
+    out = rows[0]
+    for rdf in rows[1:]:
+        out = out.unionAll(rdf)
+    return out.orderBy("round")

@@ -2752,3 +2752,153 @@ def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sample_rank") <= F.col("k_min"))
         .select("doc_id", "lang", "sample_rank", F.col("k_min").alias("class_size"))
     )
+
+
+_NEYMAN_TOTAL = 300  # total sample budget across strata
+
+
+@register(
+    "sample_neyman_allocation",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_mktsegment AS seg, c_custkey,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal
+      FROM customer
+    ), mom AS (
+      SELECT seg,
+             CAST(COUNT(*) AS BIGINT) AS n_pop,
+             CAST(SUM(bal) AS BIGINT) AS sx,
+             CAST(SUM(CAST(bal AS HUGEINT) * bal) AS DOUBLE) AS sxx
+      FROM c GROUP BY seg
+    ), sd AS (
+      SELECT seg, n_pop,
+             SQRT((sxx - CAST(sx AS DOUBLE) * sx / n_pop) / n_pop) AS sdv
+      FROM mom
+    ), wgt AS (
+      SELECT seg, n_pop,
+             CAST(ROUND(sdv) AS BIGINT) AS sd_cents,
+             CAST(ROUND(n_pop * sdv) AS BIGINT) AS w
+      FROM sd
+    ), tot AS (
+      SELECT CAST(SUM(w) AS BIGINT) AS wtot FROM wgt
+    ), alloc AS (
+      SELECT seg, n_pop, sd_cents,
+             CAST(ROUND({_NEYMAN_TOTAL} * CAST(w AS DOUBLE) / wtot)
+                  AS BIGINT) AS alloc_n
+      FROM wgt CROSS JOIN tot
+    ), ranked AS (
+      SELECT seg, bal,
+             ROW_NUMBER() OVER (
+               PARTITION BY seg
+               ORDER BY CAST(('0x' || substring(
+                 md5('ney:' || CAST(c_custkey AS VARCHAR)), 1, 13)) AS BIGINT),
+                 c_custkey) AS rk
+      FROM c
+    ), sampled AS (
+      SELECT r.seg,
+             CAST(COUNT(*) AS BIGINT) AS n_sampled,
+             CAST(SUM(r.bal) AS BIGINT) AS s_bal
+      FROM ranked r JOIN alloc a ON a.seg = r.seg
+      WHERE r.rk <= a.alloc_n
+      GROUP BY r.seg
+    )
+    SELECT a.seg, a.n_pop, a.sd_cents, a.alloc_n, s.n_sampled,
+           CAST(ROUND(CAST(s.s_bal AS DOUBLE) / s.n_sampled) AS BIGINT)
+             AS sample_mean_cents
+    FROM alloc a JOIN sampled s ON s.seg = a.seg
+    ORDER BY a.seg
+    """,
+    tags=("sampling", "stratified", "customer"),
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling (Neyman, JRSS 1934): a fixed
+    budget of {_NEYMAN_TOTAL} rows is allocated across market-segment
+    strata ∝ N_h·σ_h — the minimum-variance allocation for estimating
+    the population mean, the principled upgrade over the proportional
+    and class-balanced samplers beside it. Selection within a stratum
+    is the catalog's deterministic hash order (md5(custkey) with key
+    tiebreak), so the sampled set is reproducible and oracle-replayable.
+
+    Engine-exact: per-stratum variance uses exact HUGEINT/DECIMAL
+    moments with deterministic casts; the allocation weight N_h·σ_h
+    rounds to a BIGINT per stratum BEFORE the cross-stratum total (no
+    float sum order); allocations and sampled means are single
+    divisions of identical operands.
+
+    Scale: one stratum-keyed moment aggregate (map-side combinable),
+    a 5-row allocation broadcast, and ONE stratum-partitioned
+    ROW_NUMBER window — keyed by stratum, so parallel across strata;
+    within-stratum sort is the documented cost (strata are value
+    domains; a skewed stratum sorts N_h rows, the same bound as every
+    per-key top-k in the catalog)."""
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal"),
+    )
+    mom = c.groupBy("seg").agg(
+        F.count("*").cast("bigint").alias("n_pop"),
+        F.sum("bal").cast("bigint").alias("sx"),
+        F.sum(F.col("bal").cast("decimal(19,0)") * F.col("bal"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    sdv = F.sqrt(
+        (F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("n_pop"))
+        / F.col("n_pop")
+    )
+    wgt = mom.select(
+        "seg",
+        "n_pop",
+        F.round(sdv).cast("bigint").alias("sd_cents"),
+        F.round(F.col("n_pop") * sdv).cast("bigint").alias("w"),
+    )
+    tot = wgt.agg(F.sum("w").cast("bigint").alias("wtot"))
+    alloc = wgt.crossJoin(F.broadcast(tot)).select(
+        "seg",
+        "n_pop",
+        "sd_cents",
+        F.round(
+            _NEYMAN_TOTAL * F.col("w").cast("double") / F.col("wtot")
+        )
+        .cast("bigint")
+        .alias("alloc_n"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ney:"), F.col("c_custkey").cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    ranked = c.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("seg").orderBy(h.asc(), F.col("c_custkey").asc())
+        ),
+    )
+    sampled = (
+        ranked.join(F.broadcast(alloc.select("seg", "alloc_n")), "seg")
+        .where(F.col("rk") <= F.col("alloc_n"))
+        .groupBy("seg")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sampled"),
+            F.sum("bal").cast("bigint").alias("s_bal"),
+        )
+    )
+    return (
+        alloc.join(sampled, "seg")
+        .select(
+            "seg",
+            "n_pop",
+            "sd_cents",
+            "alloc_n",
+            "n_sampled",
+            F.round(F.col("s_bal").cast("double") / F.col("n_sampled"))
+            .cast("bigint")
+            .alias("sample_mean_cents"),
+        )
+        .orderBy("seg")
+    )

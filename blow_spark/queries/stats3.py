@@ -765,3 +765,139 @@ def timeseries_exponential_smoothing(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("day")
     )
+
+
+@register(
+    "timeseries_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events WHERE event_type = 'error' GROUP BY CAST(ts AS DATE)
+    ), span AS (
+      SELECT MIN(day) AS mind, MAX(day) AS maxd FROM daily
+    ), cal AS (
+      SELECT UNNEST(generate_series(mind, maxd, INTERVAL 1 DAY))::DATE AS day
+      FROM span
+    ), series AS (
+      SELECT c.day, COALESCE(d.x, 0) AS x
+      FROM cal c LEFT JOIN daily d ON d.day = c.day
+    ), mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx
+      FROM series
+    ), params AS (
+      SELECT n, sx,
+             CAST(ROUND(CAST(sx AS DOUBLE) * 1000000 / n) AS BIGINT)
+               AS target_e6,
+             CAST(ROUND(4 * SQRT((sxx - CAST(sx AS DOUBLE) * sx / n) / n)
+                        * 1000000) AS BIGINT) AS threshold_e6
+      FROM mom
+    ), dev AS (
+      SELECT s.day, s.x,
+             s.x * 1000000 - p.target_e6 - p.target_e6 // 2 AS d_e6,
+             p.threshold_e6
+      FROM series s CROSS JOIN params p
+    ), pref AS (
+      SELECT day, x, threshold_e6,
+             CAST(SUM(d_e6) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS s_t
+      FROM dev
+    ), cusum AS (
+      SELECT day, x, threshold_e6, s_t,
+             s_t - LEAST(0, MIN(s_t) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               AS c_e6
+      FROM pref
+    )
+    SELECT CAST(day AS VARCHAR) AS day, x AS n_events,
+           CAST(c_e6 AS BIGINT) AS cusum_e6, threshold_e6,
+           c_e6 > threshold_e6 AS in_alarm
+    FROM cusum ORDER BY day
+    """,
+    tags=("timeseries", "changepoint", "events"),
+)
+def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint detection (Page, Biometrika 1954)
+    over the daily error-event series — the sequential shift detector
+    next to S-H-ESD (point anomalies) and the WoW alerts (fixed-lag):
+    C_t = max(0, C_{t-1} + x_t − μ − k) with slack k = μ/2, alarm when
+    C_t exceeds 4σ. The clamped recurrence is de-recursed to
+    C_t = S_t − min(0, min_{j≤t} S_j) over the deviation prefix sums,
+    so it's two window passes, not a sequential loop.
+
+    Engine-exact: deviations, prefix sums and the running min are pure
+    e6-unit BIGINT arithmetic (target fix-points once, the slack is an
+    integer halving); σ uses exact HUGEINT/DECIMAL moments with single
+    deterministic casts.
+
+    Scale: the only corpus-scale work is the daily count; the CUSUM
+    windows run on the zero-filled CALENDAR series — one row per day
+    of the observation span (a property of the dataset's time range,
+    not its row count), the same calendar-bounded single-partition
+    class as events_kaplan_meier_retention (whitelisted in
+    tests/test_plan_guard.py with that justification)."""
+    from pyspark.sql import Window as W
+
+    e = read_table(spark, sf_dir, "events")
+    daily = (
+        e.where(F.col("event_type") == "error")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    span = daily.agg(F.min("day").alias("mind"), F.max("day").alias("maxd"))
+    cal = span.select(
+        F.explode(F.expr("sequence(mind, maxd, interval 1 day)")).alias("day")
+    )
+    series = cal.join(daily, "day", "left").select(
+        "day", F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x")
+    )
+    mom = series.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    params = mom.select(
+        F.round(F.col("sx").cast("double") * 1_000_000 / F.col("n"))
+        .cast("bigint")
+        .alias("target_e6"),
+        F.round(
+            4
+            * F.sqrt(
+                (
+                    F.col("sxx")
+                    - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+                )
+                / F.col("n")
+            )
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("threshold_e6"),
+    )
+    dev = series.crossJoin(F.broadcast(params)).select(
+        "day",
+        "x",
+        (
+            F.col("x") * 1_000_000
+            - F.col("target_e6")
+            - F.expr("target_e6 div 2")
+        ).alias("d_e6"),
+        "threshold_e6",
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    pref = dev.withColumn("s_t", F.sum("d_e6").over(w).cast("bigint"))
+    cusum = pref.withColumn(
+        "c_e6",
+        (F.col("s_t") - F.least(F.lit(0).cast("bigint"), F.min("s_t").over(w))),
+    )
+    return cusum.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("x").alias("n_events"),
+        F.col("c_e6").cast("bigint").alias("cusum_e6"),
+        "threshold_e6",
+        (F.col("c_e6") > F.col("threshold_e6")).alias("in_alarm"),
+    ).orderBy("day")

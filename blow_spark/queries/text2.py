@@ -1084,3 +1084,81 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi_e6").desc(), "w1", "w2")
         .limit(_PMI_TOPK)
     )
+
+
+@register(
+    "text_flesch_reading_ease",
+    oracle=r"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS BIGINT) AS n_words,
+             CAST(GREATEST(1, len(regexp_extract_all(text, '[.!?]')))
+                  AS BIGINT) AS n_sentences,
+             CAST(GREATEST(1, len(regexp_extract_all(lower(text),
+                                                     '[aeiouy]+')))
+                  AS BIGINT) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CAST(ROUND((206.835
+                       - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                       - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words))
+                      * 1000000) AS BIGINT) AS flesch_e6
+    FROM m
+    ORDER BY doc_id
+    """,
+    tags=("text", "quality", "documents"),
+)
+def text_flesch_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease score (Flesch 1948) per document — the
+    readability feature every text-quality stack carries next to the
+    length/punctuation ratios in queries/text.py: 206.835 −
+    1.015·(words/sentences) − 84.6·(syllables/words), with syllables
+    approximated as vowel-group runs (the standard heuristic when no
+    dictionary is available) and both denominators floored at 1.
+
+    Engine-exact: the three counts are integer regexp/split
+    cardinalities computed identically by both engines; the score is
+    two single divisions of identical BIGINT operands and constant
+    arithmetic, fix-pointed to e6.
+
+    Scale: map-only — no shuffle at all, no Python; the regexp work
+    happens in the scan stage."""
+    d = read_table(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+        .cast("bigint")
+        .alias("n_words"),
+        F.greatest(
+            F.lit(1),
+            F.size(F.expr("regexp_extract_all(text, '[.!?]', 0)")),
+        )
+        .cast("bigint")
+        .alias("n_sentences"),
+        F.greatest(
+            F.lit(1),
+            F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")),
+        )
+        .cast("bigint")
+        .alias("n_syllables"),
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(
+            (
+                F.lit(206.835)
+                - F.lit(1.015)
+                * (F.col("n_words").cast("double") / F.col("n_sentences"))
+                - F.lit(84.6)
+                * (F.col("n_syllables").cast("double") / F.col("n_words"))
+            )
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("flesch_e6"),
+    ).orderBy("doc_id")

@@ -50,6 +50,14 @@ WHITELIST = {
                                      # one row per range partition, same shape)
     "agg_weighted_median_exact": 1,  # prefix-sum offsets (global_running_sum)
     "sample_systematic_every_kth": 1,  # rank offsets (global_row_number)
+    "stats_kruskal_wallis": 2,       # prefix-sum offsets (global_running_sum);
+                                     # the value-grain rank table is consumed
+                                     # by two branches, duplicating the
+                                     # constant-size offsets window in the plan
+    "corpus_heaps_law_fit": 2,       # prefix-sum offsets ×2 (cumulative token
+                                     # and cumulative vocab counts — one
+                                     # global_running_sum each, both constant-
+                                     # size one-row-per-partition branches)
     "agg_gini_concentration": 1,     # rank offsets (global_row_number)
     # Domain-bounded branch (round 8): each window runs AFTER a keyed
     # aggregate reduced the corpus to a bounded-label-domain table —

@@ -216,3 +216,16 @@ def test_scale_claims_carry_receipts():
     assert offenders == [], (
         f"scale claims without a SCALE.md slope row or pinned test: {offenders}"
     )
+
+
+def test_ktruss_cascade_and_fixpoint(spark):
+    """graph_ktruss_prune must actually prune (the loop is not
+    vacuous: the part co-order graph cascades for several rounds) and
+    must reach the fixpoint within its registered rounds (final
+    n_removed = 0, converged bit realized true)."""
+    from blow_spark.queries.graph2 import graph_ktruss_prune
+
+    rows = graph_ktruss_prune(spark, SF_SMALL).collect()
+    assert rows[0]["n_removed"] > 0          # pruning exercised
+    assert rows[-1]["n_removed"] == 0        # fixpoint reached
+    assert rows[-1]["converged"] is True
