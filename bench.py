@@ -265,6 +265,27 @@ HEADLINE = [
     "tokenizer_unigram_viterbi_segment",
     "timeseries_burst_detection_kleinberg",
     "sample_priority_weighted",
+    # round 9: the re-blocked Fellegi-Sunter linkage (the round-8 weak
+    # item, now data-adaptive), the full unigram-EM loop, the new
+    # statistics/eval shelf, the recommender family, and the sparse
+    # k-truss cascade — all EXTENDED tier (CORE stays stable)
+    "er_fellegi_sunter_linkage",
+    "tokenizer_unigram_em",
+    "stats_kruskal_wallis",
+    "stats_kendall_tau_b",
+    "stats_mutual_information",
+    "eval_expected_calibration_error",
+    "eval_cohens_kappa",
+    "recsys_item_item_cosine",
+    "rank_bradley_terry_mm",
+    "text_pmi_collocations",
+    "corpus_heaps_law_fit",
+    "graph_ktruss_prune",
+    "join_jaro_winkler_topk",
+    "timeseries_cusum_changepoint",
+    "timeseries_exponential_smoothing",
+    "sample_neyman_allocation",
+    "text_flesch_reading_ease",
 ]
 
 

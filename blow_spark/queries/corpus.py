@@ -1413,15 +1413,25 @@ def corpus_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blow_spark import functions as BF
     from blow_spark import ops
 
+    from blow_spark.materialize import spill_to_parquet
+
     d = read_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(BF.tokenize_ws(F.lower(F.col("text")))).alias("tok")
     )
-    first_doc = toks.groupBy("tok").agg(
+    # ONE corpus tokenize pass: the doc-term table (doc-vocab grain)
+    # spills, and first-occurrence / per-doc counts are cheap rollups
+    dt = spill_to_parquet(
+        toks.groupBy("doc_id", "tok").agg(
+            F.count("*").cast("bigint").alias("cnt")
+        ),
+        "blow_spark_heaps_dt_",
+    )
+    first_doc = dt.groupBy("tok").agg(
         F.min("doc_id").cast("bigint").alias("fd")
     )
-    per_doc = toks.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_toks")
+    per_doc = dt.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_toks")
     )
     new_types = first_doc.groupBy(F.col("fd").alias("doc_id")).agg(
         F.count("*").cast("bigint").alias("nt")

@@ -185,10 +185,13 @@ def _fs_blocked_rows(c: DataFrame) -> DataFrame:
         )
         .select("c_custkey", "c_nationkey", "c_mktsegment", "bal", "rule", "band")
     )
-    counts = keyed.groupBy("c_nationkey", "rule", "band").agg(
-        F.count("*").alias("n_blk")
-    )
-    return keyed.join(counts, ["c_nationkey", "rule", "band"]).withColumn(
+    # block sizes via a BLOCK-KEYED window (cardinality grows with N,
+    # per-partition state ≈ DEPTH rows) — one pass, no join-back, so the
+    # keyed subtree isn't recomputed for a counts branch.
+    from pyspark.sql import Window as W
+
+    wspec = W.partitionBy("c_nationkey", "rule", "band")
+    return keyed.withColumn("n_blk", F.count("*").over(wspec)).withColumn(
         "sub",
         F.expr(f"c_custkey % ((n_blk + {_FS_CAP - 1}) div {_FS_CAP})").cast(
             "bigint"
@@ -218,14 +221,11 @@ def _fs_blocked_rows(c: DataFrame) -> DataFrame:
       FROM c JOIN stats s ON c.c_nationkey = s.c_nationkey
       CROSS JOIN (VALUES (0), (1)) AS r(rule)
     ), sized AS (
-      SELECT k.c_custkey, k.c_nationkey, k.c_mktsegment, k.bal,
-             k.rule, k.band,
-             k.c_custkey % ((cnt.n_blk + {_FS_CAP - 1}) // {_FS_CAP}) AS sub
-      FROM keyed k JOIN (
-        SELECT c_nationkey, rule, band, COUNT(*) AS n_blk
-        FROM keyed GROUP BY c_nationkey, rule, band
-      ) cnt ON k.c_nationkey = cnt.c_nationkey
-           AND k.rule = cnt.rule AND k.band = cnt.band
+      SELECT c_custkey, c_nationkey, c_mktsegment, bal, rule, band,
+             c_custkey % ((COUNT(*) OVER (PARTITION BY c_nationkey, rule,
+                                          band) + {_FS_CAP - 1})
+                          // {_FS_CAP}) AS sub
+      FROM keyed
     ), pairs AS (
       SELECT DISTINCT id_a, id_b, agr_seg, agr_bal FROM (
         SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
@@ -308,7 +308,12 @@ def er_fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal"),
     )
-    keyed = _fs_blocked_rows(c)
+    from blow_spark.materialize import spill_to_parquet
+
+    # spill once: BOTH sides of the self-join read the blocked rows, so
+    # without this the whole blocking subtree (scan + stats + window)
+    # executes twice.
+    keyed = spill_to_parquet(_fs_blocked_rows(c), "blow_spark_fs_blocked_")
     a = keyed.select(
         F.col("c_custkey").alias("id_a"),
         F.col("c_nationkey").alias("nk_a"),

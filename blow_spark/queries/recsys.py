@@ -73,10 +73,15 @@ def recsys_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     table."""
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pt = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    basket = (
+    from blow_spark.materialize import spill_to_parquet
+
+    # spilled: the item margins and BOTH pair-join sides read it — three
+    # recomputations of the lineitem-part join otherwise
+    basket = spill_to_parquet(
         li.join(pt, li.l_partkey == pt.p_partkey)
         .select(F.col("l_orderkey").alias("ord"), F.col("p_brand").alias("item"))
-        .distinct()
+        .distinct(),
+        "blow_spark_ii_basket_",
     )
     ni = basket.groupBy("item").agg(F.count("*").cast("bigint").alias("n"))
     a = basket.select("ord", F.col("item").alias("item_a"))

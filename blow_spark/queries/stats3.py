@@ -174,9 +174,16 @@ def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one (lang, source)-keyed count — map-side combinable, cells
     bounded by the label-domain product, margins are trivial rollups of
     the cell table. No second corpus scan, no Python."""
+    from blow_spark.materialize import spill_to_parquet
+
     d = read_table(spark, sf_dir, "documents")
-    cells = d.groupBy("lang", "source").agg(
-        F.count("*").cast("bigint").alias("c")
+    # vocabulary-sized; spilled because margins, totals and terms all
+    # re-read it (without this the corpus count re-runs four times)
+    cells = spill_to_parquet(
+        d.groupBy("lang", "source").agg(
+            F.count("*").cast("bigint").alias("c")
+        ),
+        "blow_spark_mi_cells_",
     )
     mx = cells.groupBy("lang").agg(F.sum("c").cast("bigint").alias("cx"))
     my = cells.groupBy("source").agg(F.sum("c").cast("bigint").alias("cy"))
@@ -552,7 +559,14 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("seg"),
         F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal"),
     )
-    vg = c.groupBy("bal").agg(F.count("*").cast("bigint").alias("cnt"))
+    from blow_spark.materialize import spill_to_parquet
+
+    # value-grain; spilled — the prefix sum, tie correction and total all
+    # consume it (without this the corpus count re-runs three times)
+    vg = spill_to_parquet(
+        c.groupBy("bal").agg(F.count("*").cast("bigint").alias("cnt")),
+        "blow_spark_kw_vg_",
+    )
     cum = ops.global_running_sum(
         vg, [F.col("bal")], "cnt", out_col="run"
     ).select("bal", "cnt", (F.col("run") - F.col("cnt")).alias("cumlt"))
@@ -696,6 +710,8 @@ def timeseries_exponential_smoothing(spark: SparkSession, sf_dir: str) -> DataFr
     span is a property of the dataset's time range, not its row
     count); the t×i pair table is span² — the only corpus-scale work
     is the one map-side-combinable daily count."""
+    from blow_spark.materialize import spill_to_parquet
+
     e = read_table(spark, sf_dir, "events")
     daily = (
         e.where(F.col("event_type") == "error")
@@ -708,7 +724,10 @@ def timeseries_exponential_smoothing(spark: SparkSession, sf_dir: str) -> DataFr
     cal = span.select(
         F.explode(F.expr("sequence(mind, maxd, interval 1 day)")).alias("day")
     )
-    series = (
+    # day-grain (span-bounded); spilled — the weight join reads it from
+    # both sides and the output joins it again, so without this the
+    # corpus daily count re-runs four times
+    series = spill_to_parquet(
         cal.crossJoin(F.broadcast(span))
         .join(daily, "day", "left")
         .select(
@@ -717,7 +736,8 @@ def timeseries_exponential_smoothing(spark: SparkSession, sf_dir: str) -> DataFr
             .alias("idx"),
             "day",
             F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"),
-        )
+        ),
+        "blow_spark_es_series_",
     )
     t = series.select(F.col("idx").alias("t"))
     i = series.select(F.col("idx").alias("i"), "x")
@@ -740,8 +760,11 @@ def timeseries_exponential_smoothing(spark: SparkSession, sf_dir: str) -> DataFr
             "x",
         )
     )
-    sm = w.groupBy("t").agg(
-        F.sum(F.col("w_e9") * F.col("x")).cast("bigint").alias("s_e9")
+    sm = spill_to_parquet(
+        w.groupBy("t").agg(
+            F.sum(F.col("w_e9") * F.col("x")).cast("bigint").alias("s_e9")
+        ),
+        "blow_spark_es_sm_",
     )
     tt = series.agg(F.max("idx").cast("bigint").alias("tmax"))
     cur = sm.select(F.col("t").alias("idx"), F.col("s_e9").alias("cur_e9"))
@@ -850,8 +873,14 @@ def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     cal = span.select(
         F.explode(F.expr("sequence(mind, maxd, interval 1 day)")).alias("day")
     )
-    series = cal.join(daily, "day", "left").select(
-        "day", F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x")
+    from blow_spark.materialize import spill_to_parquet
+
+    # day-grain; spilled — moments and the CUSUM pass both read it
+    series = spill_to_parquet(
+        cal.join(daily, "day", "left").select(
+            "day", F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x")
+        ),
+        "blow_spark_cusum_series_",
     )
     mom = series.agg(
         F.count("*").cast("bigint").alias("n"),

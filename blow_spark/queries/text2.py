@@ -1049,7 +1049,8 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("c12")
     )
     cw = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("cw"))
-    nt = toks.agg(F.count("*").cast("bigint").alias("nt"))
+    # total tokens from the vocab table, not a second corpus pass
+    nt = cw.agg(F.sum("cw").cast("bigint").alias("nt"))
     nb = c12.agg(F.sum("c12").cast("bigint").alias("nb"))
     a = cw.select(F.col("tok").alias("w1"), F.col("cw").alias("c1"))
     b = cw.select(F.col("tok").alias("w2"), F.col("cw").alias("c2"))

@@ -58,6 +58,10 @@ WHITELIST = {
                                      # and cumulative vocab counts — one
                                      # global_running_sum each, both constant-
                                      # size one-row-per-partition branches)
+    # Calendar-bounded: the CUSUM prefix/running-min windows run on the
+    # zero-filled DAY series — one row per day of the observation span
+    # (same class as the Kaplan-Meier days above)
+    "timeseries_cusum_changepoint": 1,
     "agg_gini_concentration": 1,     # rank offsets (global_row_number)
     # Domain-bounded branch (round 8): each window runs AFTER a keyed
     # aggregate reduced the corpus to a bounded-label-domain table —
@@ -325,6 +329,42 @@ BENCH_EXCHANGE_PINS = {
     "timeseries_burst_detection_kleinberg": (3, 0),
     # map-side keying + k+1 TakeOrdered head + 1-row broadcasts
     "sample_priority_weighted": (0, 2),
+    # round 9 pins
+    # spilled blocked rows (blocking subtree runs once); self-join +
+    # distinct + u/pattern aggregates; 25-row stats broadcast
+    "er_fellegi_sunter_linkage": (5, 3),
+    # two spill-backed 12-step DP chains + M-step re-estimates
+    "tokenizer_unigram_em": (13, 18),
+    # spilled value-grain counts + two-phase prefix sum + cell joins
+    "stats_kruskal_wallis": (14, 9),
+    # month rollup + span-bounded pair join + 1-row aggregate
+    "stats_kendall_tau_b": (3, 1),
+    # spilled (lang,source) cells; margins/terms are rollups of it
+    "stats_mutual_information": (11, 8),
+    # map-side hash + 10-bin aggregate + 1-row ECE broadcast
+    "eval_expected_calibration_error": (4, 1),
+    # ONE map-side-combined confusion-matrix aggregate
+    "eval_cohens_kappa": (1, 0),
+    # spilled basket; margins broadcast; one order-keyed pair shuffle
+    "recsys_item_item_cosine": (3, 3),
+    # spilled games/wins/iterates; 25-row broadcasts per MM round
+    "rank_bradley_terry_mm": (11, 18),
+    # token + bigram keyed counts; 1-row totals broadcast; top-k head
+    "text_pmi_collocations": (9, 4),
+    # spilled doc-term table + two-phase prefix sums + moment agg
+    "corpus_heaps_law_fit": (6, 3),
+    # spill-backed edge sets; wedge joins broadcast per round
+    "graph_ktruss_prune": (12, 6),
+    # first-token blocking + capped sub-blocks + pair UDF + top-k
+    "join_jaro_winkler_topk": (6, 3),
+    # day count + spilled calendar series + windowed CUSUM pass
+    "timeseries_cusum_changepoint": (2, 1),
+    # day count + spilled series/smoothed tables; span-bounded joins
+    "timeseries_exponential_smoothing": (2, 3),
+    # stratum moments + 5-row allocation broadcast + stratum window
+    "sample_neyman_allocation": (8, 4),
+    # map-only regexp counts, one ORDER BY
+    "text_flesch_reading_ease": (1, 0),
 }
 
 
