@@ -95,6 +95,7 @@ def _load() -> None:
         batteries,
         corpus,
         entity,
+        evalrank,
         experimentation,
         graph2,
         governance,

@@ -85,6 +85,12 @@ WHITELIST = {
     # row_number runs over the DISTINCT event types (k ≈ 5 rows);
     # referenced by both the true-type and reported-type branches.
     "privacy_randomized_response_freq": 2,
+    # Round-10 domain-bounded branches (same class as the
+    # stats_mann_whitney_u / stats_chi_square_independence entries):
+    "eval_roc_auc_exact": 1,        # cumulative window over the n_chars
+                                    # value domain (≤ ~550 rows at any N)
+    "eval_confusion_prf_macro": 1,  # macro-F1 window over 5 class rows
+    "stats_cramers_v": 1,           # grand-total window over ≤25 cells
 }
 
 
