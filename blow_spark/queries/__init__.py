@@ -101,6 +101,7 @@ def _load() -> None:
         governance,
         journeys,
         linkage,
+        mlprims,
         multimodal_q,
         parity,
         pipeline_ops,

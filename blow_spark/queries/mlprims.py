@@ -1,0 +1,275 @@
+"""Round-10 distributed-ML primitives.
+
+The two feature-engineering/training steps every large-scale tabular-ML
+system runs inside the data engine rather than the trainer:
+
+* histogram-based best-split finding (the inner loop of
+  XGBoost/LightGBM tree growth — Chen & Guestrin KDD'16 §3.3's
+  approximate/histogram algorithm): candidate thresholds come from the
+  value-grain histogram, split quality from prefix sums over it;
+* quantile normalization (Bolstad et al. Bioinformatics'03): map each
+  source's values onto the GLOBAL value distribution by rank — the
+  cross-source feature-alignment transform.
+
+Reference parity note: the reference engine (wizgrao/blow,
+maps/maps.go:8-21) has no aggregation or ranking surface; these extend
+the statistics family (queries/stats*.py) with trainer-side primitives.
+
+Engine-exactness: both operators use Gini impurity / type-1 order
+statistics specifically so everything stays in BIGINT integer
+arithmetic (no entropy logs, no interpolated quantiles); each output
+double is one final division of identical integer operands.
+
+Scale design: both reduce the corpus to the bounded n_chars VALUE
+DOMAIN (≤ ~550 distinct values at any corpus size) with one keyed
+count before any window; the cumulative windows run over that bounded
+table (whitelisted, same class as stats_mann_whitney_u) and the
+rank→value mapping table is broadcast (≤ domain-size rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from blow_spark.queries import register
+from blow_spark.sources import read_table
+
+
+@register(
+    "ml_tree_split_gini",
+    oracle="""
+    WITH counts AS (
+      SELECT n_chars AS v,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS cp,
+             CAST(COUNT(*) AS BIGINT) AS tot
+      FROM documents
+      GROUP BY n_chars
+    ), cum AS (
+      SELECT v,
+             SUM(cp)  OVER (ORDER BY v) AS pos_l,
+             SUM(tot) OVER (ORDER BY v) AS n_l,
+             SUM(cp)  OVER () AS pos_all,
+             SUM(tot) OVER () AS n_all
+      FROM counts
+    ), cand AS (
+      SELECT v AS threshold,
+             CAST(n_l AS BIGINT) AS n_left,
+             CAST(pos_l AS BIGINT) AS pos_left,
+             CAST(n_all - n_l AS BIGINT) AS n_right,
+             CAST(pos_all - pos_l AS BIGINT) AS pos_right,
+             CAST(n_all AS BIGINT) AS n_all,
+             CAST(pos_all AS BIGINT) AS pos_all
+      FROM cum
+      WHERE n_l > 0 AND n_all - n_l > 0
+    ), scored AS (
+      SELECT threshold, n_left, pos_left, n_right, pos_right,
+             CAST(ROUND((
+               (1.0 - (CAST(pos_all AS DOUBLE) * pos_all
+                       + CAST(n_all - pos_all AS DOUBLE) * (n_all - pos_all))
+                      / (CAST(n_all AS DOUBLE) * n_all))
+               - (CAST(n_left AS DOUBLE) / n_all)
+                 * (1.0 - (CAST(pos_left AS DOUBLE) * pos_left
+                           + CAST(n_left - pos_left AS DOUBLE)
+                             * (n_left - pos_left))
+                          / (CAST(n_left AS DOUBLE) * n_left))
+               - (CAST(n_right AS DOUBLE) / n_all)
+                 * (1.0 - (CAST(pos_right AS DOUBLE) * pos_right
+                           + CAST(n_right - pos_right AS DOUBLE)
+                             * (n_right - pos_right))
+                          / (CAST(n_right AS DOUBLE) * n_right))
+             ) * 1000000000) AS BIGINT) AS gain_e9
+      FROM cand
+    )
+    SELECT threshold, n_left, pos_left, n_right, pos_right, gain_e9
+    FROM scored
+    ORDER BY gain_e9 DESC, threshold
+    LIMIT 1
+    """,
+    tags=("ml", "stats", "documents"),
+)
+def ml_tree_split_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based best-split finding — the inner loop of gradient-
+    boosted-tree training (XGBoost's approximate algorithm, Chen &
+    Guestrin KDD'16; LightGBM's histogram mode): the best threshold on
+    the n_chars feature for the lang='en' label by Gini impurity
+    reduction. Candidate thresholds are the VALUE-GRAIN boundaries
+    (never per-row), split statistics are prefix sums over the value
+    histogram, and Gini (unlike entropy) keeps the gain a pure rational
+    of BIGINTs: gain = G_parent − (nₗ/n)Gₗ − (nᵣ/n)Gᵣ with
+    G = 1 − (pos² + neg²)/n², fix-pointed at e9 per CANDIDATE (single
+    divisions of identical integers → IEEE-identical both engines),
+    argmax with a total threshold tiebreak.
+
+    Scale: one value-keyed count reduces the corpus to the n_chars
+    domain (≤ ~550 rows at any N — the histogram-algorithm property
+    that makes split finding constant-cost per feature); the cumulative
+    windows run over that bounded table (whitelisted, same class as
+    stats_mann_whitney_u). This is exactly how a 1000-executor trainer
+    scans 100 TB once and grows the tree from broadcastable
+    histograms."""
+    d = read_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            F.col("n_chars").alias("v"),
+            (F.col("lang") == "en").cast("long").alias("is_pos"),
+        )
+        .groupBy("v")
+        .agg(F.sum("is_pos").alias("cp"), F.count("*").alias("tot"))
+    )
+    w_cum = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    cum = counts.select(
+        "v",
+        F.sum("cp").over(w_cum).alias("pos_l"),
+        F.sum("tot").over(w_cum).alias("n_l"),
+        F.sum("cp").over(w_all).alias("pos_all"),
+        F.sum("tot").over(w_all).alias("n_all"),
+    )
+    cand = cum.where(
+        (F.col("n_l") > 0) & (F.col("n_all") - F.col("n_l") > 0)
+    ).select(
+        F.col("v").alias("threshold"),
+        F.col("n_l").cast("bigint").alias("n_left"),
+        F.col("pos_l").cast("bigint").alias("pos_left"),
+        (F.col("n_all") - F.col("n_l")).cast("bigint").alias("n_right"),
+        (F.col("pos_all") - F.col("pos_l")).cast("bigint").alias("pos_right"),
+        F.col("n_all").cast("bigint").alias("n_all"),
+        F.col("pos_all").cast("bigint").alias("pos_all"),
+    )
+
+    def gini(pos, n):
+        neg = n - pos
+        return F.lit(1.0) - (
+            pos.cast("double") * pos + neg.cast("double") * neg
+        ) / (n.cast("double") * n)
+
+    n_all, pos_all = F.col("n_all"), F.col("pos_all")
+    gain = (
+        gini(pos_all, n_all)
+        - (F.col("n_left").cast("double") / n_all)
+        * gini(F.col("pos_left"), F.col("n_left"))
+        - (F.col("n_right").cast("double") / n_all)
+        * gini(F.col("pos_right"), F.col("n_right"))
+    )
+    scored = cand.select(
+        "threshold",
+        "n_left",
+        "pos_left",
+        "n_right",
+        "pos_right",
+        F.round(gain * 1e9).cast("bigint").alias("gain_e9"),
+    )
+    return scored.orderBy(F.desc("gain_e9"), "threshold").limit(1)
+
+
+@register(
+    "ml_quantile_normalize",
+    oracle="""
+    WITH gcounts AS (
+      SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS tot
+      FROM documents GROUP BY n_chars
+    ), gmap AS (
+      SELECT v,
+             SUM(tot) OVER (ORDER BY v) - tot + 1 AS lo,
+             SUM(tot) OVER (ORDER BY v) AS hi,
+             SUM(tot) OVER () AS n_all
+      FROM gcounts
+    ), src AS (
+      SELECT doc_id, source, n_chars AS v,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY source) AS n_src
+      FROM documents
+    ), mapped AS (
+      SELECT s.doc_id, s.source, s.v,
+             CAST((2 * s.r - 1) * g.n_all / (2 * s.n_src)
+                  + CAST(((2 * s.r - 1) * g.n_all % (2 * s.n_src)) > 0
+                         AS BIGINT) AS BIGINT) AS g_rank,
+             g2.v AS v_norm
+      FROM src s
+      CROSS JOIN (SELECT DISTINCT n_all FROM gmap) g
+      JOIN gmap g2
+        ON CAST((2 * s.r - 1) * g.n_all / (2 * s.n_src)
+                + CAST(((2 * s.r - 1) * g.n_all % (2 * s.n_src)) > 0
+                       AS BIGINT) AS BIGINT) BETWEEN g2.lo AND g2.hi
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(v) AS BIGINT) AS sum_raw,
+           CAST(SUM(v_norm) AS BIGINT) AS sum_norm,
+           CAST(MIN(v_norm) AS BIGINT) AS min_norm,
+           CAST(MAX(v_norm) AS BIGINT) AS max_norm
+    FROM mapped
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("ml", "stats", "documents"),
+)
+def ml_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization (Bolstad et al. Bioinformatics'03): map
+    each source's n_chars values onto the GLOBAL value distribution by
+    within-source rank — the transform that makes per-source feature
+    distributions identical before cross-source training. Each value's
+    within-source rank r maps to the type-1 global order statistic at
+    position ⌈(2r−1)·N / (2·n_src)⌉ (midpoint rank, ceiling division
+    done in INTEGER arithmetic — no doubles anywhere), looked up
+    against the global value-grain histogram's [lo, hi] rank intervals.
+    Per-source sums/extrema of the normalized values are exact BIGINTs.
+
+    Scale: the global histogram is value-DOMAIN-sized (≤ ~550 rows at
+    any N) — its cumulative window is whitelisted and the rank-interval
+    table BROADCASTS to the per-source rank join, so the corpus-sized
+    side never shuffles for the lookup; within-source ranks come from
+    one partitioned (parallel) window."""
+    d = read_table(spark, sf_dir, "documents")
+    gcounts = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count("*").cast("bigint").alias("tot")
+    )
+    w_cum = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    gmap = gcounts.select(
+        "v",
+        (F.sum("tot").over(w_cum) - F.col("tot") + 1).alias("lo"),
+        F.sum("tot").over(w_cum).alias("hi"),
+        F.sum("tot").over(w_all).alias("n_all"),
+    )
+    src = d.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").alias("v"),
+        F.row_number()
+        .over(W.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("r"),
+        F.count("*").over(W.partitionBy("source")).alias("n_src"),
+    )
+    # integer ceiling division: q = a div b + (a mod b > 0)
+    a = (2 * F.col("r") - 1) * F.col("n_all")
+    b = 2 * F.col("n_src")
+    g_rank = (
+        F.expr(
+            "(2 * r - 1) * n_all div (2 * n_src)"
+        )
+        + ((a % b) > 0).cast("bigint")
+    ).cast("bigint")
+    mapped = (
+        src.crossJoin(F.broadcast(gmap.select("n_all").distinct()))
+        .withColumn("g_rank", g_rank)
+        .join(
+            F.broadcast(gmap.select(F.col("v").alias("v_norm"), "lo", "hi")),
+            (F.col("g_rank") >= F.col("lo")) & (F.col("g_rank") <= F.col("hi")),
+        )
+    )
+    return (
+        mapped.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("v").cast("bigint").alias("sum_raw"),
+            F.sum("v_norm").cast("bigint").alias("sum_norm"),
+            F.min("v_norm").cast("bigint").alias("min_norm"),
+            F.max("v_norm").cast("bigint").alias("max_norm"),
+        )
+        .orderBy("source")
+    )

@@ -91,6 +91,11 @@ WHITELIST = {
                                     # value domain (≤ ~550 rows at any N)
     "eval_confusion_prf_macro": 1,  # macro-F1 window over 5 class rows
     "stats_cramers_v": 1,           # grand-total window over ≤25 cells
+    "ml_tree_split_gini": 1,        # prefix sums over the n_chars value
+                                    # domain (histogram-algorithm grain)
+    "ml_quantile_normalize": 2,     # the same domain-bounded histogram
+                                    # feeds the rank-interval map and its
+                                    # n_all scalar, duplicating the branch
 }
 
 
