@@ -378,3 +378,204 @@ def spatial_dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("point_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Geohash encoding: pure-integer bit interleave + base32 (round 10)
+# --------------------------------------------------------------------------
+
+_GH_CHARS = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GH_NCHARS = 8  # 40 bits: 20 lon + 20 lat
+
+
+def _geohash_char_exprs(shift_fmt) -> list[str]:
+    """The 8 per-character 5-bit expressions of a 40-bit geohash, as SQL
+    text over columns `lonbits`/`latbits` (20-bit integers). The bit
+    stream alternates lon,lat,lon,... from the MSB (the geohash spec);
+    `shift_fmt(col, n)` renders a right-shift so the SAME generator
+    serves Spark SQL (shiftright) and DuckDB (>>)."""
+    chars = []
+    for k in range(_GH_NCHARS):
+        terms = []
+        for j in range(5):
+            m = 5 * k + j
+            if m % 2 == 0:
+                src, bit = "lonbits", 19 - m // 2
+            else:
+                src, bit = "latbits", 19 - (m - 1) // 2
+            terms.append(f"(({shift_fmt(src, bit)}) & 1) * {1 << (4 - j)}")
+        chars.append(" + ".join(terms))
+    return chars
+
+
+def _geohash_concat(shift_fmt) -> str:
+    parts = [
+        f"substr('{_GH_CHARS}', CAST({c} AS INT) + 1, 1)"
+        for c in _geohash_char_exprs(shift_fmt)
+    ]
+    return "concat(" + ", ".join(parts) + ")"
+
+
+_GH_SPARK = _geohash_concat(lambda col, n: f"shiftright({col}, {n})")
+_GH_DUCK = _geohash_concat(lambda col, n: f"({col} >> {n})")
+
+
+@register(
+    "scalar_geohash_encode",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             CAST(('0x' || substring(md5('geo:c:' || CAST(c_custkey AS VARCHAR)), 1, 13))
+                  AS BIGINT) % {_LAT_SPAN} - 60000000 AS lat,
+             CAST(('0x' || substring(md5('geo:C:' || CAST(c_custkey AS VARCHAR)), 1, 13))
+                  AS BIGINT) % {_LON_SPAN} - 180000000 AS lon
+      FROM customer
+    ), bits AS (
+      SELECT c_custkey, lat, lon,
+             (lat + 90000000) * 1048576 // 180000000 AS latbits,
+             (lon + 180000000) * 1048576 // 360000000 AS lonbits
+      FROM pts
+    )
+    SELECT c_custkey, lat, lon,
+           {_GH_DUCK} AS geohash8,
+           substr({_GH_DUCK}, 1, 4) AS gh4
+    FROM bits
+    ORDER BY c_custkey
+    """,
+    tags=("scalar", "spatial", "exact"),
+)
+def scalar_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash encoding (Niemeyer 2008; the Z-order-curve-with-base32
+    spatial key Elasticsearch/Redis/BigQuery expose) of each customer's
+    µ-degree point, computed in PURE INTEGER arithmetic: 20-bit lat/lon
+    quantizers via integer floor-division over the standard ±90/±180
+    domain, the geohash's alternating lon/lat bit interleave unrolled
+    into 8 five-bit literal expressions (generated once in Python and
+    rendered into BOTH plans — shiftright for Spark, >> for DuckDB), and
+    a base32 table lookup. No doubles anywhere, so the driver hash is a
+    bit-exactness proof of the full encode path.
+
+    The 4-char prefix column is the cell key a serving layer groups or
+    range-scans by — geohash prefixes ARE the hierarchical grid, which
+    is why this belongs next to agg_spatial_tile_pyramid's integer tile
+    ids. Scale: map-only (one projection, zero shuffles beyond the
+    scan); at 100 TB this is the cheapest possible spatial index-key
+    materialization. Reference analog: blow's Mapper surface
+    (maps/maps.go:12-14) could express a per-record encode but has no
+    integer bit ops in its vocabulary."""
+    cust = read_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_custkey",
+        _mu_coord("geo:c:", F.col("c_custkey"), _LAT_SPAN, 60_000_000).alias("lat"),
+        _mu_coord("geo:C:", F.col("c_custkey"), _LON_SPAN, 180_000_000).alias("lon"),
+    )
+    bits = pts.select(
+        "c_custkey",
+        "lat",
+        "lon",
+        F.expr("(lat + 90000000) * 1048576 div 180000000").alias("latbits"),
+        F.expr("(lon + 180000000) * 1048576 div 360000000").alias("lonbits"),
+    )
+    return bits.select(
+        "c_custkey",
+        "lat",
+        "lon",
+        F.expr(_GH_SPARK).alias("geohash8"),
+        F.expr(f"substr({_GH_SPARK}, 1, 4)").alias("gh4"),
+    ).orderBy("c_custkey")
+
+
+# --------------------------------------------------------------------------
+# Haversine great-circle radius join over the integer-exact candidates
+# --------------------------------------------------------------------------
+
+# Shared SQL fragment (Spark SQL and DuckDB agree on radians/sin/cos/
+# asin/sqrt names): great-circle km from µ-degree BIGINT columns.
+_HAV_KM = (
+    "2 * 6371.0088 * asin(sqrt("
+    "pow(sin(radians((blat - lat) / 1e6) / 2), 2) "
+    "+ cos(radians(lat / 1e6)) * cos(radians(blat / 1e6)) "
+    "* pow(sin(radians((blon - lon) / 1e6) / 2), 2)))"
+)
+
+
+@register(
+    "join_geo_haversine_radius",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey,
+             CAST(('0x' || substring(md5('geo:c:' || CAST(c_custkey AS VARCHAR)), 1, 13))
+                  AS BIGINT) % {_LAT_SPAN} - 60000000 AS lat,
+             CAST(('0x' || substring(md5('geo:C:' || CAST(c_custkey AS VARCHAR)), 1, 13))
+                  AS BIGINT) % {_LON_SPAN} - 180000000 AS lon
+      FROM customer
+    ), s AS (
+      SELECT s_suppkey,
+             CAST(('0x' || substring(md5('geo:s:' || CAST(s_suppkey AS VARCHAR)), 1, 13))
+                  AS BIGINT) % {_LAT_SPAN} - 60000000 AS blat,
+             CAST(('0x' || substring(md5('geo:S:' || CAST(s_suppkey AS VARCHAR)), 1, 13))
+                  AS BIGINT) % {_LON_SPAN} - 180000000 AS blon
+      FROM supplier
+    )
+    SELECT c.c_custkey, s.s_suppkey,
+           (lat - blat) * (lat - blat) + (lon - blon) * (lon - blon) AS d2_mu,
+           CAST(ROUND(({_HAV_KM}) * 10000) AS BIGINT) AS dist_km_e4
+    FROM c CROSS JOIN s
+    WHERE (lat - blat) * (lat - blat) + (lon - blon) * (lon - blon)
+          <= {_EPS_MU2}
+    ORDER BY c_custkey, s_suppkey
+    """,
+    tags=("join", "spatial"),
+)
+def join_geo_haversine_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius join with GREAT-CIRCLE distance reporting: all
+    (customer, supplier) pairs inside the ε = 6° degree-space disk —
+    membership decided by the same pure-BIGINT squared-µ-degree
+    predicate as join_spatial_grid_epsilon, so the row SET is exact and
+    the grid blocking is recall-lossless against the oracle's
+    brute-force cross join — each annotated with the haversine
+    great-circle distance (R⊕ = 6371.0088 km), the real-world
+    measure a geofence/logistics user wants. The trig evaluates from
+    IDENTICAL integer µ-degree inputs through the IDENTICAL formula
+    text in both engines and is reported at e4 fixed point
+    (~0.1 m granularity; libm-vs-JVM sin/cos agree to ~1 ulp, eleven
+    orders of magnitude below the rounding quantum) — membership never
+    depends on a double.
+
+    Scale: the 3×3-cell grid join bounds candidates by local density
+    (SCALE.md documents the ε-join density story); the haversine is a
+    map-side expression over qualifying pairs only."""
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    c = cust.select(
+        F.col("c_custkey").alias("probe_id"),
+        _mu_coord("geo:c:", F.col("c_custkey"), _LAT_SPAN, 60_000_000).alias("lat"),
+        _mu_coord("geo:C:", F.col("c_custkey"), _LON_SPAN, 180_000_000).alias("lon"),
+    )
+    s = supp.select(
+        F.col("s_suppkey").alias("build_id"),
+        _mu_coord("geo:s:", F.col("s_suppkey"), _LAT_SPAN, 60_000_000).alias("lat"),
+        _mu_coord("geo:S:", F.col("s_suppkey"), _LON_SPAN, 180_000_000).alias("lon"),
+    )
+    # grid_epsilon_pairs drops coordinates; rejoin the (tiny) supplier
+    # side and the probe coords for the distance expression. The probe
+    # side re-derives its coords map-side (md5 is cheaper than a
+    # shuffle); the build side broadcasts.
+    pairs = grid_epsilon_pairs(c, s, _EPS_MU)
+    with_c = pairs.join(c.select(F.col("probe_id"), "lat", "lon"), "probe_id")
+    with_both = with_c.join(
+        F.broadcast(
+            s.select(
+                "build_id",
+                F.col("lat").alias("blat"),
+                F.col("lon").alias("blon"),
+            )
+        ),
+        "build_id",
+    )
+    return with_both.select(
+        F.col("probe_id").alias("c_custkey"),
+        F.col("build_id").alias("s_suppkey"),
+        "d2_mu",
+        F.expr(f"CAST(ROUND(({_HAV_KM}) * 10000) AS BIGINT)").alias("dist_km_e4"),
+    ).orderBy("c_custkey", "s_suppkey")
