@@ -97,6 +97,7 @@ def _load() -> None:
         entity,
         evalrank,
         experimentation,
+        finance,
         graph2,
         governance,
         journeys,

@@ -1,0 +1,387 @@
+"""Round-10 market/finance analytics shelf.
+
+The price/volume statistics a trading- or revenue-analytics user runs:
+volume-weighted average price (VWAP), Bollinger-band breakout
+detection, CAPM beta of each brand's revenue series against the
+market, and Herfindahl-Hirschman revenue concentration.
+
+Reference parity note: the reference engine (wizgrao/blow,
+maps/maps.go:8-21) has no aggregation or window surface; this shelf
+extends the product-analytics family (queries/product.py — max
+drawdown, cohort LTV) with the price-series operators it lacks.
+
+Engine-exactness: prices/revenues ride as exact cent BIGINTs; rolling
+means are integer divisions; the Bollinger breakout FLAG is decided by
+a pure-integer inequality (never by a rounded sqrt); CAPM moments use
+the n-scaled integer-numerator trick in DECIMAL(38,0) so the only
+doubles are final single divisions on identical operands.
+
+Scale design: everything aggregates to (brand × day) grain — calendar-
+bounded — before any window; the per-brand windows are partitioned
+(parallel); the market series is a 1-row-per-day broadcast join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from blow_spark.queries import register
+from blow_spark.sources import read_table
+
+
+@register(
+    "finance_vwap_monthly",
+    oracle="""
+    WITH jl AS (
+      SELECT p.p_brand AS brand,
+             date_trunc('month', l.l_shipdate) AS month,
+             CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS price_cents,
+             CAST(l.l_quantity AS BIGINT) AS qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    )
+    SELECT brand, month,
+           CAST(SUM(price_cents * qty) AS BIGINT) AS pv_cents,
+           CAST(SUM(qty) AS BIGINT) AS vol,
+           ROUND(CAST(SUM(price_cents * qty) AS DOUBLE) / SUM(qty) / 100.0, 6)
+             AS vwap
+    FROM jl
+    GROUP BY brand, month
+    ORDER BY brand, month
+    """,
+    tags=("finance", "agg", "lineitem"),
+)
+def finance_vwap_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per (brand, month) — THE execution
+    benchmark of trading systems, here over line-item prices weighted
+    by quantity. Both the price·volume numerator and the volume
+    denominator are exact BIGINTs (cent-scaled price × integer
+    quantity), so the VWAP is one final division of identical integers.
+
+    Scale: one broadcast join (part is the dimension side) + one keyed
+    aggregate to the calendar-bounded (25 brands × months) grain —
+    map-side combinable, no window anywhere. Reference analog: blow
+    (maps/maps.go:8-21) has no grouped aggregation at all."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    jl = li.join(F.broadcast(p), p.p_partkey == li.l_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.date_trunc("month", "l_shipdate").alias("month"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    return (
+        jl.groupBy("brand", "month")
+        .agg(
+            F.sum(F.col("price_cents") * F.col("qty"))
+            .cast("bigint")
+            .alias("pv_cents"),
+            F.sum("qty").cast("bigint").alias("vol"),
+        )
+        .select(
+            "brand",
+            "month",
+            "pv_cents",
+            "vol",
+            F.round(
+                F.col("pv_cents").cast("double") / F.col("vol") / 100.0, 6
+            ).alias("vwap"),
+        )
+        .orderBy("brand", "month")
+    )
+
+
+_BB_N = 20  # Bollinger window length
+
+
+@register(
+    "finance_bollinger_breakouts",
+    oracle=f"""
+    WITH daily AS (
+      SELECT p.p_brand AS brand, CAST(l.l_shipdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ), rolled AS (
+      SELECT brand, day, rev_cents,
+             COUNT(*) OVER w AS n,
+             SUM(rev_cents) OVER w AS s,
+             SUM(CAST(rev_cents AS HUGEINT) * rev_cents) OVER w AS ssq
+      FROM daily
+      WINDOW w AS (PARTITION BY brand ORDER BY day
+                   ROWS BETWEEN {_BB_N - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT brand, CAST(day AS VARCHAR) AS day, rev_cents,
+           CAST(s * 100 // n AS BIGINT) AS mean_cents_x100,
+           CAST(CAST(rev_cents AS HUGEINT) * n - s AS VARCHAR) AS dev_xn,
+           CAST((CAST(rev_cents AS HUGEINT) * n - s)
+                * (CAST(rev_cents AS HUGEINT) * n - s)
+                > 4 * n * (n * ssq - CAST(s AS HUGEINT) * s)
+                AS BIGINT) AS is_breakout,
+           ROUND(SQRT(CAST(n * ssq - CAST(s AS HUGEINT) * s AS DOUBLE))
+                 / n / 100.0, 4) AS sigma_dollars
+    FROM rolled
+    WHERE n = {_BB_N}
+    ORDER BY brand, day
+    """,
+    tags=("finance", "window", "exact"),
+)
+def finance_bollinger_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breakout detection (Bollinger 1980s; the ±2σ
+    rolling envelope) over each brand's daily revenue series, with the
+    breakout FLAG decided by a PURE-INTEGER inequality: |x − µ| > 2σ
+    ⟺ (n·x − S)² > 4·(n·SSq − S²), all BIGINT/DECIMAL — the flag can
+    never flip on a libm sqrt ulp, which matters because a flipped flag
+    changes the row VALUES where a rounded band only drifts. The σ
+    column is reported (not compared against) at 4 decimals.
+
+    Scale: the corpus reduces to (brand × day) calendar-bounded grain
+    in one keyed aggregate; the 20-row rolling window is partitioned by
+    brand (parallel at any width). The n-scaled deviation is also
+    emitted (as text — it exceeds int64 by design) so downstream exact
+    replays don't recompute the window."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    daily = (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("l_shipdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    w = (
+        W.partitionBy("brand")
+        .orderBy("day")
+        .rowsBetween(-(_BB_N - 1), 0)
+    )
+    dec = F.col("rev_cents").cast("decimal(38,0)")
+    rolled = daily.select(
+        "brand",
+        "day",
+        "rev_cents",
+        F.count("*").over(w).alias("n"),
+        F.sum("rev_cents").over(w).alias("s"),
+        F.sum(dec * F.col("rev_cents")).over(w).alias("ssq"),
+    )
+    n, s, ssq = F.col("n"), F.col("s"), F.col("ssq")
+    dev_xn = F.col("rev_cents").cast("decimal(38,0)") * n - s
+    var_xn2 = n.cast("decimal(38,0)") * ssq - s.cast("decimal(38,0)") * s
+    return (
+        rolled.where(n == _BB_N)
+        .select(
+            "brand",
+            F.col("day").cast("string").alias("day"),
+            "rev_cents",
+            F.expr("s * 100 div n").cast("bigint").alias("mean_cents_x100"),
+            dev_xn.cast("decimal(38,0)").cast("string").alias("dev_xn"),
+            (dev_xn * dev_xn > 4 * n.cast("decimal(38,0)") * var_xn2)
+            .cast("bigint")
+            .alias("is_breakout"),
+            F.round(F.sqrt(var_xn2.cast("double")) / n / 100.0, 4).alias(
+                "sigma_dollars"
+            ),
+        )
+        .orderBy("brand", "day")
+    )
+
+
+@register(
+    "finance_capm_beta",
+    oracle="""
+    WITH daily AS (
+      SELECT p.p_brand AS brand, CAST(l.l_shipdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ), market AS (
+      SELECT day, CAST(SUM(rev_cents) AS BIGINT) AS mkt_cents
+      FROM daily GROUP BY day
+    ), brand_r AS (
+      SELECT brand, day,
+             CAST(ROUND((CAST(rev_cents AS DOUBLE)
+                         / LAG(rev_cents) OVER (PARTITION BY brand
+                                                ORDER BY day) - 1.0)
+                        * 1000000000) AS BIGINT) AS r_e9
+      FROM daily
+    ), mkt_r AS (
+      SELECT day,
+             CAST(ROUND((CAST(mkt_cents AS DOUBLE)
+                         / LAG(mkt_cents) OVER (ORDER BY day) - 1.0)
+                        * 1000000000) AS BIGINT) AS m_e9
+      FROM market
+    ), joined AS (
+      SELECT b.brand, b.r_e9, m.m_e9
+      FROM brand_r b JOIN mkt_r m ON b.day = m.day
+      WHERE b.r_e9 IS NOT NULL AND m.m_e9 IS NOT NULL
+    ), moments AS (
+      SELECT brand,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(r_e9) AS BIGINT) AS sx,
+             CAST(SUM(m_e9) AS BIGINT) AS sm,
+             SUM(CAST(r_e9 AS HUGEINT) * m_e9) AS sxm,
+             SUM(CAST(m_e9 AS HUGEINT) * m_e9) AS smm
+      FROM joined GROUP BY brand
+    )
+    SELECT brand, n,
+           ROUND(CAST(n * sxm - CAST(sx AS HUGEINT) * sm AS DOUBLE)
+                 / CAST(n * smm - CAST(sm AS HUGEINT) * sm AS DOUBLE), 6)
+             AS beta
+    FROM moments
+    ORDER BY brand
+    """,
+    tags=("finance", "stats"),
+)
+def finance_capm_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPM beta (Sharpe 1964) of each brand's daily revenue-return
+    series against the all-brand "market" return: β = cov(r, m)/var(m).
+    Returns are single divisions of exact cent integers (IEEE-identical
+    both engines), fix-pointed at e9 per day BEFORE any sum — the house
+    per-term rule — so the moment sums are exact integers (DECIMAL 38
+    for the cross products) and β is one final division of identical
+    operands. Covariance uses the n-scaled numerator identity
+    n·Σxy − Σx·Σy, never a mean subtraction in doubles.
+
+    Scale: (brand × day) and (day) grains are calendar-bounded; the
+    market series joins back by day (broadcast-size). The per-brand
+    LAG windows are partitioned (parallel). Reference analog: none —
+    blow has no windows or joins (SURVEY §2.2)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    daily = (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("l_shipdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    market = daily.groupBy("day").agg(
+        F.sum("rev_cents").cast("bigint").alias("mkt_cents")
+    )
+    brand_r = daily.select(
+        "brand",
+        "day",
+        F.round(
+            (
+                F.col("rev_cents").cast("double")
+                / F.lag("rev_cents").over(W.partitionBy("brand").orderBy("day"))
+                - 1.0
+            )
+            * 1e9
+        )
+        .cast("bigint")
+        .alias("r_e9"),
+    )
+    mkt_r = market.select(
+        "day",
+        F.round(
+            (
+                F.col("mkt_cents").cast("double")
+                / F.lag("mkt_cents").over(W.partitionBy(F.lit(1)).orderBy("day"))
+                - 1.0
+            )
+            * 1e9
+        )
+        .cast("bigint")
+        .alias("m_e9"),
+    )
+    joined = brand_r.join(F.broadcast(mkt_r), "day").where(
+        F.col("r_e9").isNotNull() & F.col("m_e9").isNotNull()
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    moments = joined.groupBy("brand").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("r_e9").cast("bigint").alias("sx"),
+        F.sum("m_e9").cast("bigint").alias("sm"),
+        F.sum(dec("r_e9") * F.col("m_e9")).alias("sxm"),
+        F.sum(dec("m_e9") * F.col("m_e9")).alias("smm"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    cov_num = n * F.col("sxm") - dec("sx") * F.col("sm")
+    var_num = n * F.col("smm") - dec("sm") * F.col("sm")
+    return moments.select(
+        "brand",
+        "n",
+        F.round(cov_num.cast("double") / var_num.cast("double"), 6).alias("beta"),
+    ).orderBy("brand")
+
+
+@register(
+    "finance_herfindahl_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_mktsegment AS segment, o.o_custkey,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ), seg AS (
+      SELECT segment,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(rev_cents) AS BIGINT) AS seg_cents,
+             SUM(CAST(rev_cents AS HUGEINT) * rev_cents) AS sumsq
+      FROM rev GROUP BY segment
+    )
+    SELECT segment, n_customers, seg_cents,
+           CAST(ROUND(CAST(sumsq AS DOUBLE)
+                      / (CAST(seg_cents AS DOUBLE) * seg_cents)
+                      * 1000000) AS BIGINT) AS hhi_e6
+    FROM seg
+    ORDER BY segment
+    """,
+    tags=("finance", "agg"),
+)
+def finance_herfindahl_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per market segment —
+    HHI = Σ (customer share)² of segment revenue, the antitrust/risk
+    measure of how concentrated a revenue base is (monopoly → 1,
+    atomized → 1/n). The identity Σ(sᵢ/S)² = Σsᵢ²/S² keeps everything
+    integral: per-customer revenues are exact cents, their squares sum
+    in DECIMAL(38,0)/HUGEINT, and the index is ONE division of
+    identical operands, fix-pointed at e6.
+
+    Scale: two keyed aggregates (customer grain, then segment grain),
+    both map-side combinable; complements agg_gini_concentration with
+    the other standard concentration functional."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    rev = (
+        o.join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    seg = rev.groupBy("segment").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("rev_cents").cast("bigint").alias("seg_cents"),
+        F.sum(F.col("rev_cents").cast("decimal(38,0)") * F.col("rev_cents")).alias(
+            "sumsq"
+        ),
+    )
+    return seg.select(
+        "segment",
+        "n_customers",
+        "seg_cents",
+        F.round(
+            F.col("sumsq").cast("double")
+            / (F.col("seg_cents").cast("double") * F.col("seg_cents"))
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("hhi_e6"),
+    ).orderBy("segment")
