@@ -385,3 +385,151 @@ def finance_herfindahl_concentration(spark: SparkSession, sf_dir: str) -> DataFr
         .cast("bigint")
         .alias("hhi_e6"),
     ).orderBy("segment")
+
+
+# --------------------------------------------------------------------------
+# Holt linear-trend smoothing as an exact dyadic lag fan (round 10)
+# --------------------------------------------------------------------------
+
+_HOLT_K = 16
+
+
+def _holt_coeffs() -> tuple[list[int], list[int], int]:
+    """Impulse-response coefficients of Holt's linear-trend smoother
+    (α = 1/2, β = 1/4 — dyadic, so every coefficient is an exact binary
+    rational): l_t = Σᵢ hₗ[i]·x_{t−i}, b_t = Σᵢ h_b[i]·x_{t−i} for the
+    zero-init system, truncated at K = 16 lags (tail weight ≈ 0.2% of
+    the unit step). Computed ONCE with exact Fractions and scaled to a
+    common 2⁴⁸ denominator; both engines receive the SAME integer
+    literals, so the smoother is pure fixed-point arithmetic."""
+    from fractions import Fraction as Fr
+
+    A, B = Fr(1, 2), Fr(1, 4)
+    hl, hb = [], []
+    l_prev, b_prev = Fr(0), Fr(0)
+    for t in range(_HOLT_K):
+        x = Fr(1) if t == 0 else Fr(0)
+        lv = A * x + (1 - A) * (l_prev + b_prev)
+        bv = B * (lv - l_prev) + (1 - B) * b_prev
+        hl.append(lv)
+        hb.append(bv)
+        l_prev, b_prev = lv, bv
+    d = 1 << 48
+    cl = [f * d for f in hl]
+    cb = [f * d for f in hb]
+    assert all(c.denominator == 1 for c in cl + cb)
+    return [int(c) for c in cl], [int(c) for c in cb], d
+
+
+_HOLT_CL, _HOLT_CB, _HOLT_D = _holt_coeffs()
+
+
+def _holt_duck_sum(coeffs: list[int]) -> str:
+    return " + ".join(
+        f"CAST({c} AS HUGEINT) * LAG(rev_cents, {i}) OVER w"
+        for i, c in enumerate(coeffs)
+    )
+
+
+@register(
+    "timeseries_holt_linear_dyadic",
+    oracle=f"""
+    WITH daily AS (
+      SELECT p.p_brand AS brand, CAST(l.l_shipdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ), rolled AS (
+      SELECT brand, day, rev_cents,
+             COUNT(*) OVER (PARTITION BY brand ORDER BY day
+                            ROWS BETWEEN {_HOLT_K - 1} PRECEDING
+                            AND CURRENT ROW) AS n,
+             {_holt_duck_sum(_HOLT_CL)} AS level_x,
+             {_holt_duck_sum(_HOLT_CB)} AS trend_x
+      FROM daily
+      WINDOW w AS (PARTITION BY brand ORDER BY day)
+    )
+    SELECT brand, CAST(day AS VARCHAR) AS day, rev_cents,
+           CAST(level_x AS VARCHAR) AS level_x,
+           ROUND(CAST(level_x AS DOUBLE) / {_HOLT_D}.0 / 100.0, 4)
+             AS level_dollars,
+           ROUND(CAST(trend_x AS DOUBLE) / {_HOLT_D}.0 / 100.0, 4)
+             AS trend_dollars,
+           ROUND(CAST(level_x + trend_x AS DOUBLE) / {_HOLT_D}.0 / 100.0, 4)
+             AS forecast_dollars
+    FROM rolled
+    WHERE n = {_HOLT_K}
+    ORDER BY brand, day
+    """,
+    tags=("timeseries", "window", "exact"),
+)
+def timeseries_holt_linear_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing (Holt 1957) over each
+    brand's daily revenue, EXACT: with dyadic gains (α = 1/2, β = 1/4)
+    the level/trend recursion is a linear filter whose impulse response
+    is all binary rationals, so the {_HOLT_K}-lag span-limited smoother
+    becomes a FIXED integer lag fan — Python derives the coefficients
+    once with exact Fractions at a 2⁴⁸ common denominator and injects
+    the SAME literals into both plans (the Holt extension of
+    timeseries_ewma_dyadic's single-state trick; the tail it drops is
+    ≈0.2% of a unit step). Level, trend, and the one-step forecast
+    l + b are DECIMAL/HUGEINT sums of literal×BIGINT products — no
+    recursion, no state, no doubles until the final reporting division.
+
+    Scale: turns an inherently SEQUENTIAL recursion into an ordinary
+    partitioned window (one shuffle on brand, {_HOLT_K} LAGs) — the
+    same reformulation that lets a 1000-executor cluster smooth every
+    series in one pass instead of scanning per-series state in order."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    daily = (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("l_shipdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    w = W.partitionBy("brand").orderBy("day")
+    wn = w.rowsBetween(-(_HOLT_K - 1), 0)
+
+    def fan(coeffs: list[int]):
+        total = None
+        for i, c in enumerate(coeffs):
+            term = F.lit(c).cast("decimal(38,0)") * F.lag("rev_cents", i).over(w)
+            total = term if total is None else total + term
+        return total
+
+    rolled = daily.select(
+        "brand",
+        "day",
+        "rev_cents",
+        F.count("*").over(wn).alias("n"),
+        fan(_HOLT_CL).alias("level_x"),
+        fan(_HOLT_CB).alias("trend_x"),
+    )
+    d = float(_HOLT_D)
+    return (
+        rolled.where(F.col("n") == _HOLT_K)
+        .select(
+            "brand",
+            F.col("day").cast("string").alias("day"),
+            "rev_cents",
+            F.col("level_x").cast("string").alias("level_x"),
+            F.round(F.col("level_x").cast("double") / d / 100.0, 4).alias(
+                "level_dollars"
+            ),
+            F.round(F.col("trend_x").cast("double") / d / 100.0, 4).alias(
+                "trend_dollars"
+            ),
+            F.round(
+                (F.col("level_x") + F.col("trend_x")).cast("double") / d / 100.0, 4
+            ).alias("forecast_dollars"),
+        )
+        .orderBy("brand", "day")
+    )

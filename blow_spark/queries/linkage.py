@@ -1010,3 +1010,96 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+@register(
+    "graph_jaccard_neighbor_linkpred",
+    oracle=f"""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), pdeg AS (
+      SELECT p, COUNT(*) AS d FROM edges GROUP BY p
+    ), kept AS (
+      SELECT e.c, e.p FROM edges e
+      JOIN pdeg USING (p) WHERE pdeg.d <= {_LINKPRED_MAX_DEGREE}
+    ), cdeg AS (
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM kept GROUP BY c
+    ), pairs AS (
+      SELECT a.c AS cust_a, b.c AS cust_b,
+             CAST(COUNT(*) AS BIGINT) AS common_parts
+      FROM kept a JOIN kept b ON a.p = b.p AND a.c < b.c
+      GROUP BY a.c, b.c
+    ), scored AS (
+      SELECT p.cust_a, p.cust_b, p.common_parts,
+             da.d AS deg_a, db.d AS deg_b,
+             CAST(ROUND(CAST(p.common_parts AS DOUBLE)
+                        / (da.d + db.d - p.common_parts) * 1000000)
+                  AS BIGINT) AS jaccard_e6
+      FROM pairs p
+      JOIN cdeg da ON da.c = p.cust_a
+      JOIN cdeg db ON db.c = p.cust_b
+    )
+    SELECT cust_a, cust_b, common_parts, deg_a, deg_b, jaccard_e6
+    FROM scored
+    ORDER BY jaccard_e6 DESC, cust_a, cust_b
+    LIMIT 50
+    """,
+    tags=("graph", "linkpred", "join"),
+)
+def graph_jaccard_neighbor_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-coefficient link prediction (Liben-Nowell & Kleinberg
+    CIKM'03) on the customer—part purchase graph: score customer pairs
+    by |N(a)∩N(b)| / |N(a)∪N(b)| — the DEGREE-normalized variant of
+    graph_common_neighbors_linkpred, which stops high-degree customers
+    from dominating the ranking by raw overlap alone. The union size
+    comes from the inclusion-exclusion identity |A∪B| = dₐ + d_b −
+    |A∩B| (two broadcastable degree joins, no second pair join);
+    the score is one division of exact BIGINTs, fix-pointed at e6 so
+    the top-50 order (jaccard_e6 DESC, cust_a, cust_b) is provably
+    total in both engines.
+
+    Scale: identical hub-blocking posture to the common-neighbors
+    query (parts over {_LINKPRED_MAX_DEGREE} buyers dropped; fan-out
+    ≤ d·|edges| by construction — see that query's docstring and the
+    SCALE.md linkpred slope row); the degree table is customer-grain
+    and joins map-side."""
+    edges = _purchase_edges(spark, sf_dir)
+    pdeg = edges.groupBy("p").agg(F.count("*").alias("d"))
+    kept = edges.join(
+        pdeg.filter(F.col("d") <= _LINKPRED_MAX_DEGREE).select("p"), "p"
+    )
+    cdeg = kept.groupBy("c").agg(F.count("*").cast("bigint").alias("d"))
+    a = kept.select(F.col("c").alias("cust_a"), "p")
+    b = kept.select(F.col("c").alias("cust_b"), "p")
+    pairs = (
+        a.join(b, "p")
+        .filter(F.col("cust_a") < F.col("cust_b"))
+        .groupBy("cust_a", "cust_b")
+        .agg(F.count("*").cast("bigint").alias("common_parts"))
+    )
+    scored = (
+        pairs.join(
+            cdeg.select(F.col("c").alias("cust_a"), F.col("d").alias("deg_a")),
+            "cust_a",
+        )
+        .join(
+            cdeg.select(F.col("c").alias("cust_b"), F.col("d").alias("deg_b")),
+            "cust_b",
+        )
+        .select(
+            "cust_a",
+            "cust_b",
+            "common_parts",
+            "deg_a",
+            "deg_b",
+            F.round(
+                F.col("common_parts").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common_parts"))
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("jaccard_e6"),
+        )
+    )
+    return scored.orderBy(F.desc("jaccard_e6"), "cust_a", "cust_b").limit(50)

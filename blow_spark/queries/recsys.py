@@ -16,6 +16,7 @@ basket (basket_part_pairs, basket_association_rules) and iterative
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from blow_spark.queries import register
@@ -424,3 +425,107 @@ def rank_bradley_terry_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("iteration")
+
+
+_COVIS_TOPK = 25
+# Brand-grain items: order "baskets" are the distinct brands in each
+# order; transitions pair a basket with the SAME customer's next order.
+# Brand grain keeps the per-adjacent-pair fan-out ≤ |brands in a|·
+# |brands in b| ≤ 25·25 regardless of corpus size (part grain would be
+# bounded too — ~7 lines/order — but brand grain also makes the result
+# non-sparse at the small gate SFs).
+
+
+@register(
+    "recsys_covisitation_next_item",
+    oracle=f"""
+    WITH seq AS (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rnk
+      FROM orders
+    ), basket AS (
+      SELECT s.o_custkey, s.rnk, p.p_brand AS brand
+      FROM seq s
+      JOIN lineitem l ON l.l_orderkey = s.o_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2, 3
+    ), trans AS (
+      SELECT a.brand AS brand_from, b.brand AS brand_to,
+             CAST(COUNT(*) AS BIGINT) AS n_trans
+      FROM basket a
+      JOIN basket b ON b.o_custkey = a.o_custkey AND b.rnk = a.rnk + 1
+      GROUP BY 1, 2
+    ), outdeg AS (
+      SELECT brand_from, CAST(SUM(n_trans) AS BIGINT) AS n_from
+      FROM trans GROUP BY brand_from
+    )
+    SELECT t.brand_from, t.brand_to, t.n_trans, o.n_from,
+           CAST(ROUND(CAST(t.n_trans AS DOUBLE) / o.n_from * 1000000)
+                AS BIGINT) AS p_next_e6
+    FROM trans t JOIN outdeg o USING (brand_from)
+    ORDER BY t.n_trans DESC, t.brand_from, t.brand_to
+    LIMIT {_COVIS_TOPK}
+    """,
+    tags=("recsys", "graph", "sequence"),
+)
+def recsys_covisitation_next_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-item covisitation counts — the transition statistics behind
+    session-based "customers who bought X next bought Y" recommenders
+    (the Markov-chain baseline; also the candidate generator of the
+    covisitation-matrix approach that dominates e-commerce recsys
+    leaderboards): each customer's orders are sequenced, each order's
+    distinct-brand basket is paired with the SAME customer's NEXT
+    basket, and transitions aggregate to (brand_from, brand_to) counts
+    with the row-conditional next-purchase probability at e6 fixed
+    point (one division of exact BIGINTs). Top-{_COVIS_TOPK} by a
+    provably total order.
+
+    Scale: sequencing is a partitioned (parallel) per-customer window;
+    adjacent-basket pairing is an equi-join on (custkey, rnk) — NO
+    range join, no session explosion — and the per-pair fan-out is
+    capped by the 25-brand domain on each side. The transition matrix
+    itself is ≤ 25×25 rows at any corpus size, so the normalizing join
+    is map-side."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    seq = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number()
+        .over(W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+        .alias("rnk"),
+    )
+    basket = (
+        seq.join(li, li.l_orderkey == seq.o_orderkey)
+        .join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .select("o_custkey", "rnk", F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    a = basket.select("o_custkey", "rnk", F.col("brand").alias("brand_from"))
+    b = basket.select(
+        "o_custkey", (F.col("rnk") - 1).alias("rnk"), F.col("brand").alias("brand_to")
+    )
+    trans = (
+        a.join(b, ["o_custkey", "rnk"])
+        .groupBy("brand_from", "brand_to")
+        .agg(F.count("*").cast("bigint").alias("n_trans"))
+    )
+    outdeg = trans.groupBy("brand_from").agg(
+        F.sum("n_trans").cast("bigint").alias("n_from")
+    )
+    return (
+        trans.join(F.broadcast(outdeg), "brand_from")
+        .select(
+            "brand_from",
+            "brand_to",
+            "n_trans",
+            "n_from",
+            F.round(F.col("n_trans").cast("double") / F.col("n_from") * 1e6)
+            .cast("bigint")
+            .alias("p_next_e6"),
+        )
+        .orderBy(F.desc("n_trans"), "brand_from", "brand_to")
+        .limit(_COVIS_TOPK)
+    )

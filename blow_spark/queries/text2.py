@@ -1163,3 +1163,104 @@ def text_flesch_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("flesch_e6"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Per-source length-distribution KL divergence (round 10)
+# --------------------------------------------------------------------------
+
+_KL_BUCKET = 50  # n_chars bucket width → ≤ ~12 buckets over the fixture domain
+
+
+@register(
+    "corpus_length_kl_by_source",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT source, n_chars // {_KL_BUCKET} AS bucket FROM documents
+    ), per_src AS (
+      SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM bucketed GROUP BY source, bucket
+    ), src_tot AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n_src FROM per_src
+      GROUP BY source
+    ), gbl AS (
+      SELECT bucket, CAST(SUM(c) AS BIGINT) AS g FROM per_src GROUP BY bucket
+    ), gbl_tot AS (
+      SELECT CAST(SUM(g) AS BIGINT) AS n_all FROM gbl
+    ), terms AS (
+      SELECT p.source,
+             CAST(ROUND(CAST(p.c AS DOUBLE) / t.n_src
+                        * LN(CAST(p.c AS DOUBLE) * gt.n_all
+                             / (CAST(g.g AS DOUBLE) * t.n_src))
+                        * 1000000000) AS BIGINT) AS term_e9
+      FROM per_src p
+      JOIN src_tot t USING (source)
+      JOIN gbl g USING (bucket)
+      CROSS JOIN gbl_tot gt
+    )
+    SELECT source, CAST(SUM(term_e9) AS BIGINT) AS kl_e9_sum,
+           ROUND(CAST(SUM(term_e9) AS DOUBLE) / 1e9, 6) AS kl_nats
+    FROM terms GROUP BY source
+    ORDER BY source
+    """,
+    tags=("corpus", "text", "stats"),
+)
+def corpus_length_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's document-length distribution from
+    the corpus-wide distribution, over {_KL_BUCKET}-char buckets — the
+    data-mix drift diagnostic a pretraining pipeline runs per ingest
+    (is this source's length profile unusual?); KL(p‖q) in nats via
+    Σ p·ln(p/q). The log argument collapses to a ratio of four exact
+    BIGINTs (c·N / (g·n_src)), each term is ONE division + one log,
+    fix-pointed at e9 per (source, bucket) cell — the bucket domain is
+    bounded (≤ ~12 cells per source at any corpus size), so the
+    per-term sums are exact integers in both engines. Every source
+    bucket's mass is a subset of the global bucket's, so q > 0 wherever
+    p > 0 — no smoothing needed by construction.
+
+    Scale: one (source, bucket)-keyed count reduces the corpus; the
+    global marginals re-aggregate that cell table (bounded), and the
+    1-row corpus total broadcasts. Complements drift_psi_by_source
+    (PSI on a different feature axis) with the information-theoretic
+    functional."""
+    d = read_table(spark, sf_dir, "documents")
+    per_src = (
+        d.select("source", F.expr(f"n_chars div {_KL_BUCKET}").alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    src_tot = per_src.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_src")
+    )
+    glob = per_src.groupBy("bucket").agg(F.sum("c").cast("bigint").alias("g"))
+    glob_tot = glob.agg(F.sum("g").cast("bigint").alias("n_all"))
+    terms = (
+        per_src.join(F.broadcast(src_tot), "source")
+        .join(F.broadcast(glob), "bucket")
+        .crossJoin(F.broadcast(glob_tot))
+        .select(
+            "source",
+            F.round(
+                F.col("c").cast("double")
+                / F.col("n_src")
+                * F.log(
+                    F.col("c").cast("double")
+                    * F.col("n_all")
+                    / (F.col("g").cast("double") * F.col("n_src"))
+                )
+                * 1e9
+            )
+            .cast("bigint")
+            .alias("term_e9"),
+        )
+    )
+    return (
+        terms.groupBy("source")
+        .agg(F.sum("term_e9").cast("bigint").alias("kl_e9_sum"))
+        .select(
+            "source",
+            "kl_e9_sum",
+            F.round(F.col("kl_e9_sum").cast("double") / 1e9, 6).alias("kl_nats"),
+        )
+        .orderBy("source")
+    )

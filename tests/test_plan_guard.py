@@ -96,6 +96,10 @@ WHITELIST = {
     "ml_quantile_normalize": 2,     # the same domain-bounded histogram
                                     # feeds the rank-interval map and its
                                     # n_all scalar, duplicating the branch
+    # Calendar-bounded: the market-return LAG runs over the DAY-grain
+    # market series (one row per calendar day — same class as the
+    # CUSUM/Kaplan-Meier day tables above).
+    "finance_capm_beta": 1,
 }
 
 
