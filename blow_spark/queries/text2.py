@@ -1264,3 +1264,198 @@ def corpus_length_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# WordPiece greedy longest-match tokenizer (round 10)
+# --------------------------------------------------------------------------
+
+_WP_MAX_WORD = 12
+_WP_MAX_PIECE = 4
+_WP_VOCAB_K = 200  # multi-char vocab entries (all single chars always kept)
+_WP_TOPK = 40
+
+_WP_POSITIONS = [
+    (i, l)
+    for i in range(1, _WP_MAX_WORD + 1)
+    for l in range(1, _WP_MAX_PIECE + 1)
+    if i + l - 1 <= _WP_MAX_WORD
+]
+
+
+def _wp_oracle_sql() -> str:
+    """Unrolled greedy longest-match chain: one MATERIALIZED CTE per
+    consume step (each step eats ≥1 char, so ⌈max_word⌉ steps suffice),
+    mirroring the Spark side's per-step spill — the same inline-vs-
+    materialize lesson the unigram Viterbi oracle learned."""
+    pos_values = ", ".join(f"({i}, {l})" for i, l in _WP_POSITIONS)
+    ctes = [
+        f"""tok AS MATERIALIZED (
+      SELECT UNNEST(string_split(text, ' ')) AS word FROM documents
+    )""",
+        f"""wf AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS wf FROM tok
+      WHERE word <> '' AND LENGTH(word) <= {_WP_MAX_WORD}
+      GROUP BY word
+    )""",
+        f"""pospairs(i, l) AS (VALUES {pos_values})""",
+        """piece_occ AS MATERIALIZED (
+      SELECT CASE WHEN p.i = 1 THEN substring(w.word, p.i, p.l)
+                  ELSE '##' || substring(w.word, p.i, p.l) END AS key,
+             p.l AS l,
+             CAST(SUM(w.wf) AS BIGINT) AS cnt
+      FROM wf w JOIN pospairs p ON p.i + p.l - 1 <= LENGTH(w.word)
+      GROUP BY 1, 2
+    )""",
+        f"""vocab AS MATERIALIZED (
+      SELECT key, l FROM piece_occ WHERE l = 1
+      UNION
+      SELECT key, l FROM (
+        SELECT key, l FROM piece_occ WHERE l > 1
+        ORDER BY cnt DESC, key LIMIT {_WP_VOCAB_K}
+      )
+    )""",
+        """s0 AS MATERIALIZED (
+      SELECT word, 1 AS pos, '' AS seg FROM wf
+    )""",
+    ]
+    prev = "s0"
+    for k in range(1, _WP_MAX_WORD + 1):
+        ctes.append(
+            f"""s{k} AS MATERIALIZED (
+      SELECT s.word,
+             CASE WHEN s.pos > LENGTH(s.word) THEN s.pos
+                  ELSE s.pos + MAX(v.l) END AS pos,
+             CASE WHEN s.pos > LENGTH(s.word) THEN s.seg
+                  ELSE s.seg || ' ' || arg_max(v.key, v.l) END AS seg
+      FROM {prev} s
+      LEFT JOIN pospairs p
+        ON p.i = 1 AND s.pos + p.l - 1 <= LENGTH(s.word)
+        AND s.pos <= LENGTH(s.word)
+      LEFT JOIN vocab v
+        ON v.key = CASE WHEN s.pos = 1
+                        THEN substring(s.word, s.pos, p.l)
+                        ELSE '##' || substring(s.word, s.pos, p.l) END
+        AND v.l = p.l
+      GROUP BY s.word, s.pos, s.seg
+    )"""
+        )
+        prev = f"s{k}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT w.word, w.wf,
+           CAST(LENGTH(s.seg) - LENGTH(REPLACE(s.seg, ' ', ''))
+                AS BIGINT) AS n_pieces,
+           TRIM(s.seg) AS segmentation
+    FROM {prev} s JOIN wf w ON w.word = s.word
+    ORDER BY w.wf DESC, w.word
+    LIMIT {_WP_TOPK}"""
+    )
+
+
+@register(
+    "tokenizer_wordpiece_greedy",
+    oracle=_wp_oracle_sql(),
+    tags=("tokenizer", "text", "corpus"),
+)
+def tokenizer_wordpiece_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece greedy longest-match-first tokenization (Wu et al.
+    2016, the BERT tokenizer) — the third member of the tokenizer trio
+    next to BPE (tokenizer_bpe_merges) and unigram-LM Viterbi
+    (tokenizer_unigram_viterbi_segment): a data-derived vocabulary of
+    word-initial and '##'-continuation pieces (all single characters
+    plus the top-{_WP_VOCAB_K} multi-char pieces by corpus-weighted
+    frequency, ties broken lexically), then each word consumed left to
+    right taking the LONGEST vocab piece at each position. Because
+    every single character is in the vocabulary by construction, no
+    word hits UNK and each step consumes ≥ 1 char, so
+    {_WP_MAX_WORD} unrolled steps segment every word exactly.
+
+    Scale: all state is WORD-grain — the distinct-word table, never the
+    corpus (the corpus is touched once, for frequencies). Each step is
+    one broadcast join against the bounded vocabulary + one word-keyed
+    max_by aggregate, SPILLED per step (materialize.spill_to_parquet):
+    the naive 12-step lazy chain re-derives every prior step per
+    reference — the same plan-inlining blowup the Viterbi DP measured
+    and avoided, and the oracle mirrors with MATERIALIZED CTEs.
+    Greedy selection is exact integer/string logic — no doubles
+    anywhere, so the driver hash pins the entire matcher."""
+    from blow_spark.materialize import spill_to_parquet
+
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(F.col("text"), " ")).alias("word")).where(
+        (F.col("word") != "") & (F.length("word") <= _WP_MAX_WORD)
+    )
+    wf = spill_to_parquet(
+        tok.groupBy("word").agg(F.count("*").cast("bigint").alias("wf")),
+        "blow_spark_wp_wf_",
+    )
+    pos_df = spark.createDataFrame(_WP_POSITIONS, "i int, l int")
+    key_expr = F.when(
+        F.col("i") == 1, F.expr("substring(word, i, l)")
+    ).otherwise(F.concat(F.lit("##"), F.expr("substring(word, i, l)")))
+    piece_occ = (
+        wf.join(
+            F.broadcast(pos_df),
+            F.col("i") + F.col("l") - 1 <= F.length("word"),
+        )
+        .groupBy(key_expr.alias("key"), "l")
+        .agg(F.sum("wf").cast("bigint").alias("cnt"))
+    )
+    singles = piece_occ.where(F.col("l") == 1).select("key", "l")
+    multi = (
+        piece_occ.where(F.col("l") > 1)
+        .orderBy(F.desc("cnt"), "key")
+        .limit(_WP_VOCAB_K)
+        .select("key", "l")
+    )
+    vocab = spill_to_parquet(singles.union(multi).distinct(), "blow_spark_wp_vocab_")
+
+    state = wf.select("word", F.lit(1).alias("pos"), F.lit("").alias("seg"))
+    for _k in range(_WP_MAX_WORD):
+        active = state.where(F.col("pos") <= F.length("word"))
+        finished = state.where(F.col("pos") > F.length("word"))
+        cand = active.join(
+            F.broadcast(pos_df.where(F.col("i") == 1).select("l")),
+            F.col("pos") + F.col("l") - 1 <= F.length("word"),
+        ).select(
+            "word",
+            "pos",
+            "seg",
+            "l",
+            F.when(
+                F.col("pos") == 1, F.expr("substring(word, pos, l)")
+            )
+            .otherwise(F.concat(F.lit("##"), F.expr("substring(word, pos, l)")))
+            .alias("key"),
+        )
+        matched = cand.join(F.broadcast(vocab), ["key", "l"])
+        stepped = matched.groupBy("word", "pos", "seg").agg(
+            F.max("l").alias("best_l"),
+            F.max_by("key", "l").alias("best_key"),
+        )
+        advanced = stepped.select(
+            "word",
+            (F.col("pos") + F.col("best_l")).alias("pos"),
+            F.concat(F.col("seg"), F.lit(" "), F.col("best_key")).alias("seg"),
+        )
+        state = spill_to_parquet(
+            finished.union(advanced), f"blow_spark_wp_s{_k}_"
+        )
+    return (
+        state.join(wf, "word")
+        .select(
+            "word",
+            "wf",
+            (
+                F.length("seg") - F.length(F.replace(F.col("seg"), F.lit(" ")))
+            )
+            .cast("bigint")
+            .alias("n_pieces"),
+            F.trim(F.col("seg")).alias("segmentation"),
+        )
+        .orderBy(F.desc("wf"), "word")
+        .limit(_WP_TOPK)
+    )
