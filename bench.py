@@ -286,6 +286,23 @@ HEADLINE = [
     "timeseries_exponential_smoothing",
     "sample_neyman_allocation",
     "text_flesch_reading_ease",
+    # round 10: the evaluation/ranking shelf, ML primitives, geo shelf,
+    # finance shelf, WordPiece tokenizer, and the zero-decode PNG
+    # header parse — all EXTENDED tier (CORE stays stable)
+    "eval_roc_auc_exact",
+    "eval_ndcg_at_k",
+    "ml_tree_split_gini",
+    "ml_quantile_normalize",
+    "scalar_geohash_encode",
+    "join_geo_haversine_radius",
+    "finance_bollinger_breakouts",
+    "finance_capm_beta",
+    "timeseries_holt_linear_dyadic",
+    "graph_jaccard_neighbor_linkpred",
+    "recsys_covisitation_next_item",
+    "tokenizer_wordpiece_greedy",
+    "multimodal_png_header_meta",
+    "corpus_length_kl_by_source",
 ]
 
 

@@ -253,9 +253,13 @@ def finance_capm_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     market series joins back by day (broadcast-size). The per-brand
     LAG windows are partitioned (parallel). Reference analog: none —
     blow has no windows or joins (SURVEY §2.2)."""
+    from blow_spark.materialize import spill_to_parquet
+
     li = read_table(spark, sf_dir, "lineitem")
     p = read_table(spark, sf_dir, "part")
-    daily = (
+    # the daily grain feeds both the brand-return and market branches;
+    # spilled so the lineitem scan + join + aggregate runs once
+    daily = spill_to_parquet(
         li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
         .groupBy(
             F.col("p_brand").alias("brand"),
@@ -265,7 +269,8 @@ def finance_capm_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
             .cast("bigint")
             .alias("rev_cents")
-        )
+        ),
+        "blow_spark_capm_daily_",
     )
     market = daily.groupBy("day").agg(
         F.sum("rev_cents").cast("bigint").alias("mkt_cents")

@@ -1064,10 +1064,17 @@ def graph_jaccard_neighbor_linkpred(spark: SparkSession, sf_dir: str) -> DataFra
     ≤ d·|edges| by construction — see that query's docstring and the
     SCALE.md linkpred slope row); the degree table is customer-grain
     and joins map-side."""
+    from blow_spark.materialize import spill_to_parquet
+
     edges = _purchase_edges(spark, sf_dir)
     pdeg = edges.groupBy("p").agg(F.count("*").alias("d"))
-    kept = edges.join(
-        pdeg.filter(F.col("d") <= _LINKPRED_MAX_DEGREE).select("p"), "p"
+    # kept feeds three branches (degree census + both self-join sides);
+    # spilled so the degree-block join runs once
+    kept = spill_to_parquet(
+        edges.join(
+            pdeg.filter(F.col("d") <= _LINKPRED_MAX_DEGREE).select("p"), "p"
+        ),
+        "blow_spark_jacc_kept_",
     )
     cdeg = kept.groupBy("c").agg(F.count("*").cast("bigint").alias("d"))
     a = kept.select(F.col("c").alias("cust_a"), "p")

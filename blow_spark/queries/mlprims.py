@@ -228,13 +228,21 @@ def ml_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     gcounts = d.groupBy(F.col("n_chars").alias("v")).agg(
         F.count("*").cast("bigint").alias("tot")
     )
+    from blow_spark.materialize import spill_to_parquet
+
     w_cum = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
     w_all = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    gmap = gcounts.select(
-        "v",
-        (F.sum("tot").over(w_cum) - F.col("tot") + 1).alias("lo"),
-        F.sum("tot").over(w_cum).alias("hi"),
-        F.sum("tot").over(w_all).alias("n_all"),
+    # the domain-bounded rank-interval map feeds two branches (the
+    # n_all scalar and the interval join); spilled so the histogram
+    # scan + cumulative window runs once
+    gmap = spill_to_parquet(
+        gcounts.select(
+            "v",
+            (F.sum("tot").over(w_cum) - F.col("tot") + 1).alias("lo"),
+            F.sum("tot").over(w_cum).alias("hi"),
+            F.sum("tot").over(w_all).alias("n_all"),
+        ),
+        "blow_spark_qnorm_gmap_",
     )
     src = d.select(
         "doc_id",

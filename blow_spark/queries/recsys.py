@@ -497,11 +497,17 @@ def recsys_covisitation_next_item(spark: SparkSession, sf_dir: str) -> DataFrame
         .over(W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
         .alias("rnk"),
     )
-    basket = (
+    from blow_spark.materialize import spill_to_parquet
+
+    # the basket frame feeds BOTH self-join sides; spilled so the
+    # 3-table join + distinct isn't re-derived per reference (the same
+    # lesson as linkage._purchase_edges)
+    basket = spill_to_parquet(
         seq.join(li, li.l_orderkey == seq.o_orderkey)
         .join(F.broadcast(p), p.p_partkey == li.l_partkey)
         .select("o_custkey", "rnk", F.col("p_brand").alias("brand"))
-        .distinct()
+        .distinct(),
+        "blow_spark_covis_basket_",
     )
     a = basket.select("o_custkey", "rnk", F.col("brand").alias("brand_from"))
     b = basket.select(

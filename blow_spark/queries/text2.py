@@ -1223,11 +1223,16 @@ def corpus_length_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row corpus total broadcasts. Complements drift_psi_by_source
     (PSI on a different feature axis) with the information-theoretic
     functional."""
+    from blow_spark.materialize import spill_to_parquet
+
     d = read_table(spark, sf_dir, "documents")
-    per_src = (
+    # the cell table feeds three branches (terms, per-source totals,
+    # global marginals); spilled so the corpus scan+count runs once
+    per_src = spill_to_parquet(
         d.select("source", F.expr(f"n_chars div {_KL_BUCKET}").alias("bucket"))
         .groupBy("source", "bucket")
-        .agg(F.count("*").cast("bigint").alias("c"))
+        .agg(F.count("*").cast("bigint").alias("c")),
+        "blow_spark_kl_cells_",
     )
     src_tot = per_src.groupBy("source").agg(
         F.sum("c").cast("bigint").alias("n_src")

@@ -93,9 +93,9 @@ WHITELIST = {
     "stats_cramers_v": 1,           # grand-total window over ≤25 cells
     "ml_tree_split_gini": 1,        # prefix sums over the n_chars value
                                     # domain (histogram-algorithm grain)
-    "ml_quantile_normalize": 2,     # the same domain-bounded histogram
-                                    # feeds the rank-interval map and its
-                                    # n_all scalar, duplicating the branch
+    # (ml_quantile_normalize's domain-bounded cumulative window lives
+    # inside its spilled rank-interval map, so the returned plan is
+    # window-free — same convention as the other spill-backed queries)
     # Calendar-bounded: the market-return LAG runs over the DAY-grain
     # market series (one row per calendar day — same class as the
     # CUSUM/Kaplan-Meier day tables above).
@@ -380,6 +380,25 @@ BENCH_EXCHANGE_PINS = {
     "sample_neyman_allocation": (8, 4),
     # map-only regexp counts, one ORDER BY
     "text_flesch_reading_ease": (1, 0),
+    # round 10: value-domain histogram shelves (eval/ML), the geo pair,
+    # the finance shelf, and the spill-backed multi-reference plans
+    # (covisitation/jaccard/KL/quantile-normalize return scans over
+    # their spilled shared frames — internal shuffles are pinned by
+    # their oracle + property tests, same convention as dedup_minhash)
+    "eval_roc_auc_exact": (2, 0),
+    "eval_ndcg_at_k": (2, 0),
+    "ml_tree_split_gini": (2, 0),
+    "ml_quantile_normalize": (3, 2),
+    "scalar_geohash_encode": (1, 0),
+    "join_geo_haversine_radius": (1, 3),
+    "finance_bollinger_breakouts": (3, 1),
+    "finance_capm_beta": (4, 1),
+    "timeseries_holt_linear_dyadic": (3, 1),
+    "graph_jaccard_neighbor_linkpred": (3, 3),
+    "recsys_covisitation_next_item": (3, 3),
+    "tokenizer_wordpiece_greedy": (0, 1),
+    "multimodal_png_header_meta": (1, 0),
+    "corpus_length_kl_by_source": (6, 3),
 }
 
 
