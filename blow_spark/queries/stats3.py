@@ -23,6 +23,7 @@ identical integer operands are IEEE-identical across engines.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from blow_spark.queries import register
@@ -930,3 +931,232 @@ def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "threshold_e6",
         (F.col("c_e6") > F.col("threshold_e6")).alias("in_alarm"),
     ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# Tukey fences outlier census (round 10)
+# --------------------------------------------------------------------------
+
+_TK_BUCKET = 10000  # $100 buckets (cent-integer div) — fixed price domain
+
+
+@register(
+    "stats_tukey_fences_outliers",
+    oracle=f"""
+    WITH b AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) // {_TK_BUCKET} AS bkt
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), hist AS (
+      SELECT segment, bkt, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM b GROUP BY segment, bkt
+    ), cum AS (
+      SELECT segment, bkt, cnt,
+             SUM(cnt) OVER (PARTITION BY segment ORDER BY bkt) AS c,
+             SUM(cnt) OVER (PARTITION BY segment) AS n
+      FROM hist
+    ), q AS (
+      SELECT segment, CAST(MAX(n) AS BIGINT) AS n,
+             CAST(MIN(CASE WHEN 4 * c >= n THEN bkt END) AS BIGINT) AS q1_b,
+             CAST(MIN(CASE WHEN 4 * c >= 3 * n THEN bkt END) AS BIGINT)
+               AS q3_b
+      FROM cum GROUP BY segment
+    )
+    SELECT q.segment, q.n, q.q1_b, q.q3_b,
+           CAST(COALESCE(SUM(CASE WHEN 2 * h.bkt < 5 * q.q1_b - 3 * q.q3_b
+                                  THEN h.cnt END), 0) AS BIGINT)
+             AS n_low_outliers,
+           CAST(COALESCE(SUM(CASE WHEN 2 * h.bkt > 5 * q.q3_b - 3 * q.q1_b
+                                  THEN h.cnt END), 0) AS BIGINT)
+             AS n_high_outliers
+    FROM q JOIN hist h ON h.segment = q.segment
+    GROUP BY q.segment, q.n, q.q1_b, q.q3_b
+    ORDER BY q.segment
+    """,
+    tags=("stats", "outlier", "exact"),
+)
+def stats_tukey_fences_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey boxplot-fence outlier census per market segment (Tukey,
+    EDA 1977): order totals bucketed to the fixed $100 grid, type-1
+    quartiles read off the per-segment cumulative histogram (4·cum ≥ n
+    and 4·cum ≥ 3n — integer inequalities, no interpolation), and the
+    1.5·IQR fences applied as PURE-INTEGER inequalities — x < Q1 −
+    1.5(Q3−Q1) ⟺ 2x < 5·Q1 − 3·Q3 — so the outlier counts can never
+    flip on a double. The bucket DOMAIN is fixed by the price model
+    (≤ ~6000 buckets), not by corpus size.
+
+    Scale: one keyed count reduces the corpus to (segment × bucket)
+    cells; the cumulative windows are partitioned by segment over the
+    bounded bucket domain; the fence census re-joins the tiny histogram
+    — no per-row quantile buffering anywhere (the same
+    histogram-quantile discipline as orders_interpurchase_percentiles)."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    b = o.join(F.broadcast(c), c.c_custkey == o.o_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.expr(
+            f"CAST(ROUND(o_totalprice * 100) AS BIGINT) div {_TK_BUCKET}"
+        ).alias("bkt"),
+    )
+    from blow_spark.materialize import spill_to_parquet
+
+    hist = spill_to_parquet(
+        b.groupBy("segment", "bkt").agg(F.count("*").cast("bigint").alias("cnt")),
+        "blow_spark_tukey_hist_",
+    )
+    wseg = W.partitionBy("segment").orderBy("bkt")
+    cum = hist.select(
+        "segment",
+        "bkt",
+        "cnt",
+        F.sum("cnt").over(wseg.rowsBetween(W.unboundedPreceding, 0)).alias("c"),
+        F.sum("cnt").over(W.partitionBy("segment")).alias("n"),
+    )
+    q = cum.groupBy("segment").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.min(F.when(4 * F.col("c") >= F.col("n"), F.col("bkt")))
+        .cast("bigint")
+        .alias("q1_b"),
+        F.min(F.when(4 * F.col("c") >= 3 * F.col("n"), F.col("bkt")))
+        .cast("bigint")
+        .alias("q3_b"),
+    )
+    return (
+        q.join(hist.select("segment", "bkt", "cnt"), "segment")
+        .groupBy("segment", "n", "q1_b", "q3_b")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        2 * F.col("bkt") < 5 * F.col("q1_b") - 3 * F.col("q3_b"),
+                        F.col("cnt"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_low_outliers"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        2 * F.col("bkt") > 5 * F.col("q3_b") - 3 * F.col("q1_b"),
+                        F.col("cnt"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_high_outliers"),
+        )
+        .orderBy("segment")
+    )
+
+
+# --------------------------------------------------------------------------
+# Seasonal-strength diagnostic (round 10)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "timeseries_seasonal_strength",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1, 2
+    ), dowm AS (
+      SELECT dow, CAST(SUM(x) AS BIGINT) AS s_d, CAST(COUNT(*) AS BIGINT)
+               AS n_d
+      FROM daily GROUP BY dow
+    ), tot AS (
+      SELECT CAST(SUM(x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      FROM daily
+    ), terms AS (
+      SELECT CAST(ROUND((CAST(d.x AS DOUBLE) * m.n_d - m.s_d) / m.n_d
+                        / 100.0 * 10000) AS BIGINT) AS r_e4,
+             CAST(ROUND((CAST(d.x AS DOUBLE) * t.n - t.s) / t.n
+                        / 100.0 * 10000) AS BIGINT) AS d_e4
+      FROM daily d JOIN dowm m USING (dow) CROSS JOIN tot t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CAST(r_e4 AS HUGEINT) * r_e4) AS VARCHAR) AS ss_resid,
+           CAST(SUM(CAST(d_e4 AS HUGEINT) * d_e4) AS VARCHAR) AS ss_total,
+           ROUND(1.0 - CAST(SUM(CAST(r_e4 AS HUGEINT) * r_e4) AS DOUBLE)
+                       / CAST(SUM(CAST(d_e4 AS HUGEINT) * d_e4) AS DOUBLE),
+                 6) AS seasonal_strength
+    FROM terms
+    """,
+    tags=("timeseries", "stats"),
+)
+def timeseries_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-strength diagnostic F_s = 1 − SS(resid)/SS(detrended)
+    (Hyndman & Athanasopoulos, "Forecasting: P&P" §12 — the measure STL
+    dashboards report) for the weekly cycle of daily order revenue
+    under the additive day-of-week model: residual = x − dow-mean,
+    detrended = x − grand mean. Both deviations are single divisions of
+    exact cent integers ((x·n_d − S_d)/n_d — the n-scaled identity, no
+    mean subtraction in accumulated doubles), fix-pointed at e4 dollars
+    per DAY before the square-sums, which ride HUGEINT/DECIMAL so the
+    whole statistic is one final division.
+
+    Scale: the corpus reduces to the calendar-bounded day grain in one
+    keyed aggregate; the 7-row DOW means and the 1-row total broadcast.
+    Complements timeseries_seasonal_decompose (which emits the
+    components) with the one-number strength readout."""
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.dayofweek("o_orderdate").cast("bigint").alias("dow"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    dowm = daily.groupBy("dow").agg(
+        F.sum("x").cast("bigint").alias("s_d"),
+        F.count("*").cast("bigint").alias("n_d"),
+    )
+    tot = daily.agg(
+        F.sum("x").cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    terms = (
+        daily.join(F.broadcast(dowm), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                (F.col("x").cast("double") * F.col("n_d") - F.col("s_d"))
+                / F.col("n_d")
+                / 100.0
+                * 1e4
+            )
+            .cast("bigint")
+            .alias("r_e4"),
+            F.round(
+                (F.col("x").cast("double") * F.col("n") - F.col("s"))
+                / F.col("n")
+                / 100.0
+                * 1e4
+            )
+            .cast("bigint")
+            .alias("d_e4"),
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    return terms.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum(dec("r_e4") * F.col("r_e4")).cast("decimal(38,0)")
+        .cast("string")
+        .alias("ss_resid"),
+        F.sum(dec("d_e4") * F.col("d_e4")).cast("decimal(38,0)")
+        .cast("string")
+        .alias("ss_total"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(dec("r_e4") * F.col("r_e4")).cast("double")
+            / F.sum(dec("d_e4") * F.col("d_e4")).cast("double"),
+            6,
+        ).alias("seasonal_strength"),
+    )

@@ -1632,3 +1632,140 @@ def vector_gram_matrix_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("i", "j", "gram_int", F.round(F.col("c"), 6).alias("corr"))
     )
+
+
+# --------------------------------------------------------------------------
+# Greedy k-center (farthest-point) seeding (round 10)
+# --------------------------------------------------------------------------
+
+_KC_ROUNDS = 3  # seeds beyond the deterministic first → 4 seeds total
+
+_KC_D2 = (
+    "LIST_REDUCE(LIST_TRANSFORM(RANGE(1, 65),"
+    " i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.embedding[i] AS DOUBLE))"
+    " * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.embedding[i] AS DOUBLE))),"
+    " (a, b) -> a + b)"
+)
+
+
+def _kcenter_oracle_sql() -> str:
+    ctes = [
+        """seeds0 AS (
+      SELECT CAST(0 AS BIGINT) AS sel_round, vec_id FROM embeddings
+      WHERE vec_id = 0
+    )"""
+    ]
+    prev = "seeds0"
+    for r in range(1, _KC_ROUNDS + 1):
+        ctes.append(
+            f"""win{r} AS (
+      SELECT CAST({r} AS BIGINT) AS sel_round, e.vec_id,
+             MIN({_KC_D2}) AS mind
+      FROM embeddings e
+      JOIN {prev} p ON TRUE
+      JOIN embeddings s ON s.vec_id = p.vec_id
+      WHERE e.vec_id NOT IN (SELECT vec_id FROM {prev})
+      GROUP BY e.vec_id
+      ORDER BY mind DESC, e.vec_id
+      LIMIT 1
+    )""",
+        )
+        ctes.append(
+            f"""seeds{r} AS (
+      SELECT sel_round, vec_id FROM {prev}
+      UNION ALL SELECT sel_round, vec_id FROM win{r}
+    )"""
+        )
+        prev = f"seeds{r}"
+    wins = " UNION ALL ".join(
+        f"SELECT sel_round, vec_id, CAST(ROUND(mind * 1000000) AS BIGINT) "
+        f"AS mind_e6 FROM win{r}"
+        for r in range(1, _KC_ROUNDS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(0 AS BIGINT) AS sel_round, CAST(0 AS BIGINT) AS vec_id,
+           CAST(0 AS BIGINT) AS mind_e6
+    UNION ALL {wins}
+    ORDER BY sel_round"""
+    )
+
+
+@register(
+    "vector_kcenter_greedy_seed",
+    oracle=_kcenter_oracle_sql(),
+    tags=("vector", "similarity", "iterative"),
+)
+def vector_kcenter_greedy_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point-first) seeding — Gonzalez (1985),
+    the deterministic 2-approximation for the k-center objective and
+    the no-RNG cousin of k-means++ initialization every clustering
+    pipeline runs before Lloyd iterations (vector_kmeans_lloyd_step is
+    the step it feeds): start from vec_id 0, then {_KC_ROUNDS} rounds
+    of "add the point FARTHEST from its nearest chosen seed" (argmax of
+    min-distance, ties by vec_id — provably total). Distances are the
+    same in-order double folds as the Lloyd step, so both engines
+    compute bit-identical min/argmax inputs; each selection distance is
+    reported at e6 fixed point.
+
+    Scale: each round is one scan × (≤k broadcast seeds) → per-point
+    MIN → a TakeOrdered(1) argmax — never a pairwise join; the 1-row
+    winner is spilled per round so the unrolled plan stays flat
+    (the pagerank/EM loop-registration convention). At 100 TB this is
+    exactly k passes with k-row broadcasts."""
+    from blow_spark.materialize import spill_to_parquet
+
+    e = read_table(spark, sf_dir, "embeddings")
+    seeds = e.where(F.col("vec_id") == 0).select(
+        F.lit(0).cast("bigint").alias("sel_round"),
+        "vec_id",
+        F.col("embedding").alias("s_vec"),
+    )
+    out_rows = [
+        seeds.select(
+            "sel_round", "vec_id", F.lit(0).cast("bigint").alias("mind_e6")
+        )
+    ]
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("s_vec"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    for r in range(1, _KC_ROUNDS + 1):
+        chosen_ids = seeds.select("vec_id")
+        mind = (
+            e.join(F.broadcast(chosen_ids), "vec_id", "left_anti")
+            .crossJoin(F.broadcast(seeds.select("s_vec")))
+            .select("vec_id", d2.alias("d2"))
+            .groupBy("vec_id")
+            .agg(F.min("d2").alias("mind"))
+        )
+        winner = spill_to_parquet(
+            mind.orderBy(F.desc("mind"), "vec_id").limit(1),
+            f"blow_spark_kc_win{r}_",
+        )
+        out_rows.append(
+            winner.select(
+                F.lit(r).cast("bigint").alias("sel_round"),
+                "vec_id",
+                F.round(F.col("mind") * 1e6).cast("bigint").alias("mind_e6"),
+            )
+        )
+        seeds = seeds.unionByName(
+            winner.join(e, "vec_id").select(
+                F.lit(r).cast("bigint").alias("sel_round"),
+                "vec_id",
+                F.col("embedding").alias("s_vec"),
+            )
+        )
+    out = out_rows[0]
+    for df in out_rows[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("sel_round")
