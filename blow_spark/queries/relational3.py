@@ -798,3 +798,76 @@ def privacy_randomized_response_freq(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "sql_select_except_front_door",
+    oracle="""
+    SELECT * EXCLUDE (o_orderpriority, o_orderstatus),
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders
+    WHERE o_custkey % 100 = 7
+    ORDER BY o_orderkey
+    """,
+    tags=("sql", "front-door"),
+)
+def sql_select_except_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `SELECT * EXCEPT (cols)` wide-schema projection front door
+    (Spark 4 syntax; DuckDB spells it EXCLUDE, BigQuery EXCEPT) — the
+    ergonomic form analysts use on 500-column tables to drop a few
+    columns without enumerating the rest. Column pruning still reaches
+    the scan: Catalyst resolves the star minus the exclusion list at
+    analysis time, so the parquet reader's ReadSchema carries only the
+    surviving columns — at 100 TB this projects at the source exactly
+    like an explicit column list.
+
+    Reference analog: blow's Mapper chain (maps/maps.go:12-14) passes
+    whole records; it has no projection vocabulary at all."""
+    o = read_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT * EXCEPT (o_orderpriority, o_orderstatus),
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders_v
+        WHERE o_custkey % 100 = 7
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@register(
+    "sql_order_by_all_front_door",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    tags=("sql", "front-door"),
+)
+def sql_order_by_all_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `GROUP BY ALL` + `ORDER BY ALL` ergonomic front door (DuckDB
+    popularized it; Spark 4 adopted both) — group on every non-aggregate
+    select item and order on every output column without repeating the
+    lists. Catalyst expands ALL at analysis time into the ordinary
+    grouped aggregate + sort, so the plan is identical to the explicit
+    spelling — same partial+final hash aggregate, same single
+    range-partitioned sort, nothing extra to pay at scale. The grouped
+    output is label-domain-sized (R/F × O/F cells).
+
+    Reference analog: none — blow has no SQL surface (SURVEY §2.2)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_all_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem_all_v
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )

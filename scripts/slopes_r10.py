@@ -2,7 +2,10 @@
 (min of 2 runs, local[8], shuffle_partitions=32). Evidence source for the
 SCALE.md round-10 table."""
 
+import sys
 import time
+
+sys.path.insert(0, "/root/repo")
 
 from blow_spark import get_spark
 from blow_spark.queries import queries
