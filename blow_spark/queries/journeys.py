@@ -976,3 +976,93 @@ def events_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.groupBy("month", "active_days").agg(
         F.count("*").cast("bigint").alias("n_users")
     )
+
+
+@register(
+    "events_path_entropy",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), trans AS (
+      SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ), outdeg AS (
+      SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_out
+      FROM trans GROUP BY event_type
+    ), terms AS (
+      SELECT t.event_type,
+             CAST(ROUND(-(CAST(t.c AS DOUBLE) / o.n_out)
+                        * LN(CAST(t.c AS DOUBLE) / o.n_out) / LN(2.0)
+                        * 1000000000) AS BIGINT) AS term_e9,
+             t.c
+      FROM trans t JOIN outdeg o USING (event_type)
+    )
+    SELECT t.event_type, o.n_out,
+           CAST(COUNT(*) AS BIGINT) AS n_next_types,
+           CAST(SUM(t.term_e9) AS BIGINT) AS entropy_e9_sum,
+           ROUND(CAST(SUM(t.term_e9) AS DOUBLE) / 1e9, 6) AS entropy_bits
+    FROM terms t JOIN outdeg o USING (event_type)
+    GROUP BY t.event_type, o.n_out
+    ORDER BY t.event_type
+    """,
+    tags=("events", "journeys", "stats"),
+)
+def events_path_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each event type's NEXT-event distribution —
+    the journey-predictability readout (entropy ≈ 0 bits: users always
+    do the same thing next; log₂|types| bits: anything can happen) that
+    complements the raw transition counts of events_funnel_transitions
+    with the information-theoretic summary. Transition probabilities
+    are single divisions of exact BIGINT counts; each −p·log₂p term is
+    fix-pointed at e9 per (type → next) CELL — the cell domain is the
+    event-type vocabulary squared (≤ 5² here), bounded at any corpus
+    size — so the per-type sums are exact integers in both engines.
+
+    Scale: one partitioned LEAD window (parallel by user) + one keyed
+    count reduce the corpus to the type² cell table; everything after
+    is constant-size. Reference analog: blow's per-record Mapper
+    (maps/maps.go:12-14) cannot see cross-record order at all."""
+    e = read_table(spark, sf_dir, "events")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    )
+    trans = (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    outdeg = trans.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n_out")
+    )
+    p = F.col("c").cast("double") / F.col("n_out")
+    terms = trans.join(F.broadcast(outdeg), "event_type").select(
+        "event_type",
+        "n_out",
+        F.round(-p * F.log(p) / F.log(F.lit(2.0)) * 1e9)
+        .cast("bigint")
+        .alias("term_e9"),
+    )
+    return (
+        terms.groupBy("event_type", "n_out")
+        .agg(
+            F.count("*").cast("bigint").alias("n_next_types"),
+            F.sum("term_e9").cast("bigint").alias("entropy_e9_sum"),
+        )
+        .select(
+            "event_type",
+            "n_out",
+            "n_next_types",
+            "entropy_e9_sum",
+            F.round(F.col("entropy_e9_sum").cast("double") / 1e9, 6).alias(
+                "entropy_bits"
+            ),
+        )
+        .orderBy("event_type")
+    )

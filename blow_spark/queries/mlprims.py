@@ -281,3 +281,74 @@ def ml_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_FH_BUCKETS = 64
+
+
+@register(
+    "ml_feature_hashing_counts",
+    oracle=f"""
+    WITH tok AS (
+      SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+    ), hashed AS (
+      SELECT token,
+             CAST(('0x' || substring(md5(token), 1, 13)) AS BIGINT)
+               % {_FH_BUCKETS} AS bucket
+      FROM tok WHERE token <> ''
+    )
+    SELECT bucket, n_occurrences, n_distinct_tokens,
+           CAST(n_distinct_tokens > 1 AS BIGINT) AS has_collision
+    FROM (
+      SELECT bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct_tokens
+      FROM hashed
+      GROUP BY bucket
+    )
+    ORDER BY bucket
+    """,
+    tags=("ml", "text", "features"),
+)
+def ml_feature_hashing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. ICML'09) — tokens mapped to
+    a fixed {_FH_BUCKETS}-dimensional feature space by hashing, the way
+    every large-scale linear/GBDT text model bounds its feature
+    dimensionality without a vocabulary pass. The hash is the repo's
+    engine-portable md5-13-nibble 52-bit uniform (the same derivation
+    the spatial fixtures use), reduced mod {_FH_BUCKETS}, so BOTH
+    engines place every token in the same bucket and the per-bucket
+    occurrence/collision census is exact integers.
+
+    The collision column is the trade-off this transform makes —
+    distinct tokens sharing a bucket — surfaced per bucket so a
+    feature-quality monitor can alarm on hot buckets.
+
+    Scale: tokenize → map-side hash → ONE bucket-keyed aggregate with a
+    {_FH_BUCKETS}-row output; the feature space never grows with the
+    corpus, which is the entire point of the trick."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(F.col("text"), " ")).alias("token")).where(
+        F.col("token") != ""
+    )
+    hashed = tok.select(
+        "token",
+        (
+            F.conv(F.substring(F.md5(F.col("token")), 1, 13), 16, 10).cast("long")
+            % _FH_BUCKETS
+        ).alias("bucket"),
+    )
+    return (
+        hashed.groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.countDistinct("token").cast("bigint").alias("n_distinct_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_occurrences",
+            "n_distinct_tokens",
+            (F.col("n_distinct_tokens") > 1).cast("bigint").alias("has_collision"),
+        )
+        .orderBy("bucket")
+    )

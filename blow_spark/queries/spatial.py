@@ -579,3 +579,124 @@ def join_geo_haversine_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d2_mu",
         F.expr(f"CAST(ROUND(({_HAV_KM}) * 10000) AS BIGINT)").alias("dist_km_e4"),
     ).orderBy("c_custkey", "s_suppkey")
+
+
+# --------------------------------------------------------------------------
+# Geohash-ladder k-anonymity coarsening (round 10)
+# --------------------------------------------------------------------------
+
+_GHK_K = 10  # k-anonymity threshold per released cell
+
+
+@register(
+    "privacy_geohash_coarsen",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             CAST(('0x' || substring(md5('geo:c:' || CAST(c_custkey AS VARCHAR)), 1, 13))
+                  AS BIGINT) % {_LAT_SPAN} - 60000000 AS lat,
+             CAST(('0x' || substring(md5('geo:C:' || CAST(c_custkey AS VARCHAR)), 1, 13))
+                  AS BIGINT) % {_LON_SPAN} - 180000000 AS lon
+      FROM customer
+    ), bits AS (
+      SELECT c_custkey,
+             (lat + 90000000) * 1048576 // 180000000 AS latbits,
+             (lon + 180000000) * 1048576 // 360000000 AS lonbits
+      FROM pts
+    ), gh AS (
+      SELECT c_custkey, {_GH_DUCK} AS gh8 FROM bits
+    ), lv AS (
+      SELECT c_custkey, gh8, substr(gh8, 1, 4) AS gh4, substr(gh8, 1, 2)
+               AS gh2
+      FROM gh
+    ), c8 AS (SELECT gh8, COUNT(*) AS n FROM lv GROUP BY gh8),
+       c4 AS (SELECT gh4, COUNT(*) AS n FROM lv GROUP BY gh4),
+       c2 AS (SELECT gh2, COUNT(*) AS n FROM lv GROUP BY gh2),
+    chosen AS (
+      SELECT l.c_custkey,
+             CASE WHEN c8.n >= {_GHK_K} THEN 'gh8'
+                  WHEN c4.n >= {_GHK_K} THEN 'gh4'
+                  WHEN c2.n >= {_GHK_K} THEN 'gh2'
+                  ELSE 'suppressed' END AS level,
+             CASE WHEN c8.n >= {_GHK_K} THEN l.gh8
+                  WHEN c4.n >= {_GHK_K} THEN l.gh4
+                  WHEN c2.n >= {_GHK_K} THEN l.gh2 END AS released_cell
+      FROM lv l
+      JOIN c8 USING (gh8) JOIN c4 USING (gh4) JOIN c2 USING (gh2)
+    )
+    SELECT level,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(COUNT(DISTINCT released_cell) AS BIGINT) AS n_cells
+    FROM chosen
+    GROUP BY level
+    ORDER BY level
+    """,
+    tags=("privacy", "spatial", "governance"),
+)
+def privacy_geohash_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Location k-anonymization by geohash-prefix generalization: each
+    point is released at the FINEST geohash level (8 → 4 → 2 chars)
+    whose cell still holds ≥ {_GHK_K} people, else suppressed — the
+    spatial instance of the generalization-ladder release decision
+    (privacy_k_anonymize_generalize's ladder, on geohash cells instead
+    of attribute bands; geohash prefixes nest, which is exactly why
+    serving layers anonymize on them). The whole decision is integer
+    counting over the pure-integer geohash of scalar_geohash_encode —
+    no doubles anywhere.
+
+    Scale: three prefix-keyed counts (each strictly coarser — the
+    re-aggregation is cell-grain, not point-grain) + equi-joins back
+    on the cell keys; output is the 4-row release-level census.
+    Reference analog: none — blow has no aggregation surface."""
+    cust = read_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_custkey",
+        _mu_coord("geo:c:", F.col("c_custkey"), _LAT_SPAN, 60_000_000).alias("lat"),
+        _mu_coord("geo:C:", F.col("c_custkey"), _LON_SPAN, 180_000_000).alias("lon"),
+    )
+    bits = pts.select(
+        "c_custkey",
+        F.expr("(lat + 90000000) * 1048576 div 180000000").alias("latbits"),
+        F.expr("(lon + 180000000) * 1048576 div 360000000").alias("lonbits"),
+    )
+    from blow_spark.materialize import spill_to_parquet
+
+    lv = spill_to_parquet(
+        bits.select(
+            "c_custkey",
+            F.expr(_GH_SPARK).alias("gh8"),
+        ).select(
+            "c_custkey",
+            "gh8",
+            F.expr("substr(gh8, 1, 4)").alias("gh4"),
+            F.expr("substr(gh8, 1, 2)").alias("gh2"),
+        ),
+        "blow_spark_ghk_lv_",
+    )
+    c8 = lv.groupBy("gh8").agg(F.count("*").alias("n8"))
+    c4 = lv.groupBy("gh4").agg(F.count("*").alias("n4"))
+    c2 = lv.groupBy("gh2").agg(F.count("*").alias("n2"))
+    chosen = (
+        lv.join(c8, "gh8")
+        .join(c4, "gh4")
+        .join(c2, "gh2")
+        .select(
+            F.when(F.col("n8") >= _GHK_K, F.lit("gh8"))
+            .when(F.col("n4") >= _GHK_K, F.lit("gh4"))
+            .when(F.col("n2") >= _GHK_K, F.lit("gh2"))
+            .otherwise(F.lit("suppressed"))
+            .alias("level"),
+            F.when(F.col("n8") >= _GHK_K, F.col("gh8"))
+            .when(F.col("n4") >= _GHK_K, F.col("gh4"))
+            .when(F.col("n2") >= _GHK_K, F.col("gh2"))
+            .alias("released_cell"),
+        )
+    )
+    return (
+        chosen.groupBy("level")
+        .agg(
+            F.count("*").cast("bigint").alias("n_points"),
+            F.countDistinct("released_cell").cast("bigint").alias("n_cells"),
+        )
+        .orderBy("level")
+    )
