@@ -150,3 +150,59 @@ def test_ndcg_discount_table():
     assert all(a > b for a, b in zip(_DISC_E9, _DISC_E9[1:]))
     for i, d in enumerate(_DISC_E9):
         assert d == round(1e9 / math.log2(i + 2))
+
+
+def test_wordpiece_segmentation_reconstructs(spark, sf_dir):
+    """Stripping '##' from the pieces and concatenating must rebuild the
+    word exactly — the lossless-segmentation invariant of WordPiece."""
+    from blow_spark.queries import queries
+
+    rows = queries()["tokenizer_wordpiece_greedy"](spark, sf_dir).collect()
+    assert rows, "empty segmentation output"
+    for r in rows:
+        pieces = r["segmentation"].split(" ")
+        assert pieces[0] == pieces[0].lstrip("#"), "first piece is continuation"
+        rebuilt = pieces[0] + "".join(p[2:] for p in pieces[1:])
+        assert rebuilt == r["word"], (r["word"], r["segmentation"])
+        assert r["n_pieces"] == len(pieces)
+
+
+def test_holt_coefficients_exact_dyadic():
+    """The injected Holt coefficients are the exact impulse response of
+    the (α=1/2, β=1/4) recursion and sum to ≈ the unit step."""
+    from fractions import Fraction as Fr
+
+    from blow_spark.queries.finance import _HOLT_CB, _HOLT_CL, _HOLT_D, _HOLT_K
+
+    A, B = Fr(1, 2), Fr(1, 4)
+    l_prev, b_prev = Fr(0), Fr(0)
+    for t in range(_HOLT_K):
+        x = Fr(1) if t == 0 else Fr(0)
+        lv = A * x + (1 - A) * (l_prev + b_prev)
+        bv = B * (lv - l_prev) + (1 - B) * b_prev
+        assert _HOLT_CL[t] == lv * _HOLT_D
+        assert _HOLT_CB[t] == bv * _HOLT_D
+        l_prev, b_prev = lv, bv
+    assert abs(sum(_HOLT_CL) / _HOLT_D - 1) < 0.01  # tail ≈ 0.2% dropped
+
+
+def test_kl_divergence_nonnegative(spark, sf_dir):
+    """Gibbs' inequality: every per-source KL against the corpus mix is
+    ≥ 0 (up to the e9 per-term fixpoint quantum × bucket count)."""
+    from blow_spark.queries import queries
+
+    rows = queries()["corpus_length_kl_by_source"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["kl_e9_sum"] >= -20, r  # ≥ −(buckets × ½ quantum)
+
+
+def test_kcenter_min_distances_nonincreasing(spark, sf_dir):
+    """Farthest-point selection distances are non-increasing in the
+    round number (each added seed can only shrink min-distances)."""
+    from blow_spark.queries import queries
+
+    rows = queries()["vector_kcenter_greedy_seed"](spark, sf_dir).collect()
+    ds = [r["mind_e6"] for r in sorted(rows, key=lambda r: r["sel_round"])]
+    assert ds[0] == 0
+    assert all(a >= b for a, b in zip(ds[1:], ds[2:])), ds
