@@ -352,3 +352,113 @@ def ml_feature_hashing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_LC_LEVELS = [1, 2, 4, 8]  # nested eighths: 1/8 ⊂ 2/8 ⊂ 4/8 ⊂ 8/8
+
+
+@register(
+    "ml_learning_curve_auc",
+    oracle="""
+    WITH lab AS (
+      SELECT n_chars AS v, CAST(lang = 'fr' AS BIGINT) AS y,
+             CAST(('0x' || substring(md5('lc:' || CAST(doc_id AS VARCHAR)), 1, 13))
+                  AS BIGINT) % 8 AS octile
+      FROM documents
+    ), fracs(denom8) AS (VALUES (1), (2), (4), (8)),
+    counts AS (
+      SELECT f.denom8, l.v,
+             CAST(SUM(l.y) AS BIGINT) AS cp,
+             CAST(COUNT(*) AS BIGINT) AS tot
+      FROM lab l JOIN fracs f ON l.octile < f.denom8
+      GROUP BY f.denom8, l.v
+    ), ranked AS (
+      SELECT denom8, v, cp, tot,
+             COALESCE(SUM(tot) OVER (PARTITION BY denom8 ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+      FROM counts
+    ), sums AS (
+      SELECT denom8,
+             CAST(SUM(cp) AS BIGINT) AS n_pos,
+             CAST(SUM(tot - cp) AS BIGINT) AS n_neg,
+             CAST(SUM(cp * (2 * cumb + tot + 1)) AS BIGINT) AS r2_pos
+      FROM ranked GROUP BY denom8
+    )
+    SELECT denom8, n_pos, n_neg,
+           ROUND(CAST(r2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+                 / (2.0 * n_pos * n_neg), 6) AS auc
+    FROM sums
+    ORDER BY denom8
+    """,
+    tags=("ml", "eval", "documents"),
+)
+def ml_learning_curve_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning-curve readout: exact ROC AUC of the length score at
+    NESTED deterministic sample fractions (1/8 ⊂ 1/4 ⊂ 1/2 ⊂ all, via
+    the md5-octile of doc_id — smaller samples are strict subsets of
+    larger ones, the property a trainer needs for honest sample-size
+    scaling studies). All four AUCs come from ONE corpus pass: each doc
+    lands in its octile, the (fraction × value)-grain count table fans
+    out ≤4× per VALUE-DOMAIN row (never per doc), and the tie-corrected
+    rank sums run per fraction over the bounded value grain — the same
+    integer Mann-Whitney machinery as eval_roc_auc_exact, partitioned
+    by fraction so the windows stay parallel.
+
+    Scale: the per-fraction sample is decided map-side by a hash
+    comparison (no shuffle, no sort, no sampling state); the only
+    data-sized work is the single value-keyed count. This is how a
+    100 TB eval sweep prices 'would half the data do?'."""
+    d = read_table(spark, sf_dir, "documents")
+    lab = d.select(
+        F.col("n_chars").alias("v"),
+        (F.col("lang") == "fr").cast("bigint").alias("y"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("lc:"), F.col("doc_id").cast("string"))),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 8
+        ).alias("octile"),
+    )
+    fracs = spark.createDataFrame([(n,) for n in _LC_LEVELS], ["denom8"])
+    counts = (
+        lab.join(F.broadcast(fracs), F.col("octile") < F.col("denom8"))
+        .groupBy("denom8", "v")
+        .agg(
+            F.sum("y").cast("bigint").alias("cp"),
+            F.count("*").cast("bigint").alias("tot"),
+        )
+    )
+    ranked = counts.withColumn(
+        "cumb",
+        F.coalesce(
+            F.sum("tot").over(
+                W.partitionBy("denom8")
+                .orderBy("v")
+                .rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    sums = ranked.groupBy("denom8").agg(
+        F.sum("cp").cast("bigint").alias("n_pos"),
+        F.sum(F.col("tot") - F.col("cp")).cast("bigint").alias("n_neg"),
+        F.sum(F.col("cp") * (2 * F.col("cumb") + F.col("tot") + 1))
+        .cast("bigint")
+        .alias("r2_pos"),
+    )
+    return sums.select(
+        "denom8",
+        "n_pos",
+        "n_neg",
+        F.round(
+            (F.col("r2_pos") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+            / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    ).orderBy("denom8")
