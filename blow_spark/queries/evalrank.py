@@ -366,7 +366,8 @@ _PRF_CASE = (
       FROM cells
     )
     SELECT cls, tp, fp, fn, precision, recall, f1_e6,
-           ROUND(CAST(SUM(f1_e6) OVER () AS DOUBLE) / 5000000.0, 6)
+           ROUND(CAST(SUM(f1_e6) OVER () AS DOUBLE)
+                 / (1000000.0 * COUNT(f1_e6) OVER ()), 6)
              AS macro_f1
     FROM scored
     ORDER BY cls
@@ -381,8 +382,11 @@ def eval_confusion_prf_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeling pass. Counts are exact BIGINTs from ONE groupBy over
     (gold, pred) semantics; per-class F1 = 2tp/(2tp+fp+fn) is a single
     division of identical integers, fix-pointed at e6 BEFORE the
-    macro average so the 5-term sum is an exact integer in both
-    engines (the house per-term-fixpoint rule).
+    macro average so the per-class sum is an exact integer in both
+    engines (the house per-term-fixpoint rule). The macro average
+    divides by the count of classes with a DEFINED F1 (tp+fp+fn > 0) —
+    standard macro-F1 excludes absent classes rather than counting
+    them as zero.
 
     Scale: the corpus reduces to a 5-class cell table in one pass;
     everything after is constant-size arithmetic. The macro window
@@ -469,10 +473,13 @@ def eval_confusion_prf_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("f1_e6"),
     )
+    w_all = W.partitionBy(F.lit(1))
     return scored.select(
         "*",
         F.round(
-            F.sum("f1_e6").over(W.partitionBy(F.lit(1))).cast("double") / 5000000.0, 6
+            F.sum("f1_e6").over(w_all).cast("double")
+            / (F.lit(1000000.0) * F.count("f1_e6").over(w_all)),
+            6,
         ).alias("macro_f1"),
     ).orderBy("cls")
 

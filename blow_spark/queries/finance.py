@@ -118,7 +118,7 @@ _BB_N = 20  # Bollinger window length
            CAST(CAST(rev_cents AS HUGEINT) * n - s AS VARCHAR) AS dev_xn,
            CAST((CAST(rev_cents AS HUGEINT) * n - s)
                 * (CAST(rev_cents AS HUGEINT) * n - s)
-                > 4 * n * (n * ssq - CAST(s AS HUGEINT) * s)
+                > 4 * (n * ssq - CAST(s AS HUGEINT) * s)
                 AS BIGINT) AS is_breakout,
            ROUND(SQRT(CAST(n * ssq - CAST(s AS HUGEINT) * s AS DOUBLE))
                  / n / 100.0, 4) AS sigma_dollars
@@ -181,7 +181,7 @@ def finance_bollinger_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rev_cents",
             F.expr("s * 100 div n").cast("bigint").alias("mean_cents_x100"),
             dev_xn.cast("decimal(38,0)").cast("string").alias("dev_xn"),
-            (dev_xn * dev_xn > 4 * n.cast("decimal(38,0)") * var_xn2)
+            (dev_xn * dev_xn > 4 * var_xn2)
             .cast("bigint")
             .alias("is_breakout"),
             F.round(F.sqrt(var_xn2.cast("double")) / n / 100.0, 4).alias(

@@ -997,14 +997,14 @@ def events_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT t.event_type,
              CAST(ROUND(-(CAST(t.c AS DOUBLE) / o.n_out)
                         * LN(CAST(t.c AS DOUBLE) / o.n_out) / LN(2.0)
-                        * 1000000000) AS BIGINT) AS term_e9,
+                        * 1000000) AS BIGINT) AS term_e6,
              t.c
       FROM trans t JOIN outdeg o USING (event_type)
     )
     SELECT t.event_type, o.n_out,
            CAST(COUNT(*) AS BIGINT) AS n_next_types,
-           CAST(SUM(t.term_e9) AS BIGINT) AS entropy_e9_sum,
-           ROUND(CAST(SUM(t.term_e9) AS DOUBLE) / 1e9, 6) AS entropy_bits
+           CAST(SUM(t.term_e6) AS BIGINT) AS entropy_e6_sum,
+           ROUND(CAST(SUM(t.term_e6) AS DOUBLE) / 1e6, 4) AS entropy_bits
     FROM terms t JOIN outdeg o USING (event_type)
     GROUP BY t.event_type, o.n_out
     ORDER BY t.event_type
@@ -1018,9 +1018,14 @@ def events_path_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     complements the raw transition counts of events_funnel_transitions
     with the information-theoretic summary. Transition probabilities
     are single divisions of exact BIGINT counts; each −p·log₂p term is
-    fix-pointed at e9 per (type → next) CELL — the cell domain is the
+    fix-pointed at e6 per (type → next) CELL — the cell domain is the
     event-type vocabulary squared (≤ 5² here), bounded at any corpus
     size — so the per-type sums are exact integers in both engines.
+    e6 (not the house e9) is deliberate: LN evaluates at runtime in
+    BOTH engines, and a JVM-vs-libm log ulp (~1e-16 relative) could
+    flip an e9 term sitting on a .5 rounding boundary; the coarser e6
+    fixpoint widens the guard band by 1000× so a last-ulp divergence
+    cannot reach the rounded digit.
 
     Scale: one partitioned LEAD window (parallel by user) + one keyed
     count reduce the corpus to the type² cell table; everything after
@@ -1045,22 +1050,22 @@ def events_path_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = trans.join(F.broadcast(outdeg), "event_type").select(
         "event_type",
         "n_out",
-        F.round(-p * F.log(p) / F.log(F.lit(2.0)) * 1e9)
+        F.round(-p * F.log(p) / F.log(F.lit(2.0)) * 1e6)
         .cast("bigint")
-        .alias("term_e9"),
+        .alias("term_e6"),
     )
     return (
         terms.groupBy("event_type", "n_out")
         .agg(
             F.count("*").cast("bigint").alias("n_next_types"),
-            F.sum("term_e9").cast("bigint").alias("entropy_e9_sum"),
+            F.sum("term_e6").cast("bigint").alias("entropy_e6_sum"),
         )
         .select(
             "event_type",
             "n_out",
             "n_next_types",
-            "entropy_e9_sum",
-            F.round(F.col("entropy_e9_sum").cast("double") / 1e9, 6).alias(
+            "entropy_e6_sum",
+            F.round(F.col("entropy_e6_sum").cast("double") / 1e6, 4).alias(
                 "entropy_bits"
             ),
         )

@@ -185,14 +185,14 @@ def ml_tree_split_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), mapped AS (
       SELECT s.doc_id, s.source, s.v,
-             CAST((2 * s.r - 1) * g.n_all / (2 * s.n_src)
+             CAST((2 * s.r - 1) * g.n_all // (2 * s.n_src)
                   + CAST(((2 * s.r - 1) * g.n_all % (2 * s.n_src)) > 0
                          AS BIGINT) AS BIGINT) AS g_rank,
              g2.v AS v_norm
       FROM src s
       CROSS JOIN (SELECT DISTINCT n_all FROM gmap) g
       JOIN gmap g2
-        ON CAST((2 * s.r - 1) * g.n_all / (2 * s.n_src)
+        ON CAST((2 * s.r - 1) * g.n_all // (2 * s.n_src)
                 + CAST(((2 * s.r - 1) * g.n_all % (2 * s.n_src)) > 0
                        AS BIGINT) AS BIGINT) BETWEEN g2.lo AND g2.hi
     )

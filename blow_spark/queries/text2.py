@@ -1192,14 +1192,14 @@ _KL_BUCKET = 50  # n_chars bucket width → ≤ ~12 buckets over the fixture dom
              CAST(ROUND(CAST(p.c AS DOUBLE) / t.n_src
                         * LN(CAST(p.c AS DOUBLE) * gt.n_all
                              / (CAST(g.g AS DOUBLE) * t.n_src))
-                        * 1000000000) AS BIGINT) AS term_e9
+                        * 1000000) AS BIGINT) AS term_e6
       FROM per_src p
       JOIN src_tot t USING (source)
       JOIN gbl g USING (bucket)
       CROSS JOIN gbl_tot gt
     )
-    SELECT source, CAST(SUM(term_e9) AS BIGINT) AS kl_e9_sum,
-           ROUND(CAST(SUM(term_e9) AS DOUBLE) / 1e9, 6) AS kl_nats
+    SELECT source, CAST(SUM(term_e6) AS BIGINT) AS kl_e6_sum,
+           ROUND(CAST(SUM(term_e6) AS DOUBLE) / 1e6, 4) AS kl_nats
     FROM terms GROUP BY source
     ORDER BY source
     """,
@@ -1212,9 +1212,12 @@ def corpus_length_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     (is this source's length profile unusual?); KL(p‖q) in nats via
     Σ p·ln(p/q). The log argument collapses to a ratio of four exact
     BIGINTs (c·N / (g·n_src)), each term is ONE division + one log,
-    fix-pointed at e9 per (source, bucket) cell — the bucket domain is
+    fix-pointed at e6 per (source, bucket) cell — the bucket domain is
     bounded (≤ ~12 cells per source at any corpus size), so the
-    per-term sums are exact integers in both engines. Every source
+    per-term sums are exact integers in both engines. e6 (not the
+    house e9) is deliberate: LN runs at query time in BOTH engines,
+    and a JVM-vs-libm ulp could flip an e9 term on a .5 rounding
+    boundary; e6 widens the guard band 1000×. Every source
     bucket's mass is a subset of the global bucket's, so q > 0 wherever
     p > 0 — no smoothing needed by construction.
 
@@ -1253,19 +1256,19 @@ def corpus_length_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * F.col("n_all")
                     / (F.col("g").cast("double") * F.col("n_src"))
                 )
-                * 1e9
+                * 1e6
             )
             .cast("bigint")
-            .alias("term_e9"),
+            .alias("term_e6"),
         )
     )
     return (
         terms.groupBy("source")
-        .agg(F.sum("term_e9").cast("bigint").alias("kl_e9_sum"))
+        .agg(F.sum("term_e6").cast("bigint").alias("kl_e6_sum"))
         .select(
             "source",
-            "kl_e9_sum",
-            F.round(F.col("kl_e9_sum").cast("double") / 1e9, 6).alias("kl_nats"),
+            "kl_e6_sum",
+            F.round(F.col("kl_e6_sum").cast("double") / 1e6, 4).alias("kl_nats"),
         )
         .orderBy("source")
     )

@@ -188,13 +188,13 @@ def test_holt_coefficients_exact_dyadic():
 
 def test_kl_divergence_nonnegative(spark, sf_dir):
     """Gibbs' inequality: every per-source KL against the corpus mix is
-    ≥ 0 (up to the e9 per-term fixpoint quantum × bucket count)."""
+    ≥ 0 (up to the e6 per-term fixpoint quantum × bucket count)."""
     from blow_spark.queries import queries
 
     rows = queries()["corpus_length_kl_by_source"](spark, sf_dir).collect()
     assert rows
     for r in rows:
-        assert r["kl_e9_sum"] >= -20, r  # ≥ −(buckets × ½ quantum)
+        assert r["kl_e6_sum"] >= -20, r  # ≥ −(buckets × ½ quantum)
 
 
 def test_kcenter_min_distances_nonincreasing(spark, sf_dir):
