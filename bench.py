@@ -303,12 +303,42 @@ HEADLINE = [
     "tokenizer_wordpiece_greedy",
     "multimodal_png_header_meta",
     "corpus_length_kl_by_source",
+    # round 11: EXACT substring dedup (Lee et al. ExactSubstr semantics,
+    # hash+verify — closes the round-10 verdict's top item)
+    "dedup_exact_substring",
 ]
 
 
 #: Hard budget for the final stdout line — the driver's tail capture is
 #: ~2000 chars; stay comfortably inside it.
 SUMMARY_LINE_BUDGET = 1500
+
+
+def current_round(repo_dir: str) -> int:
+    """Infer the CURRENT round number from the driver's own artifacts:
+    the driver writes BENCH_r{N}.json at the END of round N, so while
+    round N is running the newest bench file on disk is r{N-1}. Falls
+    back to 1 in a bare checkout. Used to name the per-round detail
+    sidecar (round-10 verdict item #3: BENCH_DETAIL.json was
+    overwritten each round, making round-over-round per-query deltas
+    uncomputable)."""
+    import re
+
+    best = 0
+    for fn in os.listdir(repo_dir):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", fn)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best + 1
+
+
+def detail_sidecar_paths(repo_dir: str) -> list[str]:
+    """Both detail outputs: the stable name (driver contract, always
+    current round) and the per-round archive name."""
+    return [
+        os.path.join(repo_dir, "BENCH_DETAIL.json"),
+        os.path.join(repo_dir, f"BENCH_DETAIL_r{current_round(repo_dir):02d}.json"),
+    ]
 
 
 def summary_line(timings: dict[str, float], sf_val, core=None) -> str:
@@ -375,22 +405,19 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
-    with open(detail_path, "w") as fh:
-        json.dump(
-            {
-                "metric": "headline_suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "core_tier": [q for q in CORE if q in timings],
-            },
-            fh,
-            indent=1,
-        )
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    detail = {
+        "metric": "headline_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "round": current_round(repo_dir),
+        "core_tier": [q for q in CORE if q in timings],
+    }
+    for detail_path in detail_sidecar_paths(repo_dir):
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
     print(summary_line(timings, sf_val, core=CORE))
     spark.stop()
 

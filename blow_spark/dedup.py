@@ -976,3 +976,143 @@ def duplicate_span_excise(
     spilled = spill_to_parquet(out, "blow_spark_span_")
     base.unpersist()
     return spilled
+
+
+# --------------------------------------------------------------------------
+# EXACT duplicate-substring excision (character-level, hash + verify)
+# --------------------------------------------------------------------------
+
+
+def exact_substring_excise(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 40,
+    min_count: int = 2,
+) -> DataFrame:
+    """EXACT corpus-level duplicate-substring excision — the ExactSubstr
+    dedup of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" (ACL 2022): remove every CHARACTER covered by a
+    substring of length ≥ min_len that occurs ≥ min_count times across
+    the corpus. Their implementation builds a single-machine suffix
+    array; this plan reaches the identical answer distributed, via the
+    window-reduction identity:
+
+        a position is covered by a duplicated substring of length ≥ L
+        ⟺  it is covered by a duplicated window of length EXACTLY L.
+
+    (⇐ trivial; ⇒ any occurrence of a length-m ≥ L duplicate contains,
+    around each of its positions, a length-L sub-window that occurs
+    wherever the full substring occurs.) So fixed-L windows are not a
+    blocking approximation here — they are an exact reformulation, and
+    no suffix array is needed.
+
+    Hash + verify discipline (exactness without shuffling the corpus):
+    1. one scan → (doc, pos, xxhash64(window)) for every length-L
+       character window — the L-char strings never leave the map stage;
+       the count shuffle carries ~20 bytes/position (≈½ the corpus
+       bytes at L=40, the same O(n) envelope as Lee et al.'s array).
+    2. duplicated hashes = groupBy(h) HAVING count ≥ min_count
+       (map-side combinable), spilled — a dup-DENSITY-sized table.
+    3. candidates = windows ⋈ dup-hashes; ONLY candidate positions
+       re-extract their literal window string (map-side, from the
+       doc join), so literal strings shuffle at duplicate-density
+       volume, never corpus volume.
+    4. VERIFY: count over (h, literal string) — a hash collision
+       between distinct strings can only INFLATE step 2 (xxhash64 is
+       deterministic: equal strings always collide into the same
+       bucket, so recall is 1 by construction); the literal-string
+       count removes any inflation. Survivors are true duplicates:
+       exact in both directions.
+    5. per doc: sorted candidate starts → one aggregate() fold merges
+       overlapping [p, p+L−1] intervals and stitches the kept text —
+       no per-character explode, no window function, all JVM HOFs.
+
+    The paired DuckDB oracle (dedup_exact_substring) groups the literal
+    window strings with NO hashing and rebuilds from per-character
+    anti-joins — the blocking-free ground truth; a value-hash match is
+    the machine-checked proof that the hash+verify path is exact.
+
+    Returns (id_col, clean_text, n_chars_kept, n_chars_removed),
+    one row per input document (short docs pass through unchanged).
+
+    Reference analog: none — blow (SURVEY §2.2) has no dedup at all;
+    this is brief-mandated. Cost at 100 TB: two corpus-linear map
+    passes + one O(n)-row/20-byte shuffle; everything after step 2 is
+    proportional to duplicated-span volume."""
+    from blow_spark.materialize import spill_to_parquet
+
+    L = int(min_len)
+    base = spill_to_parquet(
+        _spread(df).select(
+            F.col(id_col).alias("doc"),
+            F.col(text_col).alias("text"),
+            F.length(text_col).alias("n"),
+        ),
+        "blow_spark_xsub_base_",
+    )
+    wins = base.filter(F.col("n") >= L).select(
+        "doc",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, n - {L} + 1), "
+                f"i -> struct(i AS pos, xxhash64(substring(text, i, {L})) AS h))"
+            )
+        ).alias("g"),
+    ).select("doc", "g.pos", "g.h")
+    dup_h = spill_to_parquet(
+        wins.groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("h"),
+        "blow_spark_xsub_duph_",
+    )
+    # candidate positions only: literal window strings re-derived
+    # map-side after the doc join, never shuffled at corpus volume
+    cand = (
+        wins.join(dup_h, "h")
+        .join(base.select("doc", "text"), "doc")
+        .select("doc", "pos", "h", F.expr(f"substring(text, pos, {L})").alias("s"))
+    )
+    w_hs = W.partitionBy("h", "s")
+    starts = (
+        cand.withColumn("n_true", F.count("*").over(w_hs))
+        .filter(F.col("n_true") >= min_count)
+        .groupBy("doc")
+        .agg(F.sort_array(F.collect_set("pos")).alias("starts"))
+    )
+    merged = base.join(starts, "doc", "left")
+    fold = F.aggregate(
+        F.col("starts"),
+        F.struct(
+            F.lit("").cast("string").alias("acc"), F.lit(1).cast("int").alias("nxt")
+        ),
+        lambda a, p: F.struct(
+            F.concat(
+                a.acc,
+                F.when(
+                    p > a.nxt, F.substring(F.col("text"), a.nxt, p - a.nxt)
+                ).otherwise(F.lit("")),
+            ).alias("acc"),
+            F.greatest(a.nxt, p + F.lit(L)).alias("nxt"),
+        ),
+        lambda a: F.concat(
+            a.acc,
+            F.when(
+                F.col("n") + 1 > a.nxt,
+                F.substring(F.col("text"), a.nxt, F.col("n") - a.nxt + 1),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return merged.select(
+        F.col("doc").alias(id_col),
+        F.when(F.col("starts").isNull(), F.col("text"))
+        .otherwise(fold)
+        .alias("clean_text"),
+        F.col("n"),
+    ).select(
+        id_col,
+        "clean_text",
+        F.length("clean_text").cast("bigint").alias("n_chars_kept"),
+        (F.col("n") - F.length("clean_text")).cast("bigint").alias("n_chars_removed"),
+    )

@@ -1187,6 +1187,63 @@ def dedup_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_exact_substring",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id AS doc, text, length(text) AS n FROM documents
+    ), wins AS (
+      SELECT doc, u.i AS pos, substring(text, u.i, 40) AS w
+      FROM docs, UNNEST(range(1, n - 40 + 2)) AS u(i)
+      WHERE n >= 40
+    ), dup AS (
+      SELECT w FROM wins GROUP BY w HAVING COUNT(*) >= 2
+    ), cov AS (
+      SELECT DISTINCT doc, v.p
+      FROM wins JOIN dup USING (w), UNNEST(range(pos, pos + 40)) AS v(p)
+    ), chars AS (
+      SELECT doc, u.p AS p, substring(text, u.p, 1) AS ch
+      FROM docs, UNNEST(range(1, n + 1)) AS u(p)
+    ), kept AS (
+      SELECT chars.doc, chars.p, chars.ch
+      FROM chars ANTI JOIN cov ON chars.doc = cov.doc AND chars.p = cov.p
+    ), rebuilt AS (
+      SELECT doc,
+             string_agg(ch, '' ORDER BY p) AS clean_text,
+             CAST(COUNT(*) AS BIGINT)      AS n_chars_kept
+      FROM kept GROUP BY doc
+    )
+    SELECT docs.doc                                 AS doc_id,
+           COALESCE(rebuilt.clean_text, '')         AS clean_text,
+           CAST(COALESCE(rebuilt.n_chars_kept, 0) AS BIGINT) AS n_chars_kept,
+           CAST(docs.n - COALESCE(rebuilt.n_chars_kept, 0) AS BIGINT)
+                                                    AS n_chars_removed
+    FROM docs LEFT JOIN rebuilt ON docs.doc = rebuilt.doc
+    """,
+    tags=("dedup", "span", "substring", "exact", "llm"),
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT duplicate-substring excision (Lee et al. ACL 2022
+    ExactSubstr semantics, character-level): every character covered by
+    a ≥40-char substring occurring ≥2 times corpus-wide is removed.
+    Distributed WITHOUT a suffix array via the window-reduction
+    identity (covered by a ≥L duplicate ⟺ covered by an exactly-L
+    duplicated window) plus hash-then-VERIFY: the corpus-volume shuffle
+    carries only (xxhash64, doc, pos); literal window strings shuffle
+    only at duplicate-density volume and a literal-string recount
+    removes any hash-collision inflation, so the result is exact in
+    both directions. The DuckDB oracle is the blocking-free ground
+    truth — literal strings grouped with no hashing, per-character
+    anti-join rebuild — so the value-hash match IS the exactness proof
+    (the join_spatial_grid_epsilon gate design). Upgrades
+    dedup_span_excise (positional token 12-grams, approximate vs
+    Lee et al.) to the real thing. See dedup.exact_substring_excise."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.exact_substring_excise(
+        d, text_col="text", id_col="doc_id", min_len=40, min_count=2
+    )
+
+
+@register(
     "er_golden_record_parts",
     oracle="""
     WITH RECURSIVE names AS (

@@ -78,3 +78,35 @@ def test_core_tier_policy():
     assert all(k in set(bench.CORE) for k in parsed["queries"])
     # total still covers the whole suite, not just the visible tier
     assert abs(parsed["value"] - round(sum(t.values()), 3)) < 1e-9
+
+
+def test_per_round_detail_sidecar_naming(tmp_path):
+    """Round-10 verdict item #3: bench writes BOTH the stable
+    BENCH_DETAIL.json and a per-round BENCH_DETAIL_r{N}.json so
+    round-over-round per-query deltas are computable. The round is
+    inferred as (newest driver BENCH_r{N}.json on disk) + 1."""
+    d = str(tmp_path)
+    assert bench.current_round(d) == 1
+    (tmp_path / "BENCH_r07.json").write_text("{}")
+    (tmp_path / "BENCH_r10.json").write_text("{}")
+    (tmp_path / "BENCH_r2.json").write_text("{}")  # driver pads; tolerate not
+    assert bench.current_round(d) == 11
+    paths = bench.detail_sidecar_paths(d)
+    assert paths[0].endswith("/BENCH_DETAIL.json")
+    assert paths[1].endswith("/BENCH_DETAIL_r11.json")
+
+
+def test_repo_current_round_matches_live_artifacts():
+    """In the real repo the sidecar must name THIS round (>= 11 as of
+    round 11) and the per-round file, once written, must agree with the
+    stable one for its round."""
+    import os
+
+    r = bench.current_round("/root/repo")
+    assert r >= 11
+    per_round = f"/root/repo/BENCH_DETAIL_r{r:02d}.json"
+    if os.path.exists(per_round) and os.path.exists("/root/repo/BENCH_DETAIL.json"):
+        a = json.load(open(per_round))
+        b = json.load(open("/root/repo/BENCH_DETAIL.json"))
+        if b.get("round") == r:
+            assert a == b

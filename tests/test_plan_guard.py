@@ -399,6 +399,11 @@ BENCH_EXCHANGE_PINS = {
     "tokenizer_wordpiece_greedy": (0, 1),
     "multimodal_png_header_meta": (1, 0),
     "corpus_length_kl_by_source": (6, 3),
+    # round 11 — exact substring dedup: shuffles are (h,s)-verify window,
+    # per-doc starts groupBy, and the candidate⋈doc join; broadcasts are
+    # the spilled dup-hash table joining the window stream and the
+    # per-doc starts joining back to base (dup-density-sized sides)
+    "dedup_exact_substring": (3, 2),
 }
 
 
