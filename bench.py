@@ -304,8 +304,10 @@ HEADLINE = [
     "multimodal_png_header_meta",
     "corpus_length_kl_by_source",
     # round 11: EXACT substring dedup (Lee et al. ExactSubstr semantics,
-    # hash+verify — closes the round-10 verdict's top item)
+    # hash+verify — closes the round-10 verdict's top item); real
+    # baseline JPEG decode under the oracle gate
     "dedup_exact_substring",
+    "multimodal_jpeg_decode_stats",
 ]
 
 

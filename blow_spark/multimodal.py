@@ -17,7 +17,15 @@ What's REAL decode (round 3 — no external codec needed):
   decode real media payloads for real; ``multimodal_wav_decode_energy``
   runs the WAV path under the DuckDB oracle gate.
 
-What's STUBBED (for formats whose codecs aren't shipped — JPEG, MP3...):
+What's REAL decode (round 11):
+  * JPEG: pure stdlib+numpy baseline-sequential codec — Annex K Huffman
+    + quant tables, FDCT/IDCT, DC prediction, restart markers; encoder
+    AND decoder (``encode_jpeg_baseline``/``_decode_jpeg``), so genuine
+    .jpg fixtures exist with a closed-form oracle (flat blocks at
+    quality 50: the DC round trip is exact integer arithmetic).
+
+What's STUBBED (for formats whose codecs aren't shipped — MP3,
+progressive/subsampled JPEG, ...):
   * ``decode_image``/``decode_audio`` raise NotImplementedError unless
     PIL imports, with a deterministic fake available for tests
     (``fake_decode=True``).
@@ -179,11 +187,14 @@ def encode_png(img: np.ndarray) -> bytes:
 
 def decode_image(content: bytes, fake_decode: bool = False) -> np.ndarray:
     """Decode an image blob to an HxW[xC] array. PNG decodes FOR REAL
-    with no external codec (stdlib zlib — _decode_png); other formats
+    with no external codec (stdlib zlib — _decode_png), and so does
+    baseline-sequential JPEG (_decode_jpeg, round 11); other formats
     use PIL when it ships; the fake path derives a deterministic 8x8x3
     array from the bytes so non-image payload plumbing stays testable."""
     if content[:8] == _PNG_MAGIC:
         return _decode_png(content)
+    if content[:2] == _JPEG_MAGIC:
+        return _decode_jpeg(content)
     if fake_decode:
         h = np.frombuffer(content[:192].ljust(192, b"\0"), dtype=np.uint8)
         return h.reshape(8, 8, 3)
@@ -195,8 +206,9 @@ def decode_image(content: bytes, fake_decode: bool = False) -> np.ndarray:
         return np.asarray(Image.open(io.BytesIO(content)))
     except ImportError as e:
         raise NotImplementedError(
-            "non-PNG image decoding requires PIL, which is not shipped in "
-            "this environment; pass fake_decode=True for the deterministic stub"
+            "non-PNG/non-baseline-JPEG image decoding requires PIL, which is "
+            "not shipped in this environment; pass fake_decode=True for the "
+            "deterministic stub"
         ) from e
 
 
@@ -479,6 +491,561 @@ def png_corpus_fixture_dir(spark, sf_dir: str, n_docs: int = 50) -> str:
             yield pd.DataFrame({"n": [len(pdf)]})
 
     d.mapInPandas(write_part, "n long").count()  # run the write job
+    with open(marker, "w"):
+        pass
+    return img_dir
+
+
+# --------------------------------------------------------------------------
+# Baseline-sequential JPEG codec (pure stdlib+numpy — round 11)
+# --------------------------------------------------------------------------
+# Closes the biggest multimodal asterisk the same way PNG was closed in
+# round 9: a REAL codec with no external dependency. Baseline DCT
+# sequential (SOF0), Huffman entropy coding with the ITU-T.81 Annex K
+# standard tables, 8-bit grayscale or 4:4:4 YCbCr. Progressive (SOF2),
+# subsampled, arithmetic-coded, and 12-bit streams raise
+# NotImplementedError — a truthful feature gate, same policy as the PNG
+# subset note above.
+
+_JPEG_MAGIC = b"\xff\xd8"
+
+# ITU-T.81 Annex K quantization tables (natural row-major order)
+_JQ_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+_JQ_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int32,
+)
+
+# zigzag scan: _JZZ[k] = (row, col) of the k-th zigzag coefficient
+def _jpeg_zigzag() -> list[tuple[int, int]]:
+    order = sorted(
+        ((r, c) for r in range(8) for c in range(8)),
+        key=lambda rc: (rc[0] + rc[1], rc[1] if (rc[0] + rc[1]) % 2 else rc[0]),
+    )
+    return order
+
+
+_JZZ = _jpeg_zigzag()
+
+# Annex K Huffman table specs: (bits[1..16], values)
+_JH_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JH_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JH_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_JH_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _huff_canonical(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) under JPEG canonical code assignment."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_map(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for the decoder."""
+    return {(l, c): s for s, (c, l) in _huff_canonical(bits, values).items()}
+
+
+def _dct_matrix() -> np.ndarray:
+    x = np.arange(8)
+    m = np.sqrt(2.0 / 8.0) * np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16.0)
+    m[0, :] = np.sqrt(1.0 / 8.0)
+    return m
+
+
+_JM = _dct_matrix()
+
+
+def _jpeg_quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """libjpeg quality scaling: q=50 returns Annex K verbatim (luma
+    Q[0,0]=16 — a multiple of 8, which the oracle fixture exploits for
+    an exact integer DC round trip)."""
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    def s(tbl):
+        t = (tbl * scale + 50) // 100
+        return np.clip(t, 1, 255).astype(np.int32)
+    return s(_JQ_LUMA), s(_JQ_CHROMA)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.buf)
+
+
+def _jpeg_mag_bits(v: int) -> tuple[int, int]:
+    """(size category, appended magnitude bits) for a DC diff / AC value."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def encode_jpeg_baseline(img: np.ndarray, quality: int = 50) -> bytes:
+    """Baseline-sequential JFIF encoder: 8-bit grayscale (HxW) or RGB
+    (HxWx3, encoded 4:4:4 — no subsampling). Annex K quant (quality-
+    scaled) + Annex K Huffman tables; level shift, orthonormal FDCT
+    (rounded at 1e-8 so exact-rational coefficients like the DC —
+    always a multiple of 1/8 for integer inputs — quantize
+    deterministically), zigzag, DC differential, RLE/EOB AC coding,
+    byte stuffing. The write-side twin of _decode_jpeg."""
+    import struct
+
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    ql, qc = _jpeg_quality_tables(quality)
+    if gray:
+        planes = [(img.astype(np.float64), ql, 0)]
+    else:
+        r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [
+            (np.clip(np.round(y), 0, 255), ql, 0),
+            (np.clip(np.round(cb), 0, 255), qc, 1),
+            (np.clip(np.round(cr), 0, 255), qc, 1),
+        ]
+    hb, wb = -(-h // 8), -(-w // 8)
+    enc = {
+        (0, 0): _huff_canonical(*_JH_DC_LUMA),
+        (0, 1): _huff_canonical(*_JH_AC_LUMA),
+        (1, 0): _huff_canonical(*_JH_DC_CHROMA),
+        (1, 1): _huff_canonical(*_JH_AC_CHROMA),
+    }
+    bw = _BitWriter()
+    pred = [0] * len(planes)
+    for by in range(hb):
+        for bx in range(wb):
+            for ci, (plane, qt, tsel) in enumerate(planes):
+                blk = np.full((8, 8), 0.0)
+                ys, xs = by * 8, bx * 8
+                sub = plane[ys : min(ys + 8, h), xs : min(xs + 8, w)]
+                # edge-replicate padding
+                blk[: sub.shape[0], : sub.shape[1]] = sub
+                if sub.shape[0] < 8:
+                    blk[sub.shape[0] :, : sub.shape[1]] = sub[-1:, :]
+                if sub.shape[1] < 8:
+                    blk[:, sub.shape[1] :] = blk[:, sub.shape[1] - 1 : sub.shape[1]]
+                f = _JM @ (blk - 128.0) @ _JM.T
+                qf = np.floor(np.round(f, 8) / qt + 0.5).astype(np.int64)
+                zz = [int(qf[r, c]) for (r, c) in _JZZ]
+                dc_tbl, ac_tbl = enc[(tsel, 0)], enc[(tsel, 1)]
+                diff = zz[0] - pred[ci]
+                pred[ci] = zz[0]
+                size, bits = _jpeg_mag_bits(diff)
+                code, ln = dc_tbl[size]
+                bw.write(code, ln)
+                if size:
+                    bw.write(bits, size)
+                run = 0
+                for k in range(1, 64):
+                    v = zz[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_tbl[0xF0]  # ZRL
+                        bw.write(code, ln)
+                        run -= 16
+                    size, bits = _jpeg_mag_bits(v)
+                    code, ln = ac_tbl[(run << 4) | size]
+                    bw.write(code, ln)
+                    bw.write(bits, size)
+                    run = 0
+                if run:
+                    code, ln = ac_tbl[0x00]  # EOB
+                    bw.write(code, ln)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def dqt(tid: int, tbl: np.ndarray) -> bytes:
+        return seg(
+            0xFFDB, bytes([tid]) + bytes(int(tbl[r, c]) for (r, c) in _JZZ)
+        )
+
+    def dht(cls: int, tid: int, spec) -> bytes:
+        bits, vals = spec
+        return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    ncomp = 1 if gray else 3
+    sof_comps = b"".join(
+        bytes([i + 1, 0x11, 0 if i == 0 else 1]) for i in range(ncomp)
+    )
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
+    sos_comps = b"".join(
+        bytes([i + 1, 0x00 if i == 0 else 0x11]) for i in range(ncomp)
+    )
+    sos = seg(0xFFDA, bytes([ncomp]) + sos_comps + bytes([0, 63, 0]))
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out = _JPEG_MAGIC + app0 + dqt(0, ql)
+    if not gray:
+        out += dqt(1, qc)
+    out += sof + dht(0, 0, _JH_DC_LUMA) + dht(1, 0, _JH_AC_LUMA)
+    if not gray:
+        out += dht(0, 1, _JH_DC_CHROMA) + dht(1, 1, _JH_AC_CHROMA)
+    return out + sos + scan + b"\xff\xd9"
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        while self.n < 25 and self.pos < len(self.data):
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                    self.pos += 1  # unstuff
+                else:
+                    self.pos -= 1  # a real marker: stop feeding
+                    b = None
+                    break
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+
+    def read(self, length: int) -> int:
+        if length == 0:
+            return 0
+        self._fill()
+        if self.n < length:
+            # past the scan end: pad with 1s (spec padding)
+            self.acc = (self.acc << (length - self.n)) | ((1 << (length - self.n)) - 1)
+            self.n = length
+        v = (self.acc >> (self.n - length)) & ((1 << length) - 1)
+        self.n -= length
+        self.acc &= (1 << self.n) - 1
+        return v
+
+
+def _jpeg_extend(r: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return r if r >= (1 << (size - 1)) else r - (1 << size) + 1
+
+
+def _decode_jpeg(content: bytes) -> np.ndarray:
+    """Pure stdlib+numpy baseline JPEG decoder: SOF0, 8-bit, grayscale
+    or 4:4:4 (all sampling factors 1x1), restart markers supported.
+    Progressive/subsampled/arithmetic streams raise NotImplementedError
+    (truthful feature gate, same policy as the PNG subset)."""
+    import struct
+
+    if content[:2] != _JPEG_MAGIC:
+        raise ValueError("not a JPEG stream")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    h = w = None
+    comps: list[tuple[int, int]] = []  # (comp_id, qtab) in SOF order
+    restart_interval = 0
+    scan_start = None
+    scan_tabs: list[tuple[int, int]] = []
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError(f"bad marker sync at {pos}")
+        marker = content[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack(">H", content[pos : pos + 2])
+        payload = content[pos + 2 : pos + ln]
+        pos += ln
+        if marker == 0xDB:  # DQT (possibly several tables)
+            p = 0
+            while p < len(payload):
+                pq, tid = payload[p] >> 4, payload[p] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("JPEG subset: 8-bit quant tables")
+                tbl = np.zeros((8, 8), dtype=np.int32)
+                for k, (r, c) in enumerate(_JZZ):
+                    tbl[r, c] = payload[p + 1 + k]
+                qt[tid] = tbl
+                p += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(payload):
+                cls, tid = payload[p] >> 4, payload[p] & 0xF
+                bits = list(payload[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + nv])
+                huff[(cls, tid)] = _huff_decode_map(bits, vals)
+                p += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
+            if prec != 8:
+                raise NotImplementedError("JPEG subset: 8-bit precision")
+            for i in range(nc):
+                cid, samp, tq = payload[6 + 3 * i : 9 + 3 * i]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "JPEG subset: no chroma subsampling (4:4:4 only)"
+                    )
+                comps.append((cid, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG subset: baseline sequential (SOF0) only, got SOF{marker & 0xF}"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", payload[:2])
+        elif marker == 0xDA:  # SOS
+            ns = payload[0]
+            for i in range(ns):
+                cid, tsel = payload[1 + 2 * i], payload[2 + 2 * i]
+                scan_tabs.append((tsel >> 4, tsel & 0xF))
+            scan_start = pos
+            break
+    if h is None or scan_start is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    # isolate entropy-coded data: ends at the next non-RST marker
+    p = scan_start
+    while p + 1 < len(content):
+        if content[p] == 0xFF and content[p + 1] not in (0x00,) and not (
+            0xD0 <= content[p + 1] <= 0xD7
+        ):
+            break
+        p += 1
+    hb, wb = -(-h // 8), -(-w // 8)
+    n_mcu = hb * wb
+    planes = [np.zeros((hb * 8, wb * 8), dtype=np.float64) for _ in comps]
+    # split scan by restart markers so each segment starts byte-aligned
+    scan_bytes = content[scan_start:p]
+    segments = []
+    if restart_interval:
+        seg_b, q = bytearray(), 0
+        while q < len(scan_bytes):
+            if (
+                scan_bytes[q] == 0xFF
+                and q + 1 < len(scan_bytes)
+                and 0xD0 <= scan_bytes[q + 1] <= 0xD7
+            ):
+                segments.append(bytes(seg_b))
+                seg_b = bytearray()
+                q += 2
+            else:
+                seg_b.append(scan_bytes[q])
+                q += 1
+        segments.append(bytes(seg_b))
+    else:
+        segments = [scan_bytes]
+    mcu_idx = 0
+    for seg_bytes in segments:
+        br = _BitReader(seg_bytes)
+        pred = [0] * len(comps)
+        limit = (
+            min(mcu_idx + restart_interval, n_mcu) if restart_interval else n_mcu
+        )
+        while mcu_idx < limit:
+            by, bx = divmod(mcu_idx, wb)
+            for ci, (cid, tq) in enumerate(comps):
+                dc_map = huff[(0, scan_tabs[ci][0])]
+                ac_map = huff[(1, scan_tabs[ci][1])]
+
+                def read_symbol(table):
+                    code, lng = 0, 0
+                    while lng < 16:
+                        code = (code << 1) | br.read(1)
+                        lng += 1
+                        if (lng, code) in table:
+                            return table[(lng, code)]
+                    raise ValueError("bad Huffman code in JPEG scan")
+
+                size = read_symbol(dc_map)
+                diff = _jpeg_extend(br.read(size), size)
+                pred[ci] += diff
+                zz = [0] * 64
+                zz[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = read_symbol(ac_map)
+                    run, size = rs >> 4, rs & 0xF
+                    if size == 0:
+                        if run == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += run
+                    if k > 63:
+                        raise ValueError("JPEG AC run overflow")
+                    zz[k] = _jpeg_extend(br.read(size), size)
+                    k += 1
+                fq = np.zeros((8, 8), dtype=np.float64)
+                for k2, (r, c) in enumerate(_JZZ):
+                    fq[r, c] = zz[k2] * qt[tq][r, c]
+                blk = _JM.T @ fq @ _JM + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+            mcu_idx += 1
+    planes = [pl[:h, :w] for pl in planes]
+    if len(comps) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def jpeg_corpus_fixture_dir(spark, sf_dir: str, n_docs: int = 50) -> str:
+    """Genuine ``.jpg`` corpus fixture (the JPEG twin of
+    png_corpus_fixture_dir): one 64x64 grayscale baseline JPEG per
+    document, 64 flat 8x8 blocks whose gray levels are the document's
+    leading 64 UTF-8 bytes, encoded at quality 50 — where the Annex K
+    luma DC quantizer is 16, a multiple of 8, so every decoded block is
+    the EXACT integer clamp(2*floor((v-127)/2) + 128) and a DuckDB
+    oracle can compute per-image pixel sums in closed form. Two pixels
+    of each interior-valued block carry a ±1 dither whose AC energy is
+    provably below half the smallest AC quantizer — the encoder MUST
+    destroy it (that's the lossy path working), which the oracle's
+    closed form silently asserts. Written DISTRIBUTED inside
+    mapInPandas, cached per source fingerprint, exactly like the PNG
+    fixture."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from blow_spark.shipping import ensure_package_shipped
+    from blow_spark.sources import read_table
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    stat_parts = []
+    if os.path.isdir(src):
+        for fn in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, fn))
+            stat_parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        stat_parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    token = hashlib.sha256(
+        f"jpeg|{sf_dir}|{n_docs}|{'|'.join(stat_parts)}".encode()
+    ).hexdigest()[:12]
+    img_dir = os.path.join(tempfile.gettempdir(), f"blow_spark_jpgs_{token}")
+    marker = os.path.join(img_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return img_dir
+    os.makedirs(img_dir, exist_ok=True)
+    ensure_package_shipped(spark)
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < n_docs)
+        .select("doc_id", "text")
+    )
+
+    def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = str(text).encode("utf-8")[:64].ljust(64, b"\0")
+                img = np.zeros((64, 64), dtype=np.uint8)
+                for k, v in enumerate(raw):
+                    r, c = divmod(k, 8)
+                    img[r * 8 : (r + 1) * 8, c * 8 : (c + 1) * 8] = v
+                    if 0 < v < 255:  # sub-quantizer dither, DC-neutral
+                        img[r * 8, c * 8] = v + 1
+                        img[r * 8, c * 8 + 1] = v - 1
+                with open(os.path.join(img_dir, f"{int(doc_id)}.jpg"), "wb") as f:
+                    f.write(encode_jpeg_baseline(img, quality=50))
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    d.mapInPandas(write_part, "n long").count()
     with open(marker, "w"):
         pass
     return img_dir

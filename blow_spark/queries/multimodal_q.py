@@ -1,8 +1,9 @@
 """Multimodal-column queries: binary payload + typed metadata over the
 documents fixture (payloads synthesized deterministically from text).
-PNG and RIFF/WAV decode FOR REAL via the stdlib (multimodal._decode_png,
-wave) — multimodal_wav_decode_energy runs a genuine container parse
-under the oracle gate; compressed codecs (JPEG/MP3) stay stubbed; the
+PNG, RIFF/WAV, and baseline JPEG decode FOR REAL (multimodal._decode_png,
+stdlib wave, multimodal._decode_jpeg) — multimodal_wav_decode_energy and
+multimodal_jpeg_decode_stats run genuine container/entropy decodes under
+the oracle gate; MP3 and progressive/subsampled JPEG stay stubbed; the
 Spark-side plumbing is real and oracled where byte semantics are
 SQL-expressible."""
 
@@ -718,3 +719,89 @@ def multimodal_png_header_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("iend_type") == "IEND")
         ).alias("layout_ok"),
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_jpeg_decode_stats",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(ENCODE(text)) AS hx, OCTET_LENGTH(ENCODE(text)) AS n
+      FROM documents WHERE doc_id < 50
+    ), blocks AS (
+      SELECT doc_id, n, hx, UNNEST(range(0, 64)) AS k FROM b
+    ), vals AS (
+      SELECT doc_id,
+             CASE WHEN k < LEAST(n, 64)
+                  THEN (strpos('0123456789ABCDEF',
+                               substring(hx, CAST(2*k+1 AS INT), 1)) - 1) * 16
+                     + (strpos('0123456789ABCDEF',
+                               substring(hx, CAST(2*k+2 AS INT), 1)) - 1)
+                  ELSE 0 END AS v
+      FROM blocks
+    ), px AS (
+      SELECT doc_id,
+             LEAST(GREATEST(2 * CAST(FLOOR((v - 127) / 2.0) AS BIGINT) + 128,
+                            0), 255) AS p
+      FROM vals
+    )
+    SELECT doc_id, CAST(64 AS INT) AS height, CAST(64 AS INT) AS width,
+           CAST(4096 AS INT) AS n_px, CAST(SUM(p) * 64 AS BIGINT) AS px_sum
+    FROM px GROUP BY doc_id
+    """,
+    tags=("multimodal", "binaryfile", "codec", "jpeg"),
+)
+def multimodal_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decode under the oracle gate (round 11 — closes the
+    'JPEG stubbed' asterisk the way PNG was closed in round 9): genuine
+    baseline-sequential .jpg files on disk (stdlib+numpy encoder,
+    Annex K Huffman + quant tables), scanned with binaryFile, Huffman-
+    decoded + dequantized + IDCT'd FOR REAL by multimodal._decode_jpeg
+    inside mapInPandas, reduced to per-image pixel stats.
+
+    The oracle can know the pixels of a LOSSY codec because the fixture
+    is flat 8x8 blocks at quality 50, where the luma DC quantizer is 16
+    (a multiple of the DCT's 8x DC gain): each decoded block is exactly
+    clamp(2*floor((v-127)/2) + 128). The fixture also plants a ±1
+    dither (AC energy < half the smallest AC quantizer) that the
+    encoder MUST quantize away — so a matching hash certifies the whole
+    chain: DC differential Huffman coding across 64 blocks (negative
+    categories included), byte stuffing, zigzag, dequant, IDCT scaling,
+    clamping, AND genuine lossy behavior. A broken anything breaks the
+    hash. Plan shape: parallel file scan -> map-only decode -> narrow
+    stats; at 100 TB only the object-store URI changes."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from blow_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    img_dir = multimodal.jpeg_corpus_fixture_dir(spark, sf_dir, n_docs=50)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jpg")
+        .load(img_dir)
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                img = multimodal.decode_image(bytes(content))
+                rows.append(
+                    {
+                        "doc_id": int(os.path.splitext(os.path.basename(path))[0]),
+                        "height": img.shape[0],
+                        "width": img.shape[1],
+                        "n_px": int(img.size),
+                        "px_sum": int(img.astype(np.int64).sum()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "height", "width", "n_px", "px_sum"]
+            )
+
+    return files.select("path", "content").mapInPandas(
+        decode, "doc_id long, height int, width int, n_px int, px_sum long"
+    )

@@ -404,6 +404,8 @@ BENCH_EXCHANGE_PINS = {
     # the spilled dup-hash table joining the window stream and the
     # per-doc starts joining back to base (dup-density-sized sides)
     "dedup_exact_substring": (3, 2),
+    # map-only: binaryFile scan -> mapInPandas decode -> narrow stats
+    "multimodal_jpeg_decode_stats": (0, 0),
 }
 
 
