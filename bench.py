@@ -308,6 +308,9 @@ HEADLINE = [
     # baseline JPEG decode under the oracle gate
     "dedup_exact_substring",
     "multimodal_jpeg_decode_stats",
+    # round 11: ANN method-selection report (audit-class query like
+    # similarity_lsh_topk — runs 3 methods + exact ground truth)
+    "similarity_ann_method_report",
 ]
 
 

@@ -1769,3 +1769,170 @@ def vector_kcenter_greedy_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in out_rows[1:]:
         out = out.unionByName(df)
     return out.orderBy("sel_round")
+
+
+@register(
+    "similarity_ann_method_report",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries
+      FROM embeddings WHERE vec_id < 50
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM embeddings
+    ), m AS (
+      SELECT * FROM (VALUES
+        ('int8_exhaustive', 220, 0,
+         'N rescore rows/query; 4x smaller storage, no pruning'),
+        ('ivf_nprobe4_of16', 110, 1,
+         'n_probe/K of corpus/query after broadcast-centroid assign'),
+        ('srp_lsh_4x4bit',   80, 1,
+         'bands*N bucket rows; candidates ~ bucket collisions')
+      ) AS t(method, floor_hits, prunes_candidates, cost_model)
+    )
+    SELECT m.method, q.n_queries, 5 AS k,
+           CAST(m.floor_hits AS BIGINT) AS floor_hits,
+           1 AS recall_floor_met,
+           CAST(m.prunes_candidates AS INT) AS prunes_candidates,
+           CAST(q.n_queries * (n.n_corpus - 1) AS BIGINT) AS exhaustive_pairs,
+           m.cost_model
+    FROM m CROSS JOIN q CROSS JOIN n
+    ORDER BY m.method
+    """,
+    tags=("similarity", "ann", "report", "vector"),
+)
+def similarity_ann_method_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN method-SELECTION surface (round-10 verdict item #5): one
+    row per method — SRP-LSH, IVF, int8-quantized exhaustive — scored on
+    the SAME fixture at matched k=5 over the same 50 audited queries,
+    so the recall-vs-cost trade-off a 100 TB user actually faces is one
+    query away instead of three isolated quality gates.
+
+    Columns, following the recall-floor-gate design of
+    similarity_lsh_topk (no exact pair set pinned; the approximation
+    stays load-bearing):
+      * recall_floor_met — 1 iff |ANN top-5 ∩ exact top-5| ≥ the
+        per-method floor over the 50 queries. Floors calibrated at both
+        gate SFs (hits @sf0.001/sf0.01 of 250): LSH 105/109 → 80,
+        IVF(n_probe=4/16) 140/139 → 110, int8 249/245 → 220.
+      * prunes_candidates — measured IN-PLAN: 1 iff the method's
+        candidate count for the audited queries is under HALF the
+        exhaustive count (LSH ~5.8k and IVF ~1/4 of 24950 → 1; int8
+        scans everything → 0). A broken blocker that degenerates to
+        all-pairs flips the bit.
+      * exhaustive_pairs — the brute-force baseline cost the pruning
+        is measured against (oracle-computable).
+      * cost_model — the method's shuffle-volume formula.
+    Raw hits/candidate counts (engine-deterministic but not
+    SQL-derivable) are asserted with margins in
+    tests/test_round11.py::test_ann_method_report_raw_floors."""
+    from blow_spark.materialize import spill_to_parquet
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q50 = e.filter(F.col("vec_id") < 50)
+    exact = spill_to_parquet(
+        similarity.brute_force_topk(q50, e, k=5).select("query_id", "neighbor_id"),
+        "blow_spark_annrep_exact_",
+    )
+    n_q = exact.select(F.count_distinct("query_id").alias("n_queries"))
+    n_corpus = e.agg(F.count("*").alias("n_corpus"))
+
+    def method_row(name, topk_df, cand_count_df, floor_hits):
+        hits = (
+            topk_df.select("query_id", "neighbor_id")
+            .join(exact, ["query_id", "neighbor_id"])
+            .agg(F.count("*").alias("hits"))
+        )
+        return (
+            n_q.crossJoin(hits)
+            .crossJoin(cand_count_df)
+            .crossJoin(n_corpus)
+            .select(
+                F.lit(name).alias("method"),
+                F.col("n_queries").cast("bigint").alias("n_queries"),
+                F.lit(5).alias("k"),
+                F.lit(floor_hits).cast("bigint").alias("floor_hits"),
+                (F.col("hits") >= floor_hits).cast("int").alias("recall_floor_met"),
+                (
+                    F.col("n_cand") * 2 < F.col("n_queries") * (F.col("n_corpus") - 1)
+                )
+                .cast("int")
+                .alias("prunes_candidates"),
+                (F.col("n_queries") * (F.col("n_corpus") - 1))
+                .cast("bigint")
+                .alias("exhaustive_pairs"),
+            )
+        )
+
+    # --- SRP-LSH (production params of similarity_lsh_topk) ---
+    lsh_cand = similarity._srp_band_candidates(
+        e, "vec_id", "embedding", 16, 4, 7, 64, symmetric=True
+    ).filter(F.col("query_id") < 50)
+    lsh_cand_n = lsh_cand.agg(F.count("*").alias("n_cand"))
+    lsh_topk = similarity.lsh_topk(e, k=5, dim=64).filter(F.col("query_id") < 50)
+    row_lsh = method_row("srp_lsh_4x4bit", lsh_topk, lsh_cand_n, 80).withColumn(
+        "cost_model", F.lit("bands*N bucket rows; candidates ~ bucket collisions")
+    )
+
+    # --- IVF (n_probe=4 of 16 clusters) ---
+    assigned, centroids = similarity.ivf_assign(e, n_clusters=16)
+    q_unit = similarity.with_unit_norm(q50, "embedding", "uv").select(
+        F.col("vec_id").alias("vid"), "uv"
+    )
+    probes = similarity._nearest_centroids(q_unit, centroids, 4).select(
+        F.col("vid").alias("query_id"), "cid"
+    )
+    members = assigned.select("cid", F.col("vid").alias("neighbor_id"))
+    ivf_cand = spill_to_parquet(
+        probes.join(members, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct(),
+        "blow_spark_annrep_ivfc_",
+    )
+    ivf_cand_n = ivf_cand.agg(F.count("*").alias("n_cand"))
+    ivf_scored = similarity._rescore_candidates(ivf_cand, e)
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    ivf_topk = ivf_scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 5
+    )
+    row_ivf = method_row("ivf_nprobe4_of16", ivf_topk, ivf_cand_n, 110).withColumn(
+        "cost_model",
+        F.lit("n_probe/K of corpus/query after broadcast-centroid assign"),
+    )
+
+    # --- int8: exhaustive scan over the affine-quantized reconstruction ---
+    xe = F.transform("embedding", lambda v: v.cast("double"))
+    mm = e.select("vec_id", xe.alias("xe")).select(
+        "vec_id", "xe", F.array_min("xe").alias("mn"), F.array_max("xe").alias("mx")
+    )
+    qv = F.transform(
+        "xe",
+        lambda v: F.when(
+            F.col("mx") > F.col("mn"),
+            F.col("mn")
+            + F.least(
+                F.lit(255),
+                F.floor(
+                    (v - F.col("mn")) * 255.0 / (F.col("mx") - F.col("mn"))
+                ).cast("int"),
+            )
+            * (F.col("mx") - F.col("mn"))
+            / 255.0,
+        ).otherwise(F.col("mn")),
+    )
+    deq = spill_to_parquet(
+        mm.select("vec_id", qv.alias("embedding")), "blow_spark_annrep_deq_"
+    )
+    int8_topk = similarity.brute_force_topk(
+        deq.filter(F.col("vec_id") < 50), deq, k=5
+    )
+    int8_cand_n = n_q.crossJoin(n_corpus).select(
+        (F.col("n_queries") * (F.col("n_corpus") - 1)).alias("n_cand")
+    )
+    row_int8 = method_row("int8_exhaustive", int8_topk, int8_cand_n, 220).withColumn(
+        "cost_model", F.lit("N rescore rows/query; 4x smaller storage, no pruning")
+    )
+
+    return row_int8.unionByName(row_ivf).unionByName(row_lsh).orderBy("method")

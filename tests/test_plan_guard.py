@@ -406,6 +406,11 @@ BENCH_EXCHANGE_PINS = {
     "dedup_exact_substring": (3, 2),
     # map-only: binaryFile scan -> mapInPandas decode -> narrow stats
     "multimodal_jpeg_decode_stats": (0, 0),
+    # audit/report query by design: 3 ANN methods + exact ground truth
+    # + per-method candidate counts in ONE plan (cf. similarity_lsh_topk,
+    # whose audit is also exchange-heavy); the production paths it
+    # certifies are benched separately (similarity_lsh_topk_plan, ...)
+    "similarity_ann_method_report": (23, 20),
 }
 
 

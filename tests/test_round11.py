@@ -249,3 +249,54 @@ def test_jpeg_decode_image_routing():
     out = decode_image(encode_jpeg_baseline(img, quality=50))
     assert out.shape == (8, 16)
     assert (out == min(max(2 * ((200 - 127) // 2) + 128, 0), 255)).all()
+
+
+def test_ann_method_report_raw_floors(spark, sf_dir):
+    """Raw numbers behind similarity_ann_method_report's proof bits:
+    every method clears its documented recall floor WITH MARGIN, and
+    the pruning methods generate well under half the exhaustive
+    candidate volume (calibrated: lsh 105/109 and ivf 140/139 and
+    int8 249/245 hits of 250 at the two gate SFs; lsh ~5.8k and
+    ivf ~6.2k candidates of 24950)."""
+    from pyspark.sql import functions as F
+
+    from blow_spark import similarity
+    from blow_spark.sources import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    n_corpus = e.count()
+    q50 = e.filter(F.col("vec_id") < 50)
+    exact = similarity.brute_force_topk(q50, e, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    exact.cache()
+    n_q = exact.select("query_id").distinct().count()
+
+    def hits(df):
+        return (
+            df.select("query_id", "neighbor_id")
+            .join(exact, ["query_id", "neighbor_id"])
+            .count()
+        )
+
+    h_lsh = hits(similarity.lsh_topk(e, k=5, dim=64).filter(F.col("query_id") < 50))
+    h_ivf = hits(
+        similarity.ivf_topk(
+            e, k=5, n_clusters=16, n_probe=4, queries_df=q50
+        ).filter(F.col("query_id") < 50)
+    )
+    cand_lsh = (
+        similarity._srp_band_candidates(
+            e, "vec_id", "embedding", 16, 4, 7, 64, symmetric=True
+        )
+        .filter(F.col("query_id") < 50)
+        .count()
+    )
+    exhaustive = n_q * (n_corpus - 1)
+    assert h_lsh >= 80, h_lsh
+    assert h_ivf >= 110, h_ivf
+    assert cand_lsh * 2 < exhaustive, (cand_lsh, exhaustive)
+    # method ordering the report exists to surface: exhaustive-over-
+    # quantized recalls most, pruned methods trade recall for volume
+    assert h_ivf > h_lsh  # n_probe=1/4 of corpus beats 4x4-bit buckets here
+    exact.unpersist()
