@@ -311,6 +311,27 @@ HEADLINE = [
     # round 11: ANN method-selection report (audit-class query like
     # similarity_lsh_topk — runs 3 methods + exact ground truth)
     "similarity_ann_method_report",
+    # round 11 batch 2: codec shelf (G.711/ADPCM/MP3/GIF/BMP), the
+    # AP/MCC/Gini/Wilcoxon/PCA analytics shelf, bounded-BFS closeness +
+    # modularity, Sharpe/Sortino, band-limited DTW, Aho-Corasick
+    # blocklist, winnowing fingerprints, QUALIFY front door
+    "multimodal_g711_decode_energy",
+    "multimodal_adpcm_decode_energy",
+    "multimodal_mp3_frame_header",
+    "multimodal_gif_header_meta",
+    "multimodal_bmp_decode_stats",
+    "eval_average_precision",
+    "eval_matthews_corrcoef",
+    "stats_gini_coefficient",
+    "stats_wilcoxon_signed_rank",
+    "ml_pca_two_feature",
+    "timeseries_dtw_band_distance",
+    "graph_closeness_centrality_bfs",
+    "graph_modularity_score",
+    "finance_sharpe_sortino",
+    "text_aho_corasick_blocklist",
+    "text_winnowing_fingerprint",
+    "sql_qualify_front_door",
 ]
 
 

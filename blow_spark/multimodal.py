@@ -185,16 +185,99 @@ def encode_png(img: np.ndarray) -> bytes:
     )
 
 
+def _decode_bmp(content: bytes) -> np.ndarray:
+    """REAL Windows BMP decoder (uncompressed 24-bit BITMAPINFOHEADER
+    subset — the overwhelmingly common uncompressed form): parses the
+    file header's pixel-array offset, the info header's width/height/
+    bpp/compression, honors the 4-byte row stride padding, converts
+    BGR→RGB, and flips bottom-up storage to top-down. Anything outside
+    the subset raises NotImplementedError (truthful gate, same policy
+    as the PNG/JPEG decoders). Returns HxWx3 uint8 (row 0 = top)."""
+    import struct
+
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    (offset,) = struct.unpack_from("<I", content, 10)
+    hdr_size, width, height = struct.unpack_from("<Iii", content, 14)
+    planes, bpp = struct.unpack_from("<HH", content, 26)
+    (compression,) = struct.unpack_from("<I", content, 30)
+    if hdr_size < 40 or planes != 1:
+        raise NotImplementedError("BMP subset: BITMAPINFOHEADER")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("BMP subset: uncompressed 24-bit")
+    bottom_up = height > 0
+    h = abs(height)
+    stride = (width * 3 + 3) // 4 * 4
+    raw = np.frombuffer(
+        content[offset : offset + stride * h].ljust(stride * h, b"\0"),
+        dtype=np.uint8,
+    ).reshape(h, stride)
+    bgr = raw[:, : width * 3].reshape(h, width, 3)
+    if bottom_up:
+        bgr = bgr[::-1]
+    return bgr[:, :, ::-1].copy()  # BGR → RGB
+
+
+# IMA/DVI ADPCM tables (IMA "Recommended Practices for Enhancing
+# Digital Audio Compatibility", 1992 — the same constants every
+# implementation ships, e.g. stdlib audioop before its removal).
+ADPCM_STEP_TABLE: tuple[int, ...] = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767,
+)
+ADPCM_INDEX_TABLE: tuple[int, ...] = (
+    -1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8,
+)
+
+
+def decode_adpcm_ima(
+    data: bytes, predictor: int = 0, step_index: int = 0
+) -> np.ndarray:
+    """REAL IMA/DVI ADPCM decoder: each byte carries two 4-bit codes
+    (low nibble first, the IMA packing), expanded through the standard
+    step/index tables with the spec's shift-add reconstruction
+    (diff = step>>3 (+step>>2 if b0) (+step>>1 if b1) (+step if b2),
+    sign bit b3), int16 clamping, and index clamping to [0, 88].
+    Returns int16 samples; the (predictor, step_index) seed is the
+    block-header state a WAV-ADPCM container would supply."""
+    out = np.empty(len(data) * 2, dtype=np.int16)
+    pred, idx = predictor, step_index
+    for i, byte in enumerate(data):
+        for j, nib in enumerate((byte & 0x0F, byte >> 4)):
+            step = ADPCM_STEP_TABLE[idx]
+            diff = step >> 3
+            if nib & 1:
+                diff += step >> 2
+            if nib & 2:
+                diff += step >> 1
+            if nib & 4:
+                diff += step
+            pred = pred - diff if nib & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + ADPCM_INDEX_TABLE[nib]))
+            out[2 * i + j] = pred
+    return out
+
+
 def decode_image(content: bytes, fake_decode: bool = False) -> np.ndarray:
     """Decode an image blob to an HxW[xC] array. PNG decodes FOR REAL
-    with no external codec (stdlib zlib — _decode_png), and so does
-    baseline-sequential JPEG (_decode_jpeg, round 11); other formats
-    use PIL when it ships; the fake path derives a deterministic 8x8x3
-    array from the bytes so non-image payload plumbing stays testable."""
+    with no external codec (stdlib zlib — _decode_png), and so do
+    baseline-sequential JPEG (_decode_jpeg, round 11) and uncompressed
+    24-bit BMP (_decode_bmp, round 11); other formats use PIL when it
+    ships; the fake path derives a deterministic 8x8x3 array from the
+    bytes so non-image payload plumbing stays testable."""
     if content[:8] == _PNG_MAGIC:
         return _decode_png(content)
     if content[:2] == _JPEG_MAGIC:
         return _decode_jpeg(content)
+    if content[:2] == b"BM":
+        return _decode_bmp(content)
     if fake_decode:
         h = np.frombuffer(content[:192].ljust(192, b"\0"), dtype=np.uint8)
         return h.reshape(8, 8, 3)

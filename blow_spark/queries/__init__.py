@@ -93,6 +93,7 @@ def _load() -> None:
         return
     from blow_spark.queries import (  # noqa: F401
         batteries,
+        codecs,
         corpus,
         entity,
         evalrank,
@@ -116,8 +117,10 @@ def _load() -> None:
         stats,
         stats2,
         stats3,
+        stats4,
         text,
         text2,
+        text3,
         tpch,
         tpch2,
         vectors,

@@ -538,3 +538,110 @@ def timeseries_holt_linear_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("brand", "day")
     )
+
+
+@register(
+    "finance_sharpe_sortino",
+    oracle="""
+    WITH daily AS (
+      SELECT p.p_brand AS brand, CAST(l.l_shipdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ), deltas AS (
+      SELECT brand,
+             rev_cents - LAG(rev_cents) OVER (PARTITION BY brand
+                                              ORDER BY day) AS d
+      FROM daily
+    ), agg AS (
+      SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(d) AS BIGINT) AS s,
+             SUM(CAST(d AS HUGEINT) * d) AS ssq,
+             SUM(CASE WHEN d < 0 THEN CAST(d AS HUGEINT) * d
+                      ELSE CAST(0 AS HUGEINT) END) AS dd
+      FROM deltas WHERE d IS NOT NULL GROUP BY brand
+    )
+    SELECT brand, n, s AS sum_delta_cents,
+           CAST(ROUND(1000000.0 * s
+                / SQRT(CAST(n * ssq - CAST(s AS HUGEINT) * s AS DOUBLE)))
+                AS BIGINT) AS sharpe_e6,
+           CASE WHEN dd = 0 THEN NULL
+                ELSE CAST(ROUND(1000000.0 * s
+                     / SQRT(CAST(n * dd AS DOUBLE))) AS BIGINT)
+           END AS sortino_e6
+    FROM agg ORDER BY brand
+    """,
+    tags=("finance", "window", "exact"),
+)
+def finance_sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharpe and Sortino ratios of each brand's day-over-day revenue
+    CHANGES (the stationary series — raw revenue levels have no risk
+    interpretation): Sharpe = mean(Δ)/σ(Δ) computed as the
+    algebraically-identical S/√(n·ΣΔ²−S²) so every moment is an exact
+    integer (HUGEINT/DECIMAL(38,0) — ΣΔ² overflows 64 bits at sf ≥ 1),
+    and Sortino replaces the denominator with the DOWNSIDE deviation
+    √(n·Σ min(Δ,0)²) per Sortino & Price (J. Investing 1994). Doubles
+    appear only in the two final sqrt-divisions on identical operands.
+
+    Scale: one keyed aggregate to (brand × day), one brand-partitioned
+    lag window (25-way parallel, calendar-bounded), one keyed
+    aggregate. Reference analog: blow (maps/maps.go:8-21) has no
+    windows; companion to finance_bollinger_breakouts."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    daily = (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("l_shipdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    deltas = daily.select(
+        "brand",
+        (
+            F.col("rev_cents")
+            - F.lag("rev_cents").over(W.partitionBy("brand").orderBy("day"))
+        ).alias("d"),
+    ).where(F.col("d").isNotNull())
+    dd = F.col("d").cast("decimal(38,0)")
+    agg = deltas.groupBy("brand").agg(
+        F.count("*").alias("n"),
+        F.sum("d").cast("bigint").alias("s"),
+        F.sum(dd * F.col("d")).alias("ssq"),
+        F.sum(
+            F.when(F.col("d") < 0, dd * F.col("d")).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("dd"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    return agg.select(
+        "brand",
+        "n",
+        F.col("s").alias("sum_delta_cents"),
+        F.round(
+            1000000.0
+            * F.col("s")
+            / F.sqrt(
+                (
+                    nd * F.col("ssq")
+                    - F.col("s").cast("decimal(38,0)") * F.col("s")
+                ).cast("double")
+            )
+        )
+        .cast("bigint")
+        .alias("sharpe_e6"),
+        F.when(F.col("dd") == 0, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.round(
+                1000000.0 * F.col("s") / F.sqrt((nd * F.col("dd")).cast("double"))
+            ).cast("bigint")
+        )
+        .alias("sortino_e6"),
+    ).orderBy("brand")

@@ -284,3 +284,216 @@ def graph_ktruss_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     for rdf in rows[1:]:
         out = out.unionAll(rdf)
     return out.orderBy("round")
+
+
+# --------------------------------------------------------------------------
+# Round 11: closeness centrality (bounded multi-source BFS) + modularity
+# --------------------------------------------------------------------------
+
+
+@register(
+    "graph_closeness_centrality_bfs",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), bi AS (
+      SELECT c AS src, 'c' AS sside, p AS dst, 'p' AS dside FROM edges
+      UNION ALL
+      SELECT p, 'p', c, 'c' FROM edges
+    ), seeds AS (
+      SELECT c FROM (SELECT DISTINCT c FROM edges ORDER BY c LIMIT 10)
+    ), bfs AS (
+      SELECT c AS seed, c AS node, 'c' AS side, 0 AS dist FROM seeds
+      UNION
+      SELECT b.seed, e.dst, e.dside, b.dist + 1
+      FROM bfs b JOIN bi e ON e.src = b.node AND e.sside = b.side
+      WHERE b.dist < 4
+    ), best AS (
+      SELECT seed, node, side, MIN(dist) AS d
+      FROM bfs GROUP BY seed, node, side
+    )
+    SELECT seed,
+           CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_d1,
+           CAST(SUM(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_d2,
+           CAST(SUM(CASE WHEN d = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_d3,
+           CAST(SUM(CASE WHEN d = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_d4,
+           CAST(SUM(CASE WHEN d > 0 THEN 12 // d ELSE 0 END) AS BIGINT)
+             AS harmonic_x12
+    FROM best GROUP BY seed ORDER BY seed
+    """,
+    tags=("graph", "bfs", "orders", "lineitem"),
+)
+def graph_closeness_centrality_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic closeness centrality for a BOUNDED seed set via
+    level-synchronous multi-source BFS on the customer↔part purchase
+    bipartite graph, horizon 4: each of the 10 lowest-key customers
+    expands one frontier join per level, levels are deduplicated
+    (UNION semantics — the Spark side distincts each frontier, the
+    oracle's recursive UNION does the same), and closeness is the
+    EXACT harmonic sum ×12 (Σ 12/d over reached nodes; 12 = lcm(1..4)
+    keeps every term an integer, so the hash certifies the whole
+    reachability structure, not a rounded scalar).
+
+    Scale: the seed set is the bound — frontier size ≤ seeds × nodes
+    regardless of graph size, and each level is one equi-join against
+    the spilled edge table (re-read, never recomputed: the
+    linkage._purchase_edges spill discipline). Per-level distinct keeps
+    the frontier a SET, so path multiplicity never amplifies rows —
+    the same localCheckpoint-free small-table iteration the k-core and
+    pagerank family uses. Reference analog: none (blow has no joins)."""
+    from blow_spark.queries.linkage import _purchase_edges
+
+    edges = _purchase_edges(spark, sf_dir)
+    seeds = (
+        edges.select("c").distinct().orderBy("c").limit(10)
+        .select(F.col("c").alias("seed"))
+    )
+    # frontier alternates sides: odd dist = parts, even dist = customers
+    reached = seeds.select(
+        "seed", F.col("seed").alias("node"), F.lit("c").alias("side"),
+        F.lit(0).alias("dist"),
+    )
+    frontier = reached
+    for dist in range(1, 5):
+        if dist % 2 == 1:  # expand customers -> parts
+            nxt = (
+                frontier.join(edges, frontier.node == edges.c)
+                .select("seed", F.col("p").alias("node"))
+                .distinct()
+                .select("seed", "node", F.lit("p").alias("side"),
+                        F.lit(dist).alias("dist"))
+            )
+        else:  # expand parts -> customers
+            nxt = (
+                frontier.join(edges, frontier.node == edges.p)
+                .select("seed", F.col("c").alias("node"))
+                .distinct()
+                .select("seed", "node", F.lit("c").alias("side"),
+                        F.lit(dist).alias("dist"))
+            )
+        reached = reached.unionByName(nxt)
+        frontier = nxt
+    best = reached.groupBy("seed", "node", "side").agg(F.min("dist").alias("d"))
+    return (
+        best.groupBy("seed")
+        .agg(
+            F.sum((F.col("d") == 1).cast("bigint")).alias("n_d1"),
+            F.sum((F.col("d") == 2).cast("bigint")).alias("n_d2"),
+            F.sum((F.col("d") == 3).cast("bigint")).alias("n_d3"),
+            F.sum((F.col("d") == 4).cast("bigint")).alias("n_d4"),
+            F.sum(
+                F.when(F.col("d") > 0, F.expr("12 div d")).otherwise(0)
+            ).cast("bigint").alias("harmonic_x12"),
+        )
+        .orderBy("seed")
+    )
+
+
+@register(
+    "graph_modularity_score",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges
+    ), within AS (
+      SELECT CAST(c % 6 AS BIGINT) AS comm,
+             CAST(COUNT(*) AS BIGINT) AS edges_within
+      FROM edges WHERE c % 6 = p % 6 GROUP BY 1
+    ), degs AS (
+      SELECT comm, CAST(COUNT(*) AS BIGINT) AS degree_sum
+      FROM (
+        SELECT CAST(c % 6 AS BIGINT) AS comm FROM edges
+        UNION ALL
+        SELECT CAST(p % 6 AS BIGINT) FROM edges
+      ) GROUP BY comm
+    ), per AS (
+      SELECT d.comm, COALESCE(w.edges_within, 0) AS edges_within,
+             d.degree_sum,
+             4 * m.m * CAST(COALESCE(w.edges_within, 0) AS HUGEINT)
+               - CAST(d.degree_sum AS HUGEINT) * d.degree_sum
+               AS contrib_x4m2
+      FROM degs d LEFT JOIN within w USING (comm) CROSS JOIN m
+    ), tot AS (
+      SELECT CAST(SUM(contrib_x4m2) AS HUGEINT) AS num FROM per
+    )
+    SELECT per.comm, per.edges_within, per.degree_sum,
+           CAST(per.contrib_x4m2 AS BIGINT) AS contrib_x4m2,
+           CAST(ROUND(1000000.0 * CAST(tot.num AS DOUBLE)
+                / (4.0 * CAST(m.m AS DOUBLE) * CAST(m.m AS DOUBLE)))
+                AS BIGINT) AS q_e6
+    FROM per CROSS JOIN tot CROSS JOIN m
+    ORDER BY per.comm
+    """,
+    tags=("graph", "communities", "orders", "lineitem", "exact"),
+)
+def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman-Girvan modularity (Newman & Girvan, PRE 2004) of a
+    deterministic 6-way community assignment (node key mod 6) on the
+    purchase bipartite graph — the quality score every community-
+    detection pass (the existing label-propagation query) needs as its
+    readout. Computed in the EXACT ×4m² integer form
+    Q·4m² = Σ_c (4m·e_c − d_c²) (HUGEINT/DECIMAL(38,0) — d_c ≤ 2m can
+    square past 64 bits at scale), with per-community contributions in
+    the result so the hash certifies each community's balance, plus the
+    final e6-rounded Q from ONE double division on identical operands.
+
+    Scale: two keyed aggregates over the edge table (one filtered on
+    same-community, one over unpivoted endpoints) + label-domain-sized
+    (6-row) algebra; map-side combinable, no window. Reference analog:
+    none."""
+    from blow_spark.queries.linkage import _purchase_edges
+
+    edges = _purchase_edges(spark, sf_dir)
+    m = edges.agg(F.count("*").alias("m"))
+    within = (
+        edges.where(F.col("c") % 6 == F.col("p") % 6)
+        .groupBy((F.col("c") % 6).cast("bigint").alias("comm"))
+        .agg(F.count("*").alias("edges_within"))
+    )
+    degs = (
+        edges.select((F.col("c") % 6).cast("bigint").alias("comm"))
+        .unionAll(edges.select((F.col("p") % 6).cast("bigint").alias("comm")))
+        .groupBy("comm")
+        .agg(F.count("*").alias("degree_sum"))
+    )
+    per = (
+        degs.join(within, "comm", "left")
+        .na.fill({"edges_within": 0})
+        .crossJoin(F.broadcast(m))
+        .select(
+            "comm",
+            "edges_within",
+            "degree_sum",
+            (
+                4 * F.col("m").cast("decimal(38,0)") * F.col("edges_within")
+                - F.col("degree_sum").cast("decimal(38,0)")
+                * F.col("degree_sum")
+            ).alias("contrib_x4m2"),
+            "m",
+        )
+    )
+    tot = per.agg(F.sum("contrib_x4m2").alias("num"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "comm",
+            "edges_within",
+            "degree_sum",
+            F.col("contrib_x4m2").cast("bigint").alias("contrib_x4m2"),
+            F.round(
+                1000000.0
+                * F.col("num").cast("double")
+                / (
+                    4.0
+                    * F.col("m").cast("double")
+                    * F.col("m").cast("double")
+                )
+            )
+            .cast("bigint")
+            .alias("q_e6"),
+        )
+        .orderBy("comm")
+    )

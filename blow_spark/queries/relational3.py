@@ -871,3 +871,73 @@ def sql_order_by_all_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+def _rewrite_qualify(sql: str) -> str:
+    """Rewrite the canonical `SELECT <list> FROM <rest> QUALIFY <pred>
+    [ORDER BY <order>]` form into the window-subquery Spark can run:
+    the predicate (which may call window functions) is hoisted into the
+    inner select list as a boolean column, filtered and dropped
+    outside. Spark 4 has no QUALIFY clause (DuckDB/BigQuery/Snowflake
+    do), so this is the front door's whole job. Only the canonical
+    single-SELECT form is handled — by design: the demo is the
+    ergonomic surface, not a SQL parser."""
+    import re
+
+    m = re.match(
+        r"(?is)^\s*SELECT\s+(?P<sel>.*?)\s+FROM\s+(?P<rest>.*?)"
+        r"\s+QUALIFY\s+(?P<pred>.*?)(?P<order>\s+ORDER\s+BY\s+[^()]*?)?\s*$",
+        sql,
+    )
+    if m is None:
+        raise ValueError("unsupported QUALIFY form")
+    sel, rest, pred = m.group("sel"), m.group("rest"), m.group("pred")
+    order = m.group("order") or ""
+    return (
+        f"SELECT * EXCEPT (__qualify) FROM ("
+        f"SELECT {sel}, ({pred}) AS __qualify FROM {rest}"
+        f") WHERE __qualify{order}"
+    )
+
+
+@register(
+    "sql_qualify_front_door",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) <= 2
+    ORDER BY o_custkey, price_cents DESC, o_orderkey
+    """,
+    tags=("sql", "front-door", "window"),
+)
+def sql_qualify_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `QUALIFY` window-filter front door (Snowflake/BigQuery/
+    DuckDB-standard; Spark 4 still lacks the clause): top-2 orders per
+    customer written the way an analyst writes it — the window
+    predicate inline, no subquery. The engine's `_rewrite_qualify`
+    hoists the predicate into a window-subquery + filter, which is
+    EXACTLY the plan QUALIFY denotes, so Catalyst sees the ordinary
+    partitioned-window + filter: one hash-partitioned window on
+    o_custkey (parallel by customer), filter before any downstream
+    work, no extra exchange. The oracle runs DuckDB's NATIVE QUALIFY —
+    the front door is correct iff the rewrite means what the clause
+    means. The ranking key (price DESC, orderkey) is provably total, so
+    the selected row set is unique and hash-comparable.
+
+    Reference analog: none — blow has no SQL surface (SURVEY §2.2)."""
+    o = read_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_qualify_v")
+    return spark.sql(
+        _rewrite_qualify(
+            """
+            SELECT o_custkey, o_orderkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+            FROM orders_qualify_v
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_totalprice DESC, o_orderkey) <= 2
+            ORDER BY o_custkey, price_cents DESC, o_orderkey
+            """
+        )
+    )

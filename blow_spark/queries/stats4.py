@@ -1,0 +1,704 @@
+"""Round-11 evaluation + inequality + nonparametric shelf:
+
+* exact Average Precision (the area-under-PR ranking metric) with
+  integer round-half-up precision terms — no float summation anywhere;
+* Matthews correlation coefficient from exact confusion counts;
+* the economic Gini coefficient (rank-weighted Lorenz form) on exact
+  cent integers;
+* the Wilcoxon signed-rank test (the PAIRED companion to the existing
+  Mann-Whitney U), with exact ×2-scaled midranks;
+* 2-feature PCA via closed-form symmetric 2×2 eigendecomposition over
+  n-scaled exact integer moments.
+
+Reference parity note: the reference engine (wizgrao/blow,
+maps/maps.go:8-21) has no aggregation surface; this shelf extends the
+stats/eval families (queries/stats*.py, evalrank.py) the brief's
+analytics mandate requires.
+
+Engine-exactness: every ranking/confusion/moment quantity is an exact
+BIGINT (or DECIMAL(38,0)/HUGEINT where n-scaling overflows 64 bits);
+rational outputs are either round-half-up integer floor divisions
+((2a+b) div 2b — no floats at all) or ONE final division/sqrt on
+identical integer operands in both engines (IEEE-deterministic, the
+CAPM-beta pattern).
+
+Scale design: everything aggregates or windows on a real partition key
+(event_type / nation / brand) — no global single-partition window; the
+grouped grains are label-domain-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from blow_spark.queries import register
+from blow_spark.sources import read_table
+
+
+# --------------------------------------------------------------------------
+# Average Precision
+# --------------------------------------------------------------------------
+
+
+@register(
+    "eval_average_precision",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type,
+             CAST(event_id % 5 = 0 AS BIGINT) AS rel,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS k
+      FROM events
+    ), cum AS (
+      SELECT event_type, rel, k,
+             SUM(rel) OVER (PARTITION BY event_type ORDER BY k) AS c
+      FROM ranked
+    ), terms AS (
+      SELECT event_type,
+             -- round-half-up of c*1e9/k, pure integer:
+             CASE WHEN rel = 1
+                  THEN (c * 2000000000 + k) // (2 * k)
+                  ELSE 0 END AS prec_e9,
+             rel
+      FROM cum
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(rel) AS BIGINT) AS n_pos,
+           CAST(SUM(prec_e9) AS BIGINT) AS sum_prec_e9,
+           CAST(SUM(prec_e9) // SUM(rel) AS BIGINT) AS ap_e9
+    FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("eval", "ranking", "events", "exact"),
+)
+def eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Average Precision per query group (event_type): rank by a
+    provably total key (value DESC, event_id), precision@k at each
+    relevant rank as a ROUND-HALF-UP e9-scaled integer
+    ((2·c·10⁹ + k) div 2k — never a float), summed as BIGINTs and
+    divided by the positive count with integer floor division. This is
+    the ranking-eval metric the existing NDCG/MRR/ROC-AUC shelf lacked
+    (AP = area under the precision-recall curve), computed with zero
+    float-summation-order exposure.
+
+    Scale: one partitioned window (event_type is the query key — the
+    real per-query grain of an IR eval) + one keyed aggregate.
+    Reference analog: none (blow has no windows or aggregation)."""
+    e = read_table(spark, sf_dir, "events")
+    win = W.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    ranked = e.select(
+        "event_type",
+        (F.col("event_id") % 5 == 0).cast("bigint").alias("rel"),
+        F.row_number().over(win).alias("k"),
+    )
+    cum = ranked.withColumn(
+        "c",
+        F.sum("rel").over(
+            W.partitionBy("event_type").orderBy("k")
+        ),
+    )
+    terms = cum.select(
+        "event_type",
+        "rel",
+        F.when(
+            F.col("rel") == 1,
+            F.expr("(c * 2000000000L + k) div (2 * k)"),
+        )
+        .otherwise(F.lit(0))
+        .alias("prec_e9"),
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("rel").alias("n_pos"),
+            F.sum("prec_e9").alias("sum_prec_e9"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_pos",
+            "sum_prec_e9",
+            F.expr("sum_prec_e9 div n_pos").alias("ap_e9"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Matthews correlation coefficient
+# --------------------------------------------------------------------------
+
+
+@register(
+    "eval_matthews_corrcoef",
+    oracle="""
+    WITH lab AS (
+      SELECT event_type,
+             CAST(event_id % 3 = 0 AS BIGINT) AS act,
+             CAST(event_id % 6 = 0 OR (event_id % 3 <> 0 AND event_id % 7 = 0)
+                  AS BIGINT) AS pred
+      FROM events
+    ), conf AS (
+      SELECT event_type,
+             CAST(SUM(act * pred) AS BIGINT) AS tp,
+             CAST(SUM((1 - act) * (1 - pred)) AS BIGINT) AS tn,
+             CAST(SUM((1 - act) * pred) AS BIGINT) AS fp,
+             CAST(SUM(act * (1 - pred)) AS BIGINT) AS fn
+      FROM lab GROUP BY event_type
+    )
+    SELECT event_type, tp, tn, fp, fn,
+           CASE WHEN (tp+fp) * (tp+fn) * (tn+fp) * (tn+fn) = 0 THEN NULL
+                ELSE CAST(ROUND(1000000.0 * (tp*tn - fp*fn)
+                     / (SQRT(CAST((tp+fp)*(tp+fn) AS DOUBLE))
+                        * SQRT(CAST((tn+fp)*(tn+fn) AS DOUBLE)))) AS BIGINT)
+           END AS mcc_e6
+    FROM conf ORDER BY event_type
+    """,
+    tags=("eval", "classification", "events", "exact"),
+)
+def eval_matthews_corrcoef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient per event_type from EXACT
+    confusion counts — the single-number binary-classification metric
+    that stays honest under class imbalance (unlike accuracy/F1, it
+    uses all four confusion cells). The fixture's predictor fires on
+    a subset of positives (id%6) plus a disjoint false-alarm rule
+    (id%7 on negatives), so every cell is populated. tp/tn/fp/fn are
+    exact integers; the MCC is one final expression on identical
+    integer operands — products up to n² stay in BIGINT, each sqrt is
+    IEEE-correctly-rounded on an exactly-representable double, so both
+    engines compute bit-identical results before the e6 round.
+
+    Scale: one map-side-combinable keyed aggregate. Reference analog:
+    none."""
+    e = read_table(spark, sf_dir, "events")
+    lab = e.select(
+        "event_type",
+        (F.col("event_id") % 3 == 0).cast("bigint").alias("act"),
+        (
+            (F.col("event_id") % 6 == 0)
+            | ((F.col("event_id") % 3 != 0) & (F.col("event_id") % 7 == 0))
+        )
+        .cast("bigint")
+        .alias("pred"),
+    )
+    conf = lab.groupBy("event_type").agg(
+        F.sum(F.col("act") * F.col("pred")).alias("tp"),
+        F.sum((1 - F.col("act")) * (1 - F.col("pred"))).alias("tn"),
+        F.sum((1 - F.col("act")) * F.col("pred")).alias("fp"),
+        F.sum(F.col("act") * (1 - F.col("pred"))).alias("fn"),
+    )
+    mcc = F.when(
+        (F.col("tp") + F.col("fp"))
+        * (F.col("tp") + F.col("fn"))
+        * (F.col("tn") + F.col("fp"))
+        * (F.col("tn") + F.col("fn"))
+        == 0,
+        F.lit(None).cast("bigint"),
+    ).otherwise(
+        F.round(
+            1000000.0
+            * (F.col("tp") * F.col("tn") - F.col("fp") * F.col("fn"))
+            / (
+                F.sqrt(
+                    ((F.col("tp") + F.col("fp")) * (F.col("tp") + F.col("fn"))).cast(
+                        "double"
+                    )
+                )
+                * F.sqrt(
+                    ((F.col("tn") + F.col("fp")) * (F.col("tn") + F.col("fn"))).cast(
+                        "double"
+                    )
+                )
+            )
+        ).cast("bigint")
+    )
+    return conf.select(
+        "event_type", "tp", "tn", "fp", "fn", mcc.alias("mcc_e6")
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Gini coefficient
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stats_gini_coefficient",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_nationkey AS nk, o.o_custkey,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT nk, cents,
+             ROW_NUMBER() OVER (PARTITION BY nk
+                                ORDER BY cents, o_custkey) AS i
+      FROM spend
+    ), agg AS (
+      SELECT nk, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS total_cents,
+             SUM(CAST(i AS HUGEINT) * cents) AS iwx
+      FROM ranked GROUP BY nk
+    )
+    SELECT nk, n, total_cents,
+           CAST(ROUND(1000000.0
+                * CAST(2 * iwx - (n + 1) * CAST(total_cents AS HUGEINT) AS DOUBLE)
+                / CAST(CAST(n AS HUGEINT) * total_cents AS DOUBLE)) AS BIGINT)
+             AS gini_e6
+    FROM agg ORDER BY nk
+    """,
+    tags=("stats", "inequality", "orders", "exact"),
+)
+def stats_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The economic Gini coefficient of customer spend per nation —
+    the inequality readout a marketplace/governance dashboard carries —
+    in the exact rank-weighted Lorenz form
+    G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over ascending cent-exact
+    spend. Σ i·x rides in DECIMAL(38,0)/HUGEINT (i ≤ n, x ≤ 10¹⁰ cents
+    ⇒ the product overflows 64 bits at sf ≥ 1); the only double is the
+    ONE final division on identical operands. Value ties get
+    consecutive ranks, which Gini is provably invariant to (within a
+    tie block Σ i·x = x·Σ i regardless of order).
+
+    Scale: aggregate to (nation × customer) grain, one partitioned
+    ranking window, one keyed aggregate — the window key is the nation
+    (25-way parallel), never a global sort. Reference analog: none."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    spend = (
+        o.join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"), "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    ranked = spend.withColumn(
+        "i",
+        F.row_number().over(
+            W.partitionBy("nk").orderBy("cents", "o_custkey")
+        ),
+    )
+    agg = ranked.groupBy("nk").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("total_cents"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents")).alias("iwx"),
+    )
+    return agg.select(
+        "nk",
+        "n",
+        "total_cents",
+        F.round(
+            1000000.0
+            * (
+                2 * F.col("iwx")
+                - (F.col("n") + 1).cast("decimal(38,0)") * F.col("total_cents")
+            ).cast("double")
+            / (F.col("n").cast("decimal(38,0)") * F.col("total_cents")).cast(
+                "double"
+            )
+        )
+        .cast("bigint")
+        .alias("gini_e6"),
+    ).orderBy("nk")
+
+
+# --------------------------------------------------------------------------
+# Wilcoxon signed-rank
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stats_wilcoxon_signed_rank",
+    oracle="""
+    WITH halves AS (
+      SELECT c.c_nationkey AS nk, o.o_custkey,
+             CAST(SUM(CASE WHEN EXTRACT(month FROM o.o_orderdate) <= 6
+                      THEN CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS h1,
+             CAST(SUM(CASE WHEN EXTRACT(month FROM o.o_orderdate) > 6
+                      THEN CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS h2
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ), diffs AS (
+      SELECT nk, h2 - h1 AS d, ABS(h2 - h1) AS ad
+      FROM halves WHERE h2 <> h1
+    ), rk AS (
+      SELECT nk, d,
+             -- 2x the tie-averaged midrank, exactly: 2r + c - 1
+             2 * RANK() OVER (PARTITION BY nk ORDER BY ad)
+               + COUNT(*) OVER (PARTITION BY nk, ad) - 1 AS rank_x2
+      FROM diffs
+    )
+    SELECT nk, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN d > 0 THEN rank_x2 ELSE 0 END) AS BIGINT)
+             AS w_plus_x2,
+           CAST(SUM(CASE WHEN d < 0 THEN rank_x2 ELSE 0 END) AS BIGINT)
+             AS w_minus_x2,
+           CAST(COUNT(*) * (COUNT(*) + 1) AS BIGINT) AS w_total_x2
+    FROM rk GROUP BY nk ORDER BY nk
+    """,
+    tags=("stats", "nonparametric", "orders", "exact"),
+)
+def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Wilcoxon signed-rank test statistic per nation — the PAIRED
+    companion to the existing Mann-Whitney U shelf: did customer spend
+    shift between calendar halves H1/H2? Zero differences drop (the
+    standard Pratt-excluded form); tied |d| get AVERAGE midranks held
+    exact by the ×2 scaling (2·avg-rank = 2·RANK + tiecount − 1, always
+    an integer). W⁺+W⁻ = n(n+1)/2 rides along (×2) as an in-result
+    invariant the hash certifies.
+
+    Scale: aggregate to (nation × customer) grain, then one
+    nation-partitioned ranking window — 25-way parallel, never a global
+    sort. Reference analog: none."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    halves = (
+        o.join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"), "o_custkey")
+        .agg(
+            F.sum(F.when(F.month("o_orderdate") <= 6, cents).otherwise(0))
+            .cast("bigint")
+            .alias("h1"),
+            F.sum(F.when(F.month("o_orderdate") > 6, cents).otherwise(0))
+            .cast("bigint")
+            .alias("h2"),
+        )
+    )
+    diffs = halves.where(F.col("h2") != F.col("h1")).select(
+        "nk",
+        (F.col("h2") - F.col("h1")).alias("d"),
+        F.abs(F.col("h2") - F.col("h1")).alias("ad"),
+    )
+    rk = diffs.select(
+        "nk",
+        "d",
+        (
+            2 * F.rank().over(W.partitionBy("nk").orderBy("ad"))
+            + F.count("*").over(W.partitionBy("nk", "ad"))
+            - 1
+        ).alias("rank_x2"),
+    )
+    return (
+        rk.groupBy("nk")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("d") > 0, F.col("rank_x2")).otherwise(0))
+            .cast("bigint")
+            .alias("w_plus_x2"),
+            F.sum(F.when(F.col("d") < 0, F.col("rank_x2")).otherwise(0))
+            .cast("bigint")
+            .alias("w_minus_x2"),
+        )
+        .select(
+            "nk",
+            "n",
+            "w_plus_x2",
+            "w_minus_x2",
+            (F.col("n") * (F.col("n") + 1)).cast("bigint").alias("w_total_x2"),
+        )
+        .orderBy("nk")
+    )
+
+
+# --------------------------------------------------------------------------
+# 2-feature PCA (closed-form symmetric eigendecomposition)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ml_pca_two_feature",
+    oracle="""
+    WITH pts AS (
+      SELECT p.p_brand AS brand,
+             CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS x,
+             CAST(l.l_quantity AS BIGINT) * 100000 AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), mom AS (
+      SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy
+      FROM pts GROUP BY brand
+    ), cov AS (
+      -- n^2-scaled central second moments, exact HUGEINTs
+      SELECT brand, n,
+             n * sxx - sx * sx AS cxx,
+             n * syy - sy * sy AS cyy,
+             n * sxy - sx * sy AS cxy
+      FROM mom
+    )
+    SELECT brand, n,
+           CAST(ROUND(1000000.0
+                * ((CAST(cxx AS DOUBLE) + CAST(cyy AS DOUBLE)
+                    + SQRT((CAST(cxx AS DOUBLE) - CAST(cyy AS DOUBLE))
+                           * (CAST(cxx AS DOUBLE) - CAST(cyy AS DOUBLE))
+                           + 4.0 * CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE)))
+                   / 2.0)
+                / (CAST(cxx AS DOUBLE) + CAST(cyy AS DOUBLE))) AS BIGINT)
+             AS ev1_share_e6,
+           CAST(ROUND(1000000.0
+                * ((CAST(cxx AS DOUBLE) + CAST(cyy AS DOUBLE)
+                    - SQRT((CAST(cxx AS DOUBLE) - CAST(cyy AS DOUBLE))
+                           * (CAST(cxx AS DOUBLE) - CAST(cyy AS DOUBLE))
+                           + 4.0 * CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE)))
+                   / (CAST(cxx AS DOUBLE) + CAST(cyy AS DOUBLE)
+                      + SQRT((CAST(cxx AS DOUBLE) - CAST(cyy AS DOUBLE))
+                             * (CAST(cxx AS DOUBLE) - CAST(cyy AS DOUBLE))
+                             + 4.0 * CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE))))
+                ) AS BIGINT) AS eigen_ratio_e6
+    FROM cov ORDER BY brand
+    """,
+    tags=("ml", "pca", "lineitem", "exact"),
+)
+def ml_pca_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand 2-feature PCA (price vs quantity) via the CLOSED-FORM
+    symmetric 2×2 eigendecomposition — λ = (tr ± √((cxx−cyy)² + 4cxy²))/2
+    on n²-scaled central moments (n·Σx² − (Σx)² etc.) held exact in
+    DECIMAL(38,0)/HUGEINT. Quantity is pre-scaled ×10⁵ so the two
+    features live at comparable variance (the un-standardized form is
+    rank-degenerate against cent-scaled prices) — and since
+    extendedprice = quantity × unit price, the leading component is a
+    genuine correlated blend, not an axis. The explained-variance share of the first
+    component (ev1_share_e6) and the eigenvalue ratio lambda2/lambda1
+    (eigen_ratio_e6 - the anisotropy/condition readout) are the
+    feature-redundancy readouts a
+    training-data pipeline uses to decide whether two signals are one.
+    Doubles appear only at the very end, applied to IDENTICAL exact
+    integers in both engines (cast → sub/mul/add → one sqrt → one
+    divide, each IEEE-deterministic) — the CAPM-beta discipline.
+
+    Scale: one broadcast dim join + one map-side-combinable aggregate
+    to the 25-brand grain; the eigen algebra runs on 25 rows.
+    Reference analog: none."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    pts = li.join(F.broadcast(p), p.p_partkey == li.l_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("x"),
+        (F.col("l_quantity").cast("bigint") * 100000).alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    mom = pts.groupBy("brand").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+    )
+    cov = mom.select(
+        "brand",
+        "n",
+        (dec("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("cxx"),
+        (dec("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("cyy"),
+        (dec("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cxy"),
+    )
+    cxx, cyy, cxy = (F.col(c).cast("double") for c in ("cxx", "cyy", "cxy"))
+    disc = F.sqrt((cxx - cyy) * (cxx - cyy) + 4.0 * cxy * cxy)
+    lam1 = (cxx + cyy + disc) / 2.0
+    # both outputs are BOUNDED ratios e6-rounded: a last-ulp difference
+    # between DuckDB's HUGEINT->DOUBLE and Spark's DECIMAL->DOUBLE cast
+    # (observed on the raw lambda magnitude ~1e13) vanishes under the
+    # coarse fixpoint; never emit the raw eigenvalue double
+    return cov.select(
+        "brand",
+        "n",
+        F.round(1000000.0 * lam1 / (cxx + cyy)).cast("bigint").alias(
+            "ev1_share_e6"
+        ),
+        F.round(1000000.0 * (cxx + cyy - disc) / (cxx + cyy + disc))
+        .cast("bigint")
+        .alias("eigen_ratio_e6"),
+    ).orderBy("brand")
+
+
+# --------------------------------------------------------------------------
+# Band-limited dynamic time warping
+# --------------------------------------------------------------------------
+
+_DTW_LEN = 12  # series length (days of 1995-03)
+_DTW_BAND = 2  # Sakoe-Chiba band half-width
+
+
+def _dtw_cells() -> list[tuple[int, int]]:
+    """Band cells in diagonal (i+j) order — the DP's topological order."""
+    cells = []
+    for d in range(2, 2 * _DTW_LEN + 1):
+        for i in range(1, _DTW_LEN + 1):
+            j = d - i
+            if 1 <= j <= _DTW_LEN and abs(i - j) <= _DTW_BAND:
+                cells.append((i, j))
+    return cells
+
+
+def _dtw_oracle() -> str:
+    """Unrolled-CTE DTW oracle: one CTE per anti-diagonal, each adding
+    that diagonal's cells as columns referencing the previous CTE — the
+    same materialized-unroll discipline as the tokenizer-EM oracles
+    (a recursive CTE can't see two diagonals back)."""
+    days = ", ".join(str(i) for i in range(1, _DTW_LEN + 1))
+    xcols = ", ".join(
+        f"MAX(CASE WHEN i = {i} THEN x END) AS x{i}"
+        for i in range(1, _DTW_LEN + 1)
+    )
+    mcols = ", ".join(
+        f"MAX(CASE WHEN i = {i} THEN m END) AS m{i}"
+        for i in range(1, _DTW_LEN + 1)
+    )
+    head = f"""
+    WITH daily AS (
+      SELECT p.p_brand AS brand,
+             CAST(EXTRACT(day FROM l.l_shipdate) AS INT) AS i,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1995-03-01'
+        AND l.l_shipdate < TIMESTAMP '1995-03-{_DTW_LEN + 1:02d}'
+      GROUP BY 1, 2
+    ), brands AS (
+      SELECT DISTINCT p_brand AS brand FROM part
+    ), cal AS (
+      SELECT UNNEST([{days}]) AS i
+    ), dense AS (
+      SELECT b.brand, c.i, COALESCE(d.rev, 0) AS x
+      FROM brands b CROSS JOIN cal c
+      LEFT JOIN daily d ON d.brand = b.brand AND d.i = c.i
+    ), mkt AS (
+      SELECT i, CAST(SUM(x) // (SELECT COUNT(*) FROM brands) AS BIGINT) AS m
+      FROM dense GROUP BY i
+    ), wide AS (
+      SELECT brand, {xcols} FROM dense GROUP BY brand
+    ), mw AS (
+      SELECT {mcols} FROM mkt
+    ), s1 AS (
+      SELECT wide.*, {', '.join(f'mw.m{i}' for i in range(1, _DTW_LEN + 1))}
+      FROM wide CROSS JOIN mw
+    )"""
+    # group cells by diagonal; one CTE per diagonal (cells in a
+    # diagonal only depend on the two previous diagonals)
+    by_diag: dict[int, list[tuple[int, int]]] = {}
+    for i, j in _dtw_cells():
+        by_diag.setdefault(i + j, []).append((i, j))
+    ctes = [head]
+    prev = "s1"
+    for d in sorted(by_diag):
+        exprs = []
+        for i, j in by_diag[d]:
+            cost = f"ABS(x{i} - m{j})"
+            preds = [
+                f"c{pi}_{pj}"
+                for pi, pj in ((i - 1, j), (i, j - 1), (i - 1, j - 1))
+                if pi >= 1 and pj >= 1 and abs(pi - pj) <= _DTW_BAND
+            ]
+            if not preds:  # the (1,1) origin
+                exprs.append(f"{cost} AS c{i}_{j}")
+            else:
+                exprs.append(f"{cost} + LEAST({', '.join(preds)}) AS c{i}_{j}")
+        cur = f"s{d}"
+        ctes.append(f", {cur} AS (SELECT *, {', '.join(exprs)} FROM {prev})")
+        prev = cur
+    return "".join(ctes) + f"""
+    SELECT brand, CAST(c{_DTW_LEN}_{_DTW_LEN} AS BIGINT) AS dtw_cost
+    FROM {prev} ORDER BY brand
+    """
+
+
+@register(
+    "timeseries_dtw_band_distance",
+    oracle=_dtw_oracle(),
+    tags=("timeseries", "dtw", "lineitem", "exact"),
+)
+def timeseries_dtw_band_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-limited dynamic time warping (Sakoe & Chiba, IEEE TASSP
+    1978) between each brand's daily-revenue series and the market-mean
+    series over a fixed {_DTW_LEN}-day calendar window — the
+    elastic-alignment distance that rewards shape similarity under
+    small time shifts, which plain Euclidean/correlation measures
+    (the existing cross-correlation query) cannot. Costs are exact
+    cent BIGINTs (|x_i − m_j| on integer series; the market mean is an
+    integer floor division), so the banded DP is exact integer
+    arithmetic end to end. The Spark side runs the real per-key DP in
+    applyInPandas (numpy, O(len·band) per series); the oracle unrolls
+    the identical DP as one CTE per anti-diagonal — the
+    materialized-unroll discipline of the tokenizer-EM oracles.
+
+    Scale: series are CALENDAR-BOUNDED (the {_DTW_LEN}-day window is
+    the grain, never the corpus), so the applyInPandas groups are tiny
+    and uniformly sized; one aggregate + one broadcast of the
+    {_DTW_LEN}-row market series. At 100 TB the brand×day aggregate is
+    the only data-scale shuffle. Reference analog: none."""
+    import numpy as np
+    import pandas as pd
+
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    daily = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-03-01").cast("timestamp"))
+            & (
+                F.col("l_shipdate")
+                < F.lit(f"1995-03-{_DTW_LEN + 1:02d}").cast("timestamp")
+            )
+        )
+        .join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.dayofmonth("l_shipdate").alias("i"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+    brands = p.select(F.col("p_brand").alias("brand")).distinct()
+    nb = brands.agg(F.count("*").alias("nb"))
+    cal = spark.range(1, _DTW_LEN + 1).select(F.col("id").cast("int").alias("i"))
+    dense = (
+        brands.crossJoin(F.broadcast(cal))
+        .join(daily, ["brand", "i"], "left")
+        .select("brand", "i", F.coalesce("rev", F.lit(0)).alias("x"))
+    )
+    mkt = (
+        dense.groupBy("i")
+        .agg(F.sum("x").alias("tot"))
+        .crossJoin(F.broadcast(nb))
+        .select("i", F.expr("tot div nb").alias("m"))
+    )
+    joined = dense.join(F.broadcast(mkt), "i").select("brand", "i", "x", "m")
+
+    band, n = _DTW_BAND, _DTW_LEN
+
+    def dtw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("i")
+        x = pdf["x"].to_numpy(dtype=np.int64)
+        m = pdf["m"].to_numpy(dtype=np.int64)
+        inf = np.iinfo(np.int64).max // 4
+        dp = np.full((n + 1, n + 1), inf, dtype=np.int64)
+        dp[0, 0] = 0
+        for i in range(1, n + 1):
+            for j in range(max(1, i - band), min(n, i + band) + 1):
+                cost = abs(x[i - 1] - m[j - 1])
+                dp[i, j] = cost + min(dp[i - 1, j], dp[i, j - 1], dp[i - 1, j - 1])
+        return pd.DataFrame(
+            {"brand": [pdf["brand"].iloc[0]], "dtw_cost": [int(dp[n, n])]}
+        )
+
+    return (
+        joined.groupBy("brand")
+        .applyInPandas(dtw, "brand string, dtw_cost long")
+        .orderBy("brand")
+    )

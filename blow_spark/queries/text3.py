@@ -1,0 +1,243 @@
+"""Third text battery — round 11: one-pass multi-pattern blocklist
+matching (Aho-Corasick) and winnowing document fingerprints (the MOSS
+algorithm), plus the band-limited dynamic-time-warping distance the
+timeseries shelf lacked.
+
+Reference parity note: the reference engine (wizgrao/blow,
+maps/maps.go:8-21) has no string or sequence vocabulary; extension
+operators from the brief's text-analysis / training-data mandate.
+
+Engine-exactness: the blocklist counts are exact integers cross-checked
+against per-pattern replace-arithmetic (exact because every pattern is
+borderless — see the query doc); winnowing hashes are small exact
+integer polynomials (max < 2²⁷, no modulus needed); DTW costs are exact
+cent BIGINTs through an exact-integer DP.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from blow_spark.queries import register
+from blow_spark.sources import read_table
+
+# Borderless patterns (no proper prefix = suffix), so non-overlapping
+# replace-counting equals all-occurrence counting and the DuckDB oracle
+# is exact. "can" ⊂ "scan" on purpose: nested matches must BOTH count.
+_BLOCKLIST: tuple[str, ...] = (
+    "batch", "can", "fast", "line", "merge", "order",
+    "row", "scan", "slow", "stream", "the", "value",
+)
+
+
+def _blocklist_oracle() -> str:
+    parts = []
+    for p in _BLOCKLIST:
+        parts.append(
+            f"""
+    SELECT '{p}' AS pattern,
+           CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+           CAST(SUM(hits) AS BIGINT) AS total_hits
+    FROM (
+      SELECT (LENGTH(text) - LENGTH(REPLACE(text, '{p}', ''))) // {len(p)}
+               AS hits
+      FROM documents
+    )"""
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY pattern"
+
+
+@register(
+    "text_aho_corasick_blocklist",
+    oracle=_blocklist_oracle(),
+    tags=("text", "blocklist", "documents", "exact"),
+)
+def text_aho_corasick_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-PASS multi-pattern blocklist matching via a real
+    Aho-Corasick automaton (Aho & Corasick, CACM 1975 — goto trie,
+    BFS failure links, merged output lists; blow_spark/acmatch.py):
+    every document is scanned exactly once regardless of pattern count,
+    which is the only shape that survives a 100 TB corpus × a
+    10⁴-entry blocklist (per-pattern contains() passes scale with the
+    product). The oracle counts each pattern independently with
+    replace-arithmetic — exact because the pattern set is BORDERLESS
+    (no pattern has a proper prefix equal to a suffix, so occurrences
+    can't overlap themselves and non-overlapping = all); nested matches
+    ("can" inside "scan") are planted deliberately and must be counted
+    by both engines, which gates the automaton's suffix-link output
+    merging specifically.
+
+    Scale: automaton built once driver-side (KB), shipped in the
+    mapInPandas closure (broadcast-small discipline); one Arrow-batched
+    corpus pass; per-pattern rows out (blocklist-domain-sized) through
+    one map-side-combinable aggregate. Reference analog: none."""
+    import pandas as pd
+
+    from blow_spark import acmatch
+    from blow_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    patterns = _BLOCKLIST
+    goto, fail, out = acmatch.build_automaton(patterns)
+    d = read_table(spark, sf_dir, "documents").select("text")
+
+    def scan(batches):
+        for pdf in batches:
+            agg_hits = [0] * len(patterns)
+            agg_docs = [0] * len(patterns)
+            for text in pdf["text"]:
+                counts = acmatch.count_matches(
+                    text, goto, fail, out, len(patterns)
+                )
+                for i, c in enumerate(counts):
+                    agg_hits[i] += c
+                    agg_docs[i] += 1 if c else 0
+            yield pd.DataFrame(
+                {
+                    "pattern": list(patterns),
+                    "n_docs": agg_docs,
+                    "total_hits": agg_hits,
+                }
+            )
+
+    partial = d.mapInPandas(scan, "pattern string, n_docs long, total_hits long")
+    return (
+        partial.groupBy("pattern")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("total_hits").cast("bigint").alias("total_hits"),
+        )
+        .orderBy("pattern")
+    )
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints
+# --------------------------------------------------------------------------
+
+_WIN_K = 5  # k-gram length
+_WIN_W = 4  # window size (grams per window)
+_WIN_CAP = 200  # chars fingerprinted per document
+
+
+def _gram_hash(text: str, p: str, dialect: str) -> str:
+    """Exact polynomial hash of the k-gram at 1-based position ``p``:
+    Σ ascii(c)·31^(k−1−t) < 127·954305 ≈ 2²⁷ — small enough that no
+    modulus (and therefore no dialect-specific overflow behavior) is
+    needed. ascii() agrees across engines on this ASCII corpus."""
+    cast = "CAST(p AS INT)" if dialect == "spark" else "CAST(p AS INT)"
+    terms = [
+        f"ascii(substring({text}, {cast} + {t}, 1)) * {31 ** (_WIN_K - 1 - t)}"
+        for t in range(_WIN_K)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "text_winnowing_fingerprint",
+    oracle=f"""
+    WITH lens AS (
+      SELECT doc_id, text, LEAST(LENGTH(text), {_WIN_CAP}) AS L
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, p,
+             CAST({_gram_hash('text', 'p', 'duck')} AS BIGINT) AS h,
+             L - {_WIN_K - 1} AS n_grams
+      FROM (SELECT doc_id, text, L, UNNEST(range(1, L - {_WIN_K - 2})) AS p
+            FROM lens)
+    ), win AS (
+      -- rightmost-min selection with ONE window function: the
+      -- composite key h*256 + (255-p) orders by (h asc, p desc), so
+      -- the frame MIN carries both the minimal hash and its
+      -- rightmost position (p < 256 by the {_WIN_CAP}-char cap)
+      SELECT doc_id, p, n_grams,
+             MIN(h * 256 + (255 - p)) OVER w AS min_key
+      FROM grams
+      WINDOW w AS (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN {_WIN_W - 1} PRECEDING AND CURRENT ROW)
+    ), fp AS (
+      SELECT DISTINCT doc_id, n_grams,
+             255 - (min_key % 256) AS sel,
+             min_key // 256 AS min_h
+      FROM win WHERE p >= {_WIN_W}
+    )
+    SELECT doc_id, CAST(MAX(n_grams) AS BIGINT) AS n_grams,
+           CAST(MAX(n_grams) - {_WIN_W - 1} AS BIGINT) AS n_windows,
+           CAST(COUNT(*) AS BIGINT) AS n_fp,
+           CAST(SUM(min_h) AS BIGINT) AS fp_hash_sum,
+           CAST((COUNT(*) * 2000000 + (MAX(n_grams) - {_WIN_W - 1}))
+                // (2 * (MAX(n_grams) - {_WIN_W - 1})) AS BIGINT)
+             AS density_e6
+    FROM fp GROUP BY doc_id
+    """,
+    tags=("text", "fingerprint", "documents", "exact"),
+)
+def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every {_WIN_K}-gram with an
+    exact integer polynomial, slide a {_WIN_W}-gram window, and select
+    each window's RIGHTMOST minimal hash; the distinct selected
+    positions are the fingerprint set. The paper's guarantee — at least
+    one selection per window, selection density → 2/(w+1) — is what
+    makes this the standard local-similarity sketch for plagiarism/
+    near-dup detection. Both engines compute the identical selection
+    with two window functions (frame MIN + frame-conditional MAX of
+    position), so the hash certifies the full fingerprint set, its
+    hash-sum, and the round-half-up e6 density.
+
+    Scale: explode is capped at {_WIN_CAP} chars/doc (the sketch grain,
+    not the corpus grain); the only shuffle is the doc-partitioned
+    window (millions of small partitions — embarrassingly parallel).
+    Reference analog: none; companion to text_fingerprint /
+    dedup_minhash_lsh as the positional sketch of the family."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.least(F.length("text"), F.lit(_WIN_CAP)).alias("L")
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(1, CAST(L - {_WIN_K - 1} AS INT))")
+        ).alias("p"),
+        (F.col("L") - (_WIN_K - 1)).cast("bigint").alias("n_grams"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        "p",
+        "n_grams",
+        F.expr(f"CAST({_gram_hash('text', 'p', 'spark')} AS BIGINT)").alias("h"),
+    )
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(-(_WIN_W - 1), W.currentRow)
+    )
+    # rightmost-min with ONE window function: MIN of h*256 + (255-p)
+    # orders by (h asc, p desc) — p < 256 by the char cap
+    win = grams.select(
+        "doc_id",
+        "p",
+        "n_grams",
+        F.min(F.col("h") * 256 + (255 - F.col("p"))).over(w).alias("min_key"),
+    )
+    fp = (
+        win.where(F.col("p") >= _WIN_W)
+        .select(
+            "doc_id",
+            "n_grams",
+            (255 - F.col("min_key") % 256).alias("sel"),
+            F.expr("min_key div 256").alias("min_h"),
+        )
+        .distinct()
+    )
+    return fp.groupBy("doc_id").agg(
+        F.max("n_grams").cast("bigint").alias("n_grams"),
+        (F.max("n_grams") - (_WIN_W - 1)).cast("bigint").alias("n_windows"),
+        F.count("*").cast("bigint").alias("n_fp"),
+        F.sum("min_h").cast("bigint").alias("fp_hash_sum"),
+        F.expr(
+            f"CAST((COUNT(*) * 2000000 + (MAX(n_grams) - {_WIN_W - 1}))"
+            f" div (2 * (MAX(n_grams) - {_WIN_W - 1})) AS BIGINT)"
+        ).alias("density_e6"),
+    )

@@ -411,6 +411,30 @@ BENCH_EXCHANGE_PINS = {
     # whose audit is also exchange-heavy); the production paths it
     # certifies are benched separately (similarity_lsh_topk_plan, ...)
     "similarity_ann_method_report": (23, 20),
+    # round 11 batch 2 — the codec shelf is exactly ZERO exchanges
+    # (map-only decode at parquet-scan speed, the whole point); the
+    # analytics shelf is 2-3 keyed shuffles + a broadcast dim; DTW and
+    # closeness-BFS are iterative/composite plans over CALENDAR- or
+    # SEED-bounded tables (the exchange count is fixed by the horizon,
+    # not the data: 4 BFS levels x tiny-frontier joins; 12-day DTW
+    # calendar scaffolding)
+    "multimodal_g711_decode_energy": (0, 0),
+    "multimodal_adpcm_decode_energy": (0, 0),
+    "multimodal_mp3_frame_header": (0, 0),
+    "multimodal_gif_header_meta": (0, 0),
+    "multimodal_bmp_decode_stats": (0, 0),
+    "eval_average_precision": (2, 0),
+    "eval_matthews_corrcoef": (2, 0),
+    "stats_gini_coefficient": (3, 1),
+    "stats_wilcoxon_signed_rank": (3, 1),
+    "ml_pca_two_feature": (2, 1),
+    "timeseries_dtw_band_distance": (11, 6),
+    "graph_closeness_centrality_bfs": (18, 10),
+    "graph_modularity_score": (8, 5),
+    "finance_sharpe_sortino": (3, 1),
+    "text_aho_corasick_blocklist": (2, 0),
+    "text_winnowing_fingerprint": (1, 0),
+    "sql_qualify_front_door": (2, 0),
 }
 
 
