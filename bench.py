@@ -332,6 +332,12 @@ HEADLINE = [
     "text_aho_corasick_blocklist",
     "text_winnowing_fingerprint",
     "sql_qualify_front_door",
+    # round 11 batch 3: indexed-color PNG, Krippendorff alpha, one-step
+    # logistic IRLS, JL sign projection
+    "multimodal_png_palette_decode",
+    "eval_krippendorff_alpha_nominal",
+    "ml_logistic_newton_step",
+    "vector_jl_projection_distortion",
 ]
 
 

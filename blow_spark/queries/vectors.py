@@ -1936,3 +1936,100 @@ def similarity_ann_method_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return row_int8.unionByName(row_ivf).unionByName(row_lsh).orderBy("method")
+
+
+# --------------------------------------------------------------------------
+# Round 11: Johnson-Lindenstrauss sign projection
+# --------------------------------------------------------------------------
+
+_JL_K = 16  # target dimensionality
+_JL_SCALE = 1024  # 2^10 — float * 2^10 is EXACT in IEEE doubles
+
+
+def _jl_sign(i: str, j: str) -> str:
+    """±1 sign for (source dim i, target dim j) — a deterministic
+    integer mix both engines evaluate identically (Achlioptas 2003
+    showed ±1 entries suffice for the JL guarantee; the mix is the
+    seeded stand-in for his Rademacher draw)."""
+    return f"(1 - 2 * (((({i}) + 1) * 2654435761 + (({j}) + 1) * 40503) % 97 % 2))"
+
+
+@register(
+    "vector_jl_projection_distortion",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, i,
+             CAST(ROUND(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)
+                        * {_JL_SCALE}) AS BIGINT) AS qv
+      FROM (SELECT vec_id, embedding,
+                   UNNEST(range(0, len(embedding))) AS i
+            FROM embeddings)
+    ), norms AS (
+      SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS norm_q2 FROM q
+      GROUP BY vec_id
+    ), proj AS (
+      SELECT q.vec_id, j.j,
+             CAST(SUM({_jl_sign('q.i', 'j.j')} * qv) AS BIGINT) AS y
+      FROM q CROSS JOIN (SELECT UNNEST(range(0, {_JL_K})) AS j) j
+      GROUP BY q.vec_id, j.j
+    ), pn AS (
+      SELECT vec_id, CAST(SUM(CAST(y AS HUGEINT) * y) AS BIGINT)
+               AS proj_norm2
+      FROM proj GROUP BY vec_id
+    )
+    SELECT n.vec_id, n.norm_q2, p.proj_norm2,
+           CAST(ROUND(1000000.0 * p.proj_norm2
+                / ({_JL_K}.0 * n.norm_q2)) AS BIGINT) AS ratio_e6
+    FROM norms n JOIN pn p USING (vec_id)
+    """,
+    tags=("vector", "embeddings", "jl", "exact"),
+)
+def vector_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection (Achlioptas, JCSS 2003 —
+    database-friendly ±1 entries) of every embedding from 64 to
+    {_JL_K} dims, with the per-vector norm-distortion readout
+    ‖y‖²/(k·‖q‖²) that certifies the projection is length-preserving in
+    expectation — the dimensionality-reduction pass a 100 TB ANN/dedup
+    pipeline runs before LSH to cut shuffle bytes 4×. Everything is
+    exact: elements quantize by ×2¹⁰ (a power of two, so the float
+    multiply is IEEE-exact and ROUND agrees across engines), the sign
+    matrix is a deterministic integer mix, and both norms are exact
+    BIGINT sums; the only double is the final bounded ratio at e6.
+
+    Scale: ZERO shuffle on the Spark side — the whole projection is a
+    nested higher-order fold (transform over target dims × aggregate
+    over source dims) inside one map-only projection; vectors never
+    leave their partition. The oracle spells the identical arithmetic
+    relationally (explode × dim range → two grouped sums).
+    Reference analog: none."""
+    e = read_table(spark, sf_dir, "embeddings")
+    qarr = (
+        "transform(sequence(0, size(embedding) - 1),"
+        f" i -> CAST(ROUND(CAST(element_at(embedding, i + 1) AS DOUBLE)"
+        f" * {_JL_SCALE}) AS BIGINT))"
+    )
+    y_j = (
+        "aggregate(sequence(0, size(qarr) - 1), 0L,"
+        f" (a, i) -> a + {_jl_sign('i', 'j')} * element_at(qarr, i + 1))"
+    )
+    d = e.select(
+        "vec_id",
+        F.expr(qarr).alias("qarr"),
+    ).select(
+        "vec_id",
+        F.expr("aggregate(qarr, 0L, (a, x) -> a + x * x)").alias("norm_q2"),
+        F.expr(
+            f"aggregate(transform(sequence(0, {_JL_K - 1}), j -> {y_j}),"
+            " 0L, (a, y) -> a + y * y)"
+        ).alias("proj_norm2"),
+    )
+    return d.select(
+        "vec_id",
+        "norm_q2",
+        "proj_norm2",
+        F.round(
+            1000000.0 * F.col("proj_norm2") / (float(_JL_K) * F.col("norm_q2"))
+        )
+        .cast("bigint")
+        .alias("ratio_e6"),
+    )

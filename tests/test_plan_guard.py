@@ -435,6 +435,14 @@ BENCH_EXCHANGE_PINS = {
     "text_aho_corasick_blocklist": (2, 0),
     "text_winnowing_fingerprint": (1, 0),
     "sql_qualify_front_door": (2, 0),
+    # round 11 batch 3 — palette PNG and the JL projection are map-only
+    # (the JL fold is a nested higher-order function: zero shuffles for
+    # a 64->16 projection of every vector); the two stats are one keyed
+    # aggregate + ordered output
+    "multimodal_png_palette_decode": (0, 0),
+    "eval_krippendorff_alpha_nominal": (2, 0),
+    "ml_logistic_newton_step": (2, 0),
+    "vector_jl_projection_distortion": (0, 0),
 }
 
 

@@ -250,3 +250,77 @@ def test_rewrite_qualify_forms():
     assert "PARTITION BY a ORDER BY a" in out2
     with pytest.raises(ValueError):
         _rewrite_qualify("DELETE FROM t")
+
+
+# --------------------------------------------------------------------------
+# Round-11 batch 3: indexed PNG, Krippendorff, JL
+# --------------------------------------------------------------------------
+
+
+def test_indexed_png_roundtrip_and_gates():
+    rng = np.random.default_rng(11)
+    idx = rng.integers(0, 64, (8, 8)).astype(np.uint8)
+    png = multimodal.encode_png_indexed(idx, multimodal.PALETTE64)
+    img = multimodal.decode_image(png)
+    assert img.shape == (8, 8, 3)
+    assert (img == multimodal.PALETTE64[idx]).all()
+    # index out of palette range must be rejected, not wrapped
+    small = multimodal.PALETTE64[:32]
+    png_bad = multimodal.encode_png_indexed(idx, small)  # idx up to 63
+    with pytest.raises(ValueError):
+        multimodal.decode_image(png_bad)
+    # palette channels are distinct permutations (the channel-swap gate)
+    p = multimodal.PALETTE64.astype(int)
+    assert len(set(p[:, 0])) == 64 and len(set(p[:, 1])) == 64
+    assert not (p[:, 0] == p[:, 1]).all()
+
+
+def test_krippendorff_alpha_bounds_and_perfect_agreement():
+    from blow_spark.oracle import duckdb_run
+    from blow_spark.queries import oracle_sql
+
+    df = duckdb_run(
+        oracle_sql()["eval_krippendorff_alpha_nominal"],
+        "/root/testdata/sf0.001",
+    )
+    assert (df.alpha_e6 <= 1_000_000).all()
+    # dissent rules fire on ~1/7 + ~1/11 of units -> alpha well inside (0, 1)
+    assert (df.alpha_e6 > 400_000).all() and (df.alpha_e6 < 999_999).all()
+    # identity: do_pairs = 0 would give alpha exactly 1e6 — closed form
+    n, cats = 10, (10, 10, 10)
+    N = 3 * n
+    de = sum(c * (N - c) for c in cats)
+    alpha = 1 - (2 * 0 * N * (N - 1)) / (6 * n * de)
+    assert alpha == 1.0
+
+
+def test_jl_projection_expectation_and_exact_scale():
+    from blow_spark.oracle import duckdb_run
+    from blow_spark.queries import oracle_sql
+
+    df = duckdb_run(
+        oracle_sql()["vector_jl_projection_distortion"],
+        "/root/testdata/sf0.001",
+    )
+    # E[|y|^2] = k * |q|^2 -> corpus mean ratio near 1 (JL guarantee);
+    # per-vector spread is chi^2_16-wide, so only the mean is pinned
+    assert 0.9e6 < df.ratio_e6.mean() < 1.1e6
+    # x1024 quantization is exact: norms are stable integers > 0
+    assert (df.norm_q2 > 0).all()
+
+
+def test_jl_sign_mix_is_balanced():
+    from blow_spark.queries.vectors import _JL_K, _jl_sign
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT {_jl_sign('i', 'j')} AS s FROM"
+        f" (SELECT UNNEST(range(0, 64)) AS i),"
+        f" (SELECT UNNEST(range(0, {_JL_K})) AS j)"
+    ).fetchall()
+    signs = [r[0] for r in rows]
+    assert set(signs) == {-1, 1}
+    # near-balanced: a degenerate (parity-of-product) mix would be all +1
+    frac = signs.count(1) / len(signs)
+    assert 0.35 < frac < 0.65
