@@ -338,6 +338,10 @@ HEADLINE = [
     "eval_krippendorff_alpha_nominal",
     "ml_logistic_newton_step",
     "vector_jl_projection_distortion",
+    # round 11 batch 4: compressed audio in a real WAV container;
+    # winnowing fingerprints as dedup candidate generator
+    "multimodal_wav_adpcm_decode",
+    "dedup_winnowing_candidates",
 ]
 
 

@@ -314,6 +314,13 @@ def decode_audio(content: bytes, fake_decode: bool = False) -> np.ndarray:
     fake path reinterprets the leading bytes as int16 PCM so non-audio
     payload plumbing stays testable."""
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        import struct as _struct
+
+        # compressed WAV? the stdlib wave module can't read it — route
+        # IMA-ADPCM (tag 0x11) to the real block decoder (round 11)
+        for fourcc, payload in _riff_chunks(content):
+            if fourcc == b"fmt " and _struct.unpack_from("<H", payload)[0] == 0x11:
+                return decode_wav_adpcm(content).astype(np.float32) / 32768.0
         import io
         import wave
 
@@ -1247,3 +1254,58 @@ def palette_png_fixture_dir(spark, sf_dir: str, n_docs: int = 50) -> str:
     with open(marker, "w"):
         pass
     return img_dir
+
+
+def _riff_chunks(content: bytes):
+    """Walk a RIFF/WAVE container's (fourcc, payload) chunks."""
+    import struct
+
+    pos = 12
+    while pos + 8 <= len(content):
+        fourcc = content[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", content, pos + 4)
+        yield fourcc, content[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+
+
+def decode_wav_adpcm(content: bytes) -> np.ndarray:
+    """REAL WAV IMA-ADPCM container decode (wFormatTag 0x11, mono):
+    parses the fmt chunk for real (tag, channels, nBlockAlign), then
+    decodes each data block per the IMA spec — a 4-byte block header
+    carrying the int16 seed predictor and the u8 step index (which IS
+    the block's first output sample), followed by 2 codes/byte expanded
+    by ``decode_adpcm_ima`` from that seeded state. This is the step
+    past the raw-nibble query: the stdlib ``wave`` module cannot read
+    compressed WAVs at all, so this parser is the only path. Stereo or
+    other tags raise NotImplementedError (truthful gate). Returns int16
+    samples."""
+    import struct
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    block_align = None
+    data = b""
+    for fourcc, payload in _riff_chunks(content):
+        if fourcc == b"fmt ":
+            tag, ch = struct.unpack_from("<HH", payload, 0)
+            (block_align,) = struct.unpack_from("<H", payload, 12)
+            if tag != 0x11:
+                raise ValueError("not an IMA-ADPCM WAV")
+            if ch != 1:
+                raise NotImplementedError("WAV-ADPCM subset: mono")
+        elif fourcc == b"data":
+            data = payload
+    if block_align is None:
+        raise ValueError("WAV missing fmt chunk")
+    out: list[np.ndarray] = []
+    for off in range(0, len(data) - block_align + 1, block_align):
+        block = data[off : off + block_align]
+        (pred,) = struct.unpack_from("<h", block, 0)
+        idx = block[2]
+        if idx > 88:
+            raise ValueError("ADPCM block step index out of range")
+        out.append(np.array([pred], dtype=np.int16))
+        out.append(decode_adpcm_ima(block[4:], pred, idx))
+    return (
+        np.concatenate(out) if out else np.zeros(0, dtype=np.int16)
+    )

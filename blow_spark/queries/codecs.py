@@ -699,3 +699,173 @@ def multimodal_png_palette_decode(spark: SparkSession, sf_dir: str) -> DataFrame
         "doc_id long, height int, width int, sum_r long, sum_g long, "
         "sum_b long, pos_checksum long",
     )
+
+
+# --------------------------------------------------------------------------
+# WAV IMA-ADPCM container (compressed audio end to end)
+# --------------------------------------------------------------------------
+
+
+def _wav_adpcm_header() -> bytes:
+    """Constant RIFF/WAVE + fmt(0x11) + data-size prefix for exactly one
+    36-byte mono IMA-ADPCM block (65 samples) — the varying block header
+    and payload are appended in-plan."""
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 8000 * 36 // 65, 36, 4, 2, 65)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 36)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", 36)
+    )
+
+
+def _wav_adpcm_oracle() -> str:
+    steps = ", ".join(
+        f"({i}, {s})" for i, s in enumerate(multimodal.ADPCM_STEP_TABLE)
+    )
+    return f"""
+    WITH RECURSIVE
+    stepv(i, s) AS (VALUES {steps}),
+    b AS (
+      SELECT doc_id, hex(ENCODE(text)) AS hx,
+             OCTET_LENGTH(ENCODE(text)) AS nb,
+             CAST((doc_id * 97) % 4001 - 2000 AS INT) AS p0,
+             CAST(doc_id % 89 AS INT) AS i0
+      FROM documents
+    ),
+    nibv AS (
+      -- nibble k of the first 32 payload bytes (low nibble first);
+      -- bytes past the document length are the rpad zeros
+      SELECT doc_id, k,
+             CASE WHEN k // 2 < nb THEN
+               CASE WHEN k % 2 = 0
+                    THEN strpos('0123456789ABCDEF',
+                                substring(hx, CAST(k + 2 AS INT), 1)) - 1
+                    ELSE strpos('0123456789ABCDEF',
+                                substring(hx, CAST(k AS INT), 1)) - 1
+               END
+             ELSE 0 END AS v
+      FROM (SELECT doc_id, hx, nb, UNNEST(range(0, 64)) AS k FROM b)
+    ),
+    dec AS (
+      -- the block header's seed predictor IS the first output sample
+      SELECT doc_id, -1 AS k, p0 AS pred, i0 AS idx,
+             CAST(p0 AS BIGINT) AS sum_samples,
+             CAST(p0 AS BIGINT) * p0 AS energy
+      FROM b
+      UNION ALL
+      SELECT doc_id, k, pred, idx,
+             sum_samples + pred AS sum_samples,
+             energy + CAST(pred AS BIGINT) * pred AS energy
+      FROM (
+        SELECT q.doc_id, q.k,
+               GREATEST(-32768, LEAST(32767, q.pred0 + q.sdiff)) AS pred,
+               GREATEST(0, LEAST(88, q.idx0 +
+                 CASE q.v % 8 WHEN 4 THEN 2 WHEN 5 THEN 4
+                              WHEN 6 THEN 6 WHEN 7 THEN 8
+                              ELSE -1 END)) AS idx,
+               q.sum_samples, q.energy
+        FROM (
+          SELECT d.doc_id, d.k + 1 AS k, d.pred AS pred0, d.idx AS idx0,
+                 d.sum_samples, d.energy, nv.v,
+                 (CASE WHEN nv.v >= 8 THEN -1 ELSE 1 END) *
+                 (s.s // 8
+                  + CASE WHEN nv.v % 2 = 1 THEN s.s // 4 ELSE 0 END
+                  + CASE WHEN (nv.v // 2) % 2 = 1 THEN s.s // 2 ELSE 0 END
+                  + CASE WHEN (nv.v // 4) % 2 = 1 THEN s.s ELSE 0 END) AS sdiff
+          FROM dec d
+          JOIN nibv nv ON nv.doc_id = d.doc_id AND nv.k = d.k + 1
+          JOIN stepv s ON s.i = d.idx
+          WHERE d.k < 63
+        ) q
+      )
+    )
+    SELECT dec.doc_id, CAST(65 AS INT) AS n_samples,
+           CAST(b.p0 AS INT) AS first_sample,
+           CAST(dec.pred AS INT) AS final_sample,
+           dec.sum_samples, dec.energy
+    FROM dec JOIN b USING (doc_id) WHERE dec.k = 63
+    """
+
+
+@register(
+    "multimodal_wav_adpcm_decode",
+    oracle=_wav_adpcm_oracle(),
+    tags=("multimodal", "audio", "codec", "adpcm", "wav"),
+)
+def multimodal_wav_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED audio in a REAL container, end to end: each document
+    becomes a genuine mono WAV whose fmt chunk declares IMA-ADPCM
+    (wFormatTag 0x11) and whose single 36-byte data block carries a
+    PLANTED seed state — int16 predictor ((97·doc_id) mod 4001 − 2000,
+    little-endian two's complement built by in-plan byte algebra) and
+    step index (doc_id mod 89) — followed by 32 payload bytes. The
+    stdlib ``wave`` module CANNOT read this; ``decode_audio`` routes it
+    to ``multimodal.decode_wav_adpcm``, which must walk the RIFF
+    chunks, read the fmt tag and block alignment, emit the seed
+    predictor as the block's first sample (the IMA container rule), and
+    expand 64 codes from the seeded automaton. The oracle replays the
+    seeded automaton as a recursive CTE; first/final samples and the
+    exact Σx/Σx² over all 65 samples gate header layout, seed
+    endianness (negative predictors planted on purpose), and the
+    decode itself.
+
+    Scale: map-only Arrow-batched decode, one row per document —
+    identical plan shape at 100 TB of real audio objects. Reference
+    analog: none; completes the raw-nibble
+    ``multimodal_adpcm_decode_energy`` into the container form."""
+    import numpy as np
+    import pandas as pd
+
+    from blow_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("content")
+    )
+    blk_hdr = F.expr(
+        "unhex(concat("
+        " lpad(hex(pmod(pmod(doc_id * 97, 4001) - 2000, 65536) % 256), 2, '0'),"
+        " lpad(hex(pmod(pmod(doc_id * 97, 4001) - 2000, 65536) DIV 256), 2, '0'),"
+        " lpad(hex(pmod(doc_id, 89)), 2, '0'), '00'))"
+    )
+    wav = F.concat(
+        F.lit(_wav_adpcm_header()),
+        blk_hdr,
+        F.rpad(F.substring(F.col("content"), 1, 32), 32, bytes([0])),
+    )
+    d2 = d.select("doc_id", wav.alias("wav"))
+
+    def dec(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["wav"]):
+                f = multimodal.decode_audio(bytes(blob))
+                s = np.round(f.astype(np.float64) * 32768.0).astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_samples": len(s),
+                        "first_sample": int(s[0]),
+                        "final_sample": int(s[-1]),
+                        "sum_samples": int(s.sum()),
+                        "energy": int((s * s).sum()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "first_sample",
+                    "final_sample", "sum_samples", "energy",
+                ],
+            )
+
+    return d2.mapInPandas(
+        dec,
+        "doc_id long, n_samples int, first_sample int, final_sample int, "
+        "sum_samples long, energy long",
+    )

@@ -241,3 +241,131 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div (2 * (MAX(n_grams) - {_WIN_W - 1})) AS BIGINT)"
         ).alias("density_e6"),
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing-fingerprint near-dup candidates
+# --------------------------------------------------------------------------
+
+_WINDUP_CAP = 20  # max docs per fingerprint (boilerplate cap)
+_WINDUP_MIN_SHARED = 6  # candidate-pair threshold
+
+
+def _winnow_fp_sql() -> str:
+    """The shared fingerprint CTE body (doc_id, fph) — identical to
+    text_winnowing_fingerprint's selection, factored for reuse."""
+    return f"""
+    lens AS (
+      SELECT doc_id, text, LEAST(LENGTH(text), {_WIN_CAP}) AS L
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, p,
+             CAST({_gram_hash('text', 'p', 'duck')} AS BIGINT) AS h
+      FROM (SELECT doc_id, text, L, UNNEST(range(1, L - {_WIN_K - 2})) AS p
+            FROM lens)
+    ), win AS (
+      SELECT doc_id, p, MIN(h * 256 + (255 - p)) OVER w AS min_key
+      FROM grams
+      WINDOW w AS (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN {_WIN_W - 1} PRECEDING AND CURRENT ROW)
+    ), fp AS (
+      SELECT DISTINCT doc_id, min_key // 256 AS fph
+      FROM win WHERE p >= {_WIN_W}
+    )"""
+
+
+@register(
+    "dedup_winnowing_candidates",
+    oracle=f"""
+    WITH {_winnow_fp_sql()},
+    rare AS (
+      SELECT fph FROM fp GROUP BY fph HAVING COUNT(*) <= {_WINDUP_CAP}
+    ), f2 AS (
+      SELECT fp.doc_id, fp.fph FROM fp JOIN rare USING (fph)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fp
+    FROM f2 a JOIN f2 b ON a.fph = b.fph AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= {_WINDUP_MIN_SHARED}
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "fingerprint", "documents", "exact"),
+)
+def dedup_winnowing_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CANDIDATE GENERATION the MOSS way (Schleimer et
+    al., SIGMOD 2003 §5): documents pair when they share ≥
+    {_WINDUP_MIN_SHARED} winnowing fingerprints BY HASH VALUE
+    (position-independent — the property that makes winnowing robust to
+    insertions/reordering, which MinHash-LSH band collisions are not).
+    Joins the round-11 fingerprint operator into the dedup family as
+    its positional-sketch candidate generator, complementing
+    dedup_minhash_lsh (set-similarity sketch) and dedup_simhash
+    (vector sketch).
+
+    Scale: the frequency cap (fingerprints in > {_WINDUP_CAP} docs are
+    dropped as boilerplate — the dedup_minhash_lsh bucket-cap idiom)
+    bounds the self-join fan-out at cap·|postings| rows and caps any
+    single fingerprint's pair contribution at cap²/2; without it the
+    stop-gram fingerprints ("the f…") would drive the join toward
+    all-pairs. One window pass + two keyed joins, no corpus-body
+    shuffle (only 8-byte hashes travel). Reference analog: none."""
+    # Build the fingerprint POSTINGS (doc_id, fph) — the sibling
+    # aggregate query returns per-doc stats, so the selection is
+    # recomputed here at postings grain.
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.least(F.length("text"), F.lit(_WIN_CAP)).alias("L")
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(1, CAST(L - {_WIN_K - 1} AS INT))")
+        ).alias("p"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        "p",
+        F.expr(f"CAST({_gram_hash('text', 'p', 'spark')} AS BIGINT)").alias("h"),
+    )
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(-(_WIN_W - 1), W.currentRow)
+    )
+    from blow_spark.materialize import spill_to_parquet
+
+    # the postings table feeds THREE consumers (both self-join sides +
+    # the frequency census) — spill once so the gram explode + window
+    # run once, not three times (the linkage._purchase_edges discipline)
+    fp = spill_to_parquet(
+        grams.select(
+            "doc_id",
+            "p",
+            F.min(F.col("h") * 256 + (255 - F.col("p"))).over(w).alias("mk"),
+        )
+        .where(F.col("p") >= _WIN_W)
+        .select("doc_id", F.expr("mk div 256").alias("fph"))
+        .distinct(),
+        "blow_spark_winnowfp_",
+    )
+    rare = (
+        fp.groupBy("fph")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") <= _WINDUP_CAP)
+        .select("fph")
+    )
+    f2 = fp.join(rare, "fph")
+    a = f2.alias("a")
+    b = f2.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fph") == F.col("b.fph"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("shared_fp"))
+        .where(F.col("shared_fp") >= _WINDUP_MIN_SHARED)
+        .orderBy("doc_a", "doc_b")
+    )

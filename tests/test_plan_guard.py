@@ -443,6 +443,11 @@ BENCH_EXCHANGE_PINS = {
     "eval_krippendorff_alpha_nominal": (2, 0),
     "ml_logistic_newton_step": (2, 0),
     "vector_jl_projection_distortion": (0, 0),
+    # round 11 batch 4 — WAV-ADPCM is map-only decode; the winnowing
+    # candidate join spills the postings table once (3 consumers), so
+    # the gram explode + window run once
+    "multimodal_wav_adpcm_decode": (0, 0),
+    "dedup_winnowing_candidates": (4, 3),
 }
 
 

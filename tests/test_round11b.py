@@ -324,3 +324,52 @@ def test_jl_sign_mix_is_balanced():
     # near-balanced: a degenerate (parity-of-product) mix would be all +1
     frac = signs.count(1) / len(signs)
     assert 0.35 < frac < 0.65
+
+
+# --------------------------------------------------------------------------
+# Round-11 batch 4: WAV-ADPCM container + winnowing candidates
+# --------------------------------------------------------------------------
+
+
+def test_wav_adpcm_container_roundtrip():
+    pred, idx = -1234, 40
+    payload = bytes(range(32))
+    block = struct.pack("<hBB", pred, idx, 0) + payload
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 8000 * 36 // 65, 36, 4, 2, 65)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 16 + len(fmt) + len(block)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(block)) + block
+    )
+    s = multimodal.decode_wav_adpcm(wav)
+    ref = np.concatenate(
+        [[pred], multimodal.decode_adpcm_ima(payload, pred, idx)]
+    )
+    assert len(s) == 65 and (s == ref).all()
+    # header predictor IS the first sample; negative seed survives LE parse
+    assert s[0] == -1234
+    # decode_audio routes the compressed tag away from the wave module
+    f = multimodal.decode_audio(wav)
+    assert abs(f[0] - pred / 32768.0) < 1e-9
+    # stereo is outside the subset — truthful gate
+    fmt2 = struct.pack("<HHIIHHHH", 0x11, 2, 8000, 8000, 36, 4, 2, 65)
+    wav2 = (
+        b"RIFF" + struct.pack("<I", 4 + 16 + len(fmt2) + len(block)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt2)) + fmt2
+        + b"data" + struct.pack("<I", len(block)) + block
+    )
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_wav_adpcm(wav2)
+
+
+def test_winnowing_candidates_oracle_properties():
+    from blow_spark.oracle import duckdb_run
+    from blow_spark.queries import oracle_sql
+    from blow_spark.queries.text3 import _WINDUP_MIN_SHARED
+
+    df = duckdb_run(
+        oracle_sql()["dedup_winnowing_candidates"], "/root/testdata/sf0.001"
+    )
+    assert len(df) > 0  # threshold calibrated non-degenerate at gate SF
+    assert (df.shared_fp >= _WINDUP_MIN_SHARED).all()
+    assert (df.doc_a < df.doc_b).all()
