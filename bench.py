@@ -342,6 +342,9 @@ HEADLINE = [
     # winnowing fingerprints as dedup candidate generator
     "multimodal_wav_adpcm_decode",
     "dedup_winnowing_candidates",
+    # round 11 batch 5: Hurst R/S ladder, Theil inequality decomposition
+    "timeseries_hurst_rs_ladder",
+    "stats_theil_inequality",
 ]
 
 

@@ -925,3 +925,300 @@ def ml_logistic_newton_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("beta1_e6"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Rescaled-range (R/S) ladder — Hurst analysis
+# --------------------------------------------------------------------------
+
+_RS_SCALES = (8, 16, 32)
+
+
+def _rs_oracle() -> str:
+    """Per-(brand, scale) rescaled range over consecutive trading-day
+    blocks: R·m = max(m·D_k) − min(m·D_k) with m·D_k = m·Σ_{i≤k}x_i −
+    k·Σx (exact BIGINTs), S = √((m·Σx² − (Σx)²))/m, so
+    R/S = (R·m)/√(m·Σx² − (Σx)²) — exact integers into one sqrt."""
+    parts = []
+    for m in _RS_SCALES:
+        parts.append(f"""
+    SELECT brand, CAST({m} AS INT) AS scale_m,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(rs_e6) AS BIGINT) AS sum_rs_e6,
+           CAST(SUM(rs_e6) // COUNT(*) AS BIGINT) AS mean_rs_e6
+    FROM (
+      SELECT brand, blk,
+             CAST(ROUND(1000000.0 * (MAX(md) - MIN(md))
+                  / SQRT(CAST({m} * SUM(xsq) - CAST(SUM(x) AS HUGEINT) * SUM(x)
+                         AS DOUBLE))) AS BIGINT) AS rs_e6
+      FROM (
+        SELECT brand, blk, x, CAST(x AS HUGEINT) * x AS xsq,
+               {m} * SUM(x) OVER (PARTITION BY brand, blk ORDER BY rn)
+                 - rk * SUM(x) OVER (PARTITION BY brand, blk) AS md
+        FROM (
+          SELECT brand, x, rn, (rn - 1) // {m} AS blk,
+                 CAST((rn - 1) % {m} + 1 AS BIGINT) AS rk
+          FROM series
+        )
+        QUALIFY COUNT(*) OVER (PARTITION BY brand, blk) = {m}
+      )
+      GROUP BY brand, blk
+      HAVING {m} * SUM(xsq) > CAST(SUM(x) AS HUGEINT) * SUM(x)
+    )
+    GROUP BY brand""")
+    return f"""
+    WITH daily AS (
+      SELECT p.p_brand AS brand, CAST(l.l_shipdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ), series AS (
+      SELECT brand, x,
+             ROW_NUMBER() OVER (PARTITION BY brand ORDER BY day) AS rn
+      FROM daily
+    )
+    {" UNION ALL ".join(parts)}
+    ORDER BY brand, scale_m
+    """
+
+
+@register(
+    "timeseries_hurst_rs_ladder",
+    oracle=_rs_oracle(),
+    tags=("timeseries", "hurst", "lineitem", "exact"),
+)
+def timeseries_hurst_rs_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rescaled-range (R/S) analysis ladder (Hurst 1951; Mandelbrot &
+    Wallis 1969) of each brand's daily-revenue series at block scales
+    m ∈ {_RS_SCALES}: per consecutive m-day block, the range of
+    cumulative mean-deviations over the block's standard deviation —
+    the mean R/S per scale is the ladder whose log-log slope is the
+    Hurst exponent (persistence vs mean-reversion). Every quantity is
+    exact until one sqrt: m·D_k = m·(running Σx) − k·Σx and
+    R·m = max−min are BIGINTs, the denominator √(m·Σx²−(Σx)²) is one
+    IEEE sqrt of an exact integer, each block's R/S rounds at e6, and
+    the per-scale mean is an integer floor division — no float
+    summation anywhere. (The slope itself needs logs; the ladder is
+    the engine deliverable, slope-fitting is a 3-point client-side
+    read.)
+
+    Scale: one keyed aggregate to (brand×day), brand-partitioned
+    windows (25-way parallel), blocks are calendar-bounded. Reference
+    analog: none; companion to finance_sharpe_sortino on the same
+    grain."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    daily = (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("l_shipdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    from blow_spark.materialize import spill_to_parquet
+
+    # the trading-day series feeds one branch PER SCALE — spill it once
+    # so the lineitem join+aggregate+rank run once, not len(_RS_SCALES)
+    # times (the linkage._purchase_edges discipline)
+    series = spill_to_parquet(
+        daily.select(
+            "brand",
+            "x",
+            F.row_number()
+            .over(W.partitionBy("brand").orderBy("day"))
+            .alias("rn"),
+        ),
+        "blow_spark_rs_series_",
+    )
+    outs = []
+    for m in _RS_SCALES:
+        blk = series.select(
+            "brand",
+            "x",
+            "rn",
+            F.expr(f"(rn - 1) div {m}").alias("blk"),
+            F.expr(f"CAST((rn - 1) % {m} + 1 AS BIGINT)").alias("rk"),
+        )
+        wblk = W.partitionBy("brand", "blk")
+        wrun = wblk.orderBy("rn")
+        md = blk.select(
+            "brand",
+            "blk",
+            "x",
+            (F.col("x").cast("decimal(38,0)") * F.col("x")).alias("xsq"),
+            (
+                m * F.sum("x").over(wrun)
+                - F.col("rk") * F.sum("x").over(wblk)
+            ).alias("md"),
+            F.count("*").over(wblk).alias("blen"),
+        ).where(F.col("blen") == m)
+        per_block = (
+            md.groupBy("brand", "blk")
+            .agg(
+                F.max("md").alias("mx"),
+                F.min("md").alias("mn"),
+                F.sum("x").cast("decimal(38,0)").alias("s"),
+                F.sum("xsq").alias("ssq"),
+            )
+            .where(
+                m * F.col("ssq") > F.col("s") * F.col("s")
+            )
+            .select(
+                "brand",
+                F.round(
+                    1000000.0
+                    * (F.col("mx") - F.col("mn"))
+                    / F.sqrt(
+                        (m * F.col("ssq") - F.col("s") * F.col("s")).cast(
+                            "double"
+                        )
+                    )
+                )
+                .cast("bigint")
+                .alias("rs_e6"),
+            )
+        )
+        outs.append(
+            per_block.groupBy("brand").agg(
+                F.lit(m).cast("int").alias("scale_m"),
+                F.count("*").alias("n_blocks"),
+                F.sum("rs_e6").cast("bigint").alias("sum_rs_e6"),
+                F.expr("CAST(SUM(rs_e6) div COUNT(*) AS BIGINT)").alias(
+                    "mean_rs_e6"
+                ),
+            ).select("brand", "scale_m", "n_blocks", "sum_rs_e6", "mean_rs_e6")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("brand", "scale_m")
+
+
+# --------------------------------------------------------------------------
+# Theil T inequality + between-nation decomposition
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stats_theil_inequality",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_nationkey AS nk,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_nationkey, o.o_custkey
+    ), g AS (
+      SELECT nk, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s
+      FROM spend GROUP BY nk
+    ), within AS (
+      SELECT sp.nk, g.n, g.s,
+             CAST(SUM(CAST(ROUND(1000000.0
+                 * (CAST(sp.cents AS DOUBLE) * g.n / g.s)
+                 * LN(CAST(sp.cents AS DOUBLE) * g.n / g.s)) AS BIGINT))
+               AS BIGINT) AS term_sum_e6
+      FROM spend sp JOIN g USING (nk)
+      GROUP BY sp.nk, g.n, g.s
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_all, CAST(SUM(s) AS BIGINT) AS s_all
+      FROM g
+    )
+    SELECT 'nation:' || CAST(w.nk AS VARCHAR) AS component,
+           w.n, w.s AS sum_cents,
+           CAST(w.term_sum_e6 // w.n AS BIGINT) AS theil_e6
+    FROM within w
+    UNION ALL
+    SELECT 'between' AS component, t.n_all AS n, t.s_all AS sum_cents,
+           CAST(SUM(CAST(ROUND(1000000.0
+               * (CAST(g.s AS DOUBLE) / t.s_all)
+               * LN((CAST(g.s AS DOUBLE) / t.s_all)
+                    / (CAST(g.n AS DOUBLE) / t.n_all))) AS BIGINT))
+             AS BIGINT) AS theil_e6
+    FROM g CROSS JOIN tot t GROUP BY t.n_all, t.s_all
+    ORDER BY component
+    """,
+    tags=("stats", "inequality", "orders"),
+)
+def stats_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of customer spend, per nation, plus the
+    BETWEEN-nation component of Theil's decomposition (Theil,
+    "Economics and Information Theory", 1967) — the entropy-based
+    companion to stats_gini_coefficient that, unlike Gini, decomposes
+    additively into within + between parts (the property governance
+    dashboards use to attribute inequality to segments). Each entropy
+    term r·ln(r) is computed as a double in BOTH engines and rounded at
+    the e6 fixpoint BEFORE summation (BIGINT term sums, integer floor
+    division by n) — the corpus_length_kl_by_source discipline: the e6
+    guard band absorbs the JVM-vs-libm LN ulp divergence except on a
+    measure-zero .5 boundary, which the round-10 ADVICE review accepted
+    as this catalog's documented exposure for runtime transcendentals.
+
+    Scale: aggregate to (nation × customer), one grouped entropy pass,
+    a 25-row between-component — map-side combinable throughout.
+    Reference analog: none."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    from blow_spark.materialize import spill_to_parquet
+
+    # the customer-spend table feeds both the group moments and the
+    # entropy pass — spill once so the orders scan+join runs once
+    spend = spill_to_parquet(
+        o.join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"), "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        ),
+        "blow_spark_theil_spend_",
+    )
+    g = spend.groupBy("nk").agg(
+        F.count("*").alias("n"), F.sum("cents").cast("bigint").alias("s")
+    )
+    r = F.col("cents").cast("double") * F.col("n") / F.col("s")
+    within = (
+        spend.join(F.broadcast(g), "nk")
+        .groupBy("nk", "n", "s")
+        .agg(
+            F.sum(F.round(1000000.0 * r * F.log(r)).cast("bigint"))
+            .cast("bigint")
+            .alias("term_sum_e6")
+        )
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("n_all"),
+        F.sum("s").cast("bigint").alias("s_all"),
+    )
+    nation_rows = within.select(
+        F.concat(F.lit("nation:"), F.col("nk").cast("string")).alias(
+            "component"
+        ),
+        "n",
+        F.col("s").alias("sum_cents"),
+        F.expr("CAST(term_sum_e6 div n AS BIGINT)").alias("theil_e6"),
+    )
+    sh = F.col("s").cast("double") / F.col("s_all")
+    ph = F.col("n").cast("double") / F.col("n_all")
+    between_row = (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("n_all", "s_all")
+        .agg(
+            F.sum(F.round(1000000.0 * sh * F.log(sh / ph)).cast("bigint"))
+            .cast("bigint")
+            .alias("theil_e6")
+        )
+        .select(
+            F.lit("between").alias("component"),
+            F.col("n_all").alias("n"),
+            F.col("s_all").alias("sum_cents"),
+            "theil_e6",
+        )
+    )
+    return nation_rows.unionByName(between_row).orderBy("component")

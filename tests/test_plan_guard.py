@@ -448,6 +448,11 @@ BENCH_EXCHANGE_PINS = {
     # the gram explode + window run once
     "multimodal_wav_adpcm_decode": (0, 0),
     "dedup_winnowing_candidates": (4, 3),
+    # round 11 batch 5 — both spill their shared base table once (the
+    # R/S series feeds 3 scale branches; the spend table feeds the
+    # moment + entropy passes), so the fact-table scan runs once
+    "timeseries_hurst_rs_ladder": (7, 0),
+    "stats_theil_inequality": (7, 2),
 }
 
 

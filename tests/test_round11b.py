@@ -373,3 +373,36 @@ def test_winnowing_candidates_oracle_properties():
     assert len(df) > 0  # threshold calibrated non-degenerate at gate SF
     assert (df.shared_fp >= _WINDUP_MIN_SHARED).all()
     assert (df.doc_a < df.doc_b).all()
+
+
+def test_hurst_rs_ladder_monotone_in_scale():
+    """R/S grows with block scale for any persistent-ish series —
+    corpus-level monotonicity of the per-scale means (Hurst's own
+    diagnostic; a broken cumulative-deviation window flattens it)."""
+    from blow_spark.oracle import duckdb_run
+    from blow_spark.queries import oracle_sql
+
+    df = duckdb_run(
+        oracle_sql()["timeseries_hurst_rs_ladder"], "/root/testdata/sf0.001"
+    )
+    by_scale = df.groupby("scale_m").mean_rs_e6.mean()
+    assert by_scale[8] < by_scale[16] < by_scale[32]
+    # sqrt(m) lower bound-ish: R/S at scale m is >= ~1 in these units
+    assert (df.mean_rs_e6 > 1_000_000).all()
+
+
+def test_theil_nonnegative_and_between_le_within_max():
+    from blow_spark.oracle import duckdb_run
+    from blow_spark.queries import oracle_sql
+
+    df = duckdb_run(
+        oracle_sql()["stats_theil_inequality"], "/root/testdata/sf0.001"
+    )
+    # Theil T >= 0 (Jensen); the e6 rounding can leave at most a tiny
+    # negative residue on a perfectly equal group — allow -5 ppm
+    assert (df.theil_e6 >= -5).all()
+    between = df[df.component == "between"].theil_e6.iloc[0]
+    assert between >= 0
+    # between-group inequality is far below the within-group levels on
+    # a hash-partitioned fixture (nations are random customer slices)
+    assert between < df[df.component != "between"].theil_e6.max()
