@@ -345,6 +345,7 @@ HEADLINE = [
     # round 11 batch 5: Hurst R/S ladder, Theil inequality decomposition
     "timeseries_hurst_rs_ladder",
     "stats_theil_inequality",
+    "multimodal_tiff_header_meta",
 ]
 
 

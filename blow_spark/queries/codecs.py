@@ -869,3 +869,108 @@ def multimodal_wav_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_samples int, first_sample int, final_sample int, "
         "sum_samples long, energy long",
     )
+
+
+# --------------------------------------------------------------------------
+# TIFF header / IFD walk (both byte orders)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_tiff_header_meta",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS nb FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           CAST(3 AS BIGINT) AS n_entries,
+           CAST(nb % 4093 + 16 AS BIGINT) AS width,
+           CAST((nb * 11) % 2039 + 16 AS BIGINT) AS height,
+           CAST(CASE WHEN nb % 3 = 0 THEN 8 ELSE 16 END AS BIGINT)
+             AS bits_per_sample
+    FROM b
+    """,
+    tags=("multimodal", "image", "tiff", "codec"),
+)
+def multimodal_tiff_header_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF header + IFD walk, zero-decode, BOTH byte orders: each
+    document gets a genuine little-endian ("II*\\0") or big-endian
+    ("MM\\0*") TIFF built in-plan — magic, IFD offset, a 3-entry IFD
+    carrying ImageWidth (256), ImageLength (257) and BitsPerSample
+    (258) as SHORT values — with the endianness chosen by doc parity,
+    then PARSED BACK from the bytes: the parser must read the byte-
+    order mark first and apply it to every u16/u32 that follows, which
+    is exactly the mistake class (half-swapped parsers) that corrupts
+    real TIFF ingests. The oracle recomputes the planted fields
+    arithmetically; a parser that ignores the mark gets every odd-doc
+    row wrong.
+
+    Scale: map-only JVM expressions, zero Python, zero shuffle — the
+    object-catalog pass over TIFF corpora. Reference analog: none;
+    completes the PNG/GIF/MP3/BMP header-parse family with the one
+    format where byte order itself is data."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length(F.encode("text", "UTF-8")).alias("nb")
+    )
+    # planted values
+    w = "(nb % 4093 + 16)"
+    h = "((nb * 11) % 2039 + 16)"
+    bps = "(CASE WHEN nb % 3 = 0 THEN 8 ELSE 16 END)"
+    le = "doc_id % 2 = 0"
+
+    def u16(v: str) -> str:
+        """hex of a u16 in the doc's byte order (II = lo,hi; MM = hi,lo)."""
+        lo, hi = f"lpad(hex({v} % 256), 2, '0')", f"lpad(hex({v} DIV 256), 2, '0')"
+        return f"(CASE WHEN {le} THEN concat({lo}, {hi}) ELSE concat({hi}, {lo}) END)"
+
+    def u32(v: str) -> str:
+        b0 = f"lpad(hex({v} % 256), 2, '0')"
+        b1 = f"lpad(hex(({v} DIV 256) % 256), 2, '0')"
+        b2 = f"lpad(hex(({v} DIV 65536) % 256), 2, '0')"
+        b3 = f"lpad(hex(({v} DIV 16777216) % 256), 2, '0')"
+        return (
+            f"(CASE WHEN {le} THEN concat({b0}, {b1}, {b2}, {b3})"
+            f" ELSE concat({b3}, {b2}, {b1}, {b0}) END)"
+        )
+
+    def entry(tag: int, v: str) -> str:
+        # tag(u16), type 3=SHORT(u16), count 1(u32), value u16 + pad u16
+        return (
+            f"concat({u16(str(tag))}, {u16('3')}, {u32('1')},"
+            f" {u16(v)}, {u16('0')})"
+        )
+
+    tiff = F.expr(
+        "unhex(concat("
+        f" CASE WHEN {le} THEN '49492A00' ELSE '4D4D002A' END,"  # magic
+        f" {u32('8')},"  # IFD offset = 8
+        f" {u16('3')},"  # entry count
+        f" {entry(256, w)}, {entry(257, h)}, {entry(258, bps)},"
+        f" {u32('0')}))"  # next-IFD = none
+    )
+    d = d.withColumn("tif", tiff)
+    byte = lambda i: f"CAST(conv(hex(substring(tif, {i} + 1, 1)), 16, 10) AS INT)"  # noqa: E731
+    is_le = f"({byte(0)} = 73)"  # 'I' = 0x49
+
+    def rd16(off: int) -> str:
+        return (
+            f"(CASE WHEN {is_le} THEN {byte(off)} + 256 * {byte(off + 1)}"
+            f" ELSE 256 * {byte(off)} + {byte(off + 1)} END)"
+        )
+
+    # IFD at offset 8: count(2) then 12-byte entries; value SHORT sits at
+    # entry offset +8
+    def entry_val(k: int) -> str:
+        return rd16(8 + 2 + 12 * k + 8)
+
+    return d.select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN {is_le} THEN 'II' ELSE 'MM' END"
+        ).alias("byte_order"),
+        F.expr(f"CAST({rd16(8)} AS BIGINT)").alias("n_entries"),
+        F.expr(f"CAST({entry_val(0)} AS BIGINT)").alias("width"),
+        F.expr(f"CAST({entry_val(1)} AS BIGINT)").alias("height"),
+        F.expr(f"CAST({entry_val(2)} AS BIGINT)").alias("bits_per_sample"),
+    )

@@ -453,6 +453,7 @@ BENCH_EXCHANGE_PINS = {
     # moment + entropy passes), so the fact-table scan runs once
     "timeseries_hurst_rs_ladder": (7, 0),
     "stats_theil_inequality": (7, 2),
+    "multimodal_tiff_header_meta": (0, 0),  # map-only header algebra
 }
 
 
