@@ -406,3 +406,22 @@ def test_theil_nonnegative_and_between_le_within_max():
     # between-group inequality is far below the within-group levels on
     # a hash-partitioned fixture (nations are random customer slices)
     assert between < df[df.component != "between"].theil_e6.max()
+
+
+def test_tiff_byte_order_gate():
+    """Both TIFF byte orders decode to the same planted fields — and an
+    order-blind parse provably cannot (the planted width exceeds 255,
+    so its u16 bytes differ under swap)."""
+    from blow_spark.oracle import duckdb_run
+    from blow_spark.queries import oracle_sql
+
+    df = duckdb_run(
+        oracle_sql()["multimodal_tiff_header_meta"], "/root/testdata/sf0.001"
+    )
+    assert set(df.byte_order) == {"II", "MM"}
+    assert (df.n_entries == 3).all()
+    assert (df.width >= 16).all() and (df.width <= 4108).all()
+    assert set(df.bits_per_sample) == {8, 16}
+    # swap-sensitivity: some widths need both bytes (> 255), so a parser
+    # that ignores the mark cannot reproduce them for the MM half
+    assert (df[df.byte_order == "MM"].width > 255).any()
