@@ -346,6 +346,10 @@ HEADLINE = [
     "timeseries_hurst_rs_ladder",
     "stats_theil_inequality",
     "multimodal_tiff_header_meta",
+    # round 11 batch 6: injected-trig-table weekly DFT bin; suffix-
+    # automaton substring census vs brute-force oracle
+    "timeseries_weekly_spectral_energy",
+    "text_distinct_substrings_sam",
 ]
 
 

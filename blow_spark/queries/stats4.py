@@ -1222,3 +1222,144 @@ def stats_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return nation_rows.unionByName(between_row).orderBy("component")
+
+
+# --------------------------------------------------------------------------
+# Weekly spectral energy (Goertzel-grade DFT bin, zero runtime trig)
+# --------------------------------------------------------------------------
+
+_SPEC_N = 28  # analysis window: 4 weeks of trading days
+_SPEC_K = 4  # bin k=4 over N=28 -> period 7 days (weekly seasonality)
+
+
+def _spec_tables() -> tuple[list[int], list[int]]:
+    """cos/sin at the weekly bin, e9-fixpointed in PYTHON and injected
+    as integer literals into BOTH plans — the NDCG discount-table
+    discipline: no runtime transcendentals, no JVM-vs-libm exposure."""
+    import math
+
+    cos_e9, sin_e9 = [], []
+    for t in range(_SPEC_N):
+        ang = 2.0 * math.pi * _SPEC_K * t / _SPEC_N
+        cos_e9.append(round(math.cos(ang) * 1_000_000_000))
+        sin_e9.append(round(math.sin(ang) * 1_000_000_000))
+    return cos_e9, sin_e9
+
+
+def _spec_oracle() -> str:
+    cos_e9, sin_e9 = _spec_tables()
+    trig = ", ".join(
+        f"({t}, {c}, {s})" for t, (c, s) in enumerate(zip(cos_e9, sin_e9))
+    )
+    return f"""
+    WITH trig(t, c_e9, s_e9) AS (VALUES {trig}),
+    daily AS (
+      SELECT p.p_brand AS brand, CAST(l.l_shipdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ), series AS (
+      SELECT brand, x,
+             ROW_NUMBER() OVER (PARTITION BY brand ORDER BY day) - 1 AS rn
+      FROM daily
+      QUALIFY rn < {_SPEC_N}
+    ), dot AS (
+      SELECT s.brand, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(s.x) AS BIGINT) AS dc,
+             SUM(CAST(s.x AS HUGEINT) * t.c_e9) AS re_e9,
+             SUM(CAST(s.x AS HUGEINT) * t.s_e9) AS im_e9
+      FROM series s JOIN trig t ON t.t = s.rn
+      GROUP BY s.brand HAVING COUNT(*) = {_SPEC_N}
+    )
+    SELECT brand, n, dc AS dc_cents,
+           CAST(re_e9 AS VARCHAR) AS re_e9,
+           CAST(im_e9 AS VARCHAR) AS im_e9,
+           CAST(ROUND(1000000.0
+                * SQRT(CAST(re_e9 AS DOUBLE) * CAST(re_e9 AS DOUBLE)
+                       + CAST(im_e9 AS DOUBLE) * CAST(im_e9 AS DOUBLE))
+                / (1000000000.0 * dc)) AS BIGINT) AS weekly_over_dc_e6
+    FROM dot ORDER BY brand
+    """
+
+
+@register(
+    "timeseries_weekly_spectral_energy",
+    oracle=_spec_oracle(),
+    tags=("timeseries", "spectral", "lineitem", "exact"),
+)
+def timeseries_weekly_spectral_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-bin DFT at the WEEKLY frequency (bin k={_SPEC_K} over an
+    N={_SPEC_N}-day window — what a Goertzel pass computes) for each
+    brand's daily-revenue series: the seasonal-energy readout that says
+    "does this series pulse on a 7-day cycle?" without running a full
+    FFT. ZERO runtime transcendentals: the cos/sin table is fix-pointed
+    at e9 in Python and injected into BOTH plans as integer literals
+    (the NDCG discount-table discipline), so the real/imag dot products
+    are exact HUGEINT/DECIMAL sums; the amplitude-over-DC ratio is the
+    single final sqrt+division, e6-rounded. The exact integer re/im
+    parts ride in the result (as strings — they pass 2⁶³) so the hash
+    certifies the full dot product, not just the rounded ratio.
+
+    Scale: one keyed aggregate to (brand×day), a broadcast 28-row trig
+    table, one grouped dot product — map-side combinable; the window is
+    calendar-bounded. Reference analog: none; the frequency-domain
+    companion to timeseries_autocorrelation."""
+    import builtins
+
+    cos_e9, sin_e9 = _spec_tables()
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    daily = (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("l_shipdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    series = daily.select(
+        "brand",
+        "x",
+        (
+            F.row_number().over(W.partitionBy("brand").orderBy("day")) - 1
+        ).alias("rn"),
+    ).where(F.col("rn") < _SPEC_N)
+    trig = spark.createDataFrame(
+        [(t, c, s) for t, (c, s) in enumerate(zip(cos_e9, sin_e9))],
+        "t int, c_e9 long, s_e9 long",
+    )
+    dot = (
+        series.join(F.broadcast(trig), series.rn == trig.t)
+        .groupBy("brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").cast("bigint").alias("dc"),
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("c_e9")).alias(
+                "re_e9"
+            ),
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("s_e9")).alias(
+                "im_e9"
+            ),
+        )
+        .where(F.col("n") == _SPEC_N)
+    )
+    re_d, im_d = F.col("re_e9").cast("double"), F.col("im_e9").cast("double")
+    return dot.select(
+        "brand",
+        "n",
+        F.col("dc").alias("dc_cents"),
+        F.col("re_e9").cast("string").alias("re_e9"),
+        F.col("im_e9").cast("string").alias("im_e9"),
+        F.round(
+            1000000.0
+            * F.sqrt(re_d * re_d + im_d * im_d)
+            / (1000000000.0 * F.col("dc"))
+        )
+        .cast("bigint")
+        .alias("weekly_over_dc_e6"),
+    ).orderBy("brand")

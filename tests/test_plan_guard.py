@@ -454,6 +454,10 @@ BENCH_EXCHANGE_PINS = {
     "timeseries_hurst_rs_ladder": (7, 0),
     "stats_theil_inequality": (7, 2),
     "multimodal_tiff_header_meta": (0, 0),  # map-only header algebra
+    # round 11 batch 6 — the DFT bin is one keyed agg + two broadcasts
+    # (dim + 28-row trig table); the SAM census is map-only Python
+    "timeseries_weekly_spectral_energy": (3, 2),
+    "text_distinct_substrings_sam": (0, 0),
 }
 
 
