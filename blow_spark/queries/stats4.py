@@ -152,7 +152,7 @@ def eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lab GROUP BY event_type
     )
     SELECT event_type, tp, tn, fp, fn,
-           CASE WHEN (tp+fp) * (tp+fn) * (tn+fp) * (tn+fn) = 0 THEN NULL
+           CASE WHEN tp+fp = 0 OR tp+fn = 0 OR tn+fp = 0 OR tn+fn = 0 THEN NULL
                 ELSE CAST(ROUND(1000000.0 * (tp*tn - fp*fn)
                      / (SQRT(CAST((tp+fp)*(tp+fn) AS DOUBLE))
                         * SQRT(CAST((tn+fp)*(tn+fn) AS DOUBLE)))) AS BIGINT)
@@ -169,7 +169,10 @@ def eval_matthews_corrcoef(spark: SparkSession, sf_dir: str) -> DataFrame:
     a subset of positives (id%6) plus a disjoint false-alarm rule
     (id%7 on negatives), so every cell is populated. tp/tn/fp/fn are
     exact integers; the MCC is one final expression on identical
-    integer operands — products up to n² stay in BIGINT, each sqrt is
+    integer operands — each 2-way margin product (tp+fp)(tp+fn) stays
+    ≤ n² in BIGINT (the degenerate-margin guard tests each margin
+    INDIVIDUALLY, never the 4-way product, whose n⁴ growth overflows
+    int64 at sf ≥ 1 — round-11 ADVICE), each sqrt is
     IEEE-correctly-rounded on an exactly-representable double, so both
     engines compute bit-identical results before the e6 round.
 
@@ -193,11 +196,10 @@ def eval_matthews_corrcoef(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("act") * (1 - F.col("pred"))).alias("fn"),
     )
     mcc = F.when(
-        (F.col("tp") + F.col("fp"))
-        * (F.col("tp") + F.col("fn"))
-        * (F.col("tn") + F.col("fp"))
-        * (F.col("tn") + F.col("fn"))
-        == 0,
+        ((F.col("tp") + F.col("fp")) == 0)
+        | ((F.col("tp") + F.col("fn")) == 0)
+        | ((F.col("tn") + F.col("fp")) == 0)
+        | ((F.col("tn") + F.col("fn")) == 0),
         F.lit(None).cast("bigint"),
     ).otherwise(
         F.round(
@@ -441,15 +443,17 @@ def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM mom
     )
     SELECT brand, n,
-           CAST(ROUND(1000000.0
+           CASE WHEN cxx + cyy = 0 THEN NULL
+                ELSE CAST(ROUND(1000000.0
                 * ((CAST(cxx AS DOUBLE) + CAST(cyy AS DOUBLE)
                     + SQRT((CAST(cxx AS DOUBLE) - CAST(cyy AS DOUBLE))
                            * (CAST(cxx AS DOUBLE) - CAST(cyy AS DOUBLE))
                            + 4.0 * CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE)))
                    / 2.0)
                 / (CAST(cxx AS DOUBLE) + CAST(cyy AS DOUBLE))) AS BIGINT)
-             AS ev1_share_e6,
-           CAST(ROUND(1000000.0
+           END AS ev1_share_e6,
+           CASE WHEN cxx + cyy = 0 THEN NULL
+                ELSE CAST(ROUND(1000000.0
                 * ((CAST(cxx AS DOUBLE) + CAST(cyy AS DOUBLE)
                     - SQRT((CAST(cxx AS DOUBLE) - CAST(cyy AS DOUBLE))
                            * (CAST(cxx AS DOUBLE) - CAST(cyy AS DOUBLE))
@@ -458,7 +462,8 @@ def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                       + SQRT((CAST(cxx AS DOUBLE) - CAST(cyy AS DOUBLE))
                              * (CAST(cxx AS DOUBLE) - CAST(cyy AS DOUBLE))
                              + 4.0 * CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE))))
-                ) AS BIGINT) AS eigen_ratio_e6
+                ) AS BIGINT)
+           END AS eigen_ratio_e6
     FROM cov ORDER BY brand
     """,
     tags=("ml", "pca", "lineitem", "exact"),
@@ -509,6 +514,11 @@ def ml_pca_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     cxx, cyy, cxy = (F.col(c).cast("double") for c in ("cxx", "cyy", "cxy"))
     disc = F.sqrt((cxx - cyy) * (cxx - cyy) + 4.0 * cxy * cxy)
     lam1 = (cxx + cyy + disc) / 2.0
+    # a zero trace (all points in a brand identical => cxx = cyy = 0,
+    # hence disc = 0 too) degenerates every denominator below; NULL it
+    # on both engines (round-11 ADVICE — Spark ANSI would throw where
+    # DuckDB yields inf/nan)
+    trace_zero = (F.col("cxx") + F.col("cyy")) == 0
     # both outputs are BOUNDED ratios e6-rounded: a last-ulp difference
     # between DuckDB's HUGEINT->DOUBLE and Spark's DECIMAL->DOUBLE cast
     # (observed on the raw lambda magnitude ~1e13) vanishes under the
@@ -516,11 +526,15 @@ def ml_pca_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cov.select(
         "brand",
         "n",
-        F.round(1000000.0 * lam1 / (cxx + cyy)).cast("bigint").alias(
-            "ev1_share_e6"
-        ),
-        F.round(1000000.0 * (cxx + cyy - disc) / (cxx + cyy + disc))
-        .cast("bigint")
+        F.when(trace_zero, F.lit(None).cast("bigint"))
+        .otherwise(F.round(1000000.0 * lam1 / (cxx + cyy)).cast("bigint"))
+        .alias("ev1_share_e6"),
+        F.when(trace_zero, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.round(1000000.0 * (cxx + cyy - disc) / (cxx + cyy + disc)).cast(
+                "bigint"
+            )
+        )
         .alias("eigen_ratio_e6"),
     ).orderBy("brand")
 
@@ -1132,7 +1146,7 @@ def timeseries_hurst_rs_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT 'nation:' || CAST(w.nk AS VARCHAR) AS component,
            w.n, w.s AS sum_cents,
-           CAST(w.term_sum_e6 // w.n AS BIGINT) AS theil_e6
+           CAST(GREATEST(w.term_sum_e6, 0) // w.n AS BIGINT) AS theil_e6
     FROM within w
     UNION ALL
     SELECT 'between' AS component, t.n_all AS n, t.s_all AS sum_cents,
@@ -1154,8 +1168,13 @@ def stats_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
     additively into within + between parts (the property governance
     dashboards use to attribute inequality to segments). Each entropy
     term r·ln(r) is computed as a double in BOTH engines and rounded at
-    the e6 fixpoint BEFORE summation (BIGINT term sums, integer floor
-    division by n) — the corpus_length_kl_by_source discipline: the e6
+    the e6 fixpoint BEFORE summation (BIGINT term sums; the per-nation
+    mean clamps the rounded term sum at 0 FIRST — Theil T ≥ 0 by
+    Jensen, but per-term e6 rounding can drive a near-zero sum a hair
+    negative, where Spark's ``div`` truncates toward zero while
+    DuckDB's ``//`` floors (round-11 ADVICE); on a non-negative
+    numerator the two agree exactly) — the
+    corpus_length_kl_by_source discipline: the e6
     guard band absorbs the JVM-vs-libm LN ulp divergence except on a
     measure-zero .5 boundary, which the round-10 ADVICE review accepted
     as this catalog's documented exposure for runtime transcendentals.
@@ -1202,7 +1221,7 @@ def stats_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n",
         F.col("s").alias("sum_cents"),
-        F.expr("CAST(term_sum_e6 div n AS BIGINT)").alias("theil_e6"),
+        F.expr("CAST(GREATEST(term_sum_e6, 0) div n AS BIGINT)").alias("theil_e6"),
     )
     sh = F.col("s").cast("double") / F.col("s_all")
     ph = F.col("n").cast("double") / F.col("n_all")

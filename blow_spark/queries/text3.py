@@ -429,11 +429,18 @@ def _sam_distinct_substrings(s: str) -> int:
       SELECT doc_id, L, substring(s, CAST(i AS INT), CAST(m AS INT)) AS sub
       FROM (SELECT doc_id, s, L, UNNEST(range(1, L + 1)) AS i FROM lens),
            LATERAL (SELECT UNNEST(range(1, L - i + 2)) AS m)
+    ), counts AS (
+      SELECT doc_id, CAST(COUNT(DISTINCT sub) AS BIGINT) AS ds
+      FROM subs GROUP BY doc_id
     )
-    SELECT doc_id, CAST(MAX(L) AS INT) AS cap_len,
-           CAST(MAX(L) * (MAX(L) + 1) / 2 AS BIGINT) AS total_substrings,
-           CAST(COUNT(DISTINCT sub) AS BIGINT) AS distinct_substrings
-    FROM subs GROUP BY doc_id
+    -- LEFT JOIN from lens so a ZERO-LENGTH document still yields a
+    -- (doc_id, 0, 0, 0) row, matching the Spark side's one-row-per-doc
+    -- contract (round-11 ADVICE: the subs CTE is empty at L = 0, which
+    -- silently dropped empty docs from the oracle)
+    SELECT l.doc_id, CAST(l.L AS INT) AS cap_len,
+           CAST(l.L * (l.L + 1) / 2 AS BIGINT) AS total_substrings,
+           COALESCE(c.ds, 0) AS distinct_substrings
+    FROM lens l LEFT JOIN counts c ON c.doc_id = l.doc_id
     """,
     tags=("text", "substrings", "documents", "exact"),
 )

@@ -1978,8 +1978,10 @@ def _jl_sign(i: str, j: str) -> str:
       FROM proj GROUP BY vec_id
     )
     SELECT n.vec_id, n.norm_q2, p.proj_norm2,
-           CAST(ROUND(1000000.0 * p.proj_norm2
-                / ({_JL_K}.0 * n.norm_q2)) AS BIGINT) AS ratio_e6
+           CASE WHEN n.norm_q2 = 0 THEN NULL
+                ELSE CAST(ROUND(1000000.0 * p.proj_norm2
+                     / ({_JL_K}.0 * n.norm_q2)) AS BIGINT)
+           END AS ratio_e6
     FROM norms n JOIN pn p USING (vec_id)
     """,
     tags=("vector", "embeddings", "jl", "exact"),
@@ -2023,13 +2025,22 @@ def vector_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFra
             " 0L, (a, y) -> a + y * y)"
         ).alias("proj_norm2"),
     )
+    # an all-zero (or quantized-to-zero — elements round at x1024)
+    # embedding has norm_q2 = 0: NULL the distortion ratio on both
+    # engines rather than divide (round-11 ADVICE — Spark ANSI throws
+    # on the Infinity->bigint cast where DuckDB does not), mirroring
+    # the sortino_e6 degenerate-denominator pattern
     return d.select(
         "vec_id",
         "norm_q2",
         "proj_norm2",
-        F.round(
-            1000000.0 * F.col("proj_norm2") / (float(_JL_K) * F.col("norm_q2"))
+        F.when(F.col("norm_q2") == 0, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.round(
+                1000000.0
+                * F.col("proj_norm2")
+                / (float(_JL_K) * F.col("norm_q2"))
+            ).cast("bigint")
         )
-        .cast("bigint")
         .alias("ratio_e6"),
     )
