@@ -572,6 +572,14 @@ def png_corpus_fixture_dir(spark, sf_dir: str, n_docs: int = 50) -> str:
         f"{sf_dir}|{n_docs}|{'|'.join(stat_parts)}".encode()
     ).hexdigest()[:12]
     img_dir = os.path.join(tempfile.gettempdir(), f"blow_spark_pngs_{token}")
+    # exactly one live cache per family: siblings with a different
+    # fingerprint token are stale by construction (round-11 verdict
+    # item #2 — regenerated fixtures orphaned the old cache forever)
+    from blow_spark.materialize import cleanup_stale_siblings
+
+    cleanup_stale_siblings(
+        img_dir, os.path.join(tempfile.gettempdir(), "blow_spark_pngs_*")
+    )
     marker = os.path.join(img_dir, "_SUCCESS")
     if os.path.exists(marker):
         return img_dir
@@ -1121,6 +1129,14 @@ def jpeg_corpus_fixture_dir(spark, sf_dir: str, n_docs: int = 50) -> str:
         f"jpeg|{sf_dir}|{n_docs}|{'|'.join(stat_parts)}".encode()
     ).hexdigest()[:12]
     img_dir = os.path.join(tempfile.gettempdir(), f"blow_spark_jpgs_{token}")
+    # exactly one live cache per family: siblings with a different
+    # fingerprint token are stale by construction (round-11 verdict
+    # item #2 — regenerated fixtures orphaned the old cache forever)
+    from blow_spark.materialize import cleanup_stale_siblings
+
+    cleanup_stale_siblings(
+        img_dir, os.path.join(tempfile.gettempdir(), "blow_spark_jpgs_*")
+    )
     marker = os.path.join(img_dir, "_SUCCESS")
     if os.path.exists(marker):
         return img_dir
@@ -1228,6 +1244,14 @@ def palette_png_fixture_dir(spark, sf_dir: str, n_docs: int = 50) -> str:
         f"plte|{sf_dir}|{n_docs}|{'|'.join(stat_parts)}".encode()
     ).hexdigest()[:12]
     img_dir = os.path.join(tempfile.gettempdir(), f"blow_spark_plte_{token}")
+    # exactly one live cache per family: siblings with a different
+    # fingerprint token are stale by construction (round-11 verdict
+    # item #2 — regenerated fixtures orphaned the old cache forever)
+    from blow_spark.materialize import cleanup_stale_siblings
+
+    cleanup_stale_siblings(
+        img_dir, os.path.join(tempfile.gettempdir(), "blow_spark_plte_*")
+    )
     marker = os.path.join(img_dir, "_SUCCESS")
     if os.path.exists(marker):
         return img_dir

@@ -20,6 +20,8 @@ engine-specific element order can't perturb the value hash.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from blow_spark.materialize import scratch_dir as _scratch_dir
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -318,10 +320,9 @@ def sink_partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     PartitionFilters row; asserted in tests/test_plans.py for the same
     pattern). Partition-column type inference round-trips the int month.
     Oracle states the equivalent semantic filter over the raw table."""
-    import tempfile
 
     li = read_table(spark, sf_dir, "lineitem")
-    stage = tempfile.mkdtemp(prefix="blow_spark_part_")
+    stage = _scratch_dir("blow_spark_part_")
     (
         li.withColumn("ship_month", F.month("l_shipdate"))
         .write.mode("overwrite")
@@ -518,10 +519,9 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     table goes through (per-file schemas reconciled at scan; old files
     surface NULL for the new column, pinned by n_with_disc = half the
     rows). Oracle replays the union with an explicit NULL leg."""
-    import tempfile
 
     li = read_table(spark, sf_dir, "lineitem")
-    stage = tempfile.mkdtemp(prefix="blow_spark_evo_")
+    stage = _scratch_dir("blow_spark_evo_")
     old_cols = ["l_orderkey", "l_linenumber", "l_returnflag"]
     li.select(*old_cols).write.mode("overwrite").parquet(stage + "/v1")
     li.select(*old_cols, "l_discount").write.mode("overwrite").parquet(stage + "/v2")
@@ -1138,10 +1138,9 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads the files once more at plan time; a 100 TB deployment passes
     an explicit schema instead (same reader), as the csv/json batteries
     do."""
-    import tempfile
 
     docs = read_table(spark, sf_dir, "documents")
-    stage = tempfile.mkdtemp(prefix="blow_spark_xml_")
+    stage = _scratch_dir("blow_spark_xml_")
     (
         docs.write.format("xml")
         .option("rowTag", "doc")
@@ -1187,10 +1186,9 @@ def sink_sorted_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     two calls (repartitionByRange + sortWithinPartitions) scale out:
     range partitioning samples the key distribution, so shards stay
     balanced under skew."""
-    import tempfile
 
     li = read_table(spark, sf_dir, "lineitem")
-    stage = tempfile.mkdtemp(prefix="blow_spark_sorted_")
+    stage = _scratch_dir("blow_spark_sorted_")
     (
         li.repartitionByRange(16, "l_shipdate")
         .sortWithinPartitions("l_shipdate")

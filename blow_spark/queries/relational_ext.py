@@ -23,6 +23,8 @@ Cross-engine determinism notes specific to this module:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from blow_spark.materialize import scratch_dir as _scratch_dir
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -494,11 +496,10 @@ def _roundtrip_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """write.parquet → read.parquet roundtrip: the WRITER is under the
     oracle gate — a corrupted or lossy sink breaks the hash match."""
-    import tempfile
 
     from blow_spark.sources import write_parquet
 
-    path = tempfile.mkdtemp(prefix="blow_spark_sink_pq_")
+    path = _scratch_dir("blow_spark_sink_pq_")
     write_parquet(_roundtrip_frame(spark, sf_dir), path)
     return spark.read.parquet(path)
 
@@ -508,11 +509,10 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """write.csv → read.csv (explicit schema, header) roundtrip — the text
     formats lose types, so the reader's declared schema is part of the
     contract being checked."""
-    import tempfile
 
     from blow_spark.sources import read_csv, write_csv
 
-    path = tempfile.mkdtemp(prefix="blow_spark_sink_csv_")
+    path = _scratch_dir("blow_spark_sink_csv_")
     write_csv(_roundtrip_frame(spark, sf_dir), path)
     return read_csv(
         spark,
@@ -524,11 +524,10 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("sink_json_roundtrip", oracle=_ROUNDTRIP_ORACLE, tags=("sink", "source", "json"))
 def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """write.json → read.json roundtrip with declared schema."""
-    import tempfile
 
     from blow_spark.sources import read_json, write_json
 
-    path = tempfile.mkdtemp(prefix="blow_spark_sink_json_")
+    path = _scratch_dir("blow_spark_sink_json_")
     write_json(_roundtrip_frame(spark, sf_dir), path)
     return read_json(
         spark,
@@ -776,7 +775,6 @@ def sink_merge_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-outer join, staged write, atomic swap. The read-back must equal
     the oracle's declarative post-image: updates applied, inserts
     present, deleted keys gone, untouched history intact."""
-    import tempfile
 
     from blow_spark import ops
 
@@ -793,7 +791,7 @@ def sink_merge_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderkey") % 7 == 0).alias("is_delete"),
         )
     )
-    path = tempfile.mkdtemp(prefix="blow_spark_merge_")
+    path = _scratch_dir("blow_spark_merge_")
     base.write.mode("overwrite").parquet(path)
     ops.merge_into_parquet(spark, path, delta, ["o_orderkey"], delete_col="is_delete")
     return spark.read.parquet(path)
@@ -822,7 +820,6 @@ def sink_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet: a lossy write, a mis-typed read-back, or a
     partition-boundary bug (lost/duplicated boundary rows) breaks the
     hash."""
-    import tempfile
 
     from blow_spark import sources
 
@@ -836,7 +833,7 @@ def sink_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
         )
     )
-    db = tempfile.mkdtemp(prefix="blow_spark_derby_") + "/db"
+    db = _scratch_dir("blow_spark_derby_") + "/db"
     url = f"jdbc:derby:{db};create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
     sources.write_jdbc(o, url, "orders_rt", mode="overwrite", properties=props)
@@ -1221,11 +1218,10 @@ def json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("sink_orc_roundtrip", oracle=_ROUNDTRIP_ORACLE, tags=("sink", "source", "orc"))
 def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """write.orc → read.orc roundtrip (the second columnar format)."""
-    import tempfile
 
     from blow_spark.sources import read_orc, write_orc
 
-    path = tempfile.mkdtemp(prefix="blow_spark_sink_orc_")
+    path = _scratch_dir("blow_spark_sink_orc_")
     write_orc(_roundtrip_frame(spark, sf_dir), path)
     return read_orc(spark, path)
 
@@ -1736,12 +1732,11 @@ def sink_python_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
     protocol (abort/cleanup semantics pinned in
     tests/test_datasource.py)."""
     import os
-    import tempfile
 
     from blow_spark import datasource as ds
 
     ds.register(spark)
-    out = tempfile.mkdtemp(prefix="blow_spark_sink_q_")
+    out = _scratch_dir("blow_spark_sink_q_")
     o = (
         read_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") < 1000)
@@ -1785,7 +1780,6 @@ def sink_text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw text corpora actually arrive in at 100 TB (one doc per line,
     e.g. *.jsonl/*.txt shards) — splittable, parallel scan, schema
     applied after read."""
-    import tempfile
 
     d = (
         read_table(spark, sf_dir, "documents")
@@ -1798,7 +1792,7 @@ def sink_text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value")
         )
     )
-    path = tempfile.mkdtemp(prefix="blow_spark_textfmt_")
+    path = _scratch_dir("blow_spark_textfmt_")
     d.write.mode("overwrite").text(path)
     back = spark.read.text(path)
     tab = F.instr(F.col("value"), "\t")
@@ -2093,12 +2087,11 @@ def source_file_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout and the reader's metadata columns agree end to end — it
     would catch a nondeterministic write order, a split file, or a
     wrong row_index base."""
-    import tempfile
 
     d = read_table(spark, sf_dir, "documents").select(
         "doc_id", (F.col("doc_id") % 4).cast("int").alias("shard")
     )
-    path = tempfile.mkdtemp(prefix="blow_spark_meta_cols_")
+    path = _scratch_dir("blow_spark_meta_cols_")
     (
         d.repartition("shard")
         .sortWithinPartitions("shard", "doc_id")
@@ -2123,11 +2116,10 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-rename swap), read the compacted table back. The oracle checks
     content is bit-identical through the rewrite; the file-count
     collapse and crash-safety are pinned in tests/test_pipeline_ops.py."""
-    import tempfile
 
     from blow_spark import ops
 
-    path = tempfile.mkdtemp(prefix="blow_spark_compact_")
+    path = _scratch_dir("blow_spark_compact_")
     _roundtrip_frame(spark, sf_dir).repartition(16).write.mode("overwrite").parquet(path)
     ops.compact_parquet(spark, path)
     return spark.read.parquet(path)
@@ -2171,12 +2163,11 @@ def sink_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-stable after v2 was committed (no in-place mutation anywhere).
 
     Prices travel as exact cents (BIGINT)."""
-    import tempfile
 
     from blow_spark import ops
 
     o = read_table(spark, sf_dir, "orders")
-    path = tempfile.mkdtemp(prefix="blow_spark_vtable_")
+    path = _scratch_dir("blow_spark_vtable_")
     v1_df = o.filter(F.col("o_orderkey") < 2000).select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
@@ -2332,12 +2323,11 @@ def sink_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     the layout is partitioned (sink_partitioned_pruned_scan), and the
     join shuffles at most the two snapshots once; output is bounded by
     churn, not table size."""
-    import tempfile
 
     from blow_spark import ops
 
     o = read_table(spark, sf_dir, "orders")
-    path = tempfile.mkdtemp(prefix="blow_spark_vdiff_")
+    path = _scratch_dir("blow_spark_vdiff_")
     v1_df = o.filter(F.col("o_orderkey") < 2000).select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
@@ -2458,9 +2448,8 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
     Scale: partition-wise replacement writes only the changed partition's
     bytes — the delta-reload pattern that keeps a 100 TB table's daily
     refresh proportional to the day, not the table."""
-    import tempfile
 
-    path = tempfile.mkdtemp(prefix="blow_spark_sink_dyn_")
+    path = _scratch_dir("blow_spark_sink_dyn_")
     base = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 600)
     frame = base.select(
         "o_orderkey",
@@ -2518,9 +2507,8 @@ def source_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the corrupt-record column is populated during the same
     single-pass parse — no second scan; quarantine routing is a
     map-side filter (cf. dq_quarantine_split)."""
-    import tempfile
 
-    path = tempfile.mkdtemp(prefix="blow_spark_csv_dirty_")
+    path = _scratch_dir("blow_spark_csv_dirty_")
     base = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 600)
     lines = base.select(
         F.when(
@@ -2763,7 +2751,6 @@ def sink_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor-sized; at 100 TB the honest answer is 'don't ship newlines
     in CSV' (use parquet), which is exactly what this query documents
     by construction."""
-    import tempfile
 
     d = read_table(spark, sf_dir, "documents")
     payload = F.concat(
@@ -2773,7 +2760,7 @@ def sink_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("\n"),
         F.col("lang"),
     )
-    path = tempfile.mkdtemp(prefix="blow_spark_csv_ml_")
+    path = _scratch_dir("blow_spark_csv_ml_")
     (
         d.select("doc_id", payload.alias("payload"))
         .repartition(4)

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from blow_spark.materialize import scratch_dir as _scratch_dir
 from blow_spark.queries import register
 from blow_spark.sources import read_table
 
@@ -166,12 +167,11 @@ def streaming_tumbling_availablenow(spark: SparkSession, sf_dir: str) -> DataFra
     batch aggregation (append-mode holdback and late-data semantics are
     exercised in tests/test_streaming.py instead, where DuckDB can't
     follow)."""
-    import tempfile
     import uuid
 
     from blow_spark.streaming import EVENTS_SCHEMA
 
-    stage = tempfile.mkdtemp(prefix="blow_spark_stream_")
+    stage = _scratch_dir("blow_spark_stream_")
     read_table(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").parquet(stage)
     stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
     agg = (
@@ -297,7 +297,6 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
     update mode emits each key once. The multi-trigger accumulation
     behavior (state surviving across micro-batches) is pinned separately
     in tests/test_streaming.py."""
-    import tempfile
     import uuid
 
     from collections.abc import Iterable
@@ -309,7 +308,7 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
     from blow_spark.streaming import EVENTS_SCHEMA
 
     ensure_package_shipped(spark)
-    stage = tempfile.mkdtemp(prefix="blow_spark_stateful_")
+    stage = _scratch_dir("blow_spark_stateful_")
     read_table(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").parquet(stage)
     stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
 
@@ -371,14 +370,13 @@ def streaming_typed_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     environment instead of being an import-gated claim (round-2 verdict
     missing #1). Micro-unit integer sums keep the result
     order-independent, matching the DECIMAL-sum oracle exactly."""
-    import tempfile
     import uuid
 
     from blow_spark import streaming as st
     from blow_spark.shipping import ensure_package_shipped
 
     ensure_package_shipped(spark)
-    stage = tempfile.mkdtemp(prefix="blow_spark_typed_state_")
+    stage = _scratch_dir("blow_spark_typed_state_")
     read_table(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").parquet(stage)
     stream = spark.readStream.schema(st.EVENTS_SCHEMA).parquet(stage)
     out = st.running_user_totals_typed(stream)
@@ -425,12 +423,11 @@ def streaming_session_availablenow(spark: SparkSession, sf_dir: str) -> DataFram
     micro-batch ⇒ every session reaches its final extent inside that
     batch; complete mode re-emits the whole result table (session windows
     reject update mode), matching the batch gaps-and-islands oracle."""
-    import tempfile
     import uuid
 
     from blow_spark.streaming import EVENTS_SCHEMA
 
-    stage = tempfile.mkdtemp(prefix="blow_spark_sess_")
+    stage = _scratch_dir("blow_spark_sess_")
     read_table(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").parquet(stage)
     stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
     agg = (
@@ -457,9 +454,8 @@ def streaming_session_availablenow(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 def _stage_events(spark: SparkSession, sf_dir: str, prefix: str) -> str:
-    import tempfile
 
-    stage = tempfile.mkdtemp(prefix=prefix)
+    stage = _scratch_dir(prefix)
     read_table(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").parquet(stage)
     return stage
 
@@ -502,9 +498,8 @@ def streaming_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn=1 projection; ties are impossible — event_id is unique.)"""
     from blow_spark.streaming import EVENTS_SCHEMA
 
-    import tempfile
 
-    stage = tempfile.mkdtemp(prefix="blow_spark_sdedup_")
+    stage = _scratch_dir("blow_spark_sdedup_")
     (
         read_table(spark, sf_dir, "events")
         .orderBy("ts", "event_id")
@@ -649,12 +644,11 @@ def streaming_sliding_availablenow(spark: SparkSession, sf_dir: str) -> DataFram
     row with offsets {0,1} against the 30-minute grid — the set-based
     definition of a slide. State per key is bounded by length/slide = 2
     live windows; the watermark evicts them at cluster scale."""
-    import tempfile
     import uuid
 
     from blow_spark.streaming import EVENTS_SCHEMA
 
-    stage = tempfile.mkdtemp(prefix="blow_spark_stream_")
+    stage = _scratch_dir("blow_spark_stream_")
     read_table(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").parquet(stage)
     stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
     agg = (
@@ -822,14 +816,13 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import os
     import shutil
-    import tempfile
 
     from blow_spark.streaming import EVENTS_SCHEMA
 
     e = read_table(spark, sf_dir, "events")
     cutoff = F.lit("2024-01-25").cast("timestamp")
-    stage = tempfile.mkdtemp(prefix="blow_spark_late_")
-    tmp = tempfile.mkdtemp(prefix="blow_spark_late_tmp_")
+    stage = _scratch_dir("blow_spark_late_")
+    tmp = _scratch_dir("blow_spark_late_tmp_")
     parts = [
         e.filter(F.col("ts") >= cutoff).orderBy("ts", "event_id"),
         e.filter(F.col("ts") < F.lit("1900-01-01").cast("timestamp")),  # empty spacer
@@ -892,14 +885,13 @@ def streaming_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import os
     import shutil
-    import tempfile
 
     from blow_spark.streaming import EVENTS_SCHEMA
 
     e = read_table(spark, sf_dir, "events")
     cutoff = F.lit("2024-01-15").cast("timestamp")
-    stage = tempfile.mkdtemp(prefix="blow_spark_upd_")
-    tmp = tempfile.mkdtemp(prefix="blow_spark_upd_tmp_")
+    stage = _scratch_dir("blow_spark_upd_")
+    tmp = _scratch_dir("blow_spark_upd_tmp_")
     parts = [e.filter(F.col("ts") < cutoff), e.filter(F.col("ts") >= cutoff)]
     for i, part in enumerate(parts):
         d = os.path.join(tmp, str(i))
@@ -1093,13 +1085,12 @@ def streaming_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> Data
     import glob
     import os
     import shutil
-    import tempfile
 
     from blow_spark.streaming import EVENTS_SCHEMA
 
     e = read_table(spark, sf_dir, "events")
-    stage = tempfile.mkdtemp(prefix="blow_spark_sslo_")
-    tmp = tempfile.mkdtemp(prefix="blow_spark_sslo_tmp_")
+    stage = _scratch_dir("blow_spark_sslo_")
+    tmp = _scratch_dir("blow_spark_sslo_tmp_")
     empty = e.filter(F.col("event_id") < 0)
     for i, part in enumerate([e, empty, empty]):
         d = os.path.join(tmp, str(i))
@@ -1179,13 +1170,12 @@ def streaming_cdc_merge_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFr
     break the hash. This is the pattern a production CDC lake runs
     (Kafka → micro-batch → MERGE INTO); the Kafka scan swaps in for the
     file source with no other change."""
-    import tempfile
     import time as _time
 
     from blow_spark import ops
     from blow_spark.streaming import EVENTS_SCHEMA
 
-    base_dir = tempfile.mkdtemp(prefix="blow_spark_cdc_merge_")
+    base_dir = _scratch_dir("blow_spark_cdc_merge_")
     target, stage = base_dir + "/target", base_dir + "/stage"
     ev = read_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
@@ -1527,7 +1517,6 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     unseen OR whose batch-1/2 state the end-of-batch-2 eviction removed.
     Per-batch first arrivals are deterministic because each staged file
     is (ts, event_id)-sorted — same rig as streaming_dedup_by_key."""
-    import tempfile
     import time as _time
 
     from blow_spark.streaming import EVENTS_SCHEMA
@@ -1535,7 +1524,7 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     e = read_table(spark, sf_dir, "events")
     s1 = F.lit("2024-01-11").cast("timestamp")
     s2 = F.lit("2024-01-21").cast("timestamp")
-    stage = tempfile.mkdtemp(prefix="blow_spark_ddww_")
+    stage = _scratch_dir("blow_spark_ddww_")
     parts = [
         e.filter(F.col("ts") < s1),
         e.filter((F.col("ts") >= s1) & (F.col("ts") < s2)),
@@ -1595,7 +1584,6 @@ def streaming_session_close_timeout(spark: SparkSession, sf_dir: str) -> DataFra
     batch behind the data — same lag the dropDuplicatesWithinWatermark
     probes pinned), hence two sentinels, not one. The emitted set then
     equals batch sessionization exactly, which is the oracle."""
-    import tempfile
     import time as _time
 
     from blow_spark.streaming import EVENTS_SCHEMA, session_close_on_timeout
@@ -1603,7 +1591,7 @@ def streaming_session_close_timeout(spark: SparkSession, sf_dir: str) -> DataFra
     e = read_table(spark, sf_dir, "events")
     s1 = F.lit("2024-01-11").cast("timestamp")
     s2 = F.lit("2024-01-21").cast("timestamp")
-    stage = tempfile.mkdtemp(prefix="blow_spark_sct_")
+    stage = _scratch_dir("blow_spark_sct_")
     parts = [
         e.filter(F.col("ts") < s1),
         e.filter((F.col("ts") >= s1) & (F.col("ts") < s2)),
@@ -1775,13 +1763,12 @@ def streaming_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> Data
     import glob
     import os
     import shutil
-    import tempfile
 
     from blow_spark.streaming import EVENTS_SCHEMA
 
     e = read_table(spark, sf_dir, "events")
-    stage = tempfile.mkdtemp(prefix="blow_spark_ssfo_")
-    tmp = tempfile.mkdtemp(prefix="blow_spark_ssfo_tmp_")
+    stage = _scratch_dir("blow_spark_ssfo_")
+    tmp = _scratch_dir("blow_spark_ssfo_tmp_")
     empty = e.filter(F.col("event_id") < 0)
     for i, part in enumerate([e, empty, empty]):
         d = os.path.join(tmp, str(i))
@@ -1869,13 +1856,12 @@ def streaming_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import os
     import shutil
-    import tempfile
 
     from blow_spark.streaming import EVENTS_SCHEMA
 
     e = read_table(spark, sf_dir, "events")
-    stage = tempfile.mkdtemp(prefix="blow_spark_chain_")
-    tmp = tempfile.mkdtemp(prefix="blow_spark_chain_tmp_")
+    stage = _scratch_dir("blow_spark_chain_")
+    tmp = _scratch_dir("blow_spark_chain_tmp_")
     empty = e.filter(F.col("event_id") < 0)
     for i, part in enumerate([e, empty, empty]):
         d = os.path.join(tmp, str(i))
@@ -2206,11 +2192,10 @@ def streaming_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFr
     one row per (type, occupied 32768-key bucket), ∝ distinct keys /
     32768, never ∝ event history; at 100 TB/day the state table for a
     billion users is ~30 k rows × 4 KB per type."""
-    import tempfile as _tempfile
 
     from blow_spark.streaming import EVENTS_SCHEMA, SwapStateStore
 
-    base = _tempfile.mkdtemp(prefix="blow_spark_bmroll_")
+    base = _scratch_dir("blow_spark_bmroll_")
     stage, state = base + "/stage", base + "/state"
     ev = read_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
@@ -2394,12 +2379,11 @@ def streaming_m4_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: state is one 5-number tuple per (series, window) — bounded
     by the watermark horizon, never by event volume; each micro-batch
     does a map-side partial merge before touching state."""
-    import tempfile
     import uuid
 
     from blow_spark.streaming import EVENTS_SCHEMA
 
-    stage = tempfile.mkdtemp(prefix="blow_spark_stream_m4_")
+    stage = _scratch_dir("blow_spark_stream_m4_")
     read_table(spark, sf_dir, "events").coalesce(1).write.mode(
         "overwrite"
     ).parquet(stage)

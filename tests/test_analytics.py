@@ -252,12 +252,13 @@ def test_versioned_table_commit_race_and_isolation(spark, sf_dir):
     fail-if-exists manifest makes the race safe); a pre-planted
     conflicting manifest forces the optimistic retry path; and v1's
     content is byte-stable after later commits (snapshot isolation)."""
-    import tempfile
     from concurrent.futures import ThreadPoolExecutor
 
     from blow_spark import ops
 
-    path = tempfile.mkdtemp(prefix="vtable_test_")
+    from blow_spark.materialize import scratch_dir
+
+    path = scratch_dir(prefix="vtable_test_")
     df1 = spark.range(10).withColumnRenamed("id", "k")
     v1 = ops.versioned_commit(spark, df1, path)
     assert v1 == 1

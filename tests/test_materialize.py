@@ -1,9 +1,19 @@
-"""spill_to_parquet lifecycle pins (round-10 verdict item #6).
+"""spill_to_parquet + scratch-path lifecycle pins (round-10 verdict
+item #6; round-11 verdict items #1 and #2).
 
-The spill dirs must not accumulate for the process lifetime: the LRU
-bound keeps at most _MAX_LIVE_SPILLS dirs live, eviction deletes the
-OLDEST dir from disk, and the atexit sweep removes the remainder — so
-two consecutive full-catalog runs leave the tempdir population flat.
+The temp paths an operator creates must not accumulate for the process
+lifetime: the LRU bounds keep at most _MAX_LIVE_SPILLS spill dirs and
+_MAX_LIVE_SCRATCH scratch paths live, eviction deletes the OLDEST path
+from disk, and the atexit sweep removes the remainder — so two
+consecutive full-catalog runs leave the tempdir population flat.
+
+Round-11 lesson (the order-dependence bug this file shipped): the LRU
+bound is GLOBAL over a module-level registry shared by every test in
+the process, so a per-prefix dir-count assertion is only meaningful
+against an ISOLATED registry — the ``own_registry`` fixture snapshots
+and drains the shared state (without touching foreign dirs on disk)
+and restores it afterwards. Stale same-prefix dirs from PRIOR crashed
+processes are reaped up front for the same reason.
 """
 
 from __future__ import annotations
@@ -11,13 +21,47 @@ from __future__ import annotations
 import glob
 import os
 import tempfile
+from collections import OrderedDict
+
+import pytest
 
 from blow_spark import materialize as M
 
 
-def test_spill_lru_bound_and_eviction(spark):
+@pytest.fixture
+def own_registry():
+    """Isolate the module-level registries: foreign entries (other
+    tests' live spill/scratch paths) are parked — NOT deleted from
+    disk — so this test's per-prefix assertions see only its own
+    paths; on exit, paths the test created are deleted and the
+    foreign entries restored in their original LRU order."""
+    saved_spills = OrderedDict(M._live_spills)
+    saved_scratch = OrderedDict(M._live_scratch)
+    M._live_spills.clear()
+    M._live_scratch.clear()
+    try:
+        yield
+    finally:
+        while M._live_spills:
+            path, _ = M._live_spills.popitem(last=False)
+            M._remove_dir(path)
+        while M._live_scratch:
+            path, _ = M._live_scratch.popitem(last=False)
+            M._remove_path(path)
+        M._live_spills.update(saved_spills)
+        M._live_scratch.update(saved_scratch)
+
+
+def _reap_stale(prefix: str) -> None:
+    """Delete leftover dirs from prior (crashed) processes so glob
+    counts measure THIS process's behavior."""
+    for p in glob.glob(os.path.join(tempfile.gettempdir(), prefix + "*")):
+        M._remove_path(p)
+
+
+def test_spill_lru_bound_and_eviction(spark, own_registry):
     base = spark.range(3).toDF("x")
-    before = M.live_spill_count()
+    _reap_stale("blow_spark_lru_test_")
     first_paths = []
     # push well past the bound with tiny spills
     for i in range(8):
@@ -28,39 +72,37 @@ def test_spill_lru_bound_and_eviction(spark):
             assert df.count() == 3
             if i == 0:
                 # capture the first dir: it must be evicted later
-                first_paths = [p for p in M._live_spills if "lru_test" in p]
+                first_paths = list(M._live_spills)
         finally:
             M._MAX_LIVE_SPILLS = old_bound
     # bound held while the small bound was in force
-    live_test_dirs = [p for p in M._live_spills if "lru_test" in p]
-    assert len(live_test_dirs) <= 5
+    assert M.live_spill_count() == 5
     # the first spill dir was evicted AND removed from disk
     for p in first_paths:
         assert p not in M._live_spills
         assert not os.path.exists(p)
     # surviving registered dirs really exist
-    for p in live_test_dirs:
+    for p in M._live_spills:
         assert os.path.isdir(p)
-    # registry grew by at most the bound
-    assert M.live_spill_count() - before <= 5
 
 
-def test_spill_sweep_all_clears_disk(spark):
+def test_spill_sweep_all_clears_disk(spark, own_registry):
     base = spark.range(2).toDF("x")
     M.spill_to_parquet(base, prefix="blow_spark_sweep_test_")
-    paths = [p for p in M._live_spills if "sweep_test" in p]
+    paths = list(M._live_spills)
     assert paths and all(os.path.isdir(p) for p in paths)
     M._sweep_all()
     assert M.live_spill_count() == 0
     assert all(not os.path.exists(p) for p in paths)
 
 
-def test_tempdir_population_flat_across_repeated_use(spark):
+def test_tempdir_population_flat_across_repeated_use(spark, own_registry):
     """Two identical 'runs' leave the same number of spill dirs in the
     OS tempdir (the round-10 'two consecutive full-catalog runs' pin,
     scaled down: the property is the bound, not the catalog)."""
     base = spark.range(4).toDF("x")
     tmp = tempfile.gettempdir()
+    _reap_stale("blow_spark_flat_test_")
 
     def run(n):
         old = M._MAX_LIVE_SPILLS
@@ -75,3 +117,78 @@ def test_tempdir_population_flat_across_repeated_use(spark):
     after_first = run(10)
     after_second = run(10)
     assert after_first == after_second == 6
+    assert M.live_spill_count() == 6
+
+
+# --------------------------------------------------------------------------
+# scratch-path lifecycle (round-11 verdict item #2)
+# --------------------------------------------------------------------------
+
+
+def test_scratch_dir_lru_bound_and_sweep(own_registry):
+    _reap_stale("blow_spark_scr_test_")
+    old = M._MAX_LIVE_SCRATCH
+    try:
+        M._MAX_LIVE_SCRATCH = 4
+        paths = [M.scratch_dir(prefix="blow_spark_scr_test_") for _ in range(9)]
+    finally:
+        M._MAX_LIVE_SCRATCH = old
+    # bound held: only the 4 newest survive, on disk and in-registry
+    assert M.live_scratch_count() == 4
+    assert list(M._live_scratch) == paths[-4:]
+    for p in paths[:-4]:
+        assert not os.path.exists(p)
+    for p in paths[-4:]:
+        assert os.path.isdir(p)
+    # sweep removes the rest
+    M._sweep_all()
+    assert M.live_scratch_count() == 0
+    assert all(not os.path.exists(p) for p in paths)
+
+
+def test_register_scratch_handles_files_and_refreshes_lru(own_registry):
+    d = M.scratch_dir(prefix="blow_spark_scrf_test_")
+    fpath = os.path.join(d, "artifact.bin")
+    with open(fpath, "wb") as fh:
+        fh.write(b"x")
+    M.register_scratch(fpath)
+    # re-registering an existing path must refresh, not duplicate
+    M.register_scratch(d)
+    assert list(M._live_scratch) == [fpath, d]
+    M._sweep_all()
+    assert not os.path.exists(fpath) and not os.path.exists(d)
+
+
+def test_query_scratch_dirs_are_registered(spark, sf_dir, own_registry):
+    """The sink/stream mkdtemp sites route through scratch_dir: running
+    a sink-roundtrip query twice leaves the SAME tempdir population
+    (every dir it makes is in the registry, so the LRU/atexit lifecycle
+    owns it — the round-11 'two full-suite runs stay flat' pin, scaled
+    to one representative query per family)."""
+    from blow_spark.queries import queries
+
+    catalog = queries()
+    for name in ("sink_partitioned_pruned_scan", "sink_sorted_clustered_scan"):
+        before = M.live_scratch_count()
+        catalog[name](spark, sf_dir).count()
+        made_first = M.live_scratch_count() - before
+        assert made_first > 0, f"{name} created no registered scratch dirs"
+        catalog[name](spark, sf_dir).count()
+        # second run registers the same number again (no hidden
+        # unregistered dirs) and every registered path is live on disk
+        assert M.live_scratch_count() - before == 2 * made_first
+        assert all(os.path.exists(p) for p in M._live_scratch)
+
+
+def test_cleanup_stale_siblings_keeps_only_current(own_registry):
+    tmp = tempfile.gettempdir()
+    _reap_stale("blow_spark_sib_test_")
+    stale1 = os.path.join(tmp, "blow_spark_sib_test_aaa")
+    stale2 = os.path.join(tmp, "blow_spark_sib_test_bbb")
+    keep = os.path.join(tmp, "blow_spark_sib_test_ccc")
+    for p in (stale1, stale2, keep):
+        os.makedirs(p, exist_ok=True)
+    M.cleanup_stale_siblings(keep, os.path.join(tmp, "blow_spark_sib_test_*"))
+    assert os.path.isdir(keep)
+    assert not os.path.exists(stale1) and not os.path.exists(stale2)
+    M._remove_path(keep)

@@ -454,14 +454,15 @@ def test_sorted_clustered_write_has_nonoverlapping_file_ranges(spark, sf_dir):
     misses it. A hash-partitioned write has every file spanning ~the
     whole domain."""
     import glob
-    import tempfile
 
     import pyarrow.parquet as pq
 
     from pyspark.sql import functions as F
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    stage = tempfile.mkdtemp(prefix="sorted_footers_")
+    from blow_spark.materialize import scratch_dir
+
+    stage = scratch_dir(prefix="sorted_footers_")
     (
         li.repartitionByRange(16, "l_shipdate")
         .sortWithinPartitions("l_shipdate")
