@@ -16,6 +16,15 @@ steady-state plan cost, which is the quantity that scales. The plan
 cache is cleared between queries so one query's internal persists can't
 subsidize or crowd the next.
 
+Outlier self-identification (round-11 verdict item #3): min-of-2 is NOT
+enough when interference outlasts both samples — BENCH_r11 recorded a
+14× artifact on a code-identical query. So (a) every raw sample is
+persisted per query in the detail sidecars ("samples"), and (b) any
+query whose two samples disagree by more than OUTLIER_RATIO gets a
+THIRD run, with min-of-3 reported — a >3× spread between back-to-back
+runs of the same warmed plan is interference by construction, never
+plan cost.
+
 The driver captures only the LAST ~2000 characters of stdout and
 json-parses the final line, so the full per-query timing map (which grew
 past 4 KB at 84 queries — BENCH_r05/r06 recorded ``parsed: null``) goes
@@ -350,12 +359,32 @@ HEADLINE = [
     # automaton substring census vs brute-force oracle
     "timeseries_weekly_spectral_energy",
     "text_distinct_substrings_sam",
+    # round 12: real 4:2:0 chroma-subsampled JPEG decode (closes the
+    # largest remaining codec gate — the layout real-world JPEGs use)
+    "multimodal_jpeg_420_decode_stats",
 ]
 
 
 #: Hard budget for the final stdout line — the driver's tail capture is
 #: ~2000 chars; stay comfortably inside it.
 SUMMARY_LINE_BUDGET = 1500
+
+#: Two samples of the same warmed plan disagreeing by more than this
+#: ratio is shared-VM interference, not plan cost — take a third.
+OUTLIER_RATIO = 3.0
+
+
+def sample_query(run_once, outlier_ratio: float = OUTLIER_RATIO):
+    """Time one query: two base samples, plus a third whenever the two
+    disagree by more than ``outlier_ratio`` (round-11 verdict item #3 —
+    interference on this shared VM can outlast min-of-2; BENCH_r11
+    carried a 14× artifact on a byte-identical plan). Returns
+    ``(best, samples)`` so the official record keeps every raw timing
+    and self-identifies which rows needed the tiebreak."""
+    samples = [run_once(), run_once()]
+    if max(samples) > outlier_ratio * min(samples):
+        samples.append(run_once())
+    return min(samples), samples
 
 
 def current_round(repo_dir: str) -> int:
@@ -439,14 +468,19 @@ def main() -> None:
     catalog["flagship_fizzbuzz_agg"](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
+    raw_samples: dict[str, list[float]] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
+
+        def run_once(name=name):
             t0 = time.perf_counter()
             catalog[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
+            elapsed = time.perf_counter() - t0
             spark.catalog.clearCache()
+            return elapsed
+
+        best, samples = sample_query(run_once)
         timings[name] = round(best, 3)
+        raw_samples[name] = [round(s, 3) for s in samples]
 
     total = round(sum(timings.values()), 3)
     repo_dir = os.path.dirname(os.path.abspath(__file__))
@@ -455,6 +489,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "samples": raw_samples,
+        "outlier_ratio": OUTLIER_RATIO,
         "sf": sf_val,
         "round": current_round(repo_dir),
         "core_tier": [q for q in CORE if q in timings],

@@ -96,6 +96,44 @@ def test_per_round_detail_sidecar_naming(tmp_path):
     assert paths[1].endswith("/BENCH_DETAIL_r11.json")
 
 
+def test_sample_query_outlier_tiebreak():
+    """Round-11 verdict item #3: two samples disagreeing >3x get a
+    third run, min-of-3 wins, and every raw sample is preserved."""
+    # quiet pair: exactly two samples, no tiebreak
+    seq = iter([1.0, 1.1])
+    best, samples = bench.sample_query(lambda: next(seq))
+    assert samples == [1.0, 1.1] and best == 1.0
+    # interference pair: third sample drawn, min-of-3 reported
+    seq = iter([13.6, 1.0, 0.9])
+    best, samples = bench.sample_query(lambda: next(seq))
+    assert samples == [13.6, 1.0, 0.9] and best == 0.9
+    # boundary: exactly 3x is NOT an outlier (strict >)
+    seq = iter([3.0, 1.0])
+    best, samples = bench.sample_query(lambda: next(seq))
+    assert samples == [3.0, 1.0] and best == 1.0
+
+
+def test_detail_sidecar_schema_includes_samples():
+    """The committed per-round sidecar written by the NEW harness must
+    carry the raw samples map: every timed query appears, its reported
+    timing is the min of its samples, and a >3x pair has a third."""
+    import os
+
+    r = bench.current_round("/root/repo")
+    per_round = f"/root/repo/BENCH_DETAIL_r{r:02d}.json"
+    if not os.path.exists(per_round):
+        return  # this round's bench has not been run yet
+    d = json.load(open(per_round))
+    if "samples" not in d:
+        return  # sidecar predates the outlier-proof harness
+    assert set(d["samples"]) == set(d["queries"])
+    for name, ss in d["samples"].items():
+        assert 2 <= len(ss) <= 3
+        assert abs(min(ss) - d["queries"][name]) < 2e-3
+        if len(ss) == 2 and min(ss) > 0:
+            assert max(ss) <= d["outlier_ratio"] * min(ss) + 1e-9
+
+
 def test_repo_current_round_matches_live_artifacts():
     """In the real repo the sidecar must name THIS round (>= 11 as of
     round 11) and the per-round file, once written, must agree with the
