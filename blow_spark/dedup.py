@@ -796,30 +796,45 @@ def connected_components(
     ``local_edge_cutoff`` edges the distributed loop's per-round
     scheduling floor dominates by 10×+ (measured 15.5 s for a 4.1 k-edge
     graph that union-find closes in milliseconds). Small graphs collapse
-    in one union-find task (_cc_local); past the cutoff the iterative
-    min-label loop below engages unchanged. Both compute the identical
-    fixpoint (min node id per component — independent of strategy), so
-    the DuckDB recursive-CTE oracle covers whichever path runs.
+    in one union-find task (_cc_local); past the cutoff the alternating
+    star algorithm below engages. Both compute the identical fixpoint
+    (min node id per component — independent of strategy), so the
+    DuckDB recursive-CTE oracle covers whichever path runs.
 
-    Iterative min-label propagation WITH PATH HALVING and a driver-side
-    convergence loop: each round every node takes min(own label,
-    neighbors' labels), then follows the winning label one hop through
-    the PREVIOUS round's (checkpointed) label table — comp ← comp(comp)
-    — which contracts label chains geometrically, so rounds needed drop
-    from the graph diameter to ~log₂(diameter) (the classic
-    pointer-jumping trick; a 1000-node chain converges in 10 rounds, not
-    1000). Each round is one checkpoint job: the changed-flag rides
-    inside the checkpointed frame, so the convergence check is a count
-    over cached rows, not a re-run of the join (round-3: both changes
-    together measured 11.6 s → ~5 s on the embedding-clusters edge set).
-    localCheckpoint() per round truncates the lineage — without it the
-    plan doubles every iteration and the driver blows up planning long
-    before the data is large. The reference has no multi-pass operator
-    at all (single-pass channel dataflow, maps/maps.go:34-37); this is
-    the iterative-algorithm pattern the brief calls out, kept
-    deterministic (the fixpoint — min node id per component — is
-    independent of round structure) so a DuckDB recursive CTE can
-    oracle it."""
+    Distributed path (round-12, replacing O(diameter) min-label
+    propagation — round-11 verdict item #5): ALTERNATING LARGE-STAR /
+    SMALL-STAR (Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii,
+    "Connected Components in MapReduce and Beyond", SoCC 2014).
+    Per round, two neighborhood-min reductions rewrite the edge set:
+
+    * large-star: every node links its LARGER neighbors to the minimum
+      of its closed neighborhood — emit (v, min(Γ⁺(u))) for v ∈ Γ(u),
+      v > u;
+    * small-star: every node links its smaller-or-equal neighbors (and
+      itself) to that minimum — emit (v, m) for v ∈ Γ≤(u) ∪ {u} \ {m}.
+
+    Each operation strictly preserves connectivity (every rewritten
+    edge stays within its component, by construction through the
+    shared minimum), and the alternation provably converges in
+    O(log² n) rounds WITH HIGH PROBABILITY REGARDLESS OF GRAPH
+    DIAMETER (Kiveris et al., Thm 3; observed O(log n) in practice) —
+    the production-grade bound a 100 TB dup-graph needs, where a
+    path-shaped URL/bucket chain can have diameter in the millions.
+    The previous label-propagation loop needed O(diameter)ish rounds
+    (path halving brought it to ~log₂ diameter, but each round still
+    joined the FULL edge set against the label table); the star
+    algorithm's working set is the edge list itself, which CONTRACTS
+    as stars collapse. Convergence is detected by exact set equality
+    of consecutive edge sets (count + exceptAll, no hash-collision
+    exposure), and the terminal state is asserted to be a star forest
+    (every child appears exactly once, no parent is a child) — a
+    violated assertion falls back to continued iteration rather than
+    wrong output. localCheckpoint() per round truncates lineage. The
+    reference has no multi-pass operator at all (single-pass channel
+    dataflow, maps/maps.go:34-37); this is the iterative-algorithm
+    pattern the brief calls out, kept deterministic (the fixpoint —
+    min node id per component — is independent of round structure) so
+    a DuckDB recursive CTE can oracle it."""
     raw = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")).persist()
     n_edges = raw.count()  # materializes the (expensive) pair plan ONCE
     LAST_CC_STRATEGY["n_edges"] = n_edges
@@ -833,47 +848,75 @@ def connected_components(
         out.cc_strategy = {"strategy": "local", "n_edges": n_edges}
         return out
     LAST_CC_STRATEGY["strategy"] = "distributed"
-    edges = raw.union(
-        raw.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct().persist()
-    labels = (
-        edges.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
-    ).localCheckpoint()
-    for _ in range(max_iter):
-        neigh = (
-            edges.join(labels, edges.b == labels.node)
-            .groupBy("a")
-            .agg(F.min("comp").alias("ncomp"))
-        )
-        prop = labels.join(neigh, labels.node == neigh.a, "left").select(
-            "node",
-            F.col("comp").alias("old_comp"),
-            F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias("comp"),
-        )
-        # path halving: comp ← comp(comp) via the previous round's
-        # CHECKPOINTED labels (no recompute; `prop` is consumed once)
-        jump = labels.select(F.col("node").alias("jn"), F.col("comp").alias("jc"))
-        new_labels = (
-            prop.join(jump, prop.comp == jump.jn, "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce(F.col("jc"), F.col("comp"))).alias("comp"),
-                (
-                    F.least(F.col("comp"), F.coalesce(F.col("jc"), F.col("comp")))
-                    != F.col("old_comp")
-                ).alias("changed"),
-            )
-        ).localCheckpoint()
-        changed = new_labels.filter("changed").count()  # cached rows only
-        labels = new_labels.select("node", "comp")
-        if changed == 0:
-            break
-    # The final labels are already materialized by localCheckpoint, so
-    # the edge cache can be released — long sessions (the driver runs
-    # every catalog query in one session) otherwise accumulate it.
-    edges.unpersist()
+    # node universe up front: star rewrites drop nodes that collapse
+    # into their root, and self-loop-only nodes never enter the loop
+    nodes = (
+        raw.select(F.col("a").alias("node"))
+        .union(raw.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = (
+        raw.filter(F.col("a") != F.col("b"))
+        .select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
     raw.unpersist()
-    out = labels.select("node", "comp")
+    e_cnt = e.count()
+    converged = False
+    for _ in range(max_iter):
+        # ---- large-star: (v, min(Γ⁺(u))) for v ∈ Γ(u), v > u ----
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmin = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        e_ls = (
+            sym.join(lmin, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star: edges now orient u > v; (x, m) for x in
+        # N(u) ∪ {u} \ {m}, m = min neighbor ----
+        smin = e_ls.groupBy("u").agg(F.min("v").alias("m"))
+        e_ss = (
+            e_ls.join(smin, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smin.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_cnt = e_ss.count()
+        # exact set-equality convergence: both frames are DISTINCT sets
+        if new_cnt == e_cnt and e_ss.exceptAll(e).count() == 0:
+            # terminal-state assertion: a star forest — every child has
+            # exactly one parent and no parent is itself a child
+            multi = (
+                e_ss.groupBy("u").count().filter(F.col("count") > 1).count()
+            )
+            chained = (
+                e_ss.join(
+                    e_ss.select(F.col("u").alias("v")).distinct(), "v"
+                ).count()
+            )
+            if multi == 0 and chained == 0:
+                e = e_ss
+                converged = True
+                break
+        e, e_cnt = e_ss, new_cnt
+    if not converged and e_cnt > 0:
+        raise RuntimeError(
+            f"connected_components: star alternation did not converge in "
+            f"{max_iter} rounds ({e_cnt} edges live) — raise max_iter"
+        )
+    star = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    out = nodes.join(star, "node", "left").select(
+        "node", F.coalesce("comp", "node").alias("comp")
+    )
     # race-free per-call record (the global is single-threaded-only)
     out.cc_strategy = {"strategy": "distributed", "n_edges": n_edges}
     return out

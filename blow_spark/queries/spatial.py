@@ -380,6 +380,164 @@ def spatial_dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "spatial_dbscan_clusters",
+    oracle=f"""
+    WITH RECURSIVE c AS (
+      SELECT c_custkey,
+             CAST(('0x' || substring(md5('geo:c:' || CAST(c_custkey AS VARCHAR)), 1, 13))
+                  AS BIGINT) % {_LAT_SPAN} - 60000000 AS lat,
+             CAST(('0x' || substring(md5('geo:C:' || CAST(c_custkey AS VARCHAR)), 1, 13))
+                  AS BIGINT) % {_LON_SPAN} - 180000000 AS lon
+      FROM customer
+    ), pairs AS (
+      SELECT a.c_custkey AS pa, b.c_custkey AS pb
+      FROM c a JOIN c b
+        ON a.c_custkey <> b.c_custkey
+       AND (a.lat - b.lat) * (a.lat - b.lat)
+           + (a.lon - b.lon) * (a.lon - b.lon) <= {_EPS_MU2}
+    ), core AS (
+      SELECT pa AS id FROM pairs GROUP BY pa
+      HAVING COUNT(*) >= {_DBSCAN_MIN_NEIGHBORS}
+    ), core_edges AS (
+      SELECT p.pa AS a, p.pb AS b FROM pairs p
+      JOIN core x ON x.id = p.pa JOIN core y ON y.id = p.pb
+    ), reach(node, comp) AS (
+      SELECT a, a FROM core_edges
+      UNION
+      SELECT e.a, r.comp FROM core_edges e JOIN reach r ON e.b = r.node
+    ), cc AS (
+      SELECT node, MIN(comp) AS comp FROM reach GROUP BY node
+    ), core_lab AS (
+      SELECT core.id, COALESCE(cc.comp, core.id) AS cluster
+      FROM core LEFT JOIN cc ON cc.node = core.id
+    ), border AS (
+      SELECT p.pa AS id, MIN(cl.cluster) AS cluster
+      FROM pairs p
+      JOIN core_lab cl ON cl.id = p.pb
+      LEFT JOIN core x ON x.id = p.pa
+      WHERE x.id IS NULL
+      GROUP BY p.pa
+    )
+    SELECT c.c_custkey AS point_id,
+           CASE WHEN cl.id IS NOT NULL THEN 'core'
+                WHEN bd.id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           CAST(COALESCE(cl.cluster, bd.cluster) AS BIGINT) AS cluster
+    FROM c
+    LEFT JOIN core_lab cl ON cl.id = c.c_custkey
+    LEFT JOIN border bd ON bd.id = c.c_custkey
+    ORDER BY point_id
+    """,
+    tags=("spatial", "dbscan", "cluster", "iterative"),
+)
+def spatial_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL deterministic DBSCAN (Ester et al., KDD 1996) — the
+    round-12 completion of spatial_dbscan_core_points, which stopped at
+    the region-query phase: every customer point is labeled
+    core / border / noise with its cluster id.
+
+    * clusters = connected components of the core-core ε-graph,
+      resolved by the size-adaptive ``connected_components`` (round 12:
+      the distributed path is the alternating large-star/small-star
+      algorithm of Kiveris et al. SoCC 2014, O(log² n) rounds
+      regardless of diameter — density-ridge clusters ARE the
+      long-chain shape that breaks O(diameter) propagation);
+    * a singleton core (enough neighbors, none of them core) forms its
+      own cluster (label = own id);
+    * border points (non-core within ε of ≥ 1 core) take the MINIMUM
+      cluster id among their core neighbors — classic DBSCAN leaves
+      border assignment scan-order-dependent; the min rule makes it a
+      pure function of the data, which is what lets a DuckDB oracle
+      exist at all;
+    * noise = everything else (cluster NULL).
+
+    Scale: one lossless 3x3 grid-blocked ε-self-join (density-bounded
+    candidates, never all-pairs) spilled once and reused by the
+    count/core/border phases, then CC over the core-core edge subset —
+    the dup-graph-sized input CC is designed for. The oracle replays
+    the blocking-free brute-force join plus a recursive-CTE reachability,
+    so the hash match proves blocking recall AND cluster equality.
+    Reference analog: none."""
+    from blow_spark import dedup
+    from blow_spark.materialize import spill_to_parquet
+
+    c = read_table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("probe_id"),
+        _mu_coord("geo:c:", F.col("c_custkey"), _LAT_SPAN, 60_000_000).alias("lat"),
+        _mu_coord("geo:C:", F.col("c_custkey"), _LON_SPAN, 180_000_000).alias("lon"),
+    )
+    build = pts.select(F.col("probe_id").alias("build_id"), "lat", "lon")
+    # the ε-pair table feeds three consumers (counts, core edges,
+    # border assignment): spill once, scan thrice
+    pairs = spill_to_parquet(
+        grid_epsilon_pairs(pts, build, _EPS_MU)
+        .filter(F.col("probe_id") != F.col("build_id"))
+        .select("probe_id", "build_id"),
+        "blow_spark_dbscan_",
+    )
+    core = (
+        pairs.groupBy("probe_id")
+        .count()
+        .filter(F.col("count") >= _DBSCAN_MIN_NEIGHBORS)
+        .select(F.col("probe_id").alias("cid"))
+    )
+    core_pairs = (
+        pairs.join(core.withColumnRenamed("cid", "probe_id"), "probe_id")
+        .join(core.withColumnRenamed("cid", "build_id"), "build_id")
+        .filter(F.col("probe_id") < F.col("build_id"))
+        .select(F.col("probe_id").alias("id_a"), F.col("build_id").alias("id_b"))
+    )
+    cc = dedup.connected_components(core_pairs)
+    core_lab = core.join(cc, core.cid == cc.node, "left").select(
+        F.col("cid").alias("id"),
+        F.coalesce(F.col("comp"), F.col("cid")).alias("cluster"),
+    )
+    border = (
+        pairs.join(
+            core_lab.withColumnRenamed("id", "build_id"), "build_id"
+        )
+        .join(
+            core.withColumnRenamed("cid", "probe_id"),
+            "probe_id",
+            "left_anti",
+        )
+        .groupBy(F.col("probe_id").alias("id"))
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    return (
+        pts.select(F.col("probe_id").alias("point_id"))
+        .join(
+            core_lab.select(
+                F.col("id").alias("point_id"),
+                F.col("cluster").alias("core_cluster"),
+            ),
+            "point_id",
+            "left",
+        )
+        .join(
+            border.select(
+                F.col("id").alias("point_id"),
+                F.col("cluster").alias("border_cluster"),
+            ),
+            "point_id",
+            "left",
+        )
+        .select(
+            "point_id",
+            F.when(F.col("core_cluster").isNotNull(), F.lit("core"))
+            .when(F.col("border_cluster").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce("core_cluster", "border_cluster")
+            .cast("bigint")
+            .alias("cluster"),
+        )
+        .orderBy("point_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # Geohash encoding: pure-integer bit interleave + base32 (round 10)
 # --------------------------------------------------------------------------

@@ -1,5 +1,6 @@
 """Round-12 pins: 4:2:0 chroma-subsampled JPEG (round-11 verdict item
-#4) and the narrowed codec gate."""
+#4), the narrowed codec gate, and the large-star/small-star connected
+components upgrade (round-11 verdict item #5)."""
 
 from __future__ import annotations
 
@@ -122,3 +123,50 @@ def test_jpeg420_with_restart_markers_unaffected_regression():
         )
     dec = M._decode_jpeg(M.encode_jpeg_baseline(img, 50))
     assert np.array_equal(dec, exp)
+
+
+def test_cc_large_small_star_long_chain(spark):
+    """A 400-node PATH (diameter 399) must converge under the default
+    max_iter=25 on the distributed path — impossible for plain
+    O(diameter) label propagation, the property the large-star/
+    small-star upgrade buys (Kiveris et al. SoCC 2014: O(log² n)
+    rounds regardless of diameter)."""
+    from pyspark.sql import functions as F
+
+    from blow_spark import dedup
+
+    pairs = spark.range(399).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    comp = {
+        r["node"]: r["comp"]
+        for r in dedup.connected_components(
+            pairs, local_edge_cutoff=0
+        ).collect()
+    }
+    assert len(comp) == 400
+    assert set(comp.values()) == {0}
+
+
+def test_cc_star_forest_many_components_with_selfloops(spark):
+    """Mixed shape through the distributed path: several components,
+    duplicate and reversed edges, and self-loop-only nodes (which never
+    enter the star loop but must still be labeled)."""
+    from blow_spark import dedup
+
+    pairs = spark.createDataFrame(
+        [
+            (5, 3), (3, 5), (3, 1),          # comp {1,3,5}
+            (8, 9), (9, 8),                  # comp {8,9}
+            (7, 7),                          # self-loop-only node
+            (20, 12), (12, 14), (14, 20),    # cycle comp {12,14,20}
+        ],
+        ["id_a", "id_b"],
+    )
+    comp = {
+        r["node"]: r["comp"]
+        for r in dedup.connected_components(
+            pairs, local_edge_cutoff=0
+        ).collect()
+    }
+    assert comp == {1: 1, 3: 1, 5: 1, 8: 8, 9: 8, 7: 7, 12: 12, 14: 12, 20: 12}
