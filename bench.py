@@ -362,6 +362,14 @@ HEADLINE = [
     # round 12: real 4:2:0 chroma-subsampled JPEG decode (closes the
     # largest remaining codec gate — the layout real-world JPEGs use)
     "multimodal_jpeg_420_decode_stats",
+    # round 12 batch 2: full DBSCAN via grid ε-join + large-star/small-
+    # star CC; lossless QOI codec; AMS F2 moment sketch; PPJoin
+    # positional-filter dedup; Good-Turing smoothing
+    "spatial_dbscan_clusters",
+    "multimodal_qoi_decode_stats",
+    "agg_ams_f2_moment_sketch",
+    "dedup_ppjoin_positional",
+    "corpus_good_turing_counts",
 ]
 
 

@@ -714,6 +714,121 @@ def jaccard_prefix_filter_pairs(
     return _verify_and_release(candidates, base, threshold)
 
 
+def ppjoin_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """PPJoin: the AllPairs prefix filter PLUS the length and POSITIONAL
+    filters of Xiao, Wang, Lin & Yu ("Efficient Similarity Joins for
+    Near Duplicate Detection", WWW 2008) — same exact-complete contract
+    as ``jaccard_prefix_filter_pairs``, strictly fewer candidates
+    reaching the verify join (the expensive stage at corpus scale).
+
+    Both extra filters are LOSSLESS at the threshold:
+
+    * length filter: J ≥ t forces min(|A|,|B|) ≥ t·max(|A|,|B|)
+      (overlap ≤ min and overlap ≥ t/(1+t)·(|A|+|B|));
+    * positional filter: at the FIRST prefix token the pair shares —
+      global (df ASC, shingle ASC) order position i in A, j in B — the
+      overlap is at most 1 + min(|A|−i, |B|−j) (tokens before the first
+      shared one contribute nothing), which must reach
+      α = ⌈t/(1+t)·(|A|+|B|)⌉. "First shared" is well-defined
+      relationally: the global-order-minimal shared token minimizes
+      BOTH per-doc ranks simultaneously (the rank orders are the same
+      comparator restricted to each set), so MIN(rank_A) and
+      MIN(rank_B) come from the same token and no argmin machinery is
+      needed.
+
+    Threshold arithmetic is the floor-biased integer-micro discipline
+    of the prefix path (t_micro ≤ t ⇒ every derived bound is weaker-
+    or-equal ⇒ candidates are only ever ADDED, never lost).
+
+    Output: verified (id_a, id_b, jaccard) pairs — identical row set to
+    the AllPairs path — plus in-plan audit columns ``n_cand_allpairs``,
+    ``n_cand_ppjoin`` and the ``pruned_ok`` bit (ppjoin ⊆ allpairs), so
+    a broken filter that silently degenerates to AllPairs (or prunes a
+    qualifying pair) flips a gated value. Scale: identical shuffle
+    inventory to the prefix path + one tiny pair-grain aggregate; the
+    win is the verify join's input size."""
+    import math
+    from fractions import Fraction
+
+    from blow_spark.materialize import spill_to_parquet
+
+    shingles = word_shingles(F.col(text_col), shingle_n)
+    base = (
+        _spread(df)
+        .select(F.col(id_col).alias("doc"), shingles.alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .persist()
+    )
+    exploded = base.select(
+        "doc", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("g")
+    )
+    freq = exploded.groupBy("g").agg(F.count("*").alias("df_"))
+    win = W.partitionBy("doc").orderBy("df_", "g")
+    t_micro = math.floor(Fraction(float(threshold)) * 1_000_000)
+    ceil_ts = F.expr(f"(CAST({t_micro} AS BIGINT) * n_sh + 999999) div 1000000")
+    ranked = exploded.join(freq, "g").select(
+        "doc",
+        "g",
+        "n_sh",
+        F.row_number().over(win).alias("rn"),
+        (F.col("n_sh") - ceil_ts + 1).alias("plen"),
+    )
+    prefix = ranked.filter(F.col("rn") <= F.col("plen")).select(
+        "doc", "g", "rn", "n_sh"
+    )
+    l, r = prefix.alias("l"), prefix.alias("r")
+    # one prefix self-join feeds the AllPairs count, the PPJoin filters,
+    # and the audit comparison — spill once
+    joined = spill_to_parquet(
+        l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col("l.doc") < F.col("r.doc")))
+        .select(
+            F.col("l.doc").alias("id_a"),
+            F.col("r.doc").alias("id_b"),
+            F.col("l.rn").alias("lrn"),
+            F.col("r.rn").alias("rrn"),
+            F.col("l.n_sh").alias("na"),
+            F.col("r.n_sh").alias("nb"),
+        ),
+        "blow_spark_ppjoin_",
+    )
+    allpairs_cand = joined.select("id_a", "id_b").distinct()
+    first = joined.groupBy("id_a", "id_b", "na", "nb").agg(
+        F.min("lrn").alias("fr_a"), F.min("rrn").alias("fr_b")
+    )
+    alpha = F.expr(
+        f"(CAST({t_micro} AS BIGINT) * (na + nb) + {1_000_000 + t_micro - 1})"
+        f" div {1_000_000 + t_micro}"
+    )
+    length_ok = F.expr(
+        f"1000000 * least(na, nb) >= CAST({t_micro} AS BIGINT) * greatest(na, nb)"
+    )
+    pos_ok = (
+        1 + F.least(F.col("na") - F.col("fr_a"), F.col("nb") - F.col("fr_b"))
+    ) >= alpha
+    pp_cand = first.filter(length_ok & pos_ok).select("id_a", "id_b")
+    n_all = allpairs_cand.agg(F.count("*").cast("bigint").alias("n_cand_allpairs"))
+    n_pp = pp_cand.agg(F.count("*").cast("bigint").alias("n_cand_ppjoin"))
+    verified = _verify_and_release(pp_cand, base, threshold)
+    return (
+        verified.crossJoin(F.broadcast(n_all))
+        .crossJoin(F.broadcast(n_pp))
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            "n_cand_allpairs",
+            "n_cand_ppjoin",
+            (F.col("n_cand_ppjoin") <= F.col("n_cand_allpairs")).alias("pruned_ok"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Duplicate clustering (connected components over near-dup pairs)
 # --------------------------------------------------------------------------

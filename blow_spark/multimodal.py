@@ -280,16 +280,19 @@ def decode_adpcm_ima(
 def decode_image(content: bytes, fake_decode: bool = False) -> np.ndarray:
     """Decode an image blob to an HxW[xC] array. PNG decodes FOR REAL
     with no external codec (stdlib zlib — _decode_png), and so do
-    baseline-sequential JPEG (_decode_jpeg, round 11) and uncompressed
-    24-bit BMP (_decode_bmp, round 11); other formats use PIL when it
-    ships; the fake path derives a deterministic 8x8x3 array from the
-    bytes so non-image payload plumbing stays testable."""
+    baseline-sequential JPEG (_decode_jpeg, round 11), uncompressed
+    24-bit BMP (_decode_bmp, round 11), and QOI (decode_qoi, round 12);
+    other formats use PIL when it ships; the fake path derives a
+    deterministic 8x8x3 array from the bytes so non-image payload
+    plumbing stays testable."""
     if content[:8] == _PNG_MAGIC:
         return _decode_png(content)
     if content[:2] == _JPEG_MAGIC:
         return _decode_jpeg(content)
     if content[:2] == b"BM":
         return _decode_bmp(content)
+    if content[:4] == _QOI_MAGIC:
+        return decode_qoi(content)
     if fake_decode:
         h = np.frombuffer(content[:192].ljust(192, b"\0"), dtype=np.uint8)
         return h.reshape(8, 8, 3)
@@ -305,6 +308,139 @@ def decode_image(content: bytes, fake_decode: bool = False) -> np.ndarray:
             "not shipped in this environment; pass fake_decode=True for the "
             "deterministic stub"
         ) from e
+
+
+# --------------------------------------------------------------------------
+# QOI codec (round 12) — the "Quite OK Image" format, spec by Dominic
+# Szablewski (qoiformat.org, public-domain specification, 2022). A real
+# LOSSLESS codec in ~100 lines: byte-exact roundtrip means the oracle
+# for QOI queries only needs the pixel GENERATION formula, never a
+# quantization model — the strongest possible codec gate. All six ops:
+# RGB/RGBA literals, 64-slot running index (hash r*3+g*5+b*7+a*11 mod
+# 64), 2-bit-per-channel DIFF, LUMA (green-anchored diffs), and RUN.
+# --------------------------------------------------------------------------
+
+_QOI_MAGIC = b"qoif"
+
+
+def encode_qoi(img: np.ndarray, colorspace: int = 0) -> bytes:
+    """Encode HxWx3 (RGB) or HxWx4 (RGBA) uint8 to a QOI stream,
+    following the reference encoder's op-selection order (run → index
+    → diff → luma → literal), which makes output byte-for-byte
+    canonical and hand-verifiable against the one-page spec."""
+    import struct
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] not in (3, 4):
+        raise ValueError("QOI input must be HxWx3 or HxWx4 uint8")
+    h, w, nc = img.shape
+    px_flat = img.reshape(-1, nc)
+    out = bytearray()
+    out += _QOI_MAGIC + struct.pack(">IIBB", w, h, nc, colorspace)
+    index = [(0, 0, 0, 0)] * 64
+    prev = (0, 0, 0, 255)
+    run = 0
+    for p in px_flat:
+        px = (int(p[0]), int(p[1]), int(p[2]), int(p[3]) if nc == 4 else 255)
+        if px == prev:
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            prev = px
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        hidx = (px[0] * 3 + px[1] * 5 + px[2] * 7 + px[3] * 11) % 64
+        if index[hidx] == px:
+            out.append(hidx)  # QOI_OP_INDEX (top bits 00)
+        else:
+            index[hidx] = px
+            if px[3] == prev[3]:
+                # wrapping int8 channel diffs
+                dr = ((px[0] - prev[0] + 128) & 0xFF) - 128
+                dg = ((px[1] - prev[1] + 128) & 0xFF) - 128
+                db = ((px[2] - prev[2] + 128) & 0xFF) - 128
+                if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                    out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+                elif (
+                    -32 <= dg <= 31
+                    and -8 <= dr - dg <= 7
+                    and -8 <= db - dg <= 7
+                ):
+                    out.append(0x80 | (dg + 32))
+                    out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+                else:
+                    out += bytes((0xFE, px[0], px[1], px[2]))
+            else:
+                out += bytes((0xFF, px[0], px[1], px[2], px[3]))
+        prev = px
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)
+
+
+def decode_qoi(content: bytes) -> np.ndarray:
+    """Decode a QOI stream to HxWxC uint8 (C from the header). Raises
+    ValueError on bad magic/header/stream-end, never returns partial
+    pixels."""
+    import struct
+
+    if content[:4] != _QOI_MAGIC:
+        raise ValueError("not a QOI stream")
+    w, h, nc, colorspace = struct.unpack(">IIBB", content[4:14])
+    if nc not in (3, 4) or colorspace not in (0, 1):
+        raise ValueError(f"bad QOI header: channels={nc} colorspace={colorspace}")
+    n_px = w * h
+    out = np.empty((n_px, 4), dtype=np.uint8)
+    index = [(0, 0, 0, 0)] * 64
+    px = (0, 0, 0, 255)
+    pos, i = 14, 0
+    data = content
+    while i < n_px:
+        b1 = data[pos]
+        pos += 1
+        if b1 == 0xFE:  # RGB
+            px = (data[pos], data[pos + 1], data[pos + 2], px[3])
+            pos += 3
+        elif b1 == 0xFF:  # RGBA
+            px = (data[pos], data[pos + 1], data[pos + 2], data[pos + 3])
+            pos += 4
+        elif b1 >> 6 == 0:  # INDEX
+            px = index[b1]
+        elif b1 >> 6 == 1:  # DIFF
+            px = (
+                (px[0] + ((b1 >> 4) & 3) - 2) & 0xFF,
+                (px[1] + ((b1 >> 2) & 3) - 2) & 0xFF,
+                (px[2] + (b1 & 3) - 2) & 0xFF,
+                px[3],
+            )
+        elif b1 >> 6 == 2:  # LUMA
+            dg = (b1 & 0x3F) - 32
+            b2 = data[pos]
+            pos += 1
+            px = (
+                (px[0] + dg + ((b2 >> 4) & 0xF) - 8) & 0xFF,
+                (px[1] + dg) & 0xFF,
+                (px[2] + dg + (b2 & 0xF) - 8) & 0xFF,
+                px[3],
+            )
+        else:  # RUN
+            run = (b1 & 0x3F) + 1
+            if i + run > n_px:
+                raise ValueError("QOI run overflows pixel count")
+            out[i : i + run] = px
+            i += run
+            index[(px[0] * 3 + px[1] * 5 + px[2] * 7 + px[3] * 11) % 64] = px
+            continue
+        index[(px[0] * 3 + px[1] * 5 + px[2] * 7 + px[3] * 11) % 64] = px
+        out[i] = px
+        i += 1
+    if data[pos : pos + 8] != b"\x00" * 7 + b"\x01":
+        raise ValueError("QOI stream missing end marker")
+    return out[:, :nc].reshape(h, w, nc)
 
 
 def decode_audio(content: bytes, fake_decode: bool = False) -> np.ndarray:
@@ -1329,6 +1465,90 @@ def jpeg420_corpus_fixture_dir(spark, sf_dir: str, n_docs: int = 50) -> str:
                     )
                 with open(os.path.join(img_dir, f"{int(doc_id)}.jpg"), "wb") as f:
                     f.write(encode_jpeg_baseline(img, quality=50, subsampling="420"))
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    d.mapInPandas(write_part, "n long").count()
+    with open(marker, "w"):
+        pass
+    return img_dir
+
+
+#: fixed 4-color palette for the QOI fixture's INDEX-op section —
+#: distinct running-index hash slots (29, 25, 53, 40), verified in
+#: tests, so revisits are guaranteed index hits, never evictions
+#: within the section
+QOI_FIXTURE_PALETTE = ((200, 10, 50), (10, 200, 50), (50, 10, 200), (250, 250, 5))
+
+
+def qoi_fixture_pixel(r: int, c: int, v: int) -> tuple[int, int, int]:
+    """Pixel (r, c) of the QOI fixture image for doc byte ``v`` — a pure
+    integer formula shared VERBATIM by the DuckDB oracle (the codec is
+    lossless, so the oracle needs only the generation formula). The four
+    column sections deliberately exercise every QOI op class: flat
+    prefix (RUN), +1 red ramp (DIFF), correlated 2-step ramp (LUMA),
+    palette cycle (RGB literals then INDEX hits)."""
+    if c < 8:
+        return (v, v, v)
+    if c < 40:
+        return ((v + c - 7) % 256, v, v)
+    if c < 56:
+        return ((v + 33 + 2 * (c - 39)) % 256, (v + 2 * (c - 39)) % 256, v)
+    return QOI_FIXTURE_PALETTE[(r + c) % 4]
+
+
+def qoi_corpus_fixture_dir(spark, sf_dir: str, n_docs: int = 50) -> str:
+    """Genuine ``.qoi`` corpus fixture: one 64x64 RGB QOI per document,
+    row r colored from the document's r-th leading UTF-8 byte via
+    ``qoi_fixture_pixel``. Written DISTRIBUTED inside mapInPandas,
+    cached per source fingerprint, exactly like the PNG/JPEG fixtures."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from blow_spark.shipping import ensure_package_shipped
+    from blow_spark.sources import read_table
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    stat_parts = []
+    if os.path.isdir(src):
+        for fn in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, fn))
+            stat_parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        stat_parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    token = hashlib.sha256(
+        f"qoi|{sf_dir}|{n_docs}|{'|'.join(stat_parts)}".encode()
+    ).hexdigest()[:12]
+    img_dir = os.path.join(tempfile.gettempdir(), f"blow_spark_qoi_{token}")
+    from blow_spark.materialize import cleanup_stale_siblings
+
+    cleanup_stale_siblings(
+        img_dir, os.path.join(tempfile.gettempdir(), "blow_spark_qoi_*")
+    )
+    marker = os.path.join(img_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return img_dir
+    os.makedirs(img_dir, exist_ok=True)
+    ensure_package_shipped(spark)
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < n_docs)
+        .select("doc_id", "text")
+    )
+
+    def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = str(text).encode("utf-8")[:64].ljust(64, b"\0")
+                img = np.zeros((64, 64, 3), dtype=np.uint8)
+                for r in range(64):
+                    for c in range(64):
+                        img[r, c] = qoi_fixture_pixel(r, c, raw[r])
+                with open(os.path.join(img_dir, f"{int(doc_id)}.qoi"), "wb") as f:
+                    f.write(encode_qoi(img))
             yield pd.DataFrame({"n": [len(pdf)]})
 
     d.mapInPandas(write_part, "n long").count()

@@ -1477,3 +1477,103 @@ def corpus_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("intercept_e6"),
     )
+
+
+# --------------------------------------------------------------------------
+# Good-Turing frequency smoothing (round 12)
+# --------------------------------------------------------------------------
+
+_GT_MAX_R = 10  # report the head of the count-of-counts ladder
+
+
+@register(
+    "corpus_good_turing_counts",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS r
+      FROM (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+        FROM documents
+      ) GROUP BY tok
+    ), coc AS (
+      SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM cnt GROUP BY r
+    ), tot AS (
+      SELECT CAST(SUM(r * n_r) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS BIGINT) AS n1
+      FROM coc
+    )
+    SELECT c.r, c.n_r,
+           CAST(COALESCE(nx.n_r, 0) AS BIGINT) AS n_r_next,
+           CASE WHEN nx.n_r IS NULL THEN NULL
+                ELSE CAST(ROUND(1000000.0 * (c.r + 1) * nx.n_r / c.n_r)
+                          AS BIGINT)
+           END AS r_star_e6,
+           CAST(ROUND(1000000.0 * t.n1 / t.n_tokens) AS BIGINT)
+             AS unseen_mass_e6
+    FROM coc c
+    LEFT JOIN coc nx ON nx.r = c.r + 1
+    CROSS JOIN tot t
+    WHERE c.r <= {_GT_MAX_R}
+    ORDER BY c.r
+    """,
+    tags=("corpus", "smoothing", "documents", "exact"),
+)
+def corpus_good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency re-estimation (Good, Biometrika 1953 — the
+    Turing-attributed smoothing every n-gram LM family builds on, incl.
+    the Katz backoff and the Kneser-Ney discount this catalog already
+    carries): the count-of-counts ladder N_r for r ≤ {_GT_MAX_R}, the
+    adjusted counts r* = (r+1)·N_(r+1)/N_r at the e6 fixpoint, and the
+    unseen-probability mass P₀ = N₁/N — the number that says how much
+    of the corpus's token distribution is still UNOBSERVED, which a
+    data pipeline reads to decide whether more data or more dedup is
+    the next dollar. r* is NULL where N_(r+1) = 0 (the raw estimator is
+    undefined there; smoothing-by-regression is the Zipf-fit query's
+    job). Everything is exact integer arithmetic until the one bounded
+    e6-rounded division on identical operands.
+
+    Scale: one corpus tokenize + token-grain count, then a VALUE-GRAIN
+    count-of-counts aggregate (≤ distinct-count rows) and a ladder
+    self-join on r — the heavy lifting is the same map-side-combinable
+    shape as corpus_zipf_exponent; everything after the vocabulary
+    table is value-domain-sized. Reference analog: none."""
+    from blow_spark import functions as BF
+
+    d = read_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(BF.tokenize_ws(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("r"))
+    )
+    coc = cnt.groupBy("r").agg(F.count("*").cast("bigint").alias("n_r"))
+    tot = coc.agg(
+        F.sum(F.col("r") * F.col("n_r")).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("r") == 1, F.col("n_r")).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+    )
+    nxt = coc.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_next_"))
+    return (
+        coc.filter(F.col("r") <= _GT_MAX_R)
+        .join(nxt, "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            "n_r",
+            F.coalesce("n_r_next_", F.lit(0)).cast("bigint").alias("n_r_next"),
+            F.when(F.col("n_r_next_").isNull(), F.lit(None).cast("bigint"))
+            .otherwise(
+                F.round(
+                    1000000.0
+                    * (F.col("r") + 1)
+                    * F.col("n_r_next_")
+                    / F.col("n_r")
+                ).cast("bigint")
+            )
+            .alias("r_star_e6"),
+            F.round(1000000.0 * F.col("n1") / F.col("n_tokens"))
+            .cast("bigint")
+            .alias("unseen_mass_e6"),
+        )
+        .orderBy("r")
+    )

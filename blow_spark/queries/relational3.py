@@ -941,3 +941,138 @@ def sql_qualify_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         )
     )
+
+
+# --------------------------------------------------------------------------
+# AMS second-frequency-moment sketch (round 12)
+# --------------------------------------------------------------------------
+
+_AMS_K = 64  # counters; 1-sigma relative error ~ sqrt(2/k) ~ 18%
+
+
+def _ams_sign(j: int, key: str) -> str:
+    """±1 sign for counter ``j`` and value expr ``key`` — the first
+    md5 nibble's parity, identical arithmetic on both engines (the
+    spatial-shelf hash-uniform discipline). Stands in for the 4-wise-
+    independent hash family of Alon-Matias-Szegedy; determinism across
+    engines is what makes the sketch ESTIMATE itself oracle-exact."""
+    return (
+        f"(1 - 2 * (CAST(conv(substring(md5(concat('ams{j}:', "
+        f"CAST({key} AS STRING))), 1, 1), 16, 10) AS BIGINT) % 2))"
+    )
+
+
+def _ams_oracle() -> str:
+    signs = ", ".join(
+        "CAST(SUM(1 - 2 * (CAST(('0x' || substring(md5('ams"
+        + str(j)
+        + ":' || CAST(o_custkey AS VARCHAR)), 1, 1)) AS BIGINT) % 2)) AS BIGINT)"
+        f" AS c{j}"
+        for j in range(_AMS_K)
+    )
+    sq = " + ".join(f"CAST(c{j} AS HUGEINT) * c{j}" for j in range(_AMS_K))
+    return f"""
+    WITH counters AS (
+      SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             {signs}
+      FROM orders GROUP BY o_orderpriority
+    ), exact AS (
+      SELECT priority, CAST(SUM(CAST(f AS HUGEINT) * f) AS BIGINT) AS f2_exact
+      FROM (
+        SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS f
+        FROM orders GROUP BY o_orderpriority, o_custkey
+      ) GROUP BY priority
+    )
+    SELECT c.priority, c.n_rows, e.f2_exact,
+           CAST(({sq}) AS BIGINT) AS est_num,
+           CAST(ROUND(1000000.0 * ABS(CAST(({sq}) AS DOUBLE) / {_AMS_K}
+                - e.f2_exact) / e.f2_exact) AS BIGINT) AS rel_err_e6,
+           ABS(CAST(({sq}) AS DOUBLE) / {_AMS_K} - e.f2_exact)
+             <= 3.0 * SQRT(2.0 / {_AMS_K}) * e.f2_exact AS within_3sigma
+    FROM counters c JOIN exact e ON e.priority = c.priority
+    ORDER BY c.priority
+    """
+
+
+@register(
+    "agg_ams_f2_moment_sketch",
+    oracle=_ams_oracle(),
+    tags=("agg", "sketch", "orders", "exact"),
+)
+def agg_ams_f2_moment_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon, Matias & Szegedy, STOC
+    1996 — the Gödel-Prize moment-estimation paper): F₂ = Σ_v f_v² of
+    order counts per customer, per order priority, estimated from
+    {_AMS_K} ±1-signed counters. F₂ is the self-join size / repeat-rate
+    statistic a pipeline reads to predict join blowup and skew BEFORE
+    running the join; the sketch is LINEAR (counter = Σ sign(v), so
+    merging partials is plain addition — demonstrated in-plan by
+    aggregating at (priority × month) grain first, then summing to
+    priority: the merge path IS the plan), mergeable across 100 TB
+    partitions in {_AMS_K}×8 bytes per group.
+
+    Oracle exactness: the ±1 signs are a deterministic md5-parity mix
+    both engines evaluate identically, so the counters AND the estimate
+    are bit-exact across engines — the oracle replays the sketch
+    arithmetic and the exact F₂ side by side. The realized
+    ``within_3sigma`` bit additionally certifies the ESTIMATOR QUALITY
+    inequality |est − F₂| ≤ 3·√(2/k)·F₂ in the result rows (the
+    non-SQL-expressible-op discipline, here applied to a fully
+    SQL-expressible sketch — both layers gate).
+
+    Scale: two map-side-combinable keyed aggregates (counters at
+    merge grain, exact F₂ at value grain — the exact branch is the
+    audit side, same accepted shape as similarity_lsh_topk); zero
+    Python, zero explode ({_AMS_K} sum-aggregates ride one shuffle).
+    Reference analog: none."""
+    o = read_table(spark, sf_dir, "orders")
+    # partial counters at (priority, month) grain — the mergeable unit
+    partial = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.trunc("o_orderdate", "month").alias("mon"),
+    ).agg(
+        F.count("*").alias("n_part"),
+        *[
+            F.sum(F.expr(_ams_sign(j, "o_custkey"))).alias(f"c{j}")
+            for j in range(_AMS_K)
+        ],
+    )
+    # linear-sketch MERGE: plain sums across months
+    counters = partial.groupBy("priority").agg(
+        F.sum("n_part").cast("bigint").alias("n_rows"),
+        *[F.sum(f"c{j}").cast("bigint").alias(f"c{j}") for j in range(_AMS_K)],
+    )
+    exact = (
+        o.groupBy(F.col("o_orderpriority").alias("priority"), "o_custkey")
+        .agg(F.count("*").alias("f"))
+        .groupBy("priority")
+        .agg(
+            F.sum(F.col("f").cast("decimal(38,0)") * F.col("f"))
+            .cast("bigint")
+            .alias("f2_exact")
+        )
+    )
+    sq = " + ".join(f"CAST(c{j} AS DECIMAL(38,0)) * c{j}" for j in range(_AMS_K))
+    est_num = F.expr(f"CAST(({sq}) AS BIGINT)")
+    est = est_num.cast("double") / float(_AMS_K)
+    return (
+        counters.join(exact, "priority")
+        .select(
+            "priority",
+            "n_rows",
+            "f2_exact",
+            est_num.alias("est_num"),
+            F.round(
+                1000000.0
+                * F.abs(est - F.col("f2_exact"))
+                / F.col("f2_exact")
+            )
+            .cast("bigint")
+            .alias("rel_err_e6"),
+            (
+                F.abs(est - F.col("f2_exact"))
+                <= 3.0 * (2.0 / _AMS_K) ** 0.5 * F.col("f2_exact")
+            ).alias("within_3sigma"),
+        )
+        .orderBy("priority")
+    )

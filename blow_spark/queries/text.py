@@ -344,6 +344,79 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_ppjoin_positional",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS doc, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), base AS (
+      SELECT doc,
+             list_distinct(list_transform(
+               range(1, len(t) - 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS sh
+      FROM toks
+      WHERE len(t) >= 3
+    ), exploded AS (
+      SELECT doc, len(sh) AS n_sh, unnest(sh) AS g FROM base
+    ), freq AS (
+      SELECT g, COUNT(*) AS df_ FROM exploded GROUP BY g
+    ), ranked AS (
+      SELECT e.doc, e.g, e.n_sh,
+             ROW_NUMBER() OVER (PARTITION BY e.doc ORDER BY f.df_, e.g) AS rn,
+             e.n_sh - (500000 * e.n_sh + 999999) // 1000000 + 1 AS plen
+      FROM exploded e JOIN freq f USING (g)
+    ), prefix AS (
+      SELECT doc, g, rn, n_sh FROM ranked WHERE rn <= plen
+    ), joined AS (
+      SELECT l.doc AS id_a, r.doc AS id_b, l.rn AS lrn, r.rn AS rrn,
+             l.n_sh AS na, r.n_sh AS nb
+      FROM prefix l JOIN prefix r ON l.g = r.g AND l.doc < r.doc
+    ), n_all AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cand_allpairs
+      FROM (SELECT DISTINCT id_a, id_b FROM joined)
+    ), firstt AS (
+      SELECT id_a, id_b, na, nb, MIN(lrn) AS fr_a, MIN(rrn) AS fr_b
+      FROM joined GROUP BY id_a, id_b, na, nb
+    ), pp AS (
+      SELECT id_a, id_b FROM firstt
+      WHERE 1000000 * LEAST(na, nb) >= 500000 * GREATEST(na, nb)
+        AND 1 + LEAST(na - fr_a, nb - fr_b)
+            >= (500000 * (na + nb) + 1499999) // 1500000
+    ), n_pp AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cand_ppjoin FROM pp
+    ), pairs AS (
+      SELECT a.doc AS id_a, b.doc AS id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      FROM base a JOIN base b ON a.doc < b.doc
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    )
+    SELECT p.id_a, p.id_b, p.jaccard,
+           x.n_cand_allpairs, y.n_cand_ppjoin,
+           y.n_cand_ppjoin <= x.n_cand_allpairs AS pruned_ok
+    FROM pairs p CROSS JOIN n_all x CROSS JOIN n_pp y
+    """,
+    tags=("dedup", "jaccard", "ppjoin", "prefix-filter"),
+)
+def dedup_ppjoin_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin (Xiao et al., WWW 2008): the AllPairs prefix filter of
+    dedup_jaccard_prefix_filter PLUS the lossless length and POSITIONAL
+    filters, at the same tau=0.5 — exact-complete pair set (the oracle
+    brute-forces every O(N^2) pair, so hash-match proves recall), with
+    the candidate-pruning win surfaced IN the result rows: every row
+    carries n_cand_allpairs vs n_cand_ppjoin and the pruned_ok bit,
+    both replayed independently by the oracle's relational copy of the
+    filter pipeline. At corpus scale the verify join is the expensive
+    stage; the positional filter cuts its input without touching the
+    answer — the measured gap between the two counts is the point of
+    the operator (see dedup.ppjoin_pairs for the losslessness
+    derivation under floor-biased integer thresholds)."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.ppjoin_pairs(d, text_col="text", id_col="doc_id", threshold=0.5)
+
+
+@register(
     "text_fingerprint_md5",
     oracle="""
     SELECT doc_id,

@@ -170,3 +170,96 @@ def test_cc_star_forest_many_components_with_selfloops(spark):
         ).collect()
     }
     assert comp == {1: 1, 3: 1, 5: 1, 8: 8, 9: 8, 7: 7, 12: 12, 14: 12, 20: 12}
+
+
+# --------------------------------------------------------------------------
+# QOI codec (round 12)
+# --------------------------------------------------------------------------
+
+
+def test_qoi_hand_verified_spec_bytes():
+    """Byte-for-byte against the one-page spec, computed by hand:
+    (255,0,0) from the (0,0,0,255) start state is a DIFF with dr=-1
+    (wrap) -> 0b01_01_10_10 = 0x5A; two repeats -> RUN(2) = 0xC1;
+    back to (0,0,0) is DIFF dr=+1 (wrap) -> 0x7A. A large jump is an
+    RGB literal."""
+    img = np.array([[[255, 0, 0], [255, 0, 0], [255, 0, 0], [0, 0, 0]]], dtype=np.uint8)
+    enc = M.encode_qoi(img)
+    assert enc[:4] == b"qoif"
+    assert enc[14:-8] == bytes([0x5A, 0xC1, 0x7A])
+    assert enc[-8:] == b"\x00" * 7 + b"\x01"
+    assert np.array_equal(M.decode_qoi(enc), img)
+    enc2 = M.encode_qoi(np.array([[[10, 200, 30]]], dtype=np.uint8))
+    assert enc2[14:-8] == bytes([0xFE, 10, 200, 30])
+
+
+def test_qoi_roundtrip_rgb_rgba_random():
+    rng = np.random.default_rng(3)
+    for nc in (3, 4):
+        for shape in ((1, 1), (7, 13), (64, 64)):
+            img = rng.integers(0, 256, (*shape, nc), dtype=np.uint8)
+            img[: shape[0] // 2, : shape[1] // 2] = 77
+            dec = M.decode_qoi(M.encode_qoi(img))
+            assert dec.shape == img.shape and np.array_equal(dec, img)
+
+
+def test_qoi_fixture_exercises_all_rgb_ops():
+    """The fixture pattern must hit RUN, DIFF, LUMA, RGB, and INDEX —
+    INDEX guaranteed because the 4 palette colors occupy DISTINCT
+    running-index hash slots (asserted here, so a palette edit that
+    silently collides is caught)."""
+    slots = [
+        (r * 3 + g * 5 + b * 7 + 255 * 11) % 64
+        for (r, g, b) in M.QOI_FIXTURE_PALETTE
+    ]
+    assert len(set(slots)) == 4
+    img = np.zeros((64, 64, 3), dtype=np.uint8)
+    for r in range(64):
+        for c in range(64):
+            img[r, c] = M.qoi_fixture_pixel(r, c, (r * 41) % 256)
+    enc = M.encode_qoi(img)
+    ops = {"RGB": 0, "RGBA": 0, "INDEX": 0, "DIFF": 0, "LUMA": 0, "RUN": 0}
+    p = 14
+    while p < len(enc) - 8:
+        b = enc[p]
+        if b == 0xFE:
+            ops["RGB"] += 1
+            p += 4
+        elif b == 0xFF:
+            ops["RGBA"] += 1
+            p += 5
+        elif b >> 6 == 0:
+            ops["INDEX"] += 1
+            p += 1
+        elif b >> 6 == 1:
+            ops["DIFF"] += 1
+            p += 1
+        elif b >> 6 == 2:
+            ops["LUMA"] += 1
+            p += 2
+        else:
+            ops["RUN"] += 1
+            p += 1
+    assert ops["RUN"] > 0 and ops["DIFF"] > 0 and ops["LUMA"] > 0
+    assert ops["RGB"] > 0 and ops["INDEX"] > 0
+    assert np.array_equal(M.decode_qoi(enc), img)
+
+
+def test_qoi_alpha_change_uses_rgba_op():
+    img = np.array([[[5, 5, 5, 255], [5, 5, 5, 128], [5, 5, 5, 128]]], dtype=np.uint8)
+    enc = M.encode_qoi(img)
+    assert 0xFF in enc[14:-8]  # RGBA literal for the alpha change
+    assert np.array_equal(M.decode_qoi(enc), img)
+
+
+def test_qoi_malformed_streams_raise():
+    with pytest.raises(ValueError, match="not a QOI"):
+        M.decode_qoi(b"nope" + b"\0" * 20)
+    good = M.encode_qoi(np.zeros((2, 2, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="end marker"):
+        M.decode_qoi(good[:-1] + b"\x02")
+    # a run longer than the pixel budget
+    import struct
+    bad = b"qoif" + struct.pack(">IIBB", 2, 1, 3, 0) + bytes([0xC0 | 61]) + b"\x00" * 7 + b"\x01"
+    with pytest.raises(ValueError, match="run overflows"):
+        M.decode_qoi(bad)
