@@ -370,6 +370,11 @@ HEADLINE = [
     "agg_ams_f2_moment_sketch",
     "dedup_ppjoin_positional",
     "corpus_good_turing_counts",
+    # round 12 batch 3: ISO-BMFF container walk (video modality), the
+    # exponential-mechanism DP median, Ljung-Box whiteness
+    "multimodal_mp4_box_walk",
+    "privacy_dp_median_exponential",
+    "stats_ljung_box_whiteness",
 ]
 
 

@@ -23,6 +23,7 @@ there at all — these operators are part of the §2.2 extension surface.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from blow_spark.queries import register
@@ -931,4 +932,180 @@ def privacy_column_masking_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         name_display.alias("name_display"),
         acct_display.alias("acctbal_display"),
+    )
+
+
+# --------------------------------------------------------------------------
+# DP median via the exponential mechanism (round 12)
+# --------------------------------------------------------------------------
+
+_DPQ_BANDS = 64  # candidate domain: $20k spend bands, capped
+_DPQ_BAND_CENTS = 2_000_000
+_DPQ_EPSILON = 1.0
+_DPQ_HEX = 13  # md5 hex digits -> 52-bit uniform
+
+
+@register(
+    "privacy_dp_median_exponential",
+    oracle=f"""
+    WITH spend AS (
+      SELECT c.c_nationkey AS nk,
+             LEAST(CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) // {_DPQ_BAND_CENTS}, {_DPQ_BANDS - 1}) AS band
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_nationkey, o.o_custkey
+    ), hist AS (
+      SELECT nk, band, CAST(COUNT(*) AS BIGINT) AS cnt FROM spend GROUP BY nk, band
+    ), grid AS (
+      SELECT g.nk AS nk, g.b AS b, COALESCE(h.cnt, 0) AS cnt
+      FROM (SELECT DISTINCT nk, UNNEST(range(0, {_DPQ_BANDS})) AS b FROM hist) g
+      LEFT JOIN hist h ON h.nk = g.nk AND h.band = g.b
+    ), ranked0 AS (
+      SELECT nk, b,
+             COALESCE(SUM(cnt) OVER (PARTITION BY nk ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnt_lt,
+             SUM(cnt) OVER (PARTITION BY nk) AS n
+      FROM grid
+    ), scored AS (
+      SELECT nk, b, n,
+             -ABS(2 * cnt_lt - n) AS s2,
+             CAST(ROUND(1000000.0 * (
+               {_DPQ_EPSILON} * (-ABS(2 * cnt_lt - n)) / 4.0
+               - LN(-LN((CAST(CAST(('0x' || substring(md5('dpq:'
+                     || CAST(nk AS VARCHAR) || ':' || CAST(b AS VARCHAR)),
+                     1, {_DPQ_HEX})) AS BIGINT) AS DOUBLE) + 0.5)
+                   / 4503599627370496.0))
+             )) AS BIGINT) AS noisy_e6
+      FROM ranked0
+    ), best AS (
+      SELECT nk, CAST(n AS BIGINT) AS n_customers,
+             CAST(FIRST(b ORDER BY s2 DESC, b) AS BIGINT) AS true_median_band,
+             CAST(FIRST(b ORDER BY noisy_e6 DESC, b) AS BIGINT) AS dp_band,
+             CAST(-FIRST(s2 ORDER BY noisy_e6 DESC, b) AS BIGINT)
+               AS dp_rank_err2
+      FROM scored GROUP BY nk, n
+    )
+    SELECT nk, n_customers, true_median_band, dp_band, dp_rank_err2
+    FROM best ORDER BY nk
+    """,
+    tags=("governance", "privacy", "dp", "orders"),
+)
+def privacy_dp_median_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private MEDIAN of customer spend per nation via
+    the EXPONENTIAL MECHANISM (McSherry & Talwar, FOCS 2007) — the DP
+    primitive for non-numeric/argmax queries, completing the privacy
+    shelf's mechanism coverage (Laplace counts and randomized response
+    are the other two classes). Candidates are the {_DPQ_BANDS} fixed
+    $20k spend bands; utility u(b) = −|rank(b) − n/2| (sensitivity 1),
+    selection by the Gumbel-max identity: argmax of
+    ε·u(b)/2 + Gumbel(0,1) is distributed exactly as the exponential
+    mechanism (Gumbel 1954; the integer form −|2·cnt_lt − n|/4 keeps
+    the pre-noise term exact). As in privacy_dp_count_laplace the noise
+    is DERIVED (md5 52-bit uniform → −ln(−ln U)), so the release is
+    reproducible and oracle-checkable while exercising the production
+    transform verbatim — swap the hash for a real RNG to deploy. The
+    argmax compares e6-rounded noisy scores with a band-ascending
+    tiebreak, so both engines pick identical winners (the catalog's
+    documented measure-zero .5-boundary exposure for runtime
+    transcendentals applies). dp_rank_err2 = |2·cnt_lt − n| at the
+    released band is the realized utility loss the DP accountant reads.
+
+    Scale: customer-grain aggregate, then everything is value-domain
+    (25 nations × {_DPQ_BANDS} bands) — one broadcast-size window pass.
+    Reference analog: none."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    spend = (
+        o.join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"), "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .select(
+            "nk",
+            # integer `div`, not double `/`: floor semantics by
+            # construction, no float-quotient edge anywhere
+            F.least(
+                F.expr(f"cents div {_DPQ_BAND_CENTS}"), F.lit(_DPQ_BANDS - 1)
+            ).alias("band"),
+        )
+    )
+    hist = spend.groupBy("nk", "band").agg(F.count("*").cast("bigint").alias("cnt"))
+    grid = (
+        hist.select("nk")
+        .distinct()
+        .select("nk", F.explode(F.sequence(F.lit(0), F.lit(_DPQ_BANDS - 1))).alias("b"))
+        .join(
+            hist.select("nk", F.col("band").alias("b"), "cnt"), ["nk", "b"], "left"
+        )
+        .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
+    )
+    wcum = W.partitionBy("nk").orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+    ranked0 = grid.select(
+        "nk",
+        "b",
+        F.coalesce(F.sum("cnt").over(wcum), F.lit(0)).alias("cnt_lt"),
+        F.sum("cnt").over(W.partitionBy("nk")).alias("n"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("dpq:"),
+                        F.col("nk").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                _DPQ_HEX,
+            ),
+            16,
+            10,
+        ).cast("long").cast("double")
+        + 0.5
+    ) / float(16**_DPQ_HEX)
+    s2 = -F.abs(2 * F.col("cnt_lt") - F.col("n"))
+    scored = ranked0.select(
+        "nk",
+        "b",
+        "n",
+        s2.alias("s2"),
+        F.round(
+            1000000.0 * (_DPQ_EPSILON * s2 / 4.0 - F.log(-F.log(u)))
+        )
+        .cast("bigint")
+        .alias("noisy_e6"),
+    )
+    w_true = W.partitionBy("nk").orderBy(F.col("s2").desc(), F.col("b"))
+    w_dp = W.partitionBy("nk").orderBy(F.col("noisy_e6").desc(), F.col("b"))
+    picked = scored.select(
+        "nk",
+        F.col("n").alias("n_customers"),
+        "b",
+        "s2",
+        F.row_number().over(w_true).alias("rt"),
+        F.row_number().over(w_dp).alias("rd"),
+    )
+    t = picked.filter("rt = 1").select(
+        "nk", "n_customers", F.col("b").alias("true_median_band")
+    )
+    d_ = picked.filter("rd = 1").select(
+        "nk",
+        F.col("b").alias("dp_band"),
+        (-F.col("s2")).cast("bigint").alias("dp_rank_err2"),
+    )
+    return (
+        t.join(d_, "nk")
+        .select(
+            "nk",
+            "n_customers",
+            F.col("true_median_band").cast("bigint").alias("true_median_band"),
+            F.col("dp_band").cast("bigint").alias("dp_band"),
+            "dp_rank_err2",
+        )
+        .orderBy("nk")
     )

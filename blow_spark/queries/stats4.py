@@ -1382,3 +1382,147 @@ def timeseries_weekly_spectral_energy(spark: SparkSession, sf_dir: str) -> DataF
         .cast("bigint")
         .alias("weekly_over_dc_e6"),
     ).orderBy("brand")
+
+
+# --------------------------------------------------------------------------
+# Ljung-Box portmanteau test (round 12)
+# --------------------------------------------------------------------------
+
+_LB_H = 10  # lags pooled into Q
+#: chi-square 95th percentile at h=10 dof (Abramowitz & Stegun table
+#: 26.8), e6-fixpointed in PYTHON and injected into BOTH plans — the
+#: NDCG discount-table discipline: no runtime quantile function needed.
+_LB_CRIT_E6 = 18_307_038
+
+
+@register(
+    "stats_ljung_box_whiteness",
+    oracle=f"""
+    WITH daily AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS di,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1
+    ), g AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS s,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx
+      FROM daily
+    ), lags AS (
+      SELECT unnest(range(1, {_LB_H} + 1)) AS k
+    ), p AS (
+      SELECT l.k,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CAST(a.x AS HUGEINT) * b.x) AS DOUBLE) AS sxy,
+             CAST(SUM(a.x) AS DOUBLE) AS sh,
+             CAST(SUM(b.x) AS DOUBLE) AS st
+      FROM daily a
+      JOIN lags l ON TRUE
+      JOIN daily b ON b.di = a.di + l.k
+      GROUP BY l.k
+    ), rk AS (
+      SELECT p.k, g.n,
+             CAST(ROUND(1000000.0
+               * (p.sxy - (g.s / g.n) * (p.sh + p.st)
+                  + p.n_pairs * (g.s / g.n) * (g.s / g.n))
+               / (g.sxx - g.n * (g.s / g.n) * (g.s / g.n))) AS BIGINT)
+               AS rk_e6
+      FROM p CROSS JOIN g
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+           CAST({_LB_H} AS INT) AS h,
+           CAST(ROUND(MAX(n) * (MAX(n) + 2.0)
+                * SUM((rk_e6 / 1000000.0) * (rk_e6 / 1000000.0)
+                      / (n - k)) * 1000000.0) AS BIGINT)
+             AS q_e6,
+           CAST({_LB_CRIT_E6} AS BIGINT) AS crit_e6,
+           ROUND(MAX(n) * (MAX(n) + 2.0)
+                * SUM((rk_e6 / 1000000.0) * (rk_e6 / 1000000.0)
+                      / (n - k)) * 1000000.0)
+             > {_LB_CRIT_E6} AS reject_white_noise
+    FROM rk
+    """,
+    tags=("stats", "timeseries", "orders"),
+)
+def stats_ljung_box_whiteness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau whiteness test (Ljung & Box, Biometrika
+    1978) on the daily-revenue series: Q = n(n+2)·Σ_(k≤h) ρ̂_k²/(n−k)
+    pooled over h={_LB_H} lags, compared against the χ²₁₀ 95th
+    percentile — the one-number "is there ANY autocorrelation left"
+    readout run on forecast residuals and metric series before trusting
+    a model. Builds on timeseries_autocorrelation's exact-integer ACF
+    expansion: each ρ̂_k is e6-fixpointed FIRST (so both engines pool
+    identical integers), Q is one bounded expression on those integers,
+    and the critical value is an injected table constant (Abramowitz &
+    Stegun 26.8) — no runtime quantile function.
+
+    Scale: identical to the ACF query — one date-keyed reduction of the
+    fact table, then constant-size lag work. Reference analog: none."""
+    from blow_spark.materialize import spill_to_parquet
+
+    o = read_table(spark, sf_dir, "orders")
+    daily = spill_to_parquet(
+        o.groupBy(
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+            ).alias("di")
+        ).agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("x")
+        ),
+        "blow_spark_lb_",
+    )
+    g = daily.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("s"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    lags = daily.sparkSession.range(1, _LB_H + 1).select(
+        F.col("id").cast("int").alias("k")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    p = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("b.di") == F.col("a.di") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(F.col("a.x").cast("decimal(38,0)") * F.col("b.x"))
+            .cast("double")
+            .alias("sxy"),
+            F.sum("a.x").cast("double").alias("sh"),
+            F.sum("b.x").cast("double").alias("st"),
+        )
+    )
+    mean = F.col("s") / F.col("n")
+    rk = p.crossJoin(F.broadcast(g)).select(
+        "k",
+        "n",
+        F.round(
+            1000000.0
+            * (
+                F.col("sxy")
+                - mean * (F.col("sh") + F.col("st"))
+                + F.col("n_pairs") * mean * mean
+            )
+            / (F.col("sxx") - F.col("n") * mean * mean)
+        )
+        .cast("bigint")
+        .alias("rk_e6"),
+    )
+    rho2_term = (
+        (F.col("rk_e6") / 1000000.0)
+        * (F.col("rk_e6") / 1000000.0)
+        / (F.col("n") - F.col("k"))
+    )
+    q = F.max("n") * (F.max("n") + 2.0) * F.sum(rho2_term) * 1000000.0
+    return rk.agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.lit(_LB_H).cast("int").alias("h"),
+        F.round(q).cast("bigint").alias("q_e6"),
+        F.lit(_LB_CRIT_E6).cast("bigint").alias("crit_e6"),
+        (F.round(q) > _LB_CRIT_E6).alias("reject_white_noise"),
+    )
