@@ -375,6 +375,9 @@ HEADLINE = [
     "multimodal_mp4_box_walk",
     "privacy_dp_median_exponential",
     "stats_ljung_box_whiteness",
+    # round 12 batch 4: SimHash with an engine-portable hash family,
+    # fully oracle-replayed (certifies the xxhash production twin)
+    "dedup_simhash_hamming_paired",
 ]
 
 

@@ -494,3 +494,152 @@ def text_distinct_substrings_sam(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, cap_len int, total_substrings long, "
         "distinct_substrings long",
     )
+
+
+# --------------------------------------------------------------------------
+# Oracle-paired SimHash (round 12)
+# --------------------------------------------------------------------------
+
+_SH_BITS = 60  # 15 md5 hex digits -> nonneg int64 on both engines
+_SH_BANDS = 4  # 4 x 15-bit bands; pigeonhole recall for hamming < 4
+_SH_MAX_HAMMING = 8
+
+
+def _simhash_paired_oracle() -> str:
+    votes = ", ".join(
+        f"CAST(SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT)"
+        f" AS v{b}"
+        for b in range(_SH_BITS)
+    )
+    pack = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+        for b in range(_SH_BITS)
+    )
+    bpb = _SH_BITS // _SH_BANDS
+    band_rows = ", ".join(f"({b})" for b in range(_SH_BANDS))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ), hashed AS (
+      SELECT doc,
+             CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM toks
+    ), votes AS (
+      SELECT doc, {votes} FROM hashed GROUP BY doc
+    ), sh AS (
+      SELECT doc, {pack} AS simhash FROM votes
+    ), bands(band) AS (VALUES {band_rows}),
+    banded AS (
+      SELECT s.doc, s.simhash, b.band,
+             (s.simhash >> (b.band * {bpb})) & {(1 << bpb) - 1} AS chunk
+      FROM sh s CROSS JOIN bands b
+    )
+    SELECT DISTINCT l.doc AS id_a, r.doc AS id_b,
+           CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+    FROM banded l JOIN banded r
+      ON l.band = r.band AND l.chunk = r.chunk AND l.doc < r.doc
+    WHERE bit_count(xor(l.simhash, r.simhash)) <= {_SH_MAX_HAMMING}
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "dedup_simhash_hamming_paired",
+    oracle=_simhash_paired_oracle(),
+    tags=("dedup", "simhash", "exact"),
+)
+def dedup_simhash_hamming_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Charikar, STOC 2002) under a FULL oracle
+    gate — the round-12 answer to the catalog's one structural
+    rows-only family: ``dedup_simhash`` keeps xxhash64 for throughput
+    (engine-specific by design), while this twin derives the 60-bit
+    token hash from md5 (identical arithmetic on both engines), so the
+    ENTIRE pipeline — token hash, per-bit ±1 votes, sign packing, 4×15
+    band bucketing, Hamming filter — is replayed relationally by DuckDB
+    and the value hash gates every stage. Same plan shape as the
+    production twin: one doc-keyed 60-sum hash aggregate (map-side
+    combinable), a 4-way band explode, and a bucket equi-join whose
+    fan-out the band width bounds; pigeonhole guarantees recall for
+    hamming < {_SH_BANDS}, best-effort to {_SH_MAX_HAMMING} (standard
+    SimHash practice, stated in both twins).
+
+    Scale: identical to dedup_simhash — the md5-vs-xxhash choice is a
+    per-row JVM expression swap, not a plan change; at 100 TB the
+    production twin runs, certified by this one on samples (the
+    sketch-certification pattern of dedup_minhash_estimate_error).
+    Reference analog: none."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            F.col("doc_id").alias("doc"),
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+                "tok"
+            ),
+        )
+        .select(
+            "doc",
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    votes = toks.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("h")
+                    .bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b))
+                    != 0,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(_SH_BITS)
+        ]
+    )
+    packed = None
+    for b in range(_SH_BITS):
+        bit = F.when(
+            F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        packed = bit if packed is None else packed.bitwiseOR(bit)
+    sh = votes.select("doc", packed.alias("simhash"))
+    bpb = _SH_BITS // _SH_BANDS
+    mask = (1 << bpb) - 1
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned("simhash", b * bpb)
+                .bitwiseAND(F.lit(mask))
+                .alias("chunk"),
+            )
+            for b in range(_SH_BANDS)
+        ]
+    )
+    banded = sh.select("doc", "simhash", F.explode(band_arr).alias("bb")).select(
+        "doc",
+        "simhash",
+        F.col("bb.band").alias("band"),
+        F.col("bb.chunk").alias("chunk"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(
+            F.col("l.doc").alias("id_a"),
+            F.col("r.doc").alias("id_b"),
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= _SH_MAX_HAMMING)
+        .orderBy("id_a", "id_b")
+    )
