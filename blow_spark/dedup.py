@@ -926,7 +926,7 @@ def connected_components(
       of its closed neighborhood — emit (v, min(Γ⁺(u))) for v ∈ Γ(u),
       v > u;
     * small-star: every node links its smaller-or-equal neighbors (and
-      itself) to that minimum — emit (v, m) for v ∈ Γ≤(u) ∪ {u} \ {m}.
+      itself) to that minimum — emit (v, m) for v ∈ Γ≤(u) ∪ {u}, v ≠ m.
 
     Each operation strictly preserves connectivity (every rewritten
     edge stays within its component, by construction through the

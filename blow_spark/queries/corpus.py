@@ -1538,6 +1538,7 @@ def corpus_good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape as corpus_zipf_exponent; everything after the vocabulary
     table is value-domain-sized. Reference analog: none."""
     from blow_spark import functions as BF
+    from blow_spark.materialize import spill_to_parquet
 
     d = read_table(spark, sf_dir, "documents")
     cnt = (
@@ -1545,7 +1546,13 @@ def corpus_good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").cast("bigint").alias("r"))
     )
-    coc = cnt.groupBy("r").agg(F.count("*").cast("bigint").alias("n_r"))
+    # the count-of-counts table feeds THREE consumers (totals, the
+    # r+1 ladder join, the main rows): spill once so the corpus
+    # tokenize+count — the only data-scale work — runs exactly once
+    coc = spill_to_parquet(
+        cnt.groupBy("r").agg(F.count("*").cast("bigint").alias("n_r")),
+        "blow_spark_gt_",
+    )
     tot = coc.agg(
         F.sum(F.col("r") * F.col("n_r")).cast("bigint").alias("n_tokens"),
         F.sum(F.when(F.col("r") == 1, F.col("n_r")).otherwise(0))

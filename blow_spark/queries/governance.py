@@ -1032,7 +1032,16 @@ def privacy_dp_median_exponential(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("band"),
         )
     )
-    hist = spend.groupBy("nk", "band").agg(F.count("*").cast("bigint").alias("cnt"))
+    from blow_spark.materialize import spill_to_parquet
+
+    # the band histogram (≤ 25×64 rows) feeds the grid scaffold AND the
+    # left join: spill once so the orders join+aggregate runs once
+    hist = spill_to_parquet(
+        spend.groupBy("nk", "band").agg(
+            F.count("*").cast("bigint").alias("cnt")
+        ),
+        "blow_spark_dpq_",
+    )
     grid = (
         hist.select("nk")
         .distinct()
@@ -1080,32 +1089,22 @@ def privacy_dp_median_exponential(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("bigint")
         .alias("noisy_e6"),
     )
-    w_true = W.partitionBy("nk").orderBy(F.col("s2").desc(), F.col("b"))
-    w_dp = W.partitionBy("nk").orderBy(F.col("noisy_e6").desc(), F.col("b"))
-    picked = scored.select(
-        "nk",
-        F.col("n").alias("n_customers"),
-        "b",
-        "s2",
-        F.row_number().over(w_true).alias("rt"),
-        F.row_number().over(w_dp).alias("rd"),
-    )
-    t = picked.filter("rt = 1").select(
-        "nk", "n_customers", F.col("b").alias("true_median_band")
-    )
-    d_ = picked.filter("rd = 1").select(
-        "nk",
-        F.col("b").alias("dp_band"),
-        (-F.col("s2")).cast("bigint").alias("dp_rank_err2"),
-    )
+    # both argmaxes in ONE aggregation pass (max_by with a struct
+    # ordering key: primary score desc via max, tie -> min band via
+    # negated b) — no windows, no double consumption of `scored`
     return (
-        t.join(d_, "nk")
-        .select(
-            "nk",
-            "n_customers",
-            F.col("true_median_band").cast("bigint").alias("true_median_band"),
-            F.col("dp_band").cast("bigint").alias("dp_band"),
-            "dp_rank_err2",
+        scored.groupBy("nk")
+        .agg(
+            F.max("n").cast("bigint").alias("n_customers"),
+            F.max_by("b", F.struct(F.col("s2"), -F.col("b")))
+            .cast("bigint")
+            .alias("true_median_band"),
+            F.max_by("b", F.struct(F.col("noisy_e6"), -F.col("b")))
+            .cast("bigint")
+            .alias("dp_band"),
+            (-F.max_by("s2", F.struct(F.col("noisy_e6"), -F.col("b"))))
+            .cast("bigint")
+            .alias("dp_rank_err2"),
         )
         .orderBy("nk")
     )

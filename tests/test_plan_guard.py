@@ -458,6 +458,27 @@ BENCH_EXCHANGE_PINS = {
     # (dim + 28-row trig table); the SAM census is map-only Python
     "timeseries_weekly_spectral_energy": (3, 2),
     "text_distinct_substrings_sam": (0, 0),
+    # round 12 — codecs/containers are map-only by construction (the
+    # whole point: binaryFile scan -> mapInPandas decode/walk -> narrow
+    # stats, zero exchanges); DBSCAN spills the ε-pair table once and
+    # its CC branch joins tiny core-edge frames; PPJoin spills the
+    # prefix join once (AllPairs count + positional filter + verify all
+    # read the spill); Good-Turing and the DP median spill their
+    # value-domain tables so the data-scale shuffle runs exactly once
+    # (8->2 and 11->2 shuffles respectively, caught by this pin sweep
+    # before commit); AMS is two keyed aggregates (merge-grain counters
+    # + value-grain exact branch) and a broadcast join; Ljung-Box is
+    # the ACF scaffold (spilled daily series + broadcast lags/moments)
+    "multimodal_jpeg_420_decode_stats": (0, 0),
+    "multimodal_qoi_decode_stats": (0, 0),
+    "multimodal_mp4_box_walk": (0, 0),
+    "spatial_dbscan_clusters": (5, 6),
+    "agg_ams_f2_moment_sketch": (5, 1),
+    "dedup_ppjoin_positional": (4, 4),
+    "corpus_good_turing_counts": (2, 2),
+    "privacy_dp_median_exponential": (2, 1),
+    "stats_ljung_box_whiteness": (3, 3),
+    "dedup_simhash_hamming_paired": (3, 1),
 }
 
 
