@@ -378,6 +378,11 @@ HEADLINE = [
     # round 12 batch 4: SimHash with an engine-portable hash family,
     # fully oracle-replayed (certifies the xxhash production twin)
     "dedup_simhash_hamming_paired",
+    # round 12 batch 5: Walsh-Hadamard rotation (exact Parseval gate),
+    # Gumbel block-maxima extreme-value fit, historical VaR/CVaR
+    "vector_hadamard_rotation_parseval",
+    "stats_gumbel_block_maxima",
+    "finance_var_cvar_historical",
 ]
 
 

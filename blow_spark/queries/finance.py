@@ -645,3 +645,111 @@ def finance_sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("sortino_e6"),
     ).orderBy("brand")
+
+
+# --------------------------------------------------------------------------
+# Historical VaR / CVaR (round 12)
+# --------------------------------------------------------------------------
+
+_VAR_ALPHA_MICRO = 50_000  # 5% tail, in micro-units (integer ceil math)
+
+
+@register(
+    "finance_var_cvar_historical",
+    oracle=f"""
+    WITH daily AS (
+      SELECT c.c_nationkey AS nk, CAST(o.o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ), deltas AS (
+      SELECT nk, day,
+             cents - LAG(cents) OVER (PARTITION BY nk ORDER BY day) AS d
+      FROM daily
+    ), ranked AS (
+      SELECT nk, d,
+             ROW_NUMBER() OVER (PARTITION BY nk ORDER BY d, day) AS rn,
+             COUNT(*) OVER (PARTITION BY nk) AS n
+      FROM deltas WHERE d IS NOT NULL
+    ), k AS (
+      SELECT nk, d, rn, n,
+             ({_VAR_ALPHA_MICRO} * n + 999999) // 1000000 AS kk
+      FROM ranked
+    )
+    SELECT nk, CAST(MAX(n) AS BIGINT) AS n_days,
+           CAST(MAX(kk) AS BIGINT) AS k_tail,
+           CAST(MAX(CASE WHEN rn = kk THEN -d END) AS BIGINT) AS var95_cents,
+           CAST(ROUND(1000.0 * SUM(CASE WHEN rn <= kk THEN -d ELSE 0 END)
+                      / MAX(kk)) AS BIGINT) AS cvar95_cents_e3
+    FROM k GROUP BY nk ORDER BY nk
+    """,
+    tags=("finance", "risk", "orders", "exact"),
+)
+def finance_var_cvar_historical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical (non-parametric) Value-at-Risk and Conditional VaR /
+    Expected Shortfall at 95% on day-over-day revenue deltas per nation
+    — the tail-risk pair every risk desk reports (Artzner et al.,
+    Math. Finance 1999 established CVaR as the coherent one; VaR alone
+    ignores tail shape). Exact order statistics, no distributional
+    assumption: losses are the NEGATED deltas, VaR₉₅ is the k-th worst
+    loss with k = ⌈0.05·n⌉ in floor-biased integer micro-arithmetic
+    (the prefix-filter ceil discipline — never an IEEE ceil), CVaR₉₅ is
+    the exact mean of the k worst, carried as an e3 fixpoint
+    (ROUND(1000·Σloss/k) on identical exact integer operands — sign-
+    safe, unlike integer division whose floor-vs-truncate semantics
+    diverge on the negative sums a calm series produces).
+
+    Scale: one date-keyed reduction to the calendar-bounded daily
+    series, one nation-partitioned lag/rank window (25-way parallel,
+    never global), value-grain output. Reference analog: none."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    daily = (
+        o.join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    wlag = W.partitionBy("nk").orderBy("day")
+    deltas = daily.select(
+        "nk",
+        "day",
+        (F.col("cents") - F.lag("cents").over(wlag)).alias("d"),
+    ).filter(F.col("d").isNotNull())
+    wrank = W.partitionBy("nk").orderBy("d", "day")
+    ranked = deltas.select(
+        "nk",
+        "d",
+        F.row_number().over(wrank).alias("rn"),
+        F.count("*").over(W.partitionBy("nk")).alias("n"),
+    ).withColumn(
+        "kk",
+        F.expr(f"({_VAR_ALPHA_MICRO} * n + 999999) div 1000000"),
+    )
+    return (
+        ranked.groupBy("nk")
+        .agg(
+            F.max("n").cast("bigint").alias("n_days"),
+            F.max("kk").cast("bigint").alias("k_tail"),
+            F.max(F.when(F.col("rn") == F.col("kk"), -F.col("d")))
+            .cast("bigint")
+            .alias("var95_cents"),
+            F.round(
+                1000.0
+                * F.sum(
+                    F.when(F.col("rn") <= F.col("kk"), -F.col("d")).otherwise(0)
+                )
+                / F.max("kk")
+            )
+            .cast("bigint")
+            .alias("cvar95_cents_e3"),
+        )
+        .orderBy("nk")
+    )

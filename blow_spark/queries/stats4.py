@@ -1526,3 +1526,124 @@ def stats_ljung_box_whiteness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_LB_CRIT_E6).cast("bigint").alias("crit_e6"),
         (F.round(q) > _LB_CRIT_E6).alias("reject_white_noise"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gumbel block-maxima fit (round 12)
+# --------------------------------------------------------------------------
+
+#: injected constants (the NDCG discount-table discipline — no runtime
+#: transcendentals): sqrt(6)/pi and the Euler-Mascheroni constant for
+#: the Gumbel method-of-moments, and c12 = -ln(-ln(1 - 1/12)) for the
+#: 12-block return level. e12 fixpoints, divided back in-plan.
+_GUM_S6PI_E12 = 779_696_801_234
+_GUM_GAMMA_E12 = 577_215_664_902
+_GUM_C12_E12 = 2_441_716_398_881
+
+
+@register(
+    "stats_gumbel_block_maxima",
+    oracle=f"""
+    WITH daily AS (
+      SELECT c.c_nationkey AS nk,
+             date_trunc('month', CAST(o.o_orderdate AS DATE)) AS mon,
+             CAST(o.o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2, 3
+    ), blockmax AS (
+      SELECT nk, mon, CAST(MAX(cents) AS BIGINT) AS x
+      FROM daily GROUP BY nk, mon
+    ), mom AS (
+      SELECT nk, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS BIGINT) AS sxx
+      FROM blockmax GROUP BY nk
+    )
+    SELECT nk, n,
+           CAST(ROUND(CAST(s AS DOUBLE) / n) AS BIGINT) AS mean_cents,
+           CAST(ROUND(({_GUM_S6PI_E12} / 1e12)
+                * SQRT((CAST(sxx AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                       / (n - 1))) AS BIGINT) AS scale_cents,
+           CAST(ROUND(CAST(s AS DOUBLE) / n
+                - ({_GUM_GAMMA_E12} / 1e12) * ({_GUM_S6PI_E12} / 1e12)
+                  * SQRT((CAST(sxx AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                         / (n - 1))) AS BIGINT) AS loc_cents,
+           CAST(ROUND(CAST(s AS DOUBLE) / n
+                + (({_GUM_C12_E12} - {_GUM_GAMMA_E12}) / 1e12)
+                  * ({_GUM_S6PI_E12} / 1e12)
+                  * SQRT((CAST(sxx AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                         / (n - 1))) AS BIGINT) AS return_level_12_cents
+    FROM mom WHERE n >= 2 ORDER BY nk
+    """,
+    tags=("stats", "extreme-value", "orders", "exact"),
+)
+def stats_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel (EV type I) fit of monthly block maxima of daily revenue
+    per nation — classical extreme-value analysis (Gumbel, "Statistics
+    of Extremes", 1958; the Fisher-Tippett-Gnedenko theorem says block
+    maxima of light-tailed daily sums converge to exactly this family):
+    method-of-moments scale σ̂ = s·√6/π and location μ̂ = x̄ − γ·σ̂,
+    plus the 12-block RETURN LEVEL x₁₂ = μ̂ − σ̂·ln(−ln(1−1/12)) — the
+    level exceeded once a year on average, the risk readout capacity
+    planning actually consumes. √6/π, the
+    Euler-Mascheroni constant, and c₁₂ are e12 table constants injected
+    into BOTH plans (zero runtime transcendentals except one sqrt on
+    identical exact moments); block maxima, n, Σx, Σx² are exact
+    BIGINTs; outputs round to whole cents on identical doubles.
+
+    Scale: two keyed aggregates (day grain, then month-max grain), both
+    map-side combinable; the fit runs on the 25-nation moment table.
+    Reference analog: none."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    daily = (
+        o.join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.trunc("o_orderdate", "month").alias("mon"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    blockmax = daily.groupBy("nk", "mon").agg(
+        F.max("cents").cast("bigint").alias("x")
+    )
+    mom = blockmax.groupBy("nk").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("bigint")
+        .alias("sxx"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (
+            F.col("sxx").cast("double")
+            - F.col("s").cast("double") * F.col("s") / F.col("n")
+        )
+        / (F.col("n") - 1)
+    )
+    s6pi = _GUM_S6PI_E12 / 1e12
+    gamma = _GUM_GAMMA_E12 / 1e12
+    c12 = _GUM_C12_E12 / 1e12
+    scale = s6pi * sd
+    return (
+        mom.filter(F.col("n") >= 2)
+        .select(
+            "nk",
+            "n",
+            F.round(mean).cast("bigint").alias("mean_cents"),
+            F.round(scale).cast("bigint").alias("scale_cents"),
+            F.round(mean - gamma * scale).cast("bigint").alias("loc_cents"),
+            F.round(mean + (c12 - gamma) * scale)
+            .cast("bigint")
+            .alias("return_level_12_cents"),
+        )
+        .orderBy("nk")
+    )

@@ -2044,3 +2044,118 @@ def vector_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .alias("ratio_e6"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 12: Walsh-Hadamard rotation with an exact Parseval gate
+# --------------------------------------------------------------------------
+
+_WH_N = 64  # transform order == embedding dim
+_WH_SCALE = 1024  # 2^10: float * 2^10 is IEEE-exact (the JL discipline)
+
+
+@register(
+    "vector_hadamard_rotation_parseval",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, i,
+             CAST(ROUND(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)
+                        * {_WH_SCALE}) AS BIGINT) AS qv
+      FROM (SELECT vec_id, embedding,
+                   UNNEST(range(0, {_WH_N})) AS i
+            FROM embeddings)
+    ), y AS (
+      SELECT q.vec_id, j.j,
+             CAST(SUM((1 - 2 * (bit_count(CAST(q.i AS BIGINT) & j.j) % 2))
+                      * qv) AS BIGINT) AS yv
+      FROM q CROSS JOIN (SELECT UNNEST(range(0, {_WH_N})) AS j) j
+      GROUP BY q.vec_id, j.j
+    ), nq AS (
+      SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS nq2,
+             CAST(MAX(qv * qv) AS BIGINT) AS pre_max
+      FROM q GROUP BY vec_id
+    ), ny AS (
+      SELECT vec_id,
+             CAST(SUM(CAST(yv AS HUGEINT) * yv) AS BIGINT) AS ny2,
+             CAST(MAX(CAST(yv AS HUGEINT) * yv) AS BIGINT) AS post_max
+      FROM y GROUP BY vec_id
+    )
+    SELECT n.vec_id, n.nq2 AS norm_q2, m.ny2 AS rot_norm2,
+           m.ny2 = {_WH_N} * n.nq2 AS parseval_ok,
+           CASE WHEN n.nq2 = 0 THEN NULL
+                ELSE CAST(ROUND(1000000.0 * n.pre_max / n.nq2) AS BIGINT)
+           END AS pre_max_share_e6,
+           CASE WHEN n.nq2 = 0 THEN NULL
+                ELSE CAST(ROUND(1000000.0 * m.post_max / m.ny2) AS BIGINT)
+           END AS post_max_share_e6
+    FROM nq n JOIN ny m USING (vec_id)
+    """,
+    tags=("vector", "embeddings", "rotation", "exact"),
+)
+def vector_hadamard_rotation_parseval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walsh-Hadamard rotation of every embedding (Sylvester H_{_WH_N}:
+    H[j,i] = (−1)^popcount(i AND j) — the structured pseudo-random
+    rotation ANN pipelines apply before quantization/LSH to spread
+    energy across coordinates; Andoni et al., NeurIPS 2015 use exactly
+    this transform in cross-polytope LSH, and Ailon-Chazelle's FJLT
+    builds on it). No table injection is needed at all: the sign is an
+    integer popcount expression both engines evaluate bit-identically.
+    Everything is exact — elements quantize by ×2¹⁰, the rotated
+    coordinates are BIGINT signed sums — so PARSEVAL'S THEOREM is an
+    exact-equality gate, not a tolerance: ‖Hq‖² = {_WH_N}·‖q‖² holds in
+    integers for every vector or the hash breaks (any sign/index slip
+    destroys it). The pre/post max-coordinate energy shares are the
+    spreading readout (the quantity the rotation exists to reduce).
+
+    Scale: ZERO shuffle — the whole transform is a nested higher-order
+    fold inside one map-only projection (the JL-query discipline);
+    vectors never leave their partition. The oracle spells the
+    identical arithmetic relationally. Reference analog: none."""
+    e = read_table(spark, sf_dir, "embeddings")
+    qarr = (
+        "transform(sequence(0, size(embedding) - 1),"
+        f" i -> CAST(ROUND(CAST(element_at(embedding, i + 1) AS DOUBLE)"
+        f" * {_WH_SCALE}) AS BIGINT))"
+    )
+    y_j = (
+        f"aggregate(sequence(0, {_WH_N - 1}), 0L,"
+        " (a, i) -> a + (1 - 2 * (bit_count(i & j) % 2))"
+        " * element_at(qarr, i + 1))"
+    )
+    d = (
+        e.select("vec_id", F.expr(qarr).alias("qarr"))
+        .select(
+            "vec_id",
+            "qarr",
+            F.expr(
+                f"transform(sequence(0, {_WH_N - 1}), j -> {y_j})"
+            ).alias("yarr"),
+        )
+        .select(
+            "vec_id",
+            F.expr("aggregate(qarr, 0L, (a, x) -> a + x * x)").alias("nq2"),
+            F.expr(
+                "array_max(transform(qarr, x -> x * x))"
+            ).alias("pre_max"),
+            F.expr("aggregate(yarr, 0L, (a, y) -> a + y * y)").alias("ny2"),
+            F.expr(
+                "array_max(transform(yarr, y -> y * y))"
+            ).alias("post_max"),
+        )
+    )
+    return d.select(
+        "vec_id",
+        F.col("nq2").alias("norm_q2"),
+        F.col("ny2").alias("rot_norm2"),
+        (F.col("ny2") == _WH_N * F.col("nq2")).alias("parseval_ok"),
+        F.when(F.col("nq2") == 0, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.round(1000000.0 * F.col("pre_max") / F.col("nq2")).cast("bigint")
+        )
+        .alias("pre_max_share_e6"),
+        F.when(F.col("nq2") == 0, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.round(1000000.0 * F.col("post_max") / F.col("ny2")).cast("bigint")
+        )
+        .alias("post_max_share_e6"),
+    )

@@ -29,6 +29,9 @@ R12_QUERIES = [
     "privacy_dp_median_exponential",
     "stats_ljung_box_whiteness",
     "dedup_simhash_hamming_paired",
+    "vector_hadamard_rotation_parseval",
+    "stats_gumbel_block_maxima",
+    "finance_var_cvar_historical",
 ]
 
 

@@ -479,6 +479,13 @@ BENCH_EXCHANGE_PINS = {
     "privacy_dp_median_exponential": (2, 1),
     "stats_ljung_box_whiteness": (3, 3),
     "dedup_simhash_hamming_paired": (3, 1),
+    # round 12 batch 5 — the Hadamard rotation is the JL-style nested
+    # HOF fold: zero exchanges for a 64x64 transform of every vector;
+    # Gumbel is day-grain + month-max keyed aggregates + broadcast dim;
+    # VaR/CVaR is one date-keyed reduction + nation-partitioned windows
+    "vector_hadamard_rotation_parseval": (0, 0),
+    "stats_gumbel_block_maxima": (4, 1),
+    "finance_var_cvar_historical": (3, 1),
 }
 
 
