@@ -383,6 +383,10 @@ HEADLINE = [
     "vector_hadamard_rotation_parseval",
     "stats_gumbel_block_maxima",
     "finance_var_cvar_historical",
+    # round 12 batch 6: isotonic calibration (PAV minimax identity) and
+    # group-conditional split-conformal intervals
+    "ml_isotonic_calibration_pav",
+    "ml_conformal_split_interval",
 ]
 
 

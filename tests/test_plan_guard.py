@@ -486,6 +486,12 @@ BENCH_EXCHANGE_PINS = {
     "vector_hadamard_rotation_parseval": (0, 0),
     "stats_gumbel_block_maxima": (4, 1),
     "finance_var_cvar_historical": (3, 1),
+    # round 12 batch 6 — isotonic spills the 11-row bin table once
+    # (15->5 shuffles caught by this sweep; the 7 broadcasts are the
+    # tiny bin-domain frames); conformal runs three hash-split passes
+    # over one scan with a broadcast model/quantile table
+    "ml_isotonic_calibration_pav": (5, 7),
+    "ml_conformal_split_interval": (7, 5),
 }
 
 
