@@ -109,11 +109,26 @@ def live_scratch_count() -> int:
     return len(_live_scratch)
 
 
+#: owner marker dropped into every registered scratch DIR so a later
+#: process can tell live dirs from orphans (the janitor below)
+_OWNER_MARKER = ".blow_spark_owner"
+
+
+def _write_owner_marker(path: str) -> None:
+    if os.path.isdir(path):
+        try:
+            with open(os.path.join(path, _OWNER_MARKER), "w") as fh:
+                fh.write(str(os.getpid()))
+        except OSError:
+            pass
+
+
 def register_scratch(path: str) -> str:
     """Enroll an existing temp path (dir or file) in the scratch
     lifecycle: LRU-evicted past ``_MAX_LIVE_SCRATCH`` live paths and
     swept at process exit. Returns ``path`` for call-site chaining.
     Re-registering an existing path refreshes its LRU position."""
+    _write_owner_marker(path)
     _live_scratch.pop(path, None)
     _live_scratch[path] = None
     while len(_live_scratch) > _MAX_LIVE_SCRATCH:
@@ -142,6 +157,68 @@ def register_session_artifact(path: str) -> str:
     """Enroll a path for atexit sweep only (no LRU bound)."""
     _session_artifacts.add(path)
     return path
+
+
+def reap_orphan_scratch(max_age_hours: float = 48.0) -> int:
+    """Startup janitor (round-12): remove ``blow_spark_*`` temp paths
+    ORPHANED by earlier processes. The in-process lifecycle (LRU +
+    atexit) cannot reach dirs left by a crashed or killed session, and
+    they otherwise persist for the machine's lifetime (625 were counted
+    after the pre-lifecycle rounds). Reaping rules, most to least
+    certain:
+
+    * a dir whose ``.blow_spark_owner`` pid is DEAD → orphan, remove
+      (the signal-0 liveness probe; dirs made by THIS process or any
+      live process are never touched);
+    * a ``_SUCCESS``-marked dir → a fingerprint-keyed fixture cache:
+      skip (cleanup_stale_siblings owns those — exactly one live cache
+      per family, deliberately cross-process);
+    * anything else (legacy, pre-marker) → remove once its mtime is
+      older than ``max_age_hours`` — old sessions' leftovers age out,
+      while anything a live marker-less process could still be using
+      stays.
+
+    Called once per ``get_spark`` session; returns the number of paths
+    removed."""
+    import glob as _glob
+    import time as _time
+
+    removed = 0
+    now = _time.time()
+    for p in _glob.glob(os.path.join(tempfile.gettempdir(), "blow_spark_*")):
+        if p in _live_scratch or p in _live_spills or p in _session_artifacts:
+            continue
+        marker = os.path.join(p, _OWNER_MARKER)
+        if os.path.isdir(p) and os.path.exists(marker):
+            try:
+                pid = int(open(marker).read().strip())
+            except (OSError, ValueError):
+                pid = None
+            if pid == os.getpid():
+                continue
+            alive = False
+            if pid is not None:
+                try:
+                    os.kill(pid, 0)
+                    alive = True
+                except ProcessLookupError:
+                    alive = False
+                except OSError:
+                    alive = True  # e.g. EPERM: someone owns it
+            if not alive:
+                _remove_path(p)
+                removed += 1
+            continue
+        if os.path.isdir(p) and os.path.exists(os.path.join(p, "_SUCCESS")):
+            continue  # fixture cache: sibling-cleanup owns it
+        try:
+            age_ok = now - os.path.getmtime(p) > max_age_hours * 3600
+        except OSError:
+            continue
+        if age_ok:
+            _remove_path(p)
+            removed += 1
+    return removed
 
 
 def cleanup_stale_siblings(keep_path: str, pattern: str) -> None:
@@ -173,6 +250,9 @@ def spill_to_parquet(df: DataFrame, prefix: str = "blow_spark_ckpt_") -> DataFra
     the tempdir population flat (pinned in tests/test_materialize.py)."""
     path = tempfile.mkdtemp(prefix=prefix)
     df.write.mode("overwrite").parquet(path)
+    # AFTER the write (overwrite mode recreates the dir); dot-prefixed,
+    # so parquet scans on both engines treat it as hidden
+    _write_owner_marker(path)
     _live_spills[path] = None
     while len(_live_spills) > _MAX_LIVE_SPILLS:
         old, _ = _live_spills.popitem(last=False)

@@ -59,4 +59,10 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # startup janitor (round-12): reap scratch dirs orphaned by DEAD
+    # earlier sessions — the in-process LRU/atexit lifecycle cannot
+    # reach them, and they otherwise accumulate across driver rounds
+    from blow_spark.materialize import reap_orphan_scratch
+
+    reap_orphan_scratch()
     return spark

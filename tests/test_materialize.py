@@ -192,3 +192,48 @@ def test_cleanup_stale_siblings_keeps_only_current(own_registry):
     assert os.path.isdir(keep)
     assert not os.path.exists(stale1) and not os.path.exists(stale2)
     M._remove_path(keep)
+
+
+def test_reap_orphan_scratch_rules(own_registry):
+    """The startup janitor's three rules: dead-pid-marked dirs go,
+    live-pid-marked and _SUCCESS (fixture-cache) dirs stay, unmarked
+    legacy dirs go only past the age threshold."""
+    import time
+
+    tmp = tempfile.gettempdir()
+    _reap_stale("blow_spark_reap_test_")
+    dead = os.path.join(tmp, "blow_spark_reap_test_dead")
+    live = os.path.join(tmp, "blow_spark_reap_test_live")
+    cache = os.path.join(tmp, "blow_spark_reap_test_cache")
+    old = os.path.join(tmp, "blow_spark_reap_test_old")
+    fresh = os.path.join(tmp, "blow_spark_reap_test_fresh")
+    for p in (dead, live, cache, old, fresh):
+        os.makedirs(p, exist_ok=True)
+    # a pid that cannot exist (> pid_max on Linux)
+    with open(os.path.join(dead, M._OWNER_MARKER), "w") as fh:
+        fh.write("4999999")
+    with open(os.path.join(live, M._OWNER_MARKER), "w") as fh:
+        fh.write(str(os.getpid()))
+    with open(os.path.join(cache, "_SUCCESS"), "w"):
+        pass
+    past = time.time() - 9 * 3600
+    os.utime(old, (past, past))
+    removed = M.reap_orphan_scratch(max_age_hours=8)
+    assert removed >= 2
+    assert not os.path.exists(dead)
+    assert not os.path.exists(old)
+    assert os.path.isdir(live)
+    assert os.path.isdir(cache)
+    assert os.path.isdir(fresh)
+    for p in (live, cache, fresh):
+        M._remove_path(p)
+
+
+def test_registered_paths_survive_janitor(spark, own_registry):
+    """Paths registered by THIS process are never reaped, marker or
+    not (the registry check precedes every rule)."""
+    d = M.scratch_dir(prefix="blow_spark_reapreg_test_")
+    sp = M.spill_to_parquet(spark.range(2).toDF("x"), "blow_spark_reapspill_test_")
+    M.reap_orphan_scratch(max_age_hours=0)  # maximally aggressive
+    assert os.path.isdir(d)
+    assert sp.count() == 2  # the spill dir is still readable
