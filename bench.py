@@ -387,6 +387,9 @@ HEADLINE = [
     # group-conditional split-conformal intervals
     "ml_isotonic_calibration_pav",
     "ml_conformal_split_interval",
+    # round 12 batch 7: Adam7-interlaced PNG (the PNG decoder's last
+    # 8-bit gate closed)
+    "multimodal_png_adam7_decode",
 ]
 
 

@@ -79,58 +79,35 @@ def with_synthetic_media(df: DataFrame, text_col: str = "text") -> DataFrame:
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
-def _decode_png(content: bytes) -> np.ndarray:
-    """Pure-stdlib PNG decoder (zlib inflate + filter reconstruction):
-    8-bit depth, color types 0 (gray), 2 (RGB), 3 (indexed, mapped
-    through the PLTE palette — round 11), 6 (RGBA), no interlace —
-    the overwhelmingly common subset. REAL decode with no external
-    codec: this container ships no PIL, but PNG's compression is zlib,
-    which is the standard library. Per-spec filters 0-4 (None/Sub/Up/
-    Average/Paeth) reconstructed exactly; cross-checked against
-    hand-computed pixels in tests/test_multimodal.py. Row loop is
-    Python — fine for the thumbnail/preview sizes a feature pass reads;
-    swap PIL in for decode-heavy jobs when it ships."""
-    import struct
-    import zlib
+#: Adam7 pass grid per the PNG spec §8.2: (x_start, y_start, x_step,
+#: y_step) for each of the 7 passes, in stream order
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    if content[:8] != _PNG_MAGIC:
-        raise ValueError("not a PNG stream")
-    pos, width = 8, None
-    idat = b""
-    palette = None
-    while pos + 8 <= len(content):
-        (length,), ctype = struct.unpack(">I", content[pos : pos + 4]), content[pos + 4 : pos + 8]
-        data = content[pos + 8 : pos + 8 + length]
-        pos += 12 + length
-        if ctype == b"IHDR":
-            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-            if depth != 8 or color not in (0, 2, 3, 6) or interlace != 0:
-                raise NotImplementedError(
-                    f"PNG subset: 8-bit color type 0/2/3/6 non-interlaced "
-                    f"(got depth={depth} color={color} interlace={interlace})"
-                )
-            ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
-        elif ctype == b"PLTE":
-            if len(data) % 3 != 0:
-                raise ValueError("PLTE length not a multiple of 3")
-            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-    if width is None:
-        raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(idat)
-    stride = width * ch
-    out = np.zeros((height, stride), dtype=np.uint8)
+
+def _png_unfilter(raw: bytes, offset: int, w_px: int, h: int, ch: int):
+    """Reconstruct ``h`` filtered scanlines of ``w_px`` pixels from
+    ``raw`` starting at ``offset`` (per-spec filters 0-4: None/Sub/Up/
+    Average/Paeth). Returns (h x (w_px*ch) uint8 array, bytes
+    consumed). Shared by the sequential and every Adam7 pass — each
+    pass's filter chain is self-contained per the spec."""
+    stride = w_px * ch
+    out = np.zeros((h, stride), dtype=np.uint8)
     prior = np.zeros(stride, dtype=np.int32)
-    for y in range(height):
-        f = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)], dtype=np.uint8
-        ).astype(np.int32)
+    pos = offset
+    for y in range(h):
+        f = raw[pos]
+        line = np.frombuffer(raw[pos + 1 : pos + 1 + stride], dtype=np.uint8).astype(
+            np.int32
+        )
+        pos += 1 + stride
         recon = np.zeros(stride, dtype=np.int32)
         for x in range(stride):
             a = recon[x - ch] if x >= ch else 0  # left
@@ -154,6 +131,71 @@ def _decode_png(content: bytes) -> np.ndarray:
             recon[x] = v & 0xFF
         out[y] = recon
         prior = recon
+    return out, pos - offset
+
+
+def _decode_png(content: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decoder (zlib inflate + filter reconstruction):
+    8-bit depth, color types 0 (gray), 2 (RGB), 3 (indexed, mapped
+    through the PLTE palette — round 11), 6 (RGBA), sequential OR
+    Adam7-interlaced (round 12 — each of the 7 passes is its own
+    self-contained filter chain scattered onto the spec's pass grid).
+    REAL decode with no external codec: this container ships no PIL,
+    but PNG's compression is zlib, which is the standard library.
+    Per-spec filters 0-4 (None/Sub/Up/Average/Paeth) reconstructed
+    exactly; cross-checked against hand-computed pixels in
+    tests/test_multimodal.py. Row loop is Python — fine for the
+    thumbnail/preview sizes a feature pass reads; swap PIL in for
+    decode-heavy jobs when it ships."""
+    import struct
+    import zlib
+
+    if content[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG stream")
+    pos, width = 8, None
+    idat = b""
+    palette = None
+    while pos + 8 <= len(content):
+        (length,), ctype = struct.unpack(">I", content[pos : pos + 4]), content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color not in (0, 2, 3, 6) or interlace not in (0, 1):
+                raise NotImplementedError(
+                    f"PNG subset: 8-bit color type 0/2/3/6, sequential or "
+                    f"Adam7 (got depth={depth} color={color} "
+                    f"interlace={interlace})"
+                )
+            ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+        elif ctype == b"PLTE":
+            if len(data) % 3 != 0:
+                raise ValueError("PLTE length not a multiple of 3")
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(idat)
+    if interlace == 0:
+        out, _used = _png_unfilter(raw, 0, width, height, ch)
+    else:  # Adam7: 7 independent reduced images, scattered to the grid
+        out = np.zeros((height, width * ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass at this image size
+            sub, used = _png_unfilter(raw, off, pw, ph, ch)
+            off += used
+            sub3 = sub.reshape(ph, pw, ch)
+            view = out.reshape(height, width, ch)
+            view[y0::dy, x0::dx, :] = sub3
     if color == 3:  # IHDR guaranteed above (width is not None)
         if palette is None:
             raise ValueError("indexed PNG missing PLTE")
@@ -163,12 +205,14 @@ def _decode_png(content: bytes) -> np.ndarray:
     return out.reshape(height, width, ch) if ch > 1 else out.reshape(height, width)
 
 
-def encode_png(img: np.ndarray) -> bytes:
+def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
     """Pure-stdlib PNG encoder (filter 0 rows + zlib deflate): 8-bit
-    grayscale (HxW) or RGB/RGBA (HxWxC). The write-side twin of
-    _decode_png — together they give the repo a REAL lossless image
-    codec with no external dependency, used to materialize genuine .png
-    files for the binaryFile ingest path
+    grayscale (HxW) or RGB/RGBA (HxWxC), sequential or Adam7-interlaced
+    (``interlace=True`` — the 7 reduced images in spec pass order, each
+    its own filter chain). The write-side twin of _decode_png —
+    together they give the repo a REAL lossless image codec with no
+    external dependency, used to materialize genuine .png files for the
+    binaryFile ingest path
     (queries.multimodal_q.source_binaryfile_image_ingest)."""
     import struct
     import zlib
@@ -177,8 +221,20 @@ def encode_png(img: np.ndarray) -> bytes:
     h, w = img.shape[:2]
     ch = 1 if img.ndim == 2 else img.shape[2]
     color = {1: 0, 3: 2, 4: 6}[ch]
-    flat = img.reshape(h, w * ch)
-    raw = b"".join(b"\x00" + flat[y].tobytes() for y in range(h))
+    view = img.reshape(h, w, ch)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = view[y0::dy, x0::dx, :]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            flat = sub.reshape(ph, pw * ch)
+            parts.append(b"".join(b"\x00" + flat[y].tobytes() for y in range(ph)))
+        raw = b"".join(parts)
+    else:
+        flat = view.reshape(h, w * ch)
+        raw = b"".join(b"\x00" + flat[y].tobytes() for y in range(h))
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -188,7 +244,7 @@ def encode_png(img: np.ndarray) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1 if interlace else 0)
     return (
         _PNG_MAGIC
         + chunk(b"IHDR", ihdr)
@@ -1952,3 +2008,65 @@ def decode_wav_adpcm(content: bytes) -> np.ndarray:
     return (
         np.concatenate(out) if out else np.zeros(0, dtype=np.int16)
     )
+
+
+def png_adam7_corpus_fixture_dir(spark, sf_dir: str, n_docs: int = 50) -> str:
+    """Genuine Adam7-INTERLACED ``.png`` corpus fixture: the SAME pixel
+    generation formula as the QOI fixture (qoi_fixture_pixel), through
+    a completely different lossless container — so the one closed-form
+    oracle gates two independent codec paths. Written DISTRIBUTED
+    inside mapInPandas, cached per source fingerprint."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from blow_spark.shipping import ensure_package_shipped
+    from blow_spark.sources import read_table
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    stat_parts = []
+    if os.path.isdir(src):
+        for fn in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, fn))
+            stat_parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        stat_parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    token = hashlib.sha256(
+        f"adam7|{sf_dir}|{n_docs}|{'|'.join(stat_parts)}".encode()
+    ).hexdigest()[:12]
+    img_dir = os.path.join(tempfile.gettempdir(), f"blow_spark_adm7_{token}")
+    from blow_spark.materialize import cleanup_stale_siblings
+
+    cleanup_stale_siblings(
+        img_dir, os.path.join(tempfile.gettempdir(), "blow_spark_adm7_*")
+    )
+    marker = os.path.join(img_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return img_dir
+    os.makedirs(img_dir, exist_ok=True)
+    ensure_package_shipped(spark)
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < n_docs)
+        .select("doc_id", "text")
+    )
+
+    def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = str(text).encode("utf-8")[:64].ljust(64, b"\0")
+                img = np.zeros((64, 64, 3), dtype=np.uint8)
+                for r in range(64):
+                    for c in range(64):
+                        img[r, c] = qoi_fixture_pixel(r, c, raw[r])
+                with open(os.path.join(img_dir, f"{int(doc_id)}.png"), "wb") as f:
+                    f.write(encode_png(img, interlace=True))
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    d.mapInPandas(write_part, "n long").count()
+    with open(marker, "w"):
+        pass
+    return img_dir

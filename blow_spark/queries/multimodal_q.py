@@ -1141,3 +1141,71 @@ def multimodal_mp4_box_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_ms long, n_tracks int, width_px_sum long, "
         "height_px_sum long, track_duration_sum long, mdat_bytes long",
     )
+
+
+@register(
+    "multimodal_png_adam7_decode",
+    oracle=_qoi_oracle(),
+    tags=("multimodal", "binaryfile", "codec", "png"),
+)
+def multimodal_png_adam7_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Adam7-INTERLACED PNG decode under the oracle gate (round 12
+    — closes the PNG decoder's last 8-bit gate: interlaced files are
+    what progressive-rendering web exports emit). Genuine interlaced
+    .png files on disk (encode_png(interlace=True) — the 7 reduced
+    images of PNG spec §8.2, each its own filter chain), scanned with
+    binaryFile and decoded FOR REAL by the generalized _decode_png
+    (per-pass unfilter + scatter onto the pass grid; empty passes at
+    small sizes handled), reduced to per-image per-channel pixel sums.
+
+    The fixture uses the SAME pixel-generation formula as the QOI
+    fixture and therefore the SAME closed-form oracle — one ground
+    truth gating two independent lossless codec paths (a mismatch here
+    but not in the QOI query isolates the fault to the Adam7
+    machinery specifically). Plan shape: parallel file scan ->
+    map-only decode -> narrow stats. Reference analog: none."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from blow_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    img_dir = multimodal.png_adam7_corpus_fixture_dir(spark, sf_dir, n_docs=50)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(img_dir)
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                img = multimodal.decode_image(bytes(content))
+                s = img.astype(np.int64).sum(axis=(0, 1))
+                rows.append(
+                    {
+                        "doc_id": int(os.path.splitext(os.path.basename(path))[0]),
+                        "height": img.shape[0],
+                        "width": img.shape[1],
+                        "n_px": int(img.shape[0] * img.shape[1]),
+                        "r_sum": int(s[0]),
+                        "g_sum": int(s[1]),
+                        "b_sum": int(s[2]),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "height", "width", "n_px",
+                    "r_sum", "g_sum", "b_sum",
+                ],
+            )
+
+    return files.select("path", "content").mapInPandas(
+        decode,
+        "doc_id long, height int, width int, n_px int, "
+        "r_sum long, g_sum long, b_sum long",
+    )

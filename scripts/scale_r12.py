@@ -34,6 +34,7 @@ R12_QUERIES = [
     "finance_var_cvar_historical",
     "ml_isotonic_calibration_pav",
     "ml_conformal_split_interval",
+    "multimodal_png_adam7_decode",
 ]
 
 

@@ -492,6 +492,7 @@ BENCH_EXCHANGE_PINS = {
     # over one scan with a broadcast model/quantile table
     "ml_isotonic_calibration_pav": (5, 7),
     "ml_conformal_split_interval": (7, 5),
+    "multimodal_png_adam7_decode": (0, 0),  # map-only decode
 }
 
 

@@ -263,3 +263,43 @@ def test_qoi_malformed_streams_raise():
     bad = b"qoif" + struct.pack(">IIBB", 2, 1, 3, 0) + bytes([0xC0 | 61]) + b"\x00" * 7 + b"\x01"
     with pytest.raises(ValueError, match="run overflows"):
         M.decode_qoi(bad)
+
+
+# --------------------------------------------------------------------------
+# Adam7 interlaced PNG (round 12)
+# --------------------------------------------------------------------------
+
+
+def test_png_adam7_roundtrip_all_shapes():
+    """Interlaced encode -> decode is identity across channel counts and
+    sizes with EMPTY passes (any dimension < 5 skips passes entirely),
+    and matches the sequential decode of the same image."""
+    rng = np.random.default_rng(5)
+    for ch in (None, 3, 4):
+        for shape in ((1, 1), (2, 3), (7, 5), (33, 17), (64, 64)):
+            img = rng.integers(
+                0, 256, (shape if ch is None else (*shape, ch)), dtype=np.uint8
+            )
+            dec = M._decode_png(M.encode_png(img, interlace=True))
+            assert dec.shape == img.shape and np.array_equal(dec, img)
+            assert np.array_equal(M._decode_png(M.encode_png(img)), img)
+
+
+def test_png_adam7_stream_is_actually_interlaced():
+    """The interlaced stream must differ from the sequential one (same
+    pixels, different scanline order) and declare interlace=1 in IHDR."""
+    img = np.arange(64 * 64 * 3, dtype=np.uint8).reshape(64, 64, 3)
+    seq = M.encode_png(img)
+    adam = M.encode_png(img, interlace=True)
+    assert adam != seq
+    ihdr_off = adam.index(b"IHDR") + 4
+    assert adam[ihdr_off + 12] == 1 and seq[seq.index(b"IHDR") + 4 + 12] == 0
+    assert np.array_equal(M._decode_png(adam), M._decode_png(seq))
+
+
+def test_png_invalid_interlace_still_gated():
+    img = np.zeros((8, 8), dtype=np.uint8)
+    enc = bytearray(M.encode_png(img))
+    enc[enc.index(b"IHDR") + 4 + 12] = 2
+    with pytest.raises(NotImplementedError, match="interlace=2"):
+        M._decode_png(bytes(enc))
