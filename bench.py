@@ -390,6 +390,10 @@ HEADLINE = [
     # round 12 batch 7: Adam7-interlaced PNG (the PNG decoder's last
     # 8-bit gate closed)
     "multimodal_png_adam7_decode",
+    # round 12 batch 8: Gaussian-mechanism DP histogram with zCDP
+    # accounting; leakage-safe leave-one-out target encoding
+    "privacy_dp_histogram_gaussian",
+    "ml_target_encoding_loo",
 ]
 
 

@@ -1108,3 +1108,106 @@ def privacy_dp_median_exponential(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("nk")
     )
+
+
+# --------------------------------------------------------------------------
+# Gaussian-mechanism DP histogram with zCDP accounting (round 12)
+# --------------------------------------------------------------------------
+
+#: (eps, delta) = (1, 1e-6); sigma = sqrt(2 ln(1.25/delta)) * Delta2/eps
+#: (Dwork & Roth, Thm A.1) with Delta2 = 1 for a disjoint histogram.
+#: e9-fixpointed in PYTHON and injected into both plans; rho = 1/(2 sigma^2)
+#: is the zCDP cost (Bun & Steinke 2016) the accountant composes.
+_DPG_SIGMA_E9 = 5_298_802_527  # sqrt(2*ln(1.25e6)) = 5.2988025268...
+_DPG_RHO_E12 = 17_807_974_899  # 1/(2*sigma^2) * 1e12
+_DPG_TWO_PI = "6.283185307179586"
+_DPG_BUCKET = 500  # doc-length bucket width (chars)
+
+
+@register(
+    "privacy_dp_histogram_gaussian",
+    oracle=f"""
+    WITH cells AS (
+      SELECT source, LEAST(LENGTH(text) // {_DPG_BUCKET}, 9) AS len_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1, 2
+    ), noise AS (
+      SELECT source, len_bucket, n_docs,
+             (CAST(CAST(('0x' || substring(md5('dpg1:' || source || ':'
+                  || CAST(len_bucket AS VARCHAR)), 1, 13)) AS BIGINT)
+                  AS DOUBLE) + 0.5) / 4503599627370496.0 AS u1,
+             (CAST(CAST(('0x' || substring(md5('dpg2:' || source || ':'
+                  || CAST(len_bucket AS VARCHAR)), 1, 13)) AS BIGINT)
+                  AS DOUBLE) + 0.5) / 4503599627370496.0 AS u2
+      FROM cells
+    )
+    SELECT source, CAST(len_bucket AS BIGINT) AS len_bucket, n_docs,
+           ROUND(n_docs + ({_DPG_SIGMA_E9} / 1e9)
+                 * SQRT(-2.0 * LN(u1)) * COS({_DPG_TWO_PI} * u2), 6)
+             AS dp_count,
+           CAST({_DPG_SIGMA_E9} AS BIGINT) AS sigma_e9,
+           CAST({_DPG_RHO_E12} AS BIGINT) AS rho_e12
+    FROM noise ORDER BY source, len_bucket
+    """,
+    tags=("governance", "privacy", "dp", "documents"),
+)
+def privacy_dp_histogram_gaussian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private HISTOGRAM release (source × length-bucket
+    document counts) via the GAUSSIAN mechanism — the fourth DP
+    mechanism class on the shelf (Laplace, randomized response,
+    exponential are the others) and the one modern DP deployments
+    compose with, because its privacy cost is a clean zero-concentrated
+    DP (zCDP) ρ = Δ²/(2σ²) that ADDS across releases (Bun & Steinke,
+    TCC 2016). σ is calibrated for (ε=1, δ=10⁻⁶) by the classical
+    √(2·ln(1.25/δ)) rule (Dwork & Roth, Thm A.1; a disjoint histogram
+    has L2 sensitivity 1), injected as an e9 constant, and the per-cell
+    ρ rides in the rows — the number a privacy accountant actually
+    sums. Noise is DERIVED Gaussian via Box-Muller on two md5 52-bit
+    uniforms (the laplace-query discipline: reproducible and
+    oracle-checkable, production transform verbatim; the +0.5 offset
+    keeps ln(0) and cos arguments finite). ROUND-6 absorbs the
+    JVM-vs-libm last ulp of ln/cos/sqrt on identical operands.
+
+    Scale: one map-side-combinable keyed count; noise is a per-cell
+    expression on the bounded cell table. Reference analog: none."""
+    d = read_table(spark, sf_dir, "documents")
+    cells = d.groupBy(
+        "source",
+        F.least(
+            F.expr(f"length(text) div {_DPG_BUCKET}"), F.lit(9)
+        ).alias("len_bucket"),
+    ).agg(F.count("*").cast("bigint").alias("n_docs"))
+
+    def uni(tag: str):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(tag),
+                        F.col("source"),
+                        F.lit(":"),
+                        F.col("len_bucket").cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return (h.cast("double") + 0.5) / float(16**13)
+
+    z = (
+        F.sqrt(-2.0 * F.log(uni("dpg1:")))
+        * F.cos(float(_DPG_TWO_PI) * uni("dpg2:"))
+    )
+    return cells.select(
+        "source",
+        F.col("len_bucket").cast("bigint").alias("len_bucket"),
+        "n_docs",
+        F.round(
+            F.col("n_docs") + (_DPG_SIGMA_E9 / 1e9) * z, 6
+        ).alias("dp_count"),
+        F.lit(_DPG_SIGMA_E9).cast("bigint").alias("sigma_e9"),
+        F.lit(_DPG_RHO_E12).cast("bigint").alias("rho_e12"),
+    ).orderBy("source", "len_bucket")

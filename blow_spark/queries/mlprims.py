@@ -766,3 +766,97 @@ def ml_conformal_split_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# Leave-one-out target encoding (round 12)
+# --------------------------------------------------------------------------
+
+_TE_SMOOTH_M = 10  # prior pseudo-count for the smoothed encoding
+
+
+@register(
+    "ml_target_encoding_loo",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT l.l_orderkey, l.l_linenumber, p.p_brand AS brand,
+             CAST(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END
+                  AS BIGINT) AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), grp AS (
+      SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS sy
+      FROM rows_ GROUP BY brand
+    ), tot AS (
+      SELECT CAST(ROUND(1000000.0 * SUM(sy) / SUM(n)) AS BIGINT) AS prior_e6
+      FROM grp
+    )
+    SELECT r.l_orderkey, r.l_linenumber, r.brand, r.y, g.n AS n_brand,
+           CASE WHEN g.n = 1 THEN NULL
+                ELSE CAST(ROUND(1000000.0 * (g.sy - r.y) / (g.n - 1))
+                          AS BIGINT)
+           END AS enc_loo_e6,
+           CAST(ROUND((1000000.0 * (g.sy - r.y) + {_TE_SMOOTH_M} * t.prior_e6)
+                / (g.n - 1 + {_TE_SMOOTH_M})) AS BIGINT) AS enc_smooth_e6
+    FROM rows_ r JOIN grp g USING (brand) CROSS JOIN tot t
+    """,
+    tags=("ml", "feature-engineering", "lineitem", "exact"),
+)
+def ml_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-OUT target encoding of p_brand against the return flag
+    — the high-cardinality-categorical feature transform gradient-
+    boosting pipelines run inside the data engine (Micci-Barreca,
+    SIGKDD Explorations 2001 is the smoothing form; the LOO variant is
+    the leakage-safe one: each row's own label is EXCLUDED from its
+    encoding, so the feature carries no per-row target leakage). Two
+    encodings per row: raw LOO (Σy − y)/(n − 1), NULL for singleton
+    groups where it is undefined, and the m-estimate smoothed form
+    (Σy − y + m·prior)/(n − 1 + m) with the global rate as prior and
+    m = {_TE_SMOOTH_M}. All arithmetic is exact integers until one
+    final e6-rounded division on identical operands.
+
+    Scale: one broadcast dim join + one keyed aggregate, then the
+    group table broadcasts BACK onto the rows (map-side) — the fact
+    table shuffles zero times for the encoding itself; output is
+    row-grain by design (it IS a feature column). Reference analog:
+    none."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    rows_ = li.join(F.broadcast(p), p.p_partkey == li.l_partkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("p_brand").alias("brand"),
+        (F.col("l_returnflag") == "R").cast("bigint").alias("y"),
+    )
+    grp = rows_.groupBy("brand").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    tot = grp.agg(
+        F.round(1000000.0 * F.sum("sy") / F.sum("n"))
+        .cast("bigint")
+        .alias("prior_e6")
+    )
+    loo_num = F.col("sy") - F.col("y")
+    return (
+        rows_.join(F.broadcast(grp), "brand")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "brand",
+            "y",
+            F.col("n").alias("n_brand"),
+            F.when(F.col("n") == 1, F.lit(None).cast("bigint"))
+            .otherwise(
+                F.round(1000000.0 * loo_num / (F.col("n") - 1)).cast("bigint")
+            )
+            .alias("enc_loo_e6"),
+            F.round(
+                (1000000.0 * loo_num + _TE_SMOOTH_M * F.col("prior_e6"))
+                / (F.col("n") - 1 + _TE_SMOOTH_M)
+            )
+            .cast("bigint")
+            .alias("enc_smooth_e6"),
+        )
+    )

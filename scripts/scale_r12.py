@@ -35,6 +35,8 @@ R12_QUERIES = [
     "ml_isotonic_calibration_pav",
     "ml_conformal_split_interval",
     "multimodal_png_adam7_decode",
+    "privacy_dp_histogram_gaussian",
+    "ml_target_encoding_loo",
 ]
 
 

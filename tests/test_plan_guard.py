@@ -493,6 +493,11 @@ BENCH_EXCHANGE_PINS = {
     "ml_isotonic_calibration_pav": (5, 7),
     "ml_conformal_split_interval": (7, 5),
     "multimodal_png_adam7_decode": (0, 0),  # map-only decode
+    # round 12 batch 8 — Gaussian DP is one keyed count + per-cell
+    # expression; target encoding broadcasts the group table back onto
+    # the rows (the fact table never shuffles for the encoding)
+    "privacy_dp_histogram_gaussian": (2, 0),
+    "ml_target_encoding_loo": (3, 5),
 }
 
 
