@@ -134,6 +134,18 @@ def register_scratch(path: str) -> str:
     while len(_live_scratch) > _MAX_LIVE_SCRATCH:
         old, _ = _live_scratch.popitem(last=False)
         _remove_path(old)
+    # Re-drop markers lost to overwrites: most call sites mkdtemp a
+    # scratch dir and then df.write.mode('overwrite') INTO it, which
+    # deletes and recreates the dir — taking the owner marker with it.
+    # Without the marker a crashed session's stage dirs dodge the
+    # dead-pid fast reap and linger for the 48 h age fallback instead.
+    for live in _live_scratch:
+        if (
+            live != path
+            and os.path.isdir(live)
+            and not os.path.exists(os.path.join(live, _OWNER_MARKER))
+        ):
+            _write_owner_marker(live)
     return path
 
 
@@ -216,6 +228,21 @@ def reap_orphan_scratch(max_age_hours: float = 48.0) -> int:
         except OSError:
             continue
         if age_ok:
+            # pid-named artifacts (the addPyFile pkg zips) can belong to
+            # a LIVE >48h session — age alone is not evidence of
+            # orphanhood when the name embeds the owner. Probe it, same
+            # as shipping._reap_dead_pid_zips.
+            import re as _re
+
+            m = _re.search(r"blow_spark_pkg_(\d+)_", os.path.basename(p))
+            if m:
+                try:
+                    os.kill(int(m.group(1)), 0)
+                    continue  # owner alive: shipping's reaper owns this
+                except ProcessLookupError:
+                    pass
+                except OSError:
+                    continue  # e.g. EPERM: alive under another uid
             _remove_path(p)
             removed += 1
     return removed

@@ -453,8 +453,23 @@ def decode_qoi(content: bytes) -> np.ndarray:
     out = np.empty((n_px, 4), dtype=np.uint8)
     index = [(0, 0, 0, 0)] * 64
     px = (0, 0, 0, 255)
-    pos, i = 14, 0
+    pos = 14
     data = content
+    try:
+        out, pos = _decode_qoi_ops(data, pos, n_px, out, index, px)
+    except IndexError:
+        # bytes single-indexing raises IndexError past the end; the
+        # docstring promises ValueError on truncation (ADVICE r12)
+        raise ValueError("QOI stream truncated") from None
+    if data[pos : pos + 8] != b"\x00" * 7 + b"\x01":
+        raise ValueError("QOI stream missing end marker")
+    return out[:, :nc].reshape(h, w, nc)
+
+
+def _decode_qoi_ops(data, pos, n_px, out, index, px):
+    """The QOI op loop, split out so truncation (IndexError from bytes
+    indexing) can be converted to ValueError in one place."""
+    i = 0
     while i < n_px:
         b1 = data[pos]
         pos += 1
@@ -494,9 +509,7 @@ def decode_qoi(content: bytes) -> np.ndarray:
         index[(px[0] * 3 + px[1] * 5 + px[2] * 7 + px[3] * 11) % 64] = px
         out[i] = px
         i += 1
-    if data[pos : pos + 8] != b"\x00" * 7 + b"\x01":
-        raise ValueError("QOI stream missing end marker")
-    return out[:, :nc].reshape(h, w, nc)
+    return out, pos
 
 
 def decode_audio(content: bytes, fake_decode: bool = False) -> np.ndarray:
