@@ -75,8 +75,12 @@ CORE = [
     # sketches
     "agg_hll_sketch_union",
     "agg_bitmap_exact_distinct",
-    # streaming
+    # streaming — the second-generation shelf runs through the REAL
+    # availableNow runtime every round, not just the round-2 tumbling
+    # row (round-12 verdict item #6)
     "streaming_tumbling_availablenow",
+    "streaming_stream_stream_join",
+    "streaming_cdc_merge_foreachbatch",
     "window_session",
     # sources / sinks / storage layout
     "source_python_datasource",
@@ -394,6 +398,15 @@ HEADLINE = [
     # accounting; leakage-safe leave-one-out target encoding
     "privacy_dp_histogram_gaussian",
     "ml_target_encoding_loo",
+    # round 13: perceptual dHash near-dup over real re-encoded JPEGs;
+    # the second-generation streaming shelf joins the bench runtime
+    # (stream-stream join + CDC merge through real availableNow runs)
+    "multimodal_dhash_near_dup",
+    "streaming_stream_stream_join",
+    "streaming_cdc_merge_foreachbatch",
+    # round 13 batch 2: progressive (SOF2) JPEG decided the IMPLEMENT
+    # way — real 2-scan progressive files, DC-scan-only decode
+    "multimodal_jpeg_progressive_dc_stats",
 ]
 
 
@@ -405,18 +418,84 @@ SUMMARY_LINE_BUDGET = 1500
 #: ratio is shared-VM interference, not plan cost — take a third.
 OUTLIER_RATIO = 3.0
 
+#: Cross-round tiebreak (round-12 verdict item #2): the intra-pair test
+#: misses COMMON-MODE interference spanning both samples — three r12
+#: queries recorded 2.4-3.2× high vs a matching same-suite run minutes
+#: apart. When min-of-N still exceeds the committed prior-round sidecar
+#: value by more than this ratio for a query whose exchange pin is
+#: unchanged, keep sampling (up to MAX_SAMPLES total).
+CROSS_ROUND_RATIO = 2.0
+MAX_SAMPLES = 4
+#: ...but never for sub-second noise: a 0.2s query reading 0.5s is
+#: scheduler jitter, not interference worth two more runs.
+CROSS_ROUND_MIN_SEC = 1.0
 
-def sample_query(run_once, outlier_ratio: float = OUTLIER_RATIO):
+
+def sample_query(
+    run_once,
+    outlier_ratio: float = OUTLIER_RATIO,
+    prior_best: float | None = None,
+    cross_ratio: float = CROSS_ROUND_RATIO,
+    max_samples: int = MAX_SAMPLES,
+):
     """Time one query: two base samples, plus a third whenever the two
     disagree by more than ``outlier_ratio`` (round-11 verdict item #3 —
     interference on this shared VM can outlast min-of-2; BENCH_r11
-    carried a 14× artifact on a byte-identical plan). Returns
-    ``(best, samples)`` so the official record keeps every raw timing
-    and self-identifies which rows needed the tiebreak."""
+    carried a 14× artifact on a byte-identical plan), plus further
+    samples while min-of-N exceeds ``cross_ratio`` × the prior round's
+    committed value for the same (pin-unchanged) plan (round-12 verdict
+    item #2 — common-mode interference can span both base samples).
+    Returns ``(best, samples)`` so the official record keeps every raw
+    timing and self-identifies which rows needed which tiebreak."""
     samples = [run_once(), run_once()]
     if max(samples) > outlier_ratio * min(samples):
         samples.append(run_once())
+    while (
+        prior_best is not None
+        and len(samples) < max_samples
+        and min(samples) > cross_ratio * prior_best
+        and min(samples) > CROSS_ROUND_MIN_SEC
+    ):
+        samples.append(run_once())
     return min(samples), samples
+
+
+def load_prior_detail(repo_dir: str) -> dict:
+    """The PREVIOUS round's committed detail sidecar (baseline for the
+    cross-round tiebreak); {} in round 1 or a bare checkout."""
+    path = os.path.join(
+        repo_dir, f"BENCH_DETAIL_r{current_round(repo_dir) - 1:02d}.json"
+    )
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+def current_pins(repo_dir: str) -> dict:
+    """The live exchange pins (tests/test_plan_guard.py's
+    BENCH_EXCHANGE_PINS literal), parsed with ast — no test-module
+    import at bench time. Recorded in the detail sidecar so the NEXT
+    round can tell 'plan changed on purpose' (pin differs → a slower
+    time may be real, no tiebreak) from 'same plan, suspicious time'
+    (pin equal → keep sampling). Values normalized to lists to match
+    the JSON round-trip."""
+    import ast
+    import re
+
+    path = os.path.join(repo_dir, "tests", "test_plan_guard.py")
+    try:
+        src = open(path).read()
+    except OSError:
+        return {}
+    m = re.search(r"^BENCH_EXCHANGE_PINS\s*=\s*(\{.*?\n\})", src, re.M | re.S)
+    if not m:
+        return {}
+    try:
+        return {k: list(v) for k, v in ast.literal_eval(m.group(1)).items()}
+    except (ValueError, SyntaxError):
+        return {}
 
 
 def current_round(repo_dir: str) -> int:
@@ -481,6 +560,29 @@ def summary_line(timings: dict[str, float], sf_val, core=None) -> str:
     return json.dumps(base)
 
 
+def parse_args(argv=None) -> None:
+    """Argparse guard (round-12 verdict item #2): ``bench.py --help``
+    must print usage and exit instead of starting a multi-minute
+    benchmark run. The benchmark itself takes NO positional arguments —
+    configuration stays on the env vars the driver contract names."""
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="bench.py",
+        description=(
+            "Run the blow_spark headline benchmark suite and print ONE "
+            "summary JSON line (full per-query record in "
+            "BENCH_DETAIL.json)."
+        ),
+        epilog=(
+            "Configuration via environment: SPARK_GRAFT_SF_DIR "
+            "(default /root/testdata/sf0.1) selects the parquet scale "
+            "factor dir; SPARK_GRAFT_CPUS sizes local[N]."
+        ),
+    )
+    ap.parse_args(argv)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -499,6 +601,13 @@ def main() -> None:
     # plans, not session bootstrap
     catalog["flagship_fizzbuzz_agg"](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
+    repo_dir_early = os.path.dirname(os.path.abspath(__file__))
+    prior = load_prior_detail(repo_dir_early)
+    # a prior record at a DIFFERENT scale factor is no baseline at all
+    prior_queries = prior.get("queries", {}) if prior.get("sf") == sf_val else {}
+    prior_pins = prior.get("pins", {})
+    pins = current_pins(repo_dir_early)
+
     timings: dict[str, float] = {}
     raw_samples: dict[str, list[float]] = {}
     for name in HEADLINE:
@@ -510,7 +619,19 @@ def main() -> None:
             spark.catalog.clearCache()
             return elapsed
 
-        best, samples = sample_query(run_once)
+        # cross-round baseline applies only when the plan is plausibly
+        # the same one the prior round timed: pin recorded then and
+        # equal now — or the prior sidecar predates the "pins" field
+        # entirely (bootstrap: an extra sample on a genuinely-changed
+        # plan costs seconds; a 2× interference artifact in the
+        # official record costs a round of false regression analysis).
+        prior_best = prior_queries.get(name)
+        pin_ok = name in pins and (
+            not prior_pins or prior_pins.get(name) == pins[name]
+        )
+        if not pin_ok:
+            prior_best = None
+        best, samples = sample_query(run_once, prior_best=prior_best)
         timings[name] = round(best, 3)
         raw_samples[name] = [round(s, 3) for s in samples]
 
@@ -522,7 +643,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "samples": raw_samples,
+        "pins": pins,
         "outlier_ratio": OUTLIER_RATIO,
+        "cross_round_ratio": CROSS_ROUND_RATIO,
         "sf": sf_val,
         "round": current_round(repo_dir),
         "core_tier": [q for q in CORE if q in timings],
@@ -535,4 +658,5 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    parse_args()
     main()

@@ -498,6 +498,13 @@ BENCH_EXCHANGE_PINS = {
     # the rows (the fact table never shuffles for the encoding)
     "privacy_dp_histogram_gaussian": (2, 0),
     "ml_target_encoding_loo": (3, 5),
+    # round 13: hash table + dup pairs are spill-backed (internal band
+    # join pinned by its operator test); the returned audit plan is the
+    # planted-pair join + found-left-join + scalar cross join, all
+    # broadcast off the 100-row spill scans
+    "multimodal_dhash_near_dup": (2, 3),
+    # map-only codec scan (file scan -> mapInPandas decode -> stats)
+    "multimodal_jpeg_progressive_dc_stats": (0, 0),
 }
 
 

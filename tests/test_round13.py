@@ -65,3 +65,158 @@ def test_decode_qoi_truncation_raises_valueerror_everywhere():
     for cut in range(14, len(enc)):
         with pytest.raises(ValueError):
             decode_qoi(enc[:cut])
+
+
+def test_jpeg_requality_closed_forms_exhaustive():
+    """The dHash oracle's foundation: for EVERY byte value v, a flat
+    dithered fixture block decodes to exactly min(v+1,255)-if-odd at
+    q50 and to exactly v at q75 (the fixture docstring derives why:
+    DC quantizer 16 vs 8 against the DCT's 8x DC gain)."""
+    import numpy as np
+
+    from blow_spark.multimodal import decode_image, encode_jpeg_baseline
+
+    for v in range(256):
+        img = np.full((64, 64), v, dtype=np.uint8)
+        for k in range(64):
+            r, c = divmod(k, 8)
+            if 0 < v < 255:
+                img[r * 8, c * 8] = v + 1
+                img[r * 8, c * 8 + 1] = v - 1
+        d50 = decode_image(encode_jpeg_baseline(img, quality=50))
+        d75 = decode_image(encode_jpeg_baseline(img, quality=75))
+        g50 = min(v + 1, 255) if v % 2 == 1 else v
+        assert (d50 == g50).all(), (v, np.unique(d50))
+        assert (d75 == v).all(), (v, np.unique(d75))
+
+
+def _dhash_reference(raw: bytes) -> tuple[int, int, int, int]:
+    """Third, independent (pure-Python) replication of the dHash
+    pipeline from the closed-form decodes — validates both the Spark
+    UDF (real codec) and the DuckDB oracle (byte arithmetic)."""
+    v = list(raw[:64].ljust(64, b"\0"))
+    g50 = [min(x + 1, 255) if x % 2 == 1 else x for x in v]
+    g75 = v
+
+    def hashes(g):
+        hr = sum(
+            1 << (r * 7 + c)
+            for r in range(8)
+            for c in range(7)
+            if g[r * 8 + c] > g[r * 8 + c + 1]
+        )
+        hc = sum(
+            1 << (r * 8 + c)
+            for r in range(7)
+            for c in range(8)
+            if g[r * 8 + c] > g[(r + 1) * 8 + c]
+        )
+        return hr, hc
+
+    return (*hashes(g50), *hashes(g75))
+
+
+def test_dhash_near_dup_planted_pair_properties(spark, sf_dir):
+    """The perceptual-dedup story realized end-to-end: every planted
+    q50/q75 re-encode pair is byte-different, pixel-different, and
+    found by the banded-Hamming join; cross-source collisions appear
+    EXACTLY where the corpus genuinely contains near-duplicate sources
+    (the testdata plants text near-dups that share 64-byte prefixes) —
+    verified against a pure-Python third replication of the pipeline."""
+    import duckdb
+
+    from blow_spark.queries import queries
+
+    p = queries()["multimodal_dhash_near_dup"](spark, sf_dir).toPandas()
+    assert len(p) == 50
+    assert p["found_by_lsh"].all(), "recall vs planted ground truth < 100%"
+    assert not p["bytes_identical"].any(), "re-encode produced identical bytes"
+    assert (p["n_diff_blocks"] > 0).all(), "re-encode produced identical pixels"
+    assert (p["hamming"] <= 7).all(), "pigeonhole recall bound violated"
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE doc_id < 50 ORDER BY doc_id"
+    ).df()
+    imgs = []
+    for _, row in docs.iterrows():
+        hr50, hc50, hr75, hc75 = _dhash_reference(str(row["text"]).encode("utf-8"))
+        imgs.append((int(row["doc_id"]), hr50, hc50))
+        imgs.append((int(row["doc_id"]), hr75, hc75))
+
+    def bands(hr, hc):
+        return [(i, (hr >> (14 * i)) & 16383) for i in range(4)] + [
+            (4 + i, (hc >> (14 * i)) & 16383) for i in range(4)
+        ]
+
+    expected_cross = sum(
+        1
+        for i in range(len(imgs))
+        for j in range(i + 1, len(imgs))
+        if imgs[i][0] != imgs[j][0]
+        and set(bands(*imgs[i][1:])) & set(bands(*imgs[j][1:]))
+        and bin(imgs[i][1] ^ imgs[j][1]).count("1")
+        + bin(imgs[i][2] ^ imgs[j][2]).count("1")
+        <= 10
+    )
+    assert (p["n_cross_dups"] == expected_cross).all(), (
+        f"cross-source dup count {p['n_cross_dups'].iloc[0]} != "
+        f"independent replication {expected_cross}"
+    )
+
+
+def test_jpeg_progressive_dc_roundtrip():
+    """The progressive codec pair (round-12 verdict item #4): the
+    encoder emits genuine SOF2 2-scan streams; the DC-scan-only
+    decoder reproduces (a) the baseline decode exactly on flat-block
+    fixtures, and (b) the independent quantize-dequantize DC math on
+    arbitrary content; the two decoders refuse each other's formats."""
+    import numpy as np
+    import pytest
+
+    from blow_spark.multimodal import (
+        _jpeg_quality_tables,
+        decode_image,
+        decode_jpeg_progressive_dc,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(3)
+    raw = bytes(rng.randint(0, 256, 64, dtype=np.uint8))
+    img = np.zeros((64, 64), dtype=np.uint8)
+    for k, v in enumerate(raw):
+        r, c = divmod(k, 8)
+        img[r * 8 : (r + 1) * 8, c * 8 : (c + 1) * 8] = v
+        if 0 < v < 255:
+            img[r * 8, c * 8] = v + 1
+            img[r * 8, c * 8 + 1] = v - 1
+    prog = encode_jpeg_progressive(img, quality=50)
+    assert prog[:2] == b"\xff\xd8" and b"\xff\xc2" in prog  # really SOF2
+    assert prog.count(b"\xff\xda") >= 2  # really multi-scan
+    assert (
+        decode_jpeg_progressive_dc(prog)
+        == decode_image(encode_jpeg_baseline(img, quality=50))
+    ).all()
+
+    img2 = rng.randint(0, 256, (40, 56), dtype=np.uint8)
+    dc = decode_jpeg_progressive_dc(encode_jpeg_progressive(img2, quality=50))
+    ql, _ = _jpeg_quality_tables(50)
+    q00 = int(ql[0, 0])
+    for by in range(5):
+        for bx in range(7):
+            blk = img2[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(float)
+            qdc = int(np.floor(round(blk.sum() / 8 - 1024, 8) / q00 + 0.5))
+            val = int(np.clip(np.round(qdc * q00 / 8.0 + 128.0), 0, 255))
+            assert (dc[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] == val).all()
+
+    # RGB 4:4:4 progressive decodes to the right shape
+    img3 = rng.randint(0, 256, (32, 48, 3), dtype=np.uint8)
+    assert decode_jpeg_progressive_dc(
+        encode_jpeg_progressive(img3, quality=75)
+    ).shape == (32, 48, 3)
+
+    with pytest.raises(ValueError):
+        decode_jpeg_progressive_dc(encode_jpeg_baseline(img2))
+    with pytest.raises(NotImplementedError):
+        decode_image(prog)
