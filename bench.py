@@ -407,6 +407,9 @@ HEADLINE = [
     # round 13 batch 2: progressive (SOF2) JPEG decided the IMPLEMENT
     # way — real 2-scan progressive files, DC-scan-only decode
     "multimodal_jpeg_progressive_dc_stats",
+    # round 13 batch 3: real GIF LZW decompression (the codec shelf's
+    # last zero-decode gap)
+    "multimodal_gif_lzw_decode_stats",
 ]
 
 

@@ -2550,3 +2550,310 @@ def png_adam7_corpus_fixture_dir(spark, sf_dir: str, n_docs: int = 50) -> str:
     with open(marker, "w"):
         pass
     return img_dir
+
+
+# --------------------------------------------------------------------------
+# GIF87a/89a codec with REAL LZW (round 13) — closes the codec shelf's
+# last zero-decode gap: multimodal_gif_header_meta parses the container,
+# this pair compresses and decompresses the pixel stream itself.
+# GIF's LZW variant per the GIF89a specification, Appendix F:
+# variable-width codes starting at (min_code_size + 1) bits, LSB-first
+# bit packing, CLEAR = 2^mcs, EOI = CLEAR + 1, dictionary reset on
+# CLEAR, width bump when the next free code would not fit, 12-bit cap.
+# Lossless, so oracles replay pixels from the fixture formula alone —
+# the same argument as the QOI codec.
+# --------------------------------------------------------------------------
+
+
+def _gif_lzw_compress(indices, mcs: int) -> bytes:
+    """GIF-variant LZW: returns the packed code stream (no sub-block
+    framing). Emits CLEAR first and on dictionary overflow, EOI last."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    acc = n = 0
+    out = bytearray()
+    width = mcs + 1
+    bits: list[tuple[int, int]] = []
+
+    def emit(code: int) -> None:
+        nonlocal acc, n
+        acc |= code << n  # LSB-first
+        n += width
+        while n >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+
+    def reset() -> tuple[dict, int]:
+        return {(i,): i for i in range(1 << mcs)}, eoi + 1
+
+    table, next_code = reset()
+    emit(clear)
+    w: tuple[int, ...] = ()
+    for k in indices:
+        k = int(k)
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        elif next_code == 4096:
+            emit(clear)
+            table, next_code = reset()
+            width = mcs + 1
+        w = (k,)
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if n:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decompress(data: bytes, mcs: int) -> list[int]:
+    """Inverse of _gif_lzw_compress; raises ValueError on malformed
+    streams (bad first code, code beyond the table, missing EOI)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    acc = n = pos = 0
+
+    def read() -> int:
+        nonlocal acc, n, pos
+        while n < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated (no EOI)")
+            acc |= data[pos] << n
+            pos += 1
+            n += 8
+        v = acc & ((1 << width) - 1)
+        acc >>= width
+        n -= width
+        return v
+
+    table: list[tuple[int, ...]] = [(i,) for i in range(1 << mcs)] + [(), ()]
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    while True:
+        code = read()
+        if code == clear:
+            table = [(i,) for i in range(1 << mcs)] + [(), ()]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("GIF LZW: first code not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + (prev[0],)
+        else:
+            raise ValueError(f"GIF LZW: code {code} beyond table")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + (entry[0],))
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = entry
+
+
+def encode_gif(
+    indices: "np.ndarray", palette: list[tuple[int, int, int]], interlace: bool = False
+) -> bytes:
+    """GIF89a encoder: HxW uint8 palette indices + a power-of-two
+    global color table -> a genuine single-frame .gif (logical screen
+    descriptor, GCT, image descriptor, REAL LZW pixel stream in
+    255-byte sub-blocks, trailer)."""
+    import struct
+
+    indices = np.asarray(indices, dtype=np.uint8)
+    h, w = indices.shape
+    ncol = len(palette)
+    exp = max(1, (ncol - 1).bit_length())
+    if ncol != 1 << exp:
+        raise ValueError("GIF palette must be a power of two")
+    mcs = max(2, exp)
+    if indices.max() >= ncol:
+        raise ValueError("index beyond palette")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((exp - 1) & 7) << 4 | (exp - 1), 0, 0)
+    for r, g, b in palette:
+        out += bytes((r, g, b))
+    rows = indices
+    if interlace:
+        order = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+        rows = indices[order]
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0)
+    out.append(mcs)
+    stream = _gif_lzw_compress(rows.reshape(-1), mcs)
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(content: bytes) -> "np.ndarray":
+    """GIF87a/89a decoder: REAL LZW decompression of the first image
+    frame -> HxWx3 uint8 via the active color table. Handles global
+    and local color tables, extension blocks (skipped per spec
+    sub-block framing), interlaced row order, and raises ValueError on
+    malformed streams. Animation (later frames), transparency
+    compositing, and disposal methods are out of scope: the first
+    frame IS the image for corpus analytics."""
+    import struct
+
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    try:
+        return _decode_gif_body(content)
+    except (IndexError, struct.error):
+        raise ValueError("GIF stream truncated") from None
+
+
+def _decode_gif_body(content: bytes) -> "np.ndarray":
+    import struct
+
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", content[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        ncol = 1 << ((packed & 7) + 1)
+        gct = np.frombuffer(content[pos : pos + 3 * ncol], dtype=np.uint8).reshape(
+            ncol, 3
+        )
+        pos += 3 * ncol
+    while pos < len(content):
+        block = content[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            raise ValueError("GIF contains no image data")
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while content[pos] != 0:
+                pos += 1 + content[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        left, top, w, h, ipacked = struct.unpack("<HHHHB", content[pos : pos + 9])
+        pos += 9
+        ct = gct
+        if ipacked & 0x80:
+            ncol = 1 << ((ipacked & 7) + 1)
+            ct = np.frombuffer(
+                content[pos : pos + 3 * ncol], dtype=np.uint8
+            ).reshape(ncol, 3)
+            pos += 3 * ncol
+        if ct is None:
+            raise ValueError("GIF image without a color table")
+        mcs = content[pos]
+        pos += 1
+        stream = bytearray()
+        while content[pos] != 0:
+            ln = content[pos]
+            stream += content[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        idx = _gif_lzw_decompress(bytes(stream), mcs)
+        if len(idx) < w * h:
+            raise ValueError(f"GIF pixel stream short: {len(idx)} < {w * h}")
+        arr = np.asarray(idx[: w * h], dtype=np.int64).reshape(h, w)
+        if ipacked & 0x40:  # interlaced: undo the 4-pass row order
+            order = (
+                list(range(0, h, 8))
+                + list(range(4, h, 8))
+                + list(range(2, h, 4))
+                + list(range(1, h, 2))
+            )
+            out = np.empty_like(arr)
+            out[order] = arr
+            arr = out
+        if arr.max() >= len(ct):
+            raise ValueError("GIF index beyond color table")
+        return ct[arr]
+    raise ValueError("GIF stream truncated")
+
+
+#: the GIF fixture's 16-color global palette formula — shared verbatim
+#: with the DuckDB oracle (the codec is lossless, so the oracle needs
+#: only the generation formulas)
+def gif_fixture_palette() -> list[tuple[int, int, int]]:
+    return [((i * 37 + 11) % 256, (i * 73 + 5) % 256, (i * 151 + 3) % 256) for i in range(16)]
+
+
+def gif_corpus_fixture_dir(spark, sf_dir: str, n_docs: int = 50) -> str:
+    """Genuine ``.gif`` corpus fixture: one 48x48 16-color GIF89a per
+    document — row r's indices are ``(v_r + c // 4) % 16`` (v_r = the
+    doc's r-th leading UTF-8 byte), giving LZW-friendly runs of 4 whose
+    per-row color multiset still varies with the byte (12 of the 16
+    palette slots per row, not all 16, so channel sums stay
+    v-sensitive). Odd doc_ids are written INTERLACED so both row
+    orders ride the oracle gate. Cached per source fingerprint,
+    exactly like the PNG/JPEG/QOI fixtures."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from blow_spark.shipping import ensure_package_shipped
+    from blow_spark.sources import read_table
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    stat_parts = []
+    if os.path.isdir(src):
+        for fn in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, fn))
+            stat_parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        stat_parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    token = hashlib.sha256(
+        f"gif|{sf_dir}|{n_docs}|{'|'.join(stat_parts)}".encode()
+    ).hexdigest()[:12]
+    img_dir = os.path.join(tempfile.gettempdir(), f"blow_spark_gif_{token}")
+    from blow_spark.materialize import cleanup_stale_siblings
+
+    cleanup_stale_siblings(
+        img_dir, os.path.join(tempfile.gettempdir(), "blow_spark_gif_*")
+    )
+    marker = os.path.join(img_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return img_dir
+    os.makedirs(img_dir, exist_ok=True)
+    ensure_package_shipped(spark)
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < n_docs)
+        .select("doc_id", "text")
+    )
+    pal = gif_fixture_palette()
+
+    def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = str(text).encode("utf-8")[:48].ljust(48, b"\0")
+                col_off = np.arange(48) // 4
+                idx = ((np.frombuffer(raw, dtype=np.uint8).astype(np.int64)[:, None]
+                        + col_off[None, :]) % 16).astype(np.uint8)
+                blob = encode_gif(idx, pal, interlace=bool(int(doc_id) % 2))
+                with open(os.path.join(img_dir, f"{int(doc_id)}.gif"), "wb") as f:
+                    f.write(blob)
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    d.mapInPandas(write_part, "n long").count()
+    with open(marker, "w"):
+        pass
+    return img_dir

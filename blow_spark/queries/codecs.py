@@ -974,3 +974,123 @@ def multimodal_tiff_header_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST({entry_val(1)} AS BIGINT)").alias("height"),
         F.expr(f"CAST({entry_val(2)} AS BIGINT)").alias("bits_per_sample"),
     )
+
+
+# --------------------------------------------------------------------------
+# GIF LZW pixel decode (round 13) — the header-only GIF row above gains
+# a REAL decompression twin
+# --------------------------------------------------------------------------
+
+
+def _gif_lzw_oracle() -> str:
+    """Channel sums replayed from the generation formulas alone (LZW is
+    lossless): row r uses byte v_r; its 48 columns hit palette slots
+    (v_r + c//4) % 16 — each of 12 consecutive slots exactly 4 times —
+    and the palette itself is the closed formula shared with
+    multimodal.gif_fixture_palette."""
+    return """
+    WITH b AS (
+      SELECT doc_id, hex(ENCODE(text)) AS hx, OCTET_LENGTH(ENCODE(text)) AS n
+      FROM documents WHERE doc_id < 50
+    ), rows_ AS (
+      SELECT doc_id, n, hx, UNNEST(range(0, 48)) AS k FROM b
+    ), vals AS (
+      SELECT doc_id,
+             CASE WHEN k < LEAST(n, 48)
+                  THEN (strpos('0123456789ABCDEF',
+                               substring(hx, CAST(2*k+1 AS INT), 1)) - 1) * 16
+                     + (strpos('0123456789ABCDEF',
+                               substring(hx, CAST(2*k+2 AS INT), 1)) - 1)
+                  ELSE 0 END AS v
+      FROM rows_
+    ), slots AS (
+      SELECT doc_id, (v + j) % 16 AS s
+      FROM (SELECT doc_id, v, UNNEST(range(0, 12)) AS j FROM vals)
+    )
+    SELECT doc_id, CAST(48 AS INT) AS height, CAST(48 AS INT) AS width,
+           CAST(2304 AS INT) AS n_px,
+           CAST(4 * SUM((s * 37 + 11) % 256) AS BIGINT) AS r_sum,
+           CAST(4 * SUM((s * 73 + 5) % 256) AS BIGINT) AS g_sum,
+           CAST(4 * SUM((s * 151 + 3) % 256) AS BIGINT) AS b_sum,
+           (doc_id % 2 = 1) AS interlaced
+    FROM slots GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "multimodal_gif_lzw_decode_stats",
+    oracle=_gif_lzw_oracle(),
+    tags=("multimodal", "binaryfile", "codec", "gif"),
+)
+def multimodal_gif_lzw_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode under the oracle gate (round 13) — closes the
+    codec shelf's last zero-decode gap: where multimodal_gif_header_meta
+    stops at the logical screen descriptor, this decompresses the
+    actual LZW pixel stream. Genuine .gif files on disk
+    (multimodal.encode_gif — GIF89a spec Appendix F: variable-width
+    codes from min_code_size+1 bits, LSB-first packing, CLEAR/EOI,
+    width bumps at 2^w, 12-bit cap with dictionary reset, 255-byte
+    sub-block framing; odd doc_ids written INTERLACED so the 4-pass
+    row order rides the gate too), scanned with binaryFile and decoded
+    FOR REAL by multimodal.decode_gif inside mapInPandas, reduced to
+    per-image per-channel pixel sums plus the realized interlace flag
+    parsed from the image-descriptor byte.
+
+    GIF's LZW is LOSSLESS, so the oracle replays the fixture's
+    generation formulas alone (index = (byte + col//4) % 16 through the
+    closed-form 16-color palette) and any codec defect — a wrong width
+    bump, a swapped CLEAR/EOI, a bad sub-block stitch, a broken
+    deinterlace — breaks the channel sums. Plan shape: parallel file
+    scan -> map-only decode -> narrow stats; at 100 TB only the
+    object-store URI changes. Reference analog: none (the reference
+    has no codecs); LZW per Welch 1984 + the GIF89a specification."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from blow_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    img_dir = multimodal.gif_corpus_fixture_dir(spark, sf_dir, n_docs=50)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.gif")
+        .load(img_dir)
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                blob = bytes(content)
+                img = multimodal.decode_gif(blob)
+                s = img.astype(np.int64).sum(axis=(0, 1))
+                rows.append(
+                    {
+                        "doc_id": int(os.path.splitext(os.path.basename(path))[0]),
+                        "height": img.shape[0],
+                        "width": img.shape[1],
+                        "n_px": int(img.shape[0] * img.shape[1]),
+                        "r_sum": int(s[0]),
+                        "g_sum": int(s[1]),
+                        "b_sum": int(s[2]),
+                        # image descriptor's packed byte: 13-byte header
+                        # + 48-byte GCT + 9 bytes into the descriptor
+                        "interlaced": bool(blob[70] & 0x40),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "height", "width", "n_px",
+                    "r_sum", "g_sum", "b_sum", "interlaced",
+                ],
+            )
+
+    return files.select("path", "content").mapInPandas(
+        decode,
+        "doc_id long, height int, width int, n_px int, "
+        "r_sum long, g_sum long, b_sum long, interlaced boolean",
+    )

@@ -503,8 +503,9 @@ BENCH_EXCHANGE_PINS = {
     # planted-pair join + found-left-join + scalar cross join, all
     # broadcast off the 100-row spill scans
     "multimodal_dhash_near_dup": (2, 3),
-    # map-only codec scan (file scan -> mapInPandas decode -> stats)
+    # map-only codec scans (file scan -> mapInPandas decode -> stats)
     "multimodal_jpeg_progressive_dc_stats": (0, 0),
+    "multimodal_gif_lzw_decode_stats": (0, 0),
 }
 
 

@@ -220,3 +220,39 @@ def test_jpeg_progressive_dc_roundtrip():
         decode_jpeg_progressive_dc(encode_jpeg_baseline(img2))
     with pytest.raises(NotImplementedError):
         decode_image(prog)
+
+
+def test_gif_lzw_codec_roundtrip():
+    """The GIF codec pair: byte-exact roundtrips across image shapes,
+    palette sizes (mcs floor at 2), interlace, LZW width growth, and
+    the 4096-entry dictionary reset; truncation before the frame
+    completes raises ValueError (a complete frame with only the
+    trailer missing still decodes — the frame is all the data)."""
+    import numpy as np
+    import pytest
+
+    from blow_spark.multimodal import decode_gif, encode_gif, gif_fixture_palette
+
+    rng = np.random.RandomState(5)
+    pal = gif_fixture_palette()
+    arr_pal = np.array(pal, dtype=np.uint8)
+    for trial in range(4):
+        h, w = rng.randint(10, 70), rng.randint(10, 70)
+        idx = rng.randint(0, 16, (h, w)).astype(np.uint8)
+        for inter in (False, True):
+            dec = decode_gif(encode_gif(idx, pal, interlace=inter))
+            assert (dec == arr_pal[idx]).all(), (trial, inter)
+    # long runs push the code width up; 128x128 noise overflows the
+    # 4096-entry dictionary and exercises the CLEAR/reset path
+    runs = np.repeat(np.arange(16, dtype=np.uint8), 400).reshape(80, 80)
+    assert (decode_gif(encode_gif(runs, pal)) == arr_pal[runs]).all()
+    noise = rng.randint(0, 16, (128, 128)).astype(np.uint8)
+    assert (decode_gif(encode_gif(noise, pal)) == arr_pal[noise]).all()
+    for ncol in (4, 2):
+        small = rng.randint(0, ncol, (33, 17)).astype(np.uint8)
+        assert (decode_gif(encode_gif(small, pal[:ncol])) == arr_pal[small]).all()
+    full = encode_gif(rng.randint(0, 16, (20, 20)).astype(np.uint8), pal)
+    for cut in range(6, len(full) - 1):
+        with pytest.raises(ValueError):
+            decode_gif(full[:cut])
+    assert decode_gif(full[:-1]).shape == (20, 20, 3)  # trailer-only loss
