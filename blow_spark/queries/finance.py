@@ -428,6 +428,41 @@ def _holt_coeffs() -> tuple[list[int], list[int], int]:
 
 _HOLT_CL, _HOLT_CB, _HOLT_D = _holt_coeffs()
 
+#: e4 reporting denominator: level_x/trend_x are cents scaled by 2^48,
+#: so dollars*1e4 = x * 1e4 / (2^48 * 100)
+_HOLT_E4_DEN = _HOLT_D * 100
+
+
+def _holt_e4_duck(x: str) -> str:
+    """Exact half-away-from-zero e4 scaling of a 2^48-cent fixed-point
+    value, in pure HUGEINT arithmetic. The previous
+    ROUND(x::DOUBLE/…, 4) hit a 4-decimal TIE at sf1 (round-13 overflow
+    audit): Spark's round() goes through BigDecimal.valueOf (shortest
+    decimal repr, HALF_UP) while DuckDB rounds the exact binary double,
+    and the two disagree exactly on ties. Integer division can't."""
+    den = _HOLT_E4_DEN
+    return (
+        f"CAST(CASE WHEN {x} >= 0 "
+        f"THEN (2 * CAST({x} AS HUGEINT) * 10000 + {den}) // {2 * den} "
+        f"ELSE -((2 * CAST(-({x}) AS HUGEINT) * 10000 + {den}) // {2 * den}) "
+        f"END AS BIGINT)"
+    )
+
+
+def _holt_e4_spark(x: str):
+    """Spark twin of _holt_e4_duck, built over the column expression
+    ``x`` (decimal `div` truncates toward zero, matching DuckDB's `//`
+    on the non-negative operands this CASE feeds it)."""
+    den = _HOLT_E4_DEN
+    return F.expr(
+        f"CAST(CASE WHEN ({x}) >= 0 "
+        f"THEN (2 * CAST({x} AS DECIMAL(38,0)) * 10000 + {den}) "
+        f"div CAST({2 * den} AS DECIMAL(38,0)) "
+        f"ELSE -((2 * CAST(-({x}) AS DECIMAL(38,0)) * 10000 + {den}) "
+        f"div CAST({2 * den} AS DECIMAL(38,0))) "
+        f"END AS BIGINT)"
+    )
+
 
 def _holt_duck_sum(coeffs: list[int]) -> str:
     return " + ".join(
@@ -457,12 +492,9 @@ def _holt_duck_sum(coeffs: list[int]) -> str:
     )
     SELECT brand, CAST(day AS VARCHAR) AS day, rev_cents,
            CAST(level_x AS VARCHAR) AS level_x,
-           ROUND(CAST(level_x AS DOUBLE) / {_HOLT_D}.0 / 100.0, 4)
-             AS level_dollars,
-           ROUND(CAST(trend_x AS DOUBLE) / {_HOLT_D}.0 / 100.0, 4)
-             AS trend_dollars,
-           ROUND(CAST(level_x + trend_x AS DOUBLE) / {_HOLT_D}.0 / 100.0, 4)
-             AS forecast_dollars
+           {_holt_e4_duck('level_x')} AS level_e4,
+           {_holt_e4_duck('trend_x')} AS trend_e4,
+           {_holt_e4_duck('(level_x + trend_x)')} AS forecast_e4
     FROM rolled
     WHERE n = {_HOLT_K}
     ORDER BY brand, day
@@ -480,7 +512,11 @@ def timeseries_holt_linear_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame
     timeseries_ewma_dyadic's single-state trick; the tail it drops is
     ≈0.2% of a unit step). Level, trend, and the one-step forecast
     l + b are DECIMAL/HUGEINT sums of literal×BIGINT products — no
-    recursion, no state, no doubles until the final reporting division.
+    recursion, no state, and (since the round-13 overflow audit) no
+    doubles AT ALL: the e4 reporting scale is an exact half-away
+    integer division (the old ROUND-on-double hit a 4-decimal tie at
+    sf1 where Spark's BigDecimal HALF_UP and DuckDB's binary round
+    disagree).
 
     Scale: turns an inherently SEQUENTIAL recursion into an ordinary
     partitioned window (one shuffle on brand, {_HOLT_K} LAGs) — the
@@ -518,7 +554,6 @@ def timeseries_holt_linear_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame
         fan(_HOLT_CL).alias("level_x"),
         fan(_HOLT_CB).alias("trend_x"),
     )
-    d = float(_HOLT_D)
     return (
         rolled.where(F.col("n") == _HOLT_K)
         .select(
@@ -526,15 +561,9 @@ def timeseries_holt_linear_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("day").cast("string").alias("day"),
             "rev_cents",
             F.col("level_x").cast("string").alias("level_x"),
-            F.round(F.col("level_x").cast("double") / d / 100.0, 4).alias(
-                "level_dollars"
-            ),
-            F.round(F.col("trend_x").cast("double") / d / 100.0, 4).alias(
-                "trend_dollars"
-            ),
-            F.round(
-                (F.col("level_x") + F.col("trend_x")).cast("double") / d / 100.0, 4
-            ).alias("forecast_dollars"),
+            _holt_e4_spark("level_x").alias("level_e4"),
+            _holt_e4_spark("trend_x").alias("trend_e4"),
+            _holt_e4_spark("level_x + trend_x").alias("forecast_e4"),
         )
         .orderBy("brand", "day")
     )

@@ -1515,9 +1515,11 @@ FROM lineitem
 |> WHERE l_shipdate <= TIMESTAMP '2001-09-02'
 |> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
 |> AGGREGATE CAST(SUM(CAST(ROUND(l_quantity * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_qty_dm,
-             CAST(SUM(CAST(ROUND(disc_price * 1000000, 0) AS BIGINT)) AS BIGINT) AS sum_disc_micro,
+             SUM(CAST(ROUND(disc_price * 1000000, 0) AS DECIMAL(38,0))) AS sum_disc_raw,
              COUNT(*) AS count_order
    GROUP BY l_returnflag, l_linestatus
+|> SELECT l_returnflag, l_linestatus, sum_qty_dm,
+          CAST(sum_disc_raw AS STRING) AS sum_disc_micro, count_order
 """
 
 
@@ -1526,7 +1528,7 @@ FROM lineitem
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(ROUND(l_quantity * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_qty_dm,
-           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000, 0) AS BIGINT)) AS BIGINT) AS sum_disc_micro,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000, 0) AS HUGEINT)) AS VARCHAR) AS sum_disc_micro,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02'

@@ -1558,7 +1558,10 @@ _GUM_C12_E12 = 2_441_716_398_881
     ), mom AS (
       SELECT nk, CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(x) AS BIGINT) AS s,
-             CAST(SUM(CAST(x AS HUGEINT) * x) AS BIGINT) AS sxx
+             -- sxx stays HUGEINT: it only feeds a DOUBLE downstream,
+             -- and the BIGINT cast overflowed at sf1 (2.3e20 > 2^63;
+             -- round-13 overflow audit, same class as the MCC fix)
+             SUM(CAST(x AS HUGEINT) * x) AS sxx
       FROM blockmax GROUP BY nk
     )
     SELECT nk, n,
@@ -1617,9 +1620,10 @@ def stats_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
     mom = blockmax.groupBy("nk").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("s"),
-        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
-        .cast("bigint")
-        .alias("sxx"),
+        # decimal(38,0), NOT bigint: Σx² reached 2.3e20 at sf1 (the
+        # round-13 overflow audit's one thrown error) and only feeds
+        # the double-valued sd below
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
     )
     mean = F.col("s").cast("double") / F.col("n")
     sd = F.sqrt(

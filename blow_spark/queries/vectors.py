@@ -701,7 +701,7 @@ def similarity_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, CAST(SUM(q) AS BIGINT) AS w FROM qd GROUP BY vec_id
     )
     SELECT CAST(dim AS INTEGER) AS dim,
-           CAST(SUM(q * w) AS BIGINT) AS y
+           CAST(SUM(CAST(q AS HUGEINT) * w) AS VARCHAR) AS y
     FROM qd JOIN wv USING (vec_id)
     GROUP BY dim
     """,
@@ -720,8 +720,10 @@ def vector_power_iteration_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     elements quantize to round(x·1e6) BIGINT and every sum is integer
     (order-independent — float matvec accumulation order would differ
     between engines and across partitionings). Magnitudes: |q| ≤ 1e6 ⇒
-    |w| ≤ 64e6, |Σ q·w| ≤ N·6.4e13 — int64-safe to N ≈ 10⁵; beyond that
-    the sums switch to DECIMAL(38,0), same plan."""
+    |w| ≤ 64e6 (64 dims, fixed — int64-safe at ANY corpus size), but
+    |Σ q·w| ≤ N·6.4e13 crosses int64 near N ≈ 10⁵, so y rides
+    DECIMAL(38,0)/HUGEINT (the round-13 overflow audit promoted the
+    documented envelope note into the plan: exact to N ≈ 10²⁴)."""
     e = read_table(spark, sf_dir, "embeddings")
     qd = e.select("vec_id", F.posexplode("embedding").alias("pos", "x")).select(
         "vec_id",
@@ -732,7 +734,11 @@ def vector_power_iteration_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         qd.join(wv, "vec_id")
         .groupBy("dim")
-        .agg(F.sum(F.col("q") * F.col("w")).alias("y"))
+        .agg(
+            F.sum(F.col("q").cast("decimal(38,0)") * F.col("w"))
+            .cast("string")  # > int64 past N≈1e5; VARCHAR is the exact
+            .alias("y")      # carrier (pandas renders HUGEINT lossy)
+        )
     )
 
 
@@ -851,10 +857,13 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT q.vec_id, q.dim, q.q,
            CAST(q.q * stats.n - stats.s AS BIGINT)            AS diff_num,
-           CAST(stats.n * stats.s2 - stats.s * stats.s AS BIGINT) AS var_num,
-           CASE WHEN stats.n * stats.s2 - stats.s * stats.s > 0
+           CAST(CAST(stats.n AS HUGEINT) * stats.s2
+                - CAST(stats.s AS HUGEINT) * stats.s AS VARCHAR) AS var_num,
+           CASE WHEN CAST(stats.n AS HUGEINT) * stats.s2
+                   - CAST(stats.s AS HUGEINT) * stats.s > 0
                 THEN CAST(q.q * stats.n - stats.s AS DOUBLE)
-                     / SQRT(CAST(stats.n * stats.s2 - stats.s * stats.s AS DOUBLE))
+                     / SQRT(CAST(CAST(stats.n AS HUGEINT) * stats.s2
+                                 - CAST(stats.s AS HUGEINT) * stats.s AS DOUBLE))
                 ELSE 0.0 END                                  AS z
     FROM q JOIN stats USING (dim)
     """,
@@ -870,9 +879,11 @@ def vector_standardize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     (IEEE sqrt, one division) are correctly-rounded per IEEE 754, hence
     bit-identical across engines. No transcendental-rounding needed.
 
-    Magnitude envelope: |q| ≤ 1e3 ⇒ n·Σq² ≤ n²·1e6 — int64-safe AND
-    double-exact (< 2^53) to n ≈ 9×10⁴ vectors per dimension group;
-    past that the integer sums switch to DECIMAL(38,0), same plan.
+    Magnitude envelope: |q| ≤ 1e3 ⇒ n·Σq² ≤ n²·1e6 crosses int64 near
+    n ≈ 9×10⁴ vectors per dimension group, so var_num rides
+    DECIMAL(38,0)/HUGEINT (the round-13 overflow audit promoted the
+    documented envelope note into the plan — exact to n ≈ 10¹⁶);
+    diff_num (linear in n) stays BIGINT with ≥ 10⁸× headroom at sf100.
 
     Scale: one posexplode (N×64 rows, map stage only) feeding ONE
     dim-keyed aggregate (64 groups — a broadcast-sized stats table
@@ -892,13 +903,16 @@ def vector_standardize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = q.join(F.broadcast(stats), "dim")
     diff = (F.col("q") * F.col("n") - F.col("s")).cast("bigint")
-    var_num = (F.col("n") * F.col("s2") - F.col("s") * F.col("s")).cast("bigint")
+    var_num = (
+        F.col("n").cast("decimal(38,0)") * F.col("s2")
+        - F.col("s").cast("decimal(38,0)") * F.col("s")
+    )
     return j.select(
         "vec_id",
         "dim",
         "q",
         diff.alias("diff_num"),
-        var_num.alias("var_num"),
+        var_num.cast("string").alias("var_num"),
         F.when(
             var_num > 0, diff.cast("double") / F.sqrt(var_num.cast("double"))
         )
