@@ -410,6 +410,12 @@ HEADLINE = [
     # round 13 batch 3: real GIF LZW decompression (the codec shelf's
     # last zero-decode gap)
     "multimodal_gif_lzw_decode_stats",
+    # round 13 batch 4: Hilbert-vs-Morton layout audit (continuity and
+    # jump stats realized as data over the full 128x128 grid)
+    "layout_hilbert_locality_vs_zorder",
+    # round 13 batch 5: deterministic RANSAC consensus line fit (zero
+    # fact-table shuffles: TakeOrdered pool + two broadcast scan passes)
+    "ml_ransac_line_fit",
 ]
 
 

@@ -860,3 +860,233 @@ def ml_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("enc_smooth_e6"),
         )
     )
+
+
+_RANSAC_TAU_CENTS = 50_000  # ±$500 vertical band
+_RANSAC_POOL = 48  # hash-ordered sample rows -> 24 candidate pairs
+
+
+@register(
+    "ml_ransac_line_fit",
+    oracle=f"""
+    WITH pts AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y,
+             md5(CONCAT(CAST(l_orderkey AS VARCHAR), '-',
+                        CAST(l_linenumber AS VARCHAR))) AS h
+      FROM lineitem
+    ), sel AS (
+      SELECT x, y, ROW_NUMBER() OVER (ORDER BY h, x, y) AS rn
+      FROM pts ORDER BY h, x, y LIMIT {_RANSAC_POOL}
+    ), paired AS (
+      SELECT (rn + 1) // 2 AS pair_id,
+             MAX(CASE WHEN rn % 2 = 1 THEN x END) AS x1,
+             MAX(CASE WHEN rn % 2 = 1 THEN y END) AS y1,
+             MAX(CASE WHEN rn % 2 = 0 THEN x END) AS x2,
+             MAX(CASE WHEN rn % 2 = 0 THEN y END) AS y2
+      FROM sel GROUP BY 1
+    ), lines AS (
+      SELECT pair_id,
+             CASE WHEN x2 >= x1 THEN x1 ELSE x2 END AS px,
+             CASE WHEN x2 >= x1 THEN y1 ELSE y2 END AS py,
+             ABS(x2 - x1) AS dx,
+             CASE WHEN x2 >= x1 THEN y2 - y1 ELSE y1 - y2 END AS dy
+      FROM paired WHERE x1 <> x2
+    ), ncand AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM lines
+    ), scored AS (
+      SELECT l.pair_id, l.px, l.py, l.dx, l.dy,
+             CAST(COUNT(*) AS BIGINT) AS n_pts,
+             CAST(SUM(CASE WHEN ABS(l.dy * (p.x - l.px)
+                                    - l.dx * (p.y - l.py))
+                                <= {_RANSAC_TAU_CENTS} * l.dx
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_inliers
+      FROM lines l CROSS JOIN pts p
+      GROUP BY 1, 2, 3, 4, 5
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY n_inliers DESC, pair_id) AS rk
+      FROM scored
+    ), winner AS (
+      SELECT * FROM ranked WHERE rk = 1
+    ), refit AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(p.x) AS HUGEINT) AS sx,
+             CAST(SUM(p.y) AS HUGEINT) AS sy,
+             CAST(SUM(p.x * p.y) AS HUGEINT) AS sxy,
+             CAST(SUM(p.x * p.x) AS HUGEINT) AS sxx
+      FROM pts p CROSS JOIN winner w
+      WHERE ABS(w.dy * (p.x - w.px) - w.dx * (p.y - w.py))
+            <= {_RANSAC_TAU_CENTS} * w.dx
+    )
+    SELECT r.rk AS rank, r.pair_id, r.px AS x_anchor,
+           r.py AS y_anchor_cents, r.dx, r.dy,
+           CAST(ROUND(1000000.0 * r.dy / r.dx) AS BIGINT) AS cand_slope_e6,
+           r.n_inliers, r.n_pts,
+           (1000000 * r.n_inliers) // r.n_pts AS inlier_frac_e6,
+           nc.n_candidates,
+           CASE WHEN r.rk = 1 THEN ROUND(
+             CAST(f.n * f.sxy - f.sx * f.sy AS DOUBLE)
+             / CAST(f.n * f.sxx - f.sx * f.sx AS DOUBLE), 6)
+           END AS refit_slope_cents,
+           CASE WHEN r.rk = 1 THEN ROUND(
+             (CAST(f.sy AS DOUBLE)
+              - (CAST(f.n * f.sxy - f.sx * f.sy AS DOUBLE)
+                 / CAST(f.n * f.sxx - f.sx * f.sx AS DOUBLE))
+                * CAST(f.sx AS DOUBLE))
+             / CAST(f.n AS DOUBLE) / 100.0, 2)
+           END AS refit_intercept_dollars
+    FROM ranked r CROSS JOIN ncand nc CROSS JOIN refit f
+    WHERE r.rk <= 5
+    ORDER BY r.rk
+    """,
+    tags=("ml", "robust", "lineitem"),
+)
+def ml_ransac_line_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANSAC consensus line fit (Fischler & Bolles, CACM 1981) of
+    extended price (cents) on quantity over lineitem — robust
+    regression by hypothesize-from-minimal-samples, score-by-inliers,
+    refit-on-consensus. The candidate pool is DETERMINISTIC: the 48
+    rows with the smallest md5(orderkey-linenumber) digests form 24
+    two-point candidate lines, ordered (digest, x, y) — the synthetic
+    lineitem REUSES (orderkey, linenumber) pairs, so the digest alone
+    is not a key and needs the point tiebreak (hash order replaces
+    the RNG, so every
+    rerun and every retry scores the identical hypothesis set — the
+    only way RANSAC can live under an exactness oracle). Emits the
+    top-5 candidates by inlier count with the winner's OLS refit over
+    its own inliers.
+
+    Engine-exactness: the inlier test |dy·(x−x₁) − dx·(y−y₁)| ≤ τ·dx
+    is pure BIGINT (lines are canonicalized to dx > 0, so both engines
+    avoid floor-vs-truncate sign traps entirely); refit sums are
+    DECIMAL(38,0)/HUGEINT (the n·Σxy cross-product crosses int64 near
+    6e8 rows — round-13 overflow-audit headroom discipline), and each
+    reported double is the same IEEE expression over those exact
+    integers, ROUND-disciplined.
+
+    Scale: the pool selection is a TakeOrdered head (per-partition
+    heaps, k=48, no fact shuffle); the 24-line hypothesis table
+    broadcasts to ONE scoring pass over the points (map-side partial
+    aggregation into 24 groups), and the winner broadcasts back for
+    ONE refit pass — two linear scans total, zero fact-table
+    shuffles, the textbook 100 TB RANSAC shape."""
+    from blow_spark.materialize import spill_to_parquet
+
+    li = read_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+        F.md5(
+            F.concat_ws(
+                "-",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ).alias("h"),
+    )
+    sel = pts.orderBy("h", "x", "y").limit(_RANSAC_POOL)
+    rn = F.row_number().over(W.orderBy("h", "x", "y"))
+    paired = (
+        sel.select("x", "y", rn.alias("rn"))
+        .groupBy(((F.col("rn") + 1) / 2).cast("bigint").alias("pair_id"))
+        .agg(
+            F.max(F.when(F.col("rn") % 2 == 1, F.col("x"))).alias("x1"),
+            F.max(F.when(F.col("rn") % 2 == 1, F.col("y"))).alias("y1"),
+            F.max(F.when(F.col("rn") % 2 == 0, F.col("x"))).alias("x2"),
+            F.max(F.when(F.col("rn") % 2 == 0, F.col("y"))).alias("y2"),
+        )
+    )
+    swap = F.col("x2") >= F.col("x1")
+    lines = spill_to_parquet(
+        paired.where(F.col("x1") != F.col("x2")).select(
+            "pair_id",
+            F.when(swap, F.col("x1")).otherwise(F.col("x2")).alias("px"),
+            F.when(swap, F.col("y1")).otherwise(F.col("y2")).alias("py"),
+            F.abs(F.col("x2") - F.col("x1")).alias("dx"),
+            F.when(swap, F.col("y2") - F.col("y1"))
+            .otherwise(F.col("y1") - F.col("y2"))
+            .alias("dy"),
+        ),
+        "blow_spark_ransac_",
+    )
+    resid = F.abs(
+        F.col("dy") * (F.col("x") - F.col("px"))
+        - F.col("dx") * (F.col("y") - F.col("py"))
+    )
+    scored = (
+        pts.crossJoin(F.broadcast(lines))
+        .groupBy("pair_id", "px", "py", "dx", "dy")
+        .agg(
+            F.count("*").alias("n_pts"),
+            F.sum(
+                (resid <= _RANSAC_TAU_CENTS * F.col("dx")).cast("long")
+            ).alias("n_inliers"),
+        )
+    )
+    ranked = spill_to_parquet(
+        scored.select(
+            F.row_number()
+            .over(W.orderBy(F.col("n_inliers").desc(), "pair_id"))
+            .alias("rank"),
+            "*",
+        ),
+        "blow_spark_ransac_rk_",
+    )
+    winner = ranked.where(F.col("rank") == 1).select("px", "py", "dx", "dy")
+    d38 = "decimal(38,0)"
+    refit = (
+        pts.crossJoin(F.broadcast(winner))
+        .where(resid <= _RANSAC_TAU_CENTS * F.col("dx"))
+        .agg(
+            F.count("*").cast(d38).alias("n"),
+            F.sum("x").cast(d38).alias("sx"),
+            F.sum("y").cast(d38).alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast(d38).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast(d38).alias("sxx"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    ncand = lines.agg(F.count("*").cast("bigint").alias("n_candidates"))
+    return (
+        ranked.where(F.col("rank") <= 5)
+        .crossJoin(F.broadcast(ncand))
+        .crossJoin(F.broadcast(refit))
+        .select(
+            "rank",
+            "pair_id",
+            F.col("px").alias("x_anchor"),
+            F.col("py").alias("y_anchor_cents"),
+            "dx",
+            "dy",
+            F.round(1000000.0 * F.col("dy") / F.col("dx"))
+            .cast("bigint")
+            .alias("cand_slope_e6"),
+            "n_inliers",
+            "n_pts",
+            F.expr("(1000000L * n_inliers) div n_pts").alias(
+                "inlier_frac_e6"
+            ),
+            "n_candidates",
+            F.when(F.col("rank") == 1, F.round(num / den, 6)).alias(
+                "refit_slope_cents"
+            ),
+            F.when(
+                F.col("rank") == 1,
+                F.round(
+                    (
+                        F.col("sy").cast("double")
+                        - (num / den) * F.col("sx").cast("double")
+                    )
+                    / F.col("n").cast("double")
+                    / 100.0,
+                    2,
+                ),
+            ).alias("refit_intercept_dollars"),
+        )
+        .orderBy("rank")
+    )

@@ -20,6 +20,8 @@ R13_QUERIES = [
     "multimodal_dhash_near_dup",
     "multimodal_jpeg_progressive_dc_stats",
     "multimodal_gif_lzw_decode_stats",
+    "layout_hilbert_locality_vs_zorder",
+    "ml_ransac_line_fit",
 ]
 
 

@@ -506,6 +506,17 @@ BENCH_EXCHANGE_PINS = {
     # map-only codec scans (file scan -> mapInPandas decode -> stats)
     "multimodal_jpeg_progressive_dc_stats": (0, 0),
     "multimodal_gif_lzw_decode_stats": (0, 0),
+    # round 13 batch 4 — a fixed 16K-cell audit grid (sf-invariant):
+    # 4 aggregate shuffles + 2 unit-step self-join shuffles over the
+    # two spill-backed cell tables; the 3 broadcasts are the 2-row
+    # stats/unit joins. Applying either curve to a real table is a
+    # pure map expression with zero exchanges.
+    "layout_hilbert_locality_vs_zorder": (6, 3),
+    # round 13 batch 5 — the hypothesis/ranked tables are spill-backed
+    # (their 48/24-row windows run in the spill jobs); the returned
+    # plan is the two broadcast-joined scoring/refit passes (3 partial
+    # aggs) with zero fact-table shuffles
+    "ml_ransac_line_fit": (3, 3),
 }
 
 

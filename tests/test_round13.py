@@ -256,3 +256,76 @@ def test_gif_lzw_codec_roundtrip():
         with pytest.raises(ValueError):
             decode_gif(full[:cut])
     assert decode_gif(full[:-1]).shape == (20, 20, 3)  # trailer-only loss
+
+
+def _xy2d_reference(order: int, x: int, y: int) -> int:
+    """Independent Lam-Shapiro xy2d (Wikipedia's C form, recursive-free)
+    — the third replication of the Hilbert index, distinct from both the
+    Spark select-chain and the DuckDB CTE chain."""
+    d = 0
+    s = order // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_locality_query_pins(spark, sf_dir):
+    """Round-13 batch 4: the Hilbert-vs-Morton audit's six numbers are
+    mathematical constants of the 128x128 grid — pin them, and pin the
+    in-plan fold against the independent pure-Python xy2d reference (a
+    THIRD replication, distinct from both the Spark select-chain and
+    the DuckDB CTE chain)."""
+    import pyspark.sql.functions as F  # noqa: N812
+
+    from blow_spark.queries import queries
+    from blow_spark.queries.relational_ext import _HIL_BITS
+
+    p = (
+        queries()["layout_hilbert_locality_vs_zorder"](spark, sf_dir)
+        .toPandas()
+        .set_index("curve")
+    )
+    n = 1 << _HIL_BITS
+    for curve in ("hilbert", "morton"):
+        assert p.loc[curve, "n_cells"] == n * n  # bijective
+    # Hilbert is a continuous curve; Morton teleports on half its steps
+    assert p.loc["hilbert", "unit_steps"] == n * n - 1
+    assert p.loc["morton", "unit_steps"] == n * n // 2
+    # Morton wins BOTH the mean and the max adjacent jump (the
+    # folklore "Hilbert is closer on average" is false) — Hilbert's
+    # sole, decisive win is continuity above
+    assert p.loc["morton", "mean_jump_e3"] < p.loc["hilbert", "mean_jump_e3"]
+    assert p.loc["morton", "max_jump"] < p.loc["hilbert", "max_jump"]
+    assert p.loc["morton", "max_jump"] == (n * n + 2) // 3  # diagonal flip
+
+    # third replication: rebuild the query's select-chain fold on a
+    # 512-cell sample and compare against the reference xy2d
+    base = spark.range(512).select(
+        (F.col("id") * 31 % n).alias("x0"),
+        (F.col("id") * 17 % n).alias("y0"),
+        F.lit(0).cast("long").alias("d0"),
+    )
+    cur = base.withColumn("xa", F.col("x0")).withColumn("ya", F.col("y0"))
+    for k in range(_HIL_BITS - 1, -1, -1):
+        s = 1 << k
+        x, y, d = F.col("x0"), F.col("y0"), F.col("d0")
+        rx = F.shiftright(x, k).bitwiseAND(F.lit(1))
+        ry = F.shiftright(y, k).bitwiseAND(F.lit(1))
+        cur = cur.select(
+            "xa",
+            "ya",
+            F.when(ry == 1, x).when(rx == 1, F.lit(s - 1) - y).otherwise(y).alias("x0"),
+            F.when(ry == 1, y).when(rx == 1, F.lit(s - 1) - x).otherwise(x).alias("y0"),
+            (d + F.lit(s * s) * (F.lit(3) * rx).bitwiseXOR(ry)).alias("d0"),
+        )
+    got = {(r["xa"], r["ya"]): r["d0"] for r in cur.collect()}
+    assert len(got) == n  # 31/17 are odd, so pairs repeat every n ids
+    for (xa, ya), d in got.items():
+        assert d == _xy2d_reference(n, xa, ya), (xa, ya)
