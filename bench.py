@@ -416,6 +416,12 @@ HEADLINE = [
     # round 13 batch 5: deterministic RANSAC consensus line fit (zero
     # fact-table shuffles: TakeOrdered pool + two broadcast scan passes)
     "ml_ransac_line_fit",
+    # round 13 batch 5: matrix profile via the STOMP diagonal trick —
+    # the quadratic stage is partitioned window sums over diagonals
+    "timeseries_matrix_profile",
+    # round 13 batch 5: TextRank keywords — exact fixed-point integer
+    # PageRank over the vocabulary-grain co-occurrence graph
+    "text_textrank_keywords",
 ]
 
 

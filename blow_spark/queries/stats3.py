@@ -1160,3 +1160,246 @@ def timeseries_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("seasonal_strength"),
     )
+
+
+_MP_M = 7  # subsequence length (one week)
+_MP_EXCL = 4  # trivial-match exclusion zone: |i - j| >= ceil(m/2) + 1
+
+
+@register(
+    "timeseries_matrix_profile",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS v
+      FROM orders GROUP BY 1
+    ), span AS (
+      SELECT MIN(day) AS mind, MAX(day) AS maxd FROM daily
+    ), cal AS (
+      SELECT UNNEST(generate_series(mind, maxd, INTERVAL 1 DAY))::DATE AS day,
+             mind
+      FROM span
+    ), series AS (
+      SELECT DATEDIFF('day', c.mind, c.day) AS t, c.day,
+             COALESCE(d.v, 0) AS v
+      FROM cal c LEFT JOIN daily d ON d.day = c.day
+    ), n_ AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM series
+    ), pairs AS (
+      SELECT b.t - a.t AS d, a.t AS t, a.v AS v1, b.v AS v2
+      FROM series a JOIN series b ON b.t >= a.t
+    ), winsum AS (
+      SELECT d, t,
+             SUM(CAST(v1 AS HUGEINT) * v2) OVER w AS dot,
+             SUM(CAST(v1 AS HUGEINT)) OVER w AS sa,
+             COUNT(*) OVER w AS cnt
+      FROM pairs
+      WINDOW w AS (PARTITION BY d ORDER BY t
+                   ROWS BETWEEN CURRENT ROW AND {_MP_M - 1} FOLLOWING)
+    ), stats AS (
+      SELECT t AS i, sa AS s1, dot AS s2,
+             {_MP_M} * dot - sa * sa AS var_m2
+      FROM winsum WHERE d = 0 AND cnt = {_MP_M}
+    ), dists AS (
+      SELECT w.t AS i, w.t + w.d AS j,
+             CAST(ROUND(1000000.0 * SQRT(GREATEST(0.0,
+               2.0 * {_MP_M} * (1.0
+                 - CAST({_MP_M} * w.dot - si.s1 * sj.s1 AS DOUBLE)
+                   / (SQRT(CAST(si.var_m2 AS DOUBLE))
+                      * SQRT(CAST(sj.var_m2 AS DOUBLE)))))))
+               AS BIGINT) AS dist_e6
+      FROM winsum w
+      JOIN stats si ON si.i = w.t
+      JOIN stats sj ON sj.i = w.t + w.d
+      WHERE w.d >= {_MP_EXCL} AND w.cnt = {_MP_M}
+        AND si.var_m2 > 0 AND sj.var_m2 > 0
+    ), sym AS (
+      SELECT i, j, dist_e6 FROM dists
+      UNION ALL
+      SELECT j AS i, i AS j, dist_e6 FROM dists
+    ), mp1 AS (
+      SELECT i, MIN(dist_e6) AS mp_e6 FROM sym GROUP BY i
+    ), mp AS (
+      SELECT b.i, m1.mp_e6, MIN(b.j) AS nn_j
+      FROM sym b JOIN mp1 m1 ON m1.i = b.i AND b.dist_e6 = m1.mp_e6
+      GROUP BY 1, 2
+    ), ext AS (
+      SELECT MIN(mp_e6) AS lo, MAX(mp_e6) AS hi FROM mp
+    )
+    SELECT s.i,
+           CAST(CAST(sp.mind + s.i * INTERVAL 1 DAY AS DATE) AS VARCHAR)
+             AS day,
+           m.mp_e6, m.nn_j,
+           COALESCE(m.mp_e6 = e.lo, FALSE) AS is_motif,
+           COALESCE(m.mp_e6 = e.hi, FALSE) AS is_discord
+    FROM stats s
+    LEFT JOIN mp m ON m.i = s.i
+    CROSS JOIN ext e CROSS JOIN span sp
+    ORDER BY s.i
+    """,
+    tags=("timeseries", "similarity", "orders"),
+)
+def timeseries_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix profile (Yeh et al., ICDM 2016) of the daily-revenue
+    series: for every week-long (m=7) subsequence, the z-normalized
+    Euclidean distance to its nearest non-trivial match (exclusion
+    zone |i−j| < 4), the nearest neighbor's start index, and the
+    global motif/discord flags — THE time-series primitive behind
+    motif discovery, anomaly (discord) hunting, and shapelet mining.
+
+    Spark-first shape — the STOMP diagonal trick (Zhu et al., ICDM
+    2016) made relational: all-pairs products group by DIAGONAL
+    d = j−i, and every per-pair dot product is a PARTITIONED window
+    sum along its diagonal (frame = m rows ordered by i), so the
+    quadratic stage is ordinary partitioned window aggregation — no
+    single-partition window, no per-row Python. Per-window sums land
+    exactly once from the d=0 diagonal.
+
+    Engine-exactness: revenue stays integer cents; dots/sums are
+    DECIMAL(38,0)/HUGEINT (v₁·v₂ crosses int64 already at sf0.1's
+    ~3.7e9-cent days — overflow-audit headroom to sf100's 1.4e25);
+    the correlation→distance conversion is one identical IEEE
+    double expression per pair over those exact integers (sqrt IS
+    correctly rounded by IEEE-754, unlike ln/pow), e6-rounded;
+    zero-variance windows (possible in the zero-filled tails at
+    sparse SFs) are excluded by the EXACT integer test m·S2−S1²=0
+    and surface as NULL profile rows. Nearest-neighbor ties break
+    to the smallest j in pure integer arithmetic.
+
+    Scale: the pair count is CALENDAR-bounded (n ≈ observation days,
+    invariant in row count — the fact table reduces to one row per
+    day first), so the quadratic term grows with the time span, not
+    the data; a decade of days is ~3.7k, 13M pairs across 3.7k
+    diagonal partitions — embarrassingly parallel window sums."""
+    from blow_spark.materialize import spill_to_parquet
+
+    m = _MP_M
+    o = read_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    span = daily.agg(
+        F.min("day").alias("mind"), F.max("day").alias("maxd")
+    )
+    cal = span.select(
+        "mind",
+        F.explode(
+            F.sequence("mind", "maxd", F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    series = spill_to_parquet(
+        cal.join(daily, "day", "left").select(
+            F.datediff("day", "mind").cast("bigint").alias("t"),
+            "day",
+            F.coalesce("v", F.lit(0)).cast("bigint").alias("v"),
+        ),
+        "blow_spark_mp_",
+    )
+    a = series.select(F.col("t").alias("ta"), F.col("v").alias("v1"))
+    b = series.select(F.col("t").alias("tb"), F.col("v").alias("v2"))
+    pairs = a.join(F.broadcast(b), F.col("tb") >= F.col("ta")).select(
+        (F.col("tb") - F.col("ta")).alias("d"),
+        F.col("ta").alias("t"),
+        "v1",
+        "v2",
+    )
+    d38 = "decimal(38,0)"
+    w = W.partitionBy("d").orderBy("t").rowsBetween(0, m - 1)
+    winsum = pairs.select(
+        "d",
+        "t",
+        F.sum((F.col("v1").cast(d38) * F.col("v2"))).over(w).alias("dot"),
+        F.sum(F.col("v1").cast(d38)).over(w).alias("sa"),
+        F.count("*").over(w).alias("cnt"),
+    )
+    stats = spill_to_parquet(
+        winsum.where((F.col("d") == 0) & (F.col("cnt") == m)).select(
+            F.col("t").alias("i"),
+            F.col("sa").alias("s1"),
+            F.col("dot").alias("s2"),
+            (F.lit(m) * F.col("dot") - F.col("sa") * F.col("sa")).alias(
+                "var_m2"
+            ),
+        ),
+        "blow_spark_mp_stats_",
+    )
+    si = stats.select(
+        F.col("i").alias("ii"),
+        F.col("s1").alias("s1i"),
+        F.col("var_m2").alias("vari"),
+    )
+    sj = stats.select(
+        F.col("i").alias("jj"),
+        F.col("s1").alias("s1j"),
+        F.col("var_m2").alias("varj"),
+    )
+    rho_num = (F.lit(m) * F.col("dot") - F.col("s1i") * F.col("s1j")).cast(
+        "double"
+    )
+    den = F.sqrt(F.col("vari").cast("double")) * F.sqrt(
+        F.col("varj").cast("double")
+    )
+    dist_e6 = (
+        F.round(
+            1000000.0
+            * F.sqrt(
+                F.greatest(
+                    F.lit(0.0), 2.0 * m * (F.lit(1.0) - rho_num / den)
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("dist_e6")
+    )
+    dists = spill_to_parquet(
+        winsum.where((F.col("d") >= _MP_EXCL) & (F.col("cnt") == m))
+        .join(F.broadcast(si), F.col("ii") == F.col("t"))
+        .join(F.broadcast(sj), F.col("jj") == F.col("t") + F.col("d"))
+        .where((F.col("vari") > 0) & (F.col("varj") > 0))
+        .select(
+            F.col("t").alias("i"), (F.col("t") + F.col("d")).alias("j"), dist_e6
+        ),
+        "blow_spark_mp_dists_",
+    )
+    both = dists.unionByName(
+        dists.select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "dist_e6"
+        )
+    )
+    mp = both.groupBy("i").agg(
+        F.min(F.struct("dist_e6", "j")).alias("mn")
+    ).select(
+        "i",
+        F.col("mn.dist_e6").alias("mp_e6"),
+        F.col("mn.j").alias("nn_j"),
+    )
+    ext = mp.agg(
+        F.min("mp_e6").alias("lo"), F.max("mp_e6").alias("hi")
+    )
+    return (
+        stats.select("i")
+        .join(mp, "i", "left")
+        .crossJoin(F.broadcast(ext))
+        .crossJoin(F.broadcast(span.select("mind")))
+        .select(
+            "i",
+            F.date_add("mind", F.col("i").cast("int"))
+            .cast("string")
+            .alias("day"),
+            "mp_e6",
+            "nn_j",
+            F.coalesce(F.col("mp_e6") == F.col("lo"), F.lit(False)).alias(
+                "is_motif"
+            ),
+            F.coalesce(F.col("mp_e6") == F.col("hi"), F.lit(False)).alias(
+                "is_discord"
+            ),
+        )
+        .orderBy("i")
+    )

@@ -1467,3 +1467,154 @@ def tokenizer_wordpiece_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("wf"), "word")
         .limit(_WP_TOPK)
     )
+
+
+_TR_STEP = """
+      SELECT e.dst AS node,
+             150000000 + (85 * SUM((e.nw_e6 * p.pr_e9) // 1000000)) // 100
+               AS pr_e9
+      FROM nwe e JOIN {prev} p ON p.node = e.src
+      GROUP BY e.dst
+"""
+
+
+@register(
+    "text_textrank_keywords",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), adj AS (
+      SELECT t[g] AS a, t[g + 1] AS b
+      FROM toks, LATERAL (SELECT UNNEST(range(1, len(t))) AS g) _
+      WHERE len(t) >= 2
+    ), und AS (
+      SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM adj
+      WHERE LENGTH(a) >= 3 AND LENGTH(b) >= 3 AND a <> b
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT u AS src, v AS dst, w FROM und
+      UNION ALL
+      SELECT v AS src, u AS dst, w FROM und
+    ), wdeg AS (
+      SELECT src, CAST(SUM(w) AS BIGINT) AS wd FROM edges GROUP BY src
+    ), nwe AS (
+      SELECT e.src, e.dst, (e.w * 1000000) // d.wd AS nw_e6
+      FROM edges e JOIN wdeg d ON d.src = e.src
+    ), n_ AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM wdeg
+    ), p0 AS (
+      SELECT src AS node, 1000000000 // n_.n AS pr_e9 FROM wdeg CROSS JOIN n_
+    ), p1 AS ({_TR_STEP.format(prev="p0")}),
+    p2 AS ({_TR_STEP.format(prev="p1")}),
+    p3 AS ({_TR_STEP.format(prev="p2")})
+    SELECT p3.node AS keyword, CAST(p3.pr_e9 AS BIGINT) AS pr_e9,
+           d.wd AS weighted_degree, ec.n_neighbors
+    FROM p3
+    JOIN wdeg d ON d.src = p3.node
+    JOIN (SELECT src, CAST(COUNT(*) AS BIGINT) AS n_neighbors
+          FROM edges GROUP BY src) ec ON ec.src = p3.node
+    ORDER BY p3.pr_e9 DESC, p3.node
+    """,
+    tags=("text", "keywords", "graph", "iterative"),
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    corpus-level weighted PageRank (d = 0.85, 3 unrolled iterations)
+    over the word co-occurrence graph — vertices are candidate tokens
+    (length ≥ 3), edges connect ADJACENT candidates (window 2 over the
+    original token stream), weighted by corpus co-occurrence count.
+
+    Engine-exactness: unlike graph_pagerank_bipartite's end-rounded
+    doubles, the whole iteration is FIXED-POINT INTEGER — transition
+    weights are pre-normalized once to e6 (nw = w·10⁶ div wdeg, so the
+    per-edge product nw·pr_e9 ≤ 10⁶·Σpr stays far inside int64 at ANY
+    corpus size), ranks live at e9, and each step is
+    pr' = 0.15e9 + (85·Σ(nw·pr div 10⁶)) div 100 — every operation a
+    positive-integer floor division with identical semantics in both
+    engines, so all three iterations compare EXACTLY (no 1e-15
+    summation-order slack to round away).
+
+    Scale: the corpus-proportional work is ONE map-side pass (the
+    adjacency pairs come from an in-array transform, never a
+    positional self-join) into a vocabulary-pair-grain count — the
+    same reduce-to-domain-then-iterate shape as the tokenizers; the
+    3 rank iterations join edge and rank tables at vocabulary grain
+    (spilled once, reused each round)."""
+    from blow_spark.materialize import spill_to_parquet
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+    )
+    adj = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i-1] AS a, t[i] AS b))"
+                )
+            ).alias("z")
+        )
+        .select(F.col("z.a").alias("a"), F.col("z.b").alias("b"))
+    )
+    und = (
+        adj.where(
+            (F.length("a") >= 3)
+            & (F.length("b") >= 3)
+            & (F.col("a") != F.col("b"))
+        )
+        .groupBy(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    edges = und.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "w"
+    ).unionByName(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w")
+    )
+    wdeg = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wd"))
+    nwe = spill_to_parquet(
+        edges.join(wdeg, "src").select(
+            "src", "dst", F.expr("(w * 1000000L) div wd").alias("nw_e6")
+        ),
+        "blow_spark_textrank_",
+    )
+    wdeg_s = spill_to_parquet(wdeg, "blow_spark_textrank_deg_")
+    n_ = wdeg_s.agg(F.count("*").cast("bigint").alias("n"))
+    pr = wdeg_s.crossJoin(F.broadcast(n_)).select(
+        F.col("src").alias("node"),
+        F.expr("1000000000L div n").alias("pr_e9"),
+    )
+    for _ in range(3):
+        pr = (
+            nwe.join(pr, F.col("node") == F.col("src"))
+            .groupBy("dst")
+            .agg(
+                (
+                    F.lit(150000000).cast("bigint")
+                    + F.expr(
+                        "(85 * sum((nw_e6 * pr_e9) div 1000000)) div 100"
+                    )
+                ).alias("pr_e9")
+            )
+            .select(F.col("dst").alias("node"), "pr_e9")
+        )
+    ec = nwe.groupBy("src").agg(F.count("*").cast("bigint").alias("n_neighbors"))
+    return (
+        pr.join(wdeg_s, F.col("node") == wdeg_s["src"])
+        .drop(wdeg_s["src"])
+        .join(ec, F.col("node") == ec["src"])
+        .drop(ec["src"])
+        .select(
+            F.col("node").alias("keyword"),
+            "pr_e9",
+            F.col("wd").alias("weighted_degree"),
+            "n_neighbors",
+        )
+        .orderBy(F.col("pr_e9").desc(), "keyword")
+    )

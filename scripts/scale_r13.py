@@ -22,6 +22,8 @@ R13_QUERIES = [
     "multimodal_gif_lzw_decode_stats",
     "layout_hilbert_locality_vs_zorder",
     "ml_ransac_line_fit",
+    "timeseries_matrix_profile",
+    "text_textrank_keywords",
 ]
 
 

@@ -517,6 +517,16 @@ BENCH_EXCHANGE_PINS = {
     # plan is the two broadcast-joined scoring/refit passes (3 partial
     # aggs) with zero fact-table shuffles
     "ml_ransac_line_fit": (3, 3),
+    # round 13 batch 5 — the distance table is spill-backed (the
+    # diagonal-partitioned window runs in the spill job); the returned
+    # plan is two spill scans -> nearest-neighbor agg + broadcast
+    # extremes/span joins + the ordered output
+    "timeseries_matrix_profile": (5, 3),
+    # round 13 batch 5 — one corpus map pass into the vocabulary-pair
+    # count (1 shuffle), then 3 unrolled rank iterations at vocabulary
+    # grain over the spilled edge table (1 join + 1 agg shuffle each
+    # ... AQE-broadcast off the tiny spills leaves 6 total) + output
+    "text_textrank_keywords": (6, 6),
 }
 
 
