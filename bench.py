@@ -422,6 +422,12 @@ HEADLINE = [
     # round 13 batch 5: TextRank keywords — exact fixed-point integer
     # PageRank over the vocabulary-grain co-occurrence graph
     "text_textrank_keywords",
+    # round 13 batch 6: SymSpell — fuzzy lookup as an exact equi-join
+    # on the vocabulary-grain deletion index, Levenshtein-verified
+    "text_symspell_correction",
+    # round 13 batch 6: seeded Brandes betweenness — exact sigma counts
+    # + e6 fixed-point dependency accumulation, |S|*|E|-bounded
+    "graph_betweenness_seeded",
 ]
 
 

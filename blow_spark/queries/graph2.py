@@ -497,3 +497,204 @@ def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("comm")
     )
+
+
+_BC_SEEDS = 8  # bounded seed set: the 8 smallest supplier node ids
+
+
+@register(
+    "graph_betweenness_seeded",
+    oracle="""
+    WITH po AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), und AS (
+      SELECT a.p AS u, b.p AS v
+      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), ed AS (
+      SELECT u AS a, v AS b FROM und
+      UNION ALL
+      SELECT v AS a, u AS b FROM und
+    ), nodes AS (
+      SELECT DISTINCT a AS node FROM ed
+    ), seeds AS (
+      SELECT node AS sd FROM nodes ORDER BY node LIMIT 8
+    ), l1 AS (
+      SELECT s.sd, e.b AS node, CAST(COUNT(*) AS BIGINT) AS sig
+      FROM seeds s JOIN ed e ON e.a = s.sd
+      GROUP BY 1, 2
+    ), l2 AS (
+      SELECT x.sd, x.node, CAST(SUM(x.psig) AS BIGINT) AS sig
+      FROM (
+        SELECT p.sd, e.b AS node, p.sig AS psig
+        FROM l1 p JOIN ed e ON e.a = p.node
+      ) x
+      LEFT JOIN l1 v1 ON v1.sd = x.sd AND v1.node = x.node
+      WHERE x.node <> x.sd AND v1.node IS NULL
+      GROUP BY 1, 2
+    ), l3 AS (
+      SELECT x.sd, x.node, CAST(SUM(x.psig) AS BIGINT) AS sig
+      FROM (
+        SELECT p.sd, e.b AS node, p.sig AS psig
+        FROM l2 p JOIN ed e ON e.a = p.node
+      ) x
+      LEFT JOIN l1 v1 ON v1.sd = x.sd AND v1.node = x.node
+      LEFT JOIN l2 v2 ON v2.sd = x.sd AND v2.node = x.node
+      WHERE x.node <> x.sd AND v1.node IS NULL AND v2.node IS NULL
+      GROUP BY 1, 2
+    ), d2 AS (
+      SELECT v.sd, v.node, v.sig,
+             CAST(COALESCE(SUM((v.sig * 1000000) // w.sig), 0) AS BIGINT)
+               AS dep_e6
+      FROM l2 v
+      LEFT JOIN ed e ON e.a = v.node
+      LEFT JOIN l3 w ON w.sd = v.sd AND w.node = e.b
+      GROUP BY 1, 2, 3
+    ), d1 AS (
+      SELECT v.sd, v.node, v.sig,
+             CAST(COALESCE(SUM(
+               (((v.sig * 1000000) // w.sig) * (1000000 + w.dep_e6))
+                 // 1000000), 0) AS BIGINT) AS dep_e6
+      FROM l1 v
+      LEFT JOIN ed e ON e.a = v.node
+      LEFT JOIN d2 w ON w.sd = v.sd AND w.node = e.b
+      GROUP BY 1, 2, 3
+    ), alldeps AS (
+      SELECT sd, node, dep_e6 FROM d1
+      UNION ALL
+      SELECT sd, node, dep_e6 FROM d2
+      UNION ALL
+      SELECT sd, node, CAST(0 AS BIGINT) AS dep_e6 FROM l3
+    )
+    SELECT node,
+           CAST(SUM(dep_e6) AS BIGINT) AS bc_e6,
+           CAST(COUNT(*) AS BIGINT) AS n_seed_visits
+    FROM alldeps
+    GROUP BY node
+    ORDER BY bc_e6 DESC, node
+    """,
+    tags=("graph", "centrality", "iterative"),
+)
+def graph_betweenness_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded betweenness centrality (Brandes, J. Math. Sociol. 2001 —
+    the pivot/sampling form of Brandes & Pich 2007): exact depth-≤3
+    single-source shortest-path DAGs from a BOUNDED deterministic seed
+    set (the 8 smallest part ids in the graph) over the part
+    co-purchase graph (parts co-ordered in ≥ 2 orders — the same edge
+    rule as basket_part_pairs, which keeps it SPARSE: the supplier
+    co-part graph is complete at every gate SF and would make every
+    betweenness trivially zero),
+    with the backward dependency accumulation δ(v) = Σ σv/σw·(1+δ(w))
+    summed over seeds — the standard way betweenness is estimated when
+    the full all-pairs Brandes is off the table at scale.
+
+    Engine-exactness: path counts σ are exact BIGINTs from the level
+    joins; the dependency recursion runs in e6 FIXED POINT where every
+    step is a positive-integer floor division evaluated identically by
+    both engines — r = σv·10⁶ div σw first (r ≤ 10⁶ since σv ≤ σw for
+    a predecessor), then contribution = r·(10⁶+δw) div 10⁶, keeping
+    every product under ~10⁶·(10⁶ + n·10⁶) — inside int64 to ~10⁶
+    nodes, far beyond the part dimension.
+
+    Scale: per-seed frontier tables are node-bounded; edges are
+    dimension-grain (basket-bounded pair fan-out, the
+    basket_part_pairs argument) and broadcast into every level join;
+    the fact table contributes one distinct (order, part) projection.
+    Seeds fix the work to |S|·|E| regardless of graph size — the
+    estimator's whole point."""
+    from blow_spark.materialize import spill_to_parquet
+
+    li = read_table(spark, sf_dir, "lineitem")
+    po = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    und = (
+        po.alias("a")
+        .join(
+            po.alias("b"),
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
+        )
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    ed = spill_to_parquet(
+        und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+            und.select(F.col("v").alias("a"), F.col("u").alias("b"))
+        ),
+        "blow_spark_bc_ed_",
+    )
+    seeds = (
+        ed.select(F.col("a").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(_BC_SEEDS)
+        .select(F.col("node").alias("sd"))
+    )
+    l1 = spill_to_parquet(
+        seeds.join(F.broadcast(ed), F.col("a") == F.col("sd"))
+        .groupBy("sd", F.col("b").alias("node"))
+        .agg(F.count("*").cast("bigint").alias("sig")),
+        "blow_spark_bc_l1_",
+    )
+
+    def next_level(prev, *visited):
+        x = (
+            prev.join(F.broadcast(ed), F.col("a") == prev["node"])
+            .select("sd", F.col("b").alias("node"), F.col("sig").alias("psig"))
+            .where(F.col("node") != F.col("sd"))
+        )
+        for vis in visited:
+            x = x.join(
+                vis.select("sd", "node"), ["sd", "node"], "left_anti"
+            )
+        return x.groupBy("sd", "node").agg(
+            F.sum("psig").cast("bigint").alias("sig")
+        )
+
+    l2 = spill_to_parquet(next_level(l1, l1), "blow_spark_bc_l2_")
+    l3 = spill_to_parquet(next_level(l2, l1, l2), "blow_spark_bc_l3_")
+
+    def dep_level(v, w, w_has_dep):
+        succ = (
+            v.join(F.broadcast(ed), F.col("a") == v["node"], "left")
+            .join(
+                w.select(
+                    F.col("sd").alias("wsd"),
+                    F.col("node").alias("wnode"),
+                    F.col("sig").alias("wsig"),
+                    *(
+                        [F.col("dep_e6").alias("wdep")]
+                        if w_has_dep
+                        else [F.lit(0).cast("bigint").alias("wdep")]
+                    ),
+                ),
+                (F.col("wsd") == v["sd"]) & (F.col("wnode") == F.col("b")),
+                "left",
+            )
+        )
+        contrib = F.expr(
+            "((sig * 1000000L) div wsig) * (1000000L + wdep) div 1000000L"
+        )
+        return succ.groupBy("sd", "node", "sig").agg(
+            F.coalesce(F.sum(contrib), F.lit(0)).cast("bigint").alias("dep_e6")
+        )
+
+    d2 = spill_to_parquet(dep_level(l2, l3, False), "blow_spark_bc_d2_")
+    d1 = dep_level(l1, d2, True)
+    alldeps = (
+        d1.select("sd", "node", "dep_e6")
+        .unionByName(d2.select("sd", "node", "dep_e6"))
+        .unionByName(
+            l3.select("sd", "node", F.lit(0).cast("bigint").alias("dep_e6"))
+        )
+    )
+    return (
+        alldeps.groupBy("node")
+        .agg(
+            F.sum("dep_e6").cast("bigint").alias("bc_e6"),
+            F.count("*").cast("bigint").alias("n_seed_visits"),
+        )
+        .orderBy(F.col("bc_e6").desc(), "node")
+    )

@@ -1618,3 +1618,194 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("pr_e9").desc(), "keyword")
     )
+
+
+def _sym_d1(col: str) -> str:
+    """SQL list of all 1-deletion variants of ``col`` (DuckDB form)."""
+    return (
+        f"list_transform(range(1, len({col}) + 1), "
+        f"i -> substr({col}, 1, i - 1) || substr({col}, i + 1, len({col})))"
+    )
+
+
+@register(
+    "text_symspell_correction",
+    oracle=rf"""
+    WITH vocab AS (
+      SELECT tok AS term, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (
+        SELECT UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+      ) WHERE LENGTH(tok) >= 3
+      GROUP BY tok
+    ), vix AS (
+      SELECT term, freq, UNNEST(
+        list_distinct(list_concat(
+          [term],
+          list_concat(
+            {_sym_d1('term')},
+            flatten(list_transform({_sym_d1('term')},
+                                   w -> {_sym_d1('w')}))
+          )
+        ))
+      ) AS variant
+      FROM vocab
+    ), typos AS (
+      SELECT term AS source, freq AS source_freq,
+             substr(term, 1,
+                    CAST(CAST(CONCAT('0x', substr(md5(term), 1, 6))
+                              AS BIGINT) % LENGTH(term) AS INTEGER))
+             || substr(term,
+                       CAST(CAST(CONCAT('0x', substr(md5(term), 1, 6))
+                                 AS BIGINT) % LENGTH(term) AS INTEGER) + 2)
+               AS typo
+      FROM vocab WHERE LENGTH(term) >= 4
+    ), tix AS (
+      SELECT source, typo, UNNEST(
+        list_distinct(list_concat([typo], {_sym_d1('typo')}))
+      ) AS variant
+      FROM typos
+    ), cand AS (
+      SELECT DISTINCT t.source, t.typo, v.term, v.freq
+      FROM tix t JOIN vix v ON v.variant = t.variant
+    ), verified AS (
+      SELECT source, typo, term, freq,
+             CAST(levenshtein(typo, term) AS BIGINT) AS dist
+      FROM cand
+      WHERE levenshtein(typo, term) <= 2
+    ), b1 AS (
+      SELECT source, typo, MIN(dist) AS mindist,
+             CAST(COUNT(*) AS BIGINT) AS n_candidates
+      FROM verified GROUP BY source, typo
+    ), b2 AS (
+      SELECT v.source, v.typo, b1.mindist, b1.n_candidates,
+             MAX(v.freq) AS maxfreq
+      FROM verified v
+      JOIN b1 ON b1.source = v.source AND b1.typo = v.typo
+             AND v.dist = b1.mindist
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT v.source, v.typo, MIN(v.term) AS correction,
+           b2.mindist AS edit_distance, b2.maxfreq AS correction_freq,
+           b2.n_candidates,
+           MIN(v.term) = v.source AS recovered
+    FROM verified v
+    JOIN b2 ON b2.source = v.source AND b2.typo = v.typo
+           AND v.dist = b2.mindist AND v.freq = b2.maxfreq
+    GROUP BY v.source, v.typo, b2.mindist, b2.maxfreq, b2.n_candidates
+    ORDER BY v.source
+    """,
+    tags=("text", "fuzzy", "join"),
+)
+def text_symspell_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell spelling correction (Garbe's symmetric-delete
+    algorithm): fuzzy lookup at edit distance ≤ 2 becomes an EXACT
+    equi-join by indexing every vocabulary term under its ≤2-deletion
+    variants and every query under its ≤1-deletion variants (a
+    deletion-only index is symmetric-complete for edit distance ≤ 2
+    when the query side deletes up to 1 — candidates are then
+    VERIFIED with true Levenshtein, so the blocking is lossless the
+    same way dedup_jaccard_prefix_filter's is). Queries are
+    deterministic synthetic typos: each vocab term ≥ 4 chars drops
+    the md5-derived character. Per typo: the best correction by
+    (edit distance, corpus frequency DESC, term), candidate count,
+    and whether the original term was recovered.
+
+    Engine-exactness: everything is strings, BIGINT counts, and both
+    engines' built-in unit-cost Levenshtein; the (dist, −freq, term)
+    argmin is a lexicographic struct MIN in both.
+
+    Scale: the delete index is VOCABULARY-grain (terms × ~L² variants
+    — the classic SymSpell space-for-join trade, ~1e8 rows for a 1M
+    vocab, built once and reusable); the corpus contributes one
+    map-side token-count pass; the candidate join is an equi-join on
+    variant strings with verification only on the (small) collision
+    set — never an all-pairs distance scan."""
+    from blow_spark.materialize import spill_to_parquet
+
+    d = read_table(spark, sf_dir, "documents")
+    sym_d1 = (
+        "transform(sequence(1, length({c})), "
+        "i -> concat(substring({c}, 1, i - 1), "
+        "substring({c}, i + 1, length({c}))))"
+    )
+    vocab = spill_to_parquet(
+        d.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("tok")
+        )
+        .where(F.length("tok") >= 3)
+        .groupBy(F.col("tok").alias("term"))
+        .agg(F.count("*").alias("freq")),
+        "blow_spark_symspell_",
+    )
+    d1 = sym_d1.format(c="term")
+    vix = vocab.select(
+        "term",
+        "freq",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.array(F.col("term")),
+                    F.expr(d1),
+                    F.flatten(
+                        F.expr(
+                            f"transform({d1}, w -> " + sym_d1.format(c="w") + ")"
+                        )
+                    ),
+                )
+            )
+        ).alias("variant"),
+    )
+    typos = vocab.where(F.length("term") >= 4).select(
+        F.col("term").alias("source"),
+        F.concat(
+            F.expr(
+                "substr(term, 1, cast(cast(conv(substring(md5(term),1,6),16,10)"
+                " as bigint) % length(term) as int))"
+            ),
+            F.expr(
+                "substr(term, cast(cast(conv(substring(md5(term),1,6),16,10)"
+                " as bigint) % length(term) as int) + 2)"
+            ),
+        ).alias("typo"),
+    )
+    tix = typos.select(
+        "source",
+        "typo",
+        F.explode(
+            F.array_distinct(
+                F.concat(F.array(F.col("typo")), F.expr(sym_d1.format(c="typo")))
+            )
+        ).alias("variant"),
+    )
+    cand = (
+        tix.join(vix, "variant")
+        .select("source", "typo", "term", "freq")
+        .distinct()
+    )
+    verified = cand.where(
+        F.levenshtein("typo", "term") <= 2
+    ).select(
+        "source",
+        "typo",
+        "term",
+        "freq",
+        F.levenshtein("typo", "term").cast("bigint").alias("dist"),
+    )
+    best = verified.groupBy("source", "typo").agg(
+        F.min(
+            F.struct("dist", (-F.col("freq")).alias("negfreq"), "term")
+        ).alias("b"),
+        F.count("*").cast("bigint").alias("n_candidates"),
+    )
+    return best.select(
+        "source",
+        "typo",
+        F.col("b.term").alias("correction"),
+        F.col("b.dist").alias("edit_distance"),
+        (-F.col("b.negfreq")).cast("bigint").alias("correction_freq"),
+        "n_candidates",
+        (F.col("b.term") == F.col("source")).alias("recovered"),
+    ).orderBy("source")

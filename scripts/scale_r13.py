@@ -24,6 +24,8 @@ R13_QUERIES = [
     "ml_ransac_line_fit",
     "timeseries_matrix_profile",
     "text_textrank_keywords",
+    "text_symspell_correction",
+    "graph_betweenness_seeded",
 ]
 
 

@@ -527,6 +527,16 @@ BENCH_EXCHANGE_PINS = {
     # grain over the spilled edge table (1 join + 1 agg shuffle each
     # ... AQE-broadcast off the tiny spills leaves 6 total) + output
     "text_textrank_keywords": (6, 6),
+    # round 13 batch 6 — the vocab count is spill-backed (its corpus
+    # token shuffle runs in the spill job); the returned plan joins the
+    # two delete-index explosions off the tiny vocab spill (broadcast)
+    # + candidate distinct + the two-level argmin aggs
+    "text_symspell_correction": (3, 1),
+    # round 13 batch 6 — edges and the per-seed level/dependency tables
+    # are spill-backed (their BFS joins run in the spill jobs); the
+    # returned plan is the d1 dependency join off the tiny spills
+    # (broadcast) + the final per-node sum + order
+    "graph_betweenness_seeded": (3, 2),
 }
 
 
