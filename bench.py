@@ -428,6 +428,10 @@ HEADLINE = [
     # round 13 batch 6: seeded Brandes betweenness — exact sigma counts
     # + e6 fixed-point dependency accumulation, |S|*|E|-bounded
     "graph_betweenness_seeded",
+    # round 13 batch 7: 2-D skyline via value-domain suffix minima;
+    # Huber IRLS step with exact e6 integer weights
+    "sort_skyline_pareto_2d",
+    "ml_huber_irls_step",
 ]
 
 

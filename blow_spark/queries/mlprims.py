@@ -1090,3 +1090,213 @@ def ml_ransac_line_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+@register(
+    "ml_huber_irls_step",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ), mom AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      FROM pts
+    ), ols AS (
+      SELECT n, sx, sy,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS b0,
+             (CAST(sy AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE))
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS a0,
+             SQRT(GREATEST(0.0,
+               (CAST(syy AS DOUBLE)
+                - (CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / CAST(n AS DOUBLE)
+                - (CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE))
+                  * (CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                       / CAST(n AS DOUBLE)))
+               / CAST(n - 2 AS DOUBLE))) AS sigma_hat
+      FROM mom
+    ), kparam AS (
+      SELECT n, a0, b0, sigma_hat,
+             GREATEST(CAST(ROUND(1.345 * sigma_hat) AS BIGINT), 1)
+               AS k_cents
+      FROM ols
+    ), wtd AS (
+      SELECT p.x, p.y, k.a0, k.b0, k.k_cents, k.n, k.sigma_hat,
+             CASE WHEN ABS(r_e0) <= k.k_cents THEN CAST(1000000 AS BIGINT)
+                  ELSE (k.k_cents * 1000000) // ABS(r_e0) END AS w_e6
+      FROM pts p CROSS JOIN kparam k,
+      LATERAL (SELECT CAST(ROUND(p.y - k.a0 - k.b0 * p.x) AS BIGINT)
+                 AS r_e0) _
+    ), wmom AS (
+      SELECT MIN(n) AS n, MIN(a0) AS a0, MIN(b0) AS b0,
+             MIN(sigma_hat) AS sigma_hat, MIN(k_cents) AS k_cents,
+             CAST(SUM(w_e6) AS HUGEINT) AS sw,
+             CAST(SUM(CAST(w_e6 AS HUGEINT) * x) AS HUGEINT) AS swx,
+             CAST(SUM(CAST(w_e6 AS HUGEINT) * y) AS HUGEINT) AS swy,
+             CAST(SUM(CAST(w_e6 AS HUGEINT) * x * y) AS HUGEINT) AS swxy,
+             CAST(SUM(CAST(w_e6 AS HUGEINT) * x * x) AS HUGEINT) AS swxx,
+             CAST(SUM(CASE WHEN w_e6 < 1000000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_downweighted
+      FROM wtd
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           ROUND(b0, 6) AS ols_slope,
+           ROUND(a0 / 100.0, 2) AS ols_intercept_dollars,
+           ROUND(sigma_hat, 2) AS sigma_hat_cents,
+           k_cents, n_downweighted,
+           CAST(sw AS BIGINT) AS sum_w_e6,
+           ROUND(CAST(sw * swxy - swx * swy AS DOUBLE)
+                 / CAST(sw * swxx - swx * swx AS DOUBLE), 6)
+             AS huber_slope,
+           ROUND((CAST(swy AS DOUBLE)
+                  - (CAST(sw * swxy - swx * swy AS DOUBLE)
+                     / CAST(sw * swxx - swx * swx AS DOUBLE))
+                    * CAST(swx AS DOUBLE))
+                 / CAST(sw AS DOUBLE) / 100.0, 2)
+             AS huber_intercept_dollars
+    FROM wmom
+    """,
+    tags=("ml", "robust", "lineitem"),
+)
+def ml_huber_irls_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One IRLS step of Huber M-estimation (Huber, Ann. Math. Stat.
+    1964) for the price-on-quantity regression: OLS warm start →
+    residuals → Huber weights w = min(1, k/|r|) at k = 1.345·σ̂ (the
+    95%-efficiency tuning constant; σ̂ is the OLS residual RMS — the
+    scale choice is part of the operator's definition) → weighted
+    re-fit. The downweighting census (n_downweighted, Σw) is emitted
+    so the robustness action is visible in the result, not just the
+    coefficients.
+
+    Engine-exactness: all moment sums are DECIMAL(38,0)/HUGEINT over
+    integer cents; the OLS coefficients are one shared IEEE expression
+    over those exact integers; per-row residuals round to integer
+    cents INDEPENDENTLY (no cross-row double summation anywhere), and
+    the weights are positive-integer floor divisions at e6 — so the
+    weighted moments are again exact integers and both engines agree
+    bit-for-bit up to the final ROUND(…,6) readouts.
+
+    Scale: two linear scans (moment pass + weighted pass with the
+    6-number parameter row broadcast), zero fact-table shuffles —
+    the same 100 TB shape as ml_ransac_line_fit's refit."""
+    li = read_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    mom = pts.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(d38).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(d38).alias("sxx"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).cast(d38).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    b0 = num / den
+    a0 = (F.col("sy").cast("double") - b0 * F.col("sx").cast("double")) / nd
+    sigma = F.sqrt(
+        F.greatest(
+            F.lit(0.0),
+            (
+                F.col("syy").cast("double")
+                - F.col("sy").cast("double")
+                * F.col("sy").cast("double")
+                / nd
+                - b0
+                * (
+                    F.col("sxy").cast("double")
+                    - F.col("sx").cast("double")
+                    * F.col("sy").cast("double")
+                    / nd
+                )
+            )
+            / (F.col("n") - 2).cast("double"),
+        )
+    )
+    kparam = mom.select(
+        F.col("n").cast("bigint").alias("n"),
+        a0.alias("a0"),
+        b0.alias("b0"),
+        sigma.alias("sigma_hat"),
+        F.greatest(
+            F.round(1.345 * sigma).cast("bigint"), F.lit(1).cast("bigint")
+        ).alias("k_cents"),
+    )
+    r_e0 = F.round(
+        F.col("y") - F.col("a0") - F.col("b0") * F.col("x")
+    ).cast("bigint")
+    wtd = pts.crossJoin(F.broadcast(kparam)).withColumn(
+        "w_e6",
+        F.when(
+            F.abs(r_e0) <= F.col("k_cents"), F.lit(1000000).cast("bigint")
+        ).otherwise(
+            F.expr(
+                "(k_cents * 1000000L) div abs(cast(round(y - a0 - b0 * x)"
+                " as bigint))"
+            )
+        ),
+    )
+    wmom = wtd.agg(
+        F.min("n").alias("n"),
+        F.min("a0").alias("a0"),
+        F.min("b0").alias("b0"),
+        F.min("sigma_hat").alias("sigma_hat"),
+        F.min("k_cents").alias("k_cents"),
+        F.sum("w_e6").cast(d38).alias("sw"),
+        F.sum(F.col("w_e6").cast(d38) * F.col("x")).cast(d38).alias("swx"),
+        F.sum(F.col("w_e6").cast(d38) * F.col("y")).cast(d38).alias("swy"),
+        F.sum(F.col("w_e6").cast(d38) * F.col("x") * F.col("y"))
+        .cast(d38)
+        .alias("swxy"),
+        F.sum(F.col("w_e6").cast(d38) * F.col("x") * F.col("x"))
+        .cast(d38)
+        .alias("swxx"),
+        F.sum((F.col("w_e6") < 1000000).cast("long"))
+        .cast("bigint")
+        .alias("n_downweighted"),
+    )
+    wnum = (F.col("sw") * F.col("swxy") - F.col("swx") * F.col("swy")).cast(
+        "double"
+    )
+    wden = (F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")).cast(
+        "double"
+    )
+    hslope = wnum / wden
+    return wmom.select(
+        F.col("n").cast("bigint").alias("n_points"),
+        F.round(F.col("b0"), 6).alias("ols_slope"),
+        F.round(F.col("a0") / 100.0, 2).alias("ols_intercept_dollars"),
+        F.round(F.col("sigma_hat"), 2).alias("sigma_hat_cents"),
+        "k_cents",
+        "n_downweighted",
+        F.col("sw").cast("bigint").alias("sum_w_e6"),
+        F.round(hslope, 6).alias("huber_slope"),
+        F.round(
+            (
+                F.col("swy").cast("double")
+                - hslope * F.col("swx").cast("double")
+            )
+            / F.col("sw").cast("double")
+            / 100.0,
+            2,
+        ).alias("huber_intercept_dollars"),
+    )

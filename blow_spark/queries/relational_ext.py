@@ -3023,3 +3023,98 @@ def layout_hilbert_locality_vs_zorder(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("curve")
     )
+
+
+@register(
+    "sort_skyline_pareto_2d",
+    oracle="""
+    WITH pts AS (
+      SELECT p_partkey, CAST(p_size AS BIGINT) AS size,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents
+      FROM part
+    ), dom AS (
+      SELECT size, MIN(price_cents) AS minp
+      FROM pts GROUP BY size
+    ), suf AS (
+      SELECT size, minp,
+             MIN(minp) OVER (ORDER BY size DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS sufmin_strict
+      FROM dom
+    ), sky AS (
+      SELECT p.p_partkey, p.size, p.price_cents
+      FROM pts p JOIN suf s ON s.size = p.size
+      WHERE (s.sufmin_strict IS NULL OR s.sufmin_strict > p.price_cents)
+        AND s.minp >= p.price_cents
+    ), n_ AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_parts FROM pts
+    ), k_ AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_skyline FROM sky
+    )
+    SELECT sky.p_partkey, sky.size, sky.price_cents,
+           n_.n_parts, k_.n_skyline
+    FROM sky CROSS JOIN n_ CROSS JOIN k_
+    ORDER BY sky.size DESC, sky.price_cents, sky.p_partkey
+    """,
+    tags=("sort", "skyline", "part"),
+)
+def sort_skyline_pareto_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier (Börzsönyi, Kossmann & Stocker,
+    ICDE 2001): the parts not DOMINATED in (price ↓ better, size ↑
+    better) — dominated means some other part is at-least-as-good in
+    both dimensions and strictly better in one. The classic
+    multi-criteria shortlist operator.
+
+    Spark-first shape: instead of the naive O(n²) dominance anti-join,
+    the test reduces to the SIZE VALUE DOMAIN (≤ 50 rows at any scale):
+    per size keep min price, take the strict-suffix running minimum
+    over sizes descending, and a part is skyline iff no strictly-
+    larger size offers price ≤ its own (sufmin_strict > p) and no
+    same-size part beats its price strictly (minp ≥ p, with ties kept
+    — identical points never strictly dominate each other). One keyed
+    aggregate + a domain-bounded window + one broadcast join back;
+    everything exact integer cents.
+
+    Scale: the only fact-proportional stages are the value-grain
+    aggregate and the final broadcast membership join — the suffix
+    window runs on the ≤50-row domain table inside its spill job
+    (same convention as ml_quantile_normalize's spilled rank map), so
+    the returned plan is window-free."""
+    p = read_table(spark, sf_dir, "part")
+    pts = p.select(
+        "p_partkey",
+        F.col("p_size").cast("bigint").alias("size"),
+        F.round(F.col("p_retailprice") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    dom = pts.groupBy("size").agg(F.min("price_cents").alias("minp"))
+    wsuf = W.orderBy(F.col("size").desc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    from blow_spark.materialize import spill_to_parquet
+
+    suf = spill_to_parquet(
+        dom.select(
+            "size", "minp", F.min("minp").over(wsuf).alias("sufmin_strict")
+        ),
+        "blow_spark_skyline_",
+    )
+    sky = (
+        pts.join(F.broadcast(suf), "size")
+        .where(
+            (
+                F.col("sufmin_strict").isNull()
+                | (F.col("sufmin_strict") > F.col("price_cents"))
+            )
+            & (F.col("minp") >= F.col("price_cents"))
+        )
+        .select("p_partkey", "size", "price_cents")
+    )
+    n_ = pts.agg(F.count("*").cast("bigint").alias("n_parts"))
+    k_ = sky.agg(F.count("*").cast("bigint").alias("n_skyline"))
+    return (
+        sky.crossJoin(F.broadcast(n_))
+        .crossJoin(F.broadcast(k_))
+        .orderBy(F.col("size").desc(), "price_cents", "p_partkey")
+    )

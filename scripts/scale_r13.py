@@ -26,6 +26,8 @@ R13_QUERIES = [
     "text_textrank_keywords",
     "text_symspell_correction",
     "graph_betweenness_seeded",
+    "sort_skyline_pareto_2d",
+    "ml_huber_irls_step",
 ]
 
 

@@ -537,6 +537,13 @@ BENCH_EXCHANGE_PINS = {
     # returned plan is the d1 dependency join off the tiny spills
     # (broadcast) + the final per-node sum + order
     "graph_betweenness_seeded": (3, 2),
+    # round 13 batch 7 — skyline: the ≤50-row suffix-minimum table is
+    # spill-backed (window-free returned plan); value-grain agg + two
+    # broadcast joins + counts. Huber: two linear scans (moment pass,
+    # weighted pass) with the parameter row broadcast — zero fact
+    # shuffles, same shape as ml_ransac_line_fit
+    "sort_skyline_pareto_2d": (3, 4),
+    "ml_huber_irls_step": (2, 1),
 }
 
 
