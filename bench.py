@@ -432,6 +432,9 @@ HEADLINE = [
     # Huber IRLS step with exact e6 integer weights
     "sort_skyline_pareto_2d",
     "ml_huber_irls_step",
+    # round 13 batch 7: chat context-window packing — system turn +
+    # longest tail suffix within budget, all conversation-partitioned
+    "llm_context_window_pack",
 ]
 
 

@@ -524,3 +524,141 @@ def rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= _CTX_BUDGET)
         .select("query_id", "rank", "doc_id", "doc_tokens", "cum_tokens")
     )
+
+
+_CW_BUDGET = 256  # context-window token budget per conversation
+_CW_OVERHEAD = 4  # per-turn chat-template overhead (role + separators)
+
+
+@register(
+    "llm_context_window_pack",
+    oracle=rf"""
+    WITH turns AS (
+      SELECT source AS conv, doc_id,
+             CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                  + {_CW_OVERHEAD} AS BIGINT) AS toks,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+               AS turn_no
+      FROM documents
+    ), sys AS (
+      SELECT conv, toks AS sys_toks FROM turns WHERE turn_no = 1
+    ), tail AS (
+      SELECT t.conv, t.doc_id, t.toks, s.sys_toks,
+             SUM(t.toks) OVER (PARTITION BY t.conv
+                               ORDER BY t.doc_id DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS sufsum
+      FROM turns t JOIN sys s ON s.conv = t.conv
+      WHERE t.turn_no > 1
+    ), tagg AS (
+      SELECT conv,
+             CAST(COUNT(*) AS BIGINT) AS n_tail,
+             CAST(COALESCE(SUM(CASE WHEN sufsum + sys_toks <= {_CW_BUDGET}
+                                    THEN toks END), 0) AS BIGINT)
+               AS tail_toks,
+             CAST(SUM(CASE WHEN sufsum + sys_toks <= {_CW_BUDGET}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS kept_tail
+      FROM tail GROUP BY conv
+    )
+    SELECT s.conv,
+           COALESCE(t.n_tail, 0) + 1 AS n_turns,
+           COALESCE(t.kept_tail, 0) + 1 AS kept_turns,
+           COALESCE(t.n_tail, 0) - COALESCE(t.kept_tail, 0)
+             AS dropped_turns,
+           s.sys_toks,
+           s.sys_toks + COALESCE(t.tail_toks, 0) AS packed_toks,
+           s.sys_toks + COALESCE(t.tail_toks, 0) > {_CW_BUDGET} AS over_budget,
+           ((s.sys_toks + COALESCE(t.tail_toks, 0)) * 1000000) // {_CW_BUDGET}
+             AS utilization_e6
+    FROM sys s LEFT JOIN tagg t ON t.conv = s.conv
+    ORDER BY s.conv
+    """,
+    tags=("llm", "pipeline", "documents"),
+)
+def llm_context_window_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat context-window assembly — the packing step every LLM
+    serving/training stack runs per conversation: keep the SYSTEM turn
+    (the first turn) unconditionally, then the longest CONTIGUOUS
+    SUFFIX of the remaining turns that fits the token budget (recency
+    truncation — old turns fall off the front, never the middle).
+    Conversations are the document sources, turns ordered by doc_id;
+    per-turn cost is the whitespace token count plus a fixed
+    chat-template overhead of {_CW_OVERHEAD} (role tag + separators),
+    budget {_CW_BUDGET}. Per conversation: turn/kept/dropped census,
+    packed token count, an over_budget flag (a system turn alone may
+    exceed the budget — it is still kept, and the flag realizes that
+    edge in the data), and budget utilization.
+
+    Engine-exactness: token counts are exact BIGINTs from the shared
+    split-on-whitespace rule; the suffix feasibility test is a
+    partitioned descending cumulative sum; utilization is a
+    positive-integer floor division.
+
+    Scale: one pass — everything is windows/aggregates PARTITIONED BY
+    conversation (the natural key a 100 TB chat corpus is already
+    bucketed by); no global window, no join wider than the
+    conversation-grain system-turn broadcast."""
+    d = read_table(spark, sf_dir, "documents")
+    turns = d.select(
+        F.col("source").alias("conv"),
+        "doc_id",
+        (
+            F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+            + _CW_OVERHEAD
+        )
+        .cast("bigint")
+        .alias("toks"),
+        F.row_number()
+        .over(W.partitionBy("source").orderBy("doc_id"))
+        .alias("turn_no"),
+    )
+    sys_t = turns.where(F.col("turn_no") == 1).select(
+        "conv", F.col("toks").alias("sys_toks")
+    )
+    wsuf = (
+        W.partitionBy("conv")
+        .orderBy(F.col("doc_id").desc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    tail = (
+        turns.where(F.col("turn_no") > 1)
+        .join(sys_t, "conv")
+        .select(
+            "conv",
+            "doc_id",
+            "toks",
+            "sys_toks",
+            F.sum("toks").over(wsuf).alias("sufsum"),
+        )
+    )
+    fits = F.col("sufsum") + F.col("sys_toks") <= _CW_BUDGET
+    tagg = tail.groupBy("conv").agg(
+        F.count("*").cast("bigint").alias("n_tail"),
+        F.coalesce(F.sum(F.when(fits, F.col("toks"))), F.lit(0))
+        .cast("bigint")
+        .alias("tail_toks"),
+        F.sum(fits.cast("long")).cast("bigint").alias("kept_tail"),
+    )
+    packed = F.col("sys_toks") + F.coalesce(F.col("tail_toks"), F.lit(0))
+    return (
+        sys_t.join(tagg, "conv", "left")
+        .select(
+            "conv",
+            (F.coalesce(F.col("n_tail"), F.lit(0)) + 1).alias("n_turns"),
+            (F.coalesce(F.col("kept_tail"), F.lit(0)) + 1).alias(
+                "kept_turns"
+            ),
+            (
+                F.coalesce(F.col("n_tail"), F.lit(0))
+                - F.coalesce(F.col("kept_tail"), F.lit(0))
+            ).alias("dropped_turns"),
+            "sys_toks",
+            packed.alias("packed_toks"),
+            (packed > _CW_BUDGET).alias("over_budget"),
+            F.expr(
+                "((sys_toks + coalesce(tail_toks, 0L)) * 1000000L)"
+                f" div {_CW_BUDGET}"
+            ).alias("utilization_e6"),
+        )
+        .orderBy("conv")
+    )

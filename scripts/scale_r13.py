@@ -28,6 +28,7 @@ R13_QUERIES = [
     "graph_betweenness_seeded",
     "sort_skyline_pareto_2d",
     "ml_huber_irls_step",
+    "llm_context_window_pack",
 ]
 
 

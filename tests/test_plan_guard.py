@@ -544,6 +544,10 @@ BENCH_EXCHANGE_PINS = {
     # shuffles, same shape as ml_ransac_line_fit
     "sort_skyline_pareto_2d": (3, 4),
     "ml_huber_irls_step": (2, 1),
+    # round 13 batch 7 — conversation-partitioned windows/aggregates
+    # (turn numbering + descending suffix sum + per-conv agg) and the
+    # system-turn join; the 1 broadcast is the tiny tagg side
+    "llm_context_window_pack": (6, 1),
 }
 
 
