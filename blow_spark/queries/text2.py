@@ -1662,7 +1662,14 @@ def _sym_d1(col: str) -> str:
       FROM vocab WHERE LENGTH(term) >= 4
     ), tix AS (
       SELECT source, typo, UNNEST(
-        list_distinct(list_concat([typo], {_sym_d1('typo')}))
+        list_distinct(list_concat(
+          [typo],
+          list_concat(
+            {_sym_d1('typo')},
+            flatten(list_transform({_sym_d1('typo')},
+                                   w -> {_sym_d1('w')}))
+          )
+        ))
       ) AS variant
       FROM typos
     ), cand AS (
@@ -1700,12 +1707,13 @@ def _sym_d1(col: str) -> str:
 def text_symspell_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SymSpell spelling correction (Garbe's symmetric-delete
     algorithm): fuzzy lookup at edit distance ≤ 2 becomes an EXACT
-    equi-join by indexing every vocabulary term under its ≤2-deletion
-    variants and every query under its ≤1-deletion variants (a
-    deletion-only index is symmetric-complete for edit distance ≤ 2
-    when the query side deletes up to 1 — candidates are then
+    equi-join by indexing BOTH sides under their ≤2-deletion
+    neighborhoods — Garbe's completeness argument: any pair within
+    Levenshtein 2 shares a deletion variant when both sides delete up
+    to 2 (substitutions delete the differing position from each side,
+    insertions delete from the longer side) — and candidates are then
     VERIFIED with true Levenshtein, so the blocking is lossless the
-    same way dedup_jaccard_prefix_filter's is). Queries are
+    same way dedup_jaccard_prefix_filter's is. Queries are
     deterministic synthetic typos: each vocab term ≥ 4 chars drops
     the md5-derived character. Per typo: the best correction by
     (edit distance, corpus frequency DESC, term), candidate count,
@@ -1771,12 +1779,23 @@ def text_symspell_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("typo"),
     )
+    t1 = sym_d1.format(c="typo")
     tix = typos.select(
         "source",
         "typo",
         F.explode(
             F.array_distinct(
-                F.concat(F.array(F.col("typo")), F.expr(sym_d1.format(c="typo")))
+                F.concat(
+                    F.array(F.col("typo")),
+                    F.expr(t1),
+                    F.flatten(
+                        F.expr(
+                            f"transform({t1}, w -> "
+                            + sym_d1.format(c="w")
+                            + ")"
+                        )
+                    ),
+                )
             )
         ).alias("variant"),
     )
