@@ -866,6 +866,43 @@ _RANSAC_TAU_CENTS = 50_000  # ±$500 vertical band
 _RANSAC_POOL = 48  # hash-ordered sample rows -> 24 candidate pairs
 
 
+def _fx_div_duck(num: str, den: str, scale: int) -> str:
+    """Exact half-away-from-zero fixed-point division
+    round(num·scale/den) in pure HUGEINT, for positive ``den``
+    (round-14 ADVICE fix: the previous ROUND(x::DOUBLE, 6/2) readouts
+    sat in the same fractional-decimal tie class the Holt e4 fix
+    closed — Spark rounds the shortest-decimal repr HALF_UP, DuckDB
+    rounds the exact binary double, and they disagree exactly on
+    ties; integer division can't). TWO-STAGE — integer quotient plus
+    half-away remainder scaling — so no operand ever exceeds
+    max(|num|, 2·scale·den): the naive (2·num·scale + den)//(2·den)
+    form would cross 2^127 at sf100 for the regression covariances
+    (num = n·Σxy − Σx·Σy ≈ n²·cov ~ 1.3e31 there, ×2e6 ≈ 2.6e37 with
+    only ~6× headroom; two-stage keeps ≥ 1e4×)."""
+    return (
+        f"CAST(CASE WHEN ({num}) >= 0 THEN "
+        f"(({num}) // ({den})) * {scale} "
+        f"+ (2 * (({num}) % ({den})) * {scale} + ({den})) // (2 * ({den})) "
+        f"ELSE -(((-({num})) // ({den})) * {scale} "
+        f"+ (2 * ((-({num})) % ({den})) * {scale} + ({den})) "
+        f"// (2 * ({den}))) END AS BIGINT)"
+    )
+
+
+def _fx_div_spark(num: str, den: str, scale: int):
+    """Spark DECIMAL(38,0) twin of _fx_div_duck — `div`/`%` truncate
+    toward zero in both engines, and the sign-split keeps every
+    operand non-negative so floor-vs-truncate can never diverge."""
+    return F.expr(
+        f"CAST(CASE WHEN ({num}) >= 0 THEN "
+        f"(({num}) div ({den})) * {scale} "
+        f"+ (2 * (({num}) % ({den})) * {scale} + ({den})) div (2 * ({den})) "
+        f"ELSE -(((-({num})) div ({den})) * {scale} "
+        f"+ (2 * ((-({num})) % ({den})) * {scale} + ({den})) "
+        f"div (2 * ({den}))) END AS BIGINT)"
+    )
+
+
 @register(
     "ml_ransac_line_fit",
     oracle=f"""
@@ -917,6 +954,19 @@ _RANSAC_POOL = 48  # hash-ordered sample rows -> 24 candidate pairs
       FROM pts p CROSS JOIN winner w
       WHERE ABS(w.dy * (p.x - w.px) - w.dx * (p.y - w.py))
             <= {_RANSAC_TAU_CENTS} * w.dx
+    ), refit2 AS (
+      SELECT n, sx, sy,
+             {_fx_div_duck('n * sxy - sx * sy',
+                           'n * sxx - sx * sx', 10**6)}
+               AS refit_slope_e6
+      FROM refit
+    ), refitout AS (
+      SELECT refit_slope_e6,
+             {_fx_div_duck(
+                 '1000000 * sy - CAST(refit_slope_e6 AS HUGEINT) * sx',
+                 '1000000 * n', 1)}
+               AS refit_intercept_e2
+      FROM refit2
     )
     SELECT r.rk AS rank, r.pair_id, r.px AS x_anchor,
            r.py AS y_anchor_cents, r.dx, r.dy,
@@ -924,18 +974,11 @@ _RANSAC_POOL = 48  # hash-ordered sample rows -> 24 candidate pairs
            r.n_inliers, r.n_pts,
            (1000000 * r.n_inliers) // r.n_pts AS inlier_frac_e6,
            nc.n_candidates,
-           CASE WHEN r.rk = 1 THEN ROUND(
-             CAST(f.n * f.sxy - f.sx * f.sy AS DOUBLE)
-             / CAST(f.n * f.sxx - f.sx * f.sx AS DOUBLE), 6)
-           END AS refit_slope_cents,
-           CASE WHEN r.rk = 1 THEN ROUND(
-             (CAST(f.sy AS DOUBLE)
-              - (CAST(f.n * f.sxy - f.sx * f.sy AS DOUBLE)
-                 / CAST(f.n * f.sxx - f.sx * f.sx AS DOUBLE))
-                * CAST(f.sx AS DOUBLE))
-             / CAST(f.n AS DOUBLE) / 100.0, 2)
-           END AS refit_intercept_dollars
-    FROM ranked r CROSS JOIN ncand nc CROSS JOIN refit f
+           CASE WHEN r.rk = 1 THEN f.refit_slope_e6
+           END AS refit_slope_e6,
+           CASE WHEN r.rk = 1 THEN f.refit_intercept_e2
+           END AS refit_intercept_e2
+    FROM ranked r CROSS JOIN ncand nc CROSS JOIN refitout f
     WHERE r.rk <= 5
     ORDER BY r.rk
     """,
@@ -960,9 +1003,15 @@ def ml_ransac_line_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pure BIGINT (lines are canonicalized to dx > 0, so both engines
     avoid floor-vs-truncate sign traps entirely); refit sums are
     DECIMAL(38,0)/HUGEINT (the n·Σxy cross-product crosses int64 near
-    6e8 rows — round-13 overflow-audit headroom discipline), and each
-    reported double is the same IEEE expression over those exact
-    integers, ROUND-disciplined.
+    6e8 rows — round-13 overflow-audit headroom discipline), and the
+    refit readouts are EXACT half-away integer fixed-point divisions
+    over those integer moments (_fx_div_duck/_fx_div_spark, round-14
+    ADVICE fix): refit_slope_e6 = round(10⁶·(nΣxy−ΣxΣy)/(nΣxx−Σx²))
+    and refit_intercept_e2 = round((10⁶·Σy − slope_e6·Σx)/(10⁶·n)) in
+    cents — NO doubles anywhere, so the Spark-BigDecimal-HALF_UP vs
+    DuckDB-binary-round fractional-tie class (the sf1 Holt find)
+    cannot exist. The intercept is defined over the already-rounded
+    slope_e6 so both engines evaluate the identical integer formula.
 
     Scale: the pool selection is a TakeOrdered head (per-partition
     heaps, k=48, no fact shuffle); the 24-line hypothesis table
@@ -1045,17 +1094,23 @@ def ml_ransac_line_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("x") * F.col("x")).cast(d38).alias("sxx"),
         )
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-        "double"
+    refit2 = refit.withColumn(
+        "refit_slope_e6",
+        _fx_div_spark("n * sxy - sx * sy", "n * sxx - sx * sx", 10**6),
     )
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-        "double"
+    refit_out = refit2.select(
+        "refit_slope_e6",
+        _fx_div_spark(
+            "1000000 * sy - cast(refit_slope_e6 as decimal(38,0)) * sx",
+            "1000000 * n",
+            1,
+        ).alias("refit_intercept_e2"),
     )
     ncand = lines.agg(F.count("*").cast("bigint").alias("n_candidates"))
     return (
         ranked.where(F.col("rank") <= 5)
         .crossJoin(F.broadcast(ncand))
-        .crossJoin(F.broadcast(refit))
+        .crossJoin(F.broadcast(refit_out))
         .select(
             "rank",
             "pair_id",
@@ -1072,21 +1127,12 @@ def ml_ransac_line_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "inlier_frac_e6"
             ),
             "n_candidates",
-            F.when(F.col("rank") == 1, F.round(num / den, 6)).alias(
-                "refit_slope_cents"
+            F.when(F.col("rank") == 1, F.col("refit_slope_e6")).alias(
+                "refit_slope_e6"
             ),
-            F.when(
-                F.col("rank") == 1,
-                F.round(
-                    (
-                        F.col("sy").cast("double")
-                        - (num / den) * F.col("sx").cast("double")
-                    )
-                    / F.col("n").cast("double")
-                    / 100.0,
-                    2,
-                ),
-            ).alias("refit_intercept_dollars"),
+            F.when(F.col("rank") == 1, F.col("refit_intercept_e2")).alias(
+                "refit_intercept_e2"
+            ),
         )
         .orderBy("rank")
     )
@@ -1094,7 +1140,7 @@ def ml_ransac_line_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ml_huber_irls_step",
-    oracle="""
+    oracle=f"""
     WITH pts AS (
       SELECT CAST(l_quantity AS BIGINT) AS x,
              CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
@@ -1124,23 +1170,34 @@ def ml_ransac_line_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                   * (CAST(sxy AS DOUBLE)
                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
                        / CAST(n AS DOUBLE)))
-               / CAST(n - 2 AS DOUBLE))) AS sigma_hat
+               / CAST(n - 2 AS DOUBLE))) AS sigma_hat,
+             {_fx_div_duck('n * sxy - sx * sy',
+                           'n * sxx - sx * sx', 10**6)}
+               AS ols_slope_e6
       FROM mom
     ), kparam AS (
-      SELECT n, a0, b0, sigma_hat,
+      SELECT n, a0, b0, sigma_hat, ols_slope_e6,
              GREATEST(CAST(ROUND(1.345 * sigma_hat) AS BIGINT), 1)
-               AS k_cents
+               AS k_cents,
+             {_fx_div_duck(
+                 '1000000 * sy - CAST(ols_slope_e6 AS HUGEINT) * sx',
+                 '1000000 * n', 1)}
+               AS ols_intercept_e2,
+             CAST(FLOOR(sigma_hat * 100.0) AS BIGINT) AS sigma_hat_e2
       FROM ols
     ), wtd AS (
-      SELECT p.x, p.y, k.a0, k.b0, k.k_cents, k.n, k.sigma_hat,
+      SELECT p.x, p.y, k.a0, k.b0, k.k_cents, k.n,
+             k.ols_slope_e6, k.ols_intercept_e2, k.sigma_hat_e2,
              CASE WHEN ABS(r_e0) <= k.k_cents THEN CAST(1000000 AS BIGINT)
                   ELSE (k.k_cents * 1000000) // ABS(r_e0) END AS w_e6
       FROM pts p CROSS JOIN kparam k,
       LATERAL (SELECT CAST(ROUND(p.y - k.a0 - k.b0 * p.x) AS BIGINT)
                  AS r_e0) _
     ), wmom AS (
-      SELECT MIN(n) AS n, MIN(a0) AS a0, MIN(b0) AS b0,
-             MIN(sigma_hat) AS sigma_hat, MIN(k_cents) AS k_cents,
+      SELECT MIN(n) AS n, MIN(k_cents) AS k_cents,
+             MIN(ols_slope_e6) AS ols_slope_e6,
+             MIN(ols_intercept_e2) AS ols_intercept_e2,
+             MIN(sigma_hat_e2) AS sigma_hat_e2,
              CAST(SUM(w_e6) AS HUGEINT) AS sw,
              CAST(SUM(CAST(w_e6 AS HUGEINT) * x) AS HUGEINT) AS swx,
              CAST(SUM(CAST(w_e6 AS HUGEINT) * y) AS HUGEINT) AS swy,
@@ -1151,20 +1208,23 @@ def ml_ransac_line_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM wtd
     )
     SELECT CAST(n AS BIGINT) AS n_points,
-           ROUND(b0, 6) AS ols_slope,
-           ROUND(a0 / 100.0, 2) AS ols_intercept_dollars,
-           ROUND(sigma_hat, 2) AS sigma_hat_cents,
+           ols_slope_e6, ols_intercept_e2, sigma_hat_e2,
            k_cents, n_downweighted,
            CAST(sw AS BIGINT) AS sum_w_e6,
-           ROUND(CAST(sw * swxy - swx * swy AS DOUBLE)
-                 / CAST(sw * swxx - swx * swx AS DOUBLE), 6)
-             AS huber_slope,
-           ROUND((CAST(swy AS DOUBLE)
-                  - (CAST(sw * swxy - swx * swy AS DOUBLE)
-                     / CAST(sw * swxx - swx * swx AS DOUBLE))
+           CAST(FLOOR(1000000.0 *
+                ((CAST(sw AS DOUBLE) * CAST(swxy AS DOUBLE)
+                  - CAST(swx AS DOUBLE) * CAST(swy AS DOUBLE))
+                 / (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+                    - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE))))
+                AS BIGINT) AS huber_slope_e6,
+           CAST(FLOOR((CAST(swy AS DOUBLE)
+                  - ((CAST(sw AS DOUBLE) * CAST(swxy AS DOUBLE)
+                      - CAST(swx AS DOUBLE) * CAST(swy AS DOUBLE))
+                     / (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+                        - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE)))
                     * CAST(swx AS DOUBLE))
-                 / CAST(sw AS DOUBLE) / 100.0, 2)
-             AS huber_intercept_dollars
+                 / CAST(sw AS DOUBLE)) AS BIGINT)
+             AS huber_intercept_e2
     FROM wmom
     """,
     tags=("ml", "robust", "lineitem"),
@@ -1179,13 +1239,27 @@ def ml_huber_irls_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the robustness action is visible in the result, not just the
     coefficients.
 
-    Engine-exactness: all moment sums are DECIMAL(38,0)/HUGEINT over
-    integer cents; the OLS coefficients are one shared IEEE expression
-    over those exact integers; per-row residuals round to integer
-    cents INDEPENDENTLY (no cross-row double summation anywhere), and
-    the weights are positive-integer floor divisions at e6 — so the
-    weighted moments are again exact integers and both engines agree
-    bit-for-bit up to the final ROUND(…,6) readouts.
+    Engine-exactness (round-14 ADVICE fix — no fractional ROUND on
+    doubles anywhere): all moment sums are DECIMAL(38,0)/HUGEINT over
+    integer cents; the REPORTED OLS coefficients are exact half-away
+    integer fixed-point divisions over those moments
+    (ols_slope_e6 = round(10⁶·(nΣxy−ΣxΣy)/(nΣxx−Σx²)),
+    ols_intercept_e2 over the already-rounded slope — _fx_div_duck/
+    _fx_div_spark); per-row residuals use the internal IEEE (a0, b0)
+    and round to integer cents INDEPENDENTLY (0-decimal round — the
+    tie-safe kind, since x.5 is exactly representable); the weights
+    are positive-integer floor divisions at e6, so the weighted
+    moments are again exact integers. The WEIGHTED readouts
+    (huber_slope_e6/huber_intercept_e2) are tie-free FLOOR over the
+    shared IEEE ratio of per-moment double casts: the exact rational
+    there has value Σw²·cov ≈ 1.3e43 at sf100 — past 2^127, so NO
+    128-bit integer path exists (the old code's sw·swxy DECIMAL
+    product silently nulls/errors near sf40; per-moment casts are
+    exact-to-double and IEEE ops are correctly rounded in both
+    engines, so the doubles are bit-equal and FLOOR — unlike
+    fractional ROUND — has no decimal-tie class). sigma_hat_e2 is the
+    same FLOOR treatment (σ̂ is a sqrt, hence irrational — IEEE sqrt
+    is correctly rounded, so still bit-equal).
 
     Scale: two linear scans (moment pass + weighted pass with the
     6-number parameter row broadcast), zero fact-table shuffles —
@@ -1232,7 +1306,11 @@ def ml_huber_irls_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") - 2).cast("double"),
         )
     )
-    kparam = mom.select(
+    mom2 = mom.withColumn(
+        "ols_slope_e6",
+        _fx_div_spark("n * sxy - sx * sy", "n * sxx - sx * sx", 10**6),
+    )
+    kparam = mom2.select(
         F.col("n").cast("bigint").alias("n"),
         a0.alias("a0"),
         b0.alias("b0"),
@@ -1240,6 +1318,13 @@ def ml_huber_irls_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(
             F.round(1.345 * sigma).cast("bigint"), F.lit(1).cast("bigint")
         ).alias("k_cents"),
+        F.col("ols_slope_e6"),
+        _fx_div_spark(
+            "1000000 * sy - cast(ols_slope_e6 as decimal(38,0)) * sx",
+            "1000000 * n",
+            1,
+        ).alias("ols_intercept_e2"),
+        F.floor(sigma * 100.0).cast("bigint").alias("sigma_hat_e2"),
     )
     r_e0 = F.round(
         F.col("y") - F.col("a0") - F.col("b0") * F.col("x")
@@ -1257,10 +1342,10 @@ def ml_huber_irls_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wmom = wtd.agg(
         F.min("n").alias("n"),
-        F.min("a0").alias("a0"),
-        F.min("b0").alias("b0"),
-        F.min("sigma_hat").alias("sigma_hat"),
         F.min("k_cents").alias("k_cents"),
+        F.min("ols_slope_e6").alias("ols_slope_e6"),
+        F.min("ols_intercept_e2").alias("ols_intercept_e2"),
+        F.min("sigma_hat_e2").alias("sigma_hat_e2"),
         F.sum("w_e6").cast(d38).alias("sw"),
         F.sum(F.col("w_e6").cast(d38) * F.col("x")).cast(d38).alias("swx"),
         F.sum(F.col("w_e6").cast(d38) * F.col("y")).cast(d38).alias("swy"),
@@ -1274,29 +1359,24 @@ def ml_huber_irls_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_downweighted"),
     )
-    wnum = (F.col("sw") * F.col("swxy") - F.col("swx") * F.col("swy")).cast(
-        "double"
+    swd = F.col("sw").cast("double")
+    swxd = F.col("swx").cast("double")
+    swyd = F.col("swy").cast("double")
+    hslope = (swd * F.col("swxy").cast("double") - swxd * swyd) / (
+        swd * F.col("swxx").cast("double") - swxd * swxd
     )
-    wden = (F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")).cast(
-        "double"
-    )
-    hslope = wnum / wden
     return wmom.select(
         F.col("n").cast("bigint").alias("n_points"),
-        F.round(F.col("b0"), 6).alias("ols_slope"),
-        F.round(F.col("a0") / 100.0, 2).alias("ols_intercept_dollars"),
-        F.round(F.col("sigma_hat"), 2).alias("sigma_hat_cents"),
+        "ols_slope_e6",
+        "ols_intercept_e2",
+        "sigma_hat_e2",
         "k_cents",
         "n_downweighted",
         F.col("sw").cast("bigint").alias("sum_w_e6"),
-        F.round(hslope, 6).alias("huber_slope"),
-        F.round(
-            (
-                F.col("swy").cast("double")
-                - hslope * F.col("swx").cast("double")
-            )
-            / F.col("sw").cast("double")
-            / 100.0,
-            2,
-        ).alias("huber_intercept_dollars"),
+        F.floor(F.lit(1000000.0) * hslope)
+        .cast("bigint")
+        .alias("huber_slope_e6"),
+        F.floor((swyd - hslope * swxd) / swd)
+        .cast("bigint")
+        .alias("huber_intercept_e2"),
     )

@@ -1,11 +1,15 @@
 """Multimodal-column queries: binary payload + typed metadata over the
 documents fixture (payloads synthesized deterministically from text).
-PNG, RIFF/WAV, and baseline JPEG decode FOR REAL (multimodal._decode_png,
-stdlib wave, multimodal._decode_jpeg) — multimodal_wav_decode_energy and
-multimodal_jpeg_decode_stats run genuine container/entropy decodes under
-the oracle gate; MP3 and progressive/subsampled JPEG stay stubbed; the
-Spark-side plumbing is real and oracled where byte semantics are
-SQL-expressible."""
+PNG (incl. Adam7/palette), RIFF/WAV (PCM + IMA-ADPCM), GIF (real LZW
+pixel decode), BMP, QOI, G.711, and JPEG decode FOR REAL — baseline
+sequential at 4:4:4/4:2:0/4:2:2/4:4:0 subsampling (multimodal._decode_jpeg)
+AND progressive SOF2 DC-scan decode (multimodal_jpeg_progressive_dc_stats,
+round 13); multimodal_wav_decode_energy and multimodal_jpeg_decode_stats
+run genuine container/entropy decodes under the oracle gate. Only MP3
+AUDIO decode stays stubbed (documented-permanent, see multimodal.py —
+header/container parsing is real), plus the documented JPEG
+arithmetic-coding/12-bit/AC-refinement gates; the Spark-side plumbing is
+real and oracled where byte semantics are SQL-expressible."""
 
 from __future__ import annotations
 

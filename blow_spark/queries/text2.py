@@ -1471,8 +1471,9 @@ def tokenizer_wordpiece_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TR_STEP = """
       SELECT e.dst AS node,
-             150000000 + (85 * SUM((e.nw_e6 * p.pr_e9) // 1000000)) // 100
-               AS pr_e9
+             CAST(150000000 + (85 * SUM((CAST(e.nw_e6 AS HUGEINT)
+                                         * p.pr_e9) // 1000000)) // 100
+                  AS BIGINT) AS pr_e9
       FROM nwe e JOIN {prev} p ON p.node = e.src
       GROUP BY e.dst
 """
@@ -1529,13 +1530,21 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Engine-exactness: unlike graph_pagerank_bipartite's end-rounded
     doubles, the whole iteration is FIXED-POINT INTEGER — transition
-    weights are pre-normalized once to e6 (nw = w·10⁶ div wdeg, so the
-    per-edge product nw·pr_e9 ≤ 10⁶·Σpr stays far inside int64 at ANY
-    corpus size), ranks live at e9, and each step is
+    weights are pre-normalized once to e6 (nw = w·10⁶ div wdeg), ranks
+    live at e9, and each step is
     pr' = 0.15e9 + (85·Σ(nw·pr div 10⁶)) div 100 — every operation a
     positive-integer floor division with identical semantics in both
     engines, so all three iterations compare EXACTLY (no 1e-15
-    summation-order slack to round away).
+    summation-order slack to round away). The per-edge product
+    nw_e6·pr_e9 and the per-node transfer sum are carried in
+    DECIMAL(38,0)/HUGEINT (round-14 ADVICE fix: the product is NOT
+    int64-safe unconditionally — total rank mass grows to
+    ≈ 0.41e9·|V| over the 3 steps, so a hub rank concentrated from
+    ~10⁵ high-nw neighbors pushes nw·pr past 2⁶³ long before the
+    ranks themselves do). The remaining envelope is the BIGINT pr_e9
+    OUTPUT column itself: exact while per-node rank < 2⁶³, i.e.
+    vocabularies to ~2·10¹⁰ distinct terms — hub topology can no
+    longer overflow any intermediate.
 
     Scale: the corpus-proportional work is ONE map-side pass (the
     adjacency pairs come from an in-array transform, never a
@@ -1598,7 +1607,9 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (
                     F.lit(150000000).cast("bigint")
                     + F.expr(
-                        "(85 * sum((nw_e6 * pr_e9) div 1000000)) div 100"
+                        "(85 * sum(cast((cast(nw_e6 as decimal(38,0))"
+                        " * pr_e9) div 1000000 as decimal(38,0))))"
+                        " div 100"
                     )
                 ).alias("pr_e9")
             )
