@@ -81,6 +81,10 @@ CORE = [
     "streaming_tumbling_availablenow",
     "streaming_stream_stream_join",
     "streaming_cdc_merge_foreachbatch",
+    # round-13 verdict item #7: the typed-state operator
+    # (transformWithStateInPandas) was the one second-generation
+    # streaming row still outside the every-round runtime exercise
+    "streaming_typed_state_totals",
     "window_session",
     # sources / sinks / storage layout
     "source_python_datasource",
@@ -435,6 +439,28 @@ HEADLINE = [
     # round 13 batch 7: chat context-window packing — system turn +
     # longest tail suffix within budget, all conversation-partitioned
     "llm_context_window_pack",
+    # round 14: typed-state streaming joins the every-round runtime
+    # exercise (round-13 verdict item #7)
+    "streaming_typed_state_totals",
+    # round 14: FULL successive-approximation progressive JPEG decode
+    # (AC refinement scans, EOBn runs, correction bits) pixel-matched
+    # in-plan against an independently coded baseline twin
+    "multimodal_jpeg_progressive_ac_refine_stats",
+]
+
+#: AUDIT tier (round-13 verdict item #5): certification queries that
+#: DELIBERATELY contain exact ground-truth branches next to the
+#: production path (brute-force recall sides, estimate-error probes).
+#: They are benched every run and recorded in BENCH_DETAIL.json like
+#: everything else, but their wall time is reported as a SEPARATE
+#: "audit_sec" subtotal and excluded from the headline "value", so the
+#: headline number is the production-plan cost the 2x gate measures —
+#: the bare production twins (similarity_lsh_topk_plan,
+#: dedup_minhash_lsh) remain in CORE/EXTENDED.
+AUDIT = [
+    "similarity_ann_method_report",
+    "similarity_lsh_topk",
+    "dedup_minhash_estimate_error",
 ]
 
 
@@ -465,6 +491,7 @@ def sample_query(
     prior_best: float | None = None,
     cross_ratio: float = CROSS_ROUND_RATIO,
     max_samples: int = MAX_SAMPLES,
+    first_appearance: bool = False,
 ):
     """Time one query: two base samples, plus a third whenever the two
     disagree by more than ``outlier_ratio`` (round-11 verdict item #3 —
@@ -473,10 +500,27 @@ def sample_query(
     samples while min-of-N exceeds ``cross_ratio`` × the prior round's
     committed value for the same (pin-unchanged) plan (round-12 verdict
     item #2 — common-mode interference can span both base samples).
+
+    ``first_appearance`` (round-13 verdict item #1): a query with NO
+    usable prior anywhere — absent from the prior round's sidecar AND
+    from this round's committed sidecar — gets a MANDATORY third
+    sample when its first two agree above the sub-second floor. The
+    r13 record showed the hole live: 14 first-appearance rows drew
+    common-mode interference that inflated both base samples together
+    (layout_hilbert drew 15.9 s then 6.1 s and stopped), and with no
+    prior the cross-round loop could never fire.
+
     Returns ``(best, samples)`` so the official record keeps every raw
     timing and self-identifies which rows needed which tiebreak."""
     samples = [run_once(), run_once()]
     if max(samples) > outlier_ratio * min(samples):
+        samples.append(run_once())
+    if (
+        first_appearance
+        and prior_best is None
+        and len(samples) == 2
+        and min(samples) > CROSS_ROUND_MIN_SEC
+    ):
         samples.append(run_once())
     while (
         prior_best is not None
@@ -498,6 +542,32 @@ def load_prior_detail(repo_dir: str) -> dict:
         with open(path) as fh:
             return json.load(fh)
     except (OSError, ValueError):
+        return {}
+
+
+def load_committed_detail(repo_dir: str) -> dict:
+    """THIS round's COMMITTED detail sidecar, read from git HEAD —
+    NOT the working tree (round-13 verdict item #1). The builder
+    commits its own same-harness run as BENCH_DETAIL_r{N}.json before
+    the driver ever benches round N, so a query that is new this round
+    (absent from r{N-1}'s sidecar) usually still has a clean committed
+    baseline from minutes earlier; git HEAD is authoritative because
+    the driver's own run overwrites the working-tree copy. {} when
+    there is no commit yet, no git, or no such file at HEAD."""
+    import subprocess
+
+    name = f"BENCH_DETAIL_r{current_round(repo_dir):02d}.json"
+    try:
+        out = subprocess.run(
+            ["git", "-C", repo_dir, "show", f"HEAD:{name}"],
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+        if out.returncode != 0:
+            return {}
+        return json.loads(out.stdout)
+    except (OSError, ValueError, subprocess.SubprocessError):
         return {}
 
 
@@ -553,7 +623,7 @@ def detail_sidecar_paths(repo_dir: str) -> list[str]:
     ]
 
 
-def summary_line(timings: dict[str, float], sf_val, core=None) -> str:
+def summary_line(timings: dict[str, float], sf_val, core=None, audit=None) -> str:
     """The ONE compact JSON line bench.py prints last on stdout.
 
     Keeps the driver contract's shape (metric/value/unit/queries/sf) but
@@ -562,8 +632,15 @@ def summary_line(timings: dict[str, float], sf_val, core=None) -> str:
     2000-char tail capture at ANY catalog size. When ``core`` is given
     (the tier policy above), only those queries are eligible for the
     visible dict — the EXTENDED tier still counts toward "value" and
-    "n_queries" and lives in BENCH_DETAIL.json next to this script."""
-    total = round(sum(timings.values()), 3)
+    "n_queries" and lives in BENCH_DETAIL.json next to this script.
+    When ``audit`` is given (round-13 verdict item #5), those
+    certification queries are subtotaled SEPARATELY as "audit_sec" and
+    excluded from "value": they deliberately carry exact ground-truth
+    branches, so their cost is certification overhead, not the
+    production-plan cost the headline measures."""
+    audit_set = set(audit or ()) & set(timings)
+    audit_sec = round(sum(timings[q] for q in audit_set), 3)
+    total = round(sum(timings.values()) - audit_sec, 3)
     visible = (
         {k: v for k, v in timings.items() if k in set(core)}
         if core is not None
@@ -578,6 +655,9 @@ def summary_line(timings: dict[str, float], sf_val, core=None) -> str:
         "detail": "BENCH_DETAIL.json",
         "queries": {},
     }
+    if audit_set:
+        base["audit_sec"] = audit_sec
+        base["n_audit"] = len(audit_set)
     slowest = sorted(visible.items(), key=lambda kv: -kv[1])
     for name, sec in slowest:
         candidate = dict(base)
@@ -634,6 +714,15 @@ def main() -> None:
     # a prior record at a DIFFERENT scale factor is no baseline at all
     prior_queries = prior.get("queries", {}) if prior.get("sf") == sf_val else {}
     prior_pins = prior.get("pins", {})
+    # round-13 verdict item #1: queries NEW this round have no prior-
+    # round row, so the cross-round tiebreak was blind exactly where
+    # first-exposure interference hits. Fall back to THIS round's
+    # committed sidecar (the builder's same-harness run at git HEAD).
+    committed = load_committed_detail(repo_dir_early)
+    committed_queries = (
+        committed.get("queries", {}) if committed.get("sf") == sf_val else {}
+    )
+    committed_pins = committed.get("pins", {})
     pins = current_pins(repo_dir_early)
 
     timings: dict[str, float] = {}
@@ -659,16 +748,35 @@ def main() -> None:
         )
         if not pin_ok:
             prior_best = None
-        best, samples = sample_query(run_once, prior_best=prior_best)
+        if prior_best is None:
+            # same-round committed fallback (round-13 verdict item #1):
+            # usable under the same plausibly-same-plan rule, vs the
+            # pins recorded in the committed sidecar
+            cb = committed_queries.get(name)
+            cb_pin_ok = name in pins and (
+                not committed_pins or committed_pins.get(name) == pins[name]
+            )
+            if cb is not None and cb_pin_ok:
+                prior_best = cb
+        best, samples = sample_query(
+            run_once,
+            prior_best=prior_best,
+            # genuinely no baseline anywhere -> mandatory third sample
+            first_appearance=(
+                name not in prior_queries and name not in committed_queries
+            ),
+        )
         timings[name] = round(best, 3)
         raw_samples[name] = [round(s, 3) for s in samples]
 
-    total = round(sum(timings.values()), 3)
+    audit_sec = round(sum(timings[q] for q in AUDIT if q in timings), 3)
+    total = round(sum(timings.values()) - audit_sec, 3)
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     detail = {
         "metric": "headline_suite_wall_clock",
         "value": total,
         "unit": "sec",
+        "audit_sec": audit_sec,
         "queries": timings,
         "samples": raw_samples,
         "pins": pins,
@@ -677,11 +785,12 @@ def main() -> None:
         "sf": sf_val,
         "round": current_round(repo_dir),
         "core_tier": [q for q in CORE if q in timings],
+        "audit_tier": [q for q in AUDIT if q in timings],
     }
     for detail_path in detail_sidecar_paths(repo_dir):
         with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1)
-    print(summary_line(timings, sf_val, core=CORE))
+    print(summary_line(timings, sf_val, core=CORE, audit=AUDIT))
     spark.stop()
 
 

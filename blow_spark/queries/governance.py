@@ -372,8 +372,10 @@ WITH b AS (
          CAST(ROUND(LN( ((cells.c_s + 1.0) / (st.n_s + tot.n_buckets))
                       / ((gc.c_g + 1.0) / (tot.n_total + tot.n_buckets)) )
                     * 1000000, 0) AS BIGINT)
-         * ( (cells.c_s + 1) * (tot.n_total + tot.n_buckets)
-           - (gc.c_g + 1) * (st.n_s + tot.n_buckets) )      AS t_num,
+         * ( CAST(cells.c_s + 1 AS HUGEINT)
+               * (tot.n_total + tot.n_buckets)
+           - CAST(gc.c_g + 1 AS HUGEINT)
+               * (st.n_s + tot.n_buckets) )            AS t_num,
          (st.n_s + tot.n_buckets) * (tot.n_total + tot.n_buckets) AS d
   FROM cells
   JOIN gc USING (bucket)
@@ -381,7 +383,7 @@ WITH b AS (
   CROSS JOIN tot
 )
 SELECT source,
-       CAST(SUM(t_num) AS BIGINT)                    AS psi_num,
+       CAST(SUM(t_num) AS VARCHAR)                   AS psi_num,
        CAST(MIN(d) AS BIGINT)                        AS psi_den,
        CAST(SUM(t_num) AS DOUBLE) / MIN(d) / 1000000.0 AS psi
 FROM terms GROUP BY source
@@ -404,10 +406,16 @@ def drift_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: ln(p/q) is µ-unit-rounded (house rule — ln differs by
     1 ulp across libm/JVM) then multiplied by the EXACT integer
     numerator of (p − q) over the common denominator D =
-    (n_s+B)(N+B); each source's terms sum as BIGINTs and divide by D
-    once at the end, so the result is engine-exact. The int64 product
-    bounds cell counts ×corpus at ~10^9 before DECIMAL(38,0) — the
-    documented envelope.
+    (n_s+B)(N+B); each source's terms sum exactly and divide by D
+    once at the end, so the result is engine-exact. Round-14 guard
+    (r13 verdict item #3 — psi_num had only 119× headroom at sf100):
+    the margin products (c_s+1)(N+B) and the term sum are now
+    DECIMAL(38,0)/HUGEINT (quadratic in corpus size — ln_e6·c_s·N
+    crossed int64 near sf1000), and psi_num ships as the catalog's
+    established VARCHAR exact transport. psi_den = D stays BIGINT
+    (D ~ (6e7)² ≈ 3.6e15 at sf100, ≥2500× headroom; it crosses int64
+    only near sf50k). The psi double is the unrounded IEEE ratio of
+    exact integers — bit-equal across engines, no decimal-tie class.
 
     Scale: bucket counts are ONE corpus shuffle; the (source × bucket)
     grid, global marginals, and PSI terms all live on the counts table
@@ -448,15 +456,17 @@ def drift_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                     0,
                 ).cast("bigint")
                 * (
-                    (F.col("c_s") + 1) * (F.col("n_total") + F.col("n_buckets"))
-                    - (F.col("c_g") + 1) * (F.col("n_s") + F.col("n_buckets"))
+                    (F.col("c_s") + 1).cast("decimal(38,0)")
+                    * (F.col("n_total") + F.col("n_buckets"))
+                    - (F.col("c_g") + 1).cast("decimal(38,0)")
+                    * (F.col("n_s") + F.col("n_buckets"))
                 )
             ).alias("t_num"),
             ((F.col("n_s") + F.col("n_buckets")) * (F.col("n_total") + F.col("n_buckets"))).alias("d"),
         )
     )
     return terms.groupBy("source").agg(
-        F.sum("t_num").cast("bigint").alias("psi_num"),
+        F.sum("t_num").cast("string").alias("psi_num"),
         F.min("d").cast("bigint").alias("psi_den"),
         (F.sum("t_num").cast("double") / F.min("d") / 1_000_000.0).alias("psi"),
     )

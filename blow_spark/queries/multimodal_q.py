@@ -1628,3 +1628,170 @@ def multimodal_jpeg_progressive_dc_stats(spark: SparkSession, sf_dir: str) -> Da
         "doc_id long, height int, width int, n_px int, px_sum long, "
         "sof_kind int, n_scans int",
     )
+
+
+@register(
+    "multimodal_jpeg_progressive_ac_refine_stats",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(ENCODE(text)) AS hx, OCTET_LENGTH(ENCODE(text)) AS n
+      FROM documents WHERE doc_id < 50
+    ), blocks AS (
+      SELECT doc_id, n, hx, UNNEST(range(0, 48)) AS k FROM b
+    ), vals AS (
+      SELECT doc_id,
+             CASE WHEN k < LEAST(n, 48)
+                  THEN (strpos('0123456789ABCDEF',
+                               substring(hx, CAST(2*k+1 AS INT), 1)) - 1) * 16
+                     + (strpos('0123456789ABCDEF',
+                               substring(hx, CAST(2*k+2 AS INT), 1)) - 1)
+                  ELSE 0 END AS v
+      FROM blocks
+    ), px AS (
+      SELECT doc_id,
+             LEAST(GREATEST(2 * CAST(FLOOR((v - 127) / 2.0) AS BIGINT) + 128,
+                            0), 255) AS p
+      FROM vals
+    )
+    SELECT doc_id, CAST(64 AS INT) AS height, CAST(64 AS INT) AS width,
+           CAST(SUM(p) * 64 AS BIGINT) AS px_sum_flat,
+           CAST(2 AS INT) AS sof_kind, CAST(6 AS INT) AS n_scans,
+           CAST(3 AS INT) AS n_refine_scans,
+           TRUE AS match_baseline, TRUE AS used_eobrun, TRUE AS used_zrl,
+           TRUE AS new_sig_refined, TRUE AS corr_bits_read
+    FROM px GROUP BY doc_id
+    """,
+    tags=("multimodal", "binaryfile", "codec", "jpeg"),
+)
+def multimodal_jpeg_progressive_ac_refine_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FULL progressive JPEG — successive approximation with AC
+    refinement scans — under the oracle gate (round-14, the r13
+    verdict's remaining-JPEG decision taken the IMPLEMENT way for the
+    one subset real web JPEGs use): genuine 6-scan SA streams on disk
+    (DC-first Al=1, split-band AC firsts, DC refine, AC refines with
+    real cross-block EOBn runs — multimodal.encode_jpeg_progressive
+    successive=True), decoded IN FULL by multimodal.
+    decode_jpeg_progressive (ISO 10918-1 G.1.2: EOBn folding, ZRL over
+    zero-history positions, the correction-bit protocol).
+
+    Three gates realized in the rows, all forced per-file by the
+    fixture's construction (multimodal.jpeg_sa_fixture_block):
+    (1) match_baseline — the SA decode is pixel-identical to
+    decode_image() of an INDEPENDENTLY CODED baseline twin of the same
+    image ({id}b.jpg), the strongest codec-correctness bit available;
+    (2) px_sum_flat — the flat 48-block region reproduces the exact-DC
+    closed form the DuckDB oracle computes from the doc bytes (the
+    lossy path verified by VALUE, not just by match); (3) the decode-
+    path census (used_eobrun / used_zrl / new_sig_refined /
+    corr_bits_read, counted by the decoder itself, plus the scan
+    census) — every file provably exercised EOB runs, ZRL runs, a
+    newly-significant refinement coefficient, and correction bits of
+    both parities. Plan shape: parallel binaryFile scan -> map-only
+    decode -> one 50-key aggregate pairing each stream with its twin.
+    Reference analog: none (the reference has no codecs)."""
+    import hashlib
+    import os
+
+    import numpy as np
+
+    from blow_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    img_dir = multimodal.jpeg_progressive_sa_corpus_fixture_dir(
+        spark, sf_dir, n_docs=50
+    )
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jpg")
+        .load(img_dir)
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                blob = bytes(content)
+                name = os.path.splitext(os.path.basename(path))[0]
+                doc_id, kind = int(name[:-1]), name[-1]
+                if kind == "p":
+                    st: dict = {}
+                    img = multimodal.decode_jpeg_progressive(blob, stats=st)
+                    n_scans = len(st["scans"])
+                    n_refine = sum(1 for s in st["scans"] if s[2] > 0)
+                    flags = (
+                        st["used_eobrun"] > 0,
+                        st["used_zrl"] > 0,
+                        st["used_newsig_refine"] > 0,
+                        st["corr_bits"] > 0,
+                    )
+                    sof_kind = -1
+                    p = 2
+                    while p + 4 <= len(blob):
+                        if blob[p] != 0xFF or blob[p + 1] == 0xD9:
+                            break
+                        m = blob[p + 1]
+                        ln = (blob[p + 2] << 8) | blob[p + 3]
+                        if m in (0xC0, 0xC1, 0xC2, 0xC3):
+                            sof_kind = m & 0xF
+                            break
+                        p += 2 + ln
+                else:
+                    img = multimodal.decode_image(blob)
+                    n_scans = n_refine = 0
+                    flags = (False, False, False, False)
+                    sof_kind = 0
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "kind": kind,
+                        "height": img.shape[0],
+                        "width": img.shape[1],
+                        "px_sum_flat": int(
+                            img[:48, :].astype(np.int64).sum()
+                        ),
+                        "pix_md5": hashlib.md5(img.tobytes()).hexdigest(),
+                        "sof_kind": sof_kind,
+                        "n_scans": n_scans,
+                        "n_refine_scans": n_refine,
+                        "used_eobrun": flags[0],
+                        "used_zrl": flags[1],
+                        "new_sig_refined": flags[2],
+                        "corr_bits_read": flags[3],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "kind", "height", "width", "px_sum_flat",
+                    "pix_md5", "sof_kind", "n_scans", "n_refine_scans",
+                    "used_eobrun", "used_zrl", "new_sig_refined",
+                    "corr_bits_read",
+                ],
+            )
+
+    per_file = files.select("path", "content").mapInPandas(
+        decode,
+        "doc_id long, kind string, height int, width int, "
+        "px_sum_flat long, pix_md5 string, sof_kind int, n_scans int, "
+        "n_refine_scans int, used_eobrun boolean, used_zrl boolean, "
+        "new_sig_refined boolean, corr_bits_read boolean",
+    )
+    isp = F.col("kind") == "p"
+    return per_file.groupBy("doc_id").agg(
+        F.max(F.when(isp, F.col("height"))).alias("height"),
+        F.max(F.when(isp, F.col("width"))).alias("width"),
+        F.max(F.when(isp, F.col("px_sum_flat"))).alias("px_sum_flat"),
+        F.max(F.when(isp, F.col("sof_kind"))).alias("sof_kind"),
+        F.max(F.when(isp, F.col("n_scans"))).alias("n_scans"),
+        F.max(F.when(isp, F.col("n_refine_scans"))).alias("n_refine_scans"),
+        (
+            F.max(F.when(isp, F.col("pix_md5")))
+            == F.max(F.when(~isp, F.col("pix_md5")))
+        ).alias("match_baseline"),
+        F.max(F.when(isp, F.col("used_eobrun"))).alias("used_eobrun"),
+        F.max(F.when(isp, F.col("used_zrl"))).alias("used_zrl"),
+        F.max(F.when(isp, F.col("new_sig_refined"))).alias("new_sig_refined"),
+        F.max(F.when(isp, F.col("corr_bits_read"))).alias("corr_bits_read"),
+    )

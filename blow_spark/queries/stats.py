@@ -234,14 +234,15 @@ def stats_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame
       FROM ranked
     )
     SELECT na, nb,
-           CAST(r2a - CAST(na AS HUGEINT) * (na + 1) AS BIGINT) AS u_a_x2,
-           ROUND((CAST(r2a - CAST(na AS HUGEINT) * (na + 1) AS DOUBLE) / 2
+           CAST(r2a - CAST(na AS HUGEINT) * (na + 1) AS VARCHAR) AS u_a_x2,
+           CAST(FLOOR(
+             (CAST(r2a - CAST(na AS HUGEINT) * (na + 1) AS DOUBLE) / 2
                   - CAST(na AS DOUBLE) * nb / 2)
                  / SQRT(CAST(na AS DOUBLE) * nb / 12.0
                         * ((na + nb + 1.0)
                            - tie3 / (CAST(na + nb AS DOUBLE)
-                                     * (na + nb - 1.0)))),
-                 6) AS z_stat
+                                     * (na + nb - 1.0))))
+             * 1000000.0) AS BIGINT) AS z_stat_e6
     FROM sums
     """,
     tags=("stats", "rank", "lineitem"),
@@ -256,6 +257,15 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     integral (avg rank of a tie group = cumb + (t+1)/2, so 2R_A =
     Σ c_A·(2·cumb + t + 1)), and the tie term Σ(t³−t) widens to
     DECIMAL(38,0)/HUGEINT (t ~ N/50 makes t³ pass int64 near N≈10^13).
+    Round-14 guard (r13 verdict item #3 — this row had only 102×
+    headroom at sf100): u_a_x2 = 2U_A is O(n²) and crosses int64 near
+    sf1000, so it now ships as the catalog's established VARCHAR exact
+    transport over the DECIMAL(38,0)/HUGEINT value (same as
+    vector_power_iteration_step / bollinger dev_xn) — exact at any
+    n < 10^19², no silent wrap, no raise needed. z_stat became
+    z_stat_e6 via tie-free FLOOR (a sqrt is irrational, so no integer
+    path exists; FLOOR on the bit-equal IEEE doubles has no
+    fractional-decimal tie class, unlike ROUND(x, 6)).
 
     Scale: ONE value-keyed aggregate reduces the corpus to ≤50 rows
     (the quantity domain); the cumulative window over that table is a
@@ -298,15 +308,17 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         na.cast("bigint").alias("na"),
         nb.cast("bigint").alias("nb"),
-        u2.cast("bigint").alias("u_a_x2"),
-        F.round(
+        u2.cast("string").alias("u_a_x2"),
+        F.floor(
             (u2.cast("double") / 2 - na.cast("double") * nb / 2)
             / F.sqrt(
                 na.cast("double") * nb / 12.0
                 * ((nn + 1.0) - F.col("tie3") / (nn * (nn - 1.0)))
-            ),
-            6,
-        ).alias("z_stat"),
+            )
+            * 1000000.0
+        )
+        .cast("bigint")
+        .alias("z_stat_e6"),
     )
 
 

@@ -70,7 +70,9 @@ def test_core_tier_policy():
     from CORE — so the driver-visible tail is stable round over round
     while EXTENDED still counts toward the total."""
     assert set(bench.CORE) <= set(bench.HEADLINE)
-    assert len(bench.CORE) <= 50
+    # 51 after round-13 verdict item #7 added the typed-state streaming
+    # runtime row; CORE only grows on explicit verdict/family decisions
+    assert len(bench.CORE) <= 52
     t = {q: 1.0 + i * 0.01 for i, q in enumerate(bench.HEADLINE)}
     parsed = json.loads(bench.summary_line(t, 0.1, core=bench.CORE))
     assert parsed["n_queries"] == len(bench.HEADLINE)
@@ -159,6 +161,95 @@ def test_sample_query_cross_round_tiebreak():
     seq = iter([0.4, 0.45])
     best, samples = bench.sample_query(lambda: next(seq), prior_best=0.1)
     assert samples == [0.4, 0.45]
+
+
+def test_sample_query_first_appearance_third_sample():
+    """Round-13 verdict item #1: a query with no baseline anywhere
+    (first appearance) gets a MANDATORY third sample — both r13 base
+    samples inflated together and the intra-pair >3x test stayed
+    silent, so min-of-2 recorded interference as plan cost."""
+    # quiet pair but first appearance -> third sample drawn anyway
+    seq = iter([6.0, 6.1, 2.0])
+    best, samples = bench.sample_query(
+        lambda: next(seq), prior_best=None, first_appearance=True
+    )
+    assert samples == [6.0, 6.1, 2.0] and best == 2.0
+    # sub-second first appearance: scheduler jitter, no extra run
+    seq = iter([0.4, 0.45])
+    best, samples = bench.sample_query(
+        lambda: next(seq), prior_best=None, first_appearance=True
+    )
+    assert samples == [0.4, 0.45]
+    # intra-pair outlier already drew a third -> no fourth
+    seq = iter([13.6, 1.1, 1.0])
+    best, samples = bench.sample_query(
+        lambda: next(seq), prior_best=None, first_appearance=True
+    )
+    assert samples == [13.6, 1.1, 1.0]
+    # a prior exists -> the cross-round loop governs, not this path
+    seq = iter([5.0, 5.5, 4.8, 1.9])
+    best, samples = bench.sample_query(
+        lambda: next(seq), prior_best=2.0, first_appearance=False
+    )
+    assert samples == [5.0, 5.5, 4.8, 1.9] and best == 1.9
+
+
+def test_load_committed_detail_reads_git_head(tmp_path):
+    """The same-round fallback baseline comes from git HEAD, never the
+    working tree (the driver's own run overwrites the latter)."""
+    import subprocess
+
+    d = str(tmp_path)
+    # no git repo -> {}
+    assert bench.load_committed_detail(d) == {}
+    subprocess.run(["git", "init", "-q", d], check=True)
+    name = f"BENCH_DETAIL_r{bench.current_round(d):02d}.json"
+    (tmp_path / name).write_text(json.dumps({"sf": 0.1, "queries": {"q": 1.5}}))
+    # file exists in the working tree but NOT at HEAD -> still {}
+    assert bench.load_committed_detail(d) == {}
+    subprocess.run(
+        ["git", "-C", d, "-c", "user.email=t@t", "-c", "user.name=t",
+         "commit", "-q", "-m", "x", "--allow-empty"],
+        check=True,
+    )
+    subprocess.run(["git", "-C", d, "add", name], check=True)
+    subprocess.run(
+        ["git", "-C", d, "-c", "user.email=t@t", "-c", "user.name=t",
+         "commit", "-q", "-m", "detail"],
+        check=True,
+    )
+    got = bench.load_committed_detail(d)
+    assert got == {"sf": 0.1, "queries": {"q": 1.5}}
+    # the committed copy wins over a diverged working tree
+    (tmp_path / name).write_text(json.dumps({"sf": 0.1, "queries": {"q": 99.0}}))
+    assert bench.load_committed_detail(d)["queries"]["q"] == 1.5
+
+
+def test_audit_tier_subtotal():
+    """Round-13 verdict item #5: AUDIT certification queries are
+    subtotaled separately and excluded from the headline value; the
+    production twins stay in CORE/EXTENDED."""
+    assert set(bench.AUDIT) <= set(bench.HEADLINE)
+    assert "similarity_lsh_topk_plan" not in bench.AUDIT  # production twin
+    assert "dedup_minhash_lsh" not in bench.AUDIT
+    t = {q: 1.0 for q in bench.HEADLINE}
+    for q in bench.AUDIT:
+        t[q] = 10.0
+    parsed = json.loads(bench.summary_line(t, 0.1, core=bench.CORE, audit=bench.AUDIT))
+    assert parsed["n_audit"] == len(bench.AUDIT)
+    assert abs(parsed["audit_sec"] - 10.0 * len(bench.AUDIT)) < 1e-9
+    assert abs(parsed["value"] - (len(bench.HEADLINE) - len(bench.AUDIT))) < 1e-9
+    # without the audit kwarg the line keeps the old all-inclusive shape
+    parsed2 = json.loads(bench.summary_line(t, 0.1, core=bench.CORE))
+    assert "audit_sec" not in parsed2
+    assert abs(parsed2["value"] - round(sum(t.values()), 3)) < 1e-9
+
+
+def test_streaming_typed_state_in_core():
+    """Round-13 verdict item #7: the typed-state streaming operator
+    runs through the real availableNow runtime every bench round."""
+    assert "streaming_typed_state_totals" in bench.CORE
+    assert "streaming_typed_state_totals" in bench.HEADLINE
 
 
 def test_current_pins_parses_live_plan_guard():

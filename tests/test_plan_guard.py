@@ -548,6 +548,10 @@ BENCH_EXCHANGE_PINS = {
     # (turn numbering + descending suffix sum + per-conv agg) and the
     # system-turn join; the 1 broadcast is the tiny tagg side
     "llm_context_window_pack": (6, 1),
+    # round 14 — full SA-progressive decode: file scan -> mapInPandas
+    # decode -> ONE 50-key aggregate pairing each stream with its
+    # baseline twin
+    "multimodal_jpeg_progressive_ac_refine_stats": (1, 0),
 }
 
 

@@ -25,10 +25,11 @@ def test_chi_square_nonnegative_df(spark):
 
 def test_mann_whitney_u_range(spark):
     r = queries()["stats_mann_whitney_u"](spark, SF).first()
-    # U in [0, na*nb] (doubled representation)
-    assert 0 <= r.u_a_x2 <= 2 * r.na * r.nb
+    # U in [0, na*nb] (doubled representation; VARCHAR exact transport
+    # since round 14 -- O(n^2) crosses int64 near sf1000)
+    assert 0 <= int(r.u_a_x2) <= 2 * r.na * r.nb
     # near-balanced hash arms => z should not be astronomical
-    assert abs(r.z_stat) < 50
+    assert abs(r.z_stat_e6) < 50_000_000
 
 
 def test_benjamini_hochberg_stepup(spark):
