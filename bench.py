@@ -446,6 +446,10 @@ HEADLINE = [
     # (AC refinement scans, EOBn runs, correction bits) pixel-matched
     # in-plan against an independently coded baseline twin
     "multimodal_jpeg_progressive_ac_refine_stats",
+    # round 14: pHash/DCT perceptual twin — certifies the perceptual-
+    # dedup family on the brightness-shift class via an exact
+    # zero-sum-adjusted integer DCT (fully oracle-replayed)
+    "multimodal_phash_dct_near_dup",
 ]
 
 #: AUDIT tier (round-13 verdict item #5): certification queries that

@@ -42,6 +42,7 @@ import atexit
 import os
 import shutil
 import tempfile
+import time
 from collections import OrderedDict
 
 from pyspark.sql import DataFrame
@@ -248,22 +249,38 @@ def reap_orphan_scratch(max_age_hours: float = 48.0) -> int:
     return removed
 
 
-def cleanup_stale_siblings(keep_path: str, pattern: str) -> None:
-    """Delete every path matching ``pattern`` EXCEPT ``keep_path``.
+def cleanup_stale_siblings(
+    keep_path: str, pattern: str, min_age_s: float = 3600.0
+) -> None:
+    """Delete every path matching ``pattern`` EXCEPT ``keep_path`` —
+    but only siblings that have been idle for ``min_age_s``.
 
     Lifecycle for fingerprint-keyed cross-process caches (the decoded
     PNG/JPEG fixture dirs): they must SURVIVE process exit — the cache
     is the point — but each fixture regeneration mints a new token and
-    orphans the old dir forever. Exactly one live cache per family is
-    the correct steady state: a sibling with a different token is
-    stale by construction (the token is a content fingerprint of the
-    shared source table, so no concurrent session can validly hold
-    it once the source changed)."""
+    orphans the old dir forever, so one live cache per (family, token)
+    is the steady state. The age guard exists because a sibling with a
+    different token is NOT always stale: the token fingerprints the
+    SOURCE (sf_dir + file stats), so two sessions running at DIFFERENT
+    scale factors concurrently hold different, equally-valid tokens —
+    round 14 caught a live race where a sf0.001 session deleted a
+    sf0.01 fixture dir mid-write (FileNotFoundError inside the
+    writer). In-progress writes and actively-read caches are always
+    fresh (every cache hit touches the dir's mtime), so the guard
+    spares them; a dir nobody has touched for an hour is either truly
+    stale or regenerates in seconds."""
     import glob as _glob
 
+    now = time.time()
     for p in _glob.glob(pattern):
-        if p != keep_path:
-            _remove_path(p)
+        if p == keep_path:
+            continue
+        try:
+            if now - os.path.getmtime(p) < min_age_s:
+                continue
+        except OSError:
+            pass  # vanished or unreadable: fall through to removal
+        _remove_path(p)
 
 
 def spill_to_parquet(df: DataFrame, prefix: str = "blow_spark_ckpt_") -> DataFrame:

@@ -794,6 +794,7 @@ def png_corpus_fixture_dir(spark, sf_dir: str, n_docs: int = 50) -> str:
     )
     marker = os.path.join(img_dir, "_SUCCESS")
     if os.path.exists(marker):
+        os.utime(img_dir)  # mark live: the age-guarded janitor spares it
         return img_dir
     os.makedirs(img_dir, exist_ok=True)
     ensure_package_shipped(spark)
@@ -2310,6 +2311,7 @@ def jpeg_corpus_fixture_dir(spark, sf_dir: str, n_docs: int = 50) -> str:
     )
     marker = os.path.join(img_dir, "_SUCCESS")
     if os.path.exists(marker):
+        os.utime(img_dir)  # mark live: the age-guarded janitor spares it
         return img_dir
     os.makedirs(img_dir, exist_ok=True)
     ensure_package_shipped(spark)
@@ -2398,6 +2400,7 @@ def jpeg420_corpus_fixture_dir(spark, sf_dir: str, n_docs: int = 50) -> str:
     )
     marker = os.path.join(img_dir, "_SUCCESS")
     if os.path.exists(marker):
+        os.utime(img_dir)  # mark live: the age-guarded janitor spares it
         return img_dir
     os.makedirs(img_dir, exist_ok=True)
     ensure_package_shipped(spark)
@@ -2485,6 +2488,7 @@ def jpeg_requality_corpus_fixture_dir(spark, sf_dir: str, n_docs: int = 50) -> s
     )
     marker = os.path.join(img_dir, "_SUCCESS")
     if os.path.exists(marker):
+        os.utime(img_dir)  # mark live: the age-guarded janitor spares it
         return img_dir
     os.makedirs(img_dir, exist_ok=True)
     ensure_package_shipped(spark)
@@ -2556,6 +2560,7 @@ def jpeg_progressive_corpus_fixture_dir(spark, sf_dir: str, n_docs: int = 50) ->
     )
     marker = os.path.join(img_dir, "_SUCCESS")
     if os.path.exists(marker):
+        os.utime(img_dir)  # mark live: the age-guarded janitor spares it
         return img_dir
     os.makedirs(img_dir, exist_ok=True)
     ensure_package_shipped(spark)
@@ -2578,6 +2583,103 @@ def jpeg_progressive_corpus_fixture_dir(spark, sf_dir: str, n_docs: int = 50) ->
                         img[r * 8, c * 8 + 1] = v - 1
                 with open(os.path.join(img_dir, f"{int(doc_id)}.jpg"), "wb") as f:
                     f.write(encode_jpeg_progressive(img, quality=50))
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    d.mapInPandas(write_part, "n long").count()
+    with open(marker, "w"):
+        pass
+    return img_dir
+
+
+def phash_dct_matrix_e6() -> "np.ndarray":
+    """The e6 fixed-point DCT-II matrix shared by the pHash operator's
+    Spark UDF and its DuckDB oracle (single source of truth — the
+    oracle injects these 64 integers as literals). Rows u >= 1 are
+    ZERO-SUM-ADJUSTED: after rounding 1e6*_JM, each AC row's residual
+    sum (|err| <= 4 µunits) is subtracted from its largest-magnitude
+    entry, so a constant (brightness) shift of the input contributes
+    EXACTLY zero to every coefficient with u >= 1 or v >= 1 — the
+    brightness-invariance theorem the query's ``bright_exact`` proof
+    bit realizes. Deterministic, integer, engine-portable."""
+    m = np.round(1e6 * _JM).astype(np.int64)
+    for u in range(1, 8):
+        err = int(m[u].sum())
+        m[u, int(np.argmax(np.abs(m[u])))] -= err
+    return m
+
+
+def jpeg_phash_corpus_fixture_dir(spark, sf_dir: str, n_docs: int = 50) -> str:
+    """Perceptual-hash robustness corpus (round-14, the pHash/DCT twin
+    the r13 verdict suggested): each document's 64x64 flat-block image
+    is written THREE times — quality 50, quality 75, and quality 75 of
+    the +6-BRIGHTNESS-SHIFTED image (all pixels min(v+6, 255)) — so the
+    corpus plants both perturbation classes a DCT hash must survive:
+    re-encoding (byte- and pixel-different, the dHash fixture's
+    construction) and global illumination shift (which flips RAW-pixel
+    and mean-threshold hashes but leaves every AC DCT coefficient
+    untouched). Decodes stay closed-form: q50 rounds odd v up, q75 is
+    the identity, so the brightness file decodes to min(v+6, 255)
+    exactly. Cached per source fingerprint like the other fixtures."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from blow_spark.shipping import ensure_package_shipped
+    from blow_spark.sources import read_table
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    stat_parts = []
+    if os.path.isdir(src):
+        for fn in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, fn))
+            stat_parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        stat_parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    token = hashlib.sha256(
+        f"jpegph|{sf_dir}|{n_docs}|{'|'.join(stat_parts)}".encode()
+    ).hexdigest()[:12]
+    img_dir = os.path.join(tempfile.gettempdir(), f"blow_spark_jpgph_{token}")
+    from blow_spark.materialize import cleanup_stale_siblings
+
+    cleanup_stale_siblings(
+        img_dir, os.path.join(tempfile.gettempdir(), "blow_spark_jpgph_*")
+    )
+    marker = os.path.join(img_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        os.utime(img_dir)  # mark live: the age-guarded janitor spares it
+        return img_dir
+    os.makedirs(img_dir, exist_ok=True)
+    ensure_package_shipped(spark)
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < n_docs)
+        .select("doc_id", "text")
+    )
+
+    def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = str(text).encode("utf-8")[:64].ljust(64, b"\0")
+                img = np.zeros((64, 64), dtype=np.uint8)
+                for k, v in enumerate(raw):
+                    r, c = divmod(k, 8)
+                    img[r * 8 : (r + 1) * 8, c * 8 : (c + 1) * 8] = v
+                    if 0 < v < 255:  # sub-quantizer dither, DC-neutral
+                        img[r * 8, c * 8] = v + 1
+                        img[r * 8, c * 8 + 1] = v - 1
+                bright = np.minimum(img.astype(np.int32) + 6, 255).astype(
+                    np.uint8
+                )
+                base = os.path.join(img_dir, str(int(doc_id)))
+                with open(f"{base}_q50.jpg", "wb") as f:
+                    f.write(encode_jpeg_baseline(img, quality=50))
+                with open(f"{base}_q75.jpg", "wb") as f:
+                    f.write(encode_jpeg_baseline(img, quality=75))
+                with open(f"{base}_b75.jpg", "wb") as f:
+                    f.write(encode_jpeg_baseline(bright, quality=75))
             yield pd.DataFrame({"n": [len(pdf)]})
 
     d.mapInPandas(write_part, "n long").count()
@@ -2683,6 +2785,7 @@ def jpeg_progressive_sa_corpus_fixture_dir(
     )
     marker = os.path.join(img_dir, "_SUCCESS")
     if os.path.exists(marker):
+        os.utime(img_dir)  # mark live: the age-guarded janitor spares it
         return img_dir
     os.makedirs(img_dir, exist_ok=True)
     ensure_package_shipped(spark)
@@ -2772,6 +2875,7 @@ def qoi_corpus_fixture_dir(spark, sf_dir: str, n_docs: int = 50) -> str:
     )
     marker = os.path.join(img_dir, "_SUCCESS")
     if os.path.exists(marker):
+        os.utime(img_dir)  # mark live: the age-guarded janitor spares it
         return img_dir
     os.makedirs(img_dir, exist_ok=True)
     ensure_package_shipped(spark)
@@ -3003,6 +3107,7 @@ def mp4_corpus_fixture_dir(spark, sf_dir: str, n_docs: int = 50) -> str:
     )
     marker = os.path.join(img_dir, "_SUCCESS")
     if os.path.exists(marker):
+        os.utime(img_dir)  # mark live: the age-guarded janitor spares it
         return img_dir
     os.makedirs(img_dir, exist_ok=True)
     ensure_package_shipped(spark)
@@ -3115,6 +3220,7 @@ def palette_png_fixture_dir(spark, sf_dir: str, n_docs: int = 50) -> str:
     )
     marker = os.path.join(img_dir, "_SUCCESS")
     if os.path.exists(marker):
+        os.utime(img_dir)  # mark live: the age-guarded janitor spares it
         return img_dir
     os.makedirs(img_dir, exist_ok=True)
     ensure_package_shipped(spark)
@@ -3231,6 +3337,7 @@ def png_adam7_corpus_fixture_dir(spark, sf_dir: str, n_docs: int = 50) -> str:
     )
     marker = os.path.join(img_dir, "_SUCCESS")
     if os.path.exists(marker):
+        os.utime(img_dir)  # mark live: the age-guarded janitor spares it
         return img_dir
     os.makedirs(img_dir, exist_ok=True)
     ensure_package_shipped(spark)
@@ -3537,6 +3644,7 @@ def gif_corpus_fixture_dir(spark, sf_dir: str, n_docs: int = 50) -> str:
     )
     marker = os.path.join(img_dir, "_SUCCESS")
     if os.path.exists(marker):
+        os.utime(img_dir)  # mark live: the age-guarded janitor spares it
         return img_dir
     os.makedirs(img_dir, exist_ok=True)
     ensure_package_shipped(spark)

@@ -1509,6 +1509,296 @@ def multimodal_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PHASH_TAU = 8
+
+
+def _phash_oracle() -> str:
+    """DuckDB replay of the WHOLE pHash pipeline from byte arithmetic:
+    fixture bytes -> the three closed-form decodes (q50 odd-up, q75
+    identity, brightness min(v+6, 255)) -> the 8x8 grids -> the SAME
+    e6 fixed-point DCT (the 64 tensor integers are injected from
+    multimodal.phash_dct_matrix_e6 — single source of truth) -> median
+    threshold -> 63-bit hash -> 7x9-bit banding -> Hamming. All
+    integer arithmetic, so the compare is exact; bright_exact is the
+    zero-sum-adjustment THEOREM emitted as a literal TRUE the Spark
+    side must realize."""
+    from blow_spark import multimodal as _mm
+
+    m = _mm.phash_dct_matrix_e6().reshape(-1)
+    mlist = "[" + ", ".join(str(int(x)) for x in m) + "]"
+
+    def coefs(g: str) -> str:
+        return (
+            "list_transform(range(1, 64), uv -> list_sum("
+            "list_transform(range(0, 64), k -> "
+            f"CAST({g}[CAST(k + 1 AS INT)] AS BIGINT) "
+            f"* __m.m[CAST((uv // 8) * 8 + (k // 8) + 1 AS INT)] "
+            f"* __m.m[CAST((uv % 8) * 8 + (k % 8) + 1 AS INT)])))"
+        )
+
+    def phash(c: str) -> str:
+        return (
+            f"list_sum(list_transform(range(0, 63), i -> CASE WHEN "
+            f"{c}[CAST(i + 1 AS INT)] > list_sort({c})[32] "
+            "THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) "
+            "ELSE CAST(0 AS BIGINT) END))"
+        )
+
+    band_eq = " OR ".join(
+        f"((a.h >> {9 * i}) & 511) = ((c.h >> {9 * i}) & 511)"
+        for i in range(7)
+    )
+    pair_band_eq = " OR ".join(
+        f"((h.h50 >> {9 * i}) & 511) = ((h.h75 >> {9 * i}) & 511)"
+        for i in range(7)
+    )
+    return f"""
+    WITH __m AS (SELECT {mlist} AS m), b AS (
+      SELECT doc_id, hex(ENCODE(text)) AS hx, OCTET_LENGTH(ENCODE(text)) AS n
+      FROM documents WHERE doc_id < 50
+    ), cells AS (
+      SELECT doc_id, n, hx, UNNEST(range(0, 64)) AS k FROM b
+    ), vals AS (
+      SELECT doc_id, k,
+             CASE WHEN k < LEAST(n, 64)
+                  THEN (strpos('0123456789ABCDEF',
+                               substring(hx, CAST(2*k+1 AS INT), 1)) - 1) * 16
+                     + (strpos('0123456789ABCDEF',
+                               substring(hx, CAST(2*k+2 AS INT), 1)) - 1)
+                  ELSE 0 END AS v
+      FROM cells
+    ), grids AS (
+      SELECT doc_id,
+             list(CASE WHEN v % 2 = 1 AND v < 255 THEN v + 1 ELSE v END
+                  ORDER BY k) AS g50,
+             list(v ORDER BY k) AS g75,
+             list(LEAST(v + 6, 255) ORDER BY k) AS gb,
+             SUM(CASE WHEN v > 249 THEN 1 ELSE 0 END) AS n_clipped
+      FROM vals GROUP BY doc_id
+    ), hashes AS (
+      SELECT doc_id, n_clipped,
+             {phash(coefs('g50'))} AS h50,
+             {phash(coefs('g75'))} AS h75,
+             {phash(coefs('gb'))} AS hb
+      FROM grids CROSS JOIN __m
+    ), imgs AS (
+      SELECT doc_id * 3 AS img_key, doc_id, h50 AS h FROM hashes
+      UNION ALL SELECT doc_id * 3 + 1, doc_id, h75 FROM hashes
+      UNION ALL SELECT doc_id * 3 + 2, doc_id, hb FROM hashes
+    ), cross_dups AS (
+      SELECT COUNT(*) AS n_cross
+      FROM imgs a JOIN imgs c ON a.img_key < c.img_key
+      WHERE a.doc_id <> c.doc_id
+        AND ({band_eq})
+        AND bit_count(xor(a.h, c.h)) <= {_PHASH_TAU}
+    )
+    SELECT h.doc_id,
+           CAST(bit_count(xor(h.h50, h.h75)) AS BIGINT) AS hamming_requality,
+           (bit_count(xor(h.h50, h.h75)) <= {_PHASH_TAU}
+            AND ({pair_band_eq})) AS found_by_lsh,
+           CAST(bit_count(xor(h.h75, h.hb)) AS BIGINT) AS hamming_bright,
+           CAST(h.n_clipped AS BIGINT) AS n_clipped,
+           TRUE AS bright_exact,
+           FALSE AS bytes_identical,
+           (SELECT CAST(n_cross AS BIGINT) FROM cross_dups) AS n_cross_dups
+    FROM hashes h
+    ORDER BY h.doc_id
+    """
+
+
+@register(
+    "multimodal_phash_dct_near_dup",
+    oracle=_phash_oracle(),
+    tags=("multimodal", "dedup", "image", "codec"),
+)
+def multimodal_phash_dct_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup, DCT flavor (pHash — Krawetz,
+    HackerFactor 2013 "Kind of Like That"): block-mean downsample of
+    the REAL decoded pixels -> 8x8 DCT -> 63 AC coefficients
+    thresholded at their exact median -> 63-bit hash -> 7x9-bit banded
+    Hamming LSH. The round-14 twin the r13 verdict suggested: it
+    certifies the dHash family's robustness claim on the perturbation
+    class gradients can't prove — GLOBAL BRIGHTNESS SHIFT, which
+    changes every pixel (raw-pixel and mean-threshold hashes flip) but
+    touches only the DC coefficient of a DCT.
+
+    Engine-exactness: the DCT is e6 FIXED-POINT INTEGER
+    (multimodal.phash_dct_matrix_e6 — the same 64 tensor integers are
+    injected into the DuckDB oracle as literals), the median of 63
+    integers is an order statistic, and the threshold is strict
+    integer '>', so both engines compute bit-identical hashes; the
+    oracle replays the whole pipeline from byte arithmetic over the
+    three closed-form decodes (q50 odd-up, q75 identity, brightness
+    min(v+6, 255)). The AC rows of the tensor are zero-sum-adjusted,
+    making every AC coefficient EXACTLY invariant under a constant
+    shift — so ``bright_exact`` ((n_clipped > 0) OR hamming_bright = 0)
+    is a THEOREM the oracle asserts as TRUE and the Spark side must
+    realize from real decoded pixels.
+
+    Pipeline (all on the real codec): binaryFile scan of the 3-per-doc
+    planted corpus (q50 / q75 / q75-of-brightened) -> Arrow-batched
+    REAL JPEG decode -> block sums -> integer DCT hash -> spill the
+    150-row hash table once -> 7-band explode -> band-equality
+    self-join -> bit_count(xor) exact verify -> planted-pair audit.
+    Scale: per-file map work + candidates shuffling on (band, value)
+    only — collision-bounded buckets, all-pairs appears nowhere (same
+    argument as multimodal_dhash_near_dup / dedup_minhash_lsh).
+    Reference analog: none (the reference has no codecs or joins)."""
+    import hashlib
+    import os
+
+    import numpy as np
+
+    from blow_spark.materialize import spill_to_parquet
+    from blow_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    img_dir = multimodal.jpeg_phash_corpus_fixture_dir(spark, sf_dir, n_docs=50)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jpg")
+        .load(img_dir)
+    )
+    kind_off = {"q50": 0, "q75": 1, "b75": 2}
+
+    def hash_images(batches):
+        m = multimodal.phash_dct_matrix_e6()
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                stem = os.path.splitext(os.path.basename(path))[0]
+                doc_s, kind = stem.rsplit("_", 1)
+                img = multimodal.decode_image(bytes(content))
+                bsum = (
+                    img.astype(np.int64).reshape(8, 8, 8, 8).sum(axis=(1, 3))
+                )
+                d = m @ bsum @ m.T
+                coefs = d.reshape(-1)[1:]
+                med = int(np.sort(coefs)[31])
+                h = 0
+                for i in range(63):
+                    if int(coefs[i]) > med:
+                        h |= 1 << i
+                rows.append(
+                    {
+                        "doc_id": int(doc_s),
+                        "img_key": int(doc_s) * 3 + kind_off[kind],
+                        "h": h,
+                        "file_md5": hashlib.md5(bytes(content)).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "img_key", "h", "file_md5"]
+            )
+
+    hashed = spill_to_parquet(
+        files.select("path", "content").mapInPandas(
+            hash_images, "doc_id long, img_key long, h long, file_md5 string"
+        ),
+        "blow_spark_phash_",
+    )
+    bands = hashed.select(
+        "img_key",
+        "doc_id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bid"),
+                        F.shiftright("h", 9 * i)
+                        .bitwiseAND(F.lit(511))
+                        .alias("bval"),
+                    )
+                    for i in range(7)
+                ]
+            )
+        ).alias("band"),
+    ).select("img_key", "doc_id", "h", "band.bid", "band.bval")
+    a, c = bands.alias("a"), bands.alias("c")
+    dup_pairs = (
+        a.join(
+            c,
+            (F.col("a.bid") == F.col("c.bid"))
+            & (F.col("a.bval") == F.col("c.bval"))
+            & (F.col("a.img_key") < F.col("c.img_key")),
+        )
+        .select(
+            F.col("a.img_key").alias("key_a"),
+            F.col("c.img_key").alias("key_b"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("c.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.h").bitwiseXOR(F.col("c.h"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= _PHASH_TAU)
+        .dropDuplicates(["key_a", "key_b"])
+    )
+    dup_pairs = spill_to_parquet(dup_pairs, "blow_spark_phash_pairs_")
+    n_cross = dup_pairs.filter(F.col("doc_a") != F.col("doc_b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cross_dups")
+    )
+    k50 = hashed.filter(F.col("img_key") % 3 == 0).alias("l")
+    k75 = hashed.filter(F.col("img_key") % 3 == 1).alias("r")
+    kb = hashed.filter(F.col("img_key") % 3 == 2).alias("bb")
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 50
+    )
+    clipped = docs.select(
+        "doc_id",
+        F.expr(
+            "aggregate(transform(sequence(0, 63), k -> CASE WHEN "
+            "k < least(octet_length(encode(text, 'utf-8')), 64) AND "
+            "cast(conv(substring(hex(encode(text, 'utf-8')), "
+            "2 * k + 1, 2), 16, 10) as int) > 249 "
+            "THEN 1L ELSE 0L END), 0L, (s, x) -> s + x)"
+        ).alias("n_clipped"),
+    )
+    planted = (
+        k50.join(k75, F.col("l.doc_id") == F.col("r.doc_id"))
+        .join(kb, F.col("l.doc_id") == F.col("bb.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_id"),
+            F.bit_count(F.col("l.h").bitwiseXOR(F.col("r.h")))
+            .cast("bigint")
+            .alias("hamming_requality"),
+            F.col("l.h").alias("h50"),
+            F.col("r.h").alias("h75"),
+            F.col("l.img_key").alias("key_a"),
+            F.col("r.img_key").alias("key_b"),
+            F.bit_count(F.col("r.h").bitwiseXOR(F.col("bb.h")))
+            .cast("bigint")
+            .alias("hamming_bright"),
+            (F.col("l.file_md5") == F.col("r.file_md5")).alias(
+                "bytes_identical"
+            ),
+        )
+    )
+    found = planted.join(
+        dup_pairs.select("key_a", "key_b", F.lit(True).alias("found_raw")),
+        ["key_a", "key_b"],
+        "left",
+    )
+    return (
+        found.join(F.broadcast(clipped), "doc_id")
+        .crossJoin(F.broadcast(n_cross))
+        .select(
+            "doc_id",
+            "hamming_requality",
+            F.coalesce("found_raw", F.lit(False)).alias("found_by_lsh"),
+            "hamming_bright",
+            F.col("n_clipped").cast("bigint").alias("n_clipped"),
+            (
+                (F.col("n_clipped") > 0) | (F.col("hamming_bright") == 0)
+            ).alias("bright_exact"),
+            "bytes_identical",
+            "n_cross_dups",
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "multimodal_jpeg_progressive_dc_stats",
     oracle="""

@@ -201,6 +201,18 @@ def main() -> None:
     ap.add_argument("--reuse", help="existing sf1 dataset dir (skip build)")
     ap.add_argument("--limit", type=int, default=60, help="strict-compare count")
     ap.add_argument("--only", help="comma-separated query names (overrides --limit)")
+    ap.add_argument(
+        "--all",
+        action="store_true",
+        help=(
+            "value-verify EVERY oracle-paired query at sf1 (round-13 "
+            "verdict item #2): strict compare when the result fits "
+            "--rowcap, the summary compare (COUNT + per-column "
+            "SUM/MIN/MAX inside each engine) past it; headroom extrema "
+            "still run only for the fixed-point candidates — the "
+            "compare is the point of this mode"
+        ),
+    )
     ap.add_argument("--rowcap", type=int, default=300_000)
     ap.add_argument("--budget", type=float, default=240.0, help="per-engine seconds")
     args = ap.parse_args()
@@ -223,7 +235,13 @@ def main() -> None:
         sf1 = build_sf1(spark)
         print(f"built sf1 at {sf1} in {time.time() - t0:.0f}s", file=sys.stderr)
 
-    if args.only:
+    if args.all:
+        scored = dict(candidates)
+        candidates = candidates + sorted(
+            (n, 0) for n in oracles if n not in scored
+        )
+        strict_names = list(oracles)
+    elif args.only:
         strict_names = args.only.split(",")
     else:
         strict_names = [n for n, _ in candidates[: args.limit]]
@@ -236,23 +254,27 @@ def main() -> None:
         t0 = time.time()
         try:
             df1 = cat[name](spark, sf1)
-            ext1 = spark_with_timeout(
-                spark, lambda: int_extrema(df1), args.budget, f"ext1_{name}"
-            )
-            df01 = cat[name](spark, SF01)
-            ext01 = spark_with_timeout(
-                spark, lambda: int_extrema(df01), args.budget, f"ext01_{name}"
-            )
-            # headroom: per-decade growth of the worst integer column,
-            # extrapolated two decades past sf1 (-> sf100)
+            # headroom extrema only for fixed-point candidates — two
+            # extra full executions per query, pointless for score-0
+            # rows whose outputs carry no fixed-point accumulators
             worst = None
-            for col, m1 in ext1.items():
-                m01 = ext01.get(col, 0)
-                g = (m1 / m01) if m01 else 1.0
-                m100 = m1 * max(g, 1.0) ** 2
-                ratio = INT64_MAX / m100 if m100 else float("inf")
-                if worst is None or ratio < worst[1]:
-                    worst = (col, ratio, m1, round(g, 2))
+            if score:
+                ext1 = spark_with_timeout(
+                    spark, lambda: int_extrema(df1), args.budget, f"ext1_{name}"
+                )
+                df01 = cat[name](spark, SF01)
+                ext01 = spark_with_timeout(
+                    spark, lambda: int_extrema(df01), args.budget, f"ext01_{name}"
+                )
+                # headroom: per-decade growth of the worst integer
+                # column, extrapolated two decades past sf1 (-> sf100)
+                for col, m1 in ext1.items():
+                    m01 = ext01.get(col, 0)
+                    g = (m1 / m01) if m01 else 1.0
+                    m100 = m1 * max(g, 1.0) ** 2
+                    ratio = INT64_MAX / m100 if m100 else float("inf")
+                    if worst is None or ratio < worst[1]:
+                        worst = (col, ratio, m1, round(g, 2))
             if worst:
                 rec["headroom_col"], rec["headroom_x"], rec["max_sf1"], rec["growth"] = (
                     worst[0],

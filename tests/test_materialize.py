@@ -181,17 +181,31 @@ def test_query_scratch_dirs_are_registered(spark, sf_dir, own_registry):
 
 
 def test_cleanup_stale_siblings_keeps_only_current(own_registry):
+    """Round-14 semantics: IDLE siblings (past min_age_s) go, the keep
+    path stays, and FRESH siblings are spared — two sessions at
+    different scale factors hold different equally-valid tokens, and
+    the age guard is what keeps one from deleting the other's
+    in-progress or actively-read cache (a live FileNotFoundError race
+    caught this round)."""
+    import time as _time
+
     tmp = tempfile.gettempdir()
     _reap_stale("blow_spark_sib_test_")
     stale1 = os.path.join(tmp, "blow_spark_sib_test_aaa")
     stale2 = os.path.join(tmp, "blow_spark_sib_test_bbb")
+    fresh = os.path.join(tmp, "blow_spark_sib_test_ddd")
     keep = os.path.join(tmp, "blow_spark_sib_test_ccc")
-    for p in (stale1, stale2, keep):
+    for p in (stale1, stale2, fresh, keep):
         os.makedirs(p, exist_ok=True)
+    past = _time.time() - 2 * 3600
+    for p in (stale1, stale2):
+        os.utime(p, (past, past))
     M.cleanup_stale_siblings(keep, os.path.join(tmp, "blow_spark_sib_test_*"))
     assert os.path.isdir(keep)
+    assert os.path.isdir(fresh), "age guard must spare a fresh sibling"
     assert not os.path.exists(stale1) and not os.path.exists(stale2)
-    M._remove_path(keep)
+    for p in (fresh, keep):
+        M._remove_path(p)
 
 
 def test_reap_orphan_scratch_rules(own_registry):

@@ -552,6 +552,12 @@ BENCH_EXCHANGE_PINS = {
     # decode -> ONE 50-key aggregate pairing each stream with its
     # baseline twin
     "multimodal_jpeg_progressive_ac_refine_stats": (1, 0),
+    # round 14 — pHash: hash table + dup pairs spill-backed (the band
+    # join runs in the spill jobs, same as multimodal_dhash_near_dup);
+    # returned plan = planted-pair joins off the 150-row spills (the 2
+    # shuffles are the planted three-way join) + broadcast n_clipped/
+    # n_cross/found joins
+    "multimodal_phash_dct_near_dup": (2, 5),
 }
 
 

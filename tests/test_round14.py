@@ -132,6 +132,82 @@ def test_prog_ac_huffman_table_is_spec_valid():
 
 
 # ---------------------------------------------------------------------------
+# pHash/DCT perceptual twin (r13 verdict item #8's suggested compose)
+# ---------------------------------------------------------------------------
+
+
+def test_phash_matrix_rows_are_zero_sum_adjusted():
+    """The brightness-invariance THEOREM rests on every AC row of the
+    e6 DCT tensor summing to exactly zero — a constant input shift then
+    contributes 0 to every coefficient with u>=1 or v>=1, including
+    the (0, v>=1) row via the transposed factor."""
+    m = M.phash_dct_matrix_e6()
+    assert m.shape == (8, 8)
+    for u in range(1, 8):
+        assert int(m[u].sum()) == 0, f"row {u} sum {m[u].sum()}"
+    # rounding adjustment stays tiny: within 5 µunits of the float DCT
+    assert np.abs(m - 1e6 * M._JM).max() <= 5
+
+
+def _py_phash(grid: list[int], m) -> int:
+    """Pure-Python third replication of the pHash pipeline (the dHash
+    test's discipline): 8x8 grid -> integer DCT -> median threshold."""
+    coefs = []
+    for uv in range(1, 64):
+        u, v = divmod(uv, 8)
+        s = 0
+        for k in range(64):
+            s += grid[k] * int(m[u][k // 8]) * int(m[v][k % 8])
+        coefs.append(s)
+    med = sorted(coefs)[31]
+    h = 0
+    for i, c in enumerate(coefs):
+        if c > med:
+            h |= 1 << i
+    return h
+
+
+def test_phash_brightness_invariance_and_reencode_closeness():
+    """End-to-end on the real codec: the q75 decode of an image and of
+    its +6-brightened twin produce IDENTICAL pHashes (the zero-sum
+    theorem, no clipping), the q50/q75 re-encode pair lands within
+    tau=8 bits, and the pure-Python replication agrees with the
+    numpy/matmul production path bit-for-bit."""
+    m = M.phash_dct_matrix_e6()
+    raw = b"Perceptual DCT hashing certifies what gradients cannot!..."
+    raw = raw[:64].ljust(64, b"\0")
+    img = np.zeros((64, 64), dtype=np.uint8)
+    for k, v in enumerate(raw):
+        r, c = divmod(k, 8)
+        img[r * 8 : (r + 1) * 8, c * 8 : (c + 1) * 8] = v
+        if 0 < v < 255:
+            img[r * 8, c * 8] = v + 1
+            img[r * 8, c * 8 + 1] = v - 1
+    bright = np.minimum(img.astype(np.int32) + 6, 255).astype(np.uint8)
+
+    def spark_path_hash(jpeg_bytes: bytes) -> int:
+        dec = M.decode_image(jpeg_bytes)
+        bsum = dec.astype(np.int64).reshape(8, 8, 8, 8).sum(axis=(1, 3))
+        d = m @ bsum @ m.T
+        coefs = d.reshape(-1)[1:]
+        med = int(np.sort(coefs)[31])
+        return sum(1 << i for i in range(63) if int(coefs[i]) > med)
+
+    h50 = spark_path_hash(M.encode_jpeg_baseline(img, quality=50))
+    h75 = spark_path_hash(M.encode_jpeg_baseline(img, quality=75))
+    hb = spark_path_hash(M.encode_jpeg_baseline(bright, quality=75))
+    assert hb == h75, "brightness shift changed the hash"
+    assert bin(h50 ^ h75).count("1") <= 8, "re-encode pair outside tau"
+    # third replication: pure-Python over the closed-form q75 grid
+    # (identity decode), scaled by 64 like the block sums
+    grid = [64 * v for v in raw]
+    assert _py_phash(grid, m) == h75
+    # q50 closed form: odd v < 255 rounds up
+    g50 = [64 * (v + 1 if v % 2 == 1 and v < 255 else v) for v in raw]
+    assert _py_phash(g50, m) == h50
+
+
+# ---------------------------------------------------------------------------
 # r13-ADVICE exact fixed-point readouts
 # ---------------------------------------------------------------------------
 
