@@ -183,13 +183,31 @@ def summary_compare(spark_df, con, sql: str, budget: float) -> tuple[bool, str]:
 
     o = duckdb_with_timeout(con, _dd, budget)
     diffs = []
+    n_rows = float(s.get("__n") or 0)
     for k, sv in s.items():
         ov = o.get(k)
         if sv is None and ov is None:
             continue
         if isinstance(sv, float) or isinstance(ov, float):
-            denom = max(abs(float(sv or 0)), abs(float(ov or 0)), 1e-12)
-            if abs(float(sv or 0) - float(ov or 0)) / denom > 1e-6:
+            svf, ovf = float(sv or 0), float(ov or 0)
+            if k.startswith("sum_"):
+                # catastrophic-cancellation floor (round-14): a column
+                # whose TRUE total is ~0 (z-scores, centered residuals)
+                # sums to engine-order-dependent noise — e.g. -7.1e-13
+                # vs -8.2e-12 over 300k rows of unit-scale values — so
+                # compare against the accumulation scale, not the
+                # (zero) total. A real defect distorts the sum at the
+                # value scale, far above n*scale*1e-12.
+                col = k[4:]
+                scale = max(
+                    abs(float(s.get(f"min_{col}") or 0)),
+                    abs(float(s.get(f"max_{col}") or 0)),
+                )
+                floor = max(n_rows * scale * 1e-12, 1e-12)
+                if abs(svf) <= floor and abs(ovf) <= floor:
+                    continue
+            denom = max(abs(svf), abs(ovf), 1e-12)
+            if abs(svf - ovf) / denom > 1e-6:
                 diffs.append(f"{k}: spark={sv} oracle={ov}")
         elif int(sv) != int(ov):
             diffs.append(f"{k}: spark={sv} oracle={ov}")
