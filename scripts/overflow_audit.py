@@ -149,10 +149,27 @@ def int_extrema(df) -> dict[str, int]:
     return {k: int(v) for k, v in row.items() if v is not None}
 
 
-def summary_compare(spark_df, con, sql: str, budget: float) -> tuple[bool, str]:
+#: Queries whose oracle EQUALITY holds only inside a documented
+#: exactness region that the gate SFs sit in (their docstrings state
+#: the region and the degradation bound). At sf1 they are compared
+#: against the documented ERROR BOUND instead of bit-equality — an
+#: overflow/defect still trips the bound; honest approximation noise
+#: does not. value = relative tolerance (3x the documented rsd).
+REGION_BOUNDED = {
+    # HLL lgK=16 coupon phase is exact to ~2^14 distinct (gate SFs);
+    # sf1 has ~2e5 distinct parts/flag -> estimate mode, rsd ~0.4%
+    "agg_approx_sketches": 0.012,
+}
+
+
+def summary_compare(
+    spark_df, con, sql: str, budget: float, rel_tol: float = 1e-6
+) -> tuple[bool, str]:
     """COUNT + per-numeric-column SUM/MIN/MAX compared across engines,
     for results too large to canonicalize row-by-row. SUMs of floats
-    are rounded to 6 dp relative (engine-order addition differs)."""
+    are rounded to 6 dp relative (engine-order addition differs);
+    ``rel_tol`` widens the per-aggregate relative tolerance for the
+    REGION_BOUNDED queries."""
     from pyspark.sql import functions as F
 
     num_prefixes = ("tinyint", "smallint", "int", "bigint", "long", "float", "double", "decimal")
@@ -161,10 +178,22 @@ def summary_compare(spark_df, con, sql: str, budget: float) -> tuple[bool, str]:
         for f in spark_df.schema.fields
         if f.dataType.simpleString().startswith(num_prefixes)
     ]
+    # integer columns sum in DECIMAL(38,0)/HUGEINT — the harness's own
+    # SUM(bigint) overflowed int64 at sf1 on join_geo_haversine_radius
+    # (round 14), turning a green query into a red audit row
+    int_cols = {
+        f.name
+        for f in spark_df.schema.fields
+        if f.dataType.simpleString() in _INT_TYPES
+        or f.dataType.simpleString().startswith("decimal")
+    }
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
+        sum_src = (
+            F.col(c).cast("decimal(38,0)") if c in int_cols else F.col(c)
+        )
         aggs += [
-            F.sum(c).alias(f"sum_{c}"),
+            F.sum(sum_src).alias(f"sum_{c}"),
             F.min(c).alias(f"min_{c}"),
             F.max(c).alias(f"max_{c}"),
         ]
@@ -174,8 +203,9 @@ def summary_compare(spark_df, con, sql: str, budget: float) -> tuple[bool, str]:
         con.execute(f"CREATE OR REPLACE TEMP TABLE __r AS ({sql})")
         parts = ["COUNT(*) AS __n"]
         for c in cols:
+            src = f'CAST("{c}" AS HUGEINT)' if c in int_cols else f'"{c}"'
             parts += [
-                f'SUM("{c}") AS "sum_{c}"',
+                f'SUM({src}) AS "sum_{c}"',
                 f'MIN("{c}") AS "min_{c}"',
                 f'MAX("{c}") AS "max_{c}"',
             ]
@@ -207,9 +237,13 @@ def summary_compare(spark_df, con, sql: str, budget: float) -> tuple[bool, str]:
                 if abs(svf) <= floor and abs(ovf) <= floor:
                     continue
             denom = max(abs(svf), abs(ovf), 1e-12)
-            if abs(svf - ovf) / denom > 1e-6:
+            if abs(svf - ovf) / denom > rel_tol:
                 diffs.append(f"{k}: spark={sv} oracle={ov}")
         elif int(sv) != int(ov):
+            if rel_tol > 1e-6 and k != "__n":
+                a, b = int(sv), int(ov)
+                if abs(a - b) <= rel_tol * max(abs(a), abs(b)):
+                    continue
             diffs.append(f"{k}: spark={sv} oracle={ov}")
     return (not diffs, "; ".join(diffs[:4]))
 
@@ -309,7 +343,14 @@ def main() -> None:
                 )
                 con = duckdb_connect_dir(sf1)
                 try:
-                    if len(spdf) > args.rowcap:
+                    if name in REGION_BOUNDED:
+                        rec["mode"] = "region-bound"
+                        ok, detail = summary_compare(
+                            df1, con, oracles[name], args.budget,
+                            rel_tol=REGION_BOUNDED[name],
+                        )
+                        rec["ok"], rec["detail"] = ok, detail
+                    elif len(spdf) > args.rowcap:
                         rec["mode"] = "summary"
                         ok, detail = summary_compare(
                             df1, con, oracles[name], args.budget
