@@ -159,6 +159,11 @@ REGION_BOUNDED = {
     # HLL lgK=16 coupon phase is exact to ~2^14 distinct (gate SFs);
     # sf1 has ~2e5 distinct parts/flag -> estimate mode, rsd ~0.4%
     "agg_approx_sketches": 0.012,
+    "agg_hll_sketch_union": 0.012,
+    # KLL k=65535 >= gate-sf TOTAL rows (its docstring's bound); sf1's
+    # 6M rows compact -> bounded rank error, ~1e-4 in value space on
+    # the dense price distribution (measured 2.7e-5..5.4e-5 at sf1)
+    "agg_kll_quantile_rollup": 0.01,
 }
 
 
