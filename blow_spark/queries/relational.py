@@ -153,7 +153,7 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(s_suppkey % 7 AS BIGINT)        AS key_mod7,
            SQRT(ABS(s_acctbal))                 AS bal_sqrt,
            ROUND(LN(ABS(s_acctbal) + 1), 6)     AS bal_ln,
-           ROUND(POWER(CAST(s_suppkey AS DOUBLE), 2), 6) AS key_sq,
+           ROUND(POWER(CAST(s_suppkey % 100000 AS DOUBLE), 2), 6) AS key_sq,
            SIGN(s_acctbal - 5000)               AS bal_sign
     FROM supplier
     """,
@@ -161,7 +161,14 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math battery: abs/round/floor/ceil/pmod/sign — exact integer and
-    double forms (transcendentals are rounded per the house rule)."""
+    double forms (transcendentals are rounded per the house rule).
+
+    key_sq squares the key MODULO 1e5 (round-14, found by the full sf1
+    value audit): the square of a bounded argument (< 1e10) is exactly
+    representable, so both engines' pow() must return the identical
+    correctly-rounded double — whereas the raw sf1 replica keys (~6e8)
+    square past 2^53, where JVM Math.pow and libm pow legitimately
+    disagree by 1 ulp and ROUND(x, 6) is a no-op at that magnitude."""
     s = read_table(spark, sf_dir, "supplier")
     bal = F.col("s_acctbal")
     return s.select(
@@ -175,7 +182,9 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # libm — round to 6 decimals on both sides; sqrt is IEEE-exact
         F.sqrt(F.abs(bal)).alias("bal_sqrt"),
         F.round(F.log(F.abs(bal) + 1), 6).alias("bal_ln"),
-        F.round(F.pow(F.col("s_suppkey").cast("double"), 2), 6).alias("key_sq"),
+        F.round(
+            F.pow((F.col("s_suppkey") % 100000).cast("double"), 2), 6
+        ).alias("key_sq"),
         F.signum(bal - 5000).alias("bal_sign"),
     )
 

@@ -1545,9 +1545,12 @@ def vector_gram_matrix_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     most correlated dimension pairs (from the same sums, Pearson in
     closed form), |corr| descending.
 
-    Engine-exact: components fix-point to e3 integers; every partial
-    and the combine are int64/DECIMAL-exact, so the Gram entries are
-    integers and the correlations identical doubles. The oracle
+    Engine-exact: components fix-point to e3 integers via HALF-AWAY
+    rounding (_round_half_away == SQL ROUND; np.round's half-even twin
+    diverged on the sf1 replicas' dyadic-rational ties — round-14 full
+    audit find); every partial and the combine are int64/DECIMAL-exact,
+    so the Gram entries are integers and the correlations identical
+    doubles. The oracle
     replays the Gram as a 64² UNNEST fan-out — correct single-node,
     and exactly the quadratic blow-up the batched numpy path avoids.
 
@@ -1564,13 +1567,19 @@ def vector_gram_matrix_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     def gram_batches(batches):
         import numpy as np
 
+        from blow_spark.similarity import _round_half_away
+
         acc = np.zeros((d_dim, d_dim), dtype="int64")
         sums = np.zeros(d_dim, dtype="int64")
         n = 0
         for pdf in batches:
+            # half-AWAY rounding to match SQL ROUND (round-14, found by
+            # the full sf1 audit): np.round is half-EVEN, and inputs
+            # built from dyadic rationals (the sf1 replica embeddings)
+            # hit exact .5 ties where the two conventions differ
             X = np.stack(
                 pdf["embedding"].map(
-                    lambda v: np.round(
+                    lambda v: _round_half_away(
                         np.asarray(v, dtype="float64") * 1000
                     ).astype("int64")
                 )

@@ -1822,12 +1822,21 @@ def streaming_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> Data
       SELECT event_id, user_id AS user_b, ts AS ts_b FROM events
       WHERE event_type = 'click'
     ), wm AS (
+      -- the DOWNSTREAM watermark: each input's own watermark is
+      -- max(ts) - 10min, and the join SHIFTS the bound on ts_a by its
+      -- state-retention delay before the window agg sees it — a click
+      -- at wm_clk can still match an error up to 120 minutes older,
+      -- so the oldest producible ts_a is min(wm_err, wm_clk - 120min)
+      -- (SPARK-42376 watermark propagation; round-14 sf1 audit find:
+      -- the un-shifted bound over-claimed the final two hours of
+      -- windows, invisible at the gate SFs where those windows held
+      -- no matched pairs)
       SELECT LEAST(
                (SELECT date_trunc('milliseconds', MAX(ts)) FROM events
-                WHERE event_type = 'error'),
+                WHERE event_type = 'error') - INTERVAL 10 MINUTE,
                (SELECT date_trunc('milliseconds', MAX(ts)) FROM events
-                WHERE event_type = 'click')
-             ) - INTERVAL 10 MINUTE AS w
+                WHERE event_type = 'click') - INTERVAL 130 MINUTE
+             ) AS w
     ), matched AS (
       SELECT e.ts_a FROM err e JOIN clk c
         ON e.user_id = c.user_b
@@ -1847,12 +1856,18 @@ def streaming_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SPARK-42376; for years this required two queries with an
     intermediate sink). The join emits matches as batches arrive; the
     downstream hourly window then holds each group until the watermark
-    passes its end (append mode), so the emitted set is: windows over
-    the MATCHED pairs with window_end <= min-input watermark — exactly
-    what the oracle states, and what the probe run reproduced (74
-    windows at sf0.01, equal to the set-theoretic computation). Both
-    states stay watermark-bounded; the join reach (120 min) bounds the
-    pairing window and the agg keeps one row per open hour."""
+    passes its end (append mode). The emitted set is: windows over the
+    MATCHED pairs with window_end <= the join's OUTPUT watermark —
+    min(wm_err, wm_clk − 120min), i.e. the input watermark SHIFTED by
+    the join's state-retention delay, because a click arriving at
+    wm_clk can still produce a pair whose ts_a is 120 minutes older
+    (SPARK-42376 watermark propagation). Round-14's full sf1 audit
+    caught the un-shifted claim: the engine correctly HELD the final
+    two hours of windows that the old oracle asserted emitted —
+    invisible at the gate SFs, where those tail windows happened to
+    hold no matched pairs. Both states stay watermark-bounded; the
+    join reach (120 min) bounds the pairing window and the agg keeps
+    one row per open hour."""
     import glob
     import os
     import shutil

@@ -292,14 +292,17 @@ def main() -> None:
         sf1 = build_sf1(spark)
         print(f"built sf1 at {sf1} in {time.time() - t0:.0f}s", file=sys.stderr)
 
+    scored = dict(candidates)
     if args.all:
-        scored = dict(candidates)
         candidates = candidates + sorted(
             (n, 0) for n in oracles if n not in scored
         )
         strict_names = list(oracles)
     elif args.only:
+        # --only restricts BOTH the loop and the compare set (it may
+        # name score-0 queries the candidate list would never visit)
         strict_names = args.only.split(",")
+        candidates = [(n, scored.get(n, 0)) for n in strict_names]
     else:
         strict_names = [n for n, _ in candidates[: args.limit]]
     strict_set = set(strict_names)
