@@ -3,13 +3,17 @@ documents fixture (payloads synthesized deterministically from text).
 PNG (incl. Adam7/palette), RIFF/WAV (PCM + IMA-ADPCM), GIF (real LZW
 pixel decode), BMP, QOI, G.711, and JPEG decode FOR REAL — baseline
 sequential at 4:4:4/4:2:0/4:2:2/4:4:0 subsampling (multimodal._decode_jpeg)
-AND progressive SOF2 DC-scan decode (multimodal_jpeg_progressive_dc_stats,
-round 13); multimodal_wav_decode_energy and multimodal_jpeg_decode_stats
-run genuine container/entropy decodes under the oracle gate. Only MP3
+AND progressive SOF2 in full — DC-scan
+(multimodal_jpeg_progressive_dc_stats, round 13) and successive
+approximation with AC-refinement scans
+(multimodal_jpeg_progressive_ac_refine_stats, round 14);
+multimodal_wav_decode_energy and multimodal_jpeg_decode_stats run
+genuine container/entropy decodes under the oracle gate. Only MP3
 AUDIO decode stays stubbed (documented-permanent, see multimodal.py —
-header/container parsing is real), plus the documented JPEG
-arithmetic-coding/12-bit/AC-refinement gates; the Spark-side plumbing is
-real and oracled where byte semantics are SQL-expressible."""
+header/container parsing is real), plus the documented-permanent JPEG
+arithmetic-coding and 12-bit gates (round-14 decision, the MP3 policy);
+the Spark-side plumbing is real and oracled where byte semantics are
+SQL-expressible."""
 
 from __future__ import annotations
 
