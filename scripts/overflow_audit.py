@@ -226,20 +226,24 @@ def summary_compare(
         if isinstance(sv, float) or isinstance(ov, float):
             svf, ovf = float(sv or 0), float(ov or 0)
             if k.startswith("sum_"):
-                # catastrophic-cancellation floor (round-14): a column
-                # whose TRUE total is ~0 (z-scores, centered residuals)
-                # sums to engine-order-dependent noise — e.g. -7.1e-13
-                # vs -8.2e-12 over 300k rows of unit-scale values — so
-                # compare against the accumulation scale, not the
-                # (zero) total. A real defect distorts the sum at the
-                # value scale, far above n*scale*1e-12.
+                # accumulation-noise floor (round-14): a float SUM's
+                # engine-order slack is bounded by n * column_scale *
+                # machine-eps-ish — and when the column partially
+                # CANCELS (mixed signs), the total can be far smaller
+                # than that slack, so a relative test divides noise by
+                # a near-arbitrary total (caught twice live: sum_z
+                # -7.1e-13 vs -8.2e-12 on 300k unit-scale rows, then a
+                # cosine column at sf1). A diff UNDER the accumulation
+                # envelope is engine-order noise, never a defect — a
+                # real overflow/wrong-answer distorts the sum at the
+                # value scale, orders of magnitude above it.
                 col = k[4:]
                 scale = max(
                     abs(float(s.get(f"min_{col}") or 0)),
                     abs(float(s.get(f"max_{col}") or 0)),
                 )
                 floor = max(n_rows * scale * 1e-12, 1e-12)
-                if abs(svf) <= floor and abs(ovf) <= floor:
+                if abs(svf - ovf) <= floor:
                     continue
             denom = max(abs(svf), abs(ovf), 1e-12)
             if abs(svf - ovf) / denom > rel_tol:

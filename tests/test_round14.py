@@ -259,3 +259,55 @@ def test_guarded_bigint_outputs_are_varchar_exact(spark):
         assert isinstance(row.psi_num, str)
         int(row.psi_num)  # parses exactly
         assert row.psi_den > 0
+
+
+# ---------------------------------------------------------------------------
+# overflow_audit summary-compare: the accumulation-noise floor
+# ---------------------------------------------------------------------------
+
+
+def _load_overflow_audit():
+    import importlib.util
+    import pathlib
+
+    p = pathlib.Path(__file__).resolve().parents[1] / "scripts" / "overflow_audit.py"
+    spec = importlib.util.spec_from_file_location("overflow_audit", p)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_summary_compare_accumulation_floor_accepts_order_noise(spark):
+    """Pins the round-14 float-SUM floor in summary_compare: a SUM diff
+    UNDER the accumulation envelope (n * column_scale * 1e-12) is
+    engine-order noise and must pass EVEN WHEN the totals themselves
+    exceed the envelope (the partial-cancellation class caught live on
+    similarity_cosine_threshold_exact at sf1 — mixed-sign column, small
+    but nonzero total, relative test divides noise by it)."""
+    import duckdb
+
+    oa = _load_overflow_audit()
+    con = duckdb.connect()
+    # n=3, scale=1 -> floor = 3e-12; totals 5e-12 vs 7e-12 both EXCEED
+    # the floor, their diff 2e-12 sits under it.
+    df = spark.createDataFrame([(1.0,), (-1.0,), (5e-12,)], "z double")
+    ok, detail = oa.summary_compare(
+        df, con, "SELECT z FROM (VALUES (1.0), (-1.0), (7e-12)) t(z)", 60.0
+    )
+    assert ok, detail
+
+
+def test_summary_compare_accumulation_floor_still_flags_real_defects(spark):
+    """The floor must NOT swallow a value-scale distortion: a SUM off by
+    ~0.5 on a unit-scale 3-row column is orders of magnitude above the
+    envelope and stays a red."""
+    import duckdb
+
+    oa = _load_overflow_audit()
+    con = duckdb.connect()
+    df = spark.createDataFrame([(1.0,), (-1.0,), (5e-12,)], "z double")
+    ok, detail = oa.summary_compare(
+        df, con, "SELECT z FROM (VALUES (1.0), (-1.0), (0.5)) t(z)", 60.0
+    )
+    assert not ok
+    assert "sum_z" in detail
