@@ -794,11 +794,10 @@ def orders_new_customers_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(range(s // 3600000000, e // 3600000000 + 1)) AS hb
       FROM sessions
     ), pairs AS (
-      SELECT DISTINCT
-             a.user_id AS u1, a.session_no AS n1, a.s AS s1, a.e AS e1,
+      SELECT a.user_id AS u1, a.session_no AS n1, a.s AS s1, a.e AS e1,
              b.user_id AS u2, b.session_no AS n2, b.s AS s2, b.e AS e2
-      FROM buckets a JOIN buckets b
-        ON a.hb = b.hb
+      FROM buckets a JOIN sessions b
+        ON a.hb = b.s // 3600000000
        AND (a.s < b.s OR (a.s = b.s AND (a.user_id < b.user_id
             OR (a.user_id = b.user_id AND a.session_no < b.session_no))))
        AND a.user_id <> b.user_id
@@ -832,12 +831,17 @@ def join_allen_interval_relations(spark: SparkSession, sf_dir: str) -> DataFrame
     the sessionization equivalence AND the CASE algebra are under the
     hash. All integer µs comparisons — no tolerance.
 
-    Scale: the pair join is HOUR-BUCKET-BLOCKED (each session explodes
-    to its spanned hours — bounded by session length / 1h — and joins
-    on the bucket key), the standard interval-join banding that keeps
-    fan-out proportional to true temporal overlap density rather than
-    |sessions|²; DISTINCT collapses multi-bucket double-pairs before
-    classification."""
+    Scale: the pair join is HOUR-BUCKET-BLOCKED (the EARLIER side of
+    each ordered pair explodes to its spanned hours — bounded by
+    session length / 1h — and joins the later side at its START bucket
+    only: for s1 ≤ s2, the intervals' bucket ranges intersect exactly
+    when the earlier one spans the later one's start hour), the
+    standard interval-join banding that keeps fan-out proportional to
+    true temporal overlap density rather than |sessions|². The
+    start-bucket key makes each qualifying pair appear EXACTLY once, so
+    the former DISTINCT — a full shuffle over the quadratic pair set,
+    the plan's dominant exchange at sf ≥ 1 — is gone on both the engine
+    and the oracle side (round 14)."""
     e = read_table(spark, sf_dir, "events")
     sessions = e.groupBy(
         F.session_window("ts", "30 minutes").alias("w"), "user_id"
@@ -864,11 +868,11 @@ def join_allen_interval_relations(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("e").alias("e1"),
         "hb",
     )
-    a2 = b.select(
+    a2 = sess.select(
         F.col("user_id").alias("u2"),
         F.col("s").alias("s2"),
         F.col("e").alias("e2"),
-        "hb",
+        F.expr(f"s div {HOUR}").alias("hb"),
     )
     pairs = (
         a1.join(a2, "hb")
@@ -880,7 +884,6 @@ def join_allen_interval_relations(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         )
         .select("u1", "s1", "e1", "u2", "s2", "e2")
-        .distinct()
     )
     relation = (
         F.when(F.col("e1") < F.col("s2"), "precedes")
