@@ -450,6 +450,13 @@ HEADLINE = [
     # dedup family on the brightness-shift class via an exact
     # zero-sum-adjusted integer DCT (fully oracle-replayed)
     "multimodal_phash_dct_near_dup",
+    # round 14 continuation: the stats5 drift/variance/autoregression
+    # shelf — value-grain Brown-Forsythe, calendar-grain Yule-Walker
+    # AR(2), Page-Hinkley, and the Haar energy cascade
+    "stats_levene_brown_forsythe",
+    "timeseries_yule_walker_ar2",
+    "timeseries_page_hinkley",
+    "timeseries_haar_wavelet_energy",
 ]
 
 #: AUDIT tier (round-13 verdict item #5): certification queries that

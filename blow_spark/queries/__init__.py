@@ -118,6 +118,7 @@ def _load() -> None:
         stats2,
         stats3,
         stats4,
+        stats5,
         text,
         text2,
         text3,

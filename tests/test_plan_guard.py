@@ -558,6 +558,21 @@ BENCH_EXCHANGE_PINS = {
     # shuffles are the planted three-way join) + broadcast n_clipped/
     # n_cross/found joins
     "multimodal_phash_dct_near_dup": (2, 5),
+    # round 14 continuation — stats5 shelf. Brown-Forsythe: the
+    # value-grain count and |z| tables are spill-backed (the corpus
+    # counting shuffle runs in the spill job); the returned plan's 11
+    # shuffles are all value-/group-grain recomputes off the tiny
+    # spills (median windows, moments, SSW/SSB) + the output sort
+    "stats_levene_brown_forsythe": (11, 6),
+    # hourly (type, hour) aggregate spill-backed; returned plan =
+    # dense-grid join + type-partitioned LEAD/cumulative windows +
+    # final agg/sort, all calendar-grain
+    "timeseries_yule_walker_ar2": (3, 4),
+    "timeseries_page_hinkley": (3, 4),
+    # Haar: hourly spill + 6 cascade aggregates, each level HALVING
+    # an <= 512-row/type table; the 16 broadcasts are the tiny dense
+    # grid replicated into the 8 unioned energy branches
+    "timeseries_haar_wavelet_energy": (9, 16),
 }
 
 

@@ -1,0 +1,194 @@
+"""Round-14 continuation pins: pure-Python THIRD replications of the
+new stats5 shelf (Brown-Forsythe, Yule-Walker AR(2), Page-Hinkley,
+Haar energies). The Spark-vs-DuckDB oracle compare certifies the two
+ENGINES agree; these tests certify the shared algebra IS the intended
+statistic, by recomputing each from the raw parquet with independent
+pure-Python integer arithmetic (the dHash/matrix-profile discipline).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from fractions import Fraction
+
+import duckdb
+
+from blow_spark.queries import stats5
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(sql: str):
+    con = duckdb.connect()
+    for t in ("events",):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'"
+        )
+    return con.execute(sql).fetchall()
+
+
+def _hourly(scale: int, how: str) -> dict[str, list[int]]:
+    """Independent dense hourly series build (plain Python floors)."""
+    import math
+
+    raw = _rows("SELECT event_type, epoch_us(ts), value FROM events")
+    acc: dict[tuple[str, int], list[int]] = defaultdict(lambda: [0, 0])
+    types = set()
+    for et, us, v in raw:
+        types.add(et)
+        h = us // 3_600_000_000 - stats5._T0_H
+        if 0 <= h < stats5._CAL_HOURS:
+            cell = acc[(et, h)]
+            # FLOOR(value*scale): one IEEE multiply + floor, as in SQL
+            cell[0] += math.floor(v * scale)
+            cell[1] += 1
+    out: dict[str, list[int]] = {}
+    for et in sorted(types):
+        xs = []
+        for h in range(stats5._CAL_HOURS):
+            s, c = acc.get((et, h), (0, 0))
+            if c == 0:
+                xs.append(0)
+            else:
+                xs.append(s // c if how == "mean" else s)
+        out[et] = xs
+    return out
+
+
+def test_yule_walker_matches_python(spark):
+    got = {
+        r["event_type"]: r
+        for r in stats5.timeseries_yule_walker_ar2(spark, SF)
+        .collect()
+    }
+    series = _hourly(1, "mean")
+    n = stats5._CAL_HOURS
+    for et, xs in series.items():
+        S = sum(xs)
+        dd = [n * x - S for x in xs]
+        c0 = sum(d * d for d in dd)
+        c1 = sum(dd[i] * dd[i + 1] for i in range(n - 1))
+        c2 = sum(dd[i] * dd[i + 2] for i in range(n - 2))
+        row = got[et]
+        assert (row["c0"], row["c1"], row["c2"]) == (c0, c1, c2)
+        den = c0 * c0 - c1 * c1
+        if den > 0:
+            # staged truncating e6 readout, replicated exactly
+            def staged(num: int) -> int:
+                sgn = 1 if num >= 0 else -1
+                m = abs(num)
+                return sgn * (
+                    (m // den) * 1_000_000
+                    + ((m % den) * 1000 // den) * 1000
+                    + (((m % den) * 1000 % den) * 1000) // den
+                )
+
+            assert row["phi1_e6"] == staged(c1 * (c0 - c2))
+            assert row["phi2_e6"] == staged(c2 * c0 - c1 * c1)
+            # and the staged value is within 1 ulp-of-e6 of the true ratio
+            assert (
+                abs(
+                    Fraction(row["phi1_e6"], 10**6)
+                    - Fraction(c1 * (c0 - c2), den)
+                )
+                <= Fraction(2, 10**6)
+            )
+
+
+def test_page_hinkley_matches_python(spark):
+    got = {
+        r["event_type"]: r
+        for r in stats5.timeseries_page_hinkley(spark, SF).collect()
+    }
+    for et, xs in _hourly(1000, "mean").items():
+        cx = 0
+        M = 0
+        mmin = 0
+        ph = []
+        first_min_done = False
+        for h, x in enumerate(xs):
+            cx += x
+            term = x - cx // (h + 1) - stats5._PH_DELTA_E3
+            M += term
+            mmin = M if not first_min_done else min(mmin, M)
+            first_min_done = True
+            ph.append(M - mmin)
+        mx = max(ph)
+        row = got[et]
+        assert row["max_ph_e3"] == mx
+        assert row["h_at_max"] == ph.index(mx)
+        alarms = [h for h, p in enumerate(ph) if p >= stats5._PH_LAMBDA_E3]
+        assert row["n_alarm_hours"] == len(alarms)
+        assert row["first_alarm_h"] == (alarms[0] if alarms else None)
+
+
+def test_haar_energy_conservation_and_python(spark):
+    rows = stats5.timeseries_haar_wavelet_energy(spark, SF).collect()
+    by = defaultdict(dict)
+    for r in rows:
+        by[r["event_type"]][(r["level"], r["kind"])] = (
+            int(r["energy"]),
+            r["n_coeffs"],
+        )
+    series = _hourly(100, "sum")
+    L = stats5._HAAR_LEVELS
+    for et, got in by.items():
+        xs = series[et][: stats5._HAAR_N]
+        # python cascade
+        cur = xs
+        assert got[(0, "input")] == (sum(x * x for x in cur), len(cur))
+        for lvl in range(1, L + 1):
+            s = [cur[2 * i] + cur[2 * i + 1] for i in range(len(cur) // 2)]
+            d = [cur[2 * i] - cur[2 * i + 1] for i in range(len(cur) // 2)]
+            assert got[(lvl, "detail")] == (
+                sum(v * v for v in d),
+                len(d),
+            )
+            cur = s
+        assert got[(L, "approx")] == (sum(v * v for v in cur), len(cur))
+        # Parseval for the unnormalized Haar cascade
+        total = Fraction(0)
+        for lvl in range(1, L + 1):
+            total += Fraction(got[(lvl, "detail")][0], 2**lvl)
+        total += Fraction(got[(L, "approx")][0], 2**L)
+        assert total == got[(0, "input")][0]
+
+
+def test_brown_forsythe_matches_python(spark):
+    rows = stats5.stats_levene_brown_forsythe(spark, SF).collect()
+    raw = _rows(
+        "SELECT event_type, CAST(FLOOR(value * 1000) AS BIGINT) FROM events"
+    )
+    groups: dict[str, list[int]] = defaultdict(list)
+    for et, v in raw:
+        groups[et].append(v)
+    med = {}
+    moments = {}
+    for et, vs in groups.items():
+        vs.sort()
+        n = len(vs)
+        # lower median: min v with 2*cum >= n over the value-grain counts
+        med[et] = vs[(n - 1) // 2]
+        z = [abs(v - med[et]) for v in vs]
+        moments[et] = (n, sum(z), z)
+    N = sum(m[0] for m in moments.values())
+    k = len(moments)
+    zbar = {et: m[1] * 10**6 // m[0] for et, m in moments.items()}
+    gbar = sum(m[1] for m in moments.values()) * 10**6 // N
+    ssw = sum(
+        (zi * 10**6 - zbar[et]) ** 2
+        for et, m in moments.items()
+        for zi in m[2]
+    )
+    ssb = sum(
+        m[0] * (zbar[et] - gbar) ** 2 for et, m in moments.items()
+    )
+    f_e6 = (ssb * 10**6 // ssw) * (N - k) // (k - 1) if ssw else None
+    for r in rows:
+        et = r["event_type"]
+        assert r["n_g"] == moments[et][0]
+        assert r["med_e3"] == med[et]
+        assert r["sum_absdev_e3"] == moments[et][1]
+        assert r["zbar_e6"] == zbar[et]
+        assert r["f_e6"] == f_e6
+        assert r["n_total"] == N and r["k"] == k
