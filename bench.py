@@ -457,6 +457,13 @@ HEADLINE = [
     "timeseries_yule_walker_ar2",
     "timeseries_page_hinkley",
     "timeseries_haar_wavelet_energy",
+    # round 14 continuation batch 2: sequential-pattern support over
+    # sessions, best-F1 operating point, IVM delta maintenance with
+    # in-plan recompute proof, Soundex phonetic blocking
+    "events_frequent_subsequences",
+    "eval_best_f1_threshold",
+    "ops_ivm_join_delta",
+    "er_soundex_blocking",
 ]
 
 #: AUDIT tier (round-13 verdict item #5): certification queries that

@@ -787,3 +787,140 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+# --------------------------------------------------------------------------
+# Best-F1 operating point (full PR-curve sweep)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "eval_best_f1_threshold",
+    oracle="""
+    WITH scored AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 1000) AS BIGINT) AS thr_e3,
+             COUNT(*) AS c,
+             SUM(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END) AS pos
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, SUM(c) AS n, SUM(pos) AS p
+      FROM scored GROUP BY 1
+    ), cum AS (
+      SELECT s.event_type, s.thr_e3,
+             SUM(s.c) OVER (PARTITION BY s.event_type
+                            ORDER BY s.thr_e3 DESC) AS cn,
+             SUM(s.pos) OVER (PARTITION BY s.event_type
+                              ORDER BY s.thr_e3 DESC) AS tp,
+             t.n, t.p
+      FROM scored s JOIN tot t ON s.event_type = t.event_type
+    ), f1 AS (
+      SELECT event_type, thr_e3, cn, tp, n, p,
+             CAST(2 * tp * 1000000 // (tp + cn + p - tp) AS BIGINT) AS f1_e6
+      FROM cum
+    ), best AS (
+      SELECT event_type, MAX(f1_e6) AS best_f1_e6 FROM f1 GROUP BY 1
+    )
+    SELECT b.event_type,
+           CAST(ANY_VALUE(f.n) AS BIGINT) AS n,
+           CAST(ANY_VALUE(f.p) AS BIGINT) AS n_pos,
+           CAST(b.best_f1_e6 AS BIGINT) AS best_f1_e6,
+           CAST(MIN(CASE WHEN f.f1_e6 = b.best_f1_e6 THEN f.thr_e3 END)
+                AS BIGINT) AS thr_e3_at_best,
+           CAST(MAX(CASE WHEN f.f1_e6 = b.best_f1_e6 THEN f.tp END)
+                AS BIGINT) AS tp_at_best,
+           CAST(MAX(CASE WHEN f.f1_e6 = b.best_f1_e6 THEN f.cn - f.tp END)
+                AS BIGINT) AS fp_at_best
+    FROM best b JOIN f1 f ON b.event_type = f.event_type
+    GROUP BY 1, 4
+    ORDER BY 1
+    """,
+    tags=("eval", "classification", "events", "exact"),
+)
+def eval_best_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-F1 operating point from the FULL precision-recall sweep
+    (the threshold-selection step of van Rijsbergen's F-measure, 1979;
+    cf. Davis & Goadrich, ICML 2006 on PR curves): per event type,
+    every distinct e3-binned score is a candidate threshold 'predict
+    positive iff value ≥ θ'; cumulative TP/FP come from score-grain
+    counts cumulated DESCENDING, F1 = 2TP/(2TP+FP+FN) is an exact e6
+    floor division (2·tp·1e6 // (tp + cn + P − tp), all BIGINT), and
+    the reported operating point is the max-F1 row with the SMALLEST
+    threshold under ties (deterministic). tp/fp at that point are the
+    MAX over tied rows — tp and fp are monotone non-decreasing in
+    descending θ, so the max of each is attained exactly at the
+    smallest-θ tied row: all three readouts name ONE operating
+    point.
+
+    Relevance labels: the catalog's standard synthetic oracle
+    `event_id % 5 = 0` (the eval_average_precision convention).
+
+    Scale: ONE data-scale shuffle to (type, e3-score) grain; the
+    cumulative windows partition by event_type at value grain; the
+    argmax join-back runs at the same grain. At sf100 counts sit at
+    ~1e8 — the f1 numerator 2·tp·1e6 ≤ 2e14, int64-safe past sf10000.
+    Reference analog: none (maps/maps.go:8-21)."""
+    e = read_table(spark, sf_dir, "events")
+    from blow_spark.materialize import spill_to_parquet
+
+    # (type, e3-score) grain; spilled — totals, the cumulative sweep
+    # and the argmax join-back all consume it (one corpus shuffle)
+    scored = spill_to_parquet(
+        e.select(
+            "event_type",
+            F.floor(F.col("value") * 1000).cast("long").alias("thr_e3"),
+            F.when(F.col("event_id") % 5 == 0, 1).otherwise(0).alias("pos"),
+        )
+        .groupBy("event_type", "thr_e3")
+        .agg(F.count("*").alias("c"), F.sum("pos").alias("pos"))
+    )
+    tot = scored.groupBy("event_type").agg(
+        F.sum("c").alias("n"), F.sum("pos").alias("p")
+    )
+    wd = W.partitionBy("event_type").orderBy(F.col("thr_e3").desc())
+    cum = scored.join(tot, "event_type").select(
+        "event_type",
+        "thr_e3",
+        F.sum("c").over(wd).alias("cn"),
+        F.sum("pos").over(wd).alias("tp"),
+        "n",
+        "p",
+    )
+    f1 = cum.select(
+        "event_type",
+        "thr_e3",
+        "cn",
+        "tp",
+        "n",
+        "p",
+        F.expr("CAST(2 * tp * 1000000 div (tp + cn + p - tp) AS BIGINT)").alias(
+            "f1_e6"
+        ),
+    )
+    best = f1.groupBy("event_type").agg(F.max("f1_e6").alias("best_f1_e6"))
+    at = F.col("f1_e6") == F.col("best_f1_e6")
+    return (
+        f1.join(best, "event_type")
+        .groupBy("event_type", "best_f1_e6")
+        .agg(
+            F.any_value("n").cast("long").alias("n"),
+            F.any_value("p").cast("long").alias("n_pos"),
+            F.min(F.when(at, F.col("thr_e3"))).cast("long").alias(
+                "thr_e3_at_best"
+            ),
+            F.max(F.when(at, F.col("tp"))).cast("long").alias("tp_at_best"),
+            F.max(F.when(at, F.col("cn") - F.col("tp")))
+            .cast("long")
+            .alias("fp_at_best"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_pos",
+            F.col("best_f1_e6").cast("long").alias("best_f1_e6"),
+            "thr_e3_at_best",
+            "tp_at_best",
+            "fp_at_best",
+        )
+        .orderBy("event_type")
+    )

@@ -1071,3 +1071,154 @@ def events_path_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Frequent ordered sub-sequences (sequential-pattern support)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_frequent_subsequences",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, event_type, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), numbered AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS session_no
+      FROM marked
+    ), tg AS (
+      SELECT user_id, session_no, event_type,
+             MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+      FROM numbered GROUP BY 1, 2, 3
+    ), ns AS (
+      SELECT COUNT(*) AS n_sessions
+      FROM (SELECT DISTINCT user_id, session_no FROM tg) s
+    ), ta AS (
+      SELECT event_type, COUNT(*) AS n_a FROM tg GROUP BY 1
+    ), pairs AS (
+      SELECT a.event_type AS a_type, b.event_type AS b_type,
+             COUNT(*) AS n_ab
+      FROM tg a JOIN tg b
+        ON a.user_id = b.user_id AND a.session_no = b.session_no
+       AND a.event_type <> b.event_type AND a.mn < b.mx
+      GROUP BY 1, 2
+    )
+    SELECT p.a_type, p.b_type,
+           CAST(ta.n_a AS BIGINT) AS n_sessions_a,
+           CAST(p.n_ab AS BIGINT) AS n_sessions_pair,
+           CAST(ns.n_sessions AS BIGINT) AS n_sessions,
+           CAST(p.n_ab * 1000000 // ns.n_sessions AS BIGINT) AS support_e6,
+           CAST(p.n_ab * 1000000 // ta.n_a AS BIGINT) AS confidence_e6
+    FROM pairs p JOIN ta ON p.a_type = ta.event_type, ns
+    ORDER BY p.a_type, p.b_type
+    """,
+    tags=("events", "sessions", "sequential-pattern", "exact"),
+)
+def events_frequent_subsequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern support for length-2 event-type subsequences
+    (the support/confidence core of GSP / PrefixSpan — Srikant &
+    Agrawal, EDBT 1996; Pei et al., ICDE 2001): for every ordered type
+    pair (a, b), the number of user sessions containing SOME a-event
+    strictly before SOME b-event, with per-pattern support and
+    confidence as exact e6 floor divisions. Sessions are the repo's
+    30-minute-gap sessionization, here via the gaps-and-islands
+    windows REPLICATED IDENTICALLY in both engines (lag + running sum
+    ordered by (ts, event_id) — a deterministic total order, so
+    session numbering can never diverge).
+
+    Scale: the sessionization windows partition by user_id; the pair
+    join runs at (session, TYPE) grain — ≤ |event-type| ≈ 5 rows per
+    session regardless of session length, so the per-session fan-out
+    is ≤ 25 and the 'a before b' test needs only each type's min/max
+    timestamp (exists t_a < t_b ⟺ min_a < max_b) — the standard
+    poly-time projection that keeps GSP counting linear. One
+    data-scale sessionization shuffle + one type-grain aggregate;
+    output is |types|² rows. Reference analog: none
+    (maps/maps.go:8-21)."""
+    e = read_table(spark, sf_dir, "events")
+    wl = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.when(
+            (
+                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wl)
+                > 1_800_000_000
+            )
+            | F.lag("ts").over(wl).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    numbered = marked.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum("is_new")
+        .over(wl.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_no"),
+    )
+    from blow_spark.materialize import spill_to_parquet
+
+    # (session, type) grain; spilled — four branches (session count,
+    # per-type supports, both pair sides) consume it, and each would
+    # otherwise re-run the sessionization windows over the corpus
+    tg = spill_to_parquet(
+        numbered.groupBy("user_id", "session_no", "event_type").agg(
+            F.min(F.unix_micros("ts")).alias("mn"),
+            F.max(F.unix_micros("ts")).alias("mx"),
+        )
+    )
+    ns = (
+        tg.select("user_id", "session_no")
+        .distinct()
+        .agg(F.count("*").alias("n_sessions"))
+    )
+    ta = tg.groupBy("event_type").agg(F.count("*").alias("n_a"))
+    a = tg.select(
+        "user_id", "session_no", F.col("event_type").alias("a_type"), "mn"
+    )
+    b = tg.select(
+        "user_id", "session_no", F.col("event_type").alias("b_type"), "mx"
+    )
+    pairs = (
+        a.join(b, ["user_id", "session_no"])
+        .filter(
+            (F.col("a_type") != F.col("b_type")) & (F.col("mn") < F.col("mx"))
+        )
+        .groupBy("a_type", "b_type")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(ta.withColumnRenamed("event_type", "a_type")), "a_type"
+        )
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "a_type",
+            "b_type",
+            F.col("n_a").cast("long").alias("n_sessions_a"),
+            F.col("n_ab").cast("long").alias("n_sessions_pair"),
+            F.col("n_sessions").cast("long").alias("n_sessions"),
+            F.expr("CAST(n_ab * 1000000 div n_sessions AS BIGINT)").alias(
+                "support_e6"
+            ),
+            F.expr("CAST(n_ab * 1000000 div n_a AS BIGINT)").alias(
+                "confidence_e6"
+            ),
+        )
+        .orderBy("a_type", "b_type")
+    )

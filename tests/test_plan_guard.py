@@ -573,6 +573,22 @@ BENCH_EXCHANGE_PINS = {
     # an <= 512-row/type table; the 16 broadcasts are the tiny dense
     # grid replicated into the 8 unioned energy branches
     "timeseries_haar_wavelet_energy": (9, 16),
+    # round 14 continuation batch 2. Subsequences: the (session, type)
+    # grain table is spill-backed (sessionization windows run in the
+    # spill job); returned plan = session-keyed pair join + type-grain
+    # aggregates off the tiny spill
+    "events_frequent_subsequences": (5, 3),
+    # best-F1: the (type, e3-score) count table is spill-backed;
+    # returned plan = descending cumulative windows + argmax join-back
+    # at value grain
+    "eval_best_f1_threshold": (5, 3),
+    # IVM: three deliberate fact passes (base, delta, full-recompute
+    # proof branch) with the dim side broadcast into each; the
+    # nation-grain maintained/full join closes the plan
+    "ops_ivm_join_delta": (5, 6),
+    # Soundex: word-grain count shuffle + code-grain aggregate + sort;
+    # the phonetic expression is pure projection
+    "er_soundex_blocking": (3, 0),
 }
 
 

@@ -192,3 +192,170 @@ def test_brown_forsythe_matches_python(spark):
         assert r["zbar_e6"] == zbar[et]
         assert r["f_e6"] == f_e6
         assert r["n_total"] == N and r["k"] == k
+
+
+# ---------------------------------------------------------------------------
+# batch 2: subsequences / best-F1 / IVM / Soundex third replications
+# ---------------------------------------------------------------------------
+
+
+def _rows_t(sql: str, tables: tuple[str, ...]):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con.execute(sql).fetchall()
+
+
+def test_frequent_subsequences_matches_python(spark):
+    from blow_spark.queries.journeys import events_frequent_subsequences
+
+    got = {
+        (r["a_type"], r["b_type"]): r
+        for r in events_frequent_subsequences(spark, SF).collect()
+    }
+    raw = _rows_t(
+        "SELECT user_id, event_id, event_type, epoch_us(ts) FROM events"
+        " ORDER BY user_id, epoch_us(ts), event_id",
+        ("events",),
+    )
+    sessions: dict[tuple[int, int], dict[str, list[int]]] = {}
+    last: dict[int, int] = {}
+    sess_no: dict[int, int] = {}
+    for uid, eid, et, us in raw:
+        if uid not in last or us - last[uid] > 1_800_000_000:
+            sess_no[uid] = sess_no.get(uid, 0) + 1
+        last[uid] = us
+        key = (uid, sess_no[uid])
+        d = sessions.setdefault(key, {})
+        mn_mx = d.setdefault(et, [us, us])
+        mn_mx[0] = min(mn_mx[0], us)
+        mn_mx[1] = max(mn_mx[1], us)
+    n_sessions = len(sessions)
+    n_a: dict[str, int] = defaultdict(int)
+    n_ab: dict[tuple[str, str], int] = defaultdict(int)
+    for d in sessions.values():
+        for et in d:
+            n_a[et] += 1
+        for a in d:
+            for b in d:
+                if a != b and d[a][0] < d[b][1]:
+                    n_ab[(a, b)] += 1
+    assert set(got) == set(n_ab)
+    for (a, b), n in n_ab.items():
+        r = got[(a, b)]
+        assert r["n_sessions_pair"] == n
+        assert r["n_sessions_a"] == n_a[a]
+        assert r["n_sessions"] == n_sessions
+        assert r["support_e6"] == n * 10**6 // n_sessions
+        assert r["confidence_e6"] == n * 10**6 // n_a[a]
+
+
+def test_best_f1_matches_python(spark):
+    from blow_spark.queries.evalrank import eval_best_f1_threshold
+
+    got = {
+        r["event_type"]: r
+        for r in eval_best_f1_threshold(spark, SF).collect()
+    }
+    import math
+
+    raw = _rows_t(
+        "SELECT event_type, event_id, value FROM events", ("events",)
+    )
+    per: dict[str, list[tuple[int, int]]] = defaultdict(list)
+    for et, eid, v in raw:
+        per[et].append((math.floor(v * 1000), 1 if eid % 5 == 0 else 0))
+    for et, pts in per.items():
+        n = len(pts)
+        p = sum(x[1] for x in pts)
+        # sweep distinct thresholds descending
+        from itertools import groupby
+
+        pts.sort(key=lambda x: -x[0])
+        best = (-1, None, None, None)  # f1, thr, tp, fp
+        cn = tp = 0
+        for thr, grp in groupby(pts, key=lambda x: x[0]):
+            g = list(grp)
+            cn += len(g)
+            tp += sum(x[1] for x in g)
+            f1 = 2 * tp * 10**6 // (tp + cn + p - tp)
+            # smallest threshold wins ties -> strictly greater replaces,
+            # equal also replaces (descending thr order => later = smaller)
+            if f1 >= best[0]:
+                best = (f1, thr, tp, cn - tp)
+        r = got[et]
+        assert r["n"] == n and r["n_pos"] == p
+        assert r["best_f1_e6"] == best[0]
+        assert r["thr_e3_at_best"] == best[1]
+        assert r["tp_at_best"] == best[2]
+        assert r["fp_at_best"] == best[3]
+
+
+def test_ivm_matched_and_python(spark):
+    from blow_spark.queries.relational3 import ops_ivm_join_delta
+
+    rows = ops_ivm_join_delta(spark, SF).collect()
+    assert rows and all(r["matched"] for r in rows)
+    ora = _rows_t(
+        """
+        SELECT n_name, COUNT(*),
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1
+        """,
+        ("orders", "customer", "nation"),
+    )
+    full = {n: (c, int(r)) for n, c, r in ora}
+    for r in rows:
+        assert (r["total_cnt"], r["total_rev_c"]) == full[r["n_name"]]
+        assert r["base_cnt"] + r["delta_cnt"] == r["total_cnt"]
+        assert r["base_rev_c"] + r["delta_rev_c"] == r["total_rev_c"]
+
+
+def _py_soundex(word: str) -> str:
+    codes = dict(
+        zip(
+            "AEIOUYHWBFPVCGJKQSXZDTLMNR",
+            "00000000111122222222334556",
+        )
+    )
+    u = word.upper()
+    t = "".join(codes[ch] for ch in u)
+    # collapse adjacent equal digits
+    out = []
+    for ch in t:
+        if not out or out[-1] != ch:
+            out.append(ch)
+    digits = "".join(out)[1:].replace("0", "")
+    return u[0] + (digits[:3] + "000")[:3]
+
+
+def test_soundex_blocking_matches_python(spark):
+    from blow_spark.queries.entity import er_soundex_blocking
+
+    got = {
+        r["soundex_code"]: r for r in er_soundex_blocking(spark, SF).collect()
+    }
+    raw = _rows_t("SELECT p_name FROM part", ("part",))
+    wc: dict[str, int] = defaultdict(int)
+    for (name,) in raw:
+        a, b = name.split(" ", 1)
+        wc[a] += 1
+        wc[b] += 1
+    blocks: dict[str, list[tuple[str, int]]] = defaultdict(list)
+    for w, n in wc.items():
+        blocks[_py_soundex(w)].append((w, n))
+    assert set(got) == set(blocks)
+    for code, members in blocks.items():
+        r = got[code]
+        tot = sum(n for _, n in members)
+        assert r["n_words"] == len(members)
+        assert r["n_tokens"] == tot
+        assert r["cross_word_pairs"] == (
+            tot * tot - sum(n * n for _, n in members)
+        ) // 2
+        assert r["min_word"] == min(w for w, _ in members)
+    # the fixture realizes a genuine phonetic collision (red/rod)
+    assert any(r["n_words"] >= 2 for r in got.values())
