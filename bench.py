@@ -464,6 +464,12 @@ HEADLINE = [
     "eval_best_f1_threshold",
     "ops_ivm_join_delta",
     "er_soundex_blocking",
+    # round 14 continuation batch 3: per-series sequential operators
+    # (integer Kalman recursion, LTTB selection) and the Theil-Sen
+    # robust slope — all calendar-grain after one hourly/daily shuffle
+    "timeseries_kalman_filter_1d",
+    "stats_theil_sen_slope",
+    "timeseries_lttb_downsample",
 ]
 
 #: AUDIT tier (round-13 verdict item #5): certification queries that

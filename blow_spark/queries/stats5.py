@@ -661,3 +661,398 @@ def timeseries_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFram
     return reduce(DataFrame.unionByName, out).orderBy(
         "event_type", "level", "kind"
     )
+
+# --------------------------------------------------------------------------
+# 1-D Kalman filter (local-level model)
+# --------------------------------------------------------------------------
+
+#: local-level Kalman noise parameters, e9 fixed point: process noise
+#: Q = 0.01, observation noise R = 1.0 (in squared e3-value units).
+_KAL_Q_E9 = 10_000_000
+_KAL_R_E9 = 1_000_000_000
+
+#: Kalman gain for the predicted variance (s.p + Q), e9, truncating —
+#: repeated inline because recursive-CTE arms cannot name it.
+_KAL_KK = (
+    f"(((s.p + {_KAL_Q_E9}) * 1000000000)"
+    f" // (s.p + {_KAL_Q_E9} + {_KAL_R_E9}))"
+)
+
+
+@register(
+    "timeseries_kalman_filter_1d",
+    oracle=f"""
+    WITH RECURSIVE {_hourly_series_sql(1000, "mean")},
+    kal AS (
+      SELECT event_type, CAST(0 AS BIGINT) AS h, x AS xhat,
+             CAST(1000000000 AS BIGINT) AS p,
+             CAST(0 AS BIGINT) AS kk,
+             CAST(0 AS BIGINT) AS sa,
+             CAST(0 AS BIGINT) AS ma,
+             CAST(0 AS BIGINT) AS hmax
+      FROM dense WHERE h = 0
+      UNION ALL
+      SELECT d.event_type, d.h,
+             s.xhat + (({_KAL_KK} * (d.x - s.xhat)) // 1000000000),
+             (((1000000000 - {_KAL_KK}) * (s.p + {_KAL_Q_E9}))
+              // 1000000000),
+             {_KAL_KK},
+             s.sa + ABS(d.x - s.xhat),
+             CASE WHEN ABS(d.x - s.xhat) > s.ma
+                  THEN ABS(d.x - s.xhat) ELSE s.ma END,
+             CASE WHEN ABS(d.x - s.xhat) > s.ma THEN d.h ELSE s.hmax END
+      FROM kal s JOIN dense d
+        ON d.event_type = s.event_type AND d.h = s.h + 1
+    )
+    SELECT event_type,
+           CAST({_CAL_HOURS} AS BIGINT) AS n,
+           xhat AS xhat_final_e3,
+           p AS p_final_e9,
+           kk AS k_final_e9,
+           sa AS sum_abs_innov_e3,
+           ma AS max_abs_innov_e3,
+           hmax AS h_at_max
+    FROM kal WHERE h = {_CAL_HOURS - 1}
+    ORDER BY event_type
+    """,
+    tags=("timeseries", "filter", "events", "exact", "recursion"),
+)
+def timeseries_kalman_filter_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Kalman filter for the local-level (random-walk + noise)
+    model (Kalman, J. Basic Eng. 1960; the structural form of Harvey,
+    "Forecasting, structural time series models and the Kalman
+    filter", 1989) per event type over the hourly e3 floor-mean
+    series: P' = P + Q, K = P'/(P'+R), x̂ += K·(z − x̂),
+    P = (1−K)·P' — the whole recursion in e9/e3 TRUNCATING integer
+    fixed point (DuckDB `//`, Spark/pandas sign-aware trunc-div, both
+    truncate toward zero, replicated exactly), so the two engines run
+    the identical 719-step integer recurrence. Outputs: final state,
+    final variance, converged gain, and the innovation diagnostics
+    (Σ|z−x̂|, max, first argmax hour). The Spark side runs the real
+    per-key sequential filter in applyInPandas (one tiny group per
+    type); the oracle is a 719-step recursive CTE — the
+    materialized-unroll discipline of the DTW/tokenizer oracles, in
+    recursive form.
+
+    Magnitudes: (P+Q)·1e9 ≤ 1.02e18 and K·innov ≤ 6.6e14 — int64-safe
+    at ANY sf (the series is mean-based). Scale: one data-scale
+    shuffle (the hourly aggregate, spill-backed); the recursion runs
+    at calendar grain per type — state-space filtering parallelizes
+    over SERIES, which is exactly how a 100 TB per-entity smoothing
+    pass shards. Reference analog: none (maps/maps.go:8-21)."""
+    import pandas as pd
+
+    dense = _hourly_series(spark, sf_dir, 1000, "mean")
+
+    q, r, n_h = _KAL_Q_E9, _KAL_R_E9, _CAL_HOURS
+
+    def tdiv(a: int, b: int) -> int:
+        qq = abs(a) // b
+        return qq if a >= 0 else -qq
+
+    def kalman(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("h")
+        xs = [int(v) for v in pdf["x"]]
+        xhat, p = xs[0], 10**9
+        kk = sa = ma = hmax = 0
+        for h in range(1, n_h):
+            pp = p + q
+            kk = (pp * 10**9) // (pp + r)
+            innov = xs[h] - xhat
+            xhat = xhat + tdiv(kk * innov, 10**9)
+            p = ((10**9 - kk) * pp) // 10**9
+            sa += abs(innov)
+            if abs(innov) > ma:
+                ma, hmax = abs(innov), h
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n": [n_h],
+                "xhat_final_e3": [xhat],
+                "p_final_e9": [p],
+                "k_final_e9": [kk],
+                "sum_abs_innov_e3": [sa],
+                "max_abs_innov_e3": [ma],
+                "h_at_max": [hmax],
+            }
+        )
+
+    return (
+        dense.groupBy("event_type")
+        .applyInPandas(
+            kalman,
+            "event_type string, n long, xhat_final_e3 long, p_final_e9 long,"
+            " k_final_e9 long, sum_abs_innov_e3 long, max_abs_innov_e3 long,"
+            " h_at_max long",
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust slope
+# --------------------------------------------------------------------------
+
+#: fixture calendar in days; pair count C(30, 2) is a compile-time
+#: constant, so the median rank is too.
+_TS_DAYS = 30
+_TS_PAIRS = _TS_DAYS * (_TS_DAYS - 1) // 2
+_TS_MED_RANK = (_TS_PAIRS + 1) // 2
+#: unix DAYS at 2024-01-01 (1704067200 / 86400).
+_T0_D = 19723
+
+
+@register(
+    "stats_theil_sen_slope",
+    oracle=f"""
+    WITH per AS (
+      SELECT event_type,
+             (epoch_us(ts) // 86400000000) - {_T0_D} AS d,
+             SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS s,
+             COUNT(*) AS c
+      FROM events
+      WHERE (epoch_us(ts) // 86400000000) - {_T0_D} >= 0
+        AND (epoch_us(ts) // 86400000000) - {_T0_D} < {_TS_DAYS}
+      GROUP BY 1, 2
+    ), grid AS (
+      SELECT t.event_type, g.d
+      FROM (SELECT DISTINCT event_type FROM per) t,
+           (SELECT UNNEST(range(0, {_TS_DAYS})) AS d) g
+    ), dense AS (
+      SELECT grid.event_type, grid.d,
+             CAST(COALESCE(s // c, 0) AS BIGINT) AS x
+      FROM grid LEFT JOIN per
+        ON grid.event_type = per.event_type AND grid.d = per.d
+    ), pairs AS (
+      SELECT a.event_type,
+             b.x - a.x AS num,
+             b.d - a.d AS den
+      FROM dense a JOIN dense b
+        ON a.event_type = b.event_type AND a.d < b.d
+    ), ranked AS (
+      SELECT event_type, num, den,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(num AS DOUBLE) / den, num, den
+             ) AS rn
+      FROM pairs
+    )
+    SELECT event_type,
+           CAST({_TS_DAYS} AS BIGINT) AS n_days,
+           CAST({_TS_PAIRS} AS BIGINT) AS n_pairs,
+           CAST(num AS BIGINT) AS slope_num_e3,
+           CAST(den AS BIGINT) AS slope_den_days,
+           CAST((num * 1000000) // den AS BIGINT) AS slope_e6
+    FROM ranked WHERE rn = {_TS_MED_RANK}
+    ORDER BY event_type
+    """,
+    tags=("stats", "robust", "events", "exact"),
+)
+def stats_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend slope (Theil 1950; Sen, JASA 1968 — the
+    29.3%-breakdown median-of-pairwise-slopes estimator, the robust
+    companion to the existing Mann-Kendall trend TEST) per event type
+    on the daily e3 floor-mean series: all C({_TS_DAYS},2) =
+    {_TS_PAIRS} pairwise slopes (x_j−x_i)/(j−i) as exact integer
+    rationals, median selected at the constant rank {_TS_MED_RANK}
+    under the deterministic total order (IEEE double of the ratio —
+    identical int64→double division in both engines — with (num, den)
+    tiebreak), reported as the exact rational PLUS a truncating e6
+    readout (num·1e6 ≤ 3.3e11, int64-trivial; `div` and `//` both
+    truncate toward zero, so no sign split is needed).
+
+    Scale: one data-scale shuffle to (type, day) grain; the pair join
+    is CALENDAR-BOUNDED ({_TS_PAIRS} rows per type at any sf — the
+    quadratic term grows with the observation span, never the data,
+    the matrix-profile argument); the ranking window partitions by
+    event_type. The series is mean-based — magnitudes sf-invariant.
+    Reference analog: none (maps/maps.go:8-21)."""
+    e = read_table(spark, sf_dir, "events")
+    per = (
+        e.select(
+            "event_type",
+            (F.expr("unix_micros(ts) div 86400000000") - F.lit(_T0_D)).alias(
+                "d"
+            ),
+            F.floor(F.col("value") * 1000).cast("long").alias("v"),
+        )
+        .where((F.col("d") >= 0) & (F.col("d") < _TS_DAYS))
+        .groupBy("event_type", "d")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("c"))
+    )
+    from blow_spark.materialize import spill_to_parquet
+
+    per = spill_to_parquet(per)
+    grid = (
+        per.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(spark.range(_TS_DAYS).select(F.col("id").alias("d")))
+        )
+    )
+    dense = grid.join(per, ["event_type", "d"], "left").select(
+        "event_type",
+        "d",
+        F.coalesce(F.expr("s div c"), F.lit(0)).cast("long").alias("x"),
+    )
+    a = dense.select(
+        "event_type", F.col("d").alias("da"), F.col("x").alias("xa")
+    )
+    b = dense.select(
+        "event_type", F.col("d").alias("db"), F.col("x").alias("xb")
+    )
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            "event_type",
+            (F.col("xb") - F.col("xa")).alias("num"),
+            (F.col("db") - F.col("da")).alias("den"),
+        )
+    )
+    w = W.partitionBy("event_type").orderBy(
+        F.expr("CAST(num AS DOUBLE) / den"), "num", "den"
+    )
+    ranked = pairs.select(
+        "event_type", "num", "den", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.filter(F.col("rn") == _TS_MED_RANK)
+        .select(
+            "event_type",
+            F.lit(_TS_DAYS).cast("long").alias("n_days"),
+            F.lit(_TS_PAIRS).cast("long").alias("n_pairs"),
+            F.col("num").cast("long").alias("slope_num_e3"),
+            F.col("den").cast("long").alias("slope_den_days"),
+            F.expr("CAST((num * 1000000) div den AS BIGINT)").alias(
+                "slope_e6"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+# --------------------------------------------------------------------------
+# LTTB downsampling
+# --------------------------------------------------------------------------
+
+#: LTTB: 720 hourly points -> 30 fixed 24-hour buckets; first/last
+#: points pinned (the endpoint rule of the original algorithm).
+_LTTB_BW = 24
+_LTTB_NB = _CAL_HOURS // _LTTB_BW
+
+#: scaled triangle area (x2, and further scaled by the next-bucket
+#: count so the centroid never divides): candidate c against anchor
+#: (s.h_sel, s.x_sel) and next-bucket sums nb — repeated inline
+#: because recursive-CTE arms cannot name intermediates.
+def _lttb_area(h: str, x: str) -> str:
+    return (
+        f"ABS((s.h_sel * nb.cnt - nb.hs) * ({x} - s.x_sel)"
+        f" - (s.h_sel - {h}) * (nb.xs - s.x_sel * nb.cnt))"
+    )
+
+
+@register(
+    "timeseries_lttb_downsample",
+    oracle=f"""
+    WITH RECURSIVE {_hourly_series_sql(1000, "mean")},
+    bsum AS (
+      SELECT event_type, h // {_LTTB_BW} AS b,
+             SUM(h) AS hs, SUM(x) AS xs, COUNT(*) AS cnt
+      FROM dense GROUP BY 1, 2
+    ),
+    sel AS (
+      SELECT event_type, CAST(0 AS BIGINT) AS b,
+             CAST(0 AS BIGINT) AS h_sel, x AS x_sel
+      FROM dense WHERE h = 0
+      UNION ALL
+      SELECT s.event_type, s.b + 1, c.h, c.x
+      FROM sel s
+      JOIN dense c ON c.event_type = s.event_type
+        AND c.h // {_LTTB_BW} = s.b + 1
+      JOIN bsum nb ON nb.event_type = s.event_type AND nb.b = s.b + 2
+      WHERE s.b + 1 <= {_LTTB_NB - 2}
+        AND NOT EXISTS (
+          SELECT 1 FROM dense c2
+          WHERE c2.event_type = s.event_type
+            AND c2.h // {_LTTB_BW} = s.b + 1
+            AND ({_lttb_area("c2.h", "c2.x")} > {_lttb_area("c.h", "c.x")}
+                 OR ({_lttb_area("c2.h", "c2.x")} = {_lttb_area("c.h", "c.x")}
+                     AND c2.h < c.h))
+        )
+    )
+    SELECT event_type, b, h_sel, x_sel FROM sel
+    UNION ALL
+    SELECT event_type, CAST({_LTTB_NB - 1} AS BIGINT) AS b,
+           CAST(h AS BIGINT) AS h_sel, x AS x_sel
+    FROM dense WHERE h = {_CAL_HOURS - 1}
+    ORDER BY event_type, b
+    """,
+    tags=("timeseries", "downsample", "events", "exact", "recursion"),
+)
+def timeseries_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson, MSc
+    thesis, U. Iceland 2013 — the de-facto time-series viz
+    downsampler, complementing the existing error-bounded M4): the
+    hourly e3 floor-mean series reduces 720 → {_LTTB_NB} points; the
+    first/last points are pinned, and each middle bucket keeps the
+    point maximizing the triangle area with the PREVIOUSLY SELECTED
+    point and the NEXT bucket's centroid. The area comparison is
+    EXACT integers — scaled ×2×cnt so the centroid never divides
+    (|(h_a·cnt − Σh)(x_c − x_a) − (h_a − h_c)(Σx − x_a·cnt)| ≤ ~1e10,
+    int64-trivial) — with a smallest-hour tiebreak, so the sequential
+    selection is deterministic and identical in both engines. Spark
+    runs the real per-series scan in applyInPandas; the oracle is a
+    {_LTTB_NB - 2}-step recursive CTE whose argmax is an anti-join
+    (recursive arms cannot aggregate).
+
+    Scale: one data-scale shuffle (the hourly aggregate,
+    spill-backed); selection runs at calendar grain per series — the
+    same per-entity sharding as the Kalman filter. Mean-based, so
+    magnitudes are sf-invariant. Reference analog: none
+    (maps/maps.go:8-21)."""
+    import pandas as pd
+
+    dense = _hourly_series(spark, sf_dir, 1000, "mean")
+    bw, nb = _LTTB_BW, _LTTB_NB
+
+    def lttb(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("h")
+        xs = [int(v) for v in pdf["x"]]
+        hs = list(range(len(xs)))
+        out_b, out_h, out_x = [0], [0], [xs[0]]
+        ha, xa = 0, xs[0]
+        for b in range(1, nb - 1):
+            lo, hi = b * bw, (b + 1) * bw
+            nlo, nhi = (b + 1) * bw, (b + 2) * bw
+            cnt = nhi - nlo
+            hsum = sum(hs[nlo:nhi])
+            xsum = sum(xs[nlo:nhi])
+            best = None
+            for h in range(lo, hi):
+                area = abs(
+                    (ha * cnt - hsum) * (xs[h] - xa)
+                    - (ha - h) * (xsum - xa * cnt)
+                )
+                if best is None or area > best[0]:
+                    best = (area, h)
+            ha, xa = best[1], xs[best[1]]
+            out_b.append(b)
+            out_h.append(ha)
+            out_x.append(xa)
+        out_b.append(nb - 1)
+        out_h.append(len(xs) - 1)
+        out_x.append(xs[-1])
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].iloc[0],
+                "b": out_b,
+                "h_sel": out_h,
+                "x_sel": out_x,
+            }
+        )
+
+    return (
+        dense.groupBy("event_type")
+        .applyInPandas(lttb, "event_type string, b long, h_sel long, x_sel long")
+        .orderBy("event_type", "b")
+    )

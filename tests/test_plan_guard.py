@@ -589,6 +589,15 @@ BENCH_EXCHANGE_PINS = {
     # Soundex: word-grain count shuffle + code-grain aggregate + sort;
     # the phonetic expression is pure projection
     "er_soundex_blocking": (3, 0),
+    # round 14 continuation batch 3. Kalman/LTTB: hourly aggregate
+    # spill-backed; returned plan = dense grid join + the per-type
+    # applyInPandas recursion + sort (sequential state runs at
+    # calendar grain inside one Arrow batch per series)
+    "timeseries_kalman_filter_1d": (2, 2),
+    "timeseries_lttb_downsample": (2, 2),
+    # Theil-Sen: daily aggregate spill-backed; calendar-bounded pair
+    # self-join + type-partitioned rank window + median filter
+    "stats_theil_sen_slope": (3, 4),
 }
 
 

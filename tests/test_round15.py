@@ -359,3 +359,105 @@ def test_soundex_blocking_matches_python(spark):
         assert r["min_word"] == min(w for w, _ in members)
     # the fixture realizes a genuine phonetic collision (red/rod)
     assert any(r["n_words"] >= 2 for r in got.values())
+
+
+# ---------------------------------------------------------------------------
+# batch 3: Kalman / Theil-Sen / LTTB third replications
+# ---------------------------------------------------------------------------
+
+
+def _tdiv(a: int, b: int) -> int:
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def test_kalman_matches_python(spark):
+    got = {
+        r["event_type"]: r
+        for r in stats5.timeseries_kalman_filter_1d(spark, SF).collect()
+    }
+    q, rr = stats5._KAL_Q_E9, stats5._KAL_R_E9
+    for et, xs in _hourly(1000, "mean").items():
+        xhat, p = xs[0], 10**9
+        kk = sa = ma = hmax = 0
+        for h in range(1, stats5._CAL_HOURS):
+            pp = p + q
+            kk = (pp * 10**9) // (pp + rr)
+            innov = xs[h] - xhat
+            xhat += _tdiv(kk * innov, 10**9)
+            p = ((10**9 - kk) * pp) // 10**9
+            sa += abs(innov)
+            if abs(innov) > ma:
+                ma, hmax = abs(innov), h
+        row = got[et]
+        assert row["xhat_final_e3"] == xhat
+        assert row["p_final_e9"] == p
+        assert row["k_final_e9"] == kk
+        assert row["sum_abs_innov_e3"] == sa
+        assert (row["max_abs_innov_e3"], row["h_at_max"]) == (ma, hmax)
+        # the steady-state gain solves k = (p+q)/(p+q+r) with p fixed:
+        # sanity that the filter converged to a contraction (0 < k < 1)
+        assert 0 < row["k_final_e9"] < 10**9
+
+
+def test_theil_sen_matches_python(spark):
+    got = {
+        r["event_type"]: r
+        for r in stats5.stats_theil_sen_slope(spark, SF).collect()
+    }
+    import math
+
+    raw = _rows("SELECT event_type, epoch_us(ts), value FROM events")
+    acc = defaultdict(lambda: [0, 0])
+    for et, us, v in raw:
+        d = us // 86_400_000_000 - stats5._T0_D
+        if 0 <= d < stats5._TS_DAYS:
+            acc[(et, d)][0] += math.floor(v * 1000)
+            acc[(et, d)][1] += 1
+    types = {et for (et, _) in acc}
+    for et in types:
+        xs = []
+        for d in range(stats5._TS_DAYS):
+            s, c = acc.get((et, d), (0, 0))
+            xs.append(s // c if c else 0)
+        pairs = [
+            (xs[j] - xs[i], j - i)
+            for i in range(len(xs))
+            for j in range(i + 1, len(xs))
+        ]
+        pairs.sort(key=lambda p: (p[0] / p[1], p[0], p[1]))
+        num, den = pairs[stats5._TS_MED_RANK - 1]
+        row = got[et]
+        assert (row["slope_num_e3"], row["slope_den_days"]) == (num, den)
+        assert row["slope_e6"] == _tdiv(num * 10**6, den)
+
+
+def test_lttb_matches_python_and_shape(spark):
+    rows = stats5.timeseries_lttb_downsample(spark, SF).collect()
+    by = defaultdict(list)
+    for r in rows:
+        by[r["event_type"]].append((r["b"], r["h_sel"], r["x_sel"]))
+    series = _hourly(1000, "mean")
+    bw, nb = stats5._LTTB_BW, stats5._LTTB_NB
+    for et, sel in by.items():
+        xs = series[et]
+        assert len(sel) == nb
+        assert sel[0] == (0, 0, xs[0])
+        assert sel[-1] == (nb - 1, len(xs) - 1, xs[-1])
+        ha, xa = 0, xs[0]
+        for b in range(1, nb - 1):
+            nlo, nhi = (b + 1) * bw, (b + 2) * bw
+            cnt, hsum = nhi - nlo, sum(range(nlo, nhi))
+            xsum = sum(xs[nlo:nhi])
+            best = None
+            for h in range(b * bw, (b + 1) * bw):
+                area = abs(
+                    (ha * cnt - hsum) * (xs[h] - xa)
+                    - (ha - h) * (xsum - xa * cnt)
+                )
+                if best is None or area > best[0]:
+                    best = (area, h)
+            ha, xa = best[1], xs[best[1]]
+            assert sel[b] == (b, ha, xa)
+            # every selected point lies inside its bucket
+            assert b * bw <= ha < (b + 1) * bw
