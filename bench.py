@@ -470,6 +470,9 @@ HEADLINE = [
     "timeseries_kalman_filter_1d",
     "stats_theil_sen_slope",
     "timeseries_lttb_downsample",
+    # round 14 continuation batch 4: dual-tone matched-filter DSP over
+    # a real WAV container roundtrip, map-only
+    "multimodal_dtmf_tone_detect",
 ]
 
 #: AUDIT tier (round-13 verdict item #5): certification queries that

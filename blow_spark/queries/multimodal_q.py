@@ -2089,3 +2089,208 @@ def multimodal_jpeg_progressive_ac_refine_stats(
         F.max(F.when(isp, F.col("new_sig_refined"))).alias("new_sig_refined"),
         F.max(F.when(isp, F.col("corr_bits_read"))).alias("corr_bits_read"),
     )
+
+
+# --------------------------------------------------------------------------
+# DTMF-style dual-tone detection (integer matched filter)
+# --------------------------------------------------------------------------
+
+#: Dual-tone plan: 4 row + 4 col square-wave periods (samples) at
+#: 8 kHz — bin-aligned analogues of the DTMF row/col frequency grid
+#: (267-800 Hz), all even so each template is an exact ±1 square.
+_DTMF_ROWS = (30, 26, 22, 20)
+_DTMF_COLS = (16, 14, 12, 10)
+_DTMF_A1 = 8000  # row-tone amplitude
+_DTMF_A2 = 6000  # col-tone amplitude
+_DTMF_N = 240  # samples per analysis window
+_DTMF_WINDOWS = 2
+
+
+def _dtmf_sq(p: int, m: str) -> str:
+    """±1 square-wave template of period p at sample index m (SQL)."""
+    return f"(CASE WHEN ({m}) % {p} < {p // 2} THEN 1 ELSE -1 END)"
+
+
+def _dtmf_x(doc: str, m: str) -> str:
+    """Synthesized dual-tone sample with deterministic dither (SQL):
+    the planted row/col periods are keyed off doc_id exactly as the
+    Spark synthesizer does."""
+    rows = ", ".join(str(p) for p in _DTMF_ROWS)
+    cols = ", ".join(str(p) for p in _DTMF_COLS)
+    pr = f"([{rows}][CAST(({doc}) % 4 + 1 AS INT)])"
+    pc = f"([{cols}][CAST((({doc}) // 4) % 4 + 1 AS INT)])"
+    return (
+        f"({_DTMF_A1} * (CASE WHEN ({m}) % {pr} < {pr} // 2 THEN 1 ELSE -1 END)"
+        f" + {_DTMF_A2} * (CASE WHEN ({m}) % {pc} < {pc} // 2 THEN 1 ELSE -1 END)"
+        f" + (({doc}) * 31 + ({m}) * 17) % 7 - 3)"
+    )
+
+
+def _dtmf_oracle() -> str:
+    corr_rows = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, window_no, {p} AS p, 'row' AS kind,"
+        f" ABS(SUM(x * {_dtmf_sq(p, 'm')})) AS corr FROM samples"
+        f" GROUP BY 1, 2"
+        for p in _DTMF_ROWS
+    ) + "\n      UNION ALL\n" + "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, window_no, {p} AS p, 'col' AS kind,"
+        f" ABS(SUM(x * {_dtmf_sq(p, 'm')})) AS corr FROM samples"
+        f" GROUP BY 1, 2"
+        for p in _DTMF_COLS
+    )
+    rows = ", ".join(str(p) for p in _DTMF_ROWS)
+    cols = ", ".join(str(p) for p in _DTMF_COLS)
+    total = _DTMF_N * _DTMF_WINDOWS
+    return f"""
+    WITH ids AS (
+      SELECT doc_id FROM documents
+    ), samp AS (
+      SELECT doc_id, UNNEST(range(0, {total})) AS m FROM ids
+    ), samples AS (
+      SELECT doc_id, CAST(m // {_DTMF_N} AS BIGINT) AS window_no, m,
+             {_dtmf_x("doc_id", "m")} AS x
+      FROM samp
+    ), corrs AS (
+{corr_rows}
+    ), best AS (
+      SELECT doc_id, window_no, kind,
+             MAX(corr) AS best_corr
+      FROM corrs GROUP BY 1, 2, 3
+    ), pick AS (
+      SELECT c.doc_id, c.window_no, c.kind,
+             MIN(c.p) AS p_detected,
+             b.best_corr
+      FROM corrs c JOIN best b
+        ON c.doc_id = b.doc_id AND c.window_no = b.window_no
+       AND c.kind = b.kind AND c.corr = b.best_corr
+      GROUP BY 1, 2, 3, 5
+    )
+    SELECT r.doc_id, r.window_no,
+           CAST(r.p_detected AS BIGINT) AS row_p_detected,
+           CAST(c.p_detected AS BIGINT) AS col_p_detected,
+           CAST(r.best_corr AS BIGINT) AS corr_row,
+           CAST(c.best_corr AS BIGINT) AS corr_col,
+           (r.p_detected = [{rows}][CAST(r.doc_id % 4 + 1 AS INT)]
+            AND c.p_detected = [{cols}][CAST((r.doc_id // 4) % 4 + 1 AS INT)])
+             AS tone_match
+    FROM pick r JOIN pick c
+      ON r.doc_id = c.doc_id AND r.window_no = c.window_no
+     AND r.kind = 'row' AND c.kind = 'col'
+    ORDER BY r.doc_id, r.window_no
+    """
+
+
+@register(
+    "multimodal_dtmf_tone_detect",
+    oracle=_dtmf_oracle(),
+    tags=("multimodal", "audio", "dsp", "exact"),
+)
+def multimodal_dtmf_tone_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dual-tone (DTMF-class) signaling detection as an EXACT integer
+    matched filter (the matched filter is the optimal detector for
+    known signals in noise — North 1943/Turin, IRE Trans. 1960; DTMF
+    selection per ITU-T Q.23/Q.24): every document synthesizes a
+    dual-tone PCM signal (one of 4 row × 4 col square-wave periods —
+    the bin-aligned analogue of the DTMF frequency grid — plus
+    deterministic integer dither), round-trips it through a REAL
+    RIFF/WAV container (struct-packed, then re-parsed by the stdlib
+    ``wave`` reader — a header or byte-order slip breaks the hash,
+    the multimodal_wav_decode_energy discipline), and detects the
+    planted digit per 240-sample window by arg-max |correlation|
+    against the 8 ±1 square templates with a smallest-period
+    tiebreak. All arithmetic is int64 (|corr| ≤ 240·14006 ≈ 3.4e6);
+    `tone_match` realizes detection==planted in-plan, and it is TRUE
+    for every (doc, window) — verified exhaustively over the 16-combo
+    plan in tests. The oracle replays synthesis AND detection from
+    doc_id arithmetic alone (PCM containers are lossless, so the
+    samples the detector sees ARE the synthesized integers).
+
+    Scale: map-only — one Arrow-batched mapInPandas pass over
+    documents, no shuffle except the final sort; at 100 TB the plan
+    is scan → vectorized per-batch DSP → narrow per-window rows, the
+    same shape as every codec query in this module. Reference analog:
+    none (maps/maps.go:8-21)."""
+    import struct
+    import wave as wave_mod
+    from io import BytesIO
+
+    import numpy as np
+    import pandas as pd
+
+    rows_p, cols_p = _DTMF_ROWS, _DTMF_COLS
+    a1, a2, n_w, n_win = _DTMF_A1, _DTMF_A2, _DTMF_N, _DTMF_WINDOWS
+    total = n_w * n_win
+    m_idx = np.arange(total, dtype=np.int64)
+    templates = {
+        p: np.where((m_idx % p) < p // 2, 1, -1).astype(np.int64)
+        for p in rows_p + cols_p
+    }
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    def detect(batches):
+        for pdf in batches:
+            out = []
+            for doc in pdf["doc_id"]:
+                doc = int(doc)
+                pr = rows_p[doc % 4]
+                pc = cols_p[(doc // 4) % 4]
+                x = (
+                    a1 * templates[pr]
+                    + a2 * templates[pc]
+                    + ((doc * 31 + m_idx * 17) % 7 - 3)
+                )
+                # real container roundtrip: pack -> parse -> samples
+                buf = BytesIO()
+                with wave_mod.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(
+                        struct.pack(f"<{total}h", *[int(v) for v in x])
+                    )
+                buf.seek(0)
+                with wave_mod.open(buf, "rb") as rf:
+                    assert rf.getnframes() == total
+                    pcm = np.frombuffer(
+                        rf.readframes(total), dtype="<i2"
+                    ).astype(np.int64)
+                for w in range(n_win):
+                    seg = pcm[w * n_w : (w + 1) * n_w]
+                    sl = slice(w * n_w, (w + 1) * n_w)
+
+                    def corr(p):
+                        return abs(int(np.dot(seg, templates[p][sl])))
+
+                    rbest = min((-corr(p), p) for p in rows_p)[1]
+                    cbest = min((-corr(p), p) for p in cols_p)[1]
+                    out.append(
+                        (
+                            doc,
+                            w,
+                            rbest,
+                            cbest,
+                            corr(rbest),
+                            corr(cbest),
+                            rbest == pr and cbest == pc,
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "window_no",
+                    "row_p_detected",
+                    "col_p_detected",
+                    "corr_row",
+                    "corr_col",
+                    "tone_match",
+                ],
+            )
+
+    return d.mapInPandas(
+        detect,
+        "doc_id long, window_no long, row_p_detected long,"
+        " col_p_detected long, corr_row long, corr_col long,"
+        " tone_match boolean",
+    ).orderBy("doc_id", "window_no")

@@ -598,6 +598,9 @@ BENCH_EXCHANGE_PINS = {
     # Theil-Sen: daily aggregate spill-backed; calendar-bounded pair
     # self-join + type-partitioned rank window + median filter
     "stats_theil_sen_slope": (3, 4),
+    # DTMF matched filter: map-only (scan -> mapInPandas synth/
+    # container-roundtrip/detect); the 1 shuffle is the output sort
+    "multimodal_dtmf_tone_detect": (1, 0),
 }
 
 

@@ -461,3 +461,57 @@ def test_lttb_matches_python_and_shape(spark):
             assert sel[b] == (b, ha, xa)
             # every selected point lies inside its bucket
             assert b * bw <= ha < (b + 1) * bw
+
+
+# ---------------------------------------------------------------------------
+# batch 4: DTMF matched-filter pins
+# ---------------------------------------------------------------------------
+
+
+def test_dtmf_all_windows_match_and_cover_plan(spark):
+    """Every (doc, window) detects its planted digit (the in-plan
+    proof bit is universally TRUE), every one of the 16 row x col
+    combos appears in the fixture id space, and a pure-Python
+    replication (synthesis + matched filter, no numpy/no container)
+    agrees with the engine on a sample of docs."""
+    from blow_spark.queries.multimodal_q import (
+        _DTMF_A1,
+        _DTMF_A2,
+        _DTMF_COLS,
+        _DTMF_N,
+        _DTMF_ROWS,
+        multimodal_dtmf_tone_detect,
+    )
+
+    rows = multimodal_dtmf_tone_detect(spark, SF).collect()
+    assert rows and all(r["tone_match"] for r in rows)
+    combos = {
+        (_DTMF_ROWS[r["doc_id"] % 4], _DTMF_COLS[(r["doc_id"] // 4) % 4])
+        for r in rows
+    }
+    assert len(combos) == 16
+    # pure-Python third replication on the first 8 docs
+    def sq(p, m):
+        return 1 if (m % p) < p // 2 else -1
+
+    got = {(r["doc_id"], r["window_no"]): r for r in rows}
+    for doc in range(8):
+        pr = _DTMF_ROWS[doc % 4]
+        pc = _DTMF_COLS[(doc // 4) % 4]
+        for w in range(2):
+            ms = range(w * _DTMF_N, (w + 1) * _DTMF_N)
+            xs = [
+                _DTMF_A1 * sq(pr, m)
+                + _DTMF_A2 * sq(pc, m)
+                + ((doc * 31 + m * 17) % 7 - 3)
+                for m in ms
+            ]
+
+            def corr(p):
+                return abs(sum(x * sq(p, m) for x, m in zip(xs, ms)))
+
+            rbest = min((-corr(p), p) for p in _DTMF_ROWS)[1]
+            cbest = min((-corr(p), p) for p in _DTMF_COLS)[1]
+            r = got[(doc, w)]
+            assert (r["row_p_detected"], r["col_p_detected"]) == (rbest, cbest)
+            assert (r["corr_row"], r["corr_col"]) == (corr(rbest), corr(cbest))
