@@ -473,6 +473,10 @@ HEADLINE = [
     # round 14 continuation batch 4: dual-tone matched-filter DSP over
     # a real WAV container roundtrip, map-only
     "multimodal_dtmf_tone_detect",
+    # round 14 continuation batch 5: hash-seeded random-walk sampling
+    # (DeepWalk corpus stage) and chi-square term-class selection
+    "graph_seeded_random_walks",
+    "text_chi2_feature_selection",
 ]
 
 #: AUDIT tier (round-13 verdict item #5): certification queries that

@@ -698,3 +698,149 @@ def graph_betweenness_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("bc_e6").desc(), "node")
     )
+
+
+# --------------------------------------------------------------------------
+# Hash-seeded random-walk sampling
+# --------------------------------------------------------------------------
+
+#: walk plan: the 12 smallest customer keys seed 2 walks each, 4
+#: transitions per walk over the bipartite customer-part co-purchase
+#: graph (c -> p -> c -> p -> c).
+_RW_SEEDS = 12
+_RW_PER_SEED = 2
+_RW_STEPS = 4
+
+
+def _rw_pick(frm: str, to: str, step: int) -> str:
+    """Deterministic 'coin': the next node is the neighbor minimizing
+    md5(walk_id-step-neighbor) — a seeded hash choice both engines
+    compute on identical strings (the md5-ordering discipline of
+    ml_ransac_line_fit's hypothesis pool)."""
+    # STRING is the cast type name BOTH dialects accept (Spark rejects
+    # bare VARCHAR; DuckDB aliases STRING to VARCHAR)
+    return (
+        f"md5(concat(CAST(walk_id AS STRING), '-', '{step}', '-',"
+        f" CAST({to} AS STRING)))"
+    )
+
+
+def _rw_oracle() -> str:
+    steps = []
+    out = [
+        "SELECT walk_id, CAST(0 AS BIGINT) AS step, 'c' AS side,"
+        " node FROM s0"
+    ]
+    for t in range(1, _RW_STEPS + 1):
+        side_from, side_to = ("c", "p") if t % 2 == 1 else ("p", "c")
+        prev = f"s{t - 1}"
+        steps.append(
+            f"""s{t} AS (
+      SELECT w.walk_id,
+             arg_min(e.{side_to}, {_rw_pick("w.node", f"e.{side_to}", t)})
+               AS node
+      FROM {prev} w JOIN edges e ON e.{side_from} = w.node
+      GROUP BY 1
+    )"""
+        )
+        out.append(
+            f"SELECT walk_id, CAST({t} AS BIGINT), '{side_to}', node"
+            f" FROM s{t}"
+        )
+    unions = "\n    UNION ALL\n    ".join(out)
+    body = ",\n    ".join(steps)
+    return f"""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), seeds AS (
+      SELECT c FROM (SELECT DISTINCT c FROM edges ORDER BY c
+                     LIMIT {_RW_SEEDS}) t
+    ), s0 AS (
+      SELECT c * 10 + j AS walk_id, c AS node
+      FROM seeds, (SELECT UNNEST(range(0, {_RW_PER_SEED})) AS j) r
+    ),
+    {body}
+    {unions}
+    ORDER BY walk_id, step
+    """
+
+
+@register(
+    "graph_seeded_random_walks",
+    oracle=_rw_oracle(),
+    tags=("graph", "sampling", "exact"),
+)
+def graph_seeded_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-seeded random-walk corpus sampling over the bipartite
+    customer-part co-purchase graph — the walk-generation stage of
+    DeepWalk / node2vec embedding pipelines (Perozzi et al., KDD 2014;
+    Grover & Leskovec, KDD 2016), made DETERMINISTIC the catalog way:
+    the 'coin' at (walk, step) is arg-min over neighbors of
+    md5(walk_id-step-neighbor) (the md5-ordering discipline of
+    ml_ransac_line_fit), so both engines draw the identical walks with
+    no RNG anywhere. {_RW_SEEDS} seed customers × {_RW_PER_SEED} walks
+    × {_RW_STEPS} alternating c→p→c transitions.
+
+    Scale: the edge table is the one corpus-scale shuffle
+    (spill-backed); each step joins a WALK-COUNT-sized frontier
+    (broadcast) against the edges and reduces with one per-walk
+    arg-min aggregate — cost per step is degree-bounded neighbor
+    enumeration, and walks parallelize over seeds, which is exactly
+    how a 100 TB embedding corpus generates billions of walks.
+    Reference analog: none (maps/maps.go:8-21)."""
+    from blow_spark.materialize import spill_to_parquet
+
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = spill_to_parquet(
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct(),
+        "blow_spark_rw_edges_",
+    )
+    seeds = (
+        edges.select("c").distinct().orderBy("c").limit(_RW_SEEDS)
+    )
+    walks = seeds.crossJoin(
+        F.broadcast(
+            spark.range(_RW_PER_SEED).select(F.col("id").alias("j"))
+        )
+    ).select((F.col("c") * 10 + F.col("j")).alias("walk_id"), F.col("c").alias("node"))
+    out = [
+        walks.select(
+            "walk_id",
+            F.lit(0).cast("long").alias("step"),
+            F.lit("c").alias("side"),
+            "node",
+        )
+    ]
+    cur = walks
+    for t in range(1, _RW_STEPS + 1):
+        side_from, side_to = ("c", "p") if t % 2 == 1 else ("p", "c")
+        cand = F.broadcast(cur).join(
+            edges, cur["node"] == edges[side_from]
+        )
+        # each frontier is spilled: the output UNION references every
+        # step, and without the spill each branch would re-derive the
+        # whole walk prefix (steps² edge scans instead of one per step)
+        nxt = spill_to_parquet(
+            cand.groupBy("walk_id").agg(
+                F.expr(
+                    f"min_by({side_to}, {_rw_pick('node', side_to, t)})"
+                ).alias("node")
+            ),
+            "blow_spark_rw_frontier_",
+        )
+        out.append(
+            nxt.select(
+                "walk_id",
+                F.lit(t).cast("long").alias("step"),
+                F.lit(side_to).alias("side"),
+                "node",
+            )
+        )
+        cur = nxt
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, out).orderBy("walk_id", "step")

@@ -643,3 +643,142 @@ def dedup_simhash_hamming_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _SH_MAX_HAMMING)
         .orderBy("id_a", "id_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Chi-square term-class feature selection
+# --------------------------------------------------------------------------
+
+#: identical double-arithmetic chain in both engines: every operand is
+#: an int64 cast to double once, every op is correctly rounded IEEE,
+#: and the e6 readout is a tie-free FLOOR (the round-14 convention).
+_CHI2_EXPR = (
+    "CAST(FLOOR(CAST(n AS DOUBLE)"
+    " * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)"
+    " * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)"
+    " / (a + b) / (c + d) / (a + c) / (b + d) * 1000000) AS BIGINT)"
+)
+_CHI2_TOPK = 5
+
+
+@register(
+    "text_chi2_feature_selection",
+    oracle=f"""
+    WITH inc AS (
+      SELECT doc_id, lang,
+             UNNEST(list_distinct(
+               regexp_split_to_array(trim(lower(text)), '\\s+'))) AS term
+      FROM documents
+    ), ac AS (
+      SELECT lang, term, COUNT(*) AS a FROM inc GROUP BY 1, 2
+    ), tt AS (
+      SELECT term, COUNT(*) AS t FROM inc GROUP BY 1
+    ), nl AS (
+      SELECT lang, COUNT(*) AS nlang FROM documents GROUP BY 1
+    ), nt AS (
+      SELECT COUNT(*) AS n FROM documents
+    ), cells AS (
+      SELECT ac.lang, ac.term, ac.a,
+             tt.t - ac.a AS b,
+             nl.nlang - ac.a AS c,
+             nt.n - tt.t - nl.nlang + ac.a AS d,
+             nt.n AS n
+      FROM ac JOIN tt USING (term) JOIN nl USING (lang), nt
+    ), chi AS (
+      SELECT lang, term, a, b,
+             CASE WHEN (c + d) = 0 OR (b + d) = 0 THEN 0
+                  ELSE {_CHI2_EXPR} END AS chi2_e6
+      FROM cells
+    ), ranked AS (
+      SELECT lang, term, a, b, chi2_e6,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY chi2_e6 DESC, term) AS rk
+      FROM chi
+    )
+    SELECT lang, term,
+           CAST(a AS BIGINT) AS n_docs_in_class,
+           CAST(b AS BIGINT) AS n_docs_other,
+           chi2_e6,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {_CHI2_TOPK}
+    ORDER BY lang, rk
+    """,
+    tags=("text", "feature-selection", "documents", "exact"),
+)
+def text_chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² term-class feature selection (the classic text-categorization
+    feature ranking — Yang & Pedersen, ICML 1997; Manning-Raghavan-
+    Schütze IR ch.13): for every (language, term), the 2×2 document-
+    incidence contingency (term-in-class / term-elsewhere / absent
+    counterparts) scores χ² = N(AD−BC)²/((A+B)(C+D)(A+C)(B+D)), and the
+    top-{_CHI2_TOPK} most class-discriminative terms per language are
+    reported. Counts are exact integers; the χ² readout is ONE
+    identical IEEE double chain in both engines ending in a tie-free
+    e6 FLOOR (the round-14 readout convention — every operand is an
+    int64 cast to double once, every op correctly rounded, so the two
+    engines compute bit-identical doubles).
+
+    Scale: tokenize → per-document DISTINCT term incidence (the one
+    corpus-scale shuffle, spill-backed — both the class-count and the
+    term-total branches consume it); the contingency/ranking runs at
+    (class, term) vocabulary grain with the tiny class/total tables
+    broadcast; the ranking window partitions by language. Reference
+    analog: none (maps/maps.go:8-21)."""
+    from blow_spark.materialize import spill_to_parquet
+
+    d = read_table(spark, sf_dir, "documents")
+    inc = spill_to_parquet(
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.array_distinct(
+                    F.split(F.trim(F.lower("text")), "\\s+")
+                )
+            ).alias("term"),
+        ),
+        "blow_spark_chi2_inc_",
+    )
+    ac = inc.groupBy("lang", "term").agg(F.count("*").alias("a"))
+    tt = inc.groupBy("term").agg(F.count("*").alias("t"))
+    nl = d.groupBy("lang").agg(F.count("*").alias("nlang"))
+    nt = d.agg(F.count("*").alias("n"))
+    cells = (
+        ac.join(tt, "term")
+        .join(F.broadcast(nl), "lang")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "lang",
+            "term",
+            "a",
+            (F.col("t") - F.col("a")).alias("b"),
+            (F.col("nlang") - F.col("a")).alias("c"),
+            (F.col("n") - F.col("t") - F.col("nlang") + F.col("a")).alias(
+                "d"
+            ),
+            "n",
+        )
+    )
+    chi = cells.select(
+        "lang",
+        "term",
+        "a",
+        "b",
+        F.expr(
+            f"CASE WHEN (c + d) = 0 OR (b + d) = 0 THEN 0"
+            f" ELSE {_CHI2_EXPR} END"
+        ).alias("chi2_e6"),
+    )
+    w = W.partitionBy("lang").orderBy(F.col("chi2_e6").desc(), "term")
+    return (
+        chi.select(
+            "lang",
+            "term",
+            F.col("a").cast("long").alias("n_docs_in_class"),
+            F.col("b").cast("long").alias("n_docs_other"),
+            "chi2_e6",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= _CHI2_TOPK)
+        .orderBy("lang", "rk")
+    )

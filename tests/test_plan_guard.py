@@ -601,6 +601,13 @@ BENCH_EXCHANGE_PINS = {
     # DTMF matched filter: map-only (scan -> mapInPandas synth/
     # container-roundtrip/detect); the 1 shuffle is the output sort
     "multimodal_dtmf_tone_detect": (1, 0),
+    # round 14 continuation batch 5. Walks: edges AND every step
+    # frontier spill-backed (the per-step argmin joins run in the
+    # spill jobs); returned plan = union of the tiny frontier spills
+    # + output sort. Chi2: the doc-term incidence spill carries the
+    # corpus shuffle; contingency/ranking at vocabulary grain
+    "graph_seeded_random_walks": (2, 1),
+    "text_chi2_feature_selection": (6, 3),
 }
 
 

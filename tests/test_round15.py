@@ -515,3 +515,99 @@ def test_dtmf_all_windows_match_and_cover_plan(spark):
             r = got[(doc, w)]
             assert (r["row_p_detected"], r["col_p_detected"]) == (rbest, cbest)
             assert (r["corr_row"], r["corr_col"]) == (corr(rbest), corr(cbest))
+
+
+# ---------------------------------------------------------------------------
+# batch 5: random walks / chi2 third replications
+# ---------------------------------------------------------------------------
+
+
+def test_random_walks_match_python(spark):
+    import hashlib
+
+    from blow_spark.queries.graph2 import (
+        _RW_PER_SEED,
+        _RW_SEEDS,
+        _RW_STEPS,
+        graph_seeded_random_walks,
+    )
+
+    rows = graph_seeded_random_walks(spark, SF).collect()
+    got = {(r["walk_id"], r["step"]): (r["side"], r["node"]) for r in rows}
+    edges = _rows_t(
+        "SELECT DISTINCT o.o_custkey, l.l_partkey FROM orders o"
+        " JOIN lineitem l ON o.o_orderkey = l.l_orderkey",
+        ("orders", "lineitem"),
+    )
+    fwd, rev = defaultdict(set), defaultdict(set)
+    for c, p in edges:
+        fwd[c].add(p)
+        rev[p].add(c)
+    seeds = sorted(fwd)[:_RW_SEEDS]
+    n_expected = 0
+    for c in seeds:
+        for j in range(_RW_PER_SEED):
+            wid = c * 10 + j
+            node = c
+            assert got[(wid, 0)] == ("c", c)
+            n_expected += 1
+            for t in range(1, _RW_STEPS + 1):
+                nbrs = fwd[node] if t % 2 == 1 else rev[node]
+                if not nbrs:
+                    break
+                node = min(
+                    nbrs,
+                    key=lambda u: hashlib.md5(
+                        f"{wid}-{t}-{u}".encode()
+                    ).hexdigest(),
+                )
+                assert got[(wid, t)] == ("p" if t % 2 == 1 else "c", node)
+                n_expected += 1
+    assert len(got) == n_expected
+
+
+def test_chi2_feature_selection_matches_python(spark):
+    import math
+    import re as re_mod
+
+    from blow_spark.queries.text3 import (
+        _CHI2_TOPK,
+        text_chi2_feature_selection,
+    )
+
+    rows = text_chi2_feature_selection(spark, SF).collect()
+    docs = _rows_t("SELECT doc_id, lang, text FROM documents", ("documents",))
+    inc = defaultdict(set)  # term -> set(doc), and per-class
+    inc_cls = defaultdict(set)
+    nl = defaultdict(int)
+    for doc_id, lang, text in docs:
+        nl[lang] += 1
+        for term in set(re_mod.split(r"\s+", text.strip().lower())):
+            inc[term].add(doc_id)
+            inc_cls[(lang, term)].add(doc_id)
+    n = len(docs)
+    scored = defaultdict(list)
+    for (lang, term), dset in inc_cls.items():
+        a = len(dset)
+        b = len(inc[term]) - a
+        c = nl[lang] - a
+        d = n - len(inc[term]) - nl[lang] + a
+        if (c + d) == 0 or (b + d) == 0:
+            chi = 0
+        else:
+            # identical IEEE chain as the engines
+            num = float(a) * d - float(b) * c
+            chi = math.floor(
+                float(n) * num * num / (a + b) / (c + d) / (a + c) / (b + d)
+                * 1000000
+            )
+        scored[lang].append((-chi, term, a, b))
+    for lang, lst in scored.items():
+        lst.sort()
+        top = lst[:_CHI2_TOPK]
+        mine = [
+            (r["term"], r["n_docs_in_class"], r["n_docs_other"], r["chi2_e6"])
+            for r in rows
+            if r["lang"] == lang
+        ]
+        assert mine == [(t, a, b, -negchi) for negchi, t, a, b in top]
