@@ -119,6 +119,9 @@ CORE = [
     # stats / experimentation
     "stats_ks_two_sample",
     "experiment_cuped_readout",
+    # per-series sequential state (round-14 continuation family:
+    # Kalman/LTTB-class applyInPandas recursions over spilled series)
+    "timeseries_kalman_filter_1d",
     # spatial, ER, multimodal, profiling, retrieval
     "join_spatial_grid_epsilon",
     "join_fuzzy_levenshtein_block",
