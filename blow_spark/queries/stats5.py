@@ -1002,7 +1002,7 @@ def timeseries_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64-trivial) — with a smallest-hour tiebreak, so the sequential
     selection is deterministic and identical in both engines. Spark
     runs the real per-series scan in applyInPandas; the oracle is a
-    {_LTTB_NB - 2}-step recursive CTE whose argmax is an anti-join
+    ({_LTTB_NB} − 2)-step recursive CTE whose argmax is an anti-join
     (recursive arms cannot aggregate).
 
     Scale: one data-scale shuffle (the hourly aggregate,
