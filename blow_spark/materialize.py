@@ -283,6 +283,27 @@ def cleanup_stale_siblings(
         _remove_path(p)
 
 
+def checkpoint_small(df: DataFrame) -> DataFrame:
+    """Materialize-and-truncate for DOMAIN-BOUNDED intermediates (tens
+    of rows to a few thousand — per-round iterate vectors, hypothesis
+    pools, calendar grids): ``localCheckpoint(eager=True)``.
+
+    Round-14 optimization (guide §5 "localCheckpoint is a cheaper way
+    to cut lineage"): these tables were previously parquet-spilled,
+    paying a write job + commit + re-list + scan per step — measurable
+    overhead when an iterative operator materializes several tiny
+    tables per round. localCheckpoint stores the computed partitions
+    in the block manager (MEMORY_AND_DISK) and truncates lineage the
+    same way; the blocks are reference-counted and swept by Spark's
+    ContextCleaner when the DataFrame goes out of scope, the same
+    lifecycle ops.pagerank has used since round 4.
+
+    Use ``spill_to_parquet`` instead whenever the intermediate is
+    data-proportional (candidate sets, signature tables): at cluster
+    scale those belong on shared storage, not executor memory."""
+    return df.localCheckpoint(eager=True)
+
+
 def spill_to_parquet(df: DataFrame, prefix: str = "blow_spark_ckpt_") -> DataFrame:
     """Write ``df`` to a fresh temp parquet dir and return a scan of it.
 

@@ -1018,8 +1018,11 @@ def ml_ransac_line_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts to ONE scoring pass over the points (map-side partial
     aggregation into 24 groups), and the winner broadcasts back for
     ONE refit pass — two linear scans total, zero fact-table
-    shuffles, the textbook 100 TB RANSAC shape."""
-    from blow_spark.materialize import spill_to_parquet
+    shuffles, the textbook 100 TB RANSAC shape. The 24-row hypothesis
+    and ranked tables are localCheckpoint-truncated (round-14: were
+    parquet spills — a write job + commit + scan each, pure overhead
+    at constant size; guide §5)."""
+    from blow_spark.materialize import checkpoint_small
 
     li = read_table(spark, sf_dir, "lineitem")
     pts = li.select(
@@ -1046,7 +1049,7 @@ def ml_ransac_line_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     swap = F.col("x2") >= F.col("x1")
-    lines = spill_to_parquet(
+    lines = checkpoint_small(
         paired.where(F.col("x1") != F.col("x2")).select(
             "pair_id",
             F.when(swap, F.col("x1")).otherwise(F.col("x2")).alias("px"),
@@ -1055,8 +1058,7 @@ def ml_ransac_line_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(swap, F.col("y2") - F.col("y1"))
             .otherwise(F.col("y1") - F.col("y2"))
             .alias("dy"),
-        ),
-        "blow_spark_ransac_",
+        )
     )
     resid = F.abs(
         F.col("dy") * (F.col("x") - F.col("px"))
@@ -1072,14 +1074,13 @@ def ml_ransac_line_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_inliers"),
         )
     )
-    ranked = spill_to_parquet(
+    ranked = checkpoint_small(
         scored.select(
             F.row_number()
             .over(W.orderBy(F.col("n_inliers").desc(), "pair_id"))
             .alias("rank"),
             "*",
-        ),
-        "blow_spark_ransac_rk_",
+        )
     )
     winner = ranked.where(F.col("rank") == 1).select("px", "py", "dx", "dy")
     d38 = "decimal(38,0)"

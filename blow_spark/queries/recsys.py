@@ -272,9 +272,11 @@ def rank_bradley_terry_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE order-keyed shuffle with basket-bounded fan-out (same bound as
     recsys_item_item_cosine); each MM round is arithmetic over the
     pair and item tables — sizes set by the ITEM DOMAIN, not the
-    corpus. Each iterate spills so round t+1 rereads a 25-row parquet
-    instead of recomputing the chain."""
-    from blow_spark.materialize import spill_to_parquet
+    corpus. Each 25-row iterate is localCheckpoint-truncated so round
+    t+1 rereads materialized blocks instead of recomputing the chain
+    (round-14: was a parquet spill per iterate — a write job + scan of
+    pure overhead at this size; guide §5)."""
+    from blow_spark.materialize import checkpoint_small, spill_to_parquet
 
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_quantity"
@@ -318,7 +320,12 @@ def rank_bradley_terry_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("item")
         .agg(F.sum("w").cast("bigint").alias("wtot"))
     )
-    wins = spill_to_parquet(wins, "blow_spark_bt_wins_")
+    # round-14 optimization: the per-round iterate tables are ITEM-
+    # DOMAIN-sized (~25 rows) — localCheckpoint truncation instead of a
+    # parquet spill per table saves a write job + scan per round
+    # (guide §5); `games` stays a parquet spill (pair-grain, the
+    # mergeable unit a cluster run would keep on shared storage)
+    wins = checkpoint_small(wins)
     nb = wins.agg(F.count("*").cast("bigint").alias("b"))
 
     p = wins.select("item", F.lit(1_000_000_000).cast("bigint").alias("p_e9"))
@@ -346,7 +353,7 @@ def rank_bradley_terry_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("raw_e12"),
         )
         tot = raw.agg(F.sum("raw_e12").cast("bigint").alias("tot"))
-        p = spill_to_parquet(
+        p = checkpoint_small(
             raw.crossJoin(F.broadcast(tot))
             .crossJoin(F.broadcast(nb))
             .select(
@@ -358,8 +365,7 @@ def rank_bradley_terry_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .cast("bigint")
                 .alias("p_e9"),
-            ),
-            f"blow_spark_bt_p{t}_",
+            )
         )
         pa2 = p.select(F.col("item").alias("item_a"), F.col("p_e9").alias("pa"))
         pb2 = p.select(F.col("item").alias("item_b"), F.col("p_e9").alias("pb"))

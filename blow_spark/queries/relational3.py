@@ -1020,20 +1020,46 @@ def agg_ams_f2_moment_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-SQL-expressible-op discipline, here applied to a fully
     SQL-expressible sketch — both layers gate).
 
-    Scale: two map-side-combinable keyed aggregates (counters at
-    merge grain, exact F₂ at value grain — the exact branch is the
-    audit side, same accepted shape as similarity_lsh_topk); zero
-    Python, zero explode ({_AMS_K} sum-aggregates ride one shuffle).
+    Scale: map-side-combinable keyed aggregates only (a value-grain
+    pre-aggregate + the counter merge grain; the exact F₂ branch is
+    the audit side, same accepted shape as similarity_lsh_topk); zero
+    Python, zero explode. The {_AMS_K} md5-derived signs are computed
+    once per DISTINCT value and joined back (round-14 optimization —
+    they were previously evaluated per fact row, ~{_AMS_K}× the
+    corpus in md5 calls, which dominated the runtime).
     Reference analog: none."""
     o = read_table(spark, sf_dir, "orders")
-    # partial counters at (priority, month) grain — the mergeable unit
-    partial = o.groupBy(
+    # Optimization round 14 (guide §4.1 "prefer built-ins"/§2.3): the
+    # ±1 signs depend ONLY on o_custkey, but the old plan evaluated all
+    # 64 md5-based sign expressions per ORDER row (~96M md5 calls at
+    # sf0.1 — the whole cost of the query). Signs are now computed once
+    # per DISTINCT custkey (~10× fewer md5 calls; at 100 TB the ratio
+    # is the orders-per-customer multiplicity) and broadcast-joined
+    # back onto the fact aggregate, which itself shrinks to
+    # (priority, month, custkey) counts before any sign math. Counter
+    # values are identical: Σ_rows sign_j(custkey) == Σ_custkey
+    # n·sign_j(custkey) in exact integer arithmetic.
+    signs = (
+        o.select(F.col("o_custkey").alias("ck"))
+        .distinct()
+        .select(
+            "ck",
+            *[
+                F.expr(_ams_sign(j, "ck")).alias(f"s{j}")
+                for j in range(_AMS_K)
+            ],
+        )
+    )
+    per_cust = o.groupBy(
         F.col("o_orderpriority").alias("priority"),
         F.trunc("o_orderdate", "month").alias("mon"),
-    ).agg(
-        F.count("*").alias("n_part"),
+        F.col("o_custkey").alias("ck"),
+    ).agg(F.count("*").alias("n_ck"))
+    # partial counters at (priority, month) grain — the mergeable unit
+    partial = per_cust.join(signs, "ck").groupBy("priority", "mon").agg(
+        F.sum("n_ck").alias("n_part"),
         *[
-            F.sum(F.expr(_ams_sign(j, "o_custkey"))).alias(f"c{j}")
+            F.sum(F.col("n_ck") * F.col(f"s{j}")).alias(f"c{j}")
             for j in range(_AMS_K)
         ],
     )

@@ -2942,11 +2942,12 @@ def layout_hilbert_locality_vs_zorder(spark: SparkSession, sf_dir: str) -> DataF
                 (d + F.lit(s * s) * (F.lit(3) * rx).bitwiseXOR(ry)).alias(f"d{v}"),
             ]
         df = df.select(items)
-    from blow_spark.materialize import spill_to_parquet
+    # round-14 optimization: the 16384-row grid tables are GRID-bounded
+    # (2^14 rows at any data size) — localCheckpoint truncation instead
+    # of parquet spills saves two write jobs + scans (guide §5)
+    from blow_spark.materialize import checkpoint_small
 
-    hcells = spill_to_parquet(
-        df.select("xa", "ya", "d0", "d1", "d2"), "blow_spark_hilbert_"
-    )
+    hcells = checkpoint_small(df.select("xa", "ya", "d0", "d1", "d2"))
     hstats = hcells.agg(
         F.countDistinct("d0").cast("bigint").alias("n_cells"),
         (
@@ -2965,9 +2966,8 @@ def layout_hilbert_locality_vs_zorder(spark: SparkSession, sf_dir: str) -> DataF
     za = ops.zorder_value(F.col("xa"), F.col("ya"), bits=_HIL_BITS)
     zb = ops.zorder_value(F.col("xa") + 1, F.col("ya"), bits=_HIL_BITS)
     zc = ops.zorder_value(F.col("xa"), F.col("ya") + 1, bits=_HIL_BITS)
-    zcells = spill_to_parquet(
-        base.select("xa", "ya", za.alias("za"), zb.alias("zb"), zc.alias("zc")),
-        "blow_spark_morton_",
+    zcells = checkpoint_small(
+        base.select("xa", "ya", za.alias("za"), zb.alias("zb"), zc.alias("zc"))
     )
     zstats = zcells.agg(
         F.countDistinct("za").cast("bigint").alias("n_cells"),

@@ -470,56 +470,107 @@ def _uni_wf_pcost(spark: SparkSession, sf_dir: str):
 def _uni_viterbi_best(wf: DataFrame, pcost: DataFrame, tag: str) -> DataFrame:
     """Integer min/plus Viterbi over word positions under a given
     piece-cost table: one row per word with its optimal (cost, path),
-    (cost, path)-ordered deterministic tie-breaks. Each dpᵢ MUST
-    materialize (a plain chain inlines into a 4¹²-node plan)."""
-    from blow_spark.materialize import spill_to_parquet
+    (cost, path)-ordered deterministic tie-breaks.
 
-    dp = {
-        0: wf.select(
-            "word",
-            F.lit(0).cast("bigint").alias("cost"),
-            F.lit("").alias("path"),
+    Optimization round 14 (guide §2.4/§4.1): the DP used to run as 12
+    MATERIALIZED steps — each a broadcast join + a word-keyed
+    row_number window (one shuffle) + a parquet spill, i.e. ~24 jobs
+    and 12 shuffles per E-step, all over a VOCABULARY-sized table
+    whose per-word state is ≤ 13 tiny (cost, path) structs. It now
+    runs as ONE plan: gather each word's applicable (start, len) piece
+    costs into a map (one broadcast join + one word-keyed aggregate =
+    the only shuffle), then run the whole 12-position DP per word
+    inside a single JVM higher-order `aggregate` expression — no
+    Python boundary, no per-step spill, no window. The 4¹²-node
+    plan-inlining blowup the old per-step materialization guarded
+    against cannot occur: the recurrence lives in ONE expression over
+    an array accumulator, not in nested DataFrame plans.
+
+    Equivalence (oracle-checked at sf0.001 + sf0.01): identical
+    integer arithmetic; the per-position argmin over candidate
+    branches is `array_min` over (cost, path) structs, whose struct
+    ordering == the old ROW_NUMBER ... ORDER BY cost, path tie-break
+    (binary string compare on both engines); a position with no
+    surviving branch (possible under EM-restricted θ support) yields a
+    NULL dp entry, and words whose final dp entry is NULL drop out —
+    exactly the old inner-join semantics."""
+    pos_df = pcost.sparkSession.createDataFrame(
+        [
+            (i, l)
+            for i in range(1, _UNI_MAX_WORD + 1)
+            for l in range(1, _UNI_MAX_PIECE + 1)
+            if i + l - 1 <= _UNI_MAX_WORD
+        ],
+        "i int, l int",
+    )
+    # one row per (word, start, len) whose piece exists in θ; key packs
+    # (start, len) into a small int for the in-expression map lookup
+    cand = (
+        wf.select("word")
+        .crossJoin(F.broadcast(pos_df))
+        .where(F.col("i") + F.col("l") - 1 <= F.length("word"))
+        .join(
+            F.broadcast(pcost),
+            F.col("piece") == F.expr("substring(word, i, l)"),
         )
-    }
-    for i in range(1, _UNI_MAX_WORD + 1):
-        branches = []
-        for l in range(1, _UNI_MAX_PIECE + 1):
-            if i - l < 0:
-                continue
-            b = (
-                dp[i - l]
-                .join(
-                    F.broadcast(pcost),
-                    F.col("piece")
-                    == F.expr(f"substring(word, {i - l + 1}, {l})"),
-                )
-                .where(F.length("word") >= i)
-                .select(
-                    "word",
-                    (F.col("cost") + F.col("c")).alias("cost"),
-                    F.when(F.col("path") == "", F.col("piece"))
-                    .otherwise(
-                        F.concat(F.col("path"), F.lit(" "), F.col("piece"))
+        .groupBy("word")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        (F.col("i") * 8 + F.col("l")).alias("k"),
+                        F.col("c").alias("v"),
                     )
-                    .alias("path"),
                 )
-            )
-            branches.append(b)
-        cand = branches[0]
-        for b in branches[1:]:
-            cand = cand.unionAll(b)
-        w = W.partitionBy("word").orderBy("cost", "path")
-        dp[i] = spill_to_parquet(
-            cand.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .drop("rn"),
-            f"blow_spark_{tag}_dp{i}_",
+            ).alias("m")
         )
-    best = None
-    for i in range(1, _UNI_MAX_WORD + 1):
-        part = dp[i].where(F.length("word") == i)
-        best = part if best is None else best.unionAll(part)
-    return best
+    )
+
+    def step(acc, i):
+        def branch(l):
+            start = i - l + 1
+            prev = F.element_at(acc, start)  # acc[start] == dp[i-l]
+            c = F.try_element_at(F.col("m"), start * 8 + F.lit(l))
+            piece = F.col("word").substr(start, F.lit(l))
+            return F.when(
+                prev.isNotNull() & c.isNotNull(),
+                F.struct(
+                    (prev["cost"] + c).alias("cost"),
+                    F.when(prev["path"] == "", piece)
+                    .otherwise(F.concat(prev["path"], F.lit(" "), piece))
+                    .alias("path"),
+                ),
+            )
+
+        cands = F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.least(F.lit(_UNI_MAX_PIECE), i)),
+                branch,
+            ),
+            lambda x: x.isNotNull(),
+        )
+        return F.concat(acc, F.array(F.array_min(cands)))
+
+    dp = F.aggregate(
+        F.sequence(F.lit(1), F.length("word")),
+        F.array(
+            F.struct(
+                F.lit(0).cast("bigint").alias("cost"),
+                F.lit("").alias("path"),
+            )
+        ),
+        step,
+    )
+    last = F.element_at(dp, F.length("word") + 1)
+    return (
+        cand.select("word", last.alias("st"))
+        .where(F.col("st").isNotNull())
+        .select(
+            "word",
+            F.col("st.cost").alias("cost"),
+            F.col("st.path").alias("path"),
+        )
+    )
 
 
 @register(
@@ -550,12 +601,17 @@ def tokenizer_unigram_viterbi_segment(
     DP MUST NOT be written as a plain CTE/DataFrame chain: CTEs
     inline per reference, and this 4-branch 12-step recurrence
     inlines into a 4¹² ≈ 16M-node plan (measured: DuckDB hung, and
-    Catalyst would blow up identically). Each dpᵢ therefore
-    MATERIALIZES — `AS MATERIALIZED` in the oracle, a per-step
-    parquet spill here — making the plan 12 small linear steps over
-    vocabulary-sized tables. The FULL EM loop (re-estimate pcost from
-    Viterbi counts, re-segment) is registered as tokenizer_unigram_em
-    below, with a likelihood-monotonicity proof bit per round."""
+    Catalyst would blow up identically). The oracle therefore
+    MATERIALIZES each dpᵢ (`AS MATERIALIZED` — 12 small linear steps
+    over vocabulary-sized tables); the Spark side (round-14
+    optimization) runs the whole per-word DP inside ONE higher-order
+    `aggregate` expression over a per-word (start, len)→cost map —
+    one broadcast join + one word-keyed shuffle, no per-step
+    materialization, and no plan blowup because the recurrence lives
+    in a single expression, not nested plans. The FULL EM loop
+    (re-estimate pcost from Viterbi counts, re-segment) is registered
+    as tokenizer_unigram_em below, with a likelihood-monotonicity
+    proof bit per round."""
     wf, pcost = _uni_wf_pcost(spark, sf_dir)
     best = _uni_viterbi_best(wf, pcost, "uni")
     return (
@@ -632,15 +688,25 @@ def tokenizer_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines independently.
 
     Scale: every table after the one corpus tokenize+count pass is
-    VOCABULARY-sized; each round is 12 materialized vocabulary-sized
-    DP steps (per-step parquet spill here, AS MATERIALIZED in the
-    oracle — a plain chain inlines into a 4¹²-node plan, measured
-    hang) plus one keyed piece-count shuffle. Cost per round is Spark
-    job overhead, not data volume; rounds are strictly sequential by
-    nature (EM is an inherently iterative fixpoint)."""
+    VOCABULARY-sized; each round is ONE single-plan Viterbi E-step
+    (the higher-order-aggregate DP of _uni_viterbi_best — round-14
+    optimization; the oracle keeps its 12 AS MATERIALIZED steps
+    because a plain CTE chain inlines into a 4¹²-node plan, measured
+    hang) spilled once, plus one keyed piece-count shuffle for the
+    M-step. Cost per round is a handful of Spark jobs, not data
+    volume; rounds are strictly sequential by nature (EM is an
+    inherently iterative fixpoint)."""
+    from blow_spark.materialize import spill_to_parquet
+
     wf, pcost0 = _uni_wf_pcost(spark, sf_dir)
-    # round 1: E-step under θ₀, M-step → θ₁
-    best1 = _uni_viterbi_best(wf, pcost0, "uniem_r1")
+    # round 1: E-step under θ₀, M-step → θ₁. Each round's Viterbi table
+    # spills ONCE (it feeds the M-step, the occ⋈θ repricing AND the
+    # next round) — with the single-plan DP of _uni_viterbi_best this
+    # is the only materialization per round, vs 12 per-step spills
+    # before the round-14 optimization.
+    best1 = spill_to_parquet(
+        _uni_viterbi_best(wf, pcost0, "uniem_r1"), "blow_spark_uniem_b1_"
+    )
     occ1, pcost1, tot1 = _uni_m_step(best1, wf)
     stat0 = best1.join(wf, "word").agg(
         F.sum(F.col("wf") * F.col("cost")).cast("bigint").alias("total0")
@@ -650,7 +716,9 @@ def tokenizer_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("wf") * F.col("c")).cast("bigint").alias("total1"))
     )
     # round 2: E-step under θ₁, M-step → θ₂
-    best2 = _uni_viterbi_best(wf, pcost1, "uniem_r2")
+    best2 = spill_to_parquet(
+        _uni_viterbi_best(wf, pcost1, "uniem_r2"), "blow_spark_uniem_b2_"
+    )
     occ2, pcost2, tot2 = _uni_m_step(best2, wf)
     stat2 = (
         occ2.join(pcost2, "piece")
@@ -1382,14 +1450,18 @@ def tokenizer_wordpiece_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_WP_MAX_WORD} unrolled steps segment every word exactly.
 
     Scale: all state is WORD-grain — the distinct-word table, never the
-    corpus (the corpus is touched once, for frequencies). Each step is
-    one broadcast join against the bounded vocabulary + one word-keyed
-    max_by aggregate, SPILLED per step (materialize.spill_to_parquet):
-    the naive 12-step lazy chain re-derives every prior step per
-    reference — the same plan-inlining blowup the Viterbi DP measured
-    and avoided, and the oracle mirrors with MATERIALIZED CTEs.
-    Greedy selection is exact integer/string logic — no doubles
-    anywhere, so the driver hash pins the entire matcher."""
+    corpus (the corpus is touched once, for frequencies). The longest
+    vocab match per (word, position) is precomputed by ONE broadcast
+    join against the bounded vocabulary + one word-keyed argmax, and
+    the 12-step left-to-right consume loop runs inside a single JVM
+    higher-order `aggregate` expression (round-14 optimization — the
+    old per-step spill chain existed because a naive 12-step lazy
+    chain re-derives every prior step per reference, the same
+    plan-inlining blowup the Viterbi DP measured; a single expression
+    over a per-word map has no such blowup, and the oracle keeps its
+    MATERIALIZED CTEs). Greedy selection is exact integer/string
+    logic — no doubles anywhere, so the driver hash pins the entire
+    matcher."""
     from blow_spark.materialize import spill_to_parquet
 
     d = read_table(spark, sf_dir, "documents")
@@ -1421,48 +1493,85 @@ def tokenizer_wordpiece_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vocab = spill_to_parquet(singles.union(multi).distinct(), "blow_spark_wp_vocab_")
 
-    state = wf.select("word", F.lit(1).alias("pos"), F.lit("").alias("seg"))
-    for _k in range(_WP_MAX_WORD):
-        active = state.where(F.col("pos") <= F.length("word"))
-        finished = state.where(F.col("pos") > F.length("word"))
-        cand = active.join(
-            F.broadcast(pos_df.where(F.col("i") == 1).select("l")),
-            F.col("pos") + F.col("l") - 1 <= F.length("word"),
-        ).select(
+    # Optimization round 14 (guide §2.4/§4.1): the greedy consume loop
+    # used to run as 12 MATERIALIZED steps — each a broadcast vocab join
+    # + a (word, pos, seg)-keyed aggregate (one shuffle) + a parquet
+    # spill, ~24 jobs per run over the WORD-grain state table. It now
+    # runs as ONE plan: per (word, position) the longest matching vocab
+    # piece is precomputed (the same broadcast vocab join, once), packed
+    # into a per-word map (the only shuffles: the (word, i) argmax and
+    # the word-keyed map build, both map-side combinable), and the
+    # 12-step left-to-right walk happens inside a single JVM
+    # higher-order `aggregate` expression — no per-step spill, no
+    # Python. Equivalence (oracle-checked at sf0.001 + sf0.01): the
+    # per-position argmax over (l, key) is identical (l values are
+    # distinct per position, so max l determines the key); every single
+    # char is in the vocabulary by construction, so the walk always
+    # advances and terminates within 12 steps exactly as before.
+    hits = (
+        wf.select("word")
+        .crossJoin(F.broadcast(pos_df))
+        .where(F.col("i") + F.col("l") - 1 <= F.length("word"))
+        .select(
             "word",
-            "pos",
-            "seg",
+            "i",
             "l",
-            F.when(
-                F.col("pos") == 1, F.expr("substring(word, pos, l)")
+            F.when(F.col("i") == 1, F.expr("substring(word, i, l)"))
+            .otherwise(
+                F.concat(F.lit("##"), F.expr("substring(word, i, l)"))
             )
-            .otherwise(F.concat(F.lit("##"), F.expr("substring(word, pos, l)")))
             .alias("key"),
         )
-        matched = cand.join(F.broadcast(vocab), ["key", "l"])
-        stepped = matched.groupBy("word", "pos", "seg").agg(
+        .join(F.broadcast(vocab), ["key", "l"])
+        .groupBy("word", "i")
+        .agg(
             F.max("l").alias("best_l"),
             F.max_by("key", "l").alias("best_key"),
         )
-        advanced = stepped.select(
-            "word",
-            (F.col("pos") + F.col("best_l")).alias("pos"),
-            F.concat(F.col("seg"), F.lit(" "), F.col("best_key")).alias("seg"),
+        .groupBy("word")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        F.col("i").alias("k"),
+                        F.struct(
+                            F.col("best_l").alias("l"),
+                            F.col("best_key").alias("key"),
+                        ).alias("v"),
+                    )
+                )
+            ).alias("m")
         )
-        state = spill_to_parquet(
-            finished.union(advanced), f"blow_spark_wp_s{_k}_"
+    )
+
+    def step(acc, _k):
+        pos = acc["pos"]
+        hit = F.try_element_at(F.col("m"), pos)
+        return F.when(pos > F.length("word"), acc).otherwise(
+            F.struct(
+                (pos + hit["l"]).alias("pos"),
+                F.concat(acc["seg"], F.lit(" "), hit["key"]).alias("seg"),
+            )
         )
+
+    state = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_WP_MAX_WORD)),
+        F.struct(F.lit(1).cast("int").alias("pos"), F.lit("").alias("seg")),
+        step,
+    )
     return (
-        state.join(wf, "word")
+        hits.select("word", state.alias("st"))
+        .join(wf, "word")
         .select(
             "word",
             "wf",
             (
-                F.length("seg") - F.length(F.replace(F.col("seg"), F.lit(" ")))
+                F.length("st.seg")
+                - F.length(F.replace(F.col("st.seg"), F.lit(" ")))
             )
             .cast("bigint")
             .alias("n_pieces"),
-            F.trim(F.col("seg")).alias("segmentation"),
+            F.trim(F.col("st.seg")).alias("segmentation"),
         )
         .orderBy(F.desc("wf"), "word")
         .limit(_WP_TOPK)

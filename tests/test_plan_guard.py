@@ -338,8 +338,12 @@ BENCH_EXCHANGE_PINS = {
     "stats_ols_two_feature": (1, 0),
     # cohort aggregate + fact join + bounded per-cohort window
     "orders_cohort_ltv": (6, 2),
-    # spill-backed 12-step DP (internal shuffles run at spill time)
-    "tokenizer_unigram_viterbi_segment": (0, 1),
+    # round-14 optimization: the 12-step spill-backed DP became ONE
+    # plan — a broadcast piece-cost join + a word-keyed map aggregate
+    # feeding a single higher-order DP expression, so the formerly
+    # spill-hidden shuffle now shows in the returned plan (1 word
+    # aggregate; broadcasts: pos table, pcost, wf re-join)
+    "tokenizer_unigram_viterbi_segment": (1, 3),
     # day-keyed count + applyInPandas DP over one bounded group
     "timeseries_burst_detection_kleinberg": (3, 0),
     # map-side keying + k+1 TakeOrdered head + 1-row broadcasts
@@ -396,7 +400,11 @@ BENCH_EXCHANGE_PINS = {
     "timeseries_holt_linear_dyadic": (3, 1),
     "graph_jaccard_neighbor_linkpred": (3, 3),
     "recsys_covisitation_next_item": (3, 3),
-    "tokenizer_wordpiece_greedy": (0, 1),
+    # round-14 optimization: the 12-step spill-backed greedy consume
+    # loop became ONE plan (broadcast vocab join + (word,i) argmax +
+    # word-keyed map aggregate + higher-order walk), so its two
+    # word-keyed shuffles now show in the returned plan
+    "tokenizer_wordpiece_greedy": (2, 3),
     "multimodal_png_header_meta": (1, 0),
     "corpus_length_kl_by_source": (6, 3),
     # round 11 — exact substring dedup: shuffles are (h,s)-verify window,
@@ -473,7 +481,10 @@ BENCH_EXCHANGE_PINS = {
     "multimodal_qoi_decode_stats": (0, 0),
     "multimodal_mp4_box_walk": (0, 0),
     "spatial_dbscan_clusters": (5, 6),
-    "agg_ams_f2_moment_sketch": (5, 1),
+    # round-14 optimization: ±1 signs computed once per DISTINCT
+    # custkey (one extra distinct shuffle + sign join) instead of 64
+    # md5 expressions per fact row — see the query docstring
+    "agg_ams_f2_moment_sketch": (7, 2),
     "dedup_ppjoin_positional": (4, 4),
     "corpus_good_turing_counts": (2, 2),
     "privacy_dp_median_exponential": (2, 1),
