@@ -300,8 +300,16 @@ def checkpoint_small(df: DataFrame) -> DataFrame:
 
     Use ``spill_to_parquet`` instead whenever the intermediate is
     data-proportional (candidate sets, signature tables): at cluster
-    scale those belong on shared storage, not executor memory."""
-    return df.localCheckpoint(eager=True)
+    scale those belong on shared storage, not executor memory.
+
+    ``coalesce(1)`` first: a localCheckpoint keeps its upstream
+    partition count, so every downstream stage over a 25-row table
+    would otherwise schedule shuffle-partition-many tasks — at several
+    consumers per round the scheduling overhead exceeds the compute
+    (the lesson search_mmr_rerank's candidate frame measured in round
+    8; a parquet spill got the same effect implicitly from AQE
+    coalescing the write)."""
+    return df.coalesce(1).localCheckpoint(eager=True)
 
 
 def spill_to_parquet(df: DataFrame, prefix: str = "blow_spark_ckpt_") -> DataFrame:

@@ -349,6 +349,8 @@ def graph_closeness_centrality_bfs(spark: SparkSession, sf_dir: str) -> DataFram
         edges.select("c").distinct().orderBy("c").limit(10)
         .select(F.col("c").alias("seed"))
     )
+    from blow_spark.materialize import checkpoint_small
+
     # frontier alternates sides: odd dist = parts, even dist = customers
     reached = seeds.select(
         "seed", F.col("seed").alias("node"), F.lit("c").alias("side"),
@@ -372,6 +374,13 @@ def graph_closeness_centrality_bfs(spark: SparkSession, sf_dir: str) -> DataFram
                 .select("seed", "node", F.lit("c").alias("side"),
                         F.lit(dist).alias("dist"))
             )
+        # round-14 optimization (guide §5): truncate each SEED-bounded
+        # frontier — the lazy chain referenced frontier k from every
+        # deeper level AND the final union, re-running its join+distinct
+        # per reference (ReuseExchange only dedupes identical exchange
+        # subtrees within one executed plan, and the per-level union
+        # branches diverge after projection)
+        nxt = checkpoint_small(nxt)
         reached = reached.unionByName(nxt)
         frontier = nxt
     best = reached.groupBy("seed", "node", "side").agg(F.min("dist").alias("d"))
@@ -602,7 +611,7 @@ def graph_betweenness_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fact table contributes one distinct (order, part) projection.
     Seeds fix the work to |S|·|E| regardless of graph size — the
     estimator's whole point."""
-    from blow_spark.materialize import spill_to_parquet
+    from blow_spark.materialize import checkpoint_small, spill_to_parquet
 
     li = read_table(spark, sf_dir, "lineitem")
     po = li.select(
@@ -632,11 +641,16 @@ def graph_betweenness_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_BC_SEEDS)
         .select(F.col("node").alias("sd"))
     )
-    l1 = spill_to_parquet(
+    # round-14 optimization (guide §5): the per-level frontier and
+    # dependency tables are SEED-bounded (|S|·nodes), so they truncate
+    # via checkpoint_small instead of paying a parquet write job +
+    # scan per level; the dimension-grain edge table keeps its spill
+    # (it broadcasts into five joins and belongs on shared storage at
+    # cluster scale)
+    l1 = checkpoint_small(
         seeds.join(F.broadcast(ed), F.col("a") == F.col("sd"))
         .groupBy("sd", F.col("b").alias("node"))
-        .agg(F.count("*").cast("bigint").alias("sig")),
-        "blow_spark_bc_l1_",
+        .agg(F.count("*").cast("bigint").alias("sig"))
     )
 
     def next_level(prev, *visited):
@@ -653,8 +667,8 @@ def graph_betweenness_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("psig").cast("bigint").alias("sig")
         )
 
-    l2 = spill_to_parquet(next_level(l1, l1), "blow_spark_bc_l2_")
-    l3 = spill_to_parquet(next_level(l2, l1, l2), "blow_spark_bc_l3_")
+    l2 = checkpoint_small(next_level(l1, l1))
+    l3 = checkpoint_small(next_level(l2, l1, l2))
 
     def dep_level(v, w, w_has_dep):
         succ = (
@@ -681,7 +695,7 @@ def graph_betweenness_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum(contrib), F.lit(0)).cast("bigint").alias("dep_e6")
         )
 
-    d2 = spill_to_parquet(dep_level(l2, l3, False), "blow_spark_bc_d2_")
+    d2 = checkpoint_small(dep_level(l2, l3, False))
     d1 = dep_level(l1, d2, True)
     alldeps = (
         d1.select("sd", "node", "dep_e6")

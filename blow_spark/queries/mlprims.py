@@ -1277,7 +1277,12 @@ def ml_huber_irls_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast(d38).alias("sy"),
         F.sum(F.col("x") * F.col("y")).cast(d38).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).cast(d38).alias("sxx"),
-        F.sum(F.col("y").cast(d38) * F.col("y")).cast(d38).alias("syy"),
+        # y² ≤ ~1.2e14 per row (price-domain bound) — BIGINT multiply,
+        # DECIMAL only for the sum (round-14, same rationale as the
+        # weighted moments below)
+        F.sum((F.col("y") * F.col("y")).cast("decimal(18,0)"))
+        .cast(d38)
+        .alias("syy"),
     )
     nd = F.col("n").cast("double")
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
@@ -1347,13 +1352,27 @@ def ml_huber_irls_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ols_slope_e6").alias("ols_slope_e6"),
         F.min("ols_intercept_e2").alias("ols_intercept_e2"),
         F.min("sigma_hat_e2").alias("sigma_hat_e2"),
+        # round-14 optimization (guide §2.3 "narrower types"): the
+        # per-ROW products are DOMAIN-bounded (w ≤ 10⁶, x = quantity
+        # ≤ 50, y = cents ≤ ~1.1e7 ⇒ w·x·y ≤ 5.5e14 < 2⁶³ at ANY
+        # scale factor — row magnitudes don't grow with sf, only the
+        # sums do), so they multiply in codegen'd BIGINT and convert
+        # to DECIMAL only for the accumulation; the old form ran two
+        # boxed DECIMAL(38,0) multiplies per row per moment, the hot
+        # loop of the weighted pass. Sums land in DECIMAL(28,0)
+        # (inputs cast decimal(18,0)) — exact to ~1e28, i.e. sf ~10⁴;
+        # values identical, final cast to DECIMAL(38,0) unchanged.
         F.sum("w_e6").cast(d38).alias("sw"),
-        F.sum(F.col("w_e6").cast(d38) * F.col("x")).cast(d38).alias("swx"),
-        F.sum(F.col("w_e6").cast(d38) * F.col("y")).cast(d38).alias("swy"),
-        F.sum(F.col("w_e6").cast(d38) * F.col("x") * F.col("y"))
+        F.sum((F.col("w_e6") * F.col("x")).cast("decimal(18,0)"))
+        .cast(d38)
+        .alias("swx"),
+        F.sum((F.col("w_e6") * F.col("y")).cast("decimal(18,0)"))
+        .cast(d38)
+        .alias("swy"),
+        F.sum((F.col("w_e6") * F.col("x") * F.col("y")).cast("decimal(18,0)"))
         .cast(d38)
         .alias("swxy"),
-        F.sum(F.col("w_e6").cast(d38) * F.col("x") * F.col("x"))
+        F.sum((F.col("w_e6") * F.col("x") * F.col("x")).cast("decimal(18,0)"))
         .cast(d38)
         .alias("swxx"),
         F.sum((F.col("w_e6") < 1000000).cast("long"))

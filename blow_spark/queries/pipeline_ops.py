@@ -2388,16 +2388,25 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = adj.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    w = W.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
     for _ in range(_LPA_ROUNDS):
         nbr = adj.join(labels, adj.v == labels.node).select(
             F.col("u").alias("node"), "label"
         )
         cnt = nbr.groupBy("node", "label").agg(F.count("*").alias("c"))
+        # round-14 optimization (guide §2.4): the per-node argmax used
+        # to be a row_number window (an extra sort after the (node,
+        # label) count shuffle); max(struct(c, -label)) computes the
+        # identical COUNT-desc/label-asc winner inside an ordinary
+        # hash aggregate — same tie-break (max c, then max(-label) =
+        # min label), one sort less per round
         labels = (
-            cnt.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
+            cnt.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.nl")).alias("label"))
             .localCheckpoint()
         )
     out = labels.groupBy(F.col("label").cast("bigint").alias("label")).agg(

@@ -1257,12 +1257,8 @@ def timeseries_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly once from the d=0 diagonal.
 
     Engine-exactness: revenue stays integer cents; dots/sums are
-    exact integers on both sides — the oracle sums HUGEINT products,
-    and the Spark side (round-14 optimization) computes the same dot
-    via a 25-bit hi/lo split (three BIGINT window sums recombined
-    into DECIMAL(38,0), exact for daily values < 2^54 cents ≈
-    sf 4×10⁵; v₁·v₂ crosses int64 already at sf0.1's ~3.7e9-cent
-    days, which is why the product can't sum in plain BIGINT);
+    DECIMAL(38,0)/HUGEINT (v₁·v₂ crosses int64 already at sf0.1's
+    ~3.7e9-cent days — overflow-audit headroom to sf100's 1.4e25);
     the correlation→distance conversion is one identical IEEE
     double expression per pair over those exact integers (sqrt IS
     correctly rounded by IEEE-754, unlike ln/pow), e6-rounded;
@@ -1315,52 +1311,12 @@ def timeseries_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d38 = "decimal(38,0)"
     w = W.partitionBy("d").orderBy("t").rowsBetween(0, m - 1)
-    # Optimization round 14 (guide §2.3 "narrower types"): the sliding
-    # dot product used to be ONE DECIMAL(38,0) window sum — boxed
-    # BigDecimal adds over every (pair, frame) cell, the hot loop of
-    # the whole query. v₁·v₂ crosses int64 (~1.4e19 at sf0.1's 3.7e9-
-    # cent days), so plain BIGINT can't hold the product — but its
-    # 25-bit split CAN: with hi=v>>25, lo=v&(2^25−1),
-    # v₁·v₂ = hi₁hi₂·2^50 + (hi₁lo₂+lo₁hi₂)·2^25 + lo₁lo₂, and the
-    # three component window sums are ordinary codegen'd BIGINT adds,
-    # recombined into DECIMAL(38,0) once per pair AFTER the frame sum.
-    # Exact for v < 2^54 cents (~1.8e16 ≈ sf 4×10⁵ daily revenue; the
-    # m=7 frame keeps every component sum under 2^61 — headroom table
-    # in SCALE.md), and the recombined value is the identical integer,
-    # so every downstream expression and the oracle hash are unchanged.
-    lo_mask = (1 << 25) - 1
-    hi1, lo1 = F.shiftright("v1", 25), F.col("v1").bitwiseAND(F.lit(lo_mask))
-    hi2, lo2 = F.shiftright("v2", 25), F.col("v2").bitwiseAND(F.lit(lo_mask))
-    parts = pairs.select(
+    winsum = pairs.select(
         "d",
         "t",
-        "v1",
-        (hi1 * hi2).alias("hh"),
-        (hi1 * lo2 + lo1 * hi2).alias("cr"),
-        (lo1 * lo2).alias("ll"),
-    )
-    winsum = parts.select(
-        "d",
-        "t",
-        F.sum("hh").over(w).alias("shh"),
-        F.sum("cr").over(w).alias("scr"),
-        F.sum("ll").over(w).alias("sll"),
-        F.sum("v1").over(w).alias("ssa"),
+        F.sum((F.col("v1").cast(d38) * F.col("v2"))).over(w).alias("dot"),
+        F.sum(F.col("v1").cast(d38)).over(w).alias("sa"),
         F.count("*").over(w).alias("cnt"),
-    ).select(
-        "d",
-        "t",
-        (
-            F.col("shh").cast("decimal(19,0)")
-            * F.lit(1 << 50).cast("decimal(16,0)")
-            + F.col("scr").cast("decimal(19,0)")
-            * F.lit(1 << 25).cast("decimal(8,0)")
-            + F.col("sll").cast("decimal(19,0)")
-        )
-        .cast(d38)
-        .alias("dot"),
-        F.col("ssa").cast(d38).alias("sa"),
-        "cnt",
     )
     stats = spill_to_parquet(
         winsum.where((F.col("d") == 0) & (F.col("cnt") == m)).select(

@@ -437,7 +437,13 @@ BENCH_EXCHANGE_PINS = {
     "stats_wilcoxon_signed_rank": (3, 1),
     "ml_pca_two_feature": (2, 1),
     "timeseries_dtw_band_distance": (11, 6),
-    "graph_closeness_centrality_bfs": (18, 10),
+    # round-14 optimization: each seed-bounded BFS frontier is now
+    # truncated via checkpoint_small, so the per-level join+distinct
+    # plans run once in the checkpoint jobs instead of being replayed
+    # from every deeper level and the final union; the returned plan
+    # is the min-dist aggregate + harmonic sum over the truncated
+    # frontier scans
+    "graph_closeness_centrality_bfs": (4, 0),
     "graph_modularity_score": (8, 5),
     "finance_sharpe_sortino": (3, 1),
     "text_aho_corasick_blocklist": (2, 0),
@@ -522,7 +528,11 @@ BENCH_EXCHANGE_PINS = {
     # two spill-backed cell tables; the 3 broadcasts are the 2-row
     # stats/unit joins. Applying either curve to a real table is a
     # pure map expression with zero exchanges.
-    "layout_hilbert_locality_vs_zorder": (6, 3),
+    # round-14 optimization: checkpoint_small now coalesces to one
+    # partition before truncating, and SinglePartition satisfies every
+    # downstream clustering requirement, so the 6 aggregate/self-join
+    # shuffles over the 16K-cell tables vanish from the returned plan
+    "layout_hilbert_locality_vs_zorder": (0, 3),
     # round 13 batch 5 — the hypothesis/ranked tables are spill-backed
     # (their 48/24-row windows run in the spill jobs); the returned
     # plan is the two broadcast-joined scoring/refit passes (3 partial
@@ -547,7 +557,11 @@ BENCH_EXCHANGE_PINS = {
     # are spill-backed (their BFS joins run in the spill jobs); the
     # returned plan is the d1 dependency join off the tiny spills
     # (broadcast) + the final per-node sum + order
-    "graph_betweenness_seeded": (3, 2),
+    # round-14 optimization: seed-bounded level/dependency tables moved
+    # from parquet spills to localCheckpoint truncation, so their
+    # formerly spill-hidden aggregation shuffles now count in the
+    # returned plan
+    "graph_betweenness_seeded": (5, 1),
     # round 13 batch 7 — skyline: the ≤50-row suffix-minimum table is
     # spill-backed (window-free returned plan); value-grain agg + two
     # broadcast joins + counts. Huber: two linear scans (moment pass,
