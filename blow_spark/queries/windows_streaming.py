@@ -167,7 +167,6 @@ def streaming_tumbling_availablenow(spark: SparkSession, sf_dir: str) -> DataFra
     batch aggregation (append-mode holdback and late-data semantics are
     exercised in tests/test_streaming.py instead, where DuckDB can't
     follow)."""
-    import uuid
 
     from blow_spark.streaming import EVENTS_SCHEMA
 
@@ -183,16 +182,7 @@ def streaming_tumbling_availablenow(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
     )
-    name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _drain(agg, "complete", "stream_out", stage=stage)
 
 
 @register(
@@ -297,7 +287,6 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
     update mode emits each key once. The multi-trigger accumulation
     behavior (state surviving across micro-batches) is pinned separately
     in tests/test_streaming.py."""
-    import uuid
 
     from collections.abc import Iterable
 
@@ -336,16 +325,7 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    name = f"stateful_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _drain(out, "update", "stateful_out", stage=stage)
 
 
 @register(
@@ -370,7 +350,6 @@ def streaming_typed_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     environment instead of being an import-gated claim (round-2 verdict
     missing #1). Micro-unit integer sums keep the result
     order-independent, matching the DECIMAL-sum oracle exactly."""
-    import uuid
 
     from blow_spark import streaming as st
     from blow_spark.shipping import ensure_package_shipped
@@ -380,16 +359,7 @@ def streaming_typed_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     read_table(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").parquet(stage)
     stream = spark.readStream.schema(st.EVENTS_SCHEMA).parquet(stage)
     out = st.running_user_totals_typed(stream)
-    name = f"typed_state_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _drain(out, "update", "typed_state_out", stage=stage)
 
 
 @register(
@@ -423,7 +393,6 @@ def streaming_session_availablenow(spark: SparkSession, sf_dir: str) -> DataFram
     micro-batch ⇒ every session reaches its final extent inside that
     batch; complete mode re-emits the whole result table (session windows
     reject update mode), matching the batch gaps-and-islands oracle."""
-    import uuid
 
     from blow_spark.streaming import EVENTS_SCHEMA
 
@@ -441,16 +410,7 @@ def streaming_session_availablenow(spark: SparkSession, sf_dir: str) -> DataFram
             "n_events",
         )
     )
-    name = f"sess_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _drain(agg, "complete", "sess_out", stage=stage)
 
 
 def _stage_events(spark: SparkSession, sf_dir: str, prefix: str) -> str:
@@ -460,18 +420,80 @@ def _stage_events(spark: SparkSession, sf_dir: str, prefix: str) -> str:
     return stage
 
 
-def _drain(df: DataFrame, mode: str, name_prefix: str):
+def _state_partitions(spark: SparkSession, stage_dirs) -> int:
+    """Scale-adaptive shuffle-partition count for a streaming run.
+
+    Stateful streaming fixes its STATE partitioning to
+    ``spark.sql.shuffle.partitions`` at checkpoint creation, and every
+    micro-batch then pays per-partition state machinery (store init,
+    delta-file commit, maintenance) for ALL of them — AQE cannot
+    coalesce a stateful exchange, so an oversized constant is pure
+    overhead: a stream-stream join over the ~2 MB staged fixture
+    measured 23.6 s at 32 partitions vs 4.1 s at 4 (round 14).  Unlike
+    a generic stream, these operators stage their own bounded input, so
+    the input size IS known; size partitions to it (one per ~4 MB of
+    staged parquet, floor 4 to keep the join/agg compute parallel),
+    capped at the session's configured parallelism so an externally
+    tuned cluster deployment (high ``spark.sql.shuffle.partitions``,
+    100 TB state) keeps its shard count.  ``BLOW_SPARK_STREAM_STATE_PARTITIONS``
+    overrides for deployments that want explicit state sharding."""
+    import os
+
+    env = os.environ.get("BLOW_SPARK_STREAM_STATE_PARTITIONS")
+    session_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if env:
+        return max(1, int(env))
+    if isinstance(stage_dirs, str):
+        stage_dirs = (stage_dirs,)
+    total = 0
+    for d in stage_dirs:
+        for root, _dirs, files in os.walk(d):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return max(1, min(max(4, -(-total // (4 << 20))), session_n))
+
+
+class _scaled_state_shuffle:
+    """Scope ``spark.sql.shuffle.partitions`` to one streaming run.
+
+    The value is captured into the query's fresh checkpoint at start();
+    restoring it afterwards leaves the session untouched for the next
+    (batch) query.  Partitioning does not change any result — state
+    aggregation/join/dedup semantics are per-key."""
+
+    def __init__(self, spark: SparkSession, stage_dirs):
+        self.spark = spark
+        self.n = _state_partitions(spark, stage_dirs)
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        return False
+
+
+def _drain(df: DataFrame, mode: str, name_prefix: str, stage=None):
     import uuid
 
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
-    q = (
-        df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+
+    def _start():
+        q = (
+            df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    if stage is not None:
+        with _scaled_state_shuffle(df.sparkSession, stage):
+            _start()
+    else:
+        _start()
     return df.sparkSession.table(name)
 
 
@@ -513,7 +535,7 @@ def streaming_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["user_id", "event_type"])
         .select("user_id", "event_type", "event_id")
     )
-    return _drain(deduped, "append", "sdedup_out")
+    return _drain(deduped, "append", "sdedup_out", stage=stage)
 
 
 @register(
@@ -554,7 +576,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("ts_b") >= F.col("ts_a"))
         & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTE")),
     ).select("probe_id", "match_id", "user_id")
-    return _drain(joined, "append", "ssj_out")
+    return _drain(joined, "append", "ssj_out", stage=stage)
 
 
 @register(
@@ -644,7 +666,6 @@ def streaming_sliding_availablenow(spark: SparkSession, sf_dir: str) -> DataFram
     row with offsets {0,1} against the 30-minute grid — the set-based
     definition of a slide. State per key is bounded by length/slide = 2
     live windows; the watermark evicts them at cluster scale."""
-    import uuid
 
     from blow_spark.streaming import EVENTS_SCHEMA
 
@@ -660,16 +681,7 @@ def streaming_sliding_availablenow(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
     )
-    name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _drain(agg, "complete", "stream_out", stage=stage)
 
 
 @register(
@@ -766,7 +778,7 @@ def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(static_dim), F.col("user_id") == F.col("c_custkey"))
         .select("event_id", "user_id", "c_name", "n_name", "c_mktsegment")
     )
-    return _drain(enriched, "append", "sssj_out")
+    return _drain(enriched, "append", "sssj_out", stage=stage)
 
 
 @register(
@@ -851,7 +863,7 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
     )
-    return _drain(agg, "append", "late_out")
+    return _drain(agg, "append", "late_out", stage=stage)
 
 
 @register(
@@ -908,7 +920,7 @@ def streaming_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stage)
     )
     counts = stream.groupBy("user_id").agg(F.count("*").alias("n_events"))
-    return _drain(counts, "update", "upd_out")
+    return _drain(counts, "update", "upd_out", stage=stage)
 
 
 @register(
@@ -1132,7 +1144,7 @@ def streaming_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> Data
         & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTE")),
         "left_outer",
     ).select("probe_id", "user_id", "match_id")
-    return _drain(joined, "append", "sslo_out")
+    return _drain(joined, "append", "sslo_out", stage=stage)
 
 
 @register(
@@ -1229,14 +1241,17 @@ def streaming_cdc_merge_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFr
         src = latest_per_user(batch_df)
         ops.merge_into_parquet(batch_df.sparkSession, target, src, ["user_id"])
 
-    q = (
-        stream.writeStream.outputMode("append")
-        .foreachBatch(apply_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", base_dir + "/ckpt")
-        .start()
-    )
-    q.awaitTermination()
+    # round-14: the per-batch merge jobs shuffle quarter-size chunks —
+    # scope shuffle parallelism to the staged volume (see _state_partitions)
+    with _scaled_state_shuffle(spark, stage):
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", base_dir + "/ckpt")
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(target)
 
 
@@ -1544,7 +1559,7 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type", "event_id")
     )
-    return _drain(deduped, "append", "ddww_out")
+    return _drain(deduped, "append", "ddww_out", stage=stage)
 
 
 @register(
@@ -1619,7 +1634,7 @@ def streaming_session_close_timeout(spark: SparkSession, sf_dir: str) -> DataFra
         .parquet(stage)
     )
     sessions = session_close_on_timeout(stream.withWatermark("ts", "1 minutes"))
-    return _drain(sessions, "append", "sct_out")
+    return _drain(sessions, "append", "sct_out", stage=stage)
 
 
 @register(
@@ -1810,7 +1825,7 @@ def streaming_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> Data
         & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTE")),
         "full_outer",
     ).select("probe_id", "user_id", "match_id", "user_b")
-    return _drain(joined, "append", "ssfo_out")
+    return _drain(joined, "append", "ssfo_out", stage=stage)
 
 
 @register(
@@ -1919,7 +1934,7 @@ def streaming_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .select(F.col("w.start").alias("window_start"), "n_pairs")
     )
-    return _drain(agg, "append", "chain_out")
+    return _drain(agg, "append", "chain_out", stage=stage)
 
 @register(
     "events_pattern_match",
@@ -2249,17 +2264,20 @@ def streaming_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFr
             merged = fresh
         store.publish(merged)
 
-    q = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(stage)
-        .writeStream.outputMode("append")
-        .foreachBatch(apply_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", base + "/ckpt")
-        .start()
-    )
-    q.awaitTermination()
+    # round-14: per-batch bitmap merges over third-size chunks — scope
+    # shuffle parallelism to the staged volume (see _state_partitions)
+    with _scaled_state_shuffle(spark, stage):
+        q = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+            .writeStream.outputMode("append")
+            .foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", base + "/ckpt")
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.read.parquet(state)
         .groupBy("event_type")
@@ -2394,7 +2412,6 @@ def streaming_m4_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: state is one 5-number tuple per (series, window) — bounded
     by the watermark horizon, never by event volume; each micro-batch
     does a map-side partial merge before touching state."""
-    import uuid
 
     from blow_spark.streaming import EVENTS_SCHEMA
 
@@ -2426,16 +2443,7 @@ def streaming_m4_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_e4",
         )
     )
-    name = f"stream_m4_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _drain(agg, "complete", "stream_m4", stage=stage)
 
 
 _ACF_MAX_LAG = 7
