@@ -15,6 +15,7 @@ Environment: SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS as in bench.py.
 from __future__ import annotations
 
 import argparse
+import gc
 import os
 import sys
 import time
@@ -51,6 +52,12 @@ def main() -> None:
             ).save()
             runs.append(round(time.perf_counter() - t0, 3))
             spark.catalog.clearCache()
+            # Release py4j proxies so the ContextCleaner can reclaim
+            # prior runs' localCheckpoint RDDs / broadcasts — without
+            # this, session garbage accumulates and later runs measure
+            # interference, not the plan (observed: pagerank 7->17 s
+            # over 4 runs without collect, flat ~5.5-6 s with it).
+            gc.collect()
         print(f"{name}: min={min(runs)} runs={runs}", flush=True)
         if args.explain_dir:
             os.makedirs(args.explain_dir, exist_ok=True)
