@@ -39,10 +39,14 @@ def _spread(df: DataFrame) -> DataFrame:
 
     The probe is driver-side only (file listing + stat): no RDD
     conversion, no physical planning, no job. Estimated scan parallelism
-    = ceil(input_bytes / maxPartitionBytes); non-file or non-local
-    sources fall back to repartitioning (in-memory test frames) or
-    passing through (remote storage — at that scale inputs are already
-    wide)."""
+    = ceil((input_bytes + n_files·openCostInBytes) / maxPartitionBytes)
+    — Spark charges each file openCostInBytes when PACKING files into
+    splits, so N tiny files still coalesce into ~N·4 MB/128 MB ≈ 1 task
+    (round-14: the pre-packing estimate `max(n_files, bytes/max_pb)`
+    treated an 8-tiny-file spill as already 8-wide and no-oped while the
+    scan actually ran single-task); non-file or non-local sources fall
+    back to repartitioning (in-memory test frames) or passing through
+    (remote storage — at that scale inputs are already wide)."""
     import os
     from urllib.parse import urlparse
 
@@ -64,7 +68,10 @@ def _spread(df: DataFrame) -> DataFrame:
             return df  # non-local FS: assume the scan is already wide
     raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
     max_pb = _parse_bytes(raw)
-    est_parts = max(len(files), -(-total // max_pb))
+    open_cost = _parse_bytes(
+        str(spark.conf.get("spark.sql.files.openCostInBytes", "4194304b"))
+    )
+    est_parts = -(-(total + len(files) * open_cost) // max_pb)
     if est_parts < target:
         return df.repartition(target)
     return df
@@ -295,7 +302,19 @@ def _verify_and_release(
     base.unpersist()
     for df in release or []:
         df.unpersist()
-    return _verify_jaccard(cand, hashed, threshold)
+    # Round-14 (guide §2.5 "input skew: one huge unsplittable file"): the
+    # spilled candidate table is a few MB of (id_a, id_b) longs — one
+    # parquet split — and Catalyst broadcasts it while STREAMING the
+    # (equally tiny) per-doc set table, so the per-pair set
+    # intersections — the real compute of the verify stage — all ran in
+    # a single task (measured 2.6 s steady-state at sf0.1 for 409 k
+    # candidates in dedup_jaccard_prefix_filter while 31 cores idled).
+    # Spreading the candidate SCAN fans the intersection work out; at
+    # 100 TB the table is thousands of splits and _spread no-ops. Only
+    # the spilled scan is spread — _verify_jaccard's lazy-plan callers
+    # (the incremental index path) measured SLOWER with a repartition
+    # barrier inside their live plan.
+    return _verify_jaccard(_spread(cand), hashed, threshold)
 
 
 def _verify_jaccard(candidates: DataFrame, hashed: DataFrame, threshold: float) -> DataFrame:
@@ -308,7 +327,12 @@ def _verify_jaccard(candidates: DataFrame, hashed: DataFrame, threshold: float) 
     A hash collision inside one candidate pair's ~10²-shingle sets would
     need a 64-bit collision (~2⁻⁵⁰ per pair) to perturb the score —
     ignored. Result is identical to string-set Jaccard (the DuckDB oracle
-    computes the string form and hash-matches)."""
+    computes the string form and hash-matches).
+
+    Callers that verify from a SPILLED candidate table ``_spread`` it
+    first (see ``_verify_and_release``); this function leaves lazy
+    candidate plans alone — inserting a repartition barrier into the
+    incremental path's live banded-join plan measured 4.6 → 8.4 s."""
     a = hashed.select(F.col("doc").alias("id_a"), F.col("hs").alias("hs_a"), F.col("n_sh").alias("n_a"))
     b = hashed.select(F.col("doc").alias("id_b"), F.col("hs").alias("hs_b"), F.col("n_sh").alias("n_b"))
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
@@ -381,6 +405,9 @@ def ngram_containment_pairs(
     )
     hashed = spill_to_parquet(hashed, "blow_spark_cont_sets_")
     base.unpersist()
+    # same single-split fix as _verify_jaccard: fan the per-pair set
+    # intersections out before the verify joins
+    cand = _spread(cand)
     a = hashed.select(F.col("doc").alias("id_a"), F.col("hs").alias("hs_a"), F.col("n_sh").alias("n_a"))
     b = hashed.select(F.col("doc").alias("id_b"), F.col("hs").alias("hs_b"), F.col("n_sh").alias("n_b"))
     inter = F.size(F.array_intersect("hs_a", "hs_b"))

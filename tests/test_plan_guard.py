@@ -163,7 +163,9 @@ BENCH_EXCHANGE_PINS = {
     "window_session": (1, 0),
     "explode_tokens": (1, 0),
     "dedup_exact": (1, 0),
-    "dedup_minhash_lsh": (0, 2),
+    # r14: +1 shuffle = _spread of the spilled candidate scan before
+    # the verify join (single-split fix, dedup._verify_and_release)
+    "dedup_minhash_lsh": (1, 2),
     "similarity_topk_bruteforce": (2, 1),
     "tpch_q8_national_market_share": (2, 7),
     "tpch_q21_suppliers_who_kept_waiting": (4, 3),
@@ -194,7 +196,8 @@ BENCH_EXCHANGE_PINS = {
     "timeseries_interpolate_linear": (2, 1),
     "dq_quarantine_split": (1, 0),
     "similarity_knn_classify": (3, 2),
-    "dedup_jaccard_prefix_filter": (0, 2),
+    # r14: +1 shuffle = verify-candidate _spread (see dedup_minhash_lsh)
+    "dedup_jaccard_prefix_filter": (1, 2),
     "contamination_bloom_prefilter": (7, 2),
     "profile_column_summary": (2, 0),
     "tokenizer_bpe_merges": (63, 57),
@@ -318,7 +321,8 @@ BENCH_EXCHANGE_PINS = {
     "text_ngram_novelty": (2, 1),
     # exact-Jaccard candidate path (blocked self-join) + two signature
     # joins (signature sides broadcast at this SF) + 1-row proof agg
-    "dedup_minhash_estimate_error": (5, 4),
+    # r14: +1 shuffle = verify-candidate _spread (see dedup_minhash_lsh)
+    "dedup_minhash_estimate_error": (6, 4),
     # 1-row bounds broadcast + one (series,bucket)-keyed shuffle
     "timeseries_m4_downsample": (2, 1),
     # round 8 pins
@@ -491,7 +495,8 @@ BENCH_EXCHANGE_PINS = {
     # custkey (one extra distinct shuffle + sign join) instead of 64
     # md5 expressions per fact row — see the query docstring
     "agg_ams_f2_moment_sketch": (7, 2),
-    "dedup_ppjoin_positional": (4, 4),
+    # r14: +1 shuffle = verify-candidate _spread (see dedup_minhash_lsh)
+    "dedup_ppjoin_positional": (5, 4),
     "corpus_good_turing_counts": (2, 2),
     "privacy_dp_median_exponential": (2, 1),
     "stats_ljung_box_whiteness": (3, 3),
