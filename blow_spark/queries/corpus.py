@@ -796,12 +796,14 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one shuffle); the merge loop runs on the Zipf-truncated vocab table
     (500 rows), where per-round pair extraction is a trivially small HOF
     — the interpreted-lambda rule (SCALE.md) targets corpus-scale rows,
-    not a fixed-500-row control table. Rounds chain lazily: at this
-    vocab size recomputation is cheaper than materialization; a
-    production run with 10^5 vocab rows and 10^4 merges would spill the
-    vocab per round (materialize.spill_to_parquet) exactly like the
-    other iterative operators. The argmax pair joins back as a one-row
-    broadcast — no driver collect in the loop."""
+    not a fixed-500-row control table. Each round's 500-row vocab and
+    1-row argmax are materialized with ``checkpoint_small`` (round-14 —
+    the lazy chain re-planned the whole history per round, 63 Exchanges
+    in the returned plan; see _bpe_train); a production run with 10^5
+    vocab rows and 10^4 merges would spill the vocab per round
+    (materialize.spill_to_parquet) exactly like the other iterative
+    operators. The argmax pair joins back as a one-row broadcast — no
+    driver collect in the loop."""
     out, _cur = _bpe_train(spark, sf_dir)
     return out
 
@@ -811,7 +813,23 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
     merges_df = the six (round, l, r, merged, cnt) rows, final_vocab_df
     = the top-500 word table carrying its POST-merge segmentation
     string ``s``. Used by tokenizer_bpe_merges (emits the merges) and
-    corpus_bpe_encode (applies the segmentations to the corpus)."""
+    corpus_bpe_encode (applies the segmentations to the corpus).
+
+    Round-14 (guide §5 / §3.3 "very large plans — materialise an
+    intermediate to truncate"): the vocab table is CONSTANT-SIZE (500
+    rows) yet the six rounds previously chained LAZILY — the returned
+    plan carried 63 Exchanges (every round's pair-count aggregate plus
+    the corpus word-frequency pass, re-planned under each round's
+    argmax), and each unionAll output row re-ran the full chain to its
+    round. ``checkpoint_small`` per round (the materialization the
+    other iterative operators use for domain-bounded tables) makes each
+    round one tiny job over the checkpointed 500-row table: identical
+    arithmetic, identical tie-breaks, plan 63 Exchanges → 2. A
+    production run with 10^5 vocab rows and 10^4 merges would
+    spill_to_parquet instead (data-proportional table on shared
+    storage), as before."""
+    from blow_spark.materialize import checkpoint_small
+
     d = read_table(spark, sf_dir, "documents")
     from blow_spark import functions as BF
 
@@ -823,9 +841,11 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
         .orderBy(F.desc("n"), "w")
         .limit(500)
     )
-    cur = wf.select(
-        "w", "n",
-        F.concat(F.lit("|"), F.array_join(F.split("w", ""), "|"), F.lit("|")).alias("s"),
+    cur = checkpoint_small(
+        wf.select(
+            "w", "n",
+            F.concat(F.lit("|"), F.array_join(F.split("w", ""), "|"), F.lit("|")).alias("s"),
+        )
     )
     out = None
     for rnd in range(1, _BPE_ROUNDS + 1):
@@ -844,19 +864,23 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
             ).alias("p"),
         ).select("n", "p.l", "p.r")
         cnt = pairs.groupBy("l", "r").agg(F.sum("n").alias("cnt"))
-        top = cnt.orderBy(F.desc("cnt"), "l", "r").limit(1)
+        # one-row argmax, materialized so the round row, the merge join
+        # and every later round read it instead of re-running the chain
+        top = checkpoint_small(cnt.orderBy(F.desc("cnt"), "l", "r").limit(1))
         row = top.select(
             F.lit(rnd).alias("round"), "l", "r",
             F.concat("l", "r").alias("merged"), "cnt",
         )
         out = row if out is None else out.unionAll(row)
-        cur = cur.crossJoin(
-            F.broadcast(top.select(F.col("l").alias("_l"), F.col("r").alias("_r")))
-        ).select(
-            "w", "n",
-            F.expr(
-                "replace(s, '|' || _l || '|' || _r || '|', '|' || _l || _r || '|')"
-            ).alias("s"),
+        cur = checkpoint_small(
+            cur.crossJoin(
+                F.broadcast(top.select(F.col("l").alias("_l"), F.col("r").alias("_r")))
+            ).select(
+                "w", "n",
+                F.expr(
+                    "replace(s, '|' || _l || '|' || _r || '|', '|' || _l || _r || '|')"
+                ).alias("s"),
+            )
         )
     return out, cur
 

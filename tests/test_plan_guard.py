@@ -134,12 +134,10 @@ def test_no_unwhitelisted_single_partition_windows(spark):
 # nodes are deliberately not counted (see plan_guard.exchange_counts).
 #
 # Reading notes for the eyebrow-raisers:
-# - tokenizer_bpe_merges (63, 57): six data-dependent merge rounds UNROLL
-#   into one declarative plan; each round re-derives the word table under
-#   a new broadcast argmax. The EXECUTED cost is bounded by the per-round
-#   one-row broadcasts + one corpus-scale count (see its docstring and
-#   the ~flat measured slope in SCALE.md); the static plan is deep, not
-#   the runtime.
+# - tokenizer_bpe_merges (0, 0) since r14: six data-dependent merge
+#   rounds run as checkpoint_small-materialized per-round jobs; the
+#   RETURNED plan is six one-row checkpoint scans unioned (pre-r14 the
+#   rounds unrolled lazily into one 63-Exchange plan).
 # - similarity_lsh_topk (10, 6): includes the 50-query brute-force recall
 #   AUDIT side added in round 5, not just the production ANN path.
 # - spill-backed queries (dedup_minhash_lsh, dedup_embedding_clusters,
@@ -200,7 +198,10 @@ BENCH_EXCHANGE_PINS = {
     "dedup_jaccard_prefix_filter": (1, 2),
     "contamination_bloom_prefilter": (7, 2),
     "profile_column_summary": (2, 0),
-    "tokenizer_bpe_merges": (63, 57),
+    # r14: the 6 BPE rounds are checkpoint_small-materialized — the
+    # returned plan is 6 one-row checkpoint scans unioned (was a 63-
+    # Exchange lazy chain re-planning every round's history)
+    "tokenizer_bpe_merges": (0, 0),
     "sort_equidepth_global_rank": (3, 1),
     "window_session_max_duration": (1, 0),
     "vector_power_iteration_step": (2, 1),
@@ -218,9 +219,9 @@ BENCH_EXCHANGE_PINS = {
     "dedup_semantic_semdedup": (7, 11),
     # pure map plan: hash → inverse-CDF CASE → explode; zero exchanges
     "sample_poisson_bootstrap": (0, 0),
-    # the trainer chain unrolled (like tokenizer_bpe_merges) + the
-    # encode's broadcast join and per-doc aggregate
-    "corpus_bpe_encode": (65, 64),
+    # r14: trainer rounds checkpointed (see tokenizer_bpe_merges); the
+    # returned plan is the corpus encode join + per-doc aggregate only
+    "corpus_bpe_encode": (1, 1),
     # round 6 additions
     "search_rrf_hybrid_fusion": (4, 4),
     # localCheckpoint per greedy step truncates the returned lineage
