@@ -35,6 +35,7 @@ slowest few; see summary_line())."""
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -768,6 +769,16 @@ def main() -> None:
             catalog[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
             elapsed = time.perf_counter() - t0
             spark.catalog.clearCache()
+            # Outside the timed region (round 14): drop py4j proxies so
+            # the ContextCleaner can reclaim earlier queries'
+            # localCheckpoint RDDs and broadcasts — without this, session
+            # garbage accumulates and LATER queries' samples measure the
+            # interference, not their plans (scripts/profile_query.py
+            # documents the measured effect: pagerank 7 → 17 s across 4
+            # runs without the collect, flat ~5.5-6 s with it). Purely
+            # measurement hygiene: nothing about the timed computation
+            # changes, and the collect cost lands after `elapsed`.
+            gc.collect()
             return elapsed
 
         # cross-round baseline applies only when the plan is plausibly
