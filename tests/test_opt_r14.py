@@ -83,3 +83,45 @@ def test_scaled_state_shuffle_restores_on_error(tmp_path):
             assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
             raise RuntimeError("boom")
     assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
+
+
+# ---------------------------------------------------------------------------
+# Batch 4: _spread's scan-parallelism estimate charges openCostInBytes
+# (Spark packs tiny files into splits, so N small files ≠ N tasks) and
+# the spilled verify-candidate scan is spread before the verify joins.
+# ---------------------------------------------------------------------------
+
+
+def test_spread_repartitions_many_tiny_files(spark, tmp_path):
+    # 8 tiny parquet files: the pre-r14 estimate max(n_files, bytes/max_pb)
+    # called this 8-wide and no-oped; Spark's openCost packing actually
+    # scans it as ~1 task. _spread must now spread it.
+    from blow_spark.dedup import _spread
+
+    path = str(tmp_path / "tiny8")
+    spark.range(0, 800).repartition(8).write.mode("overwrite").parquet(path)
+    scan = spark.read.parquet(path)
+    out = _spread(scan)
+    assert (
+        out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    ), "many-tiny-files scan was not spread to default parallelism"
+
+
+def test_spread_noops_when_scan_already_wide(spark, tmp_path):
+    # With maxPartitionBytes tiny and openCost zero, the SAME dir is
+    # estimated as >= target splits — _spread must return the input
+    # unchanged (no repartition barrier on already-wide inputs).
+    from blow_spark.dedup import _spread
+
+    path = str(tmp_path / "wide")
+    spark.range(0, 20000).repartition(4).write.mode("overwrite").parquet(path)
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_oc = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1024b")
+        spark.conf.set("spark.sql.files.openCostInBytes", "0b")
+        scan = spark.read.parquet(path)
+        assert _spread(scan) is scan
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_oc)
