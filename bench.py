@@ -500,8 +500,66 @@ AUDIT = [
 
 
 #: Hard budget for the final stdout line — the driver's tail capture is
-#: ~2000 chars; stay comfortably inside it.
-SUMMARY_LINE_BUDGET = 1500
+#: ~2000 chars; stay inside it with margin for the trailing newline.
+#: Raised 1500 → 1700 in round 15 to fit the STABLE summary membership
+#: below (40 rows at 2-decimal precision ≈ 1560 chars worst-case).
+SUMMARY_LINE_BUDGET = 1700
+
+#: STABLE summary membership (round-14 verdict item #3): the rows whose
+#: timings appear in the driver-visible one-line JSON. Previously the
+#: line carried "the slowest CORE rows that fit", so whenever the slow
+#: set shifted, displaced rows vanished from the dict and the driver's
+#: drop detection false-fired (3 false "dropped_from_bench" rows in
+#: PERF_r14 — all three still ran, flat, in the 218-row sidecar). Fixed
+#: membership makes the dict's KEY SET identical round over round: a
+#: missing key now really means a dropped query. The list is the union
+#: of every row visible in the r14 summary (so PERF_r15 sees no key
+#: disappear) — values are rounded to 2 decimals to keep the line well
+#: inside the tail-capture budget at any plausible magnitude. The full
+#: 218-row record stays in BENCH_DETAIL.json, and "n_ran" (below) gives
+#: the driver the authoritative ran-count.
+SUMMARY_ROWS = [
+    "split_leakage_safe",
+    "dedup_minhash_lsh",
+    "dedup_incremental_minhash",
+    "graph_pagerank_bipartite",
+    "dedup_semantic_semdedup",
+    "join_spatial_grid_epsilon",
+    "dedup_jaccard_prefix_filter",
+    "streaming_cdc_merge_foreachbatch",
+    "streaming_typed_state_totals",
+    "streaming_stream_stream_join",
+    "similarity_lsh_topk_plan",
+    "profile_column_summary",
+    "search_rrf_hybrid_fusion",
+    "similarity_topk_bruteforce",
+    "graph_hits_hubs_authorities",
+    "contamination_bloom_prefilter",
+    "tokenizer_unigram_viterbi_segment",
+    "pipeline_corpus_end_to_end",
+    "tokenizer_bpe_merges",
+    "tpch_q21_suppliers_who_kept_waiting",
+    "tpch_q8_national_market_share",
+    "sink_sorted_clustered_scan",
+    "similarity_maxsim_multivector",
+    "tpch_q18_large_volume_customer",
+    "streaming_tumbling_availablenow",
+    "stats_ks_two_sample",
+    "window_session",
+    "sort_equidepth_global_rank",
+    "tpch_q3_shipping_priority",
+    "agg_pricing_summary",
+    "vector_pq_quantize",
+    "timeseries_kalman_filter_1d",
+    "agg_distinct_counts",
+    "mix_dsir_importance",
+    "flagship_fizzbuzz_agg",
+    "pack_bins_best_fit",
+    "text_bm25_search",
+    "multimodal_wav_decode_energy",
+    "sink_jdbc_roundtrip",
+    "source_xml_roundtrip",
+]
 
 #: Two samples of the same warmed plan disagreeing by more than this
 #: ratio is shared-VM interference, not plan cost — take a third.
@@ -661,45 +719,55 @@ def detail_sidecar_paths(repo_dir: str) -> list[str]:
 def summary_line(timings: dict[str, float], sf_val, core=None, audit=None) -> str:
     """The ONE compact JSON line bench.py prints last on stdout.
 
-    Keeps the driver contract's shape (metric/value/unit/queries/sf) but
-    bounds the "queries" dict to the slowest entries that fit the
-    SUMMARY_LINE_BUDGET, so the line stays parseable inside the driver's
-    2000-char tail capture at ANY catalog size. When ``core`` is given
-    (the tier policy above), only those queries are eligible for the
-    visible dict — the EXTENDED tier still counts toward "value" and
-    "n_queries" and lives in BENCH_DETAIL.json next to this script.
-    When ``audit`` is given (round-13 verdict item #5), those
+    Keeps the driver contract's shape (metric/value/unit/queries/sf).
+    The visible "queries" dict has STABLE membership — the fixed
+    SUMMARY_ROWS list, 2-decimal values — so its key set is identical
+    round over round and the driver's drop detection can never false-
+    fire on a displaced row (round-14 verdict item #3: 3 rows that ran,
+    flat, read as "dropped_from_bench" because the slowest-that-fit
+    packing displaced them). "n_ran" carries the authoritative count of
+    timed rows. The EXTENDED tier still counts toward "value" and
+    "n_queries"/"n_ran" and lives in BENCH_DETAIL.json next to this
+    script. When ``audit`` is given (round-13 verdict item #5), those
     certification queries are subtotaled SEPARATELY as "audit_sec" and
     excluded from "value": they deliberately carry exact ground-truth
     branches, so their cost is certification overhead, not the
-    production-plan cost the headline measures."""
+    production-plan cost the headline measures. A budget guard remains
+    as a safety valve: if the line ever outgrows SUMMARY_LINE_BUDGET,
+    the FASTEST visible rows are trimmed (deterministically) — never
+    expected with the fixed 40-row set."""
     audit_set = set(audit or ()) & set(timings)
     audit_sec = round(sum(timings[q] for q in audit_set), 3)
     total = round(sum(timings.values()) - audit_sec, 3)
-    visible = (
-        {k: v for k, v in timings.items() if k in set(core)}
-        if core is not None
-        else timings
-    )
     base = {
         "metric": "headline_suite_wall_clock",
         "value": total,
         "unit": "sec",
         "sf": sf_val,
         "n_queries": len(timings),
+        "n_ran": len(timings),
         "detail": "BENCH_DETAIL.json",
         "queries": {},
     }
     if audit_set:
         base["audit_sec"] = audit_sec
         base["n_audit"] = len(audit_set)
-    slowest = sorted(visible.items(), key=lambda kv: -kv[1])
-    for name, sec in slowest:
-        candidate = dict(base)
-        candidate["queries"] = {**base["queries"], name: sec}
-        if len(json.dumps(candidate)) > SUMMARY_LINE_BUDGET:
-            break
-        base = candidate
+    if core is None:
+        # no tier policy (test/ad-hoc use): slowest-first greedy packing
+        # at full precision, as before round 15
+        slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+        for name, sec in slowest:
+            candidate = dict(base)
+            candidate["queries"] = {**base["queries"], name: sec}
+            if len(json.dumps(candidate)) > SUMMARY_LINE_BUDGET:
+                break
+            base = candidate
+        return json.dumps(base)
+    members = [q for q in SUMMARY_ROWS if q in timings]
+    base["queries"] = {q: round(timings[q], 2) for q in members}
+    while members and len(json.dumps(base)) > SUMMARY_LINE_BUDGET:
+        members.remove(min(members, key=lambda k: timings[k]))
+        base["queries"] = {q: round(timings[q], 2) for q in members}
     return json.dumps(base)
 
 
@@ -779,6 +847,13 @@ def main() -> None:
             # measurement hygiene: nothing about the timed computation
             # changes, and the collect cost lands after `elapsed`.
             gc.collect()
+            # Round-15 (round-14 verdict item #4): dropping the py4j
+            # proxies triggers ASYNCHRONOUS ContextCleaner unpersists on
+            # the JVM side; without a settle those can land inside the
+            # NEXT sample's timed window. A short fixed settle (outside
+            # the timed region) lets the cleaner drain its (tiny-block)
+            # queue before the next t0.
+            time.sleep(0.05)
             return elapsed
 
         # cross-round baseline applies only when the plan is plausibly
