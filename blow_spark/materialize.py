@@ -308,7 +308,26 @@ def checkpoint_small(df: DataFrame) -> DataFrame:
     consumers per round the scheduling overhead exceeds the compute
     (the lesson search_mmr_rerank's candidate frame measured in round
     8; a parquet spill got the same effect implicitly from AQE
-    coalescing the write)."""
+    coalescing the write).
+
+    DEBUG GUARD (round-15, round-14 verdict item #5): the ≤16k-row
+    contract used to be documented but unenforced — a future call site
+    handing a data-proportional table here would serialize a stage and
+    pin executor memory at scale, silently. With
+    ``BLOW_SPARK_DEBUG_CHECKPOINT_SMALL=1`` (set for the test suite in
+    tests/conftest.py, so every registered query's call sites are
+    checked each run) the input's row count is probed via limit
+    pushdown (scans at most the cap + 1 rows) and a violation raises.
+    Off by default: production pays zero extra jobs."""
+    if os.environ.get("BLOW_SPARK_DEBUG_CHECKPOINT_SMALL") == "1":
+        cap = 16384
+        if df.limit(cap + 1).count() > cap:
+            raise ValueError(
+                "checkpoint_small: input exceeds the 16k-row domain-"
+                "bounded contract — use spill_to_parquet for data-"
+                "proportional intermediates (they belong on shared "
+                "storage at cluster scale, not in executor memory)"
+            )
     return df.coalesce(1).localCheckpoint(eager=True)
 
 

@@ -7,6 +7,13 @@ import pytest
 SF_SMALL = "/root/testdata/sf0.001"
 SF_MEDIUM = "/root/testdata/sf0.01"
 
+# Enforce materialize.checkpoint_small's ≤16k-row domain-bounded
+# contract across every query the suite runs (round-14 verdict item #5:
+# documented but unenforced — a data-proportional call site would
+# serialize a stage at scale). The probe is limit-pushdown-bounded and
+# only active under this flag, so production sessions pay nothing.
+os.environ.setdefault("BLOW_SPARK_DEBUG_CHECKPOINT_SMALL", "1")
+
 
 @pytest.fixture(scope="session")
 def spark():
