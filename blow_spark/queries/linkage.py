@@ -62,6 +62,52 @@ def _purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spill_to_parquet(edges, "blow_spark_linkpred_")
 
 
+def _pair_counts(a: DataFrame, b: DataFrame) -> DataFrame:
+    """(cust_a, cust_b, common_parts) from the part-blocked self-join —
+    the Σ_p d_p² pair aggregate both link-prediction queries share.
+
+    Round-15 optimization (guide §2.3 "narrower types — shuffle fewer
+    bytes"): the aggregate's grouping key is the PACKED 64-bit pair
+    cust_a·2³² + cust_b instead of two BIGINT columns, so each of the
+    ~8.6 M pre-aggregation rows ships one 8-byte key instead of two,
+    and partial/final hash aggregation hashes and compares one word.
+    DOMAIN PROOF (the huber-step BIGINT pattern): TPC-H custkey ≤
+    150 000·SF, so cust_a < 2³¹ (and a fortiori cust_b < 2³²) holds to
+    SF ≈ 14 000; the pack is a bijection there, so groups, counts and
+    tie-breaks are bit-identical to the two-column form. GUARDED
+    in-plan: past that bound the pack would corrupt SILENTLY, so each
+    row pays one range comparison and raises instead — loud failure is
+    the contract for a rewrite whose validity is data-bounded. Unpack
+    after the aggregate is two bitwise ops on the GROUPED (≪ pre-agg)
+    rows."""
+    in_domain = (F.col("cust_a") < F.lit(1 << 31)) & (
+        F.col("cust_b") < F.lit(1 << 32)
+    )
+    pk = F.when(
+        in_domain, F.shiftleft(F.col("cust_a"), 32) + F.col("cust_b")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "linkpred packed pair key: custkey >= 2^31 — beyond the "
+                "guarded pack domain (TPC-H SF ~14k); use the two-column "
+                "grouping for this scale"
+            )
+        ).cast("long")
+    )
+    packed = (
+        a.join(b, "p")
+        .filter(F.col("cust_a") < F.col("cust_b"))
+        .select(pk.alias("pk"))
+        .groupBy("pk")
+        .agg(F.count("*").cast("bigint").alias("common_parts"))
+    )
+    return packed.select(
+        F.shiftright(F.col("pk"), 32).alias("cust_a"),
+        F.col("pk").bitwiseAND(F.lit(0xFFFFFFFF)).alias("cust_b"),
+        "common_parts",
+    )
+
+
 @register(
     "join_asof_nearest",
     oracle="""
@@ -306,12 +352,7 @@ def graph_common_neighbors_linkpred(spark: SparkSession, sf_dir: str) -> DataFra
     )
     a = kept.select(F.col("c").alias("cust_a"), "p")
     b = kept.select(F.col("c").alias("cust_b"), "p")
-    pairs = (
-        a.join(b, "p")
-        .filter(F.col("cust_a") < F.col("cust_b"))
-        .groupBy("cust_a", "cust_b")
-        .agg(F.count("*").cast("bigint").alias("common_parts"))
-    )
+    pairs = _pair_counts(a, b)
     return pairs.orderBy(
         F.desc("common_parts"), "cust_a", "cust_b"
     ).limit(50)
@@ -1093,12 +1134,7 @@ def graph_jaccard_neighbor_linkpred(spark: SparkSession, sf_dir: str) -> DataFra
     cdeg = kept.groupBy("c").agg(F.count("*").cast("bigint").alias("d"))
     a = kept.select(F.col("c").alias("cust_a"), "p")
     b = kept.select(F.col("c").alias("cust_b"), "p")
-    pairs = (
-        a.join(b, "p")
-        .filter(F.col("cust_a") < F.col("cust_b"))
-        .groupBy("cust_a", "cust_b")
-        .agg(F.count("*").cast("bigint").alias("common_parts"))
-    )
+    pairs = _pair_counts(a, b)
     scored = (
         pairs.join(
             cdeg.select(F.col("c").alias("cust_a"), F.col("d").alias("deg_a")),
