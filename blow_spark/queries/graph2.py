@@ -803,7 +803,7 @@ def graph_seeded_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     enumeration, and walks parallelize over seeds, which is exactly
     how a 100 TB embedding corpus generates billions of walks.
     Reference analog: none (maps/maps.go:8-21)."""
-    from blow_spark.materialize import spill_to_parquet
+    from blow_spark.materialize import checkpoint_small, spill_to_parquet
 
     o = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
@@ -835,16 +835,20 @@ def graph_seeded_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand = F.broadcast(cur).join(
             edges, cur["node"] == edges[side_from]
         )
-        # each frontier is spilled: the output UNION references every
-        # step, and without the spill each branch would re-derive the
-        # whole walk prefix (steps² edge scans instead of one per step)
-        nxt = spill_to_parquet(
+        # each frontier is materialized: the output UNION references
+        # every step, and without truncation each branch would re-derive
+        # the whole walk prefix (steps² edge scans instead of one per
+        # step). Round-15 (guide §5, the betweenness lesson): the
+        # frontier is WALK-COUNT-bounded (24 rows at any data size —
+        # seeds × walks, a plan constant), so it rides checkpoint_small
+        # instead of paying a parquet write job + commit + scan per
+        # step; the data-proportional EDGE table above keeps its spill.
+        nxt = checkpoint_small(
             cand.groupBy("walk_id").agg(
                 F.expr(
                     f"min_by({side_to}, {_rw_pick('node', side_to, t)})"
                 ).alias("node")
-            ),
-            "blow_spark_rw_frontier_",
+            )
         )
         out.append(
             nxt.select(
