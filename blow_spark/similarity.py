@@ -599,12 +599,20 @@ def ivf_assign(
     # 10.9 s → 3.5 s ivf_topk rewrite at sf0.1).
     spark = df.sparkSession
     for _ in range(lloyd_iters):
-        assigned = _nearest_centroids(unit, centroids, 1)
+        # Round-15 fused assign+update (guide §2.1 "remove unnecessary
+        # passes"): ONE map-only corpus pass emits per-batch partial
+        # (cid, pos, sum, count) rows — K·dim rows per Arrow batch —
+        # instead of assigning (pass 1), joining the assignment back to
+        # the corpus by vid (pass 2 + a corpus shuffle) and exploding
+        # N·dim (cid, pos, x) rows into the mean aggregate. The mean is
+        # the same Σx/n (float addition reassociates across partials,
+        # exactly as the previous hash aggregate's partial sums did —
+        # neither form pins an addition order); every downstream gate
+        # on the k-means geometry is margin-based, not float-pinned.
+        partials = _assign_centroid_partials(unit, centroids)
         centroids = (
-            assigned.join(unit, "vid")
-            .select("cid", F.posexplode("uv").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(F.avg("x").alias("m"))
+            partials.groupBy("cid", "pos")
+            .agg((F.sum("s") / F.sum("n")).alias("m"))
             .groupBy("cid")
             .agg(
                 F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
@@ -615,6 +623,60 @@ def ivf_assign(
             centroids.toPandas(), "cid long, cv array<double>"
         )
     return _nearest_centroids(unit, centroids, 1), centroids
+
+
+def _assign_centroid_partials(unit: DataFrame, centroids: DataFrame) -> DataFrame:
+    """One fused Lloyd pass: per Arrow batch, assign each unit vector to
+    its nearest centroid (same GEMM + first-argmax/lowest-cid tie-break
+    as ``_nearest_centroids`` with top=1) and emit the batch's partial
+    per-cluster component sums — (cid, pos, s, n) with K·dim rows per
+    batch — so the centroid mean aggregate runs over K·dim·n_batches
+    rows instead of N·dim, and the corpus is scanned ONCE per iteration
+    with no vid join."""
+    import numpy as np
+    import pyarrow as pa
+
+    from blow_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(unit.sparkSession)
+    cents = centroids.orderBy("cid").toPandas()
+    cid_arr = cents["cid"].to_numpy().astype(np.int64)
+    cmat = np.array(cents["cv"].tolist(), dtype=np.float64).T  # (dim, K)
+
+    def partials(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            mat = (
+                batch.column(1)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(n, -1)
+            )
+            sims = mat @ cmat  # (n, K)
+            # first max == stable argsort(-sims)[:, 0]: lowest cid wins
+            # ties (cid_arr is cid-ascending), matching _nearest_centroids
+            best = np.argmax(sims, axis=1)
+            k, dim = cmat.shape[1], mat.shape[1]
+            sums = np.zeros((k, dim), dtype=np.float64)
+            np.add.at(sums, best, mat)
+            counts = np.bincount(best, minlength=k).astype(np.int64)
+            live = np.flatnonzero(counts)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(cid_arr[live], dim), pa.int64()),
+                    pa.array(np.tile(np.arange(dim, dtype=np.int32), len(live)), pa.int32()),
+                    pa.array(sums[live].ravel(), pa.float64()),
+                    pa.array(np.repeat(counts[live], dim), pa.int64()),
+                ],
+                ["cid", "pos", "s", "n"],
+            )
+
+    return unit.select("vid", "uv").mapInArrow(
+        partials, "cid long, pos int, s double, n long"
+    )
 
 
 def _nearest_centroids(unit: DataFrame, centroids: DataFrame, top: int) -> DataFrame:
@@ -848,6 +910,14 @@ def semantic_dedup(
 
     assigned, _cent = ivf_assign(
         df, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col
+    )
+    # Round-15: the final assignment is referenced three times below
+    # (both candidate self-join sides + the decisions join); lazy, each
+    # reference re-ran the normalize+GEMM corpus pass. Spill once —
+    # (vid, cid) is the bucketed IVF intermediate the cluster design
+    # stores anyway.
+    assigned = spill_to_parquet(
+        assigned.select("vid", "cid"), "blow_spark_semdedup_asg_"
     )
     a = assigned.select(F.col("vid").alias("query_id"), F.col("cid").alias("_ca"))
     b = assigned.select(F.col("vid").alias("neighbor_id"), F.col("cid").alias("_cb"))
