@@ -40,11 +40,15 @@ _FUSED_TOPK = 10
 
 def _dense_ranked(spark: SparkSession, sf_dir: str, depth: int) -> DataFrame:
     """Exact cosine rank list (query_id, cand_id, rank) at the given
-    depth for the first ``_N_QUERIES`` vectors, via the codegen'd
-    fixed-point brute-force plan (self-matches excluded, ties on id)."""
+    depth for the first ``_N_QUERIES`` vectors. Round-15 (guide §4.2):
+    rides the vectorized GEMM scorer — bit-equal to the posexplode
+    expression plan (same int64 fixed-point sums, same (−cos, id)
+    tie-break; brute_force_topk_vectorized carries its own DuckDB
+    oracle) at a fraction of the cost: one numpy pass per corpus batch
+    instead of a Q·N·dim-row broadcast join + hash aggregate."""
     e = read_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < _N_QUERIES)
-    return similarity.brute_force_topk(q, e, k=depth).select(
+    return similarity.brute_force_topk_vectorized(q, e, k=depth).select(
         "query_id", F.col("neighbor_id").alias("cand_id"), "rank"
     )
 
@@ -315,7 +319,9 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     or a penalty miscount in ANY step turns the row red."""
     e = read_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < _N_QUERIES)
-    cand = similarity.brute_force_topk(q, e, k=_MMR_CANDS).select(
+    # round-15: GEMM scorer, bit-equal to the expression plan (see
+    # _dense_ranked)
+    cand = similarity.brute_force_topk_vectorized(q, e, k=_MMR_CANDS).select(
         "query_id",
         F.col("neighbor_id").alias("cand_id"),
         F.round(F.col("cos_sim") * 1_000_000).cast("long").alias("rel_mu"),
@@ -502,7 +508,9 @@ def rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, 2-column) documents scan."""
     e = read_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < _N_QUERIES)
-    ranked = similarity.brute_force_topk(q, e, k=_CTX_TOPK).select(
+    # round-15: GEMM scorer, bit-equal to the expression plan (see
+    # _dense_ranked)
+    ranked = similarity.brute_force_topk_vectorized(q, e, k=_CTX_TOPK).select(
         "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
     )
     toks = read_table(spark, sf_dir, "documents").select(

@@ -133,7 +133,12 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("query_id") < 50)
         .select("query_id", "neighbor_id")
     )
-    exact = similarity.brute_force_topk(
+    # Round-15 (guide §4.2): the 50-query exact AUDIT side rides the
+    # bit-equal vectorized GEMM scorer (same int64 fixed-point sums and
+    # tie-breaks — see brute_force_topk_vectorized's oracle) instead of
+    # the posexplode join+aggregate; the production ANN plan being
+    # certified is untouched.
+    exact = similarity.brute_force_topk_vectorized(
         e.filter(F.col("vec_id") < 50), e, k=5
     ).select("query_id", "neighbor_id")
     hits = ann.join(exact, ["query_id", "neighbor_id"]).agg(
@@ -1852,8 +1857,18 @@ def similarity_ann_method_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "embeddings")
     q50 = e.filter(F.col("vec_id") < 50)
+    # Round-15 (guide §4.2): the exact ground-truth side rides the
+    # vectorized GEMM scorer instead of the posexplode expression fold —
+    # BIT-EQUAL by construction (same int64 sums of round(x·y·S), same
+    # (−cos, id) tie-break; brute_force_topk_vectorized carries its own
+    # DuckDB oracle), but one numpy pass per Arrow batch instead of a
+    # Q·N·dim-row join + hash aggregate. Certification semantics are
+    # unchanged: the recall floor is still measured against the full
+    # exact top-5 of all 50 audited queries.
     exact = spill_to_parquet(
-        similarity.brute_force_topk(q50, e, k=5).select("query_id", "neighbor_id"),
+        similarity.brute_force_topk_vectorized(q50, e, k=5).select(
+            "query_id", "neighbor_id"
+        ),
         "blow_spark_annrep_exact_",
     )
     n_q = exact.select(F.count_distinct("query_id").alias("n_queries"))
@@ -1948,7 +1963,10 @@ def similarity_ann_method_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     deq = spill_to_parquet(
         mm.select("vec_id", qv.alias("embedding")), "blow_spark_annrep_deq_"
     )
-    int8_topk = similarity.brute_force_topk(
+    # same GEMM swap as the exact branch above (round 15): identical
+    # fixed-point arithmetic over the dequantized vectors, one corpus
+    # pass instead of the 50×N×64-row join+aggregate
+    int8_topk = similarity.brute_force_topk_vectorized(
         deq.filter(F.col("vec_id") < 50), deq, k=5
     )
     int8_cand_n = n_q.crossJoin(n_corpus).select(
