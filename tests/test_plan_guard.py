@@ -163,7 +163,7 @@ BENCH_EXCHANGE_PINS = {
     "dedup_exact": (1, 0),
     # r14: +1 shuffle = _spread of the spilled candidate scan before
     # the verify join (single-split fix, dedup._verify_and_release)
-    "dedup_minhash_lsh": (1, 2),
+    "dedup_minhash_lsh": (0, 2),
     "similarity_topk_bruteforce": (2, 1),
     "tpch_q8_national_market_share": (2, 7),
     "tpch_q21_suppliers_who_kept_waiting": (4, 3),
@@ -184,7 +184,10 @@ BENCH_EXCHANGE_PINS = {
     "dedup_embedding_clusters": (0, 0),
     "sink_merge_upsert_roundtrip": (0, 0),
     # streaming_tumbling_availablenow: runtime-tagged (excluded below)
-    "similarity_lsh_topk": (10, 6),
+    # r15: the 50-query exact AUDIT side rides the vectorized GEMM
+    # scorer (mapInPandas + window) instead of the posexplode broadcast
+    # join + hash aggregate — 4 shuffles and 1 broadcast fewer
+    "similarity_lsh_topk": (6, 5),
     # the bare production ANN plan (no audit): band-bucket self-join
     # (1 shuffle on (band, chunk) + 1 for the top-k window) + broadcast
     # re-score sides — the row that makes ANN regressions visible
@@ -194,8 +197,11 @@ BENCH_EXCHANGE_PINS = {
     "timeseries_interpolate_linear": (2, 1),
     "dq_quarantine_split": (1, 0),
     "similarity_knn_classify": (3, 2),
-    # r14: +1 shuffle = verify-candidate _spread (see dedup_minhash_lsh)
-    "dedup_jaccard_prefix_filter": (1, 2),
+    # r15: the verify-candidate _spread is VOLUME-sized (one partition
+    # per 16k pairs, round-14 verdict item #1) — at sf0.001 the candidate
+    # set is under one chunk, so the round-robin exchange disappears
+    # (it reappears at volumes that warrant it, e.g. sf0.1)
+    "dedup_jaccard_prefix_filter": (0, 2),
     "contamination_bloom_prefilter": (7, 2),
     "profile_column_summary": (2, 0),
     # r14: the 6 BPE rounds are checkpoint_small-materialized — the
@@ -216,19 +222,24 @@ BENCH_EXCHANGE_PINS = {
     # 7 shuffles are the semdedup pipeline (cid self-join, CC, per-label
     # agg); 11 broadcasts are the small verification/decision sides
     # (spilled pair-score scan joined thrice + 1-row proof aggregates)
-    "dedup_semantic_semdedup": (7, 11),
+    # r15: fused Lloyd assign+centroid pass (one map-only corpus scan
+    # per iteration, partial sums; no vid join) and the final assignment
+    # spilled once for its three consumers: -2 shuffles, +1 broadcast
+    "dedup_semantic_semdedup": (5, 12),
     # pure map plan: hash → inverse-CDF CASE → explode; zero exchanges
     "sample_poisson_bootstrap": (0, 0),
     # r14: trainer rounds checkpointed (see tokenizer_bpe_merges); the
     # returned plan is the corpus encode join + per-doc aggregate only
     "corpus_bpe_encode": (1, 1),
     # round 6 additions
-    "search_rrf_hybrid_fusion": (4, 4),
+    # r15: dense arm rides the GEMM scorer (see similarity_lsh_topk)
+    "search_rrf_hybrid_fusion": (3, 3),
     # localCheckpoint per greedy step truncates the returned lineage
     # (spill-backed-style low count); the per-step exchanges are pinned
     # by tests/test_retrieval.py
     "search_mmr_rerank": (0, 0),
-    "rag_context_pack": (2, 2),
+    # r15: dense arm rides the GEMM scorer (see similarity_lsh_topk)
+    "rag_context_pack": (1, 1),
     # recursive CTE: the date-keyed left join + the bounds aggregate,
     # broadcasts of the 90-row spine and the 1-row bounds; the
     # recursion loop materializes outside the exchange tree
@@ -322,8 +333,9 @@ BENCH_EXCHANGE_PINS = {
     "text_ngram_novelty": (2, 1),
     # exact-Jaccard candidate path (blocked self-join) + two signature
     # joins (signature sides broadcast at this SF) + 1-row proof agg
-    # r14: +1 shuffle = verify-candidate _spread (see dedup_minhash_lsh)
-    "dedup_minhash_estimate_error": (6, 4),
+    # r15: volume-sized verify _spread; sub-chunk at sf0.001 (see
+    # dedup_jaccard_prefix_filter)
+    "dedup_minhash_estimate_error": (5, 4),
     # 1-row bounds broadcast + one (series,bucket)-keyed shuffle
     "timeseries_m4_downsample": (2, 1),
     # round 8 pins
@@ -423,7 +435,9 @@ BENCH_EXCHANGE_PINS = {
     # + per-method candidate counts in ONE plan (cf. similarity_lsh_topk,
     # whose audit is also exchange-heavy); the production paths it
     # certifies are benched separately (similarity_lsh_topk_plan, ...)
-    "similarity_ann_method_report": (23, 20),
+    # r15: exact + int8 ground-truth branches ride the GEMM scorer
+    # (see similarity_lsh_topk)
+    "similarity_ann_method_report": (22, 19),
     # round 11 batch 2 — the codec shelf is exactly ZERO exchanges
     # (map-only decode at parquet-scan speed, the whole point); the
     # analytics shelf is 2-3 keyed shuffles + a broadcast dim; DTW and
@@ -496,8 +510,9 @@ BENCH_EXCHANGE_PINS = {
     # custkey (one extra distinct shuffle + sign join) instead of 64
     # md5 expressions per fact row — see the query docstring
     "agg_ams_f2_moment_sketch": (7, 2),
-    # r14: +1 shuffle = verify-candidate _spread (see dedup_minhash_lsh)
-    "dedup_ppjoin_positional": (5, 4),
+    # r15: volume-sized verify _spread; sub-chunk at sf0.001 (see
+    # dedup_jaccard_prefix_filter)
+    "dedup_ppjoin_positional": (4, 4),
     "corpus_good_turing_counts": (2, 2),
     "privacy_dp_median_exponential": (2, 1),
     "stats_ljung_box_whiteness": (3, 3),
