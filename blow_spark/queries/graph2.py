@@ -349,8 +349,6 @@ def graph_closeness_centrality_bfs(spark: SparkSession, sf_dir: str) -> DataFram
         edges.select("c").distinct().orderBy("c").limit(10)
         .select(F.col("c").alias("seed"))
     )
-    from blow_spark.materialize import checkpoint_small
-
     # frontier alternates sides: odd dist = parts, even dist = customers
     reached = seeds.select(
         "seed", F.col("seed").alias("node"), F.lit("c").alias("side"),
@@ -374,13 +372,17 @@ def graph_closeness_centrality_bfs(spark: SparkSession, sf_dir: str) -> DataFram
                 .select("seed", "node", F.lit("c").alias("side"),
                         F.lit(dist).alias("dist"))
             )
-        # round-14 optimization (guide §5): truncate each SEED-bounded
-        # frontier — the lazy chain referenced frontier k from every
-        # deeper level AND the final union, re-running its join+distinct
-        # per reference (ReuseExchange only dedupes identical exchange
-        # subtrees within one executed plan, and the per-level union
-        # branches diverge after projection)
-        nxt = checkpoint_small(nxt)
+        # Round-15 REVERT of the round-14 per-level checkpoint_small
+        # truncation (round-14 verdict item #2's criterion: revert if
+        # its 32-core wall cost is >=10% real). Interleaved same-
+        # session A/B at sf0.1 (scripts/ab_r15.py, min-of-4):
+        # untruncated 5.77 s, eager checkpoint 6.51 s (+13%), lazy
+        # checkpoint 6.87 s — the truncation's stage-count savings
+        # (26 vs 30 scheduled stages) never translate to wall at this
+        # depth, and the per-level coalesce(1) barrier costs real time.
+        # The lazy chain's re-execution is bounded: each deeper level
+        # re-derives only SEED-bounded frontier joins against the
+        # spilled edge scan, and horizon 4 caps the duplication at 4x.
         reached = reached.unionByName(nxt)
         frontier = nxt
     best = reached.groupBy("seed", "node", "side").agg(F.min("dist").alias("d"))

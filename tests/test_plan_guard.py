@@ -456,13 +456,12 @@ BENCH_EXCHANGE_PINS = {
     "stats_wilcoxon_signed_rank": (3, 1),
     "ml_pca_two_feature": (2, 1),
     "timeseries_dtw_band_distance": (11, 6),
-    # round-14 optimization: each seed-bounded BFS frontier is now
-    # truncated via checkpoint_small, so the per-level join+distinct
-    # plans run once in the checkpoint jobs instead of being replayed
-    # from every deeper level and the final union; the returned plan
-    # is the min-dist aggregate + harmonic sum over the truncated
-    # frontier scans
-    "graph_closeness_centrality_bfs": (4, 0),
+    # round-15 REVERT of the round-14 per-level checkpoint truncation:
+    # an interleaved A/B measured the truncation a real +13% wall at
+    # 32 cores (scripts/ab_r15.py — the round-14 verdict's revert
+    # criterion), so the lazy round-13 chain stands; the counts are
+    # the replayed per-level join+distinct branches again
+    "graph_closeness_centrality_bfs": (18, 10),
     "graph_modularity_score": (8, 5),
     "finance_sharpe_sortino": (3, 1),
     "text_aho_corasick_blocklist": (2, 0),
