@@ -331,6 +331,27 @@ def checkpoint_small(df: DataFrame) -> DataFrame:
     return df.coalesce(1).localCheckpoint(eager=True)
 
 
+def checkpoint_sublinear(df: DataFrame) -> DataFrame:
+    """Materialize-and-truncate for SUBLINEAR (vocabulary-grain)
+    intermediates: ``localCheckpoint(eager=True)`` WITHOUT the
+    ``coalesce(1)`` of :func:`checkpoint_small`.
+
+    Round-15 (guide §5): the unigram-EM loop's word-frequency, piece-
+    cost and Viterbi tables are vocabulary-grain — tiny at the bench
+    SFs (31 words / 228 pieces) but corpus-DEPENDENT (a web-scale
+    corpus has a 10⁵-10⁶-row vocabulary), so neither materialization
+    extreme fits: a parquet spill pays a write job + commit + re-list +
+    scan per table (6 per EM run — the measured job floor of the
+    operator), while checkpoint_small's coalesce(1) would serialize the
+    per-word Viterbi DP into ONE task at real vocabulary sizes. This
+    keeps the input's (AQE-coalesced) partitioning — one partition at
+    bench scale, many at cluster scale — and cuts lineage in the block
+    manager with no storage round-trip. Blocks are reference-counted
+    and swept by the ContextCleaner, same lifecycle as
+    checkpoint_small/ops.pagerank."""
+    return df.localCheckpoint(eager=True)
+
+
 def spill_to_parquet(df: DataFrame, prefix: str = "blow_spark_ckpt_") -> DataFrame:
     """Write ``df`` to a fresh temp parquet dir and return a scan of it.
 

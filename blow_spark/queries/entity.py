@@ -352,10 +352,31 @@ def er_fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("agr_seg", "agr_bal")
     )
-    u = pairs.agg(
-        (F.sum("agr_seg").cast("double") / F.count("*")).alias("u_seg"),
-        (F.sum("agr_bal").cast("double") / F.count("*")).alias("u_bal"),
-        F.count("*").cast("bigint").alias("n_pairs"),
+    # Round-15 (guide §2.1 "don't run passes twice"): `pairs` used to be
+    # referenced by BOTH the u-estimate aggregate and the weighted rows,
+    # so the blocked self-join + (id_a, id_b)-distinct executed twice.
+    # The pattern space is 2^#fields = 4 rows, so everything downstream
+    # is arithmetic over the pattern COUNTS: aggregate once, truncate
+    # the 4-row table (checkpoint_small), and derive u-rates and weights
+    # from it. u_seg = Σ n_i·agr_seg_i / Σ n_i is the identical exact
+    # integer-sum ratio; the per-pattern weight expressions are the same
+    # doubles on the same inputs, so every output value is unchanged
+    # (oracle-verified both SFs).
+    from blow_spark.materialize import checkpoint_small
+
+    patt = checkpoint_small(
+        pairs.groupBy("agr_seg", "agr_bal").agg(
+            F.count("*").cast("bigint").alias("n")
+        )
+    )
+    u = patt.agg(
+        (
+            F.sum(F.col("agr_seg") * F.col("n")).cast("double") / F.sum("n")
+        ).alias("u_seg"),
+        (
+            F.sum(F.col("agr_bal") * F.col("n")).cast("double") / F.sum("n")
+        ).alias("u_bal"),
+        F.sum("n").cast("bigint").alias("n_pairs"),
     )
     w_seg = F.when(
         F.col("agr_seg") == 1, F.log(F.lit(_FS_M_SEG) / F.col("u_seg"))
@@ -363,20 +384,15 @@ def er_fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_bal = F.when(
         F.col("agr_bal") == 1, F.log(F.lit(_FS_M_BAL) / F.col("u_bal"))
     ).otherwise(F.log(F.lit(1 - _FS_M_BAL) / (1 - F.col("u_bal"))))
-    weighted = pairs.crossJoin(F.broadcast(u)).select(
+    weighted = patt.crossJoin(F.broadcast(u)).select(
         "agr_seg",
         "agr_bal",
-        "n_pairs",
-        F.round((w_seg + w_bal) * 1_000_000).cast("bigint").alias("w_e6"),
+        "n",
+        F.col("n_pairs").alias("blocked_pairs"),
+        F.round((w_seg + w_bal) * 1_000_000).cast("bigint").alias("weight_e6"),
     )
     return (
-        weighted.groupBy("agr_seg", "agr_bal")
-        .agg(
-            F.count("*").cast("bigint").alias("n"),
-            F.min("w_e6").cast("bigint").alias("weight_e6"),
-            F.min("n_pairs").cast("bigint").alias("blocked_pairs"),
-        )
-        .select(
+        weighted.select(
             "agr_seg",
             "agr_bal",
             "n",

@@ -430,16 +430,19 @@ def _unigram_em_oracle_sql() -> str:
 
 def _uni_wf_pcost(spark: SparkSession, sf_dir: str):
     """Word frequencies and the initial substring-count piece costs
-    (θ₀), both spilled (they feed every DP step)."""
-    from blow_spark.materialize import spill_to_parquet
+    (θ₀), both materialized once (they feed every DP step). Round-15:
+    vocabulary-grain tables ride materialize.checkpoint_sublinear —
+    lineage cut in the block manager instead of a parquet write job +
+    commit + scan per table (the spills were the operator's job floor:
+    6 per EM run over ≤228-row tables at sf0.1)."""
+    from blow_spark.materialize import checkpoint_sublinear
 
     d = read_table(spark, sf_dir, "documents")
     tok = d.select(
         F.explode(F.split(F.col("text"), " ")).alias("word")
     ).where((F.col("word") != "") & (F.length("word") <= _UNI_MAX_WORD))
-    wf = spill_to_parquet(
-        tok.groupBy("word").agg(F.count("*").cast("bigint").alias("wf")),
-        "blow_spark_uni_wf_",
+    wf = checkpoint_sublinear(
+        tok.groupBy("word").agg(F.count("*").cast("bigint").alias("wf"))
     )
     positions = [
         (i, l)
@@ -455,14 +458,13 @@ def _uni_wf_pcost(spark: SparkSession, sf_dir: str):
         .agg(F.sum("wf").cast("bigint").alias("cnt"))
     )
     tot = pieces.agg(F.sum("cnt").cast("double").alias("tot"))
-    pcost = spill_to_parquet(
+    pcost = checkpoint_sublinear(
         pieces.crossJoin(F.broadcast(tot)).select(
             "piece",
             F.round(-F.log(F.col("cnt") / F.col("tot")) * 1_000_000)
             .cast("bigint")
             .alias("c"),
-        ),
-        "blow_spark_uni_pcost_",
+        )
     )
     return wf, pcost
 
@@ -615,7 +617,9 @@ def tokenizer_unigram_viterbi_segment(
     wf, pcost = _uni_wf_pcost(spark, sf_dir)
     best = _uni_viterbi_best(wf, pcost, "uni")
     return (
-        best.join(wf, "word")
+        # wf is a checkpointed vocabulary-grain table (no size stats
+        # for auto-broadcast) — hint it explicitly
+        best.join(F.broadcast(wf), "word")
         .select(
             "word",
             F.col("wf").alias("freq"),
@@ -636,11 +640,12 @@ def tokenizer_unigram_viterbi_segment(
 
 def _uni_m_step(best: DataFrame, wf: DataFrame):
     """Hard-EM M-step: corpus-weighted piece counts from a Viterbi
-    segmentation, the re-estimated cost table θ (spilled — it feeds 12
-    DP joins), and the 1-row (tokens, distinct-piece) stats."""
-    from blow_spark.materialize import spill_to_parquet
+    segmentation, the re-estimated cost table θ (materialized — it
+    feeds the next E-step's DP join and the repricing), and the 1-row
+    (tokens, distinct-piece) stats."""
+    from blow_spark.materialize import checkpoint_sublinear
 
-    occ = best.join(wf, "word").select(
+    occ = best.join(F.broadcast(wf), "word").select(
         "wf", F.explode(F.split("path", " ")).alias("piece")
     )
     cnt = occ.groupBy("piece").agg(F.sum("wf").cast("bigint").alias("cnt"))
@@ -649,14 +654,13 @@ def _uni_m_step(best: DataFrame, wf: DataFrame):
         F.sum("cnt").cast("bigint").alias("tk"),
         F.count("*").cast("bigint").alias("np"),
     )
-    pcost = spill_to_parquet(
+    pcost = checkpoint_sublinear(
         cnt.crossJoin(F.broadcast(tot.select("tot"))).select(
             "piece",
             F.round(-F.log(F.col("cnt") / F.col("tot")) * 1_000_000)
             .cast("bigint")
             .alias("c"),
-        ),
-        "blow_spark_uniem_pcost_",
+        )
     )
     return occ, pcost, tot
 
@@ -696,32 +700,30 @@ def tokenizer_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     M-step. Cost per round is a handful of Spark jobs, not data
     volume; rounds are strictly sequential by nature (EM is an
     inherently iterative fixpoint)."""
-    from blow_spark.materialize import spill_to_parquet
+    from blow_spark.materialize import checkpoint_sublinear
 
     wf, pcost0 = _uni_wf_pcost(spark, sf_dir)
     # round 1: E-step under θ₀, M-step → θ₁. Each round's Viterbi table
-    # spills ONCE (it feeds the M-step, the occ⋈θ repricing AND the
-    # next round) — with the single-plan DP of _uni_viterbi_best this
-    # is the only materialization per round, vs 12 per-step spills
-    # before the round-14 optimization.
-    best1 = spill_to_parquet(
-        _uni_viterbi_best(wf, pcost0, "uniem_r1"), "blow_spark_uniem_b1_"
-    )
+    # materializes ONCE (it feeds the M-step, the occ⋈θ repricing AND
+    # the next round) — with the single-plan DP of _uni_viterbi_best
+    # this is the only materialization per round, vs 12 per-step spills
+    # before the round-14 optimization; round-15 moves it (and every
+    # other vocabulary-grain table here) from parquet spill to
+    # checkpoint_sublinear — see _uni_wf_pcost.
+    best1 = checkpoint_sublinear(_uni_viterbi_best(wf, pcost0, "uniem_r1"))
     occ1, pcost1, tot1 = _uni_m_step(best1, wf)
-    stat0 = best1.join(wf, "word").agg(
+    stat0 = best1.join(F.broadcast(wf), "word").agg(
         F.sum(F.col("wf") * F.col("cost")).cast("bigint").alias("total0")
     )
     stat1 = (
-        occ1.join(pcost1, "piece")
+        occ1.join(F.broadcast(pcost1), "piece")
         .agg(F.sum(F.col("wf") * F.col("c")).cast("bigint").alias("total1"))
     )
     # round 2: E-step under θ₁, M-step → θ₂
-    best2 = spill_to_parquet(
-        _uni_viterbi_best(wf, pcost1, "uniem_r2"), "blow_spark_uniem_b2_"
-    )
+    best2 = checkpoint_sublinear(_uni_viterbi_best(wf, pcost1, "uniem_r2"))
     occ2, pcost2, tot2 = _uni_m_step(best2, wf)
     stat2 = (
-        occ2.join(pcost2, "piece")
+        occ2.join(F.broadcast(pcost2), "piece")
         .agg(F.sum(F.col("wf") * F.col("c")).cast("bigint").alias("total2"))
     )
     t1 = tot1.select(

@@ -368,7 +368,11 @@ BENCH_EXCHANGE_PINS = {
     # round 9 pins
     # spilled blocked rows (blocking subtree runs once); self-join +
     # distinct + u/pattern aggregates; 25-row stats broadcast
-    "er_fellegi_sunter_linkage": (5, 3),
+    # r15: the 4-row pattern-count table is checkpoint_small-truncated
+    # (2^#fields rows), so the u-estimate and the weighted rows derive
+    # from it instead of replaying the blocked self-join subtree — the
+    # returned plan keeps only the pattern arithmetic
+    "er_fellegi_sunter_linkage": (2, 1),
     # two spill-backed 12-step DP chains + M-step re-estimates
     "tokenizer_unigram_em": (13, 18),
     # spilled value-grain counts + two-phase prefix sum + cell joins
